@@ -1,0 +1,69 @@
+package graft.energy
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** End-to-end Medallion orchestration: Bronze ingest → Silver flatten →
+  * Gold aggregates/join, mirroring `src/main.py:28-114` of the reference.
+  */
+final case class PipelineResult(
+    bronzePowerRows: Long,
+    bronzePriceRows: Long,
+    silverPowerRows: Long,
+    silverPriceRows: Long,
+    goldPowerDaily: DataFrame,
+    goldPriceDaily: DataFrame,
+    goldJoin: DataFrame,
+)
+
+object EnergyPipeline {
+
+  def run(
+      spark: SparkSession,
+      cfg: EnergyConfig,
+      src: EnergySource,
+  ): PipelineResult = {
+    val dates = Dates.dateRange(cfg.backfill.startDate, cfg.backfill.endDate)
+    val country = cfg.datasets
+      .find(_.endpoint == "public_power")
+      .flatMap(_.params.get("country"))
+      .getOrElse("de")
+    val bzn = cfg.datasets
+      .find(_.endpoint == "price")
+      .flatMap(_.params.get("bzn"))
+      .getOrElse("DE-LU")
+
+    val bronzePowerPath = cfg.storage.bronze("power")
+    val bronzePricePath = cfg.storage.bronze("price")
+    val nPow = Bronze.ingestPower(spark, src, country, dates, bronzePowerPath)
+    val nPri = Bronze.ingestPrice(spark, src, bzn, dates, bronzePricePath)
+
+    val silverPower = Silver.powerToSilver(spark.read.parquet(bronzePowerPath))
+    val silverPrice = Silver.priceToSilver(spark.read.parquet(bronzePricePath))
+    val silverPowerPath = cfg.storage.silver("power")
+    val silverPricePath = cfg.storage.silver("price")
+    Silver.write(silverPower, silverPowerPath)
+    Silver.write(silverPrice, silverPricePath)
+
+    val sp = spark.read.parquet(silverPowerPath)
+    val spr = spark.read.parquet(silverPricePath)
+    val goldPower = Gold.powerDailyByType(sp)
+    val goldPrice = Gold.priceDaily(spr)
+    Gold.write(goldPower, cfg.storage.gold("power_daily_by_type"))
+    Gold.write(goldPrice, cfg.storage.gold("price_daily"))
+    val join = Gold.offshoreWindVsPrice(
+      spark.read.parquet(cfg.storage.gold("power_daily_by_type")),
+      spark.read.parquet(cfg.storage.gold("price_daily")),
+    )
+    Gold.write(join, cfg.storage.gold("power_price_daily"))
+
+    PipelineResult(
+      nPow,
+      nPri,
+      spark.read.parquet(silverPowerPath).count(),
+      spark.read.parquet(silverPricePath).count(),
+      spark.read.parquet(cfg.storage.gold("power_daily_by_type")),
+      spark.read.parquet(cfg.storage.gold("price_daily")),
+      spark.read.parquet(cfg.storage.gold("power_price_daily")),
+    )
+  }
+}
