@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates one named query per implemented operator
+  * (SURVEY.md §2 reference inventory + the large-scale extension set);
+  * `oracleSql` carries the DuckDB-equivalent SQL for every query whose
+  * semantics are ANSI-SQL-expressible (same column aliases on both sides —
+  * the driver sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's A1 shape (daily net production by type) phrased over
+    * lineitem: revenue by return flag and ship day.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .withColumn("ship_date", to_date(col("l_shipdate")))
+      .groupBy(col("l_returnflag"), col("ship_date"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+      )
+      .orderBy("l_returnflag", "ship_date")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.ReferenceQueries.queries
+
+  def oracleSql: Map[String, String] =
+    graft.queries.ReferenceQueries.oracles
 }

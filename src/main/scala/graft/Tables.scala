@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver's Parquet star schema (TESTDATA.md).
+  *
+  * All queries go through here so scan-level concerns live in one place:
+  * column pruning and filter pushdown come free from Catalyst as long as we
+  * hand it the raw `FileSourceScan` and never materialize driver-side.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; we read it as raw long nanos
+    * (`spark.sql.legacy.parquet.nanosAsLong=true`, set in every session we
+    * build) and derive a second-precision timestamp column `ts_sec`.
+    * Queries stay at second precision so the DuckDB oracle (which reads
+    * the nanos natively) can match via `date_trunc('second', ts)`.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("ts_sec", expr("timestamp_seconds(ts div 1000000000)"))
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "part")
+  def region(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "nation")
+  def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
+}

@@ -1,0 +1,376 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** One named query per operator of the reference's inventory (SURVEY.md §2),
+  * phrased over the driver's star schema. Every query carries a DuckDB
+  * oracle with IDENTICAL column aliases; floating-point aggregates are
+  * computed through exact decimal arithmetic on both sides so the hashes
+  * match bit-for-bit regardless of partitioning/summation order.
+  */
+object ReferenceQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // Exact decimal sum of a double expression, surfaced as double.
+  // Order-independent (decimal addition is exact), so Spark's partial/final
+  // aggregation over any partitioning matches DuckDB's sequential sum.
+  private def decSum(e: org.apache.spark.sql.Column, p: Int, s: Int) =
+    sum(e.cast(DecimalType(p, s))).cast(DoubleType)
+
+  val queries: Map[String, Q] = Map(
+    // S2: local in-memory relation with explicit schema (+F8 lit constant).
+    // Reference: power_ingestion.py:52-61.
+    "s2_local_relation" -> { (spark, _) =>
+      val schema = StructType(Seq(
+        StructField("country", StringType, nullable = false),
+        StructField("ord", IntegerType, nullable = false),
+      ))
+      val rows = Seq(Row("de", 1), Row("fr", 2), Row("ch", 3)).asJava
+      spark.createDataFrame(rows, schema)
+        .withColumn("source", lit("energy-charts"))
+        .orderBy("ord")
+    },
+
+    // S3: parquet table scan. Reference: bronze_to_silver.py:56.
+    "s3_scan" -> { (spark, dir) =>
+      Tables.region(spark, dir).orderBy("r_regionkey")
+    },
+
+    // S4: backfill date range, done relationally. Reference: dates.py:5-37.
+    "s4_date_range" -> { (spark, _) =>
+      spark.range(1)
+        .select(explode(sequence(
+          lit(java.sql.Date.valueOf("2025-01-01")),
+          lit(java.sql.Date.valueOf("2025-01-07")),
+        )).as("d"))
+        .orderBy("d")
+    },
+
+    // K3/A3: count action. Reference: main.py:86-101.
+    "k3_count" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir).agg(count(lit(1)).as("n_rows"))
+    },
+
+    // P1: column projection. Reference: bronze_to_silver.py:66-93.
+    "p1_project" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // P2: derived column via withColumn. Reference: bronze_to_silver.py:59-80.
+    "p2_derived_column" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .withColumn("revenue", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .select("l_orderkey", "l_linenumber", "revenue")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // P3: rename/alias. Reference: silver_to_gold.py:112.
+    "p3_rename" -> { (spark, dir) =>
+      Tables.customer(spark, dir)
+        .select(
+          col("c_custkey").as("customer_id"),
+          col("c_name").as("customer_name"),
+          col("c_acctbal").as("account_balance"),
+        )
+        .orderBy("customer_id")
+    },
+
+    // P4+F10: null-drop filter over a JSON-derived nullable column.
+    // Reference: bronze_to_silver.py:95,147.
+    "p4_null_filter" -> { (spark, dir) =>
+      Tables.events(spark, dir)
+        .withColumn("k_nonzero", nullif(get_json_object(col("props"), "$.k"), lit("0")))
+        .where(col("k_nonzero").isNotNull && col("event_id").isNotNull)
+        .select("event_id", "k_nonzero")
+        .orderBy("event_id")
+    },
+
+    // P5+F9: normalized equality filter. Reference: silver_to_gold.py:105.
+    "p5_normalized_filter" -> { (spark, dir) =>
+      Tables.part(spark, dir)
+        .withColumn("p_type_norm", lower(trim(col("p_type"))))
+        .filter(col("p_type_norm") === "promo")
+        .select("p_partkey", "p_type", "p_type_norm")
+        .orderBy("p_partkey")
+    },
+
+    // P6: casts (double->int, timestamp->date). Reference: bronze_to_silver.py:69,92.
+    "p6_cast" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          col("l_quantity").cast(IntegerType).as("qty_int"),
+          col("l_shipdate").cast(DateType).as("ship_date"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // J1: inner equi-join with USING semantics (single shared key column).
+    // Reference: silver_to_gold.py:108-115. The small side is left to AQE —
+    // customer is far under the broadcast threshold at every SF we run.
+    "j1_join_inner" -> { (spark, dir) =>
+      val o = Tables.orders(spark, dir).withColumnRenamed("o_custkey", "custkey")
+      val c = Tables.customer(spark, dir).withColumnRenamed("c_custkey", "custkey")
+      o.join(c, Seq("custkey"), "inner")
+        .select("custkey", "o_orderkey", "o_totalprice", "c_mktsegment")
+        .orderBy("o_orderkey")
+    },
+
+    // A1+F6: group-by SUM at daily grain. Reference: silver_to_gold.py:29-33.
+    "a1_groupby_sum" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .withColumn("ship_date", to_date(col("l_shipdate")))
+        .groupBy(col("l_returnflag"), col("ship_date"))
+        .agg(
+          decSum(col("l_quantity"), 20, 4).as("sum_qty"),
+          decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 27, 6).as("revenue"),
+          count(lit(1)).as("n_items"),
+        )
+        .orderBy("l_returnflag", "ship_date")
+    },
+
+    // A2: group-by AVG at daily grain. Reference: silver_to_gold.py:61-65.
+    // avg = exact decimal sum / count, so it is partitioning-independent.
+    "a2_groupby_avg" -> { (spark, dir) =>
+      Tables.events(spark, dir)
+        .withColumn("day", to_date(col("ts_sec")))
+        .groupBy("day")
+        .agg(
+          (decSum(col("value"), 20, 4) / count(col("value"))).as("avg_value"),
+          count(lit(1)).as("n_events"),
+        )
+        .orderBy("day")
+    },
+
+    // A4: DISTINCT + ORDER BY. Reference: silver_to_gold.py:100-101.
+    "a4_distinct_orderby" -> { (spark, dir) =>
+      Tables.part(spark, dir).select("p_brand").distinct().orderBy("p_brand")
+    },
+
+    // A5: exact distinct counts (the scalable twin x_approx_distinct uses HLL).
+    "a5_count_distinct" -> { (spark, dir) =>
+      Tables.events(spark, dir).agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"),
+      )
+    },
+
+    // G1: explode over an array column. Reference: bronze_to_silver.py:70.
+    "g1_explode" -> { (spark, dir) =>
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), explode(col("embedding")).as("val"))
+        .orderBy("vec_id", "val")
+    },
+
+    // G2+G3: arrays_zip (null-padding) + explode of the zipped pairs + the
+    // null filter that drops the padding. Reference: bronze_to_silver.py:80-95.
+    "g2_arrays_zip" -> { (spark, dir) =>
+      Tables.embeddings(spark, dir)
+        .withColumn("a", slice(col("embedding"), 1, 6))
+        .withColumn("b", slice(col("embedding"), 1, 3))
+        .withColumn("p", explode(arrays_zip(col("a"), col("b"))))
+        .where(col("p.a").isNotNull && col("p.b").isNotNull)
+        .select(col("vec_id"), col("p.a").as("a_val"), col("p.b").as("b_val"))
+        .orderBy("vec_id", "a_val")
+    },
+
+    // G3 variant with positions (the long-format flatten used by silver).
+    "g3_posexplode" -> { (spark, dir) =>
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("idx", "val")))
+        .orderBy("vec_id", "idx")
+    },
+
+    // F1: from_json with explicit schema. Reference: bronze_to_silver.py:59-61.
+    "f1_from_json" -> { (spark, dir) =>
+      Tables.events(spark, dir)
+        .select(
+          col("event_id"),
+          from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+            .getField("k").as("k_val"),
+        )
+        .orderBy("event_id")
+    },
+
+    // F2: get_json_object path extraction. Reference: bronze_to_silver.py:120-126.
+    "f2_get_json_object" -> { (spark, dir) =>
+      Tables.events(spark, dir)
+        .select(col("event_id"), get_json_object(col("props"), "$.k").as("k_str"))
+        .orderBy("event_id")
+    },
+
+    // F3: coalesce over candidate fields. Reference: bronze_to_silver.py:124-132.
+    "f3_coalesce" -> { (spark, dir) =>
+      Tables.events(spark, dir)
+        .select(
+          col("event_id"),
+          coalesce(
+            get_json_object(col("props"), "$.missing"),
+            get_json_object(col("props"), "$.k"),
+            lit("0"),
+          ).as("k_or_default"),
+        )
+        .orderBy("event_id")
+    },
+
+    // F4+F5: epoch-seconds -> timestamp round trip (UTC-pinned session).
+    // Reference: bronze_to_silver.py:91,143.
+    "f4_timestamp_roundtrip" -> { (spark, dir) =>
+      Tables.t(spark, dir, "events")
+        .select(
+          col("event_id"),
+          to_timestamp(from_unixtime(expr("ts div 1000000000"))).as("ts_second"),
+        )
+        .orderBy("event_id")
+    },
+
+    // F6: to_date day bucketing. Reference: silver_to_gold.py:30,62.
+    "f6_to_date" -> { (spark, dir) =>
+      Tables.events(spark, dir)
+        .select(col("event_id"), to_date(col("ts_sec")).as("day"))
+        .orderBy("event_id")
+    },
+
+    // F7+F8: ingestion metadata stamps (current_timestamp is nondeterministic
+    // -> rows-only check, no oracle). Reference: power_ingestion.py:64-69.
+    "f7_metadata_stamp" -> { (spark, dir) =>
+      Tables.region(spark, dir)
+        .withColumn("ingested_at", current_timestamp())
+        .withColumn("source", lit("energy-charts"))
+    },
+
+    // Set ops (beyond the reference, which keeps its two datasets joined only).
+    "u1_union_all" -> { (spark, dir) =>
+      val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+      val s = Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey"))
+      c.unionAll(s).groupBy("nationkey").agg(count(lit(1)).as("n")).orderBy("nationkey")
+    },
+    "u2_intersect" -> { (spark, dir) =>
+      val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+      val s = Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey"))
+      c.intersect(s).orderBy("nationkey")
+    },
+
+    // W1: window top-k per group (foundation for similarity top-k).
+    "w1_window_topk" -> { (spark, dir) =>
+      val o = Tables.orders(spark, dir)
+      val c = Tables.customer(spark, dir)
+      val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      joined
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select("c_mktsegment", "rank", "o_orderkey", "o_totalprice")
+        .orderBy("c_mktsegment", "rank")
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s2_local_relation" ->
+      """SELECT country, ord, 'energy-charts' AS source
+        |FROM (VALUES ('de', 1), ('fr', 2), ('ch', 3)) AS t(country, ord)
+        |ORDER BY ord""".stripMargin,
+    "s3_scan" -> "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "s4_date_range" ->
+      """SELECT CAST(unnest(generate_series(DATE '2025-01-01', DATE '2025-01-07',
+        |  INTERVAL 1 DAY)) AS DATE) AS d ORDER BY d""".stripMargin,
+    "k3_count" -> "SELECT COUNT(*) AS n_rows FROM lineitem",
+    "p1_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p2_derived_column" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) AS revenue
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p3_rename" ->
+      """SELECT c_custkey AS customer_id, c_name AS customer_name,
+        |  c_acctbal AS account_balance
+        |FROM customer ORDER BY customer_id""".stripMargin,
+    "p4_null_filter" ->
+      """SELECT event_id, nullif(json_extract_string(props, '$.k'), '0') AS k_nonzero
+        |FROM events
+        |WHERE nullif(json_extract_string(props, '$.k'), '0') IS NOT NULL
+        |  AND event_id IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "p5_normalized_filter" ->
+      """SELECT p_partkey, p_type, lower(trim(p_type)) AS p_type_norm
+        |FROM part WHERE lower(trim(p_type)) = 'promo' ORDER BY p_partkey""".stripMargin,
+    "p6_cast" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) AS qty_int,
+        |  CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "j1_join_inner" ->
+      """SELECT o.o_custkey AS custkey, o.o_orderkey, o.o_totalprice, c.c_mktsegment
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "a1_groupby_sum" ->
+      """SELECT l_returnflag, CAST(l_shipdate AS DATE) AS ship_date,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a2_groupby_avg" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) / COUNT(value) AS avg_value,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a4_distinct_orderby" ->
+      "SELECT DISTINCT p_brand FROM part ORDER BY p_brand",
+    "a5_count_distinct" ->
+      """SELECT COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(DISTINCT event_type) AS n_types FROM events""".stripMargin,
+    "g1_explode" ->
+      """SELECT vec_id, u.val FROM embeddings, UNNEST(embedding) AS u(val)
+        |ORDER BY vec_id, val""".stripMargin,
+    "g2_arrays_zip" ->
+      """SELECT vec_id, struct_extract(u.p, 1) AS a_val,
+        |  struct_extract(u.p, 2) AS b_val
+        |FROM embeddings, UNNEST(list_zip(embedding[1:6], embedding[1:3])) AS u(p)
+        |WHERE struct_extract(u.p, 1) IS NOT NULL
+        |  AND struct_extract(u.p, 2) IS NOT NULL
+        |ORDER BY vec_id, a_val""".stripMargin,
+    "g3_posexplode" ->
+      """SELECT vec_id, CAST(g.i - 1 AS INT) AS idx, embedding[g.i] AS val
+        |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        |ORDER BY vec_id, idx""".stripMargin,
+    "f1_from_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "f2_get_json_object" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str
+        |FROM events ORDER BY event_id""".stripMargin,
+    "f3_coalesce" ->
+      """SELECT event_id, coalesce(json_extract_string(props, '$.missing'),
+        |  json_extract_string(props, '$.k'), '0') AS k_or_default
+        |FROM events ORDER BY event_id""".stripMargin,
+    "f4_timestamp_roundtrip" ->
+      """SELECT event_id, date_trunc('second', ts) AS ts_second
+        |FROM events ORDER BY event_id""".stripMargin,
+    "f6_to_date" ->
+      "SELECT event_id, CAST(ts AS DATE) AS day FROM events ORDER BY event_id",
+    "u1_union_all" ->
+      """SELECT nationkey, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier
+        |) GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "u2_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "w1_window_topk" ->
+      """SELECT c_mktsegment, rank, o_orderkey, o_totalprice FROM (
+        |  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+        |      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rank
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |) WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin,
+  )
+}
