@@ -28,8 +28,8 @@ object SparkEntry {
       .orderBy("l_returnflag", "ship_date")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.ReferenceQueries.queries
+    graft.queries.ReferenceQueries.queries ++ graft.queries.ExtensionQueries.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.ReferenceQueries.oracles
+    graft.queries.ReferenceQueries.oracles ++ graft.queries.ExtensionQueries.oracles
 }

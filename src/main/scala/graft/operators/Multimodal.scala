@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column handling: media payloads are opaque `binary` columns
+  * with typed metadata alongside. The decode step is a clearly-marked STUB
+  * (this container ships no image/audio codecs); everything around it —
+  * schema, Dataset encoders, partition-level batching, feature shape — is
+  * the real plumbing a codec would drop into.
+  */
+object Multimodal {
+
+  final case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
+  final case class MediaFeatures(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      n_bytes: Int,
+      features: Array[Float],
+  )
+
+  /** Wrap documents as media records: the text bytes stand in for an
+    * encoded image/audio payload (opaque binary + typed metadata).
+    */
+  def asMediaRecords(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      lit("text/plain").as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"),
+    )
+
+  /** Metadata extraction on the binary column (pure builtins, no decode). */
+  def mediaMeta(docs: DataFrame): DataFrame =
+    asMediaRecords(docs).select(
+      col("doc_id"),
+      col("media_type"),
+      octet_length(col("payload")).as("n_bytes"),
+      md5(col("payload")).as("digest"),
+    )
+
+  /** STUB decoder: where a real implementation would hand the batch to an
+    * image/audio library, this derives deterministic fake dimensions and an
+    * 8-bin byte histogram as the "feature vector". The partition-level
+    * batching (`grouped(batchSize)`) is the real shape a vectorized decode
+    * wants — swap the body, keep the plumbing.
+    */
+  private def decodeBatchStub(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+    batch.map { r =>
+      val bytes = r.payload
+      // STUB: real codec call goes here (e.g. decode + resize + embed).
+      val width = 64 + (if (bytes.nonEmpty) bytes(0) & 0x3f else 0)
+      val height = 64 + (if (bytes.length > 1) bytes(1) & 0x3f else 0)
+      val hist = new Array[Float](8)
+      var i = 0
+      while (i < bytes.length) { hist((bytes(i) & 0xff) >> 5) += 1f; i += 1 }
+      val total = math.max(bytes.length, 1).toFloat
+      MediaFeatures(r.doc_id, width, height, bytes.length, hist.map(_ / total))
+    }
+
+  /** Partition-parallel feature extraction over the opaque payloads:
+    * `mapPartitions` + fixed-size batches (the Scala analogue of a
+    * Pandas-UDF batch), never collecting to the driver.
+    */
+  def extractFeatures(
+      spark: SparkSession,
+      docs: DataFrame,
+      batchSize: Int = 64,
+  ): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    asMediaRecords(docs)
+      .as[MediaRecord]
+      .mapPartitions(_.grouped(batchSize).flatMap(decodeBatchStub))
+  }
+}

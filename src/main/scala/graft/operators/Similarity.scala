@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.functions.VectorMath
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k. The query side is tiny and
+  *    broadcast; the candidate side streams — no shuffle of the corpus, so
+  *    at 100 TB it is one scan + a per-query top-k (still O(queries x
+  *    corpus) compute: the baseline).
+  *  - [[lshTopK]]: random-hyperplane LSH. Both sides hash to sign-pattern
+  *    buckets; only same-bucket pairs are scored. The corpus shuffles once
+  *    by bucket — the scale path (recall < 1 by construction).
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector. */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+  ): DataFrame = {
+    val q = broadcast(
+      queries.select(col("vec_id").as("q_vec"), col("embedding").as("q_emb")))
+    val c = corpus.select(col("vec_id").as("c_vec"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy(col("q_vec")).orderBy(col("cosine").desc, col("c_vec"))
+    c.join(q, col("c_vec") =!= col("q_vec"))
+      .select(
+        col("q_vec"), col("c_vec"),
+        VectorMath.cosineExact(col("q_emb"), col("c_emb")).as("cosine"),
+      )
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_vec", "rank", "c_vec", "cosine")
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * an LCG step mapped to [-1, 1]. No RNG state, so every engine (and
+    * every re-run) derives the identical planes.
+    */
+  private def planeWeight(p: Int, d: Int): Double =
+    (((1103515245L * (p * 64 + d) + 12345L) % 2001L + 2001L) % 2001L - 1000L) / 1000.0
+
+  /** Sign-pattern bucket id from `nPlanes` random hyperplanes. */
+  def lshBucket(emb: Column, dim: Int, nPlanes: Int): Column =
+    (0 until nPlanes)
+      .map { p =>
+        val dot = (0 until dim)
+          .map(d => emb.getItem(d).cast(DoubleType) * lit(planeWeight(p, d)))
+          .reduce(_ + _)
+        when(dot > 0, lit(1L << p)).otherwise(0L)
+      }
+      .reduce(_ + _)
+
+  /** LSH-bucketed top-k: queries and corpus are bucketed by hyperplane
+    * signs; ranking happens within buckets only (fast-path cosine).
+    */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      dim: Int = 64,
+      nPlanes: Int = 4,
+  ): DataFrame = {
+    val q = broadcast(
+      queries
+        .select(col("vec_id").as("q_vec"), col("embedding").as("q_emb"))
+        .withColumn("bucket", lshBucket(col("q_emb"), dim, nPlanes)))
+    val c = corpus
+      .select(col("vec_id").as("c_vec"), col("embedding").as("c_emb"))
+      .withColumn("bucket", lshBucket(col("c_emb"), dim, nPlanes))
+    val w = Window.partitionBy(col("q_vec")).orderBy(col("cosine").desc, col("c_vec"))
+    c.join(q, Seq("bucket"))
+      .where(col("c_vec") =!= col("q_vec"))
+      .select(
+        col("q_vec"), col("c_vec"), col("bucket"),
+        VectorMath.cosineFast(col("q_emb"), col("c_emb")).as("cosine"),
+      )
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_vec", "rank", "c_vec", "cosine", "bucket")
+  }
+}

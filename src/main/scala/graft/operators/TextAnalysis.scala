@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for a large-scale training-data pipeline, over
+  * the `documents` table. All pure builtin `Column` expressions — fully
+  * codegen'd, embarrassingly parallel (no shuffle except final ordering),
+  * so they scale linearly with input splits.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization of normalized text. */
+  def words(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  private val enStop = Seq("the", "and", "of", "to", "in")
+  private val deStop = Seq("der", "die", "und", "ist", "das")
+  private val frStop = Seq("le", "les", "et", "est", "une")
+  private val esStop = Seq("el", "los", "y", "es", "una")
+
+  private def hits(ws: Column, set: Seq[String]): Column =
+    size(filter(ws, w => w.isInCollection(set)))
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single punctuation marks).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(words(col("text"))).as("n_tokens"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+        .as("n_subtokens"),
+      length(col("text")).as("n_chars_measured"),
+    )
+
+  /** Quality scoring: length, punctuation density, stopword density. */
+  def qualityScores(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val nChars = length(col("text"))
+    val nPunct = length(regexp_replace(col("text"), "[^.!?,;:]", ""))
+    val nTokens = size(ws)
+    docs.select(
+      col("doc_id"),
+      nChars.as("n_chars_measured"),
+      (nPunct.cast(DoubleType) / nChars).as("punct_ratio"),
+      (hits(ws, enStop).cast(DoubleType) / nTokens).as("stopword_ratio"),
+      (length(col("text")).cast(DoubleType) / nTokens).as("avg_token_len"),
+    )
+  }
+
+  /** Language ID by stopword-set hit counting (n-gram-free heuristic: the
+    * highest-scoring language wins, with a fixed priority order on ties so
+    * the result is deterministic).
+    */
+  def languageId(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    docs
+      .select(
+        col("doc_id"),
+        col("lang").as("lang_declared"),
+        hits(ws, enStop).as("hits_en"),
+        hits(ws, deStop).as("hits_de"),
+        hits(ws, frStop).as("hits_fr"),
+        hits(ws, esStop).as("hits_es"),
+      )
+      .withColumn(
+        "lang_predicted",
+        when(col("hits_en") >= col("hits_de") && col("hits_en") >= col("hits_fr")
+          && col("hits_en") >= col("hits_es"), lit("en"))
+          .when(col("hits_de") >= col("hits_fr") && col("hits_de") >= col("hits_es"), lit("de"))
+          .when(col("hits_fr") >= col("hits_es"), lit("fr"))
+          .otherwise(lit("es")),
+      )
+  }
+
+  /** Document fingerprinting: polynomial rolling hash over per-word codes
+    * (mod a 31-bit prime so the arithmetic is overflow-free in a long and
+    * reproducible in any engine).
+    */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val wordCode = transform(ws, w => length(w) * lit(31) + ascii(substring(w, 1, 1)))
+    val fp = aggregate(
+      wordCode,
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % 1000000007L,
+    )
+    docs.select(col("doc_id"), fp.as("fingerprint"))
+  }
+}

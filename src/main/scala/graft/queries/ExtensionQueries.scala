@@ -1,0 +1,263 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorMath
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventsStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The large-scale training-data-pipeline extension set (BASELINE.json
+  * north star): dedup, similarity search, text analysis, multimodal
+  * plumbing, streaming, sketches. Oracle SQL included wherever the
+  * semantics are ANSI-expressible; hash-based operators (xxhash64 is
+  * Spark-specific) get rows-only checks.
+  */
+object ExtensionQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // --- Deduplication ---
+    "d1_dedup_exact" -> { (spark, dir) =>
+      Dedup.exact(Tables.documents(spark, dir)).orderBy("content_hash")
+    },
+    // MinHash+LSH near-dup: per-doc signature summary + candidate count
+    // (pair-level API: Dedup.minHashCandidates). Rows-only (xxhash64).
+    "d2_dedup_minhash" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val sigs = Dedup.minHashSignatures(docs, k = 3, numHashes = 16)
+      val cands = Dedup.minHashCandidates(docs)
+      val perDoc = cands
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_candidates"))
+      sigs
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          xxhash64(col("signature")).as("sig_hash"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        )
+        .orderBy("doc_id")
+    },
+    // SimHash near-dup: signatures + per-doc candidate count. Rows-only.
+    "d3_dedup_simhash" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val sigs = Dedup.simHashSignatures(docs)
+      val cands = Dedup.simHashCandidates(docs, maxHamming = 10)
+      val perDoc = cands
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_near"))
+      sigs
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("simhash"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"))
+        .orderBy("doc_id")
+    },
+    // Exact bigram-Jaccard between consecutive doc pairs (oracle-checked).
+    "d4_ngram_jaccard" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val ws = TextAnalysis.words(col("text"))
+      val bigrams = array_distinct(transform(
+        sequence(lit(0), size(col("w")) - 2),
+        i => concat(element_at(col("w"), i + 1), lit(" "), element_at(col("w"), i + 2)),
+      ))
+      val side = docs
+        .select(col("doc_id"), ws.as("w"))
+        .where(size(col("w")) >= 2)
+        .select(col("doc_id"), bigrams.as("bg"))
+      val a = side.select(col("doc_id").as("doc_a"), col("bg").as("bg_a"))
+      val b = side.select(col("doc_id").as("doc_b"), col("bg").as("bg_b"))
+      a.join(b, col("doc_b") === col("doc_a") + 1)
+        .select(
+          col("doc_a"), col("doc_b"),
+          size(array_intersect(col("bg_a"), col("bg_b"))).as("n_shared"),
+          (size(array_intersect(col("bg_a"), col("bg_b"))).cast("double") /
+            size(array_union(col("bg_a"), col("bg_b")))).as("jaccard"),
+        )
+        .orderBy("doc_a")
+    },
+    // Embedding-cosine near-dup on consecutive pairs (oracle-checked,
+    // exact-decimal accumulation).
+    "d5_cosine_neardup" -> { (spark, dir) =>
+      Dedup.cosineNearDupPairs(Tables.embeddings(spark, dir)).orderBy("vec_a")
+    },
+
+    // --- Similarity search ---
+    "x1_ann_bruteforce" -> { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.bruteForceTopK(emb.where(col("vec_id") < 8), emb, k = 5)
+        .orderBy("q_vec", "rank")
+    },
+    // LSH-bucketed variant (rows-only: bucket uses Spark-side plane math).
+    "x2_ann_lsh" -> { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.lshTopK(emb.where(col("vec_id") < 8), emb, k = 3)
+        .orderBy("q_vec", "rank")
+    },
+
+    // --- Text analysis ---
+    "t1_token_counts" -> { (spark, dir) =>
+      TextAnalysis.tokenCounts(Tables.documents(spark, dir)).orderBy("doc_id")
+    },
+    "t2_quality_scores" -> { (spark, dir) =>
+      TextAnalysis.qualityScores(Tables.documents(spark, dir)).orderBy("doc_id")
+    },
+    "t3_language_id" -> { (spark, dir) =>
+      TextAnalysis.languageId(Tables.documents(spark, dir)).orderBy("doc_id")
+    },
+    "t4_fingerprint" -> { (spark, dir) =>
+      TextAnalysis.fingerprints(Tables.documents(spark, dir)).orderBy("doc_id")
+    },
+
+    // --- Multimodal columns ---
+    "m1_media_meta" -> { (spark, dir) =>
+      Multimodal.mediaMeta(Tables.documents(spark, dir)).orderBy("doc_id")
+    },
+    // mapPartitions feature extraction (decode STUB) — rows-only.
+    "m2_media_features" -> { (spark, dir) =>
+      Multimodal.extractFeatures(spark, Tables.documents(spark, dir))
+        .toDF().orderBy("doc_id")
+    },
+
+    // --- Streaming ---
+    "st1_stream_daily" -> { (spark, dir) =>
+      EventsStream.dailyAggregates(spark, dir)
+    },
+
+    // --- Sketches (rows-only: HLL++ internals are engine-specific) ---
+    "x3_approx_distinct" -> { (spark, dir) =>
+      Tables.events(spark, dir).agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        approx_count_distinct(col("event_id")).as("approx_events"),
+      )
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "d4_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1])) AS bg
+        |  FROM toks WHERE len(w) >= 2
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.bg, b.bg)) AS n_shared,
+        |  CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.bg, b.bg))) AS jaccard
+        |FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a""".stripMargin,
+    // Cosine terms are quantized to integers by an exact 2^20 scale on both
+    // sides, so the accumulations are integer-exact and engine-portable.
+    "d5_cosine_neardup" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb, a.embedding AS ea, b.embedding AS eb
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |), terms AS (
+        |  SELECT va, vb,
+        |    CAST(floor(CAST(ea[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS x,
+        |    CAST(floor(CAST(eb[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS y
+        |  FROM pairs, UNNEST(generate_series(1, len(ea))) AS g(i)
+        |), agg AS (
+        |  SELECT va, vb,
+        |    CAST(SUM(x * y) AS DOUBLE) AS dot,
+        |    CAST(SUM(x * x) AS DOUBLE) AS nx,
+        |    CAST(SUM(y * y) AS DOUBLE) AS ny
+        |  FROM terms GROUP BY 1, 2
+        |)
+        |SELECT va AS vec_a, vb AS vec_b, dot / (sqrt(nx) * sqrt(ny)) AS cosine
+        |FROM agg ORDER BY vec_a""".stripMargin,
+    "x1_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+        |pairs AS (
+        |  SELECT q.vec_id AS qv, c.vec_id AS cv, q.embedding AS eq, c.embedding AS ec
+        |  FROM q, embeddings c WHERE c.vec_id != q.vec_id
+        |), terms AS (
+        |  SELECT qv, cv,
+        |    CAST(floor(CAST(eq[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS x,
+        |    CAST(floor(CAST(ec[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS y
+        |  FROM pairs, UNNEST(generate_series(1, len(eq))) AS g(i)
+        |), agg AS (
+        |  SELECT qv, cv,
+        |    CAST(SUM(x * y) AS DOUBLE) AS dot,
+        |    CAST(SUM(x * x) AS DOUBLE) AS nx,
+        |    CAST(SUM(y * y) AS DOUBLE) AS ny
+        |  FROM terms GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT qv AS q_vec, cv AS c_vec,
+        |    dot / (sqrt(nx) * sqrt(ny)) AS cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY qv
+        |      ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC, cv) AS rank
+        |  FROM agg
+        |)
+        |SELECT q_vec, rank, c_vec, cosine FROM scored
+        |WHERE rank <= 5 ORDER BY q_vec, rank""".stripMargin,
+    "t1_token_counts" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subtokens,
+        |  length(text) AS n_chars_measured
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t2_quality_scores" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents
+        |)
+        |SELECT doc_id, length(text) AS n_chars_measured,
+        |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS punct_ratio,
+        |  CAST(len(list_filter(w, x -> x = 'the' OR x = 'and' OR x = 'of'
+        |    OR x = 'to' OR x = 'in')) AS DOUBLE) / len(w) AS stopword_ratio,
+        |  CAST(length(text) AS DOUBLE) / len(w) AS avg_token_len
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "t3_language_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, lang AS lang_declared,
+        |    len(list_filter(w, x -> x = 'the' OR x = 'and' OR x = 'of'
+        |      OR x = 'to' OR x = 'in')) AS hits_en,
+        |    len(list_filter(w, x -> x = 'der' OR x = 'die' OR x = 'und'
+        |      OR x = 'ist' OR x = 'das')) AS hits_de,
+        |    len(list_filter(w, x -> x = 'le' OR x = 'les' OR x = 'et'
+        |      OR x = 'est' OR x = 'une')) AS hits_fr,
+        |    len(list_filter(w, x -> x = 'el' OR x = 'los' OR x = 'y'
+        |      OR x = 'es' OR x = 'una')) AS hits_es
+        |  FROM t
+        |)
+        |SELECT doc_id, lang_declared, hits_en, hits_de, hits_fr, hits_es,
+        |  CASE
+        |    WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
+        |    WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+        |    WHEN hits_fr >= hits_es THEN 'fr'
+        |    ELSE 'es' END AS lang_predicted
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "t4_fingerprint" ->
+      """SELECT doc_id, list_reduce(
+        |  list_prepend(0, list_transform(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    w -> length(w) * 31 + ascii(substr(w, 1, 1)))),
+        |  (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m1_media_meta" ->
+      """SELECT doc_id, 'text/plain' AS media_type,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "st1_stream_daily" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}

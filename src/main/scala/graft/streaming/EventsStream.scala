@@ -1,0 +1,59 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming face of the daily aggregates (the streaming twin of
+  * the reference's silver→gold group-bys, SURVEY.md §2.11/§7): events flow
+  * through an event-time watermark into 1-day tumbling windows.
+  *
+  * For local verification the parquet file drives the stream synchronously
+  * (`processAllAvailable`); in production the same plan reads a live
+  * file/Kafka source unchanged.
+  */
+object EventsStream {
+  private val runId = new AtomicInteger(0)
+
+  /** Run the windowed aggregation over `$dir/events.parquet` as a stream,
+    * landing results in a memory sink; returns the final table:
+    * (day, event_type, n_events, sum_value).
+    */
+  def dailyAggregates(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val name = s"events_daily_${runId.incrementAndGet()}"
+
+    // The file streaming source wants a directory; narrow it to the events
+    // table with a glob filter (the dir holds the other tables too).
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts_sec", expr("timestamp_seconds(ts div 1000000000)"))
+      .withWatermark("ts_sec", "1 day")
+      .groupBy(window(col("ts_sec"), "1 day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(20, 4))).cast(DoubleType).as("sum_value"),
+      )
+
+    val query = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+
+    spark.table(name)
+      .select(
+        col("window.start").cast(DateType).as("day"),
+        col("event_type"),
+        col("n_events"),
+        col("sum_value"),
+      )
+      .orderBy("day", "event_type")
+  }
+}
