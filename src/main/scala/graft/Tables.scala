@@ -32,5 +32,15 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "nation")
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
+
+  /** documents with scan parallelism restored: the local fixture is one
+    * parquet row group, so Spark plans a single task and every narrow
+    * compute stage downstream (regex tokenize, shingle, hash) serializes
+    * on one core. A real 100 TB corpus arrives as many splits and does NOT
+    * want this shuffle; compute-heavy local pipelines do (the shuffled
+    * bytes here are trivially small relative to the CPU they unlock).
+    */
+  def documentsParallel(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).repartition(spark.sparkContext.defaultParallelism)
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
 }

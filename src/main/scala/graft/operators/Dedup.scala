@@ -28,33 +28,57 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
-  /** (doc_id, shingles) with k-word shingles, lower-cased. Documents with
-    * fewer than k words are dropped (no shingle is definable).
+  /** (doc_id, shingle) rows of k-word shingles, lower-cased, possibly with
+    * duplicates. Documents with fewer than k words are dropped (no shingle
+    * is definable).
+    *
+    * Plan shape matters here: the explode runs over a cheap integer
+    * sequence and the shingle string is assembled per exploded row, AFTER
+    * any upstream exchange. (Exploding a precomputed array-of-shingles
+    * column instead makes `InferFiltersFromGenerate` synthesize a
+    * `size(shingles) > 0` predicate containing the whole shingle
+    * expression and push it below the exchange — onto the scan side,
+    * which for a single-file local table is one serial task.)
     */
-  def shingleSets(docs: DataFrame, k: Int): DataFrame = {
+  def shingleRows(docs: DataFrame, k: Int): DataFrame = {
     val ws = TextAnalysis.words(col("text"))
     docs
       .select(col("doc_id"), ws.as("w"))
       .where(size(col("w")) >= k)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - k)).as("i"))
       .select(
         col("doc_id"),
-        array_distinct(transform(
-          sequence(lit(0), size(col("w")) - k),
-          i => concat_ws(" ", slice(col("w"), i + 1, lit(k))),
-        )).as("shingles"),
+        concat_ws(" ", slice(col("w"), col("i") + 1, lit(k))).as("shingle"),
       )
   }
 
-  /** MinHash signatures: numHashes independent hash functions simulated as
-    * xxhash64 with distinct seed prefixes; signature = per-function min
-    * over the document's shingle set.
+  /** (doc_id, shingles-set) — the deduplicated shingle sets (for exact
+    * Jaccard verification).
     */
-  def minHashSignatures(docs: DataFrame, k: Int, numHashes: Int): DataFrame = {
-    val exploded = shingleSets(docs, k)
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+  def shingleSets(docs: DataFrame, k: Int): DataFrame =
+    shingleRows(docs, k)
+      .groupBy("doc_id")
+      .agg(collect_set(col("shingle")).as("shingles"))
+
+  /** MinHash signatures. The hash family uses Kirsch-Mitzenmacher double
+    * hashing — g_i(s) = h1(s) + i*h2(s) — so each shingle is hashed twice
+    * (not numHashes times) no matter how wide the signature is; the
+    * per-function min then reduces with a map-side partial aggregate to
+    * one row of numHashes longs per doc. Duplicate shingles need no
+    * pre-dedup: min over a multiset equals min over its set.
+    */
+  def minHashSignatures(docs: DataFrame, k: Int, numHashes: Int): DataFrame =
+    minHashSignaturesFromShingles(shingleRows(docs, k), numHashes)
+
+  /** Signatures from precomputed (doc_id, shingle) rows. */
+  def minHashSignaturesFromShingles(rows: DataFrame, numHashes: Int): DataFrame = {
+    val hashed = rows
+      .withColumn("h1", xxhash64(col("shingle")))
+      .withColumn("h2", xxhash64(col("shingle"), lit(1)))
     val mins = (0 until numHashes)
-      .map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    exploded
+      .map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"h$i"))
+    hashed
       .groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
@@ -71,10 +95,15 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       maxBucket: Int = 64,
+      precomputedSigs: Option[DataFrame] = None,
+      precomputedSets: Option[DataFrame] = None,
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigs = minHashSignatures(docs, k, numHashes)
+    // At warehouse scale signatures/shingle-sets would be persisted tables;
+    // callers composing several minhash steps pass them in to avoid
+    // recomputing the scan+hash pipeline.
+    val sigs = precomputedSigs.getOrElse(minHashSignatures(docs, k, numHashes))
     val banded = sigs.select(
       col("doc_id"),
       posexplode(array((0 until bands).map(b =>
@@ -91,7 +120,8 @@ object Dedup {
       .where(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_bands"))
-    val sets = shingleSets(docs, k).select(col("doc_id"), col("shingles"))
+    val sets = precomputedSets.getOrElse(shingleSets(docs, k))
+      .select(col("doc_id"), col("shingles"))
     pairs
       .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), Seq("doc_a"))
       .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), Seq("doc_b"))

@@ -24,9 +24,12 @@ object ExtensionQueries {
     // MinHash+LSH near-dup: per-doc signature summary + candidate count
     // (pair-level API: Dedup.minHashCandidates). Rows-only (xxhash64).
     "d2_dedup_minhash" -> { (spark, dir) =>
-      val docs = Tables.documents(spark, dir)
-      val sigs = Dedup.minHashSignatures(docs, k = 3, numHashes = 16)
-      val cands = Dedup.minHashCandidates(docs)
+      val docs = Tables.documentsParallel(spark, dir)
+      val rows = Dedup.shingleRows(docs, 3)
+      val sigs = Dedup.minHashSignaturesFromShingles(rows, 16)
+      val cands = Dedup.minHashCandidates(docs,
+        precomputedSigs = Some(sigs),
+        precomputedSets = Some(Dedup.shingleSets(docs, 3)))
       val perDoc = cands
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .groupBy("doc_id")
@@ -42,7 +45,7 @@ object ExtensionQueries {
     },
     // SimHash near-dup: signatures + per-doc candidate count. Rows-only.
     "d3_dedup_simhash" -> { (spark, dir) =>
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.documentsParallel(spark, dir)
       val sigs = Dedup.simHashSignatures(docs)
       val cands = Dedup.simHashCandidates(docs, maxHamming = 10)
       val perDoc = cands

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import graft.functions.VectorMath
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bruteForceTopK: self excluded, k respected, descending cosine") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val res = Similarity.bruteForceTopK(emb.where(col("vec_id") < 3), emb, k = 4)
+      .collect()
+    assert(res.length == 3 * 4)
+    val byQ = res.groupBy(_.getAs[Long]("q_vec"))
+    byQ.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.forall(_.getAs[Long]("c_vec") != q))
+      val cos = sorted.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("top-1 neighbor of a vector's own duplicate is that duplicate") {
+    val emb = Seq(
+      (1L, Array.fill(8)(0.25f)),
+      (2L, Array.fill(8)(0.25f)),          // exact duplicate of 1
+      (3L, Array.tabulate(8)(i => if (i % 2 == 0) 1f else -1f)),
+    ).toDF("vec_id", "embedding")
+    val res = Similarity.bruteForceTopK(emb.where(col("vec_id") === 1), emb, k = 1).collect()
+    assert(res.head.getAs[Long]("c_vec") == 2L)
+    assert(math.abs(res.head.getAs[Double]("cosine") - 1.0) < 1e-9)
+  }
+
+  test("lshTopK: duplicates land in the same bucket and rank first") {
+    val emb = Seq(
+      (1L, Array.tabulate(64)(i => (math.sin(i + 1) / 2).toFloat)),
+      (2L, Array.tabulate(64)(i => (math.sin(i + 1) / 2).toFloat)),
+      (3L, Array.tabulate(64)(i => (math.cos(i * 3 + 2) / 2).toFloat)),
+    ).toDF("vec_id", "embedding")
+    val res = Similarity.lshTopK(emb.where(col("vec_id") === 1), emb, k = 2)
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    val top = rows.minBy(_.getAs[Int]("rank"))
+    assert(top.getAs[Long]("c_vec") == 2L)
+  }
+
+  test("cosineExact matches cosineFast to quantization tolerance") {
+    val emb = Tables.embeddings(spark, sf0001).limit(50)
+      .select(col("embedding").as("a"), col("embedding").as("b"))
+    val both = emb.select(
+      VectorMath.cosineExact(col("a"), col("b")).as("e"),
+      VectorMath.cosineFast(col("a"), col("b")).as("f"),
+    ).collect()
+    both.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-4)
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-6) // self-cosine = 1
+    }
+  }
+}

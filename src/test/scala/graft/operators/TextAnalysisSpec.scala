@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = Seq(
+    (1L, "The quick brown fox, and the lazy dog.", "en"),
+    (2L, "der hund und die katze ist das", "de"),
+    (3L, "le chat et les chiens est une", "fr"),
+  ).toDF("doc_id", "text", "lang")
+
+  test("tokenCounts: whitespace tokens and regex subtokens") {
+    val r = TextAnalysis.tokenCounts(d).orderBy("doc_id").collect()
+    assert(r(0).getAs[Int]("n_tokens") == 8)
+    // words + ',' + '.' as single punctuation subtokens
+    assert(r(0).getAs[Int]("n_subtokens") == 10)
+    assert(r(1).getAs[Int]("n_tokens") == 7)
+  }
+
+  test("qualityScores: punctuation and stopword ratios") {
+    val r = TextAnalysis.qualityScores(d).orderBy("doc_id").collect().head
+    val text = "The quick brown fox, and the lazy dog."
+    assert(r.getAs[Int]("n_chars_measured") == text.length)
+    assert(math.abs(r.getAs[Double]("punct_ratio") - 2.0 / text.length) < 1e-12)
+    // lower-cased stopword hits: the, and, the -> 3 of 8
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 3.0 / 8) < 1e-12)
+  }
+
+  test("languageId: stopword sets pick the declared language") {
+    val r = TextAnalysis.languageId(d).orderBy("doc_id").collect()
+    assert(r.map(_.getAs[String]("lang_predicted")).toSeq == Seq("en", "de", "fr"))
+  }
+
+  test("fingerprint: deterministic, order-sensitive") {
+    val fp1 = TextAnalysis.fingerprints(d).orderBy("doc_id").collect()
+    val fp2 = TextAnalysis.fingerprints(d).orderBy("doc_id").collect()
+    assert(fp1.map(_.getLong(1)).toSeq == fp2.map(_.getLong(1)).toSeq)
+    val swapped = Seq((1L, "quick The brown fox, and the lazy dog.", "en"))
+      .toDF("doc_id", "text", "lang")
+    val fpSwapped = TextAnalysis.fingerprints(swapped).collect().head.getLong(1)
+    assert(fpSwapped != fp1.head.getLong(1))
+  }
+}
