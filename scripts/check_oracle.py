@@ -23,6 +23,10 @@ def norm(v):
         return v
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
+    # datetime / date / pandas Timestamp -> canonical string, so sorting by
+    # repr is stable across the two readers' object types
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
     return v
 
 

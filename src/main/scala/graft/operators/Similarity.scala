@@ -79,7 +79,9 @@ object Similarity {
       .where(col("c_vec") =!= col("q_vec"))
       .select(
         col("q_vec"), col("c_vec"), col("bucket"),
-        VectorMath.cosineFast(col("q_emb"), col("c_emb")).as("cosine"),
+        // Native codegen'd expression: one fused loop per pair instead of
+        // three aggregate(zip_with(...)) walks.
+        graft.functions.CosineSimilarity.cosine(col("q_emb"), col("c_emb")).as("cosine"),
       )
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

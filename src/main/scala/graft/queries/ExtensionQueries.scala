@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.VectorMath
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -124,9 +124,20 @@ object ExtensionQueries {
         .toDF().orderBy("doc_id")
     },
 
+    // --- Sessionization (batch window construction, oracle-checked) ---
+    "w2_sessionize" -> { (spark, dir) =>
+      Sessionize.sessions(Tables.t(spark, dir, "events"))
+        .orderBy("user_id", "session_idx")
+    },
+
     // --- Streaming ---
     "st1_stream_daily" -> { (spark, dir) =>
       EventsStream.dailyAggregates(spark, dir)
+    },
+    // Stateful streaming sessionization (mapGroupsWithState) — rows-only;
+    // its agreement with the batch sessionizer is asserted in specs.
+    "st2_stream_sessions" -> { (spark, dir) =>
+      graft.streaming.SessionStream.userSessions(spark, dir)
     },
 
     // --- Sketches (rows-only: HLL++ internals are engine-specific) ---
@@ -262,5 +273,23 @@ object ExtensionQueries {
       """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "w2_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), numbered AS (
+        |  SELECT user_id, ts, is_new,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |  date_trunc('second', MIN(ts)) AS session_start,
+        |  (MAX(epoch_ns(ts)) - MIN(epoch_ns(ts))) // 1000000000 AS duration_sec
+        |FROM numbered GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

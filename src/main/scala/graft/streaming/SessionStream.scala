@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful Structured Streaming: per-user sessionization with
+  * `mapGroupsWithState` — the custom-state API the windowed aggregates
+  * can't express (session identity depends on the gap to the previous
+  * event, not on a fixed window grid).
+  *
+  * State per user carries (last event ns, open session count, event
+  * count); each micro-batch folds its group's events in event-time order
+  * into that state and emits the updated snapshot (Update mode).
+  */
+object SessionStream {
+  private val runId = new AtomicInteger(0)
+
+  final case class EventIn(user_id: Long, ts: Long, event_id: Long)
+  final case class SessionState(lastTs: Long, nSessions: Long, nEvents: Long)
+  final case class SessionSnapshot(
+      user_id: Long,
+      n_sessions: Long,
+      n_events: Long,
+      last_event_at: java.sql.Timestamp,
+  )
+
+  private def updateState(gapNs: Long)(
+      userId: Long,
+      events: Iterator[EventIn],
+      state: GroupState[SessionState],
+  ): SessionSnapshot = {
+    val sorted = events.toSeq.sortBy(e => (e.ts, e.event_id))
+    var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+    for (e <- sorted) {
+      val isNew = s.lastTs == Long.MinValue || e.ts - s.lastTs > gapNs
+      s = SessionState(e.ts, s.nSessions + (if (isNew) 1 else 0), s.nEvents + 1)
+    }
+    state.update(s)
+    SessionSnapshot(userId, s.nSessions, s.nEvents,
+      new java.sql.Timestamp(s.lastTs / 1000000L))
+  }
+
+  /** Run sessionization over `$dir/events.parquet` as a stream; returns
+    * the final per-user snapshot table.
+    */
+  def userSessions(
+      spark: SparkSession,
+      dir: String,
+      gapSeconds: Long = 1800,
+  ): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val name = s"user_sessions_${runId.incrementAndGet()}"
+
+    val events: Dataset[EventIn] = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[EventIn]
+
+    val snapshots = events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
+        updateState(gapSeconds * 1000000000L))
+
+    val query = snapshots.writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+
+    spark.table(name).orderBy("user_id")
+  }
+}
