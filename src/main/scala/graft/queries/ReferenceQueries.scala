@@ -124,6 +124,34 @@ object ReferenceQueries {
         .orderBy("o_orderkey")
     },
 
+    // J2-J4: outer/semi/anti joins (beyond the reference's single inner
+    // join — the rest of the join family a complete engine offers).
+    "j2_join_left" -> { (spark, dir) =>
+      val c = Tables.customer(spark, dir)
+      val o = Tables.orders(spark, dir)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("c_custkey")
+    },
+    "j3_join_semi" -> { (spark, dir) =>
+      val c = Tables.customer(spark, dir)
+      val o = Tables.orders(spark, dir).where(col("o_totalprice") > 300000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    // Anti-join against a filtered right side (an unfiltered one matches
+    // nothing — every customer has orders at every SF).
+    "j4_join_anti" -> { (spark, dir) =>
+      val c = Tables.customer(spark, dir)
+      val o = Tables.orders(spark, dir).where(col("o_totalprice") > 300000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
     // A1+F6: group-by SUM at daily grain. Reference: silver_to_gold.py:29-33.
     "a1_groupby_sum" -> { (spark, dir) =>
       Tables.lineitem(spark, dir)
@@ -148,6 +176,18 @@ object ReferenceQueries {
           count(lit(1)).as("n_events"),
         )
         .orderBy("day")
+    },
+
+    // A6: rollup (hierarchical totals — beyond the reference's flat
+    // group-bys; same partial/final hash-agg shape).
+    "a6_rollup" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          decSum(col("l_quantity"), 20, 4).as("sum_qty"),
+          count(lit(1)).as("n_items"),
+        )
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
     // A4: DISTINCT + ORDER BY. Reference: silver_to_gold.py:100-101.
@@ -312,6 +352,28 @@ object ReferenceQueries {
       """SELECT o.o_custkey AS custkey, o.o_orderkey, o.o_totalprice, c.c_mktsegment
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |ORDER BY o.o_orderkey""".stripMargin,
+    "j2_join_left" ->
+      """SELECT c.c_custkey, c.c_mktsegment, coalesce(o.n_orders, 0) AS n_orders
+        |FROM customer c LEFT JOIN (
+        |  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1
+        |) o ON c.c_custkey = o.o_custkey
+        |ORDER BY c.c_custkey""".stripMargin,
+    "j3_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "j4_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "a6_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_items
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "a1_groupby_sum" ->
       """SELECT l_returnflag, CAST(l_shipdate AS DATE) AS ship_date,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
