@@ -16,8 +16,11 @@ object EnergyMain {
       System.err.println("usage: EnergyMain <storageRoot> [startDate endDate]")
       sys.exit(2)
     }
-    val root = args(0)
-    val cfg0 = EnergyConfig.default(root)
+    // First arg: either a storage root or a YAML config file path.
+    val cfg0 =
+      if (args(0).endsWith(".yaml") || args(0).endsWith(".yml"))
+        ConfigLoader.fromYamlFile(args(0))
+      else EnergyConfig.default(args(0))
     val cfg =
       if (args.length >= 3)
         cfg0.copy(backfill = BackfillConfig(

@@ -190,6 +190,38 @@ object ReferenceQueries {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
+    // A7: descriptive statistics (mean/stddev/corr) computed from
+    // quantized-integer sums — the builtin stddev/corr accumulate doubles
+    // in engine-specific orders, so a cross-engine-exact version derives
+    // everything from exact sums with identical double formulas.
+    "a7_stats" -> { (spark, dir) =>
+      val xq = floor(col("l_extendedprice") * 100).cast(LongType)
+      val yq = col("l_quantity").cast(LongType)
+      val agg = Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), xq.as("xq"), yq.as("yq"))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("xq")).cast(DoubleType).as("sx"),
+          sum((col("xq") * col("xq")).cast(DecimalType(38, 0))).cast(DoubleType).as("sxx"),
+          sum(col("yq")).cast(DoubleType).as("sy"),
+          sum((col("yq") * col("yq")).cast(DecimalType(38, 0))).cast(DoubleType).as("syy"),
+          sum((col("xq") * col("yq")).cast(DecimalType(38, 0))).cast(DoubleType).as("sxy"),
+        )
+      val n = col("n").cast(DoubleType)
+      agg.select(
+        col("l_returnflag"),
+        col("n").as("n_items"),
+        (col("sx") / n / 100.0).as("mean_price"),
+        (sqrt((n * col("sxx") - col("sx") * col("sx")) / (n * (n - 1))) / 100.0)
+          .as("stddev_price"),
+        ((n * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(n * col("sxx") - col("sx") * col("sx")) *
+            sqrt(n * col("syy") - col("sy") * col("sy"))))
+          .as("corr_price_qty"),
+      ).orderBy("l_returnflag")
+    },
+
     // A4: DISTINCT + ORDER BY. Reference: silver_to_gold.py:100-101.
     "a4_distinct_orderby" -> { (spark, dir) =>
       Tables.part(spark, dir).select("p_brand").distinct().orderBy("p_brand")
@@ -387,6 +419,25 @@ object ReferenceQueries {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "a4_distinct_orderby" ->
       "SELECT DISTINCT p_brand FROM part ORDER BY p_brand",
+    "a7_stats" ->
+      """WITH q AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS xq,
+        |    CAST(l_quantity AS BIGINT) AS yq
+        |  FROM lineitem
+        |), s AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(xq) AS DOUBLE) AS sx, CAST(SUM(xq * xq) AS DOUBLE) AS sxx,
+        |    CAST(SUM(yq) AS DOUBLE) AS sy, CAST(SUM(yq * yq) AS DOUBLE) AS syy,
+        |    CAST(SUM(xq * yq) AS DOUBLE) AS sxy
+        |  FROM q GROUP BY 1
+        |)
+        |SELECT l_returnflag, n AS n_items,
+        |  sx / n / 100.0 AS mean_price,
+        |  sqrt((n * sxx - sx * sx) / (n * (n - 1))) / 100.0 AS stddev_price,
+        |  (n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_price_qty
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     "a5_count_distinct" ->
       """SELECT COUNT(DISTINCT user_id) AS n_users,
         |  COUNT(DISTINCT event_type) AS n_types FROM events""".stripMargin,
