@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for heavy aggregations: two-phase salted aggregation.
+  *
+  * A single hot key (think: the empty document, a null-ish user id, one
+  * dominant production type) funnels its entire group through one reducer.
+  * Salting splits each key into `numSalts` subkeys for a partial
+  * aggregate, then combines partials in a second (tiny) aggregate. Exact
+  * for decomposable aggregates (sum/count/min/max).
+  *
+  * AQE's skew-join handling covers joins; this covers group-bys, which
+  * AQE does not rebalance.
+  */
+object Skew {
+
+  /** Exact salted SUM + COUNT by `key`. The salt derives from a hash of
+    * `saltBy` (any column with per-row variety, e.g. the row's natural id)
+    * so it is deterministic — no rand(), re-runs produce identical plans
+    * and results.
+    */
+  def saltedSumCount(
+      df: DataFrame,
+      key: Column,
+      value: Column,
+      saltBy: Column,
+      numSalts: Int = 16,
+  ): DataFrame = {
+    val salted = df.select(
+      key.as("k"),
+      value.as("v"),
+      pmod(xxhash64(saltBy), lit(numSalts)).as("salt"),
+    )
+    salted
+      .groupBy(col("k"), col("salt"))
+      .agg(sum(col("v")).as("partial_sum"), count(lit(1)).as("partial_n"))
+      .groupBy(col("k"))
+      .agg(sum(col("partial_sum")).as("total"), sum(col("partial_n")).as("n"))
+  }
+}

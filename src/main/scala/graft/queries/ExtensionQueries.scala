@@ -140,6 +140,16 @@ object ExtensionQueries {
       graft.streaming.SessionStream.userSessions(spark, dir)
     },
 
+    // --- Skew mitigation: two-phase salted aggregation (exact for
+    // decomposable aggs; l_quantity is integral so double sums are exact) ---
+    "x4_salted_agg" -> { (spark, dir) =>
+      graft.operators.Skew.saltedSumCount(
+        Tables.lineitem(spark, dir),
+        col("l_returnflag"), col("l_quantity"), col("l_orderkey"))
+        .withColumnRenamed("k", "l_returnflag")
+        .orderBy("l_returnflag")
+    },
+
     // --- Sketches (rows-only: HLL++ internals are engine-specific) ---
     "x3_approx_distinct" -> { (spark, dir) =>
       Tables.events(spark, dir).agg(
@@ -269,6 +279,9 @@ object ExtensionQueries {
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x4_salted_agg" ->
+      """SELECT l_returnflag, SUM(l_quantity) AS total, COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "st1_stream_daily" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
