@@ -41,7 +41,7 @@ object EnergyPipeline {
     val silverPrice = Silver.priceToSilver(spark.read.parquet(bronzePricePath))
     val silverPowerPath = cfg.storage.silver("power")
     val silverPricePath = cfg.storage.silver("price")
-    Silver.write(silverPower, silverPowerPath)
+    Silver.write(silverPower, silverPowerPath, partitionCols = Seq("date"))
     Silver.write(silverPrice, silverPricePath)
 
     val sp = spark.read.parquet(silverPowerPath)

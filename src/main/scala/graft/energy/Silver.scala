@@ -101,11 +101,15 @@ object Silver {
       .where(col("timestamp").isNotNull && col("price_eur_mwh").isNotNull)
   }
 
-  def write(df: DataFrame, outPath: String): Unit =
-    // Silver is the first *wide* table; partition by the day column so gold
-    // reads prune. (`date` is bronze's ingest-day string for power; price
-    // has no date col, so it partitions by market.)
-    df.write.mode(SaveMode.Overwrite).parquet(outPath)
+  /** Silver is the first *wide* table; callers partition power by its
+    * ingest-day column so gold's date-ranged reads prune partitions
+    * (price carries no date column and stays unpartitioned).
+    */
+  def write(df: DataFrame, outPath: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(outPath)
+  }
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
