@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan guardrails: the scale properties SCALE.md claims are
+  * asserted here so a future refactor that silently loses a pushdown, a
+  * broadcast, or map-side partial aggregation fails the build instead of
+  * the benchmark.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planString(df: DataFrame): String = {
+    val executed = df.queryExecution.executedPlan
+    val finalPlan = executed match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p: SparkPlan => p
+    }
+    finalPlan.toString
+  }
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf0001)
+
+  test("p1_project: scan reads only the projected columns") {
+    val plan = planString(q("p1_project"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse(plan)
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_extendedprice"),
+      s"expected pruned scan, got: $readSchema")
+  }
+
+  test("j1_join_inner: small side broadcasts, filters pushed to scan") {
+    val df = q("j1_join_inner")
+    df.count() // let AQE finalize
+    val plan = planString(df)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+    assert(plan.contains("PushedFilters: [IsNotNull"), plan.take(400))
+  }
+
+  test("a1_groupby_sum: map-side partial aggregation before the exchange") {
+    val plan = planString(q("a1_groupby_sum"))
+    assert(plan.contains("partial_sum"), plan.take(400))
+  }
+
+  test("silver flatten is shuffle-free (narrow generate pipeline)") {
+    import graft.energy._
+    val bronze = Bronze.bronzeDf(spark, "country", "de", Seq(
+      java.time.LocalDate.parse("2025-01-01") ->
+        """{"unix_seconds": [1735689600], "production_types": [{"name": "Solar", "data": [1.0]}]}"""))
+    val plan = planString(Silver.powerToSilver(bronze))
+    assert(!plan.contains("Exchange"), s"silver should not shuffle:\n${plan.take(500)}")
+  }
+
+  test("x1_ann_bruteforce: query side broadcasts; corpus is not shuffled for scoring") {
+    val df = q("x1_ann_bruteforce")
+    df.count()
+    val plan = planString(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(500))
+  }
+}
