@@ -57,6 +57,60 @@ object Similarity {
       }
       .reduce(_ + _)
 
+  /** IVF-style top-k: the corpus is partitioned into `nCentroids`
+    * inverted lists by nearest centroid; each query probes its `nProbe`
+    * nearest lists and ranks only those candidates.
+    *
+    * Centroids here are a deterministic sample of the corpus (first
+    * `nCentroids` by vec_id) — a k-means step would slot in unchanged
+    * (IVF cares only that assignment uses the same centroid set on both
+    * sides). At scale: centroids broadcast everywhere, the corpus
+    * shuffles ONCE by centroid id (a write-time layout in a real store),
+    * and each query reads nProbe/nCentroids of the data.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 2,
+  ): DataFrame = {
+    import graft.functions.CosineSimilarity.cosine
+    val centroids = broadcast(
+      corpus.orderBy(col("vec_id")).limit(nCentroids)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb")))
+
+    // nearest-n centroid assignment: cross with the broadcast centroid set,
+    // rank by similarity, keep n list ids per vector
+    def assign(df: DataFrame, idCol: String, embCol: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("centroid_id"))
+      df.crossJoin(centroids)
+        .withColumn("__sim", cosine(col(embCol), col("c_emb")))
+        .withColumn("__rk", row_number().over(w))
+        .where(col("__rk") <= n)
+        .withColumn("list_id", col("centroid_id"))
+        .drop("centroid_id", "c_emb", "__sim", "__rk")
+    }
+
+    val c = assign(
+      corpus.select(col("vec_id").as("c_vec"), col("embedding").as("c_emb2")),
+      "c_vec", "c_emb2", 1)
+    val q = assign(
+      queries.select(col("vec_id").as("q_vec"), col("embedding").as("q_emb")),
+      "q_vec", "q_emb", nProbe)
+
+    val w = Window.partitionBy(col("q_vec")).orderBy(col("cosine").desc, col("c_vec"))
+    c.join(broadcast(q), Seq("list_id"))
+      .where(col("c_vec") =!= col("q_vec"))
+      .select(
+        col("q_vec"), col("c_vec"), col("list_id"),
+        cosine(col("q_emb"), col("c_emb2")).as("cosine"),
+      )
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_vec", "rank", "c_vec", "cosine", "list_id")
+  }
+
   /** LSH-bucketed top-k: queries and corpus are bucketed by hyperplane
     * signs; ranking happens within buckets only (fast-path cosine).
     */

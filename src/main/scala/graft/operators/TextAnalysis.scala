@@ -74,6 +74,24 @@ object TextAnalysis {
       )
   }
 
+  /** Term statistics (TF / DF / corpus size) — the relational core of
+    * TF-IDF. The score stays rational (tf * (N+1) / (df+1), no log) so it
+    * is bit-exact across engines; callers wanting the classic log-scaled
+    * IDF apply it to these columns.
+    */
+  def termStats(docs: DataFrame): DataFrame = {
+    val terms = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(
+        col("doc_id"), col("term"), col("tf"), col("df"),
+        ((col("tf") * (col("n_docs") + 1)) / (col("df") + 1)).as("tfidf_rational"),
+      )
+  }
+
   /** Document fingerprinting: polynomial rolling hash over per-word codes
     * (mod a 31-bit prime so the arithmetic is overflow-free in a long and
     * reproducible in any engine).

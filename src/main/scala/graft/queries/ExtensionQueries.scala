@@ -99,6 +99,13 @@ object ExtensionQueries {
       Similarity.lshTopK(emb.where(col("vec_id") < 8), emb, k = 3)
         .orderBy("q_vec", "rank")
     },
+    // IVF-style variant: corpus partitioned by nearest centroid, queries
+    // probe nProbe lists (rows-only: ranking uses the native expression).
+    "x5_ann_ivf" -> { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.ivfTopK(emb.where(col("vec_id") < 8), emb, k = 3)
+        .orderBy("q_vec", "rank")
+    },
 
     // --- Text analysis ---
     "t1_token_counts" -> { (spark, dir) =>
@@ -112,6 +119,9 @@ object ExtensionQueries {
     },
     "t4_fingerprint" -> { (spark, dir) =>
       TextAnalysis.fingerprints(Tables.documents(spark, dir)).orderBy("doc_id")
+    },
+    "t5_term_stats" -> { (spark, dir) =>
+      TextAnalysis.termStats(Tables.documents(spark, dir)).orderBy("doc_id", "term")
     },
 
     // --- Multimodal columns ---
@@ -274,6 +284,20 @@ object ExtensionQueries {
         |    w -> length(w) * 31 + ascii(substr(w, 1, 1)))),
         |  (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t5_term_stats" ->
+      """WITH terms AS (
+        |  SELECT doc_id, u.term
+        |  FROM documents,
+        |    UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS u(term)
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1
+        |), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |  (tf.tf * (n.n_docs + 1)) / (df.df + 1) AS tfidf_rational
+        |FROM tf JOIN df USING (term) CROSS JOIN n
+        |ORDER BY tf.doc_id, tf.term""".stripMargin,
     "m1_media_meta" ->
       """SELECT doc_id, 'text/plain' AS media_type,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -319,6 +319,16 @@ object ReferenceQueries {
         .withColumn("source", lit("energy-charts"))
     },
 
+    // K4: global top-N — plans as TakeOrderedAndProject (per-partition
+    // heap + driver merge of N rows), not a full sort: the only sane
+    // "ORDER BY ... LIMIT" shape at 100 TB.
+    "k4_topn" -> { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    },
+
     // Set ops (beyond the reference, which keeps its two datasets joined only).
     "u1_union_all" -> { (spark, dir) =>
       val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
@@ -380,6 +390,9 @@ object ReferenceQueries {
       """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) AS qty_int,
         |  CAST(l_shipdate AS DATE) AS ship_date
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "k4_topn" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
     "j1_join_inner" ->
       """SELECT o.o_custkey AS custkey, o.o_orderkey, o.o_totalprice, c.c_mktsegment
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey

@@ -45,6 +45,23 @@ class SimilaritySpec extends SparkSpec {
     assert(top.getAs[Long]("c_vec") == 2L)
   }
 
+  test("ivfTopK: returns ranked neighbors; recall vs brute force is nonzero") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val qs = emb.where(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(qs, emb, k = 3).collect()
+      .map(r => (r.getAs[Long]("q_vec"), r.getAs[Long]("c_vec"))).toSet
+    val ivf = Similarity.ivfTopK(qs, emb, k = 3).collect()
+    assert(ivf.nonEmpty)
+    val ivfPairs = ivf.map(r => (r.getAs[Long]("q_vec"), r.getAs[Long]("c_vec"))).toSet
+    val recall = (exact & ivfPairs).size.toDouble / exact.size
+    info(f"IVF recall@3 = $recall%.2f (nProbe=2/16 lists)")
+    assert(recall > 0.0)
+    // every query returns at most k ranked rows
+    ivf.groupBy(_.getAs[Long]("q_vec")).foreach { case (_, rows) =>
+      assert(rows.length <= 3 && rows.map(_.getAs[Int]("rank")).distinct.length == rows.length)
+    }
+  }
+
   test("cosineExact matches cosineFast to quantization tolerance") {
     val emb = Tables.embeddings(spark, sf0001).limit(50)
       .select(col("embedding").as("a"), col("embedding").as("b"))
