@@ -37,9 +37,15 @@ object VectorMath {
     )
 
   /** Cosine similarity over the quantized vectors: every input to the
-    * final double arithmetic is an exactly-reproducible integer.
+    * final double arithmetic is an exactly-reproducible integer. Delegates
+    * to the native [[QuantizedCosine]] expression (one fused codegen loop);
+    * [[cosineExactHof]] is the builtin-composition equivalent kept for
+    * cross-checking the two implementations against each other.
     */
   def cosineExact(a: Column, b: Column): Column =
+    QuantizedCosine.quantizedCosine(a, b)
+
+  def cosineExactHof(a: Column, b: Column): Column =
     dotExactQ(a, b).cast(DoubleType) /
       (sqrt(dotExactQ(a, a).cast(DoubleType)) * sqrt(dotExactQ(b, b).cast(DoubleType)))
 

@@ -20,6 +20,19 @@ class CosineSimilaritySpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("QuantizedCosine native expression is bit-identical to the HOF composition") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val rows = a.join(b, col("ib") === col("ia") + 7)
+      .select(
+        QuantizedCosine.quantizedCosine(col("ea"), col("eb")).as("native"),
+        VectorMath.cosineExactHof(col("ea"), col("eb")).as("hof"),
+      ).collect()
+    assert(rows.length > 0)
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("known values: orthogonal -> 0, identical -> 1, opposite -> -1") {
     val df = Seq(
       (Array(1f, 0f), Array(0f, 1f), 0.0),
