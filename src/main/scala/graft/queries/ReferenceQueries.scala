@@ -261,6 +261,28 @@ object ReferenceQueries {
         .orderBy("vec_id", "idx")
     },
 
+    // G4: outer explode — rows with null arrays survive with a null value
+    // (the G1 inner explode drops them; both semantics offered).
+    "g4_explode_outer" -> { (spark, dir) =>
+      Tables.embeddings(spark, dir)
+        .withColumn("arr",
+          when(col("vec_id") % 7 === 0, lit(null)).otherwise(slice(col("embedding"), 1, 2)))
+        .select(col("vec_id"), explode_outer(col("arr")).as("val"))
+        .orderBy("vec_id", "val")
+    },
+
+    // P7: pivot — long-to-wide reshaping (fixed value list, so the output
+    // schema is static and cluster-friendly; pivoted counts coalesce to 0).
+    "p7_pivot" -> { (spark, dir) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(spark, dir)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("user_id")
+    },
+
     // F1: from_json with explicit schema. Reference: bronze_to_silver.py:59-61.
     "f1_from_json" -> { (spark, dir) =>
       Tables.events(spark, dir)
@@ -468,6 +490,19 @@ object ReferenceQueries {
       """SELECT vec_id, CAST(g.i - 1 AS INT) AS idx, embedding[g.i] AS val
         |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
         |ORDER BY vec_id, idx""".stripMargin,
+    "g4_explode_outer" ->
+      """SELECT vec_id, u.val
+        |FROM embeddings LEFT JOIN UNNEST(
+        |  CASE WHEN vec_id % 7 = 0 THEN NULL ELSE embedding[1:2] END) AS u(val) ON true
+        |ORDER BY vec_id, val""".stripMargin,
+    "p7_pivot" ->
+      """SELECT user_id,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "f1_from_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
