@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, QuantizedCosine}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -25,6 +25,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "cosine_similarity takes exactly 2 arguments")
         CosineSimilarity(exprs(0), exprs(1))
+      },
+    ))
+    e.injectFunction((
+      FunctionIdentifier("quantized_cosine"),
+      new ExpressionInfo(
+        classOf[QuantizedCosine].getName,
+        null,
+        "quantized_cosine",
+        "quantized_cosine(a, b) - engine-portable cosine over 2^20-quantized float arrays",
+        ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "quantized_cosine takes exactly 2 arguments")
+        QuantizedCosine(exprs(0), exprs(1))
       },
     ))
   }

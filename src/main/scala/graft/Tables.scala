@@ -24,6 +24,13 @@ object Tables {
     t(spark, dir, "events")
       .withColumn("ts_sec", expr("timestamp_seconds(ts div 1000000000)"))
 
+  /** events with scan parallelism restored (same single-row-group local
+    * fixture situation as [[documentsParallel]]): JSON-extraction queries
+    * are compute-bound and would otherwise run on the one scan task.
+    */
+  def eventsParallel(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).repartition(spark.sparkContext.defaultParallelism)
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "customer")

@@ -12,8 +12,9 @@ import org.apache.spark.sql.SparkSession
   */
 object EnergyMain {
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) {
-      System.err.println("usage: EnergyMain <storageRoot> [startDate endDate]")
+    if (args.length != 1 && args.length != 3) {
+      // a lone date (length 2) must not silently run the default range
+      System.err.println("usage: EnergyMain <storageRoot|config.yaml> [startDate endDate]")
       sys.exit(2)
     }
     // First arg: either a storage root or a YAML config file path.

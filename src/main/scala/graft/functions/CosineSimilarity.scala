@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
   * equivalent, three `aggregate(zip_with(...))` chains, walks each array
   * three times through interpreted lambda calls).
   *
-  * Null if either input is null; arrays shorter than the other contribute
-  * only their common prefix (mirrors `arrays_zip` truncate-after-filter
-  * semantics, SURVEY.md §2 G2). Returns NaN when either norm is zero.
+  * Null if either input is null; null *elements* are skipped pairwise
+  * (the SQL-SUM-over-null-terms semantics a DuckDB oracle computes);
+  * arrays shorter than the other contribute only their common prefix
+  * (mirrors `arrays_zip` truncate-after-filter semantics, SURVEY.md §2
+  * G2). Returns NaN when either norm is zero.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -42,9 +44,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
-      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val xi = x.getFloat(i).toDouble
+        val yi = y.getFloat(i).toDouble
+        dot += xi * yi; nx += xi * xi; ny += yi * yi
+      }
       i += 1
     }
     dot / (math.sqrt(nx) * math.sqrt(ny))
@@ -63,6 +67,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) continue;
          |  double $xi = (double) $a.getFloat($i);
          |  double $yi = (double) $b.getFloat($i);
          |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;

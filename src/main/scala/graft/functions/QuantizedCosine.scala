@@ -42,9 +42,12 @@ case class QuantizedCosine(left: Expression, right: Expression)
     var dot = 0L; var nx = 0L; var ny = 0L
     var i = 0
     while (i < n) {
-      val xi = math.floor(x.getFloat(i).toDouble * 1048576.0).toLong
-      val yi = math.floor(y.getFloat(i).toDouble * 1048576.0).toLong
-      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      // null elements skip the pair (SQL SUM-over-null-terms semantics)
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val xi = math.floor(x.getFloat(i).toDouble * 1048576.0).toLong
+        val yi = math.floor(y.getFloat(i).toDouble * 1048576.0).toLong
+        dot += xi * yi; nx += xi * xi; ny += yi * yi
+      }
       i += 1
     }
     dot.toDouble / (math.sqrt(nx.toDouble) * math.sqrt(ny.toDouble))
@@ -63,6 +66,7 @@ case class QuantizedCosine(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $dot = 0L; long $nx = 0L; long $ny = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) continue;
          |  long $xi = (long) java.lang.Math.floor(((double) $a.getFloat($i)) * 1048576.0);
          |  long $yi = (long) java.lang.Math.floor(((double) $b.getFloat($i)) * 1048576.0);
          |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;

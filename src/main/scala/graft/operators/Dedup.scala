@@ -153,18 +153,31 @@ object Dedup {
 
   /** SimHash near-dup pairs: band the 32-bit signature into 4 bytes; pairs
     * sharing any byte-band are candidates; keep those within `maxHamming`.
+    * Like the MinHash path, degenerate bands are capped at `maxBucket`
+    * members (a hot byte value — e.g. millions of boilerplate docs — would
+    * otherwise go quadratic in the self-join).
     */
-  def simHashCandidates(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val sigs = simHashSignatures(docs)
+  def simHashCandidates(
+      docs: DataFrame,
+      maxHamming: Int = 6,
+      maxBucket: Int = 64,
+      precomputedSigs: Option[DataFrame] = None,
+  ): DataFrame = {
+    val sigs = precomputedSigs.getOrElse(simHashSignatures(docs))
     val banded = sigs.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 8).bitwiseAND(0xFF)): _*))
         .as(Seq("band_idx", "band_key")),
     )
-    val a = banded.select(col("band_idx"), col("band_key"),
+    val bucketCounts = banded
+      .groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n").between(2, maxBucket))
+    val capped = banded.join(bucketCounts, Seq("band_idx", "band_key"))
+    val a = capped.select(col("band_idx"), col("band_key"),
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-    val b = banded.select(col("band_idx"), col("band_key"),
+    val b = capped.select(col("band_idx"), col("band_key"),
       col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
     a.join(b, Seq("band_idx", "band_key"))
       .where(col("doc_a") < col("doc_b"))

@@ -47,7 +47,8 @@ object ExtensionQueries {
     "d3_dedup_simhash" -> { (spark, dir) =>
       val docs = Tables.documentsParallel(spark, dir)
       val sigs = Dedup.simHashSignatures(docs)
-      val cands = Dedup.simHashCandidates(docs, maxHamming = 10)
+      val cands = Dedup.simHashCandidates(docs, maxHamming = 10,
+        precomputedSigs = Some(sigs))
       val perDoc = cands
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .groupBy("doc_id")
@@ -60,7 +61,7 @@ object ExtensionQueries {
     },
     // Exact bigram-Jaccard between consecutive doc pairs (oracle-checked).
     "d4_ngram_jaccard" -> { (spark, dir) =>
-      val docs = Tables.documents(spark, dir)
+      val docs = Tables.documentsParallel(spark, dir)
       val ws = TextAnalysis.words(col("text"))
       val bigrams = array_distinct(transform(
         sequence(lit(0), size(col("w")) - 2),

@@ -85,7 +85,7 @@ object ReferenceQueries {
     // P4+F10: null-drop filter over a JSON-derived nullable column.
     // Reference: bronze_to_silver.py:95,147.
     "p4_null_filter" -> { (spark, dir) =>
-      Tables.events(spark, dir)
+      Tables.eventsParallel(spark, dir)
         .withColumn("k_nonzero", nullif(get_json_object(col("props"), "$.k"), lit("0")))
         .where(col("k_nonzero").isNotNull && col("event_id").isNotNull)
         .select("event_id", "k_nonzero")
@@ -102,12 +102,15 @@ object ReferenceQueries {
     },
 
     // P6: casts (double->int, timestamp->date). Reference: bronze_to_silver.py:69,92.
+    // The explicit floor() pins the double->int semantics: Spark's cast
+    // truncates while DuckDB's rounds, so a bare cast only agrees on
+    // integral values — floor agrees everywhere.
     "p6_cast" -> { (spark, dir) =>
       Tables.lineitem(spark, dir)
         .select(
           col("l_orderkey"),
           col("l_linenumber"),
-          col("l_quantity").cast(IntegerType).as("qty_int"),
+          floor(col("l_quantity")).cast(IntegerType).as("qty_int"),
           col("l_shipdate").cast(DateType).as("ship_date"),
         )
         .orderBy("l_orderkey", "l_linenumber")
@@ -285,7 +288,7 @@ object ReferenceQueries {
 
     // F1: from_json with explicit schema. Reference: bronze_to_silver.py:59-61.
     "f1_from_json" -> { (spark, dir) =>
-      Tables.events(spark, dir)
+      Tables.eventsParallel(spark, dir)
         .select(
           col("event_id"),
           from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
@@ -296,14 +299,14 @@ object ReferenceQueries {
 
     // F2: get_json_object path extraction. Reference: bronze_to_silver.py:120-126.
     "f2_get_json_object" -> { (spark, dir) =>
-      Tables.events(spark, dir)
+      Tables.eventsParallel(spark, dir)
         .select(col("event_id"), get_json_object(col("props"), "$.k").as("k_str"))
         .orderBy("event_id")
     },
 
     // F3: coalesce over candidate fields. Reference: bronze_to_silver.py:124-132.
     "f3_coalesce" -> { (spark, dir) =>
-      Tables.events(spark, dir)
+      Tables.eventsParallel(spark, dir)
         .select(
           col("event_id"),
           coalesce(
@@ -409,7 +412,7 @@ object ReferenceQueries {
       """SELECT p_partkey, p_type, lower(trim(p_type)) AS p_type_norm
         |FROM part WHERE lower(trim(p_type)) = 'promo' ORDER BY p_partkey""".stripMargin,
     "p6_cast" ->
-      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) AS qty_int,
+      """SELECT l_orderkey, l_linenumber, CAST(floor(l_quantity) AS INT) AS qty_int,
         |  CAST(l_shipdate AS DATE) AS ship_date
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "k4_topn" ->
