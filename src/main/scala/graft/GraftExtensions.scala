@@ -17,11 +17,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(
-        classOf[CosineSimilarity].getName,
-        null,
-        "cosine_similarity",
+        classOf[CosineSimilarity].getName, null, "cosine_similarity",
         "cosine_similarity(a, b) - cosine similarity of two float arrays",
-        ""),
+        "", "", "", "math_funcs", "1.0.0", "", "scala_udf"),
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "cosine_similarity takes exactly 2 arguments")
         CosineSimilarity(exprs(0), exprs(1))
@@ -30,11 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("quantized_cosine"),
       new ExpressionInfo(
-        classOf[QuantizedCosine].getName,
-        null,
-        "quantized_cosine",
+        classOf[QuantizedCosine].getName, null, "quantized_cosine",
         "quantized_cosine(a, b) - engine-portable cosine over 2^20-quantized float arrays",
-        ""),
+        "", "", "", "math_funcs", "1.0.0", "", "scala_udf"),
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "quantized_cosine takes exactly 2 arguments")
         QuantizedCosine(exprs(0), exprs(1))
