@@ -91,32 +91,11 @@ object FixtureEnergySource {
     */
   def synthetic(
       dates: Seq[LocalDate],
-      productionTypes: Seq[String] =
-        Seq("Wind offshore", "Wind onshore", "Solar", "Biomass"),
+      productionTypes: Seq[String] = SyntheticPayloads.DefaultProductionTypes,
       pointsPerDay: Int = 96,
       pricePointsPerDay: Int = 24,
-  ): FixtureEnergySource = {
-    def epoch(d: LocalDate): Long = d.toEpochDay * 86400L
-    val power = dates.map { d =>
-      val ts = (0 until pointsPerDay).map(i => epoch(d) + i * 86400L / pointsPerDay)
-      val types = productionTypes.zipWithIndex
-        .map { case (name, ti) =>
-          val data = ts.indices
-            .map(i => BigDecimal(100.0 * (ti + 1) + i * 0.25).setScale(2))
-            .mkString("[", ",", "]")
-          s"""{"name": "$name", "data": $data}"""
-        }
-        .mkString("[", ",", "]")
-      d -> s"""{"unix_seconds": ${ts.mkString("[", ",", "]")}, "production_types": $types, "deprecated": null}"""
-    }.toMap
-    val price = dates.map { d =>
-      val ts =
-        (0 until pricePointsPerDay).map(i => epoch(d) + i * 86400L / pricePointsPerDay)
-      val prices = ts.indices
-        .map(i => BigDecimal(50.0 + (i % 7) * 3.5).setScale(2))
-        .mkString("[", ",", "]")
-      d -> s"""{"license_info": "CC BY 4.0", "unix_seconds": ${ts.mkString("[", ",", "]")}, "price": $prices, "unit": "EUR / MWh", "deprecated": false}"""
-    }.toMap
-    new FixtureEnergySource(power, price)
-  }
+  ): FixtureEnergySource = new FixtureEnergySource(
+    dates.map(d => d -> SyntheticPayloads.powerPayload(d, productionTypes, pointsPerDay)).toMap,
+    dates.map(d => d -> SyntheticPayloads.pricePayload(d, pricePointsPerDay)).toMap,
+  )
 }
