@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (nearest-preceding) join — the time-series operator Spark's
+  * relational algebra lacks natively. For each left row, attach the right
+  * row with the greatest timestamp <= the left timestamp within the same
+  * key (DuckDB/kdb `ASOF JOIN` semantics; our oracle checks against
+  * DuckDB's native implementation).
+  *
+  * Built by composition (preference order (a) of the build brief): union
+  * the two sides with their payloads boxed in nullable structs, sort
+  * within key by (ts, side), and carry the last right payload forward
+  * with `last(_, ignoreNulls)` — one shuffle by key, then linear
+  * per-partition work: the cost shape of a sort-merge join, with no
+  * range-condition row explosion. Right rows at exactly the left
+  * timestamp match (inclusive), mirroring `ON l.ts >= r.ts`.
+  */
+object AsOfJoin {
+
+  /** @param left    left rows (all columns preserved in the output)
+    * @param right   right rows; its non-key/ts columns come back
+    *                prefixed with `rightPrefix`
+    * @param keyCols equi-join keys (same names on both sides)
+    * @param leftTs  left ordering column (numeric or timestamp)
+    * @param rightTs right ordering column (same type as leftTs)
+    * @param inner   true drops left rows with no preceding right row
+    */
+  def asof(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPrefix: String = "asof_",
+      inner: Boolean = true,
+  ): DataFrame = {
+    val rightPayloadCols =
+      right.columns.filterNot(c => keyCols.contains(c) || c == rightTs).toSeq
+    val leftPayloadCols = left.columns.filterNot(keyCols.contains).toSeq
+
+    val rStruct = struct((rightTs +: rightPayloadCols).map(col): _*)
+    val lStruct = struct(leftPayloadCols.map(col): _*)
+    val rType = right.select(rStruct.as("s")).schema("s").dataType
+    val lType = left.select(lStruct.as("s")).schema("s").dataType
+
+    val taggedRight = right.select(
+      keyCols.map(col) ++ Seq(
+        col(rightTs).as("__ts"),
+        lit(0).as("__side"),
+        rStruct.as("__rdata"),
+        lit(null).cast(lType).as("__ldata"),
+      ): _*)
+    val taggedLeft = left.select(
+      keyCols.map(col) ++ Seq(
+        col(leftTs).as("__ts"),
+        lit(1).as("__side"),
+        lit(null).cast(rType).as("__rdata"),
+        lStruct.as("__ldata"),
+      ): _*)
+
+    // Right rows sort before left rows at equal ts -> inclusive match.
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = taggedRight
+      .unionByName(taggedLeft)
+      .withColumn("__match", last(col("__rdata"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+
+    val out = matched.select(
+      keyCols.map(col)
+        ++ Seq(col("__ts").as(leftTs))
+        ++ leftPayloadCols.filterNot(_ == leftTs)
+          .map(c => col("__ldata").getField(c).as(c))
+        ++ Seq(col("__match").getField(rightTs).as(s"$rightPrefix$rightTs"))
+        ++ rightPayloadCols.map(c => col("__match").getField(c).as(s"$rightPrefix$c")): _*)
+    if (inner) out.where(col(s"$rightPrefix$rightTs").isNotNull) else out
+  }
+}

@@ -135,6 +135,24 @@ object ExtensionQueries {
         .toDF().orderBy("doc_id")
     },
 
+    // --- As-of join: each click matched to the user's nearest preceding
+    // signup (checked against DuckDB's NATIVE ASOF JOIN) ---
+    "x6_asof_join" -> { (spark, dir) =>
+      val ev = Tables.t(spark, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      val signups = ev.where(col("event_type") === "signup")
+        .select("user_id", "ts", "event_id")
+      graft.operators.AsOfJoin.asof(
+        clicks, signups, Seq("user_id"), "ts", "ts", rightPrefix = "signup_")
+        .select(
+          col("user_id"), col("event_id"),
+          expr("timestamp_seconds(ts div 1000000000)").as("click_ts"),
+          col("signup_event_id"),
+        )
+        .orderBy("user_id", "event_id")
+    },
+
     // --- Sessionization (batch window construction, oracle-checked) ---
     "w2_sessionize" -> { (spark, dir) =>
       Sessionize.sessions(Tables.t(spark, dir, "events"))
@@ -311,6 +329,14 @@ object ExtensionQueries {
       """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x6_asof_join" ->
+      """SELECT c.user_id, c.event_id,
+        |  date_trunc('second', c.ts) AS click_ts,
+        |  s.event_id AS signup_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON c.user_id = s.user_id AND c.ts >= s.ts
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
     "w2_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,

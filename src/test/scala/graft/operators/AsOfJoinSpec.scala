@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val quotes = Seq(
+    // key, ts, price
+    ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
+    ("B", 15L, 9.0),
+  ).toDF("sym", "ts", "price")
+
+  private val trades = Seq(
+    ("A", 5L, 100L),  // before any quote -> no match
+    ("A", 20L, 101L), // exactly at quote ts -> inclusive match (2.0)
+    ("A", 25L, 102L), // between -> 2.0
+    ("A", 99L, 103L), // after all -> 3.0
+    ("B", 14L, 104L), // before B's only quote -> no match
+    ("C", 50L, 105L), // key with no quotes at all -> no match
+  ).toDF("sym", "ts", "trade_id")
+
+  test("inner as-of: nearest preceding (inclusive) quote per trade") {
+    val res = AsOfJoin.asof(trades, quotes, Seq("sym"), "ts", "ts")
+      .orderBy("sym", "ts")
+      .collect()
+      .map(r => (r.getAs[String]("sym"), r.getAs[Long]("ts"),
+        r.getAs[Long]("trade_id"), r.getAs[Double]("asof_price")))
+    assert(res.toSeq == Seq(
+      ("A", 20L, 101L, 2.0),
+      ("A", 25L, 102L, 2.0),
+      ("A", 99L, 103L, 3.0),
+    ))
+  }
+
+  test("outer as-of keeps unmatched left rows with null right payload") {
+    val res = AsOfJoin.asof(trades, quotes, Seq("sym"), "ts", "ts", inner = false)
+    assert(res.count() == 6)
+    assert(res.where("asof_price IS NULL").count() == 3)
+  }
+}
