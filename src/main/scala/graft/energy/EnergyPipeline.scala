@@ -17,6 +17,27 @@ final case class PipelineResult(
 
 object EnergyPipeline {
 
+  /** Bronze via the DataSource V2 connector instead of the driver-side
+    * fetch loop: ingestion becomes a distributed scan (partition-per-day,
+    * date pushdown) and the rest of the medallion flow is unchanged.
+    * `EnergyPipelineSpec` asserts this path and [[run]] produce identical
+    * gold tables.
+    */
+  def bronzeFromConnector(
+      spark: SparkSession,
+      cfg: EnergyConfig,
+      dataset: String, // "power" | "price"
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.format("energy-charts")
+      .option("dataset", dataset)
+      .option("start", cfg.backfill.startDate.toString)
+      .option("end", cfg.backfill.endDate.toString)
+      .load()
+      .withColumn("ingested_at", current_timestamp())
+      .withColumn("source", lit("energy-charts"))
+  }
+
   def run(
       spark: SparkSession,
       cfg: EnergyConfig,

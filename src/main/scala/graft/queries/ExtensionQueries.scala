@@ -135,6 +135,24 @@ object ExtensionQueries {
         .toDF().orderBy("doc_id")
     },
 
+    // --- Upsert (MERGE emulation): apply a derived updates batch to the
+    // customer snapshot; updates win on key collision, new keys append ---
+    "x7_upsert" -> { (spark, dir) =>
+      val current = Tables.customer(spark, dir)
+        .select("c_custkey", "c_name", "c_acctbal")
+      // updates: zero the balance of every customer with negative balance,
+      // plus one brand-new row
+      val updates = current.where(col("c_acctbal") < 0)
+        .withColumn("c_acctbal", lit(0.0))
+        .unionByName(
+          spark.range(1).select(
+            lit(999999L).as("c_custkey"),
+            lit("Customer#new").as("c_name"),
+            lit(1.5).as("c_acctbal")))
+      graft.operators.Upsert.upsert(current, updates, Seq("c_custkey"))
+        .orderBy("c_custkey")
+    },
+
     // --- As-of join: each click matched to the user's nearest preceding
     // signup (checked against DuckDB's NATIVE ASOF JOIN) ---
     "x6_asof_join" -> { (spark, dir) =>
@@ -329,6 +347,18 @@ object ExtensionQueries {
       """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x7_upsert" ->
+      """WITH current AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer
+        |), updates AS (
+        |  SELECT c_custkey, c_name, 0.0 AS c_acctbal FROM customer WHERE c_acctbal < 0
+        |  UNION ALL SELECT 999999, 'Customer#new', 1.5
+        |)
+        |SELECT coalesce(u.c_custkey, c.c_custkey) AS c_custkey,
+        |  coalesce(u.c_name, c.c_name) AS c_name,
+        |  coalesce(u.c_acctbal, c.c_acctbal) AS c_acctbal
+        |FROM current c FULL OUTER JOIN updates u ON c.c_custkey = u.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
     "x6_asof_join" ->
       """SELECT c.user_id, c.event_id,
         |  date_trunc('second', c.ts) AS click_ts,

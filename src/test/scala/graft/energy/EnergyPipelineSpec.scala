@@ -127,6 +127,23 @@ class EnergyPipelineSpec extends SparkSpec {
     assert(gold.length == 1 && gold.head.getDate(0).toString == "2025-03-01")
   }
 
+  test("connector-ingested bronze yields identical gold to driver-loop bronze") {
+    val cfg = EnergyConfig.default("/tmp/unused").copy(
+      backfill = BackfillConfig(day("2025-01-01"), day("2025-01-03")))
+    val dates = Dates.dateRange(cfg.backfill.startDate, cfg.backfill.endDate)
+    val src = FixtureEnergySource.synthetic(dates)
+    // driver-loop path
+    val loopBronze = Bronze.bronzeDf(spark, "country", "de",
+      dates.map(d => d -> src.publicPower("de", d)))
+    // connector path
+    val connBronze = EnergyPipeline.bronzeFromConnector(spark, cfg, "power")
+    val a = Gold.powerDailyByType(Silver.powerToSilver(loopBronze))
+      .orderBy("date", "production_type").collect().map(_.toSeq)
+    val b = Gold.powerDailyByType(Silver.powerToSilver(connBronze))
+      .orderBy("date", "production_type").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("dates: inclusive range + validation") {
     assert(Dates.dateRange("2025-01-01", "2025-01-07").size == 7)
     assert(Dates.dateRange("2025-01-01", "2025-01-01").size == 1)
