@@ -186,6 +186,15 @@ object ExtensionQueries {
     "st2_stream_sessions" -> { (spark, dir) =>
       graft.streaming.SessionStream.userSessions(spark, dir)
     },
+    // Streaming dedup: state-backed first-occurrence pass-through; the
+    // emitted set equals SELECT DISTINCT.
+    "st3_stream_dedup" -> { (spark, dir) =>
+      EventsStream.streamDedup(spark, dir)
+    },
+    // Stream-static dimension join + aggregate.
+    "st4_stream_static_join" -> { (spark, dir) =>
+      EventsStream.streamStaticJoin(spark, dir)
+    },
 
     // --- Skew mitigation: two-phase salted aggregation (exact for
     // decomposable aggs; l_quantity is integral so double sums are exact) ---
@@ -367,6 +376,16 @@ object ExtensionQueries {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON c.user_id = s.user_id AND c.ts >= s.ts
         |ORDER BY c.user_id, c.event_id""".stripMargin,
+    "st3_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    "st4_stream_static_join" ->
+      """SELECT d.cohort, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+        |FROM events e
+        |JOIN (SELECT range AS user_id, range % 5 AS cohort FROM range(100)) d
+        |  ON e.user_id = d.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "w2_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,

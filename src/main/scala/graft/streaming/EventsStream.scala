@@ -16,6 +16,57 @@ import org.apache.spark.sql.types._
 object EventsStream {
   private val runId = new AtomicInteger(0)
 
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts_sec", expr("timestamp_seconds(ts div 1000000000)"))
+  }
+
+  private def runToMemory(df: DataFrame, spark: SparkSession, mode: String, prefix: String): DataFrame = {
+    val name = s"${prefix}_${runId.incrementAndGet()}"
+    val query = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+    spark.table(name)
+  }
+
+  /** Streaming deduplication: first occurrence of each (user_id,
+    * event_type) pair passes, duplicates are dropped against state.
+    * The batch-equivalent result set is SELECT DISTINCT.
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    runToMemory(deduped, spark, "append", "stream_dedup")
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Stream-static join: the event stream enriched against a static
+    * (broadcastable) dimension, then aggregated per cohort — the
+    * standard shape for joining a 100 TB stream against dimension
+    * tables without shuffling the stream.
+    */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = spark.range(100).select(
+      col("id").as("user_id"), (col("id") % 5).as("cohort"))
+    val joined = eventsStream(spark, dir)
+      .join(dim, Seq("user_id"))
+      .groupBy("cohort")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(20, 4))).cast(DoubleType).as("sum_value"),
+      )
+    runToMemory(joined, spark, "complete", "stream_static").orderBy("cohort")
+  }
+
   /** Run the windowed aggregation over `$dir/events.parquet` as a stream,
     * landing results in a memory sink; returns the final table:
     * (day, event_type, n_events, sum_value).
