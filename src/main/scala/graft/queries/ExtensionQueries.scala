@@ -153,6 +153,22 @@ object ExtensionQueries {
         .orderBy("c_custkey")
     },
 
+    // --- Range join: events inside deterministic 12h promo windows
+    // (bucketed interval join; oracle uses the naive BETWEEN join) ---
+    "x8_range_join" -> { (spark, dir) =>
+      val base = 1704067200L // 2024-01-01 UTC, matching the events ts span
+      val points = Tables.t(spark, dir, "events")
+        .select(col("event_id"), expr("ts div 1000000000").as("t"))
+      val intervals = spark.range(20).select(
+        col("id").as("interval_id"),
+        (lit(base) + col("id") * 129600L).as("start"),
+        (lit(base) + col("id") * 129600L + 43200L).as("end"))
+      graft.operators.RangeJoin
+        .rangeJoin(points, intervals, "t", "start", "end", bucketWidth = 43200L)
+        .select("event_id", "interval_id")
+        .orderBy("event_id", "interval_id")
+    },
+
     // --- As-of join: each click matched to the user's nearest preceding
     // signup (checked against DuckDB's NATIVE ASOF JOIN) ---
     "x6_asof_join" -> { (spark, dir) =>
@@ -368,6 +384,18 @@ object ExtensionQueries {
         |  coalesce(u.c_acctbal, c.c_acctbal) AS c_acctbal
         |FROM current c FULL OUTER JOIN updates u ON c.c_custkey = u.c_custkey
         |ORDER BY c_custkey""".stripMargin,
+    "x8_range_join" ->
+      """WITH iv AS (
+        |  SELECT range AS interval_id,
+        |    1704067200 + range * 129600 AS s,
+        |    1704067200 + range * 129600 + 43200 AS e
+        |  FROM range(20)
+        |)
+        |SELECT ev.event_id, iv.interval_id
+        |FROM events ev JOIN iv
+        |  ON epoch_ns(ev.ts) // 1000000000 >= iv.s
+        | AND epoch_ns(ev.ts) // 1000000000 < iv.e
+        |ORDER BY ev.event_id, iv.interval_id""".stripMargin,
     "x6_asof_join" ->
       """SELECT c.user_id, c.event_id,
         |  date_trunc('second', c.ts) AS click_ts,

@@ -225,6 +225,20 @@ object ReferenceQueries {
       ).orderBy("l_returnflag")
     },
 
+    // A8: exact percentiles (continuous interpolation — Spark's
+    // `percentile` and DuckDB's `quantile_cont` share the formula, so the
+    // doubles match bit-for-bit; probed before adoption).
+    "a8_percentiles" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.25)").as("p25"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95"),
+        )
+        .orderBy("l_returnflag")
+    },
+
     // A4: DISTINCT + ORDER BY. Reference: silver_to_gold.py:100-101.
     "a4_distinct_orderby" -> { (spark, dir) =>
       Tables.part(spark, dir).select("p_brand").distinct().orderBy("p_brand")
@@ -457,6 +471,12 @@ object ReferenceQueries {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "a4_distinct_orderby" ->
       "SELECT DISTINCT p_brand FROM part ORDER BY p_brand",
+    "a8_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.95) AS p95
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "a7_stats" ->
       """WITH q AS (
         |  SELECT l_returnflag,

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val points = Seq(
+    (1L, 5L), (2L, 10L), (3L, 19L), (4L, 20L), (5L, 25L), (6L, 99L),
+  ).toDF("point_id", "t")
+
+  private val intervals = Seq(
+    (100L, 0L, 10L),   // [0, 10): catches t=5
+    (101L, 10L, 20L),  // [10, 20): catches t=10, 19
+    (102L, 18L, 26L),  // [18, 26): catches t=19, 20, 25 (overlapping interval)
+  ).toDF("interval_id", "start", "end")
+
+  test("points match intervals with start <= t < end, overlaps included") {
+    val res = RangeJoin.rangeJoin(points, intervals, "t", "start", "end", bucketWidth = 8)
+      .select("point_id", "interval_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(res == Set(
+      (1L, 100L), (2L, 101L), (3L, 101L), (3L, 102L), (4L, 102L), (5L, 102L),
+    ))
+  }
+
+  test("matches the naive inequality join on random-ish data") {
+    val ps = (0L until 300L).map(i => (i, (i * 37) % 500)).toDF("point_id", "t")
+    val ivs = (0L until 40L).map(i => (i, i * 13, i * 13 + 29)).toDF("interval_id", "start", "end")
+    val bucketed = RangeJoin.rangeJoin(ps, ivs, "t", "start", "end", bucketWidth = 32)
+      .select("point_id", "interval_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = ps.join(ivs, ps("t") >= ivs("start") && ps("t") < ivs("end"))
+      .select("point_id", "interval_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed == naive)
+  }
+
+  test("no nested-loop join in the bucketed plan") {
+    val plan = RangeJoin.rangeJoin(points, intervals, "t", "start", "end", 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+  }
+}
