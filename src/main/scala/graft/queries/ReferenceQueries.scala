@@ -228,15 +228,22 @@ object ReferenceQueries {
     // A8: exact percentiles (continuous interpolation — Spark's
     // `percentile` and DuckDB's `quantile_cont` share the formula, so the
     // doubles match bit-for-bit; probed before adoption).
+    // One array-form percentile call: a single sort buffer per group
+    // (three scalar calls would each collect the group's values).
     "a8_percentiles" -> { (spark, dir) =>
       Tables.lineitem(spark, dir)
         .groupBy("l_returnflag")
-        .agg(
-          expr("percentile(l_extendedprice, 0.25)").as("p25"),
-          expr("percentile(l_extendedprice, 0.5)").as("p50"),
-          expr("percentile(l_extendedprice, 0.95)").as("p95"),
-        )
+        .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.95))").as("pcts"))
         .orderBy("l_returnflag")
+    },
+
+    // A9: cube — the full grouping-sets lattice (rollup covers the
+    // hierarchy; cube completes the group-by family).
+    "a9_cube" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(decSum(col("l_quantity"), 20, 4).as("sum_qty"), count(lit(1)).as("n_items"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
     // A4: DISTINCT + ORDER BY. Reference: silver_to_gold.py:100-101.
@@ -471,11 +478,15 @@ object ReferenceQueries {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "a4_distinct_orderby" ->
       "SELECT DISTINCT p_brand FROM part ORDER BY p_brand",
+    "a9_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_items
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "a8_percentiles" ->
       """SELECT l_returnflag,
-        |  quantile_cont(l_extendedprice, 0.25) AS p25,
-        |  quantile_cont(l_extendedprice, 0.5) AS p50,
-        |  quantile_cont(l_extendedprice, 0.95) AS p95
+        |  quantile_cont(l_extendedprice, [0.25, 0.5, 0.95]) AS pcts
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "a7_stats" ->
       """WITH q AS (
