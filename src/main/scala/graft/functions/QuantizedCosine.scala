@@ -10,10 +10,16 @@ import org.apache.spark.sql.types._
 /** Native form of the engine-portable quantized cosine
   * (see [[VectorMath]]): each float is scaled by an exact power of two
   * (2^20 — an exponent shift, no rounding) and floored to a long; dot and
-  * norms accumulate in exact integer arithmetic. Produces bit-identical
-  * results to the `aggregate(zip_with(...))` composition AND to any other
-  * engine computing floor(x * 2^20) — but in one fused codegen loop with
-  * no per-element lambda dispatch.
+  * norms accumulate in exact integer arithmetic. On well-formed inputs
+  * (equal-length arrays, non-null elements, nonzero norms) it is
+  * bit-identical to the `aggregate(zip_with(...))` composition AND to any
+  * other engine computing floor(x * 2^20) — in one fused codegen loop
+  * with no per-element lambda dispatch.
+  *
+  * Edge semantics (deliberately total where the HOF composition is not):
+  * null elements skip the pair, unequal lengths use the common prefix,
+  * zero norms yield NaN — the HOF's null-propagating `acc + v` instead
+  * poisons those cases to NULL.
   *
   * Overflow headroom: |q| < 2^21, so per-term products < 2^42 and dims up
   * to ~2^20 (1M) stay safely inside a long accumulator.

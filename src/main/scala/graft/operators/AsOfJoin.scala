@@ -40,19 +40,30 @@ object AsOfJoin {
     val rightPayloadCols =
       right.columns.filterNot(c => keyCols.contains(c) || c == rightTs).toSeq
     val leftPayloadCols = left.columns.filterNot(keyCols.contains).toSeq
+    val outRightCols = (rightTs +: rightPayloadCols).map(c => s"$rightPrefix$c")
+    require(
+      !outRightCols.exists(left.columns.contains),
+      s"prefixed right columns collide with left columns: " +
+        outRightCols.filter(left.columns.contains).mkString(", "))
 
     val rStruct = struct((rightTs +: rightPayloadCols).map(col): _*)
     val lStruct = struct(leftPayloadCols.map(col): _*)
     val rType = right.select(rStruct.as("s")).schema("s").dataType
     val lType = left.select(lStruct.as("s")).schema("s").dataType
 
-    val taggedRight = right.select(
-      keyCols.map(col) ++ Seq(
-        col(rightTs).as("__ts"),
-        lit(0).as("__side"),
-        rStruct.as("__rdata"),
-        lit(null).cast(lType).as("__ldata"),
-      ): _*)
+    // A right row with a NULL timestamp has no defined position on the
+    // time axis -> it can never be "the nearest preceding" row. (Without
+    // this filter, Spark's nulls-first ordering would treat it as
+    // preceding everything.)
+    val taggedRight = right
+      .where(col(rightTs).isNotNull)
+      .select(
+        keyCols.map(col) ++ Seq(
+          col(rightTs).as("__ts"),
+          lit(0).as("__side"),
+          rStruct.as("__rdata"),
+          lit(null).cast(lType).as("__ldata"),
+        ): _*)
     val taggedLeft = left.select(
       keyCols.map(col) ++ Seq(
         col(leftTs).as("__ts"),

@@ -34,15 +34,18 @@ object RangeJoin {
       bucketWidth: Long,
   ): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val p = points.withColumn("__bucket", col(pointCol).divide(bucketWidth).cast("long"))
+    val p = points.withColumn("__bucket",
+      floor(col(pointCol).divide(bucketWidth)).cast("long"))
     val iv = intervals
+      .where(col(startCol) < col(endCol)) // empty intervals match nothing
       .withColumn(
         "__bucket",
         explode(sequence(
-          col(startCol).divide(bucketWidth).cast("long"),
-          // end is exclusive; an interval ending exactly on a bucket
-          // boundary does not reach into the next bucket
-          ((col(endCol) - 1).divide(bucketWidth)).cast("long"),
+          floor(col(startCol).divide(bucketWidth)).cast("long"),
+          // end is exclusive: last overlapped bucket = ceil(end/w) - 1.
+          // (NOT (end-1)/w, which under-replicates fractional intervals:
+          // [0.0, 10.5) with w=10 must reach bucket 1.)
+          (ceil(col(endCol).divide(bucketWidth)) - 1).cast("long"),
         )),
       )
     p.join(iv, Seq("__bucket"))

@@ -53,8 +53,18 @@ class EnergyChartsSource extends TableProvider
 }
 
 object EnergyChartsSource {
+  /** Normalize + validate the dataset option: typos must fail loudly, not
+    * silently fall back to the power dataset.
+    */
+  def datasetOf(raw: String): String = raw.toLowerCase match {
+    case d @ ("power" | "price") => d
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown dataset '$other' for format energy-charts (expected power | price)")
+  }
+
   def schemaFor(dataset: String): StructType = {
-    val keyCol = if (dataset == "price") "market" else "country"
+    val keyCol = if (datasetOf(dataset) == "price") "market" else "country"
     StructType(Seq(
       StructField(keyCol, StringType, nullable = false),
       StructField("date", StringType, nullable = false),
@@ -65,7 +75,7 @@ object EnergyChartsSource {
 
 final class EnergyChartsTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
-  private val dataset = options.getOrDefault("dataset", "power")
+  private val dataset = EnergyChartsSource.datasetOf(options.getOrDefault("dataset", "power"))
 
   override def name(): String = s"energy_charts_$dataset"
   override def schema(): StructType = EnergyChartsSource.schemaFor(dataset)
@@ -84,7 +94,7 @@ final class EnergyChartsScanBuilder(options: CaseInsensitiveStringMap)
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
-  private val dataset = options.getOrDefault("dataset", "power")
+  private val dataset = EnergyChartsSource.datasetOf(options.getOrDefault("dataset", "power"))
   private val key =
     options.getOrDefault("key", if (dataset == "price") "DE-LU" else "de")
   private var lo = LocalDate.parse(options.getOrDefault("start", "2025-01-01"))
@@ -92,17 +102,24 @@ final class EnergyChartsScanBuilder(options: CaseInsensitiveStringMap)
   private var pushed = Array.empty[Filter]
   private var required: StructType = EnergyChartsSource.schemaFor(dataset)
 
-  /** Date predicates narrow [lo, hi]; everything else stays residual.
+  private def isoDate(v: Any): Boolean = v match {
+    case s: String => scala.util.Try(LocalDate.parse(s)).isSuccess
+    case _ => false
+  }
+
+  /** Date predicates with parseable ISO literals narrow [lo, hi];
+    * everything else — including legal-but-non-ISO string comparisons
+    * like `date > 'abc'` — stays residual rather than crashing planning.
     * (Dates are ISO strings, so lexicographic comparisons are date
     * comparisons.)
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition {
-      case EqualTo("date", _: String) => true
-      case GreaterThan("date", _: String) => true
-      case GreaterThanOrEqual("date", _: String) => true
-      case LessThan("date", _: String) => true
-      case LessThanOrEqual("date", _: String) => true
+      case EqualTo("date", v) => isoDate(v)
+      case GreaterThan("date", v) => isoDate(v)
+      case GreaterThanOrEqual("date", v) => isoDate(v)
+      case LessThan("date", v) => isoDate(v)
+      case LessThanOrEqual("date", v) => isoDate(v)
       case _ => false
     }
     accepted.foreach {

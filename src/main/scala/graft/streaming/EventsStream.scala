@@ -16,6 +16,9 @@ import org.apache.spark.sql.types._
 object EventsStream {
   private val runId = new AtomicInteger(0)
 
+  /** The file streaming source wants a directory; narrow it to the events
+    * table with a glob filter (the dir holds the other tables too).
+    */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     spark.readStream
@@ -25,6 +28,10 @@ object EventsStream {
       .withColumn("ts_sec", expr("timestamp_seconds(ts div 1000000000)"))
   }
 
+  // NOTE: each run registers a fresh memory-sink temp view that lives for
+  // the session (dropping it would invalidate the returned lazy
+  // DataFrame). Bounded in practice: harness JVMs run each query at most
+  // twice. A long-lived service would materialize and drop the view.
   private def runToMemory(df: DataFrame, spark: SparkSession, mode: String, prefix: String): DataFrame = {
     val name = s"${prefix}_${runId.incrementAndGet()}"
     val query = df.writeStream
@@ -72,33 +79,14 @@ object EventsStream {
     * (day, event_type, n_events, sum_value).
     */
   def dailyAggregates(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    val name = s"events_daily_${runId.incrementAndGet()}"
-
-    // The file streaming source wants a directory; narrow it to the events
-    // table with a glob filter (the dir holds the other tables too).
-    val stream = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts_sec", expr("timestamp_seconds(ts div 1000000000)"))
+    val stream = eventsStream(spark, dir)
       .withWatermark("ts_sec", "1 day")
       .groupBy(window(col("ts_sec"), "1 day"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(20, 4))).cast(DoubleType).as("sum_value"),
       )
-
-    val query = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try query.processAllAvailable()
-    finally query.stop()
-
-    spark.table(name)
+    runToMemory(stream, spark, "complete", "events_daily")
       .select(
         col("window.start").cast(DateType).as("day"),
         col("event_type"),

@@ -33,6 +33,23 @@ class AsOfJoinSpec extends SparkSpec {
     ))
   }
 
+  test("right rows with null timestamps never match") {
+    val q = Seq((Some("A"), Option.empty[java.lang.Long], Some(5.0)))
+      .toDF("sym", "ts", "price")
+    val t = Seq(("A", 10L, 1L)).toDF("sym", "ts", "trade_id")
+    assert(AsOfJoin.asof(t, q, Seq("sym"), "ts", "ts").count() == 0)
+    val outer = AsOfJoin.asof(t, q, Seq("sym"), "ts", "ts", inner = false).collect()
+    assert(outer.length == 1 && outer.head.isNullAt(outer.head.fieldIndex("asof_price")))
+  }
+
+  test("colliding output names are rejected up front") {
+    val t = Seq(("A", 10L, 5.0)).toDF("sym", "ts", "asof_price")
+    val q = Seq(("A", 1L, 1.0)).toDF("sym", "ts", "price")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asof(t, q, Seq("sym"), "ts", "ts")
+    }
+  }
+
   test("outer as-of keeps unmatched left rows with null right payload") {
     val res = AsOfJoin.asof(trades, quotes, Seq("sym"), "ts", "ts", inner = false)
     assert(res.count() == 6)

@@ -36,6 +36,13 @@ class RangeJoinSpec extends SparkSpec {
     assert(bucketed == naive)
   }
 
+  test("fractional bounds: interval reaching past a bucket boundary still matches") {
+    val ps = Seq((1L, 10.2)).toDF("point_id", "t")
+    val ivs = Seq((1L, 0.0, 10.5)).toDF("interval_id", "start", "end")
+    val res = RangeJoin.rangeJoin(ps, ivs, "t", "start", "end", bucketWidth = 10)
+    assert(res.count() == 1) // (end-1)-style replication would miss this
+  }
+
   test("no nested-loop join in the bucketed plan") {
     val plan = RangeJoin.rangeJoin(points, intervals, "t", "start", "end", 8)
       .queryExecution.executedPlan.toString
