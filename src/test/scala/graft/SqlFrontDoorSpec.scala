@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The engine has no SQL parser of its own — Catalyst IS the SQL front
+  * door. This spec registers the star schema as views and runs
+  * representative queries as raw SQL, asserting parity with the
+  * DataFrame-API equivalents (including our registered native function).
+  */
+class SqlFrontDoorSpec extends SparkSpec {
+
+  private lazy val views: Unit = {
+    for (t <- Seq("lineitem", "orders", "customer", "embeddings"))
+      Tables.t(spark, sf0001, t).createOrReplaceTempView(t)
+  }
+
+  test("aggregation via SQL matches the DataFrame API") {
+    views
+    val sql = spark.sql(
+      """SELECT l_returnflag, SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+    val api = Tables.lineitem(spark, sf0001)
+      .groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag").collect()
+    assert(sql.map(_.toSeq).toSeq == api.map(_.toSeq).toSeq)
+  }
+
+  test("join + window via SQL matches the DataFrame query") {
+    views
+    val sql = spark.sql(
+      """SELECT c_mktsegment, rank, o_orderkey FROM (
+        |  SELECT c.c_mktsegment, o.o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+        |      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rank
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |) WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin).collect()
+    val api = SparkEntry.queries("w1_window_topk")(spark, sf0001)
+      .select("c_mktsegment", "rank", "o_orderkey").collect()
+    assert(sql.map(_.toSeq).toSeq == api.map(_.toSeq).toSeq)
+  }
+
+  test("native cosine function usable in a SQL similarity query") {
+    views
+    val top = spark.sql(
+      """SELECT a.vec_id AS q, b.vec_id AS c,
+        |  quantized_cosine(a.embedding, b.embedding) AS sim
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id < 5 ORDER BY q""".stripMargin).collect()
+    assert(top.length == 5)
+    top.foreach(r => assert(math.abs(r.getAs[Double]("sim")) <= 1.0 + 1e-12))
+  }
+}
