@@ -18,8 +18,9 @@ import org.apache.spark.sql.types._
   *
   * Edge semantics (deliberately total where the HOF composition is not):
   * null elements skip the pair, unequal lengths use the common prefix,
-  * zero norms yield NaN — the HOF's null-propagating `acc + v` instead
-  * poisons those cases to NULL.
+  * zero norms yield NULL (matching a NULLIF-guarded SQL divide — NaN
+  * would sort/hash engine-dependently) — the HOF's null-propagating
+  * `acc + v` instead poisons unequal-length/null-element cases to NULL.
   *
   * Overflow headroom: |q| < 2^21, so per-term products < 2^42 and dims up
   * to ~2^20 (1M) stay safely inside a long accumulator.
@@ -28,6 +29,7 @@ case class QuantizedCosine(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // zero-norm inputs yield NULL
   override def prettyName: String = "quantized_cosine"
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -56,7 +58,8 @@ case class QuantizedCosine(left: Expression, right: Expression)
       }
       i += 1
     }
-    dot.toDouble / (math.sqrt(nx.toDouble) * math.sqrt(ny.toDouble))
+    if (nx == 0L || ny == 0L) null
+    else dot.toDouble / (math.sqrt(nx.toDouble) * math.sqrt(ny.toDouble))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -77,8 +80,12 @@ case class QuantizedCosine(left: Expression, right: Expression)
          |  long $yi = (long) java.lang.Math.floor(((double) $b.getFloat($i)) * 1048576.0);
          |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
-         |${ev.value} = ((double) $dot) /
-         |  (java.lang.Math.sqrt((double) $nx) * java.lang.Math.sqrt((double) $ny));
+         |if ($nx == 0L || $ny == 0L) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ((double) $dot) /
+         |    (java.lang.Math.sqrt((double) $nx) * java.lang.Math.sqrt((double) $ny));
+         |}
        """.stripMargin
     })
 

@@ -73,9 +73,13 @@ object AsOfJoin {
       ): _*)
 
     // Right rows sort before left rows at equal ts -> inclusive match.
+    // `__rdata` is the final tiebreak: when several right rows share the
+    // same (key, ts), the struct ordering makes `last(__rdata)` pick the
+    // same payload on every run/partitioning (it is null on left rows,
+    // which are already distinguished by `__side`).
     val w = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__rdata"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = taggedRight
       .unionByName(taggedLeft)

@@ -34,15 +34,20 @@ object TextAnalysis {
       length(col("text")).as("n_chars_measured"),
     )
 
-  /** Quality scoring: length, punctuation density, stopword density. */
+  /** Quality scoring: length, punctuation density, stopword density.
+    * Divisors are null-guarded (NULLIF-style): Spark's `Divide` yields
+    * null on a zero divisor with ANSI off while DuckDB yields inf/NaN,
+    * so an unguarded ratio would diverge cross-engine on empty or
+    * whitespace-only documents. Null-on-degenerate matches on both sides.
+    */
   def qualityScores(docs: DataFrame): DataFrame = {
     val ws = words(col("text"))
-    val nChars = length(col("text"))
+    val nChars = nullif(length(col("text")), lit(0))
     val nPunct = length(regexp_replace(col("text"), "[^.!?,;:]", ""))
-    val nTokens = size(ws)
+    val nTokens = nullif(size(ws), lit(0))
     docs.select(
       col("doc_id"),
-      nChars.as("n_chars_measured"),
+      length(col("text")).as("n_chars_measured"),
       (nPunct.cast(DoubleType) / nChars).as("punct_ratio"),
       (hits(ws, enStop).cast(DoubleType) / nTokens).as("stopword_ratio"),
       (length(col("text")).cast(DoubleType) / nTokens).as("avg_token_len"),

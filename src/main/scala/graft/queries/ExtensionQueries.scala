@@ -129,10 +129,15 @@ object ExtensionQueries {
     "m1_media_meta" -> { (spark, dir) =>
       Multimodal.mediaMeta(Tables.documents(spark, dir)).orderBy("doc_id")
     },
-    // mapPartitions feature extraction (decode STUB) — rows-only.
+    // mapPartitions feature extraction (decode STUB) — rows-only. The
+    // feature vector is unpacked to scalar columns: the driver's compare
+    // sorts rows via pandas, which cannot sort array cells.
     "m2_media_features" -> { (spark, dir) =>
-      Multimodal.extractFeatures(spark, Tables.documents(spark, dir))
-        .toDF().orderBy("doc_id")
+      val feats = Multimodal.extractFeatures(spark, Tables.documents(spark, dir)).toDF()
+      feats.select(
+        Seq(col("doc_id"), col("width"), col("height"), col("n_bytes")) ++
+          (0 until 8).map(i => col("features").getItem(i).as(s"f$i")): _*)
+        .orderBy("doc_id")
     },
 
     // --- Upsert (MERGE emulation): apply a derived updates batch to the
@@ -141,14 +146,17 @@ object ExtensionQueries {
       val current = Tables.customer(spark, dir)
         .select("c_custkey", "c_name", "c_acctbal")
       // updates: zero the balance of every customer with negative balance,
-      // plus one brand-new row
+      // plus one brand-new row whose key is max(c_custkey)+1 — derived, not
+      // hard-coded, so it is guaranteed collision-free at every SF
+      val newRow = current
+        .agg((max(col("c_custkey")) + 1).as("c_custkey"))
+        .select(
+          col("c_custkey"),
+          lit("Customer#new").as("c_name"),
+          lit(1.5).as("c_acctbal"))
       val updates = current.where(col("c_acctbal") < 0)
         .withColumn("c_acctbal", lit(0.0))
-        .unionByName(
-          spark.range(1).select(
-            lit(999999L).as("c_custkey"),
-            lit("Customer#new").as("c_name"),
-            lit(1.5).as("c_acctbal")))
+        .unionByName(newRow)
       graft.operators.Upsert.upsert(current, updates, Seq("c_custkey"))
         .orderBy("c_custkey")
     },
@@ -269,7 +277,7 @@ object ExtensionQueries {
         |    CAST(SUM(y * y) AS DOUBLE) AS ny
         |  FROM terms GROUP BY 1, 2
         |)
-        |SELECT va AS vec_a, vb AS vec_b, dot / (sqrt(nx) * sqrt(ny)) AS cosine
+        |SELECT va AS vec_a, vb AS vec_b, dot / nullif(sqrt(nx) * sqrt(ny), 0) AS cosine
         |FROM agg ORDER BY vec_a""".stripMargin,
     "x1_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
@@ -289,9 +297,9 @@ object ExtensionQueries {
         |  FROM terms GROUP BY 1, 2
         |), scored AS (
         |  SELECT qv AS q_vec, cv AS c_vec,
-        |    dot / (sqrt(nx) * sqrt(ny)) AS cosine,
+        |    dot / nullif(sqrt(nx) * sqrt(ny), 0) AS cosine,
         |    ROW_NUMBER() OVER (PARTITION BY qv
-        |      ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC, cv) AS rank
+        |      ORDER BY dot / nullif(sqrt(nx) * sqrt(ny), 0) DESC, cv) AS rank
         |  FROM agg
         |)
         |SELECT q_vec, rank, c_vec, cosine FROM scored
@@ -310,10 +318,11 @@ object ExtensionQueries {
         |)
         |SELECT doc_id, length(text) AS n_chars_measured,
         |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
-        |    / length(text) AS punct_ratio,
+        |    / nullif(length(text), 0) AS punct_ratio,
         |  CAST(len(list_filter(w, x -> x = 'the' OR x = 'and' OR x = 'of'
-        |    OR x = 'to' OR x = 'in')) AS DOUBLE) / len(w) AS stopword_ratio,
-        |  CAST(length(text) AS DOUBLE) / len(w) AS avg_token_len
+        |    OR x = 'to' OR x = 'in')) AS DOUBLE)
+        |    / nullif(len(w), 0) AS stopword_ratio,
+        |  CAST(length(text) AS DOUBLE) / nullif(len(w), 0) AS avg_token_len
         |FROM t ORDER BY doc_id""".stripMargin,
     "t3_language_id" ->
       """WITH t AS (
@@ -377,7 +386,8 @@ object ExtensionQueries {
         |  SELECT c_custkey, c_name, c_acctbal FROM customer
         |), updates AS (
         |  SELECT c_custkey, c_name, 0.0 AS c_acctbal FROM customer WHERE c_acctbal < 0
-        |  UNION ALL SELECT 999999, 'Customer#new', 1.5
+        |  UNION ALL SELECT (SELECT max(c_custkey) + 1 FROM customer),
+        |    'Customer#new', 1.5
         |)
         |SELECT coalesce(u.c_custkey, c.c_custkey) AS c_custkey,
         |  coalesce(u.c_name, c.c_name) AS c_name,

@@ -212,15 +212,19 @@ object ReferenceQueries {
           sum((col("xq") * col("yq")).cast(DecimalType(38, 0))).cast(DoubleType).as("sxy"),
         )
       val n = col("n").cast(DoubleType)
+      // Divisors are NULLIF-guarded: a single-row group (n-1 = 0) or a
+      // zero-variance group would be null-vs-inf cross-engine otherwise.
       agg.select(
         col("l_returnflag"),
         col("n").as("n_items"),
         (col("sx") / n / 100.0).as("mean_price"),
-        (sqrt((n * col("sxx") - col("sx") * col("sx")) / (n * (n - 1))) / 100.0)
+        (sqrt((n * col("sxx") - col("sx") * col("sx")) / nullif(n * (n - 1), lit(0.0))) / 100.0)
           .as("stddev_price"),
         ((n * col("sxy") - col("sx") * col("sy")) /
-          (sqrt(n * col("sxx") - col("sx") * col("sx")) *
-            sqrt(n * col("syy") - col("sy") * col("sy"))))
+          nullif(
+            sqrt(n * col("sxx") - col("sx") * col("sx")) *
+              sqrt(n * col("syy") - col("sy") * col("sy")),
+            lit(0.0)))
           .as("corr_price_qty"),
       ).orderBy("l_returnflag")
     },
@@ -228,12 +232,19 @@ object ReferenceQueries {
     // A8: exact percentiles (continuous interpolation — Spark's
     // `percentile` and DuckDB's `quantile_cont` share the formula, so the
     // doubles match bit-for-bit; probed before adoption).
-    // One array-form percentile call: a single sort buffer per group
-    // (three scalar calls would each collect the group's values).
+    // One array-form percentile call — a single sort buffer per group —
+    // then the array is unpacked to scalar columns: the driver's compare
+    // hashes values via pandas, which cannot sort array cells.
     "a8_percentiles" -> { (spark, dir) =>
       Tables.lineitem(spark, dir)
         .groupBy("l_returnflag")
         .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.95))").as("pcts"))
+        .select(
+          col("l_returnflag"),
+          col("pcts").getItem(0).as("p25"),
+          col("pcts").getItem(1).as("p50"),
+          col("pcts").getItem(2).as("p95"),
+        )
         .orderBy("l_returnflag")
     },
 
@@ -486,7 +497,9 @@ object ReferenceQueries {
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "a8_percentiles" ->
       """SELECT l_returnflag,
-        |  quantile_cont(l_extendedprice, [0.25, 0.5, 0.95]) AS pcts
+        |  quantile_cont(l_extendedprice, 0.25) AS p25,
+        |  quantile_cont(l_extendedprice, 0.50) AS p50,
+        |  quantile_cont(l_extendedprice, 0.95) AS p95
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "a7_stats" ->
       """WITH q AS (
@@ -503,9 +516,10 @@ object ReferenceQueries {
         |)
         |SELECT l_returnflag, n AS n_items,
         |  sx / n / 100.0 AS mean_price,
-        |  sqrt((n * sxx - sx * sx) / (n * (n - 1))) / 100.0 AS stddev_price,
+        |  sqrt((n * sxx - sx * sx) / nullif(n * (n - 1), 0)) / 100.0 AS stddev_price,
         |  (n * sxy - sx * sy) /
-        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_price_qty
+        |    nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0)
+        |    AS corr_price_qty
         |FROM s ORDER BY l_returnflag""".stripMargin,
     "a5_count_distinct" ->
       """SELECT COUNT(DISTINCT user_id) AS n_users,

@@ -185,10 +185,11 @@ final class EnergyChartsReaderFactory(columns: Array[String])
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[EnergyDayPartition]
     new PartitionReader[InternalRow] {
+      // next() advances (one row per partition); get() is a pure read so
+      // repeated next() calls without get() terminate per the contract.
       private var served = false
-      override def next(): Boolean = !served
+      override def next(): Boolean = if (served) false else { served = true; true }
       override def get(): InternalRow = {
-        served = true
         lazy val payload =
           if (p.dataset == "price") SyntheticPayloads.pricePayload(LocalDate.parse(p.date))
           else SyntheticPayloads.powerPayload(LocalDate.parse(p.date))
