@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `df.sample()` draws from a per-partition RNG: the selected set changes
+  * with partitioning, retries, and cluster size — useless when a sample
+  * must be reproducible across reruns or (as here) re-derivable by a
+  * second engine. Hash-gating on a stable key instead gives a sample
+  * that is a pure function of the data: `keep(row) = md5(seed || key)
+  * starts with one of k/16 hex digits`, an exact k/16 rate in
+  * expectation, identical on any engine with md5.
+  *
+  * At 100 TB this is a narrow codegen'd filter pushed to just above the
+  * scan — no shuffle, no coordination, each split samples independently.
+  */
+object Sampling {
+
+  /** Hex-digit prefix classes for a rate of n/16. */
+  private def hexClass(n: Int): Seq[String] =
+    "0123456789abcdef".take(n).map(_.toString)
+
+  /** Deterministic Bernoulli sample: keeps rows whose seeded key-hash
+    * falls in the first `sixteenths`/16 of the hash space.
+    */
+  def deterministicSample(
+      df: DataFrame,
+      key: Column,
+      seed: String,
+      sixteenths: Int,
+  ): DataFrame = {
+    require(sixteenths >= 1 && sixteenths <= 16, "rate is n/16, 1 <= n <= 16")
+    df.where(
+      substring(md5(concat(lit(seed + ":"), key.cast("string"))), 1, 1)
+        .isin(hexClass(sixteenths): _*))
+  }
+}

@@ -39,4 +39,34 @@ object Skew {
       .groupBy(col("k"))
       .agg(sum(col("partial_sum")).as("total"), sum(col("partial_n")).as("n"))
   }
+
+  /** Salted equi-join for a skewed fact side: each fact row gets a
+    * deterministic salt from `saltBy`, the (small) dimension is replicated
+    * `numSalts` times, and the join keys on (key, salt) — a hot fact key
+    * now spreads over `numSalts` reducers instead of one.
+    *
+    * Result set is EXACTLY the unsalted `facts.join(dim, keys)`: every
+    * fact row still meets every matching dim row (in exactly one salt
+    * bucket). Use when the dim is too big to broadcast outright but
+    * `numSalts` × dim still shuffles cheaply; when the dim broadcasts,
+    * prefer `broadcast(dim)` (no salt needed — broadcast joins don't
+    * skew). AQE's skew-join split handles moderate skew; explicit salting
+    * is for the pathological single-key case AQE can't subdivide further.
+    */
+  def saltedJoin(
+      facts: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      saltBy: Column,
+      numSalts: Int = 16,
+  ): DataFrame = {
+    val saltVals = array((0 until numSalts).map(lit): _*)
+    val saltedFacts = facts
+      .withColumn("__salt", pmod(xxhash64(saltBy), lit(numSalts)).cast("int"))
+    val saltedDim = dim
+      .withColumn("__salt", explode(saltVals))
+    saltedFacts
+      .join(saltedDim, keys :+ "__salt")
+      .drop("__salt")
+  }
 }

@@ -97,6 +97,66 @@ object TextAnalysis {
       )
   }
 
+  /** Repetition detection (the Gopher-style "repetitive document" signal):
+    * per-document top-token frequency ratio and type/token ratio. A doc
+    * whose single most frequent token dominates, or whose distinct-token
+    * ratio collapses, is boilerplate/spam with high probability.
+    *
+    * Shape: explode → two-level aggregation. Both group-bys key on doc_id
+    * so the second one reuses the first's hash partitioning (one shuffle).
+    * Empty/whitespace-only docs have no tokens and drop out — same
+    * semantics as the UNNEST-based oracle.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .where(col("w") =!= "")
+    toks
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"),
+      )
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_distinct"),
+        (col("top_cnt").cast(DoubleType) / nullif(col("n_tokens"), lit(0L)))
+          .as("top_token_ratio"),
+        (col("n_distinct").cast(DoubleType) / nullif(col("n_tokens"), lit(0L)))
+          .as("type_token_ratio"),
+      )
+  }
+
+  /** Email addresses: identical leftmost-first greedy semantics in Java
+    * regex and RE2 (no backreferences / lookaround, so both engines agree
+    * on every match boundary).
+    */
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Long digit runs — the conservative "phone/account number" signal. */
+  private val longNumPat = "[0-9]{7,}"
+
+  /** PII scrubbing: count email/long-number occurrences and produce the
+    * scrubbed text's digest (the digest, not the text, is what a privacy
+    * audit pipeline materializes). Pure narrow projection — codegen'd
+    * regex per row, no shuffle, linear scale-out.
+    */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(longNumPat), lit(0))).as("n_long_numbers"),
+      md5(
+        regexp_replace(
+          regexp_replace(col("text"), emailPat, "[EMAIL]"),
+          longNumPat,
+          "[NUM]")).as("scrubbed_md5"),
+    )
+
   /** Document fingerprinting: polynomial rolling hash over per-word codes
     * (mod a 31-bit prime so the arithmetic is overflow-free in a long and
     * reproducible in any engine).

@@ -6,6 +6,7 @@ import graft.operators.{Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** The large-scale training-data-pipeline extension set (BASELINE.json
   * north star): dedup, similarity search, text analysis, multimodal
@@ -237,6 +238,58 @@ object ExtensionQueries {
         approx_count_distinct(col("event_id")).as("approx_events"),
       )
     },
+
+    // --- Repetition detection (Gopher-style boilerplate/spam signal) ---
+    "t6_repetition" -> { (spark, dir) =>
+      TextAnalysis.repetition(Tables.documents(spark, dir)).orderBy("doc_id")
+    },
+
+    // --- PII scrubbing: occurrence counts + scrubbed-text digest ---
+    "t7_pii_scrub" -> { (spark, dir) =>
+      TextAnalysis.piiScrub(Tables.documents(spark, dir)).orderBy("doc_id")
+    },
+
+    // --- Deterministic sampling: reproducible 4/16 hash-gated sample ---
+    "smp1_sample_det" -> { (spark, dir) =>
+      graft.operators.Sampling
+        .deterministicSample(
+          Tables.documents(spark, dir), col("doc_id"), "seed42", sixteenths = 4)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // --- Embedding ops: exact-integer norms / centroids / int8 stats ---
+    "e1_embed_norm" -> { (spark, dir) =>
+      graft.operators.EmbeddingOps.norms(Tables.embeddings(spark, dir))
+        .orderBy("vec_id")
+    },
+    "e2_centroid_pool" -> { (spark, dir) =>
+      graft.operators.EmbeddingOps.centroids(Tables.embeddings(spark, dir))
+        .orderBy("label", "dim")
+    },
+    "e3_int8_quant" -> { (spark, dir) =>
+      graft.operators.EmbeddingOps.int8QuantStats(Tables.embeddings(spark, dir))
+        .orderBy("vec_id")
+    },
+
+    // --- Salted skewed join (result == plain join; salt spreads hot keys) ---
+    "x9_salted_join" -> { (spark, dir) =>
+      val dim = spark.range(100).select(
+        col("id").as("user_id"), (col("id") % 5).as("cohort"))
+      graft.operators.Skew
+        .saltedJoin(Tables.events(spark, dir), dim, Seq("user_id"), col("event_id"))
+        .groupBy("cohort")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(20, 4))).cast(DoubleType).as("sum_value"),
+        )
+        .orderBy("cohort")
+    },
+
+    // --- Stream-stream join (watermark-bounded state; oracle = batch join) ---
+    "st5_stream_stream_join" -> { (spark, dir) =>
+      EventsStream.streamStreamJoin(spark, dir)
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -442,5 +495,85 @@ object ExtensionQueries {
         |  date_trunc('second', MIN(ts)) AS session_start,
         |  (MAX(epoch_ns(ts)) - MIN(epoch_ns(ts))) // 1000000000 AS duration_sec
         |FROM numbered GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t6_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.w FROM (
+        |    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |    FROM documents
+        |  ), UNNEST(ws) AS u(w) WHERE u.w <> ''
+        |), tf AS (
+        |  SELECT doc_id, w, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+        |)
+        |SELECT doc_id, SUM(cnt) AS n_tokens, COUNT(*) AS n_distinct,
+        |  CAST(MAX(cnt) AS DOUBLE) / nullif(SUM(cnt), 0) AS top_token_ratio,
+        |  CAST(COUNT(*) AS DOUBLE) / nullif(SUM(cnt), 0) AS type_token_ratio
+        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t7_pii_scrub" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '[0-9]{7,}')) AS n_long_numbers,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '[0-9]{7,}', '[NUM]', 'g')) AS scrubbed_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "smp1_sample_det" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substr(md5('seed42:' || CAST(doc_id AS VARCHAR)), 1, 1)
+        |  IN ('0', '1', '2', '3')
+        |ORDER BY doc_id""".stripMargin,
+    "e1_embed_norm" ->
+      """WITH terms AS (
+        |  SELECT vec_id, len(embedding) AS n_dims,
+        |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        |)
+        |SELECT vec_id, n_dims, SUM(q * q) AS qnorm2,
+        |  sqrt(CAST(SUM(q * q) AS DOUBLE)) / 1048576.0 AS norm
+        |FROM terms GROUP BY 1, 2 ORDER BY vec_id""".stripMargin,
+    "e2_centroid_pool" ->
+      """WITH terms AS (
+        |  SELECT label, g.i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        |)
+        |SELECT label, dim, COUNT(*) AS n_vecs,
+        |  CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1048576.0) AS centroid
+        |FROM terms GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+    "e3_int8_quant" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    len(list_filter(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)) > 1.0)) AS n_clipped,
+        |    list_transform(embedding, x -> GREATEST(-127, LEAST(127,
+        |      CAST(floor(CAST(x AS DOUBLE) * 127.0) AS BIGINT)))) AS q8
+        |  FROM embeddings
+        |)
+        |SELECT vec_id, n_clipped, COALESCE(list_sum(q8), 0) AS sum_q8,
+        |  list_min(q8) AS min_q8, list_max(q8) AS max_q8
+        |FROM q ORDER BY vec_id""".stripMargin,
+    "x9_salted_join" ->
+      """SELECT d.cohort, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+        |FROM events e
+        |JOIN (SELECT range AS user_id, range % 5 AS cohort FROM range(100)) d
+        |  ON e.user_id = d.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "st5_stream_stream_join" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id,
+        |    epoch_ns(ts) // 1000000000 AS cts
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, event_id AS purchase_id,
+        |    epoch_ns(ts) // 1000000000 AS pts
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.user_id, COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT c.click_id) AS n_clicks_matched,
+        |  COUNT(DISTINCT p.purchase_id) AS n_purchases_matched
+        |FROM c JOIN p ON p.user_id = c.user_id
+        |  AND p.pts >= c.cts AND p.pts <= c.cts + 3600
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -411,6 +411,136 @@ object ReferenceQueries {
         .select("c_mktsegment", "rank", "o_orderkey", "o_totalprice")
         .orderBy("c_mktsegment", "rank")
     },
+
+    // J5: star-schema join + top-N revenue (TPC-H Q3 shape): selective
+    // dimension filter joined through orders into lineitem, revenue per
+    // order, top 10. Revenue accumulates as exact integers —
+    // cents × (10000 − discount-bp) — so the top-10 cutoff is identical
+    // cross-engine; ties break on o_orderkey. At scale: the filtered
+    // customer side broadcasts, lineitem never shuffles twice (AQE
+    // reuses the o_orderkey exchange for the group-by).
+    "j5_star_join_topn" -> { (spark, dir) =>
+      val c = Tables.customer(spark, dir)
+        .where(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderdate")
+      val l = Tables.lineitem(spark, dir)
+      val revQ = (floor(col("l_extendedprice") * 100).cast(LongType) *
+        (lit(10000L) - floor(col("l_discount") * 10000).cast(LongType)))
+        .cast(DecimalType(38, 0))
+      broadcast(c)
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"), revQ.as("rq"))
+        .groupBy("o_orderkey", "order_date")
+        .agg((sum(col("rq")).cast(DoubleType) / 1000000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // A10: GROUPING SETS with grouping() disambiguation — the general
+    // grouping-lattice form (rollup/cube cover the fixed lattices).
+    "a10_grouping_sets" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir).createOrReplaceTempView("li_gs")
+      spark.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+          |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+          |  COUNT(*) AS n_items
+          |FROM li_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin)
+    },
+
+    // A11: conditional aggregation (CASE-gated sums/counts) — the
+    // one-pass "segmented metrics" shape that replaces N filtered scans.
+    // l_quantity is integral, so double sums stay exact at any order.
+    "a11_conditional_agg" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_total"),
+          count(when(col("l_discount") > 0.05, 1)).as("n_highdisc"),
+          sum(when(col("l_discount") > 0.05, col("l_quantity")).otherwise(lit(0.0)))
+            .as("qty_highdisc"),
+          (count(when(col("l_discount") > 0.05, 1)).cast(DoubleType) /
+            count(lit(1))).as("share_highdisc"),
+        )
+        .orderBy("l_returnflag")
+    },
+
+    // U3: EXCEPT (set difference) — the held-out complement of the
+    // deterministic sample (u1/u2 cover union/intersect).
+    "u3_except" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      docs.select("doc_id")
+        .except(
+          graft.operators.Sampling
+            .deterministicSample(docs, col("doc_id"), "seed42", sixteenths = 4)
+            .select("doc_id"))
+        .orderBy("doc_id")
+    },
+
+    // F8 (beyond ref): date arithmetic — truncation, offsets, deltas,
+    // component extraction. All integer/calendar ops: no float risk.
+    "f8_date_arith" -> { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d"))
+        .select(
+          col("o_orderkey"),
+          col("d"),
+          year(col("d")).as("y"),
+          month(col("d")).as("m"),
+          dayofmonth(col("d")).as("dom"),
+          date_add(col("d"), 30).as("due_date"),
+          datediff(to_date(lit("2026-01-01")), col("d")).as("days_until_2026"),
+          date_trunc("month", col("d")).cast(DateType).as("month_start"),
+          last_day(col("d")).as("month_end"),
+        )
+        .orderBy("o_orderkey")
+    },
+
+    // W3: running + sliding frame aggregates per customer. The running
+    // sum is decimal-exact; the moving average divides two exact values.
+    // Window ordering is (o_orderdate, o_orderkey) — unique, so RANGE
+    // (engine default) and ROWS frames coincide and results are stable.
+    "w3_running_window" -> { (spark, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val w3r = w.rowsBetween(-2, Window.currentRow)
+      Tables.orders(spark, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running_spend",
+          sum(col("o_totalprice").cast(DecimalType(20, 4))).over(w).cast(DoubleType))
+        .withColumn("avg3",
+          (sum(col("o_totalprice").cast(DecimalType(20, 4))).over(w3r).cast(DoubleType) /
+            count(lit(1)).over(w3r)))
+        .withColumn("order_date", to_date(col("o_orderdate")))
+        .drop("o_orderdate")
+        .orderBy("o_custkey", "rn")
+    },
+
+    // W4: lead/lag/ntile/percent_rank/cume_dist — the offset + rank
+    // window family. All derive from integer positions over a unique
+    // ordering, so doubles (percent_rank/cume_dist) are identical
+    // cross-engine.
+    "w4_lead_lag" -> { (spark, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(spark, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .drop("o_orderdate")
+        .orderBy("o_custkey", "o_orderkey")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -581,5 +711,75 @@ object ReferenceQueries {
         |      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rank
         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |) WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin,
+    "j5_star_join_topn" ->
+      """SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
+        |  CAST(SUM(CAST(
+        |    CAST(floor(l.l_extendedprice * 100) AS BIGINT) *
+        |    (10000 - CAST(floor(l.l_discount * 10000) AS BIGINT))
+        |  AS HUGEINT)) AS DOUBLE) / 1000000.0 AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "a10_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+    "a11_conditional_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n_total,
+        |  COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_highdisc,
+        |  SUM(CASE WHEN l_discount > 0.05 THEN l_quantity ELSE 0.0 END)
+        |    AS qty_highdisc,
+        |  CAST(COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS DOUBLE)
+        |    / COUNT(*) AS share_highdisc
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "u3_except" ->
+      """SELECT doc_id FROM documents
+        |EXCEPT SELECT doc_id FROM documents
+        |  WHERE substr(md5('seed42:' || CAST(doc_id AS VARCHAR)), 1, 1)
+        |    IN ('0', '1', '2', '3')
+        |ORDER BY doc_id""".stripMargin,
+    "f8_date_arith" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        |  year(CAST(o_orderdate AS DATE)) AS y,
+        |  month(CAST(o_orderdate AS DATE)) AS m,
+        |  day(CAST(o_orderdate AS DATE)) AS dom,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+        |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01')
+        |    AS days_until_2026,
+        |  CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+        |    AS month_start,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "w3_running_window" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  o_totalprice,
+        |  ROW_NUMBER() OVER w AS rn,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) OVER w AS DOUBLE)
+        |    AS running_spend,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) OVER w3 AS DOUBLE)
+        |    / COUNT(*) OVER w3 AS avg3
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "w4_lead_lag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  LEAD(o_totalprice, 1) OVER w AS next_price,
+        |  NTILE(4) OVER w AS quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
   )
 }

@@ -74,6 +74,47 @@ object EventsStream {
     runToMemory(joined, spark, "complete", "stream_static").orderBy("cohort")
   }
 
+  /** Stream-stream inner join with watermarks on both sides: each click
+    * joined to the same user's purchases within the following hour. The
+    * time-range predicate plus the two watermarks bound the join state —
+    * without them a stream-stream join would buffer both streams forever;
+    * with them state for rows older than watermark + range is evicted,
+    * which is what makes the operator viable on an unbounded 100 TB
+    * stream. Results aggregate to one row per user (batch agg over the
+    * sink) so the output is compact and oracle-checkable against the
+    * equivalent batch join.
+    */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val clicks = ev
+      .where(col("event_type") === "click")
+      .select(
+        col("user_id"),
+        col("event_id").as("click_id"),
+        col("ts_sec").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = ev
+      .where(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"),
+        col("ts_sec").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(
+      purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+    runToMemory(joined, spark, "append", "stream_stream_join")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("click_id")).as("n_clicks_matched"),
+        countDistinct(col("purchase_id")).as("n_purchases_matched"),
+      )
+      .orderBy("user_id")
+  }
+
   /** Run the windowed aggregation over `$dir/events.parquet` as a stream,
     * landing results in a memory sink; returns the final table:
     * (day, event_type, n_events, sum_value).

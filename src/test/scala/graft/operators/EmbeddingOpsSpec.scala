@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class EmbeddingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f), 0),
+    (2L, Array(0.0f, 2.0f, 0.0f), 0),
+    (3L, Array(0.5f, 0.5f, 0.5f), 1),
+  ).toDF("vec_id", "embedding", "label")
+
+  test("norms: exact quantized squares; unit vector has norm 1") {
+    val r = EmbeddingOps.norms(emb).orderBy("vec_id").collect()
+    // q(1.0) = 2^20 exactly -> qnorm2 = 2^40, norm = 1.0 bit-exact
+    assert(r(0).getAs[Long]("qnorm2") == (1L << 40))
+    assert(r(0).getAs[Double]("norm") == 1.0)
+    assert(r(1).getAs[Double]("norm") == 2.0)
+    assert(r(0).getAs[Int]("n_dims") == 3)
+  }
+
+  test("centroids: per-(label, dim) averages over exact sums") {
+    val r = EmbeddingOps.centroids(emb)
+      .orderBy("label", "dim").collect()
+    // label 0, dim 0: vecs (1.0, 0.0) -> mean 0.5; dim 1: (0.0, 2.0) -> 1.0
+    val l0 = r.filter(_.getAs[Int]("label") == 0)
+    assert(l0(0).getAs[Double]("centroid") == 0.5)
+    assert(l0(1).getAs[Double]("centroid") == 1.0)
+    assert(l0.forall(_.getAs[Long]("n_vecs") == 2))
+    // label 1: the single vector is its own centroid
+    val l1 = r.filter(_.getAs[Int]("label") == 1)
+    assert(l1.forall(_.getAs[Double]("centroid") == 0.5))
+  }
+
+  test("int8 stats: clipping counted, quantized extremes clamp to ±127") {
+    val wild = Seq((9L, Array(2.0f, -3.0f, 0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = EmbeddingOps.int8QuantStats(wild).collect().head
+    assert(r.getAs[Int]("n_clipped") == 2)
+    assert(r.getAs[Long]("max_q8") == 127L)
+    assert(r.getAs[Long]("min_q8") == -127L)
+    // sum = 127 - 127 + floor(0.5*127)=63
+    assert(r.getAs[Long]("sum_q8") == 63L)
+  }
+
+  test("norms/int8 are narrow (no shuffle); centroids shuffle once") {
+    val nPlan = EmbeddingOps.norms(emb).queryExecution.executedPlan.toString
+    assert(!nPlan.contains("Exchange"), nPlan.take(300))
+    val cPlan = EmbeddingOps.centroids(emb).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(cPlan).size == 1, cPlan.take(300))
+  }
+}

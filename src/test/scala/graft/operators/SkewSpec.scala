@@ -26,4 +26,27 @@ class SkewSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("salt"))
   }
+
+  test("salted join equals plain join (exact row multiset)") {
+    val ev = Tables.events(spark, sf0001)
+    val dim = spark.range(100).select(
+      col("id").as("user_id"), (col("id") % 5).as("cohort"))
+    val plain = ev.join(dim, Seq("user_id"))
+      .groupBy("cohort").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedJoin(ev, dim, Seq("user_id"), col("event_id"))
+      .groupBy("cohort").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("salted join: a row meets each dim match in exactly one salt bucket") {
+    val ev = Tables.events(spark, sf0001).limit(50)
+    val dim = spark.range(100).select(
+      col("id").as("user_id"), (col("id") % 5).as("cohort"))
+    val out = Skew.saltedJoin(ev, dim, Seq("user_id"), col("event_id"))
+    val dups = out.groupBy("event_id").agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).count()
+    assert(dups == 0, "no fan-out: dim is unique per key, so one row per event")
+  }
 }

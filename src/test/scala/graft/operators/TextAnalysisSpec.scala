@@ -43,4 +43,40 @@ class TextAnalysisSpec extends SparkSpec {
     val fpSwapped = TextAnalysis.fingerprints(swapped).collect().head.getLong(1)
     assert(fpSwapped != fp1.head.getLong(1))
   }
+
+  test("repetition: top-token and type/token ratios; empty docs drop out") {
+    val docs = Seq(
+      (1L, "spam spam spam spam", "en"),
+      (2L, "all words here differ", "en"),
+      (3L, "   ", "en"),
+    ).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.repetition(docs).orderBy("doc_id").collect()
+    assert(r.length == 2, "whitespace-only doc must vanish (no tokens)")
+    assert(r(0).getAs[Long]("n_tokens") == 4 && r(0).getAs[Long]("n_distinct") == 1)
+    assert(r(0).getAs[Double]("top_token_ratio") == 1.0)
+    assert(r(1).getAs[Double]("top_token_ratio") == 0.25)
+    assert(r(1).getAs[Double]("type_token_ratio") == 1.0)
+  }
+
+  test("piiScrub: counts occurrences and digests the scrubbed text") {
+    val docs = Seq(
+      (1L, "mail a@b.co and c.d@e-f.org, call 12345678 now", "en"),
+      (2L, "no pii here", "en"),
+    ).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.piiScrub(docs).orderBy("doc_id").collect()
+    assert(r(0).getAs[Int]("n_emails") == 2)
+    assert(r(0).getAs[Int]("n_long_numbers") == 1)
+    assert(r(1).getAs[Int]("n_emails") == 0)
+    // scrubbed text no longer contains the address, so digests differ
+    assert(r(0).getAs[String]("scrubbed_md5") != r(1).getAs[String]("scrubbed_md5"))
+  }
+
+  test("quality ratios are NULL (not inf/NaN) on empty text") {
+    val docs = Seq((1L, "", "en")).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.qualityScores(docs).collect().head
+    // n_chars = 0 -> NULLIF guard kicks in; split("") = [""] so the
+    // token-based ratios stay defined (0 stopwords of 1 empty token)
+    assert(r.isNullAt(r.fieldIndex("punct_ratio")))
+    assert(r.getAs[Double]("stopword_ratio") == 0.0)
+  }
 }
