@@ -199,4 +199,80 @@ object Dedup {
         VectorMath.cosineExact(col("emb_a"), col("emb_b")).as("cosine"),
       )
   }
+
+  /** Connected components over a near-dup pair graph: every document gets
+    * `cluster_id` = the minimum doc_id reachable through candidate pairs
+    * (singletons cluster with themselves). This is the step that turns
+    * pairwise near-dup hits into dedup decisions — transitive chains
+    * (A≈B, B≈C) must collapse into ONE cluster or the pipeline keeps
+    * near-copies.
+    *
+    * Algorithm: iterative min-label propagation (the Pregel shape on
+    * DataFrames). Per round: one shuffle to send each node's label across
+    * its edges, one aggregate to take the min, converging in O(diameter)
+    * rounds. Near-dup graphs are overwhelmingly tiny chains/cliques —
+    * diameter is small in practice; `maxIter` caps the pathological case.
+    * Each round's result is `localCheckpoint`ed: without it the loop's
+    * lineage grows by ~4 plan nodes per round and planning cost goes
+    * quadratic (and a 1000-executor run would re-execute the whole chain
+    * on any task retry).
+    *
+    * The convergence check is one tiny `count` action per round — the
+    * only driver-side data movement; labels themselves never leave the
+    * cluster.
+    */
+  def connectedComponents(
+      nodes: DataFrame, // one column: id
+      edges: DataFrame, // two columns: a, b (undirected pairs)
+      maxIter: Int = 20,
+  ): DataFrame = {
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val incoming = labels
+        .join(sym, col("id") === col("src"))
+        .groupBy(col("dst"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels
+        .join(incoming, col("id") === col("dst"), "left")
+        .select(col("id"), least(col("label"), col("nbr_label")).as("label"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .where(col("label") < col("old"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Cluster assignment for the oracle-checkable consecutive-pair graph:
+    * documents whose bigram Jaccard with their successor clears
+    * `minJaccard` form chain edges; components collapse the chains.
+    * Output adds `is_kept` — the canonical keep-lowest-id decision.
+    */
+  def nearDupClusters(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val ws = TextAnalysis.words(col("text"))
+    val bigrams = array_distinct(transform(
+      sequence(lit(0), size(col("w")) - 2),
+      i => concat(element_at(col("w"), i + 1), lit(" "), element_at(col("w"), i + 2)),
+    ))
+    val side = docs
+      .select(col("doc_id"), ws.as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), bigrams.as("bg"))
+    val a = side.select(col("doc_id").as("a"), col("bg").as("bg_a"))
+    val b = side.select(col("doc_id").as("b"), col("bg").as("bg_b"))
+    val edges = a.join(b, col("b") === col("a") + 1)
+      .where(
+        (size(array_intersect(col("bg_a"), col("bg_b"))).cast(DoubleType) /
+          size(array_union(col("bg_a"), col("bg_b")))) >= minJaccard)
+      .select(col("a"), col("b"))
+    connectedComponents(docs.select(col("doc_id").as("id")), edges)
+      .withColumn("is_kept", (col("doc_id") === col("cluster_id")).cast(IntegerType))
+  }
 }

@@ -88,6 +88,15 @@ object ExtensionQueries {
     "d5_cosine_neardup" -> { (spark, dir) =>
       Dedup.cosineNearDupPairs(Tables.embeddings(spark, dir)).orderBy("vec_a")
     },
+    // Transitive near-dup clusters: connected components (iterative
+    // min-label propagation) over the consecutive-pair bigram-Jaccard
+    // graph, checked against a DuckDB recursive-CTE closure. Threshold
+    // 0.05: the synthetic corpus has no true near-dups, so a low bar is
+    // what makes the component structure non-trivial here.
+    "d6_dedup_clusters" -> { (spark, dir) =>
+      Dedup.nearDupClusters(Tables.documentsParallel(spark, dir), minJaccard = 0.05)
+        .orderBy("doc_id")
+    },
 
     // --- Similarity search ---
     "x1_ann_bruteforce" -> { (spark, dir) =>
@@ -495,6 +504,30 @@ object ExtensionQueries {
         |  date_trunc('second', MIN(ts)) AS session_start,
         |  (MAX(epoch_ns(ts)) - MIN(epoch_ns(ts))) // 1000000000 AS duration_sec
         |FROM numbered GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "d6_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1])) AS bg
+        |  FROM toks WHERE len(w) >= 2
+        |), e0 AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+        |  WHERE CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.bg, b.bg))) >= 0.05
+        |), edges AS (
+        |  SELECT a AS src, b AS dst FROM e0
+        |  UNION ALL SELECT b, a FROM e0
+        |), reach AS (
+        |  SELECT doc_id AS node, doc_id AS root FROM documents
+        |  UNION
+        |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+        |)
+        |SELECT node AS doc_id, MIN(root) AS cluster_id,
+        |  CAST(node = MIN(root) AS INT) AS is_kept
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "t6_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, u.w FROM (

@@ -60,4 +60,38 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(res.head.getAs[Double]("cosine") - 1.0) < 1e-9)
     assert(res(1).getAs[Double]("cosine") < 0.9)
   }
+
+  test("connected components: chains collapse transitively, singletons stay") {
+    import spark.implicits._
+    // graph: 1-2, 2-3 (chain -> one cluster rooted at 1); 5-6; 9 alone
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
+  }
+
+  test("connected components: long chain converges within maxIter") {
+    import spark.implicits._
+    // a 12-node path: worst-case diameter for min-label propagation
+    val n = 12L
+    val nodes = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponents(nodes, edges, maxIter = 20)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(got.toSeq == Seq(1L), "every node must reach the chain head")
+  }
+
+  test("nearDupClusters: cluster_id is min doc_id; is_kept marks the root") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "alpha beta gamma delta", "en"),
+      (11L, "alpha beta gamma delta epsilon", "en"), // near-dup of 10
+      (12L, "totally unrelated words entirely", "en"),
+    ).toDF("doc_id", "text", "lang")
+    val r = Dedup.nearDupClusters(docs, minJaccard = 0.5)
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(10L, 10L, 12L))
+    assert(r.map(_.getInt(2)).toSeq == Seq(1, 0, 1))
+  }
 }
