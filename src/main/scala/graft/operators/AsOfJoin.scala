@@ -76,10 +76,18 @@ object AsOfJoin {
     // `__rdata` is the final tiebreak: when several right rows share the
     // same (key, ts), the struct ordering makes `last(__rdata)` pick the
     // same payload on every run/partitioning (it is null on left rows,
-    // which are already distinguished by `__side`).
+    // which are already distinguished by `__side`). Only added when the
+    // payload type is orderable — a map-typed payload cannot be sorted,
+    // and requiring orderability would regress those callers; they keep
+    // the (documented) nondeterminism on exact (key, ts) duplicates.
+    val rdataOrderable =
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(rType)
+    val orderCols =
+      if (rdataOrderable) Seq(col("__ts"), col("__side"), col("__rdata"))
+      else Seq(col("__ts"), col("__side"))
     val w = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts"), col("__side"), col("__rdata"))
+      .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = taggedRight
       .unionByName(taggedLeft)

@@ -207,24 +207,25 @@ object Dedup {
     * (A≈B, B≈C) must collapse into ONE cluster or the pipeline keeps
     * near-copies.
     *
-    * Algorithm: iterative min-label propagation (the Pregel shape on
-    * DataFrames). Per round: one shuffle to send each node's label across
-    * its edges, one aggregate to take the min, converging in O(diameter)
-    * rounds. Near-dup graphs are overwhelmingly tiny chains/cliques —
-    * diameter is small in practice; `maxIter` caps the pathological case.
-    * Each round's result is `localCheckpoint`ed: without it the loop's
-    * lineage grows by ~4 plan nodes per round and planning cost goes
-    * quadratic (and a 1000-executor run would re-execute the whole chain
-    * on any task retry).
-    *
-    * The convergence check is one tiny `count` action per round — the
-    * only driver-side data movement; labels themselves never leave the
-    * cluster.
+    * Algorithm: min-label propagation accelerated with pointer jumping
+    * (the Pregel shape on DataFrames). Per round: one shuffle to send
+    * each node's label across its edges + a min-aggregate, then a
+    * label-of-label hop — every label is itself a node id, so following
+    * it halves the distance to the component root. Propagation alone
+    * converges in O(diameter) rounds; with the jump it is O(log
+    * diameter), so even a pathological million-node chain finishes in
+    * ~20 rounds. The loop runs TO CONVERGENCE — `maxIter` is a safety
+    * rail that throws instead of silently returning splintered clusters
+    * (the failure mode a capped loop would hide). Each round's result is
+    * `localCheckpoint`ed (flat lineage, cheap task retries) and the
+    * superseded checkpoint is unpersisted, bounding storage at two label
+    * tables regardless of round count. The convergence check is one tiny
+    * per-round action — labels never leave the cluster.
     */
   def connectedComponents(
       nodes: DataFrame, // one column: id
       edges: DataFrame, // two columns: a, b (undirected pairs)
-      maxIter: Int = 20,
+      maxIter: Int = 50,
   ): DataFrame = {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
@@ -236,17 +237,28 @@ object Dedup {
         .join(sym, col("id") === col("src"))
         .groupBy(col("dst"))
         .agg(min(col("label")).as("nbr_label"))
-      val next = labels
+      val propagated = labels
         .join(incoming, col("id") === col("dst"), "left")
         .select(col("id"), least(col("label"), col("nbr_label")).as("label"))
+      // Pointer jump: label := label(label). Labels are node ids, so the
+      // self-join resolves each label one more hop toward the root.
+      val roots = propagated
+        .select(col("id").as("r_id"), col("label").as("r_label"))
+      val next = propagated
+        .join(roots, col("label") === col("r_id"), "left")
+        .select(col("id"), least(col("label"), col("r_label")).as("label"))
         .localCheckpoint()
       converged = next
         .join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .where(col("label") < col("old"))
         .isEmpty
+      labels.unpersist()
       labels = next
       iter += 1
     }
+    require(converged,
+      s"connectedComponents did not converge within $maxIter rounds — " +
+        "component diameter exceeds 2^rounds; raise maxIter")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

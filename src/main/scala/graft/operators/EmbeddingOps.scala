@@ -29,17 +29,24 @@ object EmbeddingOps {
 
   /** L2 norms from exact integer squares: (vec_id, n_dims, qnorm2, norm).
     * qnorm2 < dims * 2^42 — safe in a long up to ~2^20 dims.
+    *
+    * Edge parity with the SQL-oracle shape (UNNEST + SUM): null elements
+    * contribute nothing (SUM-skips-nulls, via the coalesce in the fold —
+    * a bare `acc + q*q` would poison the whole sum to NULL), and empty
+    * embeddings are filtered out (UNNEST of an empty list emits no rows).
     */
   def norms(embeddings: DataFrame): DataFrame =
-    embeddings.select(
-      col("vec_id"),
-      size(col("embedding")).as("n_dims"),
-      aggregate(
-        col("embedding"),
-        lit(0L),
-        (acc, v) => acc + q20(v) * q20(v),
-      ).as("qnorm2"),
-    ).withColumn("norm", sqrt(col("qnorm2").cast(DoubleType)) / 1048576.0)
+    embeddings
+      .where(size(col("embedding")) > 0)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("n_dims"),
+        aggregate(
+          col("embedding"),
+          lit(0L),
+          (acc, v) => acc + coalesce(q20(v) * q20(v), lit(0L)),
+        ).as("qnorm2"),
+      ).withColumn("norm", sqrt(col("qnorm2").cast(DoubleType)) / 1048576.0)
 
   /** Average-pool embeddings per label (class centroids): one output row
     * per (label, dim). The centroid component is sum(q)/(n * 2^20) — an
@@ -61,16 +68,30 @@ object EmbeddingOps {
   /** Int8 quantization statistics per vector: clip count (|v| > 1 would
     * saturate), the quantized sum, and the quantized min/max — the
     * calibration numbers an int8 export pipeline collects in one pass.
+    * The quantized array is materialized ONCE (a `transform` projection)
+    * and the three stats fold over it — not three independent
+    * re-quantizations. Null elements: skipped by the sum (coalesce, =
+    * SQL SUM semantics) and by array_min/array_max natively.
     */
   def int8QuantStats(embeddings: DataFrame): DataFrame = {
+    // Null must propagate explicitly: least/greatest SKIP nulls (in Spark
+    // and DuckDB alike), so a bare clamp would quantize NULL to 127.
     def q8(v: org.apache.spark.sql.Column) =
-      greatest(lit(-127L), least(lit(127L), floor(v.cast(DoubleType) * 127.0).cast(LongType)))
-    embeddings.select(
-      col("vec_id"),
-      size(filter(col("embedding"), v => abs(v.cast(DoubleType)) > 1.0)).as("n_clipped"),
-      aggregate(col("embedding"), lit(0L), (acc, v) => acc + q8(v)).as("sum_q8"),
-      array_min(transform(col("embedding"), q8(_))).as("min_q8"),
-      array_max(transform(col("embedding"), q8(_))).as("max_q8"),
-    )
+      when(v.isNotNull,
+        greatest(lit(-127L), least(lit(127L), floor(v.cast(DoubleType) * 127.0).cast(LongType))))
+    embeddings
+      .select(
+        col("vec_id"),
+        size(filter(col("embedding"), v => abs(v.cast(DoubleType)) > 1.0)).as("n_clipped"),
+        transform(col("embedding"), q8(_)).as("q8arr"),
+      )
+      .select(
+        col("vec_id"),
+        col("n_clipped"),
+        aggregate(col("q8arr"), lit(0L), (acc, v) => acc + coalesce(v, lit(0L)))
+          .as("sum_q8"),
+        array_min(col("q8arr")).as("min_q8"),
+        array_max(col("q8arr")).as("max_q8"),
+      )
   }
 }

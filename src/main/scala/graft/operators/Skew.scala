@@ -60,6 +60,8 @@ object Skew {
       saltBy: Column,
       numSalts: Int = 16,
   ): DataFrame = {
+    require(!facts.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "saltedJoin uses a __salt working column; rename the input's __salt first")
     val saltVals = array((0 until numSalts).map(lit): _*)
     val saltedFacts = facts
       .withColumn("__salt", pmod(xxhash64(saltBy), lit(numSalts)).cast("int"))

@@ -561,8 +561,8 @@ object ExtensionQueries {
         |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
         |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
         |)
-        |SELECT vec_id, n_dims, SUM(q * q) AS qnorm2,
-        |  sqrt(CAST(SUM(q * q) AS DOUBLE)) / 1048576.0 AS norm
+        |SELECT vec_id, n_dims, COALESCE(SUM(q * q), 0) AS qnorm2,
+        |  sqrt(CAST(COALESCE(SUM(q * q), 0) AS DOUBLE)) / 1048576.0 AS norm
         |FROM terms GROUP BY 1, 2 ORDER BY vec_id""".stripMargin,
     "e2_centroid_pool" ->
       """WITH terms AS (
@@ -578,8 +578,9 @@ object ExtensionQueries {
         |  SELECT vec_id,
         |    len(list_filter(embedding,
         |      x -> abs(CAST(x AS DOUBLE)) > 1.0)) AS n_clipped,
-        |    list_transform(embedding, x -> GREATEST(-127, LEAST(127,
-        |      CAST(floor(CAST(x AS DOUBLE) * 127.0) AS BIGINT)))) AS q8
+        |    list_transform(embedding, x -> CASE WHEN x IS NULL THEN NULL
+        |      ELSE GREATEST(-127, LEAST(127,
+        |        CAST(floor(CAST(x AS DOUBLE) * 127.0) AS BIGINT))) END) AS q8
         |  FROM embeddings
         |)
         |SELECT vec_id, n_clipped, COALESCE(list_sum(q8), 0) AS sum_q8,

@@ -55,4 +55,14 @@ class AsOfJoinSpec extends SparkSpec {
     assert(res.count() == 6)
     assert(res.where("asof_price IS NULL").count() == 3)
   }
+
+  test("map-typed right payload still joins (tiebreak falls back gracefully)") {
+    import org.apache.spark.sql.functions.{col, lit, map}
+    val left = Seq((1L, 10L, "a")).toDF("k", "ts", "lval")
+    val right = Seq((1L, 5L)).toDF("k", "ts")
+      .withColumn("attrs", map(lit("x"), lit("y")))
+    val out = AsOfJoin.asof(left, right, Seq("k"), "ts", "ts")
+    assert(out.count() == 1, "maps are unorderable; asof must not require sorting them")
+    assert(out.select(col("asof_ts")).collect().head.getLong(0) == 5L)
+  }
 }

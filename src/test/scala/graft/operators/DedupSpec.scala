@@ -71,15 +71,26 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
   }
 
-  test("connected components: long chain converges within maxIter") {
+  test("connected components: pointer jumping beats the chain diameter") {
     import spark.implicits._
-    // a 12-node path: worst-case diameter for min-label propagation
-    val n = 12L
+    // a 40-node path with only 8 rounds allowed: plain propagation moves
+    // the min one hop per round (needs 39); the label-of-label jump makes
+    // distance-to-root halve, so convergence is O(log diameter)
+    val n = 40L
     val nodes = (1L to n).toDF("id")
     val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
-    val got = Dedup.connectedComponents(nodes, edges, maxIter = 20)
+    val got = Dedup.connectedComponents(nodes, edges, maxIter = 8)
       .collect().map(r => r.getLong(1)).distinct
     assert(got.toSeq == Seq(1L), "every node must reach the chain head")
+  }
+
+  test("connected components: throws instead of returning splintered clusters") {
+    import spark.implicits._
+    val nodes = (1L to 9L).toDF("id")
+    val edges = (1L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(nodes, edges, maxIter = 1).collect()
+    }
   }
 
   test("nearDupClusters: cluster_id is min doc_id; is_kept marks the root") {

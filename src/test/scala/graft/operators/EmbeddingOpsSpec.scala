@@ -44,6 +44,21 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("sum_q8") == 63L)
   }
 
+  test("edge parity with SQL semantics: empty vecs drop, null elements skip") {
+    val edgy = Seq(
+      (1L, Array[java.lang.Float](), 0),
+      (2L, Array[java.lang.Float](1.0f, null, 0.5f), 0),
+    ).toDF("vec_id", "embedding", "label")
+    val n = EmbeddingOps.norms(edgy).collect()
+    assert(n.length == 1, "empty embedding must drop (UNNEST semantics)")
+    // null element skipped: qnorm2 = q(1)^2 + q(0.5)^2
+    val q1 = 1048576L; val qh = 524288L
+    assert(n.head.getAs[Long]("qnorm2") == q1 * q1 + qh * qh)
+    val s = EmbeddingOps.int8QuantStats(edgy).orderBy("vec_id").collect()
+    assert(s(0).getAs[Long]("sum_q8") == 0L, "empty vec sums to 0 like COALESCE(list_sum)")
+    assert(s(1).getAs[Long]("sum_q8") == 127L + 63L, "null element skipped")
+  }
+
   test("norms/int8 are narrow (no shuffle); centroids shuffle once") {
     val nPlan = EmbeddingOps.norms(emb).queryExecution.executedPlan.toString
     assert(!nPlan.contains("Exchange"), nPlan.take(300))
