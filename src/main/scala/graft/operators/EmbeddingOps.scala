@@ -65,6 +65,55 @@ object EmbeddingOps {
           .as("centroid"),
       )
 
+  /** K-means ASSIGNMENT step: each vector goes to its nearest centroid.
+    *
+    * The centroid table (long format, from [[centroids]]) is re-quantized
+    * to exact integers, folded into one array per cluster
+    * (`array_sort(collect_list(struct(dim, qc)))` — collect order is
+    * partition-dependent, the sort restores determinism), and BROADCAST:
+    * k × dims longs, trivially broadcastable for any sane k. The corpus
+    * side never shuffles for the distance computation — per row it is a
+    * fused `zip_with` + fold per centroid. The final argmin is
+    * `min(struct(qdist, label))`: struct ordering makes ties break on the
+    * lower label deterministically, and the aggregation combines
+    * map-side, so the exchange carries one candidate per (task, vec).
+    *
+    * All distance arithmetic is exact integer (qdiff² < 2^44, × dims
+    * safely inside a long), so assignments are engine-portable —
+    * this is the per-iteration cost shape of Lloyd's algorithm at 100 TB.
+    */
+  def assignToCentroids(embeddings: DataFrame, centroidsLong: DataFrame): DataFrame = {
+    val cent = centroidsLong
+      .select(
+        col("label"),
+        col("dim"),
+        floor(col("centroid") * 1048576.0).cast(LongType).as("qc"))
+      .groupBy("label")
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("dim"), col("qc")))),
+          s => s.getField("qc")).as("qcs"))
+    val vecs = embeddings.select(
+      col("vec_id"),
+      transform(col("embedding"), v => q20(v)).as("qv"))
+    val scored = vecs
+      .crossJoin(broadcast(cent))
+      .select(
+        col("vec_id"),
+        col("label"),
+        aggregate(
+          zip_with(col("qv"), col("qcs"), (a, b) => coalesce((a - b) * (a - b), lit(0L))),
+          lit(0L),
+          (acc, d) => acc + d).as("qdist"))
+    scored
+      .groupBy("vec_id")
+      .agg(min(struct(col("qdist"), col("label"))).as("best"))
+      .select(
+        col("vec_id"),
+        col("best.label").as("cluster"),
+        col("best.qdist").as("qdist"))
+  }
+
   /** Int8 quantization statistics per vector: clip count (|v| > 1 would
     * saturate), the quantized sum, and the quantized min/max — the
     * calibration numbers an int8 export pipeline collects in one pass.

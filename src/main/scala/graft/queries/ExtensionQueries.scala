@@ -280,6 +280,31 @@ object ExtensionQueries {
       graft.operators.EmbeddingOps.int8QuantStats(Tables.embeddings(spark, dir))
         .orderBy("vec_id")
     },
+    // K-means assignment: broadcast the label-centroids, exact-integer
+    // distances, deterministic argmin (struct min breaks ties on label).
+    "e4_kmeans_assign" -> { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      graft.operators.EmbeddingOps
+        .assignToCentroids(emb, graft.operators.EmbeddingOps.centroids(emb))
+        .orderBy("vec_id")
+    },
+    // Approx quantiles (Greenwald-Khanna sketch) — the 100 TB stand-in
+    // for a8's exact sort-based percentiles. Rows-only: sketch internals
+    // are engine-specific; accuracy vs exact is asserted in specs.
+    "x10_approx_quantile" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.95), 10000)")
+            .as("pcts"))
+        .select(
+          col("l_returnflag"),
+          col("pcts").getItem(0).as("p25"),
+          col("pcts").getItem(1).as("p50"),
+          col("pcts").getItem(2).as("p95"),
+        )
+        .orderBy("l_returnflag")
+    },
 
     // --- Salted skewed join (result == plain join; salt spreads hot keys) ---
     "x9_salted_join" -> { (spark, dir) =>
@@ -573,6 +598,31 @@ object ExtensionQueries {
         |SELECT label, dim, COUNT(*) AS n_vecs,
         |  CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1048576.0) AS centroid
         |FROM terms GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+    "e4_kmeans_assign" ->
+      """WITH terms AS (
+        |  SELECT label, g.i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        |), cent AS (
+        |  SELECT label, dim,
+        |    CAST(floor(CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1048576.0)
+        |      * 1048576.0) AS BIGINT) AS qc
+        |  FROM terms GROUP BY 1, 2
+        |), vq AS (
+        |  SELECT vec_id, g.i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        |), dists AS (
+        |  SELECT v.vec_id, c.label,
+        |    CAST(SUM((qv - qc) * (qv - qc)) AS BIGINT) AS qdist
+        |  FROM vq v JOIN cent c ON c.dim = v.dim GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT vec_id, label, qdist,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY qdist, label) AS rn
+        |  FROM dists
+        |)
+        |SELECT vec_id, label AS cluster, qdist FROM ranked WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
     "e3_int8_quant" ->
       """WITH q AS (
         |  SELECT vec_id,

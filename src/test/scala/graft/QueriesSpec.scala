@@ -31,4 +31,14 @@ class QueriesSpec extends SparkSpec {
     val b = SparkEntry.queries("st1_stream_daily")(spark, sf0001).count()
     assert(a == b && a > 0)
   }
+
+  test("approx quantiles land within 1% of the exact percentiles") {
+    val exact = SparkEntry.queries("a8_percentiles")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> Seq(1, 2, 3).map(r.getDouble)).toMap
+    val approx = SparkEntry.queries("x10_approx_quantile")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> Seq(1, 2, 3).map(r.getDouble)).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, ex) <- exact; (a, e) <- approx(k).zip(ex))
+      assert(math.abs(a - e) / e < 0.01, s"$k: approx $a vs exact $e")
+  }
 }

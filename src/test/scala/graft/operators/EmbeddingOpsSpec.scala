@@ -59,6 +59,26 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(s(1).getAs[Long]("sum_q8") == 127L + 63L, "null element skipped")
   }
 
+  test("kmeans assignment: vectors go to their own label's centroid") {
+    // two well-separated labels: every vector must come back to its label
+    val sep = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.1f, 0.9f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val assigned = EmbeddingOps
+      .assignToCentroids(sep, EmbeddingOps.centroids(sep))
+      .orderBy("vec_id").collect()
+    assert(assigned.map(_.getAs[Int]("cluster")).toSeq == Seq(0, 0, 1, 1))
+    assert(assigned.forall(_.getAs[Long]("qdist") >= 0L))
+  }
+
+  test("kmeans assignment plan: centroids broadcast, corpus not shuffled for scoring") {
+    val df = EmbeddingOps.assignToCentroids(emb, EmbeddingOps.centroids(emb))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan.take(500))
+  }
+
   test("norms/int8 are narrow (no shuffle); centroids shuffle once") {
     val nPlan = EmbeddingOps.norms(emb).queryExecution.executedPlan.toString
     assert(!nPlan.contains("Exchange"), nPlan.take(300))
