@@ -36,4 +36,29 @@ object Sampling {
       substring(md5(concat(lit(seed + ":"), key.cast("string"))), 1, 1)
         .isin(hexClass(sixteenths): _*))
   }
+
+  /** Stratified deterministic sample: a different n/16 rate per stratum
+    * value (the data-mixing primitive — e.g. downsample web text, keep
+    * all code). Same hash gate, same scale shape (narrow filter above
+    * the scan), same reproducibility; per-stratum rates nest exactly
+    * like the flat sample's.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      key: Column,
+      strata: Column,
+      seed: String,
+      rates: Map[String, Int],
+      defaultSixteenths: Int,
+  ): DataFrame = {
+    require((rates.values ++ Seq(defaultSixteenths)).forall(n => n >= 0 && n <= 16),
+      "rates are n/16, 0 <= n <= 16")
+    val hex = substring(md5(concat(lit(seed + ":"), key.cast("string"))), 1, 1)
+    def keep(n: Int): Column =
+      if (n == 0) lit(false) else hex.isin(hexClass(n): _*)
+    val gate = rates.foldLeft(when(lit(false), lit(true))) {
+      case (acc, (value, n)) => acc.when(strata === value, keep(n))
+    }.otherwise(keep(defaultSixteenths))
+    df.where(gate)
+  }
 }

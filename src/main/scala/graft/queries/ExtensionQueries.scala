@@ -267,6 +267,16 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // --- Stratified sampling: per-language rates (data mixing) ---
+    "smp2_stratified" -> { (spark, dir) =>
+      graft.operators.Sampling
+        .stratifiedSample(
+          Tables.documents(spark, dir), col("doc_id"), col("lang"),
+          "mix1", Map("en" -> 2, "zh" -> 4), defaultSixteenths = 8)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     // --- Embedding ops: exact-integer norms / centroids / int8 stats ---
     "e1_embed_norm" -> { (spark, dir) =>
       graft.operators.EmbeddingOps.norms(Tables.embeddings(spark, dir))
@@ -575,6 +585,17 @@ object ExtensionQueries {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |    '[0-9]{7,}', '[NUM]', 'g')) AS scrubbed_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "smp2_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CASE
+        |  WHEN lang = 'en' THEN
+        |    substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')
+        |  WHEN lang = 'zh' THEN
+        |    substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 1)
+        |      IN ('0','1','2','3')
+        |  ELSE substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 1)
+        |    IN ('0','1','2','3','4','5','6','7')
+        |END ORDER BY doc_id""".stripMargin,
     "smp1_sample_det" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substr(md5('seed42:' || CAST(doc_id AS VARCHAR)), 1, 1)

@@ -412,6 +412,54 @@ object ReferenceQueries {
         .orderBy("c_mktsegment", "rank")
     },
 
+    // J6: null-safe equi-join (<=>): NULL keys match each other — the
+    // semantics a naive `=` join silently drops. Aggregated sides keep
+    // the joined relation small and the NULL bucket unambiguous.
+    "j6_nullsafe_join" -> { (spark, dir) =>
+      val ev = Tables.events(spark, dir)
+      def keyed(eventType: String, outName: String) = ev
+        .where(col("event_type") === eventType)
+        .select(
+          when(col("user_id") % 10 === 0, lit(null))
+            .otherwise(col("user_id") % 7).as("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as(outName))
+      val a = keyed("click", "n_clicks")
+      val b = keyed("view", "n_views").withColumnRenamed("k", "k_b")
+      a.join(b, col("k") <=> col("k_b"))
+        .select(col("k"), col("n_clicks"), col("n_views"))
+        .orderBy(col("k").asc_nulls_first)
+    },
+
+    // P8: unpivot (wide → long) — the inverse of p7's pivot.
+    "p8_unpivot" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    },
+
+    // A12: discrete percentiles — actual data values, no interpolation
+    // (a8 covers the continuous form), via the SQL-standard
+    // WITHIN GROUP syntax both engines share.
+    "a12_percentile_disc" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir).createOrReplaceTempView("li_pd")
+      spark.sql(
+        """SELECT l_returnflag,
+          |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)
+          |    AS p25_disc,
+          |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+          |    AS p50_disc,
+          |  percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)
+          |    AS p95_disc
+          |FROM li_pd GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
     // J5: star-schema join + top-N revenue (TPC-H Q3 shape): selective
     // dimension filter joined through orders into lineitem, revenue per
     // order, top 10. Revenue accumulates as exact integers —
@@ -711,6 +759,39 @@ object ReferenceQueries {
         |      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rank
         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |) WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin,
+    "j6_nullsafe_join" ->
+      """WITH a AS (
+        |  SELECT CASE WHEN user_id % 10 = 0 THEN NULL
+        |    ELSE user_id % 7 END AS k, COUNT(*) AS n_clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY 1
+        |), b AS (
+        |  SELECT CASE WHEN user_id % 10 = 0 THEN NULL
+        |    ELSE user_id % 7 END AS k, COUNT(*) AS n_views
+        |  FROM events WHERE event_type = 'view' GROUP BY 1
+        |)
+        |SELECT a.k AS k, n_clicks, n_views
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY k NULLS FIRST""".stripMargin,
+    "p8_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber,
+        |    'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber,
+        |    'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber,
+        |    'l_tax', l_tax FROM lineitem
+        |) ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+    "a12_percentile_disc" ->
+      """SELECT l_returnflag,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)
+        |    AS p25_disc,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+        |    AS p50_disc,
+        |  percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)
+        |    AS p95_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "j5_star_join_topn" ->
       """SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
         |  CAST(SUM(CAST(

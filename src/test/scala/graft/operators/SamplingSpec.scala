@@ -37,6 +37,25 @@ class SamplingSpec extends SparkSpec {
     assert(s2.subsetOf(s4), "hex-prefix classes nest by construction")
   }
 
+  test("stratified: per-stratum rates apply; zero rate drops the stratum") {
+    val s = Sampling.stratifiedSample(
+      docs, col("doc_id"), col("lang"), "mix", Map("en" -> 0, "de" -> 16), 4)
+    val byLang = s.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.contains("en"), "rate 0/16 must drop every en doc")
+    val deTotal = docs.where(col("lang") === "de").count()
+    assert(byLang.getOrElse("de", 0L) == deTotal, "rate 16/16 keeps all")
+  }
+
+  test("stratified gate reuses the flat sample's hash: stratum rate n == flat n") {
+    val flat = Sampling.deterministicSample(docs, col("doc_id"), "mix", 4)
+      .where(col("lang") === "fr").select("doc_id").collect().map(_.getLong(0)).toSet
+    val strat = Sampling.stratifiedSample(
+      docs, col("doc_id"), col("lang"), "mix", Map.empty, 4)
+      .where(col("lang") === "fr").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flat == strat)
+  }
+
   test("filter stays adjacent to the scan (no shuffle introduced)") {
     val plan = Sampling.deterministicSample(docs, col("doc_id"), "s1", 4)
       .queryExecution.executedPlan.toString
