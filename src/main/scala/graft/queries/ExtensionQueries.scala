@@ -171,6 +171,19 @@ object ExtensionQueries {
         .orderBy("c_custkey")
     },
 
+    // --- SCD-2 history: signup events become interval-versioned rows
+    // per user (effective_from/to + is_current) ---
+    "x11_scd2" -> { (spark, dir) =>
+      val signups = Tables.events(spark, dir)
+        .where(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id"), col("ts_sec"), col("value"))
+      graft.operators.Scd2
+        .buildHistory(signups, col("user_id"), col("ts_sec"), col("event_id"))
+        .select("user_id", "version", "event_id", "value",
+          "effective_from", "effective_to", "is_current")
+        .orderBy("user_id", "version")
+    },
+
     // --- Range join: events inside deterministic 12h promo windows
     // (bucketed interval join; oracle uses the naive BETWEEN join) ---
     "x8_range_join" -> { (spark, dir) =>
@@ -491,6 +504,16 @@ object ExtensionQueries {
         |  coalesce(u.c_acctbal, c.c_acctbal) AS c_acctbal
         |FROM current c FULL OUTER JOIN updates u ON c.c_custkey = u.c_custkey
         |ORDER BY c_custkey""".stripMargin,
+    "x11_scd2" ->
+      """SELECT user_id,
+        |  CAST(ROW_NUMBER() OVER w AS INT) AS version, event_id, value,
+        |  date_trunc('second', ts) AS effective_from,
+        |  date_trunc('second', LEAD(ts, 1) OVER w) AS effective_to,
+        |  CAST(LEAD(ts, 1) OVER w IS NULL AS INT) AS is_current
+        |FROM events WHERE event_type = 'signup'
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY date_trunc('second', ts), event_id)
+        |ORDER BY user_id, version""".stripMargin,
     "x8_range_join" ->
       """WITH iv AS (
         |  SELECT range AS interval_id,
