@@ -84,18 +84,20 @@ object EmbeddingOps {
     */
   def assignToCentroids(embeddings: DataFrame, centroidsLong: DataFrame): DataFrame = {
     val cent = centroidsLong
-      .select(
-        col("label"),
-        col("dim"),
-        floor(col("centroid") * 1048576.0).cast(LongType).as("qc"))
+      .select(col("label"), col("dim"), q20(col("centroid")).as("qc"))
       .groupBy("label")
       .agg(
         transform(
           array_sort(collect_list(struct(col("dim"), col("qc")))),
           s => s.getField("qc")).as("qcs"))
-    val vecs = embeddings.select(
-      col("vec_id"),
-      transform(col("embedding"), v => q20(v)).as("qv"))
+    // Empty/NULL embeddings drop — same UNNEST semantics as the oracle
+    // (and as norms()); without the guard they would score qdist 0
+    // against every centroid and land in the lowest label.
+    val vecs = embeddings
+      .where(size(col("embedding")) > 0)
+      .select(
+        col("vec_id"),
+        transform(col("embedding"), v => q20(v)).as("qv"))
     val scored = vecs
       .crossJoin(broadcast(cent))
       .select(

@@ -22,6 +22,13 @@ object Sampling {
   private def hexClass(n: Int): Seq[String] =
     "0123456789abcdef".take(n).map(_.toString)
 
+  /** The shared seeded hash gate: first hex digit of md5(seed:key).
+    * Both samplers MUST use this one expression — the flat/stratified
+    * equivalence and rate nesting hold only while the hash is identical.
+    */
+  private def hexDigit(key: Column, seed: String): Column =
+    substring(md5(concat(lit(seed + ":"), key.cast("string"))), 1, 1)
+
   /** Deterministic Bernoulli sample: keeps rows whose seeded key-hash
     * falls in the first `sixteenths`/16 of the hash space.
     */
@@ -32,9 +39,7 @@ object Sampling {
       sixteenths: Int,
   ): DataFrame = {
     require(sixteenths >= 1 && sixteenths <= 16, "rate is n/16, 1 <= n <= 16")
-    df.where(
-      substring(md5(concat(lit(seed + ":"), key.cast("string"))), 1, 1)
-        .isin(hexClass(sixteenths): _*))
+    df.where(hexDigit(key, seed).isin(hexClass(sixteenths): _*))
   }
 
   /** Stratified deterministic sample: a different n/16 rate per stratum
@@ -53,7 +58,7 @@ object Sampling {
   ): DataFrame = {
     require((rates.values ++ Seq(defaultSixteenths)).forall(n => n >= 0 && n <= 16),
       "rates are n/16, 0 <= n <= 16")
-    val hex = substring(md5(concat(lit(seed + ":"), key.cast("string"))), 1, 1)
+    val hex = hexDigit(key, seed)
     def keep(n: Int): Column =
       if (n == 0) lit(false) else hex.isin(hexClass(n): _*)
     val gate = rates.foldLeft(when(lit(false), lit(true))) {

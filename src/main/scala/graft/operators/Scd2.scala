@@ -30,6 +30,6 @@ object Scd2 {
       .withColumn("version", row_number().over(w))
       .withColumn("effective_from", ts)
       .withColumn("effective_to", lead(ts, 1).over(w))
-      .withColumn("is_current", lead(ts, 1).over(w).isNull.cast("int"))
+      .withColumn("is_current", col("effective_to").isNull.cast("int"))
   }
 }

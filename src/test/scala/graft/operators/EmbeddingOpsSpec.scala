@@ -72,11 +72,29 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(assigned.forall(_.getAs[Long]("qdist") >= 0L))
   }
 
+  test("kmeans assignment: empty embeddings drop instead of landing in label 0") {
+    val mixed = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.0f, 1.0f), 1),
+      (3L, Array[Float](), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val assigned = EmbeddingOps
+      .assignToCentroids(mixed, EmbeddingOps.centroids(mixed))
+      .collect().map(_.getLong(0)).toSet
+    assert(assigned == Set(1L, 2L), "vec 3 has no dims -> no assignment row")
+  }
+
   test("kmeans assignment plan: centroids broadcast, corpus not shuffled for scoring") {
     val df = EmbeddingOps.assignToCentroids(emb, EmbeddingOps.centroids(emb))
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       plan.take(500))
+    // corpus side must stay unshuffled until the final vec_id argmin: the
+    // only shuffle Exchanges allowed are the centroid build's two tiny
+    // aggregations ((label, dim) averaging + per-label array fold) and
+    // the argmin aggregation — scoring itself adds none (broadcast
+    // exchanges excluded from the count)
+    val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+    assert(shuffles <= 3, s"scoring introduced a shuffle:\n${plan.take(800)}")
   }
 
   test("norms/int8 are narrow (no shuffle); centroids shuffle once") {
