@@ -135,6 +135,29 @@ object ExtensionQueries {
       TextAnalysis.termStats(Tables.documents(spark, dir)).orderBy("doc_id", "term")
     },
 
+    // Vocabulary build: global top-K tokens by frequency (deterministic
+    // ties on the token) — the first step of any tokenizer training.
+    // Counts compact map-side; only (token, count) partials shuffle.
+    "t8_vocab" -> { (spark, dir) =>
+      Tables.documentsParallel(spark, dir)
+        .select(explode(TextAnalysis.words(col("text"))).as("token"))
+        .where(col("token") =!= "")
+        .groupBy("token")
+        .agg(count(lit(1)).as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("token"))
+        .limit(500)
+    },
+
+    // Document-length histogram: fixed-width buckets over n_chars —
+    // the length-distribution diagnostic every corpus audit starts with.
+    "t9_len_histogram" -> { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select((floor(col("n_chars") / 100) * 100).cast("long").as("bucket_lo"))
+        .groupBy("bucket_lo")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("bucket_lo")
+    },
+
     // --- Multimodal columns ---
     "m1_media_meta" -> { (spark, dir) =>
       Multimodal.mediaMeta(Tables.documents(spark, dir)).orderBy("doc_id")
@@ -479,6 +502,19 @@ object ExtensionQueries {
         |  (tf.tf * (n.n_docs + 1)) / (df.df + 1) AS tfidf_rational
         |FROM tf JOIN df USING (term) CROSS JOIN n
         |ORDER BY tf.doc_id, tf.term""".stripMargin,
+    "t8_vocab" ->
+      """WITH toks AS (
+        |  SELECT u.w AS token FROM (
+        |    SELECT string_split_regex(lower(trim(text)), '\s+') AS ws
+        |    FROM documents
+        |  ), UNNEST(ws) AS u(w) WHERE u.w <> ''
+        |)
+        |SELECT token, COUNT(*) AS n_occurrences FROM toks GROUP BY 1
+        |ORDER BY n_occurrences DESC, token LIMIT 500""".stripMargin,
+    "t9_len_histogram" ->
+      """SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket_lo,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "m1_media_meta" ->
       """SELECT doc_id, 'text/plain' AS media_type,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
