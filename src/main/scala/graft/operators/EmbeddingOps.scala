@@ -116,6 +116,36 @@ object EmbeddingOps {
         col("best.qdist").as("qdist"))
   }
 
+  /** K-means TRAINING loop (Lloyd's algorithm) built from the assignment
+    * step: seed centroids from the existing label column (or any initial
+    * assignment), then alternate assign → recompute for `iterations`
+    * rounds. Each round is one broadcast-scored assignment plus one
+    * (cluster, dim) aggregation — the corpus shuffles only its
+    * (vec_id, cluster) pairs, never the vectors. `localCheckpoint`
+    * between rounds keeps lineage flat (same discipline as
+    * [[Dedup.connectedComponents]]).
+    *
+    * Returns the final assignment (vec_id, cluster, qdist). The
+    * objective Σ qdist is non-increasing across rounds (asserted in
+    * specs) — the textbook Lloyd guarantee, observable here because
+    * distances are exact integers.
+    */
+  def kmeansFit(embeddings: DataFrame, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, "at least one assign round")
+    var assigned = assignToCentroids(embeddings, centroids(embeddings))
+      .localCheckpoint()
+    for (_ <- 1 until iterations) {
+      val relabeled = embeddings
+        .join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
+        .select(col("vec_id"), col("embedding"), col("cluster").as("label"))
+      val next = assignToCentroids(relabeled, centroids(relabeled))
+        .localCheckpoint()
+      assigned.unpersist()
+      assigned = next
+    }
+    assigned
+  }
+
   /** Int8 quantization statistics per vector: clip count (|v| > 1 would
     * saturate), the quantized sum, and the quantized min/max — the
     * calibration numbers an int8 export pipeline collects in one pass.

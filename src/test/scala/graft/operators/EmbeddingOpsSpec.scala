@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.sum
 
 class EmbeddingOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -81,6 +82,29 @@ class EmbeddingOpsSpec extends SparkSpec {
       .assignToCentroids(mixed, EmbeddingOps.centroids(mixed))
       .collect().map(_.getLong(0)).toSet
     assert(assigned == Set(1L, 2L), "vec 3 has no dims -> no assignment row")
+  }
+
+  test("kmeans fit: Lloyd objective is non-increasing across rounds") {
+    // noisy two-cluster data with DELIBERATELY bad initial labels: the
+    // loop must untangle them and the objective must never go up
+    val pts = (0 until 40).map { i =>
+      val c = i % 2
+      val base = if (c == 0) 0.0f else 1.0f
+      (i.toLong, Array(base + (i % 5) * 0.01f, base - (i % 3) * 0.01f), i % 3) // wrong labels
+    }.toDF("vec_id", "embedding", "label")
+    def objective(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum("qdist")).collect().head.getLong(0)
+    val o1 = objective(EmbeddingOps.kmeansFit(pts, iterations = 1))
+    val o2 = objective(EmbeddingOps.kmeansFit(pts, iterations = 2))
+    val o3 = objective(EmbeddingOps.kmeansFit(pts, iterations = 3))
+    assert(o2 <= o1 && o3 <= o2, s"objective rose: $o1 -> $o2 -> $o3")
+    // the two geometric clusters must separate regardless of init labels
+    val fin = EmbeddingOps.kmeansFit(pts, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val g0 = (0 until 40 by 2).map(i => fin(i.toLong)).toSet
+    val g1 = (1 until 40 by 2).map(i => fin(i.toLong)).toSet
+    assert(g0.size == 1 && g1.size == 1 && g0 != g1,
+      s"clusters failed to separate: $g0 vs $g1")
   }
 
   test("kmeans assignment plan: centroids broadcast, corpus not shuffled for scoring") {

@@ -40,6 +40,37 @@ class SkewSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("AQE splits a skewed sort-merge join without any code change") {
+    // 90% of fact rows share one key: the escalation path BEFORE explicit
+    // salting is AQE's skew split — prove it engages on this shape.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+      val facts = spark.range(20000).select(
+        when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 100).as("k"),
+        col("id").as("payload"))
+      val dim = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("attr"))
+      val joined = facts.join(dim, "k")
+      // collect(), not count(): count() builds its own query and would
+      // leave THIS df's adaptive plan unexecuted/unfinalized
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE skew handling did not engage:\n${plan.take(600)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("salted join: a row meets each dim match in exactly one salt bucket") {
     val ev = Tables.events(spark, sf0001).limit(50)
     val dim = spark.range(100).select(
