@@ -262,6 +262,30 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** End-to-end dedup decision pipeline — the full production shape:
+    * MinHash/LSH candidate generation → exact-Jaccard verification at
+    * `minJaccard` → transitive clustering → keep-lowest-id decision.
+    * Returns one row per input document: (doc_id, cluster_id, is_kept).
+    *
+    * Each stage bounds the next: LSH keeps candidate pairs near-linear,
+    * verification prunes false LSH positives BEFORE clustering, and the
+    * component loop runs only on verified near-dup edges (a relation
+    * orders of magnitude smaller than the corpus at 100 TB).
+    */
+  def dedupPipeline(
+      docs: DataFrame,
+      minJaccard: Double = 0.5,
+      k: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+  ): DataFrame = {
+    val verified = minHashCandidates(docs, k, numHashes, bands)
+      .where(col("jaccard") >= minJaccard)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    connectedComponents(docs.select(col("doc_id").as("id")), verified)
+      .withColumn("is_kept", (col("doc_id") === col("cluster_id")).cast(IntegerType))
+  }
+
   /** Cluster assignment for the oracle-checkable consecutive-pair graph:
     * documents whose bigram Jaccard with their successor clears
     * `minJaccard` form chain edges; components collapse the chains.

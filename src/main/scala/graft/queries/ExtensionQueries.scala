@@ -88,6 +88,13 @@ object ExtensionQueries {
     "d5_cosine_neardup" -> { (spark, dir) =>
       Dedup.cosineNearDupPairs(Tables.embeddings(spark, dir)).orderBy("vec_a")
     },
+    // End-to-end dedup pipeline: LSH candidates -> exact-Jaccard verify
+    // -> clusters -> keep decision. Rows-only (candidate generation uses
+    // Spark-side xxhash64); invariants asserted in DedupSpec.
+    "d7_dedup_pipeline" -> { (spark, dir) =>
+      Dedup.dedupPipeline(Tables.documentsParallel(spark, dir), minJaccard = 0.05)
+        .orderBy("doc_id")
+    },
     // Transitive near-dup clusters: connected components (iterative
     // min-label propagation) over the consecutive-pair bigram-Jaccard
     // graph, checked against a DuckDB recursive-CTE closure. Threshold

@@ -93,6 +93,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupPipeline: near-dup copies collapse, one kept per cluster") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today", "en"),
+      (2L, "the quick brown fox jumps over the lazy dog today!", "en"), // near-dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog", "en"),        // near-dup chain
+      (4L, "completely different content with no overlap at all", "en"),
+    ).toDF("doc_id", "text", "lang")
+    val r = Dedup.dedupPipeline(docs, minJaccard = 0.5)
+      .orderBy("doc_id").collect()
+    assert(r.length == 4, "one decision row per input doc")
+    val byId = r.map(x => x.getLong(0) -> (x.getLong(1), x.getInt(2))).toMap
+    assert(byId(1L) == (1L, 1) && byId(4L) == (4L, 1))
+    assert(byId(2L)._1 == 1L && byId(2L)._2 == 0, "near-dup not kept")
+    // every cluster keeps exactly one doc
+    val perCluster = r.groupBy(_.getLong(1)).view.mapValues(_.map(_.getInt(2)).sum)
+    assert(perCluster.values.forall(_ == 1))
+  }
+
   test("nearDupClusters: cluster_id is min doc_id; is_kept marks the root") {
     import spark.implicits._
     val docs = Seq(
