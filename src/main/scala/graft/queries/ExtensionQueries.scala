@@ -587,6 +587,19 @@ object ExtensionQueries {
         |JOIN (SELECT range AS user_id, range % 5 AS cohort FROM range(100)) d
         |  ON e.user_id = d.user_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "st2_stream_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events,
+        |  date_trunc('millisecond', MAX(ts)) AS last_event_at
+        |FROM flagged GROUP BY 1 ORDER BY user_id""".stripMargin,
     "w2_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,
