@@ -282,9 +282,16 @@ object Dedup {
     val verified = minHashCandidates(docs, k, numHashes, bands)
       .where(col("jaccard") >= minJaccard)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    connectedComponents(docs.select(col("doc_id").as("id")), verified)
-      .withColumn("is_kept", (col("doc_id") === col("cluster_id")).cast(IntegerType))
+    clusterAndKeep(docs, verified)
   }
+
+  /** Shared dedup tail: cluster the edge relation over all documents and
+    * mark the keep-lowest-id decision. One definition so the decision
+    * semantics cannot diverge between pipelines.
+    */
+  private def clusterAndKeep(docs: DataFrame, edges: DataFrame): DataFrame =
+    connectedComponents(docs.select(col("doc_id").as("id")), edges)
+      .withColumn("is_kept", (col("doc_id") === col("cluster_id")).cast(IntegerType))
 
   /** Cluster assignment for the oracle-checkable consecutive-pair graph:
     * documents whose bigram Jaccard with their successor clears
@@ -308,7 +315,6 @@ object Dedup {
         (size(array_intersect(col("bg_a"), col("bg_b"))).cast(DoubleType) /
           size(array_union(col("bg_a"), col("bg_b")))) >= minJaccard)
       .select(col("a"), col("b"))
-    connectedComponents(docs.select(col("doc_id").as("id")), edges)
-      .withColumn("is_kept", (col("doc_id") === col("cluster_id")).cast(IntegerType))
+    clusterAndKeep(docs, edges)
   }
 }

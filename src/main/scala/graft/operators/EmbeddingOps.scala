@@ -119,16 +119,19 @@ object EmbeddingOps {
   /** K-means TRAINING loop (Lloyd's algorithm) built from the assignment
     * step: seed centroids from the existing label column (or any initial
     * assignment), then alternate assign → recompute for `iterations`
-    * rounds. Each round is one broadcast-scored assignment plus one
-    * (cluster, dim) aggregation — the corpus shuffles only its
-    * (vec_id, cluster) pairs, never the vectors. `localCheckpoint`
-    * between rounds keeps lineage flat (same discipline as
-    * [[Dedup.connectedComponents]]).
+    * rounds. Per round the corpus is joined ONCE with the previous
+    * (vec_id, cluster) assignment to recompute centroids; scoring itself
+    * is broadcast-side (see [[assignToCentroids]]) and adds no vector
+    * shuffle. `localCheckpoint` between rounds keeps lineage flat (same
+    * discipline as [[Dedup.connectedComponents]]).
     *
-    * Returns the final assignment (vec_id, cluster, qdist). The
-    * objective Σ qdist is non-increasing across rounds (asserted in
-    * specs) — the textbook Lloyd guarantee, observable here because
-    * distances are exact integers.
+    * Returns the final assignment (vec_id, cluster, qdist). With real
+    * (unquantized) means the Lloyd objective Σ dist is non-increasing;
+    * here centroids re-quantize through floor (the cross-engine
+    * contract), which can land up to one q-unit off the true mean — on
+    * adversarial data a round may tick the integer objective up
+    * slightly. In practice (and on the spec fixture) it decreases
+    * monotonically.
     */
   def kmeansFit(embeddings: DataFrame, iterations: Int = 3): DataFrame = {
     require(iterations >= 1, "at least one assign round")
@@ -138,7 +141,10 @@ object EmbeddingOps {
       val relabeled = embeddings
         .join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
         .select(col("vec_id"), col("embedding"), col("cluster").as("label"))
-      val next = assignToCentroids(relabeled, centroids(relabeled))
+      // scoring side is the raw corpus: assignToCentroids only reads
+      // (vec_id, embedding) there, so joining the labels in would just
+      // shuffle the vectors a second time for nothing
+      val next = assignToCentroids(embeddings, centroids(relabeled))
         .localCheckpoint()
       assigned.unpersist()
       assigned = next

@@ -84,6 +84,9 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(assigned == Set(1L, 2L), "vec 3 has no dims -> no assignment row")
   }
 
+  // NOTE: strict monotonicity holds for this fixture; floor-quantized
+  // centroids can in principle tick the integer objective up by a
+  // q-unit on adversarial data (see kmeansFit scaladoc).
   test("kmeans fit: Lloyd objective is non-increasing across rounds") {
     // noisy two-cluster data with DELIBERATELY bad initial labels: the
     // loop must untangle them and the objective must never go up
