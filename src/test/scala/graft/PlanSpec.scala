@@ -59,4 +59,25 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       plan.take(500))
   }
+
+  test("partition pruning: a partition-column predicate never lists pruned dirs") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ppart").toString + "/data"
+    spark.range(1000)
+      .select(col("id"), (col("id") % 10).as("day"))
+      .write.partitionBy("day").parquet(dir)
+    val filtered = spark.read.parquet(dir).where(col("day") === 3)
+    filtered.collect()
+    val scan = (filtered.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.toString.contains("PartitionFilters"), scan.toString.take(400))
+    // only partition day=3's files are even listed — 1/10 of the data
+    assert(scan.metrics("numFiles").value < 10,
+      s"expected pruned file listing, got ${scan.metrics("numFiles").value}")
+    assert(filtered.count() == 100)
+  }
 }
