@@ -52,4 +52,42 @@ object RangeJoin {
       .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval-OVERLAP join: pairs of intervals with a non-empty
+    * intersection (`s1 < e2 && s2 < e1`, half-open semantics).
+    *
+    * Same bucketization as [[rangeJoin]], on both sides: each interval
+    * replicates into every bucket it touches, overlap implies sharing at
+    * least one bucket, and double-matches (a pair overlapping in several
+    * buckets) are eliminated WITHOUT a global distinct: the pair is kept
+    * only in the bucket containing the overlap's start,
+    * `max(s1, s2) div bucketWidth` — each surviving pair emits exactly
+    * once, so no post-join dedup shuffle.
+    */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftStart: String,
+      leftEnd: String,
+      rightStart: String,
+      rightEnd: String,
+      bucketWidth: Long,
+  ): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def bucketed(df: DataFrame, s: String, e: String) = df
+      .where(col(s) < col(e))
+      .withColumn(
+        "__bucket",
+        explode(sequence(
+          floor(col(s).divide(bucketWidth)).cast("long"),
+          (ceil(col(e).divide(bucketWidth)) - 1).cast("long"),
+        )),
+      )
+    bucketed(left, leftStart, leftEnd)
+      .join(bucketed(right, rightStart, rightEnd), Seq("__bucket"))
+      .where(col(leftStart) < col(rightEnd) && col(rightStart) < col(leftEnd))
+      .where(col("__bucket") ===
+        floor(greatest(col(leftStart), col(rightStart)).divide(bucketWidth)).cast("long"))
+      .drop("__bucket")
+  }
 }

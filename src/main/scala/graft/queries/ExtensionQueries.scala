@@ -230,6 +230,25 @@ object ExtensionQueries {
         .orderBy("event_id", "interval_id")
     },
 
+    // --- Interval-overlap join: promo windows x maintenance windows
+    // (bucketized on both sides; oracle is the naive inequality join) ---
+    "x12_interval_overlap" -> { (spark, dir) =>
+      val base = 1704067200L
+      val promos = spark.range(40).select(
+        col("id").as("promo_id"),
+        (lit(base) + col("id") * 21600L).as("p_start"),
+        (lit(base) + col("id") * 21600L + 28800L).as("p_end"))
+      val maint = spark.range(20).select(
+        col("id").as("maint_id"),
+        (lit(base) + col("id") * 43200L + 7200L).as("m_start"),
+        (lit(base) + col("id") * 43200L + 21600L).as("m_end"))
+      graft.operators.RangeJoin
+        .intervalOverlapJoin(promos, maint,
+          "p_start", "p_end", "m_start", "m_end", bucketWidth = 43200L)
+        .select("promo_id", "maint_id")
+        .orderBy("promo_id", "maint_id")
+    },
+
     // --- As-of join: each click matched to the user's nearest preceding
     // signup (checked against DuckDB's NATIVE ASOF JOIN) ---
     "x6_asof_join" -> { (spark, dir) =>
@@ -569,6 +588,22 @@ object ExtensionQueries {
         |  ON epoch_ns(ev.ts) // 1000000000 >= iv.s
         | AND epoch_ns(ev.ts) // 1000000000 < iv.e
         |ORDER BY ev.event_id, iv.interval_id""".stripMargin,
+    "x12_interval_overlap" ->
+      """WITH promos AS (
+        |  SELECT range AS promo_id,
+        |    1704067200 + range * 21600 AS p_start,
+        |    1704067200 + range * 21600 + 28800 AS p_end
+        |  FROM range(40)
+        |), maint AS (
+        |  SELECT range AS maint_id,
+        |    1704067200 + range * 43200 + 7200 AS m_start,
+        |    1704067200 + range * 43200 + 21600 AS m_end
+        |  FROM range(20)
+        |)
+        |SELECT promo_id, maint_id
+        |FROM promos JOIN maint
+        |  ON p_start < m_end AND m_start < p_end
+        |ORDER BY promo_id, maint_id""".stripMargin,
     "x6_asof_join" ->
       """SELECT c.user_id, c.event_id,
         |  date_trunc('second', c.ts) AS click_ts,

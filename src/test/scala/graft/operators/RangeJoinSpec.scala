@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class RangeJoinSpec extends SparkSpec {
   import spark.implicits._
@@ -47,5 +48,28 @@ class RangeJoinSpec extends SparkSpec {
     val plan = RangeJoin.rangeJoin(points, intervals, "t", "start", "end", 8)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+  }
+
+  test("interval overlap: matches the naive join, each pair emitted once") {
+    // overlapping chains spanning several buckets each
+    val lhs = (0L until 50L).map(i => (i, i * 7, i * 7 + 23)).toDF("lid", "ls", "le")
+    val rhs = (0L until 30L).map(j => (j, j * 11 + 3, j * 11 + 19)).toDF("rid", "rs", "re")
+    val got = RangeJoin
+      .intervalOverlapJoin(lhs, rhs, "ls", "le", "rs", "re", bucketWidth = 16)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = lhs.join(rhs, col("ls") < col("re") && col("rs") < col("le"))
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.distinct.length, "a pair was emitted more than once")
+    assert(got.toSet == naive.toSet)
+    assert(naive.nonEmpty)
+  }
+
+  test("interval overlap: empty and touching intervals match nothing") {
+    val lhs = Seq((1L, 10L, 10L), (2L, 0L, 10L)).toDF("lid", "ls", "le")
+    val rhs = Seq((1L, 10L, 20L)).toDF("rid", "rs", "re")
+    // lid=1 is empty; lid=2 only TOUCHES [10,20) (half-open: no overlap)
+    val got = RangeJoin
+      .intervalOverlapJoin(lhs, rhs, "ls", "le", "rs", "re", bucketWidth = 8)
+    assert(got.count() == 0)
   }
 }
