@@ -412,6 +412,25 @@ object ReferenceQueries {
         .orderBy("c_mktsegment", "rank")
     },
 
+    // J7: FULL OUTER join — unmatched rows survive from BOTH sides with
+    // nulls on the other (25 customer nations vs 2 supplier nations at
+    // this predicate → 23 half-null rows). Key coalesced for output.
+    "j7_join_full" -> { (spark, dir) =>
+      val c = Tables.customer(spark, dir)
+        .where(col("c_acctbal") < -500)
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val s = Tables.supplier(spark, dir)
+        .where(col("s_acctbal") < -500)
+        .groupBy(col("s_nationkey").as("nk2"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(s, col("nk") === col("nk2"), "full_outer")
+        .select(
+          coalesce(col("nk"), col("nk2")).as("nationkey"),
+          col("n_cust"), col("n_supp"))
+        .orderBy("nationkey")
+    },
+
     // J6: null-safe equi-join (<=>): NULL keys match each other — the
     // semantics a naive `=` join silently drops. Aggregated sides keep
     // the joined relation small and the NULL bucket unambiguous.
@@ -759,6 +778,17 @@ object ReferenceQueries {
         |      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rank
         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |) WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin,
+    "j7_join_full" ->
+      """WITH c AS (
+        |  SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+        |  FROM customer WHERE c_acctbal < -500 GROUP BY 1
+        |), s AS (
+        |  SELECT s_nationkey AS nk2, COUNT(*) AS n_supp
+        |  FROM supplier WHERE s_acctbal < -500 GROUP BY 1
+        |)
+        |SELECT COALESCE(nk, nk2) AS nationkey, n_cust, n_supp
+        |FROM c FULL OUTER JOIN s ON nk = nk2
+        |ORDER BY nationkey""".stripMargin,
     "j6_nullsafe_join" ->
       """WITH a AS (
         |  SELECT CASE WHEN user_id % 10 = 0 THEN NULL
