@@ -54,15 +54,23 @@ object RangeJoin {
   }
 
   /** Interval-OVERLAP join: pairs of intervals with a non-empty
-    * intersection (`s1 < e2 && s2 < e1`, half-open semantics).
+    * intersection — `max(s1, s2) < min(e1, e2)`, half-open semantics.
+    * (Stated as the intersection, not the `s1 < e2 && s2 < e1` shortcut:
+    * the two differ on zero-width intervals, which intersect nothing.)
+    *
+    * Columns must be INTEGER-valued (epoch seconds/millis/nanos): bucket
+    * ids are computed in exact long arithmetic — `(c - pmod(c, w)) div w`
+    * is floor division with no double rounding, which matters because the
+    * replication range and the keep-one-bucket filter must agree exactly
+    * even at nanosecond magnitudes (> 2^53, where a double divide can
+    * misplace a boundary bucket and silently drop a pair).
     *
     * Same bucketization as [[rangeJoin]], on both sides: each interval
     * replicates into every bucket it touches, overlap implies sharing at
     * least one bucket, and double-matches (a pair overlapping in several
     * buckets) are eliminated WITHOUT a global distinct: the pair is kept
-    * only in the bucket containing the overlap's start,
-    * `max(s1, s2) div bucketWidth` — each surviving pair emits exactly
-    * once, so no post-join dedup shuffle.
+    * only in the bucket containing the overlap's start — each surviving
+    * pair emits exactly once, so no post-join dedup shuffle.
     */
   def intervalOverlapJoin(
       left: DataFrame,
@@ -74,20 +82,24 @@ object RangeJoin {
       bucketWidth: Long,
   ): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // exact floor division for longs: numerator is a multiple of w, so
+    // SQL `div` divides it exactly for any sign
+    def floorDiv(c: org.apache.spark.sql.Column) = {
+      val cl = c.cast("long")
+      call_function("div", cl - pmod(cl, lit(bucketWidth)), lit(bucketWidth))
+    }
     def bucketed(df: DataFrame, s: String, e: String) = df
-      .where(col(s) < col(e))
+      .where(col(s) < col(e)) // zero-width intervals intersect nothing
       .withColumn(
         "__bucket",
-        explode(sequence(
-          floor(col(s).divide(bucketWidth)).cast("long"),
-          (ceil(col(e).divide(bucketWidth)) - 1).cast("long"),
-        )),
+        // half-open integer interval: last touched bucket is floor((e-1)/w)
+        explode(sequence(floorDiv(col(s)), floorDiv(col(e).cast("long") - 1))),
       )
     bucketed(left, leftStart, leftEnd)
       .join(bucketed(right, rightStart, rightEnd), Seq("__bucket"))
-      .where(col(leftStart) < col(rightEnd) && col(rightStart) < col(leftEnd))
-      .where(col("__bucket") ===
-        floor(greatest(col(leftStart), col(rightStart)).divide(bucketWidth)).cast("long"))
+      .where(greatest(col(leftStart), col(rightStart)) <
+        least(col(leftEnd), col(rightEnd)))
+      .where(col("__bucket") === floorDiv(greatest(col(leftStart), col(rightStart))))
       .drop("__bucket")
   }
 }

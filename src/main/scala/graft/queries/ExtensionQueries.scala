@@ -602,7 +602,7 @@ object ExtensionQueries {
         |)
         |SELECT promo_id, maint_id
         |FROM promos JOIN maint
-        |  ON p_start < m_end AND m_start < p_end
+        |  ON GREATEST(p_start, m_start) < LEAST(p_end, m_end)
         |ORDER BY promo_id, maint_id""".stripMargin,
     "x6_asof_join" ->
       """SELECT c.user_id, c.event_id,

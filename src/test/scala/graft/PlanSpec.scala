@@ -60,12 +60,18 @@ class PlanSpec extends SparkSpec {
       plan.take(500))
   }
 
-  test("partition pruning: a partition-column predicate never lists pruned dirs") {
+  test("partition pruning: a partition predicate reads only matching dirs' files") {
+    // NOTE what this proves: pruning bounds the READ set (PartitionFilters
+    // + numFiles), not the initial directory LISTING — path-based reads
+    // still list all partitions at discovery; bounding listing cost needs
+    // a catalog table. The read-set bound is the part that moves bytes.
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("ppart").toString + "/data"
     spark.range(1000)
       .select(col("id"), (col("id") % 10).as("day"))
       .write.partitionBy("day").parquet(dir)
+    val totalFiles = spark.read.parquet(dir)
+      .select(input_file_name()).distinct().count()
     val filtered = spark.read.parquet(dir).where(col("day") === 3)
     filtered.collect()
     val scan = (filtered.queryExecution.executedPlan match {
@@ -75,9 +81,11 @@ class PlanSpec extends SparkSpec {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }.get
     assert(scan.toString.contains("PartitionFilters"), scan.toString.take(400))
-    // only partition day=3's files are even listed — 1/10 of the data
-    assert(scan.metrics("numFiles").value < 10,
-      s"expected pruned file listing, got ${scan.metrics("numFiles").value}")
+    // read set is the selected day's share (1 of 10 partitions), however
+    // many files the writer's parallelism produced per partition
+    val read = scan.metrics("numFiles").value
+    assert(read > 0 && read * 5 < totalFiles,
+      s"expected a pruned read set, got $read of $totalFiles files")
     assert(filtered.count() == 100)
   }
 }

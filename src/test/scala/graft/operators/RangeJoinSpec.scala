@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, greatest, least}
 
 class RangeJoinSpec extends SparkSpec {
   import spark.implicits._
@@ -57,7 +57,8 @@ class RangeJoinSpec extends SparkSpec {
     val got = RangeJoin
       .intervalOverlapJoin(lhs, rhs, "ls", "le", "rs", "re", bucketWidth = 16)
       .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
-    val naive = lhs.join(rhs, col("ls") < col("re") && col("rs") < col("le"))
+    val naive = lhs.join(rhs,
+      greatest(col("ls"), col("rs")) < least(col("le"), col("re")))
       .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.length == got.distinct.length, "a pair was emitted more than once")
     assert(got.toSet == naive.toSet)
@@ -65,11 +66,36 @@ class RangeJoinSpec extends SparkSpec {
   }
 
   test("interval overlap: empty and touching intervals match nothing") {
-    val lhs = Seq((1L, 10L, 10L), (2L, 0L, 10L)).toDF("lid", "ls", "le")
-    val rhs = Seq((1L, 10L, 20L)).toDF("rid", "rs", "re")
-    // lid=1 is empty; lid=2 only TOUCHES [10,20) (half-open: no overlap)
+    // lid=1 is empty INSIDE a covering right interval — the case where
+    // the s1<e2 && s2<e1 shortcut wrongly says "overlap"; lid=2 is
+    // empty at a boundary; lid=3 only TOUCHES rid=2's [10,20) (half-open)
+    val lhs = Seq((1L, 5L, 5L), (2L, 10L, 10L), (3L, 0L, 10L)).toDF("lid", "ls", "le")
+    val rhs = Seq((1L, 0L, 20L), (2L, 10L, 20L)).toDF("rid", "rs", "re")
     val got = RangeJoin
       .intervalOverlapJoin(lhs, rhs, "ls", "le", "rs", "re", bucketWidth = 8)
-    assert(got.count() == 0)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only the genuine overlap survives: [0,10) within [0,20)
+    assert(got == Set((3L, 1L)),
+      s"empty intervals and boundary-touching must not match: $got")
+  }
+
+  test("interval overlap: exact at epoch-nanosecond magnitudes (> 2^53)") {
+    // double-precision bucket math would misplace boundary buckets here;
+    // the long floor-div must keep replication and keep-filter in sync
+    val w = 3600L * 1000000000L // 1h in ns
+    val base = 1704067200L * 1000000000L + 123456789L
+    val lhs = (0L until 30L).map(i => (i, base + i * w / 2, base + i * w / 2 + w))
+      .toDF("lid", "ls", "le")
+    val rhs = (0L until 30L).map(j => (j, base + j * w / 3 + 7L, base + j * w / 3 + w + 7L))
+      .toDF("rid", "rs", "re")
+    val got = RangeJoin
+      .intervalOverlapJoin(lhs, rhs, "ls", "le", "rs", "re", bucketWidth = w)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = lhs.join(rhs,
+      greatest(col("ls"), col("rs")) < least(col("le"), col("re")))
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.distinct.length)
+    assert(got.toSet == naive.toSet)
+    assert(naive.nonEmpty)
   }
 }
