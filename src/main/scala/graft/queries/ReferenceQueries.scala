@@ -463,6 +463,25 @@ object ReferenceQueries {
         .orderBy("l_orderkey", "l_linenumber", "metric")
     },
 
+    // A13: max_by/min_by (argmax aggregates; DuckDB arg_max/arg_min).
+    // The ordering value is collision-free — (ship-day, orderkey,
+    // linenumber) packed into one long — so the selected rows are
+    // deterministic on both engines.
+    "a13_minmax_by" -> { (spark, dir) =>
+      val ord = (datediff(to_date(col("l_shipdate")), lit("1970-01-01").cast(DateType))
+        .cast(LongType) * 100000000L +
+        col("l_orderkey") * 8L + col("l_linenumber"))
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_orderkey"), ord.as("ord"))
+        .groupBy("l_returnflag")
+        .agg(
+          max_by(col("l_orderkey"), col("ord")).as("latest_orderkey"),
+          min_by(col("l_orderkey"), col("ord")).as("earliest_orderkey"),
+          max(col("ord")).as("max_ord"),
+        )
+        .orderBy("l_returnflag")
+    },
+
     // A12: discrete percentiles — actual data values, no interpolation
     // (a8 covers the continuous form), via the SQL-standard
     // WITHIN GROUP syntax both engines share.
@@ -813,6 +832,18 @@ object ReferenceQueries {
         |  UNION ALL SELECT l_orderkey, l_linenumber,
         |    'l_tax', l_tax FROM lineitem
         |) ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+    "a13_minmax_by" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, l_orderkey,
+        |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |      * 100000000 + l_orderkey * 8 + l_linenumber AS ord
+        |  FROM lineitem
+        |)
+        |SELECT l_returnflag,
+        |  arg_max(l_orderkey, ord) AS latest_orderkey,
+        |  arg_min(l_orderkey, ord) AS earliest_orderkey,
+        |  MAX(ord) AS max_ord
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "a12_percentile_disc" ->
       """SELECT l_returnflag,
         |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)
