@@ -302,6 +302,19 @@ object ExtensionQueries {
         .orderBy("l_returnflag")
     },
 
+    // Mergeable HLL sketches: per-day partial sketches union-merged into
+    // a global distinct estimate — the incremental pattern that lets a
+    // 100 TB pipeline maintain distinct counts without re-scanning
+    // history (persist the day sketch, merge on read). Rows-only;
+    // merge-consistency is asserted in specs.
+    "x13_hll_sketch" -> { (spark, dir) =>
+      Tables.events(spark, dir)
+        .select(to_date(col("ts_sec")).as("day"), col("user_id"))
+        .groupBy("day")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_users"))
+    },
+
     // --- Sketches (rows-only: HLL++ internals are engine-specific) ---
     "x3_approx_distinct" -> { (spark, dir) =>
       Tables.events(spark, dir).agg(

@@ -1,0 +1,28 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Mergeable-sketch invariants: splitting the data, sketching the parts,
+  * and unioning the sketches must agree with sketching everything at
+  * once — the property that makes incremental distinct-counting sound.
+  */
+class SketchSpec extends SparkSpec {
+
+  test("union of per-day HLL sketches == one-shot sketch; close to exact") {
+    val ev = Tables.events(spark, sf0001)
+    val merged = ev
+      .select(to_date(col("ts_sec")).as("day"), col("user_id"))
+      .groupBy("day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().head.getLong(0)
+    val oneShot = ev
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect().head.getLong(0)
+    assert(merged == oneShot, "sketch merge must be lossless vs one-shot")
+    val exact = ev.select(countDistinct(col("user_id"))).collect().head.getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"estimate $merged vs exact $exact")
+  }
+}
