@@ -273,6 +273,21 @@ object ExtensionQueries {
         .orderBy("user_id", "session_idx")
     },
 
+    // Native session_window: Spark's built-in gap-merged session
+    // operator (the declarative twin of the lag/cumsum sessionizer w2
+    // and the stateful st2) — 30-minute gap, per-user sessions.
+    "st6_session_window" -> { (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy(col("user_id"), session_window(col("ts_sec"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+
     // --- Streaming ---
     "st1_stream_daily" -> { (spark, dir) =>
       EventsStream.dailyAggregates(spark, dir)
@@ -635,6 +650,26 @@ object ExtensionQueries {
         |JOIN (SELECT range AS user_id, range % 5 AS cohort FROM range(100)) d
         |  ON e.user_id = d.user_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "st6_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, date_trunc('second', ts) AS tss, event_id,
+        |    CASE WHEN lag(date_trunc('second', ts)) OVER w IS NULL
+        |      OR epoch(date_trunc('second', ts))
+        |         - epoch(lag(date_trunc('second', ts)) OVER w) >= 1800
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id)
+        |), numbered AS (
+        |  SELECT user_id, tss,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tss, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id, MIN(tss) AS session_start,
+        |  MAX(tss) + INTERVAL 30 MINUTE AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM numbered GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "st2_stream_sessions" ->
       """WITH flagged AS (
         |  SELECT user_id, ts,
