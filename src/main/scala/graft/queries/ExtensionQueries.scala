@@ -276,6 +276,9 @@ object ExtensionQueries {
     // Native session_window: Spark's built-in gap-merged session
     // operator (the declarative twin of the lag/cumsum sessionizer w2
     // and the stateful st2) — 30-minute gap, per-user sessions.
+    // Boundary semantics (probed at sf0.1, where exactly one event pair
+    // sits at precisely the gap): an event AT prev + gap still MERGES —
+    // a new session starts only strictly beyond the gap.
     "st6_session_window" -> { (spark, dir) =>
       Tables.events(spark, dir)
         .groupBy(col("user_id"), session_window(col("ts_sec"), "30 minutes"))
@@ -655,7 +658,7 @@ object ExtensionQueries {
         |  SELECT user_id, date_trunc('second', ts) AS tss, event_id,
         |    CASE WHEN lag(date_trunc('second', ts)) OVER w IS NULL
         |      OR epoch(date_trunc('second', ts))
-        |         - epoch(lag(date_trunc('second', ts)) OVER w) >= 1800
+        |         - epoch(lag(date_trunc('second', ts)) OVER w) > 1800
         |      THEN 1 ELSE 0 END AS is_new
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id)
