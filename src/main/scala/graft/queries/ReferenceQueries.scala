@@ -464,12 +464,14 @@ object ReferenceQueries {
     },
 
     // A13: max_by/min_by (argmax aggregates; DuckDB arg_max/arg_min).
-    // The ordering value is collision-free — (ship-day, orderkey,
-    // linenumber) packed into one long — so the selected rows are
-    // deterministic on both engines.
+    // The ordering value packs (ship-day, orderkey, linenumber) into one
+    // long so the selected rows are deterministic on both engines.
+    // Collision-free while l_orderkey*8 + l_linenumber < 10^12, i.e.
+    // orderkeys up to ~1.25e11 — far beyond any plausible SF; the day
+    // component stays < 10^5, so days*10^12 < 10^17 fits a long.
     "a13_minmax_by" -> { (spark, dir) =>
       val ord = (datediff(to_date(col("l_shipdate")), lit("1970-01-01").cast(DateType))
-        .cast(LongType) * 100000000L +
+        .cast(LongType) * 1000000000000L +
         col("l_orderkey") * 8L + col("l_linenumber"))
       Tables.lineitem(spark, dir)
         .select(col("l_returnflag"), col("l_orderkey"), ord.as("ord"))
@@ -836,7 +838,7 @@ object ReferenceQueries {
       """WITH t AS (
         |  SELECT l_returnflag, l_orderkey,
         |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
-        |      * 100000000 + l_orderkey * 8 + l_linenumber AS ord
+        |      * 1000000000000 + l_orderkey * 8 + l_linenumber AS ord
         |  FROM lineitem
         |)
         |SELECT l_returnflag,

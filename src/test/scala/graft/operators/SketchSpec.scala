@@ -20,7 +20,11 @@ class SketchSpec extends SparkSpec {
     val oneShot = ev
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
       .collect().head.getLong(0)
-    assert(merged == oneShot, "sketch merge must be lossless vs one-shot")
+    // Not exact equality in general: beyond sparse mode a union-merged
+    // sketch answers with the composite estimator while a single-pass
+    // sketch keeps HIP — estimates may differ by a small margin.
+    assert(math.abs(merged - oneShot).toDouble / math.max(oneShot, 1L) < 0.02,
+      s"merged $merged vs one-shot $oneShot")
     val exact = ev.select(countDistinct(col("user_id"))).collect().head.getLong(0)
     assert(math.abs(merged - exact).toDouble / exact < 0.05,
       s"estimate $merged vs exact $exact")
