@@ -412,6 +412,20 @@ object ReferenceQueries {
         .orderBy("c_mktsegment", "rank")
     },
 
+    // F9 (beyond ref): the Spark 4 VARIANT path — parse_json into the
+    // binary variant encoding, typed extraction with variant_get. The
+    // storage-efficient successor to get_json_object string re-parsing
+    // (one parse, many typed reads).
+    "f9_variant" -> { (spark, dir) =>
+      Tables.eventsParallel(spark, dir)
+        .select(
+          col("event_id"),
+          variant_get(parse_json(col("props")), "$.k", "int").as("k_int"),
+          variant_get(parse_json(col("props")), "$.missing", "string").as("missing_str"),
+        )
+        .orderBy("event_id")
+    },
+
     // J7: FULL OUTER join — unmatched rows survive from BOTH sides with
     // nulls on the other (25 customer nations vs 2 supplier nations at
     // this predicate → 23 half-null rows). Key coalesced for output.
@@ -799,6 +813,11 @@ object ReferenceQueries {
         |      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rank
         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |) WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin,
+    "f9_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k_int,
+        |  json_extract_string(props, '$.missing') AS missing_str
+        |FROM events ORDER BY event_id""".stripMargin,
     "j7_join_full" ->
       """WITH c AS (
         |  SELECT c_nationkey AS nk, COUNT(*) AS n_cust
