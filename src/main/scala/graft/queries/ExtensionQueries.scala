@@ -165,6 +165,34 @@ object ExtensionQueries {
         .orderBy("bucket_lo")
     },
 
+    // Bigram fluency: each document scored by the corpus-wide frequency
+    // of its bigrams (avg occurrences per bigram) — the relational core
+    // of LM-style quality filtering: common phrasing scores high,
+    // gibberish scores ~1. Two aggregations + one self-join, all keyed
+    // on the bigram, so corpus frequencies build once and broadcast/
+    // shuffle-join back onto the per-doc rows.
+    "t10_bigram_fluency" -> { (spark, dir) =>
+      val ws = TextAnalysis.words(col("text"))
+      val bigrams = transform(
+        sequence(lit(0), size(col("w")) - 2),
+        i => concat(element_at(col("w"), i + 1), lit(" "), element_at(col("w"), i + 2)))
+      val bg = Tables.documentsParallel(spark, dir)
+        .select(col("doc_id"), ws.as("w"))
+        .where(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(bigrams).as("b"))
+      val cf = bg.groupBy("b").agg(count(lit(1)).as("c"))
+      bg.join(cf, "b")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          sum(col("c")).as("sum_cf"),
+        )
+        .select(
+          col("doc_id"), col("n_bigrams"), col("sum_cf"),
+          (col("sum_cf").cast(DoubleType) / col("n_bigrams")).as("fluency"))
+        .orderBy("doc_id")
+    },
+
     // --- Multimodal columns ---
     "m1_media_meta" -> { (spark, dir) =>
       Multimodal.mediaMeta(Tables.documents(spark, dir)).orderBy("doc_id")
@@ -559,6 +587,20 @@ object ExtensionQueries {
         |  (tf.tf * (n.n_docs + 1)) / (df.df + 1) AS tfidf_rational
         |FROM tf JOIN df USING (term) CROSS JOIN n
         |ORDER BY tf.doc_id, tf.term""".stripMargin,
+    "t10_bigram_fluency" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, w[g.i] || ' ' || w[g.i + 1] AS b
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS g(i)
+        |), cf AS (
+        |  SELECT b, COUNT(*) AS c FROM bg GROUP BY 1
+        |)
+        |SELECT doc_id, COUNT(*) AS n_bigrams, SUM(c) AS sum_cf,
+        |  CAST(SUM(c) AS DOUBLE) / COUNT(*) AS fluency
+        |FROM bg JOIN cf USING (b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t8_vocab" ->
       """WITH toks AS (
         |  SELECT u.w AS token FROM (
