@@ -28,6 +28,33 @@ class Scd2Spec extends SparkSpec {
     assert(h.where(col("is_current") === 1 && col("effective_to").isNotNull).count() == 0)
   }
 
+  test("property: random logs produce abutting intervals, one current per key") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 5) {
+      val rows = (0 until 60).map { i =>
+        (rnd.nextInt(6).toLong, rnd.nextInt(20).toLong * 10, (trial * 1000 + i).toLong, s"p$i")
+      }
+      val h = Scd2.buildHistory(rows.toDF("k", "ts", "eid", "payload"),
+        col("k"), col("ts"), col("eid")).collect()
+      val byKey = h.groupBy(_.getLong(0))
+      for ((k, versions) <- byKey) {
+        val sorted = versions.sortBy(_.getAs[Int]("version"))
+        // versions are 1..n dense
+        assert(sorted.map(_.getAs[Int]("version")).toSeq == (1 to sorted.length))
+        // intervals abut: to(i) == from(i+1); only the last is open/current
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a.getAs[Long]("effective_to") == b.getAs[Long]("effective_from"))
+            assert(a.getAs[Int]("is_current") == 0)
+          case _ => ()
+        }
+        assert(sorted.last.getAs[Int]("is_current") == 1)
+        assert(sorted.last.isNullAt(sorted.last.fieldIndex("effective_to")))
+      }
+      assert(byKey.values.map(_.length).sum == 60)
+    }
+  }
+
   test("same-timestamp changes order deterministically by the tiebreak") {
     val dup = Seq((1L, 100L, 2L, "later"), (1L, 100L, 1L, "earlier"))
       .toDF("k", "ts", "eid", "payload")
