@@ -379,6 +379,18 @@ object ExtensionQueries {
       TextAnalysis.piiScrub(Tables.documents(spark, dir)).orderBy("doc_id")
     },
 
+    // Contiguous id assignment: ROW_NUMBER semantics without the
+    // single-partition global sort (range partition + local positions +
+    // broadcast offsets) — how 100 TB of documents get dense ids.
+    "s5_contiguous_ids" -> { (spark, dir) =>
+      graft.operators.Ids
+        .contiguousIds(
+          Tables.documents(spark, dir).select("doc_id", "lang"),
+          Seq(col("doc_id")), idCol = "row_id")
+        .select("doc_id", "lang", "row_id")
+        .orderBy("doc_id")
+    },
+
     // --- Deterministic sampling: reproducible 4/16 hash-gated sample ---
     "smp1_sample_det" -> { (spark, dir) =>
       graft.operators.Sampling
@@ -791,6 +803,10 @@ object ExtensionQueries {
         |  md5(regexp_replace(regexp_replace(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |    '[0-9]{7,}', '[NUM]', 'g')) AS scrubbed_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "s5_contiguous_ids" ->
+      """SELECT doc_id, lang,
+        |  ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS row_id
         |FROM documents ORDER BY doc_id""".stripMargin,
     "smp2_stratified" ->
       """SELECT doc_id, lang FROM documents
