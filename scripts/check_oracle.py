@@ -62,6 +62,16 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns differ spark={scols} duck={dcols}")
             n_fail += 1
             continue
+        # DuckDB sums BIGINT into DECIMAL(38,0)/HUGEINT. Python == coerces
+        # Decimal(5) == 5 so a value compare passes, but the driver hashes
+        # dtypes and flags a mismatch (round-2: e1/e3/t6/t10). Require the
+        # oracle SQL to CAST such columns to BIGINT/DOUBLE explicitly.
+        dec = [f.name for f in duck.schema if str(f.type).startswith("decimal")]
+        if dec:
+            print(f"FAIL {name}: oracle emits DECIMAL column(s) {dec} — "
+                  f"add CAST(... AS BIGINT/DOUBLE) in the oracle SQL")
+            n_fail += 1
+            continue
         sp = spark_tbl.select(scols).to_pylist()
         du = duck.select(dcols).to_pylist()
         sp = sorted((tuple(norm(r[c]) for c in scols) for r in sp), key=repr)

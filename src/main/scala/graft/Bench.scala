@@ -42,10 +42,29 @@ object Bench {
         catch { case _: Throwable => -1.0 }
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jsonMap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // Full per-query detail: one stdout line (informational) + a file for
+    // the judge. This line is ~2.5k chars and may be truncated by the
+    // driver's 2000-char stdout tail — that is fine, it is not the line
+    // the driver parses.
+    val detail =
+      s"""{"metric":"detail","value":${fmt(total)},"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir"}"""
+    println(detail)
+    scala.util.Try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_detail.json"),
+        (detail + "\n").getBytes("UTF-8"))
+    }
     spark.stop()
+    // The driver captures only the LAST 2000 chars of stdout and parses the
+    // JSON line found there (BENCH_r01/r02 were parsed:null because the full
+    // per-query line overflowed that window and lost its opening brace).
+    // So the FINAL line is compact: total + the 20 slowest queries, well
+    // under the window even with sbt's trailing [success] line.
+    val slowest = results.sortBy(-_._2).take(20).sortBy(_._1)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(slowest)},"sf":"$sfDir"}""")
   }
 }

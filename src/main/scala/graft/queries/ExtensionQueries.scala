@@ -609,7 +609,7 @@ object ExtensionQueries {
         |), cf AS (
         |  SELECT b, COUNT(*) AS c FROM bg GROUP BY 1
         |)
-        |SELECT doc_id, COUNT(*) AS n_bigrams, SUM(c) AS sum_cf,
+        |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(c) AS BIGINT) AS sum_cf,
         |  CAST(SUM(c) AS DOUBLE) / COUNT(*) AS fluency
         |FROM bg JOIN cf USING (b)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
@@ -791,7 +791,7 @@ object ExtensionQueries {
         |), tf AS (
         |  SELECT doc_id, w, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
         |)
-        |SELECT doc_id, SUM(cnt) AS n_tokens, COUNT(*) AS n_distinct,
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
         |  CAST(MAX(cnt) AS DOUBLE) / nullif(SUM(cnt), 0) AS top_token_ratio,
         |  CAST(COUNT(*) AS DOUBLE) / nullif(SUM(cnt), 0) AS type_token_ratio
         |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
@@ -830,7 +830,7 @@ object ExtensionQueries {
         |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
         |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
         |)
-        |SELECT vec_id, n_dims, COALESCE(SUM(q * q), 0) AS qnorm2,
+        |SELECT vec_id, n_dims, CAST(COALESCE(SUM(q * q), 0) AS BIGINT) AS qnorm2,
         |  sqrt(CAST(COALESCE(SUM(q * q), 0) AS DOUBLE)) / 1048576.0 AS norm
         |FROM terms GROUP BY 1, 2 ORDER BY vec_id""".stripMargin,
     "e2_centroid_pool" ->
@@ -877,7 +877,7 @@ object ExtensionQueries {
         |        CAST(floor(CAST(x AS DOUBLE) * 127.0) AS BIGINT))) END) AS q8
         |  FROM embeddings
         |)
-        |SELECT vec_id, n_clipped, COALESCE(list_sum(q8), 0) AS sum_q8,
+        |SELECT vec_id, n_clipped, CAST(COALESCE(list_sum(q8), 0) AS BIGINT) AS sum_q8,
         |  list_min(q8) AS min_q8, list_max(q8) AS max_q8
         |FROM q ORDER BY vec_id""".stripMargin,
     "x9_salted_join" ->
