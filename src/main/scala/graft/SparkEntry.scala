@@ -28,8 +28,10 @@ object SparkEntry {
       .orderBy("l_returnflag", "ship_date")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.ReferenceQueries.queries ++ graft.queries.ExtensionQueries.queries
+    graft.queries.ReferenceQueries.queries ++ graft.queries.ExtensionQueries.queries ++
+      graft.queries.AnalyticsQueries.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.ReferenceQueries.oracles ++ graft.queries.ExtensionQueries.oracles
+    graft.queries.ReferenceQueries.oracles ++ graft.queries.ExtensionQueries.oracles ++
+      graft.queries.AnalyticsQueries.oracles
 }

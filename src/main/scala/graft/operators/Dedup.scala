@@ -85,6 +85,34 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
   }
 
+  /** Engine-portable 60-bit hash: the top 15 hex digits of md5, read as an
+    * integer. Unlike xxhash64 this is reproducible by any engine with an
+    * md5 function (DuckDB: `('0x' || substr(md5(s), 1, 15))::BIGINT`), so
+    * signatures built on it can be checked — or consumed — outside Spark.
+    * 60 bits keeps the value comfortably inside a signed 64-bit integer.
+    */
+  def portableHash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast(LongType)
+
+  /** MinHash signatures over the portable hash family h_i(s) =
+    * portableHash60(i || ':' || s), exploded to one (doc_id, h_idx,
+    * min_hash) row per signature slot. Each shingle is hashed `numHashes`
+    * times (16 md5s ≈ the cost of one xxhash64-KM pass only at tiny k; at
+    * scale this variant trades ~2-4× hashing CPU for cross-engine
+    * verifiability — use [[minHashSignatures]] when the signatures never
+    * leave Spark). The min reduces with a map-side partial aggregate on
+    * (doc_id, h_idx).
+    */
+  def minHashPortable(docs: DataFrame, k: Int, numHashes: Int): DataFrame =
+    shingleRows(docs, k)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("h_idx"),
+        col("shingle"))
+      .select(col("doc_id"), col("h_idx"),
+        portableHash60(concat(col("h_idx"), lit(":"), col("shingle"))).as("h"))
+      .groupBy("doc_id", "h_idx")
+      .agg(min(col("h")).as("min_hash"))
+
   /** LSH candidate pairs from banded MinHash signatures, verified with
     * exact Jaccard over the shingle sets. `maxBucket` caps degenerate
     * buckets (dropped pairs are the price of not going quadratic).

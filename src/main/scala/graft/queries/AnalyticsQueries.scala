@@ -1,0 +1,435 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, EventAnalytics, TimeSeries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-3 surface: time-series regularization, behavioral analytics,
+  * SQL-surface aggregates (listagg / bitwise / median+mode), correlated
+  * subqueries and lateral joins, portable MinHash, weighted sampling, and
+  * cross-document span-level duplication.
+  *
+  * Every query here is DuckDB-oracle-gated. Cross-engine float rules
+  * (see SCALE.md + memory): decimal accumulators for sums, identical
+  * double expression shapes for per-row arithmetic, BIGINT casts wherever
+  * DuckDB would widen to DECIMAL/HUGEINT, matching aliases on both sides.
+  */
+object AnalyticsQueries {
+
+  private val P60 = "1152921504606846976.0" // 2^60 as a double literal
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- Time series ---
+    // Hourly resample + forward fill over each user's active range.
+    "ts1_gapfill" -> { (spark, dir) =>
+      TimeSeries.gapFillForward(Tables.events(spark, dir))
+        .orderBy("user_id", "hr")
+    },
+    // Hourly resample + linear interpolation at missing hours.
+    "ts2_interpolate" -> { (spark, dir) =>
+      TimeSeries.interpolateLinear(Tables.events(spark, dir))
+        .orderBy("user_id", "hr")
+    },
+    // Trailing 1-hour sliding aggregate per event (RANGE frame on epoch
+    // seconds; ties share a frame identically on both engines).
+    "w5_time_window" -> { (spark, dir) =>
+      TimeSeries.trailingWindow(Tables.events(spark, dir), 3600L)
+        .orderBy("event_id")
+    },
+
+    // --- Behavioral analytics ---
+    "fn1_funnel" -> { (spark, dir) =>
+      EventAnalytics.funnel3(Tables.events(spark, dir), "view", "click", "purchase")
+        .orderBy("step")
+    },
+    "coh1_retention" -> { (spark, dir) =>
+      EventAnalytics.retention(Tables.events(spark, dir))
+        .orderBy("cohort_day", "day_offset")
+    },
+    "cd1_cum_users" -> { (spark, dir) =>
+      EventAnalytics.cumulativeUsers(Tables.events(spark, dir))
+        .orderBy("day")
+    },
+
+    // --- SQL aggregate surface ---
+    // Ordered string aggregation (Spark 4 listagg ≡ DuckDB string_agg).
+    "a14_listagg" -> { (spark, dir) =>
+      Tables.nation(spark, dir).createOrReplaceTempView("nation_a14")
+      Tables.region(spark, dir).createOrReplaceTempView("region_a14")
+      spark.sql(
+        """SELECT r_name, listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+          |FROM nation_a14 JOIN region_a14 ON n_regionkey = r_regionkey
+          |GROUP BY r_name ORDER BY r_name""".stripMargin)
+    },
+    // Bitwise + boolean aggregates.
+    "a15_bitbool" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          bit_and(col("l_linenumber")).as("lines_band"),
+          bit_or(col("l_linenumber")).as("lines_bor"),
+          bit_xor(col("l_orderkey")).as("orders_bxor"),
+          bool_and(col("l_quantity") > 0).as("all_qty_pos"),
+          bool_or(col("l_discount") > lit(0.06)).as("any_high_disc"),
+        )
+        .orderBy("l_returnflag")
+    },
+    // median() (interpolated, parity with DuckDB median on doubles) +
+    // deterministic mode via a collision-free argmax ordering key
+    // (most-frequent wins, smallest value breaks ties; quantities are
+    // integral so the BIGINT key is exact).
+    "a16_median_mode" -> { (spark, dir) =>
+      val li = Tables.lineitem(spark, dir)
+      val med = li.groupBy("l_returnflag")
+        .agg(median(col("l_quantity")).as("median_qty"))
+      val cnts = li
+        .groupBy(col("l_returnflag"),
+          floor(col("l_quantity")).cast(LongType).as("qty"))
+        .agg(count(lit(1)).as("cnt"))
+      val mode = cnts.groupBy("l_returnflag")
+        .agg(max_by(col("qty"),
+          col("cnt") * lit(10000L) + (lit(10000L) - col("qty"))).as("mode_qty"))
+      med.join(mode, Seq("l_returnflag")).orderBy("l_returnflag")
+    },
+
+    // --- Joins / subqueries ---
+    // TPC-H Q5 shape: 6-table snowflake, revenue per nation where customer
+    // and supplier share the nation. Region/nation/supplier broadcast;
+    // the two big joins shuffle on their natural keys. Revenue is the
+    // j5-style exact-integer quantization (cents × discount basis points).
+    "j8_snowflake_join" -> { (spark, dir) =>
+      val nr = Tables.nation(spark, dir)
+        .join(broadcast(Tables.region(spark, dir).where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sn = Tables.supplier(spark, dir)
+        .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val revQ = (floor(col("l_extendedprice") * 100).cast(LongType) *
+        (lit(10000L) - floor(col("l_discount") * 10000).cast(LongType)))
+        .cast(DecimalType(38, 0))
+      Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+        .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(spark, dir)
+            .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(sn),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg((sum(revQ).cast(DoubleType) / 1000000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    // Lateral correlated subquery: top-2 orders per customer by price.
+    "lat1_lateral_topn" -> { (spark, dir) =>
+      Tables.customer(spark, dir).createOrReplaceTempView("customer_lat1")
+      Tables.orders(spark, dir).createOrReplaceTempView("orders_lat1")
+      spark.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM customer_lat1 c, LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders_lat1 o
+          |  WHERE o.o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+          |) t
+          |ORDER BY c_custkey, o_orderkey""".stripMargin)
+    },
+    // Correlated scalar subqueries + NOT EXISTS: customers above their
+    // nation's average balance, flagged when they have no orders. The
+    // average compare is rewritten as an exact decimal cross-
+    // multiplication so no double division crosses the engines.
+    "sub1_correlated" -> { (spark, dir) =>
+      Tables.customer(spark, dir).createOrReplaceTempView("customer_sub1")
+      Tables.orders(spark, dir).createOrReplaceTempView("orders_sub1")
+      spark.sql(
+        """SELECT c_custkey, c_acctbal,
+          |  CASE WHEN NOT EXISTS (SELECT 1 FROM orders_sub1 o
+          |                        WHERE o.o_custkey = c.c_custkey)
+          |       THEN 1 ELSE 0 END AS no_orders
+          |FROM customer_sub1 c
+          |WHERE CAST(c_acctbal AS DECIMAL(20,4)) *
+          |      (SELECT COUNT(*) FROM customer_sub1 c2
+          |       WHERE c2.c_nationkey = c.c_nationkey)
+          |    > (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(20,4)))
+          |       FROM customer_sub1 c3 WHERE c3.c_nationkey = c.c_nationkey)
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // --- Text / documents ---
+    // Regex extraction surface: match counts + first match per document.
+    "p9_regexp_extract" -> { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_numbers"),
+          size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))).as("n_words"),
+          regexp_extract(col("text"), "[0-9]+", 0).as("first_number"),
+        )
+        .orderBy("doc_id")
+    },
+    // Engine-portable MinHash signatures (md5-based hash family) — the
+    // oracle recomputes the identical signatures in DuckDB, closing the
+    // "signatures are engine-internal" gap of d2.
+    "d8_minhash_portable" -> { (spark, dir) =>
+      Dedup.minHashPortable(Tables.documentsParallel(spark, dir), k = 3, numHashes = 16)
+        .orderBy("doc_id", "h_idx")
+    },
+    // Deterministic weighted sampling: keep probability proportional to
+    // document length (capped at 1), decided by a portable 60-bit hash
+    // uniform — reproducible on any engine with md5.
+    "smp3_weighted_sample" -> { (spark, dir) =>
+      val u = (Dedup.portableHash60(concat(lit("smp3:"), col("doc_id")))
+        .cast(DoubleType) / lit(1152921504606846976.0)).as("sample_u")
+      val w = least(col("n_chars").cast(DoubleType) / lit(600.0), lit(1.0)).as("keep_w")
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars"), u, w)
+        .where(col("sample_u") < col("keep_w"))
+        .orderBy("doc_id")
+    },
+    // Cross-document duplicated spans: 32-char windows (stride 8) hashed
+    // per document; a window is "duplicated" when the same hash occurs in
+    // ≥ 2 distinct documents. Positions explode from a cheap integer
+    // sequence; the substring+md5 evaluate per exploded row (post-shuffle).
+    "sd1_dup_spans" -> { (spark, dir) =>
+      val wins = Tables.documentsParallel(spark, dir)
+        .where(col("n_chars") >= 32)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1L), col("n_chars") - 31, lit(8L))).as("p"))
+        .select(col("doc_id"),
+          md5(expr("substring(text, CAST(p AS INT), 32)")).as("h"))
+      val byHash = wins.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      wins.join(byHash, Seq("h"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_windows"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_windows"),
+        )
+        .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+          (col("n_dup_windows").cast(DoubleType) / col("n_windows")).as("dup_ratio"))
+        .orderBy("doc_id")
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ts1_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', date_trunc('second', ts)) AS hr,
+        |    COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2
+        |), b AS (
+        |  SELECT user_id, min(hr) AS mn, max(hr) AS mx FROM hourly GROUP BY 1
+        |), spine AS (
+        |  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr FROM b
+        |)
+        |SELECT s.user_id, s.hr, COALESCE(h.n_events, 0) AS n_events,
+        |  last_value(h.v IGNORE NULLS)
+        |    OVER (PARTITION BY s.user_id ORDER BY s.hr) AS v_fill
+        |FROM spine s LEFT JOIN hourly h ON h.user_id = s.user_id AND h.hr = s.hr
+        |ORDER BY s.user_id, s.hr""".stripMargin,
+    "ts2_interpolate" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', date_trunc('second', ts)) AS hr,
+        |    CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2
+        |), b AS (
+        |  SELECT user_id, min(hr) AS mn, max(hr) AS mx FROM hourly GROUP BY 1
+        |), spine AS (
+        |  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr FROM b
+        |), j AS (
+        |  SELECT s.user_id, s.hr, CAST(epoch(s.hr) AS BIGINT) AS e, h.v
+        |  FROM spine s LEFT JOIN hourly h ON h.user_id = s.user_id AND h.hr = s.hr
+        |), w AS (
+        |  SELECT user_id, hr, e, v,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN e END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN e END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY hr
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM j
+        |)
+        |SELECT user_id, hr, CAST(v IS NOT NULL AS INTEGER) AS is_actual,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NULL THEN nv
+        |       WHEN nv IS NULL THEN pv
+        |       ELSE pv + (nv - pv) *
+        |         (CAST(e - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) END AS v_interp
+        |FROM w ORDER BY user_id, hr""".stripMargin,
+    "w5_time_window" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+        |    CAST(value AS DECIMAL(20,4)) AS vdec
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, es,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS mv_n,
+        |  CAST(SUM(vdec) OVER w AS DOUBLE) AS mv_sum
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY es
+        |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "fn1_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, date_trunc('second', ts) AS ts_sec FROM events
+        |), t1 AS (
+        |  SELECT user_id, min(ts_sec) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), t2 AS (
+        |  SELECT e.user_id, min(e.ts_sec) AS t2
+        |  FROM t1 JOIN ev e ON e.user_id = t1.user_id
+        |   AND e.event_type = 'click' AND e.ts_sec > t1.t1 GROUP BY 1
+        |), t3 AS (
+        |  SELECT e.user_id, min(e.ts_sec) AS t3
+        |  FROM t2 JOIN ev e ON e.user_id = t2.user_id
+        |   AND e.event_type = 'purchase' AND e.ts_sec > t2.t2 GROUP BY 1
+        |)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'view' AS event_type, (SELECT COUNT(*) FROM t1) AS n_users
+        |  UNION ALL
+        |  SELECT 2, 'click', (SELECT COUNT(*) FROM t2)
+        |  UNION ALL
+        |  SELECT 3, 'purchase', (SELECT COUNT(*) FROM t3)
+        |) ORDER BY step""".stripMargin,
+    "coh1_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('second', ts) AS DATE) AS day
+        |  FROM events
+        |), cohort AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM active GROUP BY 1
+        |)
+        |SELECT c.cohort_day,
+        |  CAST(date_diff('day', c.cohort_day, a.day) AS INTEGER) AS day_offset,
+        |  COUNT(*) AS n_active
+        |FROM active a JOIN cohort c ON a.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "cd1_cum_users" ->
+      """WITH fd AS (
+        |  SELECT user_id, min(CAST(date_trunc('second', ts) AS DATE)) AS day
+        |  FROM events GROUP BY 1
+        |), daily AS (
+        |  SELECT day, COUNT(*) AS new_users FROM fd GROUP BY 1
+        |)
+        |SELECT day, new_users,
+        |  CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+        |FROM daily ORDER BY day""".stripMargin,
+    "a14_listagg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "a15_bitbool" ->
+      """SELECT l_returnflag,
+        |  bit_and(l_linenumber) AS lines_band,
+        |  bit_or(l_linenumber) AS lines_bor,
+        |  bit_xor(l_orderkey) AS orders_bxor,
+        |  bool_and(l_quantity > 0) AS all_qty_pos,
+        |  bool_or(l_discount > 0.06) AS any_high_disc
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a16_median_mode" ->
+      """WITH cnts AS (
+        |  SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS qty,
+        |    COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2
+        |), md AS (
+        |  SELECT l_returnflag, median(l_quantity) AS median_qty
+        |  FROM lineitem GROUP BY 1
+        |), mo AS (
+        |  SELECT l_returnflag,
+        |    arg_max(qty, cnt * 10000 + (10000 - qty)) AS mode_qty
+        |  FROM cnts GROUP BY 1
+        |)
+        |SELECT md.l_returnflag, md.median_qty, mo.mode_qty
+        |FROM md JOIN mo USING (l_returnflag) ORDER BY 1""".stripMargin,
+    "j8_snowflake_join" ->
+      """SELECT n.n_name,
+        |  CAST(SUM(CAST(
+        |    CAST(floor(l.l_extendedprice * 100) AS BIGINT) *
+        |    (10000 - CAST(floor(l.l_discount * 10000) AS BIGINT))
+        |  AS HUGEINT)) AS DOUBLE) / 1000000.0 AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "lat1_lateral_topn" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        |) t
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
+    "sub1_correlated" ->
+      """SELECT c_custkey, c_acctbal,
+        |  CASE WHEN NOT EXISTS (SELECT 1 FROM orders o
+        |                        WHERE o.o_custkey = c.c_custkey)
+        |       THEN 1 ELSE 0 END AS no_orders
+        |FROM customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(20,4)) *
+        |      (SELECT COUNT(*) FROM customer c2
+        |       WHERE c2.c_nationkey = c.c_nationkey)
+        |    > (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(20,4)))
+        |       FROM customer c3 WHERE c3.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "p9_regexp_extract" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_numbers,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INTEGER) AS n_words,
+        |  regexp_extract(text, '[0-9]+') AS first_number
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d8_minhash_portable" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+        |  FROM toks WHERE len(w) >= 3
+        |), hs AS (
+        |  SELECT doc_id, CAST(g.i AS INTEGER) AS h_idx,
+        |    ('0x' || substr(md5(g.i || ':' || s), 1, 15))::BIGINT AS h
+        |  FROM sh, UNNEST(generate_series(0, 15)) AS g(i)
+        |)
+        |SELECT doc_id, h_idx, min(h) AS min_hash
+        |FROM hs GROUP BY 1, 2 ORDER BY doc_id, h_idx""".stripMargin,
+    "smp3_weighted_sample" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(('0x' || substr(md5('smp3:' || doc_id), 1, 15))::BIGINT AS DOUBLE)
+        |    / 1152921504606846976.0 AS sample_u,
+        |  least(CAST(n_chars AS DOUBLE) / 600.0, 1.0) AS keep_w
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5('smp3:' || doc_id), 1, 15))::BIGINT AS DOUBLE)
+        |    / 1152921504606846976.0
+        |  < least(CAST(n_chars AS DOUBLE) / 600.0, 1.0)
+        |ORDER BY doc_id""".stripMargin,
+    "sd1_dup_spans" ->
+      """WITH wins AS (
+        |  SELECT doc_id, md5(substr(text, CAST(g.p AS INTEGER), 32)) AS h
+        |  FROM documents, UNNEST(generate_series(1, n_chars - 31, 8)) AS g(p)
+        |  WHERE n_chars >= 32
+        |), byh AS (
+        |  SELECT h, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY 1
+        |)
+        |SELECT w.doc_id, COUNT(*) AS n_windows,
+        |  CAST(SUM(CASE WHEN byh.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_windows,
+        |  CAST(SUM(CASE WHEN byh.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+        |FROM wins w JOIN byh USING (h)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+  )
+}
