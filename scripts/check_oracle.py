@@ -62,14 +62,17 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns differ spark={scols} duck={dcols}")
             n_fail += 1
             continue
-        # DuckDB sums BIGINT into DECIMAL(38,0)/HUGEINT. Python == coerces
+        # DuckDB sums BIGINT into DECIMAL(38,0)/HUGEINT (and Spark decimal
+        # accumulators can leak out uncast). Python == coerces
         # Decimal(5) == 5 so a value compare passes, but the driver hashes
-        # dtypes and flags a mismatch (round-2: e1/e3/t6/t10). Require the
-        # oracle SQL to CAST such columns to BIGINT/DOUBLE explicitly.
-        dec = [f.name for f in duck.schema if str(f.type).startswith("decimal")]
+        # dtypes and flags a mismatch (round-2: e1/e3/t6/t10). Require BOTH
+        # sides to CAST such columns to BIGINT/DOUBLE explicitly.
+        dec = [(side, f.name)
+               for side, tbl in (("oracle", duck), ("spark", spark_tbl))
+               for f in tbl.schema if str(f.type).startswith("decimal")]
         if dec:
-            print(f"FAIL {name}: oracle emits DECIMAL column(s) {dec} — "
-                  f"add CAST(... AS BIGINT/DOUBLE) in the oracle SQL")
+            print(f"FAIL {name}: DECIMAL-typed column(s) {dec} — "
+                  f"add an explicit cast to BIGINT/DOUBLE")
             n_fail += 1
             continue
         sp = spark_tbl.select(scols).to_pylist()

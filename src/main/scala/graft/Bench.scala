@@ -62,9 +62,11 @@ object Bench {
     // The driver captures only the LAST 2000 chars of stdout and parses the
     // JSON line found there (BENCH_r01/r02 were parsed:null because the full
     // per-query line overflowed that window and lost its opening brace).
-    // So the FINAL line is compact: total + the 20 slowest queries, well
-    // under the window even with sbt's trailing [success] line.
-    val slowest = results.sortBy(-_._2).take(20).sortBy(_._1)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(slowest)},"sf":"$sfDir"}""")
+    // So the FINAL line is compact: total + the 20 slowest queries — plus
+    // every failed query (-1 markers must not be buried in the detail line)
+    // and an explicit failure count.
+    val (failed, succeeded) = results.partition(_._2 < 0)
+    val slowest = (failed ++ succeeded.sortBy(-_._2).take(20)).sortBy(_._1)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":${failed.size},"queries":${jsonMap(slowest)},"sf":"$sfDir"}""")
   }
 }

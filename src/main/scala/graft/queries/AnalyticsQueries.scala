@@ -18,7 +18,13 @@ import org.apache.spark.sql.types._
   */
 object AnalyticsQueries {
 
-  private val P60 = "1152921504606846976.0" // 2^60 as a double literal
+  /** 2^60 — the portableHash60 range — as one shared literal: interpolated
+    * verbatim into the oracle SQL and parsed for the Spark `lit` (the
+    * division `h / 2^60` is an exponent shift, no rounding; both engines
+    * parse this decimal string to the identical double).
+    */
+  private val P60 = "1152921504606846976.0"
+  private val p60Lit = lit(P60.toDouble)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -182,7 +188,7 @@ object AnalyticsQueries {
     // uniform — reproducible on any engine with md5.
     "smp3_weighted_sample" -> { (spark, dir) =>
       val u = (Dedup.portableHash60(concat(lit("smp3:"), col("doc_id")))
-        .cast(DoubleType) / lit(1152921504606846976.0)).as("sample_u")
+        .cast(DoubleType) / p60Lit).as("sample_u")
       val w = least(col("n_chars").cast(DoubleType) / lit(600.0), lit(1.0)).as("keep_w")
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("n_chars"), u, w)
@@ -407,15 +413,15 @@ object AnalyticsQueries {
         |SELECT doc_id, h_idx, min(h) AS min_hash
         |FROM hs GROUP BY 1, 2 ORDER BY doc_id, h_idx""".stripMargin,
     "smp3_weighted_sample" ->
-      """SELECT doc_id, n_chars,
-        |  CAST(('0x' || substr(md5('smp3:' || doc_id), 1, 15))::BIGINT AS DOUBLE)
-        |    / 1152921504606846976.0 AS sample_u,
-        |  least(CAST(n_chars AS DOUBLE) / 600.0, 1.0) AS keep_w
-        |FROM documents
-        |WHERE CAST(('0x' || substr(md5('smp3:' || doc_id), 1, 15))::BIGINT AS DOUBLE)
-        |    / 1152921504606846976.0
-        |  < least(CAST(n_chars AS DOUBLE) / 600.0, 1.0)
-        |ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, n_chars,
+         |  CAST(('0x' || substr(md5('smp3:' || doc_id), 1, 15))::BIGINT AS DOUBLE)
+         |    / $P60 AS sample_u,
+         |  least(CAST(n_chars AS DOUBLE) / 600.0, 1.0) AS keep_w
+         |FROM documents
+         |WHERE CAST(('0x' || substr(md5('smp3:' || doc_id), 1, 15))::BIGINT AS DOUBLE)
+         |    / $P60
+         |  < least(CAST(n_chars AS DOUBLE) / 600.0, 1.0)
+         |ORDER BY doc_id""".stripMargin,
     "sd1_dup_spans" ->
       """WITH wins AS (
         |  SELECT doc_id, md5(substr(text, CAST(g.p AS INTEGER), 32)) AS h

@@ -18,7 +18,8 @@ object Probe {
     args.foreach { sql =>
       println(s"SQL> $sql")
       try spark.sql(sql).show(20, truncate = false)
-      catch { case e: Throwable => println(s"ERR: ${e.getClass.getSimpleName}: ${e.getMessage.take(200)}") }
+      catch { case e: Throwable =>
+        println(s"ERR: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
     }
     spark.stop()
   }
