@@ -195,6 +195,60 @@ object AnalyticsQueries {
         .where(col("sample_u") < col("keep_w"))
         .orderBy("doc_id")
     },
+    // Edit-distance near-dup on consecutive doc pairs: exact Levenshtein
+    // (identical DP semantics both engines) + a normalized similarity.
+    // O(len²) per pair — the candidate-pair pattern (LSH first, verify
+    // few) is what makes this affordable at scale; here pairs are the
+    // consecutive-id probe set used by d4/d5.
+    "d9_levenshtein" -> { (spark, dir) =>
+      val docs = Tables.documentsParallel(spark, dir)
+      val a = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+        col("n_chars").as("na"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+        col("n_chars").as("nb"))
+      a.join(b, col("doc_b") === col("doc_a") + 1)
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ta"), col("tb")).as("edit_dist"),
+          (lit(1.0) - levenshtein(col("ta"), col("tb")).cast(DoubleType) /
+            greatest(col("na"), col("nb")).cast(DoubleType)).as("lev_sim"))
+        .orderBy("doc_a")
+    },
+    // GROUP BY ALL / ORDER BY ALL (Spark 4 ≡ DuckDB dialect surface).
+    "a17_group_by_all" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir).createOrReplaceTempView("li_gba")
+      spark.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+          |FROM li_gba GROUP BY ALL ORDER BY ALL""".stripMargin)
+    },
+    // nth_value / first_value / last_value over a full-partition frame,
+    // reduced to one row per group via DISTINCT (the frame is constant
+    // per partition). Unique order key ⇒ deterministic cross-engine.
+    "w6_nth_value" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir).createOrReplaceTempView("li_w6")
+      spark.sql(
+        """SELECT DISTINCT l_returnflag,
+          |  first_value(l_extendedprice) OVER w AS lowest,
+          |  nth_value(l_extendedprice, 2) OVER w AS second_lowest,
+          |  last_value(l_extendedprice) OVER w AS highest
+          |FROM li_w6
+          |WINDOW w AS (PARTITION BY l_returnflag
+          |  ORDER BY l_extendedprice, l_orderkey, l_linenumber
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          |ORDER BY l_returnflag""".stripMargin)
+    },
+    // String-function surface over customer names.
+    "p10_string_funcs" -> { (spark, dir) =>
+      Tables.customer(spark, dir).selectExpr(
+        "c_custkey",
+        "lpad(c_name, 25, '*') AS padded",
+        "reverse(c_name) AS rev",
+        "left(c_name, 8) AS l8",
+        "right(c_name, 6) AS r6",
+        "translate(c_name, '#', '-') AS tr",
+        "repeat(c_mktsegment, 2) AS seg2",
+      ).orderBy("c_custkey")
+    },
     // Cross-document duplicated spans: 32-char windows (stride 8) hashed
     // per document; a window is "duplicated" when the same hash occurs in
     // ≥ 2 distinct documents. Positions explode from a cheap integer
@@ -422,6 +476,36 @@ object AnalyticsQueries {
          |    / $P60
          |  < least(CAST(n_chars AS DOUBLE) / 600.0, 1.0)
          |ORDER BY doc_id""".stripMargin,
+    "d9_levenshtein" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist,
+        |  1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+        |    CAST(greatest(a.n_chars, b.n_chars) AS DOUBLE) AS lev_sim
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a""".stripMargin,
+    "a17_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin,
+    "w6_nth_value" ->
+      """SELECT DISTINCT l_returnflag,
+        |  first_value(l_extendedprice) OVER w AS lowest,
+        |  nth_value(l_extendedprice, 2) OVER w AS second_lowest,
+        |  last_value(l_extendedprice) OVER w AS highest
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |  ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY l_returnflag""".stripMargin,
+    "p10_string_funcs" ->
+      """SELECT c_custkey,
+        |  lpad(c_name, 25, '*') AS padded,
+        |  reverse(c_name) AS rev,
+        |  left(c_name, 8) AS l8,
+        |  right(c_name, 6) AS r6,
+        |  translate(c_name, '#', '-') AS tr,
+        |  repeat(c_mktsegment, 2) AS seg2
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "sd1_dup_spans" ->
       """WITH wins AS (
         |  SELECT doc_id, md5(substr(text, CAST(g.p AS INTEGER), 32)) AS h

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.operators.Upsert
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Streaming MERGE: a `foreachBatch` sink that upserts each micro-batch
+  * into a versioned Parquet snapshot — the incremental-sink pattern the
+  * reference's overwrite-everything gold layer would need the moment two
+  * runs overlap (reference: src/utils/spark_session.py:77-78 overwrites
+  * whole tables per run).
+  *
+  * Snapshots are immutable version directories (`v0`, `v1`, …); each batch
+  * writes `v(n+1)` from upsert(v(n), batch) and readers load the highest
+  * complete version (commit marker = Spark's own _SUCCESS file). This is a
+  * minimal stand-in for a transaction log (Delta/Iceberg do the same with
+  * file-level surgery instead of full rewrite); it keeps reads consistent
+  * while a batch is mid-write and makes restart idempotent at the version
+  * level.
+  *
+  * Batches are reduced to latest-per-key BEFORE merging (event-time
+  * max, event_id tiebreak), so a batch containing several updates for one
+  * key satisfies upsert's unique-key precondition deterministically.
+  */
+object UpsertSink {
+
+  private def versionDirs(tableDir: String): Seq[(Int, String)] = {
+    val p = Paths.get(tableDir)
+    if (!Files.isDirectory(p)) return Seq.empty
+    val listing = Files.list(p)
+    val vs =
+      try listing.toArray.toSeq.map(_.toString)
+      finally listing.close()
+    vs.filter(d => d.split('/').last.matches("v\\d+"))
+      .filter(d => Files.exists(Paths.get(d, "_SUCCESS")))
+      .map(d => d.split('/').last.drop(1).toInt -> d).sortBy(_._1)
+  }
+
+  /** Highest committed snapshot, or None before the first batch. */
+  def loadSnapshot(spark: SparkSession, tableDir: String): Option[DataFrame] =
+    versionDirs(tableDir).lastOption.map { case (_, d) => spark.read.parquet(d) }
+
+  /** Latest row per key within one batch: max ts, event_id tiebreak. */
+  private[streaming] def latestPerKey(batch: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("ts_sec").desc, col("event_id").desc)
+    batch.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** The foreachBatch body: merge this batch into the next version. */
+  def mergeBatch(tableDir: String, keyCols: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val reduced = latestPerKey(batch, keyCols)
+    val next = versionDirs(tableDir).lastOption match {
+      case Some((v, dir)) =>
+        val current = spark.read.parquet(dir)
+        // upsert emits key-first column order; align the batch to the
+        // snapshot so the merge is order-stable across versions
+        val aligned = reduced.select(current.columns.map(col).toSeq: _*)
+        (v + 1, Upsert.upsert(current, aligned, keyCols))
+      case None => (0, reduced)
+    }
+    next._2.write.mode("overwrite").parquet(s"$tableDir/v${next._1}")
+  }
+
+  /** Run a stream of events into the versioned table; returns the final
+    * snapshot. Used by specs; production would `.start()` and let it run.
+    */
+  def runToTable(
+      events: DataFrame,
+      tableDir: String,
+      keyCols: Seq[String],
+      checkpointDir: String,
+  ): DataFrame = {
+    val q = events.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(mergeBatch(tableDir, keyCols) _)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    loadSnapshot(events.sparkSession, tableDir)
+      .getOrElse(events.sparkSession.emptyDataFrame)
+  }
+}

@@ -60,6 +60,29 @@ class PlanSpec extends SparkSpec {
       plan.take(500))
   }
 
+  test("j8_snowflake_join: dimension chain broadcasts; revenue aggregates map-side") {
+    val df = q("j8_snowflake_join")
+    df.count() // let AQE finalize
+    val plan = planString(df)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    assert(plan.contains("partial_sum"), plan.take(500))
+  }
+
+  test("d8_minhash_portable: signature mins combine map-side before the shuffle") {
+    val plan = planString(q("d8_minhash_portable"))
+    assert(plan.contains("partial_min"), plan.take(500))
+  }
+
+  test("ts2_interpolate: no shrinking window frames (the O(n²) formulation)") {
+    // Both next-/prev-observation lookups must be running frames
+    // (UnboundedPreceding→CurrentRow); a CurrentRow→UnboundedFollowing
+    // frame is re-evaluated from scratch per row by WindowExec.
+    val plan = planString(q("ts2_interpolate"))
+    assert(plan.contains("specifiedwindowframe"), plan.take(500))
+    assert(!plan.contains("currentrow$(), unboundedfollowing$()"),
+      s"shrinking frame found:\n${plan.take(800)}")
+  }
+
   test("partition pruning: a partition predicate reads only matching dirs' files") {
     // NOTE what this proves: pruning bounds the READ set (PartitionFilters
     // + numFiles), not the initial directory LISTING — path-based reads
