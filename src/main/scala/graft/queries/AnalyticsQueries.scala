@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, EventAnalytics, TimeSeries}
+import graft.operators.{Dedup, EventAnalytics, Multimodal, TimeSeries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -249,6 +249,46 @@ object AnalyticsQueries {
         "repeat(c_mktsegment, 2) AS seg2",
       ).orderBy("c_custkey")
     },
+    // Count-Min sketch over the portable hash family: d=4 rows × w=64
+    // buckets of event counts per user, plus the point estimate
+    // (min over rows) next to the true count. Construction is exact
+    // integer arithmetic, so the sketch itself is oracle-verifiable —
+    // the 100 TB story is the 256-cell sketch being mergeable across
+    // partitions/days where the exact per-key counts are not.
+    "cm1_countmin" -> { (spark, dir) =>
+      val d = 4
+      val w = 64
+      val ev = Tables.events(spark, dir).select(col("user_id"))
+      val cells = ev
+        .select(col("user_id"), explode(sequence(lit(0), lit(d - 1))).as("r"))
+        .select(col("user_id"), col("r"),
+          pmod(Dedup.portableHash60(concat(col("r"), lit(":"), col("user_id"))),
+            lit(w.toLong)).as("b"))
+      val sketch = cells.groupBy("r", "b").agg(count(lit(1)).as("cnt"))
+      val userBuckets = cells.distinct()
+      val est = userBuckets.join(sketch, Seq("r", "b"))
+        .groupBy("user_id").agg(min(col("cnt")).as("cm_est"))
+      val truth = ev.groupBy("user_id").agg(count(lit(1)).as("true_n"))
+      truth.join(est, Seq("user_id")).orderBy("user_id")
+    },
+    // Multimodal frame sampling plumbing: the binary payload is cut into
+    // fixed 32-byte frames at a 16-byte stride and each frame digested —
+    // the deterministic skeleton a video frame-sampler / audio chunker
+    // drops its codec into. Framing happens on the hex encoding because
+    // that is the representation both engines can slice identically.
+    "m3_frame_digests" -> { (spark, dir) =>
+      Multimodal.asMediaRecords(Tables.documentsParallel(spark, dir))
+        .select(col("doc_id"), hex(col("payload")).as("hx"),
+          octet_length(col("payload")).as("nb"))
+        .where(col("nb") >= 32)
+        .select(col("doc_id"), col("nb"),
+          explode(sequence(lit(0L), expr("(nb - 32) div 16"))).as("frame_idx"),
+          col("hx"))
+        .select(col("doc_id"), col("frame_idx"),
+          md5(expr("substring(hx, CAST(frame_idx * 32 + 1 AS INT), 64)"))
+            .as("frame_digest"))
+        .orderBy("doc_id", "frame_idx")
+    },
     // Cross-document duplicated spans: 32-char windows (stride 8) hashed
     // per document; a window is "duplicated" when the same hash occurs in
     // ≥ 2 distinct documents. Positions explode from a cheap integer
@@ -476,6 +516,40 @@ object AnalyticsQueries {
          |    / $P60
          |  < least(CAST(n_chars AS DOUBLE) / 600.0, 1.0)
          |ORDER BY doc_id""".stripMargin,
+    "cm1_countmin" ->
+      """WITH ev AS (
+        |  SELECT user_id FROM events
+        |), cells AS (
+        |  SELECT user_id, g.r,
+        |    ('0x' || substr(md5(g.r || ':' || user_id), 1, 15))::BIGINT % 64 AS b
+        |  FROM ev, UNNEST(generate_series(0, 3)) AS g(r)
+        |), sketch AS (
+        |  SELECT r, b, COUNT(*) AS cnt FROM cells GROUP BY 1, 2
+        |), ub AS (
+        |  SELECT DISTINCT user_id, r, b FROM cells
+        |), est AS (
+        |  SELECT ub.user_id, min(s.cnt) AS cm_est
+        |  FROM ub JOIN sketch s ON s.r = ub.r AND s.b = ub.b
+        |  GROUP BY 1
+        |), truth AS (
+        |  SELECT user_id, COUNT(*) AS true_n FROM ev GROUP BY 1
+        |)
+        |SELECT t.user_id, t.true_n, e.cm_est
+        |FROM truth t JOIN est e ON e.user_id = t.user_id
+        |ORDER BY t.user_id""".stripMargin,
+    "m3_frame_digests" ->
+      """WITH m AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, g.i AS frame_idx, hx
+        |  FROM m, UNNEST(generate_series(0, (nb - 32) // 16)) AS g(i)
+        |  WHERE nb >= 32
+        |)
+        |SELECT doc_id, frame_idx,
+        |  md5(substr(hx, CAST(frame_idx * 32 + 1 AS INTEGER), 64)) AS frame_digest
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "d9_levenshtein" ->
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist,

@@ -70,6 +70,15 @@ class PortableHashSpec extends SparkSpec {
     assert(out(2)._2 === 0L)
   }
 
+  test("count-min estimates never undercount (sketch invariant)") {
+    val out = graft.queries.AnalyticsQueries.queries("cm1_countmin")(
+      spark, sf0001).collect()
+      .map(r => (r.getLong(1), r.getLong(2))) // (true_n, cm_est)
+    assert(out.nonEmpty)
+    assert(out.forall { case (t, e) => e >= t },
+      s"count-min undercounted: ${out.find { case (t, e) => e < t }}")
+  }
+
   test("weighted sampling keeps short docs at lower rate than long docs") {
     val docs = (1L to 400L).map(i => (i, if (i % 2 == 0) 50L else 550L))
       .toDF("doc_id", "n_chars")
