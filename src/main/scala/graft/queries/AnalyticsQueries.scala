@@ -249,6 +249,55 @@ object AnalyticsQueries {
         "repeat(c_mktsegment, 2) AS seg2",
       ).orderBy("c_custkey")
     },
+    // Recursive CTE (Spark 4) — transitive closure over the consecutive-
+    // pair near-dup chain graph, the same clustering d6 computes with
+    // pointer jumping. Anchor = chain heads (no incoming edge); step
+    // follows edges forward carrying the root. Both engines run the
+    // recursion natively.
+    "r1_recursive_closure" -> { (spark, dir) =>
+      val docs = Tables.documentsParallel(spark, dir)
+      val ws = graft.operators.TextAnalysis.words(col("text"))
+      val bigrams = array_distinct(transform(
+        sequence(lit(0), size(col("w")) - 2),
+        i => concat(element_at(col("w"), i + 1), lit(" "), element_at(col("w"), i + 2)),
+      ))
+      val side = docs.select(col("doc_id"), ws.as("w"))
+        .where(size(col("w")) >= 2)
+        .select(col("doc_id"), bigrams.as("bg"))
+      val a = side.select(col("doc_id").as("doc_a"), col("bg").as("bg_a"))
+      val b = side.select(col("doc_id").as("doc_b"), col("bg").as("bg_b"))
+      a.join(b, col("doc_b") === col("doc_a") + 1)
+        .where(size(array_intersect(col("bg_a"), col("bg_b"))).cast(DoubleType) /
+          size(array_union(col("bg_a"), col("bg_b"))) >= 0.05)
+        .select(col("doc_a"), col("doc_b"))
+        .createOrReplaceTempView("edges_r1")
+      docs.select(col("doc_id")).createOrReplaceTempView("docs_r1")
+      spark.sql(
+        """WITH RECURSIVE r(doc_id, cluster_root) AS (
+          |  SELECT d.doc_id, d.doc_id FROM docs_r1 d
+          |  WHERE NOT EXISTS (SELECT 1 FROM edges_r1 e WHERE e.doc_b = d.doc_id)
+          |  UNION ALL
+          |  SELECT e.doc_b, r.cluster_root
+          |  FROM r JOIN edges_r1 e ON e.doc_a = r.doc_id
+          |)
+          |SELECT doc_id, cluster_root FROM r ORDER BY doc_id""".stripMargin)
+    },
+    // Cross join (explicit Cartesian surface).
+    "j9_cross_join" -> { (spark, dir) =>
+      Tables.region(spark, dir).select("r_name")
+        .crossJoin(Tables.nation(spark, dir).select("n_name"))
+        .orderBy("r_name", "n_name")
+    },
+    // NOT IN subquery — the null-aware anti join operator.
+    "j10_not_in" -> { (spark, dir) =>
+      Tables.customer(spark, dir).createOrReplaceTempView("customer_j10")
+      Tables.nation(spark, dir).createOrReplaceTempView("nation_j10")
+      spark.sql(
+        """SELECT c_custkey, c_nationkey FROM customer_j10
+          |WHERE c_nationkey NOT IN
+          |  (SELECT n_nationkey FROM nation_j10 WHERE n_regionkey IN (2, 3))
+          |ORDER BY c_custkey""".stripMargin)
+    },
     // Count-Min sketch over the portable hash family: d=4 rows × w=64
     // buckets of event counts per user, plus the point estimate
     // (min over rows) next to the true count. Construction is exact
@@ -516,6 +565,35 @@ object AnalyticsQueries {
          |    / $P60
          |  < least(CAST(n_chars AS DOUBLE) / 600.0, 1.0)
          |ORDER BY doc_id""".stripMargin,
+    "r1_recursive_closure" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1])) AS bg
+        |  FROM toks WHERE len(w) >= 2
+        |), edges AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+        |  WHERE CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.bg, b.bg))) >= 0.05
+        |), r(doc_id, cluster_root) AS (
+        |  SELECT d.doc_id, d.doc_id FROM documents d
+        |  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.doc_b = d.doc_id)
+        |  UNION ALL
+        |  SELECT e.doc_b, r.cluster_root
+        |  FROM r JOIN edges e ON e.doc_a = r.doc_id
+        |)
+        |SELECT doc_id, cluster_root FROM r ORDER BY doc_id""".stripMargin,
+    "j9_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "j10_not_in" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE c_nationkey NOT IN
+        |  (SELECT n_nationkey FROM nation WHERE n_regionkey IN (2, 3))
+        |ORDER BY c_custkey""".stripMargin,
     "cm1_countmin" ->
       """WITH ev AS (
         |  SELECT user_id FROM events

@@ -79,6 +79,22 @@ class PortableHashSpec extends SparkSpec {
       s"count-min undercounted: ${out.find { case (t, e) => e < t }}")
   }
 
+  test("recursive-CTE closure agrees with pointer-jumping connected components") {
+    // Two independent algorithms over the same chain graph must assign
+    // identical cluster roots (r1: WITH RECURSIVE; d6: iterative
+    // min-label propagation).
+    val sf = sf0001
+    val r1 = graft.queries.AnalyticsQueries.queries("r1_recursive_closure")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d6 = graft.queries.ExtensionQueries.queries("d6_dedup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1.size === d6.size)
+    assert(r1 === d6, {
+      val diff = r1.collect { case (k, v) if d6.get(k) != Some(v) => (k, v, d6.get(k)) }
+      s"first diffs: ${diff.take(5).toSeq}"
+    })
+  }
+
   test("weighted sampling keeps short docs at lower rate than long docs") {
     val docs = (1L to 400L).map(i => (i, if (i % 2 == 0) 50L else 550L))
       .toDF("doc_id", "n_chars")
