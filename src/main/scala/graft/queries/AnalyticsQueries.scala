@@ -298,6 +298,22 @@ object AnalyticsQueries {
           |  (SELECT n_nationkey FROM nation_j10 WHERE n_regionkey IN (2, 3))
           |ORDER BY c_custkey""".stripMargin)
     },
+    // Higher-order-function surface over array columns: filter/transform/
+    // aggregate/exists stay inside codegen (no UDFs). Quantized exact-
+    // integer arithmetic keeps every output engine-portable.
+    "h1_hof_surface" -> { (spark, dir) =>
+      val q = transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * lit(1048576.0)).cast(LongType))
+      Tables.embeddings(spark, dir)
+        .select(
+          col("vec_id"),
+          size(filter(col("embedding"), x => x > lit(0.0f))).as("n_pos"),
+          aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
+          array_max(q).as("q_max"),
+          exists(col("embedding"), x => x < lit(-0.5f)).as("has_strong_neg"),
+        )
+        .orderBy("vec_id")
+    },
     // Count-Min sketch over the portable hash family: d=4 rows × w=64
     // buckets of event counts per user, plus the point estimate
     // (min over rows) next to the true count. Construction is exact
@@ -594,6 +610,19 @@ object AnalyticsQueries {
         |WHERE c_nationkey NOT IN
         |  (SELECT n_nationkey FROM nation WHERE n_regionkey IN (2, 3))
         |ORDER BY c_custkey""".stripMargin,
+    "h1_hof_surface" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qe
+        |  FROM embeddings
+        |)
+        |SELECT vec_id,
+        |  CAST(len(list_filter(embedding, x -> x > 0.0)) AS INTEGER) AS n_pos,
+        |  CAST(list_sum(qe) AS BIGINT) AS q_sum,
+        |  list_max(qe) AS q_max,
+        |  len(list_filter(embedding, x -> x < -0.5)) > 0 AS has_strong_neg
+        |FROM q ORDER BY vec_id""".stripMargin,
     "cm1_countmin" ->
       """WITH ev AS (
         |  SELECT user_id FROM events
