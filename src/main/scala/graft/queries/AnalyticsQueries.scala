@@ -266,10 +266,14 @@ object AnalyticsQueries {
         .select(col("doc_id"), bigrams.as("bg"))
       val a = side.select(col("doc_id").as("doc_a"), col("bg").as("bg_a"))
       val b = side.select(col("doc_id").as("doc_b"), col("bg").as("bg_b"))
+      // The recursion re-evaluates its referenced plans every step;
+      // checkpoint the loop-invariant edge set once (tiny: ≤ one row per
+      // doc) instead of recomputing the bigram join per iteration.
       a.join(b, col("doc_b") === col("doc_a") + 1)
         .where(size(array_intersect(col("bg_a"), col("bg_b"))).cast(DoubleType) /
           size(array_union(col("bg_a"), col("bg_b"))) >= 0.05)
         .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(eager = true)
         .createOrReplaceTempView("edges_r1")
       docs.select(col("doc_id")).createOrReplaceTempView("docs_r1")
       spark.sql(
