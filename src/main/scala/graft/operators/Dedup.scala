@@ -326,7 +326,13 @@ object Dedup {
     * `minJaccard` form chain edges; components collapse the chains.
     * Output adds `is_kept` — the canonical keep-lowest-id decision.
     */
-  def nearDupClusters(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+  /** Consecutive-pair bigram-Jaccard edges — the oracle-checkable chain
+    * graph shared by the clustering variants (d6 pointer jumping, r1
+    * recursive CTE): an edge (doc_id, doc_id+1) exists when the pair's
+    * bigram Jaccard clears `minJaccard`. One definition, so a threshold
+    * or tokenization change can never desynchronize the two algorithms.
+    */
+  def consecutiveBigramEdges(docs: DataFrame, minJaccard: Double): DataFrame = {
     val ws = TextAnalysis.words(col("text"))
     val bigrams = array_distinct(transform(
       sequence(lit(0), size(col("w")) - 2),
@@ -336,13 +342,18 @@ object Dedup {
       .select(col("doc_id"), ws.as("w"))
       .where(size(col("w")) >= 2)
       .select(col("doc_id"), bigrams.as("bg"))
-    val a = side.select(col("doc_id").as("a"), col("bg").as("bg_a"))
-    val b = side.select(col("doc_id").as("b"), col("bg").as("bg_b"))
-    val edges = a.join(b, col("b") === col("a") + 1)
+    val a = side.select(col("doc_id").as("doc_a"), col("bg").as("bg_a"))
+    val b = side.select(col("doc_id").as("doc_b"), col("bg").as("bg_b"))
+    a.join(b, col("doc_b") === col("doc_a") + 1)
       .where(
         (size(array_intersect(col("bg_a"), col("bg_b"))).cast(DoubleType) /
           size(array_union(col("bg_a"), col("bg_b")))) >= minJaccard)
-      .select(col("a"), col("b"))
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  def nearDupClusters(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val edges = consecutiveBigramEdges(docs, minJaccard)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
     clusterAndKeep(docs, edges)
   }
 }

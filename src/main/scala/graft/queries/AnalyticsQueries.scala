@@ -256,23 +256,10 @@ object AnalyticsQueries {
     // recursion natively.
     "r1_recursive_closure" -> { (spark, dir) =>
       val docs = Tables.documentsParallel(spark, dir)
-      val ws = graft.operators.TextAnalysis.words(col("text"))
-      val bigrams = array_distinct(transform(
-        sequence(lit(0), size(col("w")) - 2),
-        i => concat(element_at(col("w"), i + 1), lit(" "), element_at(col("w"), i + 2)),
-      ))
-      val side = docs.select(col("doc_id"), ws.as("w"))
-        .where(size(col("w")) >= 2)
-        .select(col("doc_id"), bigrams.as("bg"))
-      val a = side.select(col("doc_id").as("doc_a"), col("bg").as("bg_a"))
-      val b = side.select(col("doc_id").as("doc_b"), col("bg").as("bg_b"))
       // The recursion re-evaluates its referenced plans every step;
       // checkpoint the loop-invariant edge set once (tiny: ≤ one row per
       // doc) instead of recomputing the bigram join per iteration.
-      a.join(b, col("doc_b") === col("doc_a") + 1)
-        .where(size(array_intersect(col("bg_a"), col("bg_b"))).cast(DoubleType) /
-          size(array_union(col("bg_a"), col("bg_b"))) >= 0.05)
-        .select(col("doc_a"), col("doc_b"))
+      Dedup.consecutiveBigramEdges(docs, minJaccard = 0.05)
         .localCheckpoint(eager = true)
         .createOrReplaceTempView("edges_r1")
       docs.select(col("doc_id")).createOrReplaceTempView("docs_r1")
@@ -312,7 +299,9 @@ object AnalyticsQueries {
         .select(
           col("vec_id"),
           size(filter(col("embedding"), x => x > lit(0.0f))).as("n_pos"),
-          aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
+          // NULL for empty arrays, matching DuckDB list_sum([]) = NULL
+          when(size(col("embedding")) > 0,
+            aggregate(q, lit(0L), (acc, x) => acc + x)).as("q_sum"),
           array_max(q).as("q_max"),
           exists(col("embedding"), x => x < lit(-0.5f)).as("has_strong_neg"),
         )
@@ -327,17 +316,23 @@ object AnalyticsQueries {
     "cm1_countmin" -> { (spark, dir) =>
       val d = 4
       val w = 64
-      val ev = Tables.events(spark, dir).select(col("user_id"))
-      val cells = ev
+      // One pass hashes each event d times and reduces to per-(user, r, b)
+      // counts; the sketch, the user→bucket list, and the true counts all
+      // derive from that one tiny aggregate (hashing the events table
+      // twice would dominate the query's cost).
+      val perUserCell = Tables.events(spark, dir).select(col("user_id"))
         .select(col("user_id"), explode(sequence(lit(0), lit(d - 1))).as("r"))
         .select(col("user_id"), col("r"),
           pmod(Dedup.portableHash60(concat(col("r"), lit(":"), col("user_id"))),
             lit(w.toLong)).as("b"))
-      val sketch = cells.groupBy("r", "b").agg(count(lit(1)).as("cnt"))
-      val userBuckets = cells.distinct()
-      val est = userBuckets.join(sketch, Seq("r", "b"))
+        .groupBy("user_id", "r", "b").agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = false)
+      val sketch = perUserCell.groupBy("r", "b").agg(sum(col("c")).as("cnt"))
+      val est = perUserCell.select(col("user_id"), col("r"), col("b"))
+        .join(sketch, Seq("r", "b"))
         .groupBy("user_id").agg(min(col("cnt")).as("cm_est"))
-      val truth = ev.groupBy("user_id").agg(count(lit(1)).as("true_n"))
+      val truth = perUserCell.where(col("r") === 0)
+        .select(col("user_id"), col("c").as("true_n"))
       truth.join(est, Seq("user_id")).orderBy("user_id")
     },
     // Multimodal frame sampling plumbing: the binary payload is cut into

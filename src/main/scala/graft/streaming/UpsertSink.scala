@@ -26,36 +26,55 @@ import org.apache.spark.sql.functions._
   */
 object UpsertSink {
 
-  private def versionDirs(tableDir: String): Seq[(Int, String)] = {
+  /** Committed versions as (version, batchId, dir). Version dirs are named
+    * `v<version>-b<batchId>`; the commit marker is Spark's _SUCCESS file.
+    */
+  private def versionDirs(tableDir: String): Seq[(Int, Long, String)] = {
     val p = Paths.get(tableDir)
     if (!Files.isDirectory(p)) return Seq.empty
     val listing = Files.list(p)
     val vs =
       try listing.toArray.toSeq.map(_.toString)
       finally listing.close()
-    vs.filter(d => d.split('/').last.matches("v\\d+"))
-      .filter(d => Files.exists(Paths.get(d, "_SUCCESS")))
-      .map(d => d.split('/').last.drop(1).toInt -> d).sortBy(_._1)
+    val V = "v(\\d+)-b(\\d+)".r
+    vs.flatMap { d =>
+      Paths.get(d).getFileName.toString match {
+        case V(v, b) if Files.exists(Paths.get(d, "_SUCCESS")) =>
+          Some((v.toInt, b.toLong, d))
+        case _ => None
+      }
+    }.sortBy(_._1)
   }
 
   /** Highest committed snapshot, or None before the first batch. */
   def loadSnapshot(spark: SparkSession, tableDir: String): Option[DataFrame] =
-    versionDirs(tableDir).lastOption.map { case (_, d) => spark.read.parquet(d) }
+    versionDirs(tableDir).lastOption.map { case (_, _, d) => spark.read.parquet(d) }
 
-  /** Latest row per key within one batch: max ts, event_id tiebreak. */
-  private[streaming] def latestPerKey(batch: DataFrame, keyCols: Seq[String]): DataFrame = {
+  /** Latest row per key within one batch: max event time, id tiebreak. */
+  private[streaming] def latestPerKey(
+      batch: DataFrame, keyCols: Seq[String],
+      tsCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("ts_sec").desc, col("event_id").desc)
+      .orderBy(col(tsCol).desc, col(idCol).desc)
     batch.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
   }
 
-  /** The foreachBatch body: merge this batch into the next version. */
-  def mergeBatch(tableDir: String, keyCols: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
+  /** The foreachBatch body: merge this batch into the next version.
+    * Replays are detected by batchId (after a crash between snapshot
+    * commit and checkpoint offset commit, foreachBatch re-delivers the
+    * same batchId) and skipped — the committed snapshot already contains
+    * the batch, so idempotence holds at the version level too.
+    */
+  def mergeBatch(tableDir: String, keyCols: Seq[String],
+      tsCol: String = "ts_sec", idCol: String = "event_id")(
+      batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val reduced = latestPerKey(batch, keyCols)
-    val next = versionDirs(tableDir).lastOption match {
-      case Some((v, dir)) =>
+    val last = versionDirs(tableDir).lastOption
+    if (last.exists(_._2 >= batchId)) return // replay of a committed batch
+    val reduced = latestPerKey(batch, keyCols, tsCol, idCol)
+    val next = last match {
+      case Some((v, _, dir)) =>
         val current = spark.read.parquet(dir)
         // upsert emits key-first column order; align the batch to the
         // snapshot so the merge is order-stable across versions
@@ -63,7 +82,7 @@ object UpsertSink {
         (v + 1, Upsert.upsert(current, aligned, keyCols))
       case None => (0, reduced)
     }
-    next._2.write.mode("overwrite").parquet(s"$tableDir/v${next._1}")
+    next._2.write.mode("overwrite").parquet(s"$tableDir/v${next._1}-b$batchId")
   }
 
   /** Run a stream of events into the versioned table; returns the final
@@ -74,11 +93,13 @@ object UpsertSink {
       tableDir: String,
       keyCols: Seq[String],
       checkpointDir: String,
+      tsCol: String = "ts_sec",
+      idCol: String = "event_id",
   ): DataFrame = {
     val q = events.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(mergeBatch(tableDir, keyCols) _)
+      .foreachBatch(mergeBatch(tableDir, keyCols, tsCol, idCol) _)
       .start()
     try q.processAllAvailable()
     finally q.stop()

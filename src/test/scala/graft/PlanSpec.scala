@@ -62,7 +62,7 @@ class PlanSpec extends SparkSpec {
 
   test("j8_snowflake_join: dimension chain broadcasts; revenue aggregates map-side") {
     val df = q("j8_snowflake_join")
-    df.count() // let AQE finalize
+    df.collect() // executes THIS QueryExecution, so AQE finalizes df's own plan
     val plan = planString(df)
     assert(plan.contains("BroadcastHashJoin"), plan.take(500))
     assert(plan.contains("partial_sum"), plan.take(500))
@@ -79,8 +79,14 @@ class PlanSpec extends SparkSpec {
     // frame is re-evaluated from scratch per row by WindowExec.
     val plan = planString(q("ts2_interpolate"))
     assert(plan.contains("specifiedwindowframe"), plan.take(500))
-    assert(!plan.contains("currentrow$(), unboundedfollowing$()"),
-      s"shrinking frame found:\n${plan.take(800)}")
+    // Any frame ENDING at UnboundedFollowing that doesn't also START at
+    // UnboundedPreceding shrinks as rows advance — the O(n²) class; the
+    // full-partition (unboundedpreceding, unboundedfollowing) form is the
+    // only constant-per-partition exception.
+    val shrinking = plan
+      .replace("unboundedpreceding$(), unboundedfollowing$()", "FULLFRAME")
+      .contains("unboundedfollowing$()")
+    assert(!shrinking, s"shrinking frame found:\n${plan.take(800)}")
   }
 
   test("partition pruning: a partition predicate reads only matching dirs' files") {

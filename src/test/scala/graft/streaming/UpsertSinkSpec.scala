@@ -49,8 +49,26 @@ class UpsertSinkSpec extends SparkSpec {
       (3L, 4L, "d", 4.0),
     ))
     // three committed versions exist (one per non-empty batch)
-    val vs = new java.io.File(tableDir).list().count(_.matches("v\\d+"))
+    val vs = new java.io.File(tableDir).list().count(_.matches("v\\d+-b\\d+"))
     assert(vs === 3, s"expected 3 snapshot versions, got $vs")
+  }
+
+  test("crash-replay of a committed batch is skipped (no duplicate version)") {
+    val tableDir = tmp("upsert-table3")
+    val batch = Seq((1L, 1L, "a", 1.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts_sec", timestamp_seconds(col("event_id") * 60))
+    UpsertSink.mergeBatch(tableDir, Seq("user_id"))(batch, 0L)
+    // foreachBatch re-delivers batch 0 after a crash before the offset
+    // commit: the snapshot already contains it, so nothing may change
+    UpsertSink.mergeBatch(tableDir, Seq("user_id"))(batch, 0L)
+    val vs = new java.io.File(tableDir).list().count(_.matches("v\\d+-b\\d+"))
+    assert(vs === 1, s"replayed batch must not add a version, got $vs")
+    // a NEW batch still advances the version
+    UpsertSink.mergeBatch(tableDir, Seq("user_id"))(
+      batch.withColumn("event_id", col("event_id") + 1), 1L)
+    val vs2 = new java.io.File(tableDir).list().count(_.matches("v\\d+-b\\d+"))
+    assert(vs2 === 2)
   }
 
   test("runToTable single shot + idle restart adds no version") {
@@ -63,7 +81,7 @@ class UpsertSinkSpec extends SparkSpec {
     assert(snap.count() === 1)
     // second run from the same checkpoint: no new data ⇒ no new version
     UpsertSink.runToTable(stream(mem), tableDir, Seq("user_id"), ckpt)
-    val vs = new java.io.File(tableDir).list().count(_.matches("v\\d+"))
+    val vs = new java.io.File(tableDir).list().count(_.matches("v\\d+-b\\d+"))
     assert(vs === 1, s"expected 1 snapshot version after idle restart, got $vs")
   }
 }
