@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.{Dedup, EventAnalytics, Multimodal, TimeSeries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -288,6 +289,27 @@ object AnalyticsQueries {
           |WHERE c_nationkey NOT IN
           |  (SELECT n_nationkey FROM nation_j10 WHERE n_regionkey IN (2, 3))
           |ORDER BY c_custkey""".stripMargin)
+    },
+    // Trimmed mean (5%..95%): robust aggregation by rank bounds — the
+    // same exact-integer rank arithmetic as a12, decimal-exact sum, one
+    // double division written identically on both engines.
+    "a18_trimmed_mean" -> { (spark, dir) =>
+      val byFlag = Window.partitionBy("l_returnflag")
+      val ranked = Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          row_number().over(byFlag.orderBy("l_extendedprice")).as("rn"),
+          count(lit(1)).over(byFlag).as("n"))
+      ranked
+        .where(col("rn") > expr("(5L * n) div 100L") &&
+          col("rn") <= expr("(95L * n) div 100L"))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_kept"),
+          (sum(col("l_extendedprice").cast(DecimalType(20, 4))).cast(DoubleType) /
+            count(lit(1))).as("trimmed_mean"),
+        )
+        .orderBy("l_returnflag")
     },
     // Higher-order-function surface over array columns: filter/transform/
     // aggregate/exists stay inside codegen (no UDFs). Quantized exact-
@@ -609,6 +631,20 @@ object AnalyticsQueries {
         |WHERE c_nationkey NOT IN
         |  (SELECT n_nationkey FROM nation WHERE n_regionkey IN (2, 3))
         |ORDER BY c_custkey""".stripMargin,
+    "a18_trimmed_mean" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY l_extendedprice) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem
+        |)
+        |SELECT l_returnflag, COUNT(*) AS n_kept,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE)
+        |    / COUNT(*) AS trimmed_mean
+        |FROM ranked
+        |WHERE rn > (5 * n) // 100 AND rn <= (95 * n) // 100
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "h1_hof_surface" ->
       """WITH q AS (
         |  SELECT vec_id, embedding,
