@@ -49,6 +49,49 @@ class TimeSeriesSpec extends SparkSpec {
       (1, 30.0), (1, 6.0), (0, 18.0), (0, 30.0), (1, 42.0)))
   }
 
+  test("property: random sparse series — dense spine, LOCF and bounded interpolation") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 3) {
+      // ~3 users, observations scattered over ~200 hours with big holes
+      val rows = (0 until 80).map { i =>
+        val user = 1L + rnd.nextInt(3)
+        val hour = rnd.nextInt(200)
+        val minute = rnd.nextInt(60)
+        (i.toLong + trial * 1000, user,
+          f"2024-02-0${1 + hour / 24}%s ${hour % 24}%02d:$minute%02d:00",
+          rnd.nextDouble() * 100)
+      }
+      val events = rows.toDF("event_id", "user_id", "s", "value")
+        .select(col("event_id"), col("user_id"),
+          to_timestamp(col("s")).as("ts_sec"), col("value"))
+
+      val filled = TimeSeries.gapFillForward(events)
+        .orderBy("user_id", "hr").collect()
+      val interp = TimeSeries.interpolateLinear(events)
+        .orderBy("user_id", "hr").collect()
+      assert(filled.length === interp.length)
+
+      val byUser = filled.groupBy(_.getLong(0))
+      for ((_, rs) <- byUser) {
+        // spine is dense: consecutive hours, no gaps or duplicates
+        val hrs = rs.map(_.getTimestamp(1).getTime)
+        assert(hrs.sliding(2).forall {
+          case Array(a, b) => b - a == 3600000L
+          case _ => true
+        }, "spine not hourly-dense")
+        // LOCF: v_fill never null (first spine hour is an observation)
+        assert(rs.forall(!_.isNullAt(3)), "v_fill null after first observation")
+      }
+      // interpolated values are bounded by the surrounding observations'
+      // global range (linear interpolation can't extrapolate)
+      val actuals = interp.filter(_.getInt(2) == 1).map(_.getDouble(3))
+      val (lo, hi) = (actuals.min, actuals.max)
+      assert(interp.forall { r =>
+        val v = r.getDouble(3); v >= lo - 1e-9 && v <= hi + 1e-9
+      }, "interpolation escaped the observed range")
+    }
+  }
+
   test("trailingWindow: RANGE frame spans exactly the trailing hour") {
     val out = TimeSeries.trailingWindow(ev, 3600L)
       .where(col("user_id") === 1L)
