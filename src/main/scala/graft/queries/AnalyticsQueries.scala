@@ -380,12 +380,16 @@ object AnalyticsQueries {
     // ≥ 2 distinct documents. Positions explode from a cheap integer
     // sequence; the substring+md5 evaluate per exploded row (post-shuffle).
     "sd1_dup_spans" -> { (spark, dir) =>
+      // wins feeds both the per-hash doc counts and the join probe; pin it
+      // once (doc_id + 32-hex digest ≈ 40 B/row) so the scan + substring
+      // + md5 pipeline doesn't execute twice.
       val wins = Tables.documentsParallel(spark, dir)
         .where(col("n_chars") >= 32)
         .select(col("doc_id"), col("text"),
           explode(sequence(lit(1L), col("n_chars") - 31, lit(8L))).as("p"))
         .select(col("doc_id"),
           md5(expr("substring(text, CAST(p AS INT), 32)")).as("h"))
+        .localCheckpoint(eager = false)
       val byHash = wins.groupBy("h")
         .agg(countDistinct(col("doc_id")).as("nd"))
       wins.join(byHash, Seq("h"))
