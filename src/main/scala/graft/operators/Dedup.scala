@@ -338,6 +338,12 @@ object Dedup {
       sequence(lit(0), size(col("w")) - 2),
       i => concat(element_at(col("w"), i + 1), lit(" "), element_at(col("w"), i + 2)),
     ))
+    // NOTE: both halves of the self-join read `side` (the bigram pipeline
+    // evaluates twice). Pinning it with localCheckpoint was measured
+    // SLOWER for d6 (3.0 s → 6.9 s at sf0.1 — the materialized wide
+    // bigram arrays outweigh the recompute, and the CC loop's own
+    // checkpoints already bound its lineage); callers that reuse the
+    // EDGES output across iterations pin that instead (r1).
     val side = docs
       .select(col("doc_id"), ws.as("w"))
       .where(size(col("w")) >= 2)
