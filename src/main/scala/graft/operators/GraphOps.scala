@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph-shape analytics over relational edge lists: co-occurrence graph
+  * construction and triangle / wedge census (the global clustering
+  * coefficient's two ingredients). Near-dup corpora, entity linkage, and
+  * co-citation structure all reduce to this shape.
+  *
+  * Scale posture:
+  *  - the vocabulary is CAPPED (topK) before any pairing, so the per-doc
+  *    pair fanout is bounded by topK·(topK−1)/2 regardless of corpus
+  *    size, and the top-terms table broadcasts;
+  *  - triangle counting is the standard two-join ordered-edge plan
+  *    (a<b<c): each join keys on a node id, so it sort-merge-joins and
+  *    never materializes open wedges for non-edges;
+  *  - output metrics are exact BIGINTs.
+  */
+object GraphOps {
+
+  /** Undirected co-occurrence edges (ta < tb) between the corpus's `topK`
+    * most frequent tokens, kept when the pair co-occurs in at least
+    * `minCo` distinct documents.
+    */
+  def termCooccurrenceEdges(docs: DataFrame, topK: Int, minCo: Long): DataFrame = {
+    val top = docs
+      .select(explode(TextAnalysis.words(col("text"))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(topK)
+      .select("term")
+    val docTerm = docs
+      .select(col("doc_id"), explode(array_distinct(TextAnalysis.words(col("text")))).as("term"))
+      .join(broadcast(top), Seq("term"))
+    docTerm.select(col("doc_id"), col("term").as("ta"))
+      .join(docTerm.select(col("doc_id"), col("term").as("tb")), Seq("doc_id"))
+      .where(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minCo)
+      .select("ta", "tb")
+  }
+
+  /** Global graph census over an ordered edge list (a < b): node count,
+    * edge count, wedge count (Σ deg·(deg−1)/2 — open two-paths), triangle
+    * count (ordered two-join), and the 2^20-quantized global clustering
+    * coefficient 3·triangles/wedges.
+    */
+  def triangleCensus(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("ta").as("a"), col("tb").as("b")).localCheckpoint(eager = false)
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val nodes = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1L) div 2L")).cast("long").as("n_wedges"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nodes.crossJoin(nEdges).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          floor(lit(3.0) * col("n_triangles") / col("n_wedges") * lit(1048576.0))
+            .cast("long")).as("clustering_q"))
+  }
+}

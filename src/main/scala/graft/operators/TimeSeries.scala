@@ -117,4 +117,71 @@ object TimeSeries {
         sum(col("vdec")).over(w).cast(DoubleType).as("mv_sum"),
       )
   }
+
+  /** Robust (IQR-fence) outlier detection per event_type: flag values
+    * outside [q1 − fence·IQR, q3 + fence·IQR], with the quartiles picked
+    * DISCRETELY by exact rank arithmetic (rank k = (p·n + 99) div 100 —
+    * the a12 pattern) over the 2^20-quantized value. Every number in the
+    * decision is a BIGINT, so the fence comparison is bit-identical across
+    * engines — no stddev, no float division.
+    *
+    * Scale posture: one window sort per event_type partition (the same
+    * sort serves rank + quartile lookup), one tiny per-group bounds row
+    * broadcast back onto the ranked rows. Skewed event_type cardinality
+    * is the salting escalation path (Skew.saltedSumCount), not needed at
+    * the grain here (~handful of types).
+    */
+  def iqrOutliers(events: DataFrame, fence: Long = 3L): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    val ranked = events
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * lit(1048576.0)).cast(LongType).as("q"))
+      .select(col("event_id"), col("event_type"), col("q"),
+        row_number().over(byType.orderBy("q", "event_id")).as("rn"),
+        count(lit(1)).over(byType).as("n"))
+    val bounds = ranked
+      .groupBy("event_type")
+      .agg(
+        min(when(col("rn") === expr("(25L * n + 99L) div 100L"), col("q"))).as("q1"),
+        min(when(col("rn") === expr("(75L * n + 99L) div 100L"), col("q"))).as("q3"),
+      )
+      .select(col("event_type"),
+        (col("q1") - lit(fence) * (col("q3") - col("q1"))).as("lo"),
+        (col("q3") + lit(fence) * (col("q3") - col("q1"))).as("hi"))
+    ranked
+      .join(broadcast(bounds), Seq("event_type"))
+      .where(col("q") < col("lo") || col("q") > col("hi"))
+      .select(col("event_id"), col("event_type"), col("q"), col("lo"), col("hi"))
+  }
+
+  /** Exact exponentially-weighted moving average (α = 1/2) over each
+    * user's last `span` events: emitted as an integer numerator /
+    * denominator pair (num = Σ qᵢ·2^(span−1−dᵢ), den = Σ 2^(span−1−dᵢ),
+    * q = 2^20-quantized value, d = distance in rows), so the result is
+    * exact and engine-portable — the caller divides when it wants a float.
+    *
+    * The sequential-looking recurrence is recast relationally: each row
+    * CONTRIBUTES to its next `span` successors via a bounded explode
+    * (linear ×span, no per-user quadratic self-join), then one aggregate
+    * on (user, target row) collects each row's window. Both shuffles key
+    * on user_id, so AQE plans them back-to-back on the same partitioning.
+    */
+  def ewmaExact(events: DataFrame, span: Int = 16): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    val ranked = events
+      .select(col("user_id"), col("event_id"), col("ts_sec"),
+        floor(col("value") * lit(1048576.0)).cast(LongType).as("q"))
+      .withColumn("rn", row_number().over(byUser))
+    val contrib = ranked
+      .select(col("user_id"), col("q"), col("rn"),
+        explode(sequence(lit(0), lit(span - 1))).as("d"))
+      .select(col("user_id"), (col("rn") + col("d")).as("rn"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), ${span - 1} - d)").as("w"),
+        col("q"))
+      .groupBy("user_id", "rn")
+      .agg(sum(col("q") * col("w")).as("ewma_num"), sum(col("w")).as("ewma_den"))
+    ranked
+      .join(contrib, Seq("user_id", "rn"))
+      .select(col("user_id"), col("event_id"), col("ewma_num"), col("ewma_den"))
+  }
 }

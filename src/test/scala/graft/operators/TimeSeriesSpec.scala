@@ -104,4 +104,42 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.toSeq === Seq(
       (1L, 10.0), (2L, 30.0), (2L, 26.0), (1L, 42.0)))
   }
+
+  test("iqrOutliers: flags only values beyond the IQR fences") {
+    // 20 values clustered at 10.0 +- small, one extreme spike, one dip.
+    val rows = (1L to 20L).map(i => (i, 1L, "2024-01-01 00:00:00", 10.0 + i * 0.01)) ++
+      Seq((21L, 1L, "2024-01-01 01:00:00", 500.0), // spike
+          (22L, 1L, "2024-01-01 02:00:00", -400.0)) // dip
+    val df = rows.toDF("event_id", "user_id", "s", "value")
+      .select(col("event_id"), lit("tick").as("event_type"),
+        to_timestamp(col("s")).as("ts_sec"), col("value"))
+    val out = TimeSeries.iqrOutliers(df).orderBy("event_id")
+      .select("event_id").collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(21L, 22L))
+  }
+
+  test("ewmaExact matches the brute-force weighted sum, newest weighted highest") {
+    // One user, 20 events, value = event_id (so q = id * 2^20 exactly).
+    val df = (1L to 20L).map(i =>
+      (i, 7L, f"2024-01-01 00:${i}%02d:00", i.toDouble))
+      .toDF("event_id", "user_id", "s", "value")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("s")).as("ts_sec"), col("value"))
+    val got = TimeSeries.ewmaExact(df, span = 16)
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === 20)
+    val q = (1L to 20L).map(_ * 1048576L)
+    for ((row, idx) <- got.zipWithIndex) {
+      val t = idx + 1 // 1-based position
+      val lo = math.max(1, t - 15)
+      val num = (lo to t).map(i => q(i.toInt - 1) * (1L << (15 - (t - i)))).sum
+      val den = (lo to t).map(i => 1L << (15 - (t - i))).sum
+      assert((row._2, row._3) === (num, den), s"row $t")
+    }
+    // newest observation dominates: EWMA at t=20 sits between x19 and x20
+    val (n20, d20) = (got.last._2.toDouble, got.last._3.toDouble)
+    val ewma = n20 / d20 / 1048576.0
+    assert(ewma > 19.0 && ewma < 20.0)
+  }
 }
