@@ -3,7 +3,8 @@ package graft
 import graft.functions.{CosineSimilarity, QuantizedCosine}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions into the SQL function registry, so
@@ -34,6 +35,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "quantized_cosine takes exactly 2 arguments")
         QuantizedCosine(exprs(0), exprs(1))
+      },
+    ))
+    // Catalyst's own semi-join-reduction bloom pair (what the optimizer
+    // injects for runtime filters), exposed as SQL so a pipeline can build
+    // the filter once and ship it to probe-side scans explicitly.
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[BloomFilterAggregate].getName, null, "graft_bloom_agg",
+        "graft_bloom_agg(key[, items[, bits]]) - aggregate keys into a bloom filter binary",
+        "", "", "", "agg_funcs", "1.0.0", "", "built-in"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => new BloomFilterAggregate(c)
+        case Seq(c, n) => new BloomFilterAggregate(c, n)
+        case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_bloom_agg takes 1 to 3 arguments")
+      },
+    ))
+    e.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[BloomFilterMightContain].getName, null, "graft_might_contain",
+        "graft_might_contain(bloom, key) - probe a bloom filter binary (no false negatives)",
+        "", "", "", "predicate_funcs", "1.0.0", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_might_contain takes exactly 2 arguments")
+        BloomFilterMightContain(exprs(0), exprs(1))
       },
     ))
   }

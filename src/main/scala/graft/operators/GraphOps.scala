@@ -65,4 +65,46 @@ object GraphOps {
           floor(lit(3.0) * col("n_triangles") / col("n_wedges") * lit(1048576.0))
             .cast("long")).as("clustering_q"))
   }
+
+  /** Integer-exact PageRank over an undirected edge list (ta, tb),
+    * unrolled for a fixed iteration count with damping 0.85.
+    *
+    * All arithmetic is BIGINT: ranks are scaled by `scale`, each node
+    * splits its rank by floor division across its degree, and the
+    * damping is the floor of 85/100 of the received mass. Sums of longs
+    * are order-independent, so the result is bit-identical on any
+    * engine and any partitioning — no float power iteration to diverge.
+    *
+    * Scale posture: per iteration one join (edges ⋈ ranks, shuffled on
+    * the node id — co-partitioned across iterations since both sides
+    * hash on the same key) and one partial+final aggregate. The
+    * symmetrized edge list and per-node degrees are loop-invariant and
+    * pinned once with localCheckpoint, so iteration i does not replay
+    * the edge construction i times.
+    */
+  def pageRank(edges: DataFrame, iterations: Int,
+               scale: Long = 1000000000000L): DataFrame = {
+    require(scale % 100 == 0, "scale must be divisible by 100")
+    val directed = edges
+      .select(col("ta").as("src"), col("tb").as("dst"))
+      .unionAll(edges.select(col("tb").as("src"), col("ta").as("dst")))
+      .localCheckpoint(eager = true)
+    val withDeg = directed.join(
+      directed.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
+      .localCheckpoint(eager = true)
+    val nodes = directed.select(col("src").as("v")).distinct()
+      .localCheckpoint(eager = true)
+    var pr = nodes.select(col("v"), lit(scale).as("pr"))
+    for (_ <- 1 to iterations) {
+      val contrib = withDeg
+        .join(pr, col("src") === col("v"))
+        .select(col("dst"), expr("pr div outdeg").as("share"))
+        .groupBy("dst").agg(sum(col("share")).as("in_share"))
+      pr = nodes.join(contrib, col("v") === col("dst"), "left")
+        .select(col("v"),
+          (lit(15L * (scale / 100L)) +
+            expr("(85L * coalesce(in_share, 0L)) div 100L")).as("pr"))
+    }
+    pr.select(col("v"), col("pr").as("pr_q"))
+  }
 }

@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{DataQuality, GraphOps, Relevance, TimeSeries}
+import graft.operators.{DataQuality, GraphOps, Relevance, TextAnalysis, TimeSeries}
+import graft.streaming.EventsStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
@@ -135,6 +136,69 @@ object PipelineQueries {
     "dq2_k_anonymity" -> { (spark, dir) =>
       DataQuality.kAnonymity(
         Tables.customer(spark, dir), Seq("c_nationkey", "c_mktsegment"), k = 10)
+    },
+
+    // Integer-exact PageRank (3 unrolled iterations, damping 0.85) over
+    // the capped term co-occurrence graph — same edge definition as
+    // tri1, so the census and the centrality read the same structure.
+    "pr1_pagerank" -> { (spark, dir) =>
+      GraphOps.pageRank(
+        GraphOps.termCooccurrenceEdges(Tables.documentsParallel(spark, dir),
+          topK = 40, minCo = 5L),
+        iterations = 3)
+        .orderBy("v")
+    },
+
+    // Explicit bloom-filter semi-join reduction: build a bloom over the
+    // filtered dimension's keys (one aggregate → one binary scalar),
+    // probe the fact scan with graft_might_contain BEFORE the join, then
+    // join to finalize. Bloom false positives are removed by the real
+    // join, so the result is exactly the plain join — which is the
+    // oracle. At 100 TB this is the pattern that turns a full fact
+    // shuffle into a pre-filtered one when the optimizer's own runtime
+    // filter doesn't fire (cross-stage, cross-job, or cross-system).
+    "x14_bloom_join" -> { (spark, dir) =>
+      Tables.orders(spark, dir).createOrReplaceTempView("orders_x14")
+      Tables.customer(spark, dir).createOrReplaceTempView("customer_x14")
+      spark.sql(
+        """SELECT o.o_orderpriority, COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          |    AS sum_cents
+          |FROM orders_x14 o
+          |JOIN customer_x14 c ON o.o_custkey = c.c_custkey
+          |WHERE graft_might_contain(
+          |    (SELECT graft_bloom_agg(c2.c_custkey, 20000L, 200000L)
+          |     FROM customer_x14 c2 WHERE c2.c_mktsegment = 'BUILDING'),
+          |    o.o_custkey)
+          |  AND c.c_mktsegment = 'BUILDING'
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
+    // Sliding-window streaming aggregate: 2 h windows every 1 h — each
+    // event feeds exactly two windows.
+    "st7_stream_sliding" -> { (spark, dir) =>
+      EventsStream.slidingCounts(spark, dir)
+    },
+
+    // Map-typed column surface: per-document term-frequency maps built
+    // with map_from_entries, then probed/reduced with element_at,
+    // map_values, and map_filter — outputs scalar so the gate stays
+    // portable (the oracle computes the same facts straight from the
+    // (term, cnt) relation).
+    "g5_map_ops" -> { (spark, dir) =>
+      val tf = Tables.documentsParallel(spark, dir)
+        .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("term"))
+        .where(col("term") =!= "")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+      tf.groupBy("doc_id")
+        .agg(map_from_entries(collect_list(struct(col("term"), col("cnt"))))
+          .as("tfm"))
+        .select(col("doc_id"),
+          size(col("tfm")).as("n_distinct_terms"),
+          element_at(col("tfm"), "spark").as("spark_tf"),
+          array_max(map_values(col("tfm"))).as("max_tf"),
+          size(map_filter(col("tfm"), (_, v) => v >= lit(3L))).as("n_repeated"))
+        .orderBy("doc_id")
     },
 
     // URL decomposition via Spark's dedicated parse_url, oracle-checked
@@ -347,6 +411,91 @@ object PipelineQueries {
         |  COUNT(*) AS group_n, COUNT(*) < 10 AS at_risk
         |FROM customer GROUP BY 1, 2
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "pr1_pagerank" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.term
+        |  FROM documents,
+        |    UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS u(term)
+        |  WHERE u.term <> ''
+        |), top AS (
+        |  SELECT term FROM toks GROUP BY 1
+        |  ORDER BY COUNT(*) DESC, term LIMIT 40
+        |), dt AS (
+        |  SELECT DISTINCT doc_id, term FROM toks
+        |  WHERE term IN (SELECT term FROM top)
+        |), e0 AS (
+        |  SELECT a.term AS ta, b.term AS tb
+        |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        |), dir AS (
+        |  SELECT ta AS src, tb AS dst FROM e0
+        |  UNION ALL SELECT tb AS src, ta AS dst FROM e0
+        |), od AS (
+        |  SELECT src, COUNT(*) AS outdeg FROM dir GROUP BY 1
+        |), nodes AS (
+        |  SELECT DISTINCT src AS v FROM dir
+        |), p0 AS (
+        |  SELECT v, CAST(1000000000000 AS BIGINT) AS pr FROM nodes
+        |), c1 AS (
+        |  SELECT d.dst, SUM(p.pr // o.outdeg) AS s
+        |  FROM dir d JOIN od o USING (src) JOIN p0 p ON p.v = d.src GROUP BY 1
+        |), p1 AS (
+        |  SELECT n.v, 150000000000 + (85 * COALESCE(c.s, 0)) // 100 AS pr
+        |  FROM nodes n LEFT JOIN c1 c ON c.dst = n.v
+        |), c2 AS (
+        |  SELECT d.dst, SUM(p.pr // o.outdeg) AS s
+        |  FROM dir d JOIN od o USING (src) JOIN p1 p ON p.v = d.src GROUP BY 1
+        |), p2 AS (
+        |  SELECT n.v, 150000000000 + (85 * COALESCE(c.s, 0)) // 100 AS pr
+        |  FROM nodes n LEFT JOIN c2 c ON c.dst = n.v
+        |), c3 AS (
+        |  SELECT d.dst, SUM(p.pr // o.outdeg) AS s
+        |  FROM dir d JOIN od o USING (src) JOIN p2 p ON p.v = d.src GROUP BY 1
+        |), p3 AS (
+        |  SELECT n.v, 150000000000 + (85 * COALESCE(c.s, 0)) // 100 AS pr
+        |  FROM nodes n LEFT JOIN c3 c ON c.dst = n.v
+        |)
+        |SELECT v, CAST(pr AS BIGINT) AS pr_q FROM p3 ORDER BY v""".stripMargin,
+
+    "x14_bloom_join" ->
+      """SELECT o.o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "st7_stream_sliding" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    date_trunc('hour', date_trunc('second', ts)) AS h,
+        |    CAST(value AS DECIMAL(20,4)) AS vdec
+        |  FROM events
+        |), w AS (
+        |  SELECT event_type, h - g.i * INTERVAL 1 HOUR AS win_start, vdec
+        |  FROM ev, UNNEST(generate_series(0, 1)) AS g(i)
+        |)
+        |SELECT win_start, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(vdec) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "g5_map_ops" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.term
+        |  FROM documents,
+        |    UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS u(term)
+        |  WHERE u.term <> ''
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+        |)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS INTEGER) AS n_distinct_terms,
+        |  MAX(CASE WHEN term = 'spark' THEN cnt END) AS spark_tf,
+        |  MAX(cnt) AS max_tf,
+        |  CAST(SUM(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) AS INTEGER)
+        |    AS n_repeated
+        |FROM tf GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "p11_url_parse" ->
       """WITH u AS (

@@ -136,4 +136,28 @@ object EventsStream {
       )
       .orderBy("day", "event_type")
   }
+
+  /** Sliding (overlapping) event-time windows: 2-hour windows advancing
+    * every hour, so each event lands in exactly two windows. The state
+    * store keys on (window, event_type); the watermark bounds how long a
+    * window stays open — the knob that keeps state finite on an
+    * unbounded stream.
+    */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame = {
+    val stream = eventsStream(spark, dir)
+      .withWatermark("ts_sec", "1 hour")
+      .groupBy(window(col("ts_sec"), "2 hours", "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(20, 4))).cast(DoubleType).as("sum_value"),
+      )
+    runToMemory(stream, spark, "complete", "events_sliding")
+      .select(
+        col("window.start").as("win_start"),
+        col("event_type"),
+        col("n_events"),
+        col("sum_value"),
+      )
+      .orderBy("win_start", "event_type")
+  }
 }

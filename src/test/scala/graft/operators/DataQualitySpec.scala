@@ -48,4 +48,19 @@ class DataQualitySpec extends SparkSpec {
     Seq("n_null_date", "n_dup_pk", "n_bad_status", "n_nonpos_total", "n_orphan_cust")
       .foreach(m => assert(got(m) === 0L, m))
   }
+
+  test("kAnonymity flags equivalence classes below k") {
+    val people = Seq(
+      ("us", "a"), ("us", "a"), ("us", "a"),
+      ("us", "b"),
+      ("de", "a"), ("de", "a"),
+    ).toDF("country", "segment")
+    val got = DataQuality.kAnonymity(people, Seq("country", "segment"), k = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got(("us", "a")) === ((3L, false)))
+    assert(got(("us", "b")) === ((1L, true)))
+    assert(got(("de", "a")) === ((2L, true)))
+  }
 }

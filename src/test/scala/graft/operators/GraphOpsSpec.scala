@@ -31,6 +31,40 @@ class GraphOpsSpec extends SparkSpec {
     assert(r.getLong(4) === 0L) // clustering 0
   }
 
+  test("pageRank: a d|scale regular graph is an exact fixed point of the iteration") {
+    // On a d-regular graph with d dividing scale every node keeps rank
+    // == scale exactly: in-mass = d * (scale div d) = scale, and
+    // 0.15*scale + 0.85*scale reassembles scale with no floor loss.
+    // (K4 would NOT qualify: 3 does not divide 10^12, so each hop loses
+    // one unit to the floor — the 4-cycle's degree 2 does divide.)
+    val cycle = edges("a" -> "b", "b" -> "c", "c" -> "d", "a" -> "d")
+    val r = GraphOps.pageRank(cycle, iterations = 3).collect()
+    assert(r.length === 4)
+    assert(r.forall(_.getLong(1) === 1000000000000L))
+  }
+
+  test("pageRank: star concentrates rank on the hub, exact integer values") {
+    val star = edges("hub" -> "x", "hub" -> "y", "hub" -> "z")
+    val r = GraphOps.pageRank(star, iterations = 1).collect()
+      .map(row => row.getString(0) -> row.getLong(1)).toMap
+    // leaves each send scale to the hub; hub splits scale three ways.
+    assert(r("hub") === 150000000000L + 85L * 3000000000000L / 100L)
+    val leafExpected = 150000000000L + 85L * (1000000000000L / 3L) / 100L
+    assert(r("x") === leafExpected)
+    assert(r("y") === leafExpected)
+    assert(r("z") === leafExpected)
+    assert(r("hub") > r("x"))
+  }
+
+  test("pageRank: bit-identical across input partitioning") {
+    val chain = edges("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e")
+    val base = GraphOps.pageRank(chain, iterations = 3).collect()
+      .map(row => row.getString(0) -> row.getLong(1)).toMap
+    val repart = GraphOps.pageRank(chain.repartition(7), iterations = 3)
+      .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+    assert(base === repart)
+  }
+
   test("termCooccurrenceEdges: capped vocab, ordered pairs, min support") {
     val docs = Seq(
       (1L, "alpha beta gamma"),
