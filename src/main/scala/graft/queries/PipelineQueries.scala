@@ -5,7 +5,7 @@ import graft.operators.{DataQuality, GraphOps, Relevance, TextAnalysis, TimeSeri
 import graft.streaming.EventsStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, LongType, StringType, StructField, StructType}
 
 /** Round-3 continuation surface: corpus/table audit, robust anomaly
   * detection, exact EWMA, graph census over co-occurrence structure, and
@@ -199,6 +199,62 @@ object PipelineQueries {
           array_max(map_values(col("tfm"))).as("max_tf"),
           size(map_filter(col("tfm"), (_, v) => v >= lit(3L))).as("n_repeated"))
         .orderBy("doc_id")
+    },
+
+    // Lag-1 autocorrelation per user series — the a19 pattern applied to
+    // windowed pairs: lead() forms (x, y) couples, five BIGINT sums per
+    // user (2^10 quantization keeps every per-row product far from long
+    // range even for very long per-user series), Pearson r assembled in
+    // DECIMAL(38,0) and divided once in double. Degenerate series
+    // (constant x or y side ⇒ zero variance) are filtered on the exact
+    // integer denominators BEFORE any division, on both engines.
+    "ts5_autocorr" -> { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+      val pairs = Tables.events(spark, dir)
+        .select(col("user_id"), col("ts_sec"), col("event_id"),
+          floor(col("value") * 1024).cast(LongType).as("x"))
+        .withColumn("y", lead(col("x"), 1).over(w))
+        .where(col("y").isNotNull)
+      val s = pairs.groupBy("user_id").agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val d20 = (c: Column) => c.cast(DecimalType(20, 0))
+      val num = d20(col("n_pairs")) * d20(col("sxy")) - d20(col("sx")) * d20(col("sy"))
+      val dx = d20(col("n_pairs")) * d20(col("sxx")) - d20(col("sx")) * d20(col("sx"))
+      val dy = d20(col("n_pairs")) * d20(col("syy")) - d20(col("sy")) * d20(col("sy"))
+      s.where(dx > 0 && dy > 0)
+        .select(col("user_id"), col("n_pairs"),
+          (num.cast(DoubleType) /
+            sqrt(dx.cast(DoubleType) * dy.cast(DoubleType))).as("autocorr"))
+        .orderBy("user_id")
+    },
+
+    // Nested-JSON flatten: a nested payload (scalar fields + a string
+    // array) built by IDENTICAL string concatenation on both engines,
+    // then parsed with each engine's native JSON machinery and the
+    // array exploded — from_json + getField + explode on Spark,
+    // json_extract + unnest on the oracle.
+    "f10_json_flatten" -> { (spark, dir) =>
+      val payload = concat(
+        lit("{\"u\":"), col("user_id"),
+        lit(",\"type\":\""), col("event_type"),
+        lit("\",\"tags\":[\""), col("event_type"),
+        lit("\",\"g"), pmod(col("user_id"), lit(5)), lit("\"]}"))
+      val schema = StructType(Seq(
+        StructField("u", LongType),
+        StructField("type", StringType),
+        StructField("tags", ArrayType(StringType))))
+      Tables.eventsParallel(spark, dir)
+        .select(col("event_id"), from_json(payload, schema).as("p"))
+        .select(col("event_id"),
+          col("p.u").as("u"),
+          col("p.type").as("etype"),
+          explode(col("p.tags")).as("tag"))
+        .orderBy("event_id", "tag")
     },
 
     // URL decomposition via Spark's dedicated parse_url, oracle-checked
@@ -496,6 +552,48 @@ object PipelineQueries {
         |  CAST(SUM(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) AS INTEGER)
         |    AS n_repeated
         |FROM tf GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "ts5_autocorr" ->
+      """WITH pairs AS (
+        |  SELECT user_id,
+        |    CAST(floor(value * 1024) AS BIGINT) AS x,
+        |    lead(CAST(floor(value * 1024) AS BIGINT), 1)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY date_trunc('second', ts), event_id) AS y
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, COUNT(*) AS n_pairs,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM pairs WHERE y IS NOT NULL GROUP BY 1
+        |), d AS (
+        |  SELECT user_id, n_pairs,
+        |    n_pairs * sxy - sx * sy AS num,
+        |    n_pairs * sxx - sx * sx AS dx,
+        |    n_pairs * syy - sy * sy AS dy
+        |  FROM s
+        |)
+        |SELECT user_id, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(num AS DOUBLE) / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))
+        |    AS autocorr
+        |FROM d WHERE dx > 0 AND dy > 0
+        |ORDER BY user_id""".stripMargin,
+
+    "f10_json_flatten" ->
+      """WITH j AS (
+        |  SELECT event_id,
+        |    '{"u":' || user_id || ',"type":"' || event_type ||
+        |    '","tags":["' || event_type || '","g' || (user_id % 5) ||
+        |    '"]}' AS payload
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |  CAST(json_extract(payload, '$.u') AS BIGINT) AS u,
+        |  json_extract_string(payload, '$.type') AS etype,
+        |  unnest(CAST(json_extract(payload, '$.tags') AS VARCHAR[])) AS tag
+        |FROM j ORDER BY event_id, tag""".stripMargin,
 
     "p11_url_parse" ->
       """WITH u AS (

@@ -42,6 +42,31 @@ class FormatRoundTripSpec extends SparkSpec {
       "CSV round-trip changed rows")
   }
 
+  test("ORC round-trip preserves all column types exactly, including doubles") {
+    val orig = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), to_date(col("o_orderdate")).as("d"))
+    val dir = tmp("orc-rt")
+    orig.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema === orig.schema, "ORC round-trip changed the schema")
+    assert(back.count() === orig.count())
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty,
+      "ORC round-trip changed rows")
+  }
+
+  test("ORC scans push filters down like parquet") {
+    val dir = tmp("orc-push")
+    Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").orc(dir)
+    val q = spark.read.orc(dir).where(col("o_totalprice") > 100000.0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(o_totalprice"),
+      s"expected pushed filter in ORC scan:\n$plan")
+  }
+
   test("CSV schema-inference agrees with the declared schema on types") {
     val dir = tmp("csv-inf")
     Tables.customer(spark, sf0001)
