@@ -257,6 +257,48 @@ object PipelineQueries {
         .orderBy("event_id", "tag")
     },
 
+    // Inverted-index construction: term → (df, total tf, ordered posting
+    // list). The posting list is ordered inside the aggregate (listagg
+    // WITHIN GROUP ≡ string_agg ORDER BY) and md5-collapsed so the gate
+    // hashes index CONTENT without shipping megabyte strings. One
+    // shuffle on term — the classic retrieval build at any corpus size.
+    "i1_inverted_index" -> { (spark, dir) =>
+      Tables.documentsParallel(spark, dir)
+        .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("term"))
+        .where(col("term") =!= "")
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        .createOrReplaceTempView("postings_i1")
+      spark.sql(
+        """SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+          |  md5(listagg(CAST(doc_id AS STRING), ',')
+          |      WITHIN GROUP (ORDER BY doc_id)) AS postings_md5
+          |FROM postings_i1
+          |GROUP BY term ORDER BY term""".stripMargin)
+    },
+
+    // Seasonal-naive backtest: predict each user-hour's event count from
+    // the same hour one day earlier (time-shifted self-join on the tiny
+    // hourly aggregate, not on raw events) and score the exact-integer
+    // absolute error.
+    "ts6_seasonal_error" -> { (spark, dir) =>
+      val hourly = Tables.events(spark, dir)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts_sec")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val prev = hourly.select(col("user_id").as("p_uid"),
+        col("hr").as("p_hr"), col("n").as("n_pred"))
+      hourly.join(prev,
+          col("p_uid") === col("user_id") &&
+            col("p_hr") === col("hr") - expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_hours"),
+          sum(abs(col("n") - col("n_pred"))).as("abs_err"))
+        .select(col("user_id"), col("n_hours"), col("abs_err"),
+          (col("abs_err").cast(DoubleType) / col("n_hours").cast(DoubleType))
+            .as("mae"))
+        .orderBy("user_id")
+    },
+
     // URL decomposition via Spark's dedicated parse_url, oracle-checked
     // against first-principles regexes in DuckDB.
     "p11_url_parse" -> { (spark, dir) =>
@@ -594,6 +636,37 @@ object PipelineQueries {
         |  json_extract_string(payload, '$.type') AS etype,
         |  unnest(CAST(json_extract(payload, '$.tags') AS VARCHAR[])) AS tag
         |FROM j ORDER BY event_id, tag""".stripMargin,
+
+    "i1_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.term
+        |  FROM documents,
+        |    UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS u(term)
+        |  WHERE u.term <> ''
+        |), postings AS (
+        |  SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        |)
+        |SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+        |    AS postings_md5
+        |FROM postings GROUP BY term ORDER BY term""".stripMargin,
+
+    "ts6_seasonal_error" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', date_trunc('second', ts)) AS hr,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), j AS (
+        |  SELECT h.user_id, h.n, p.n AS n_pred
+        |  FROM hourly h JOIN hourly p
+        |    ON p.user_id = h.user_id AND p.hr = h.hr - INTERVAL 24 HOUR
+        |)
+        |SELECT user_id, COUNT(*) AS n_hours,
+        |  CAST(SUM(ABS(n - n_pred)) AS BIGINT) AS abs_err,
+        |  CAST(CAST(SUM(ABS(n - n_pred)) AS BIGINT) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS mae
+        |FROM j GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     "p11_url_parse" ->
       """WITH u AS (
