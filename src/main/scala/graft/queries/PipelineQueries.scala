@@ -180,6 +180,12 @@ object PipelineQueries {
       EventsStream.slidingCounts(spark, dir)
     },
 
+    // Watermark-bounded streaming dedup (state expires with event time —
+    // the unbounded-stream-safe variant of st3).
+    "st8_stream_dedup_wm" -> { (spark, dir) =>
+      EventsStream.streamDedupBounded(spark, dir)
+    },
+
     // Map-typed column surface: per-document term-frequency maps built
     // with map_from_entries, then probed/reduced with element_at,
     // map_values, and map_filter — outputs scalar so the gate stays
@@ -577,6 +583,10 @@ object PipelineQueries {
         |SELECT win_start, event_type, COUNT(*) AS n_events,
         |  CAST(SUM(vdec) AS DOUBLE) AS sum_value
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "st8_stream_dedup_wm" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "g5_map_ops" ->
       """WITH toks AS (

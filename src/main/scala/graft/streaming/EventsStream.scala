@@ -137,6 +137,26 @@ object EventsStream {
       .orderBy("day", "event_type")
   }
 
+  /** Bounded-state streaming dedup: `dropDuplicatesWithinWatermark`
+    * holds a key's state only until the event-time watermark passes it,
+    * so state is bounded by the watermark horizon — unlike plain
+    * `dropDuplicates` (st3), whose state grows with the key universe
+    * forever. The trade: a duplicate arriving after its key's state
+    * expired is re-emitted; correct usage pairs this with keys that
+    * cannot recur beyond the horizon (e.g. event ids in arrival order).
+    * Under the synchronous single-batch local drive nothing expires, so
+    * the result equals DISTINCT over the keys.
+    */
+  def streamDedupBounded(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_sec"))
+      .withWatermark("ts_sec", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    runToMemory(deduped, spark, "append", "stream_dedup_wm")
+      .orderBy("user_id", "event_type")
+  }
+
   /** Sliding (overlapping) event-time windows: 2-hour windows advancing
     * every hour, so each event lands in exactly two windows. The state
     * store keys on (window, event_type); the watermark bounds how long a

@@ -117,4 +117,44 @@ class PlanSpec extends SparkSpec {
       s"expected a pruned read set, got $read of $totalFiles files")
     assert(filtered.count() == 100)
   }
+
+  test("dynamic partition pruning: a dim-side filter prunes the fact scan at runtime") {
+    // The selective predicate lives on a NON-partition dim column, so
+    // static pruning can't see it; DPP plants a runtime subquery on the
+    // fact's partition column (reusing the broadcast), and the scan
+    // reads only the surviving partitions' files.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toString + "/fact"
+    spark.range(1000)
+      .select(col("id"), (col("id") % 10).cast("int").as("day"))
+      .write.partitionBy("day").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val totalFiles = fact.select(input_file_name()).distinct().count()
+    val dim = spark.range(10)
+      .select(col("id").cast("int").as("day"),
+        concat(lit("name_"), col("id")).as("name"))
+    // AQE wraps each stage's scan in QueryStageExec leaves, which hides
+    // the fact scan from plan introspection; DPP itself is orthogonal
+    // to AQE, so pin it off for a readable executed plan.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val executed = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val q = fact.join(dim, Seq("day")).where(col("name") === "name_3")
+      q.collect()
+      assert(q.count() == 100)
+      q.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    assert(executed.toString.toLowerCase.contains("dynamicpruning"),
+      s"no DPP subquery in plan:\n${executed.toString.take(800)}")
+    val scan = executed.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("/fact")) => s
+    }.get
+    val read = scan.metrics("numFiles").value
+    assert(read > 0 && read * 5 < totalFiles,
+      s"expected DPP-pruned read set, got $read of $totalFiles files")
+  }
 }
