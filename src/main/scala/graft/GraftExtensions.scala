@@ -15,6 +15,9 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // Whole-operator extension: plans graft.plans.TopKPerKeyPlan as the
+    // two-phase bounded-heap exec (partial → exchange → final).
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     e.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(

@@ -305,6 +305,21 @@ object PipelineQueries {
         .orderBy("user_id")
     },
 
+    // Custom whole-operator plan node: top-2 orders per customer through
+    // graft.plans.TopKPerKey (partial bounded heaps → hash exchange of
+    // survivors only → final heaps), vs the oracle's window formulation.
+    // The (o_totalprice DESC, o_orderkey ASC) order is total, so the
+    // result is deterministic.
+    "x15_topk_per_key" -> { (spark, dir) =>
+      graft.plans.TopKPerKey.topKPerKey(
+        Tables.orders(spark, dir)
+          .select("o_custkey", "o_orderkey", "o_totalprice"),
+        keyCols = Seq("o_custkey"),
+        orderCols = Seq("o_totalprice" -> false, "o_orderkey" -> true),
+        k = 2)
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // URL decomposition via Spark's dedicated parse_url, oracle-checked
     // against first-principles regexes in DuckDB.
     "p11_url_parse" -> { (spark, dir) =>
@@ -677,6 +692,15 @@ object PipelineQueries {
         |  CAST(CAST(SUM(ABS(n - n_pred)) AS BIGINT) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS mae
         |FROM j GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "x15_topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders
+        |) WHERE rn <= 2
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "p11_url_parse" ->
       """WITH u AS (
