@@ -320,6 +320,41 @@ object PipelineQueries {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // Deterministic train/val/test split assignment (80/10/10 by a
+    // portable hash gate): the bread-and-butter reproducible corpus
+    // split — any engine, any partitioning, any rerun lands every doc in
+    // the same split. Output is per-split counts + checksums.
+    "smp4_split_assign" -> { (spark, dir) =>
+      val u = graft.operators.Dedup.portableHash60(
+        concat(lit("smp4:"), col("doc_id"))).cast(DoubleType) /
+        lit(1152921504606846976.0)
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars"),
+          when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+            .as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy("split")
+    },
+
+    // Aggregate FILTER clause (per-aggregate predicates without CASE
+    // scaffolding — one pass, selective accumulators).
+    "a20_filter_clause" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir).createOrReplaceTempView("li_a20")
+      spark.sql(
+        """SELECT l_returnflag,
+          |  COUNT(*) AS n,
+          |  COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_highdisc,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4)))
+          |       FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+          |  COUNT(DISTINCT l_suppkey) FILTER (WHERE l_quantity < 10)
+          |    AS n_lowqty_supp
+          |FROM li_a20 GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
     // URL decomposition via Spark's dedicated parse_url, oracle-checked
     // against first-principles regexes in DuckDB.
     "p11_url_parse" -> { (spark, dir) =>
@@ -701,6 +736,32 @@ object PipelineQueries {
         |  FROM orders
         |) WHERE rn <= 2
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "smp4_split_assign" ->
+      """WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE
+        |      WHEN CAST(('0x' || substr(md5('smp4:' || doc_id), 1, 15))::BIGINT
+        |           AS DOUBLE) / 1152921504606846976.0 < 0.8 THEN 'train'
+        |      WHEN CAST(('0x' || substr(md5('smp4:' || doc_id), 1, 15))::BIGINT
+        |           AS DOUBLE) / 1152921504606846976.0 < 0.9 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM documents
+        |)
+        |SELECT split, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM s GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "a20_filter_clause" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_highdisc,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4)))
+        |       FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+        |  COUNT(DISTINCT l_suppkey) FILTER (WHERE l_quantity < 10)
+        |    AS n_lowqty_supp
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "p11_url_parse" ->
       """WITH u AS (
