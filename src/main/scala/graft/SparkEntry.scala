@@ -29,9 +29,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.ReferenceQueries.queries ++ graft.queries.ExtensionQueries.queries ++
-      graft.queries.AnalyticsQueries.queries ++ graft.queries.PipelineQueries.queries
+      graft.queries.AnalyticsQueries.queries ++ graft.queries.PipelineQueries.queries ++
+      graft.queries.SurfaceQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.ReferenceQueries.oracles ++ graft.queries.ExtensionQueries.oracles ++
-      graft.queries.AnalyticsQueries.oracles ++ graft.queries.PipelineQueries.oracles
+      graft.queries.AnalyticsQueries.oracles ++ graft.queries.PipelineQueries.oracles ++
+      graft.queries.SurfaceQueries.oracles
 }

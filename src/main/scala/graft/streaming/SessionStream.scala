@@ -42,6 +42,80 @@ object SessionStream {
       new java.sql.Timestamp(s.lastTs / 1000000L))
   }
 
+  final case class OpenSession(startTs: Long, lastTs: Long, n: Long)
+  final case class ClosedSession(
+      user_id: Long,
+      session_start_ms: Long,
+      session_end_ms: Long,
+      n_events: Long,
+  )
+
+  /** flatMapGroupsWithState fold: emit every session CLOSED by a
+    * later event (gap exceeded); the still-open tail session stays in
+    * state and is never emitted — multi-row Append-mode emission, the
+    * stateful shape `mapGroupsWithState`'s one-row-per-group can't
+    * express. Timestamps leave as epoch millis (exact integers on both
+    * engines; the oracle floors the same nanos the same way).
+    */
+  private def emitClosed(gapNs: Long)(
+      userId: Long,
+      events: Iterator[EventIn],
+      state: GroupState[OpenSession],
+  ): Iterator[ClosedSession] = {
+    val sorted = events.toSeq.sortBy(e => (e.ts, e.event_id))
+    var open = state.getOption
+    val out = List.newBuilder[ClosedSession]
+    for (e <- sorted) {
+      open match {
+        case Some(o) if e.ts - o.lastTs > gapNs =>
+          out += ClosedSession(userId, o.startTs / 1000000L, o.lastTs / 1000000L, o.n)
+          open = Some(OpenSession(e.ts, e.ts, 1L))
+        case Some(o) =>
+          open = Some(o.copy(lastTs = e.ts, n = o.n + 1L))
+        case None =>
+          open = Some(OpenSession(e.ts, e.ts, 1L))
+      }
+    }
+    open.foreach(state.update)
+    out.result().iterator
+  }
+
+  /** Stream `$dir/events.parquet` and return every closed session
+    * (per-user, gap-split). The open tail session per user is state, not
+    * output — exactly what an unbounded deployment would see.
+    */
+  def closedSessions(
+      spark: SparkSession,
+      dir: String,
+      gapSeconds: Long = 1800,
+  ): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val name = s"closed_sessions_${runId.incrementAndGet()}"
+
+    val events: Dataset[EventIn] = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[EventIn]
+
+    val closed = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        emitClosed(gapSeconds * 1000000000L))
+
+    val query = closed.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+
+    spark.table(name).orderBy("user_id", "session_start_ms")
+  }
+
   /** Run sessionization over `$dir/events.parquet` as a stream; returns
     * the final per-user snapshot table.
     */
