@@ -18,6 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Whole-operator extension: plans graft.plans.TopKPerKeyPlan as the
     // two-phase bounded-heap exec (partial → exchange → final).
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // Optimizer rewrite: rank-filter window idiom → TopKPerKeyPlan
+    // (on by default; spark.graft.topk.rewrite=false restores the
+    // Window + WindowGroupLimit plan).
+    e.injectOptimizerRule(_ => new graft.plans.RewriteRankFilterToTopK)
     e.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(

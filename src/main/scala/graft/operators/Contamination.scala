@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Train/eval contamination check — the benchmark-leakage audit every
+  * training-data pipeline runs before a corpus ships: does any training
+  * document contain a span that also appears in the held-out eval set?
+  *
+  * Detection is span-hash overlap, the same machinery as the sd1
+  * cross-document span dup (32-char windows at a fixed stride, md5
+  * digested — portable to any engine): a training document is
+  * contaminated when it shares at least one window hash with ANY eval
+  * document.
+  *
+  * Scale shape: eval sets are small (benchmarks are thousands of
+  * documents; training corpora are billions), so the distinct eval hash
+  * set is BROADCAST to the train side — the 100 TB train scan is joined
+  * without a shuffle. Documents shorter than the window width have no
+  * spans and are reported with zero windows by definition (they cannot
+  * carry a 32-char verbatim leak).
+  */
+object Contamination {
+
+  val WindowChars = 32
+  val Stride = 8
+
+  /** (doc_id, h) — one md5 per strided window of each document with at
+    * least [[WindowChars]] chars. Positions explode from a cheap integer
+    * `sequence`; substring+md5 evaluate per exploded row.
+    */
+  def spanHashes(docs: DataFrame, carryCols: Seq[String] = Nil): DataFrame = {
+    val carried = carryCols.map(col)
+    docs
+      .where(col("n_chars") >= WindowChars)
+      .select(col("doc_id") +: carried :+
+        explode(sequence(lit(1L), col("n_chars") - (WindowChars - 1), lit(Stride.toLong)))
+          .as("p") :+
+        col("text"): _*)
+      .select(col("doc_id") +: carried :+
+        md5(expr(s"substring(text, CAST(p AS INT), $WindowChars)")).as("h"): _*)
+  }
+
+  /** Per-train-document contamination report against the eval split
+    * selected by `isEval` (a predicate over the docs columns):
+    * (doc_id, n_windows, n_contaminated, contaminated).
+    */
+  def report(docs: DataFrame, isEval: Column): DataFrame = {
+    // Both splits need the hashed windows; pin the shared intermediate so
+    // the scan + substring + md5 pipeline executes once, not twice.
+    val wins = spanHashes(docs.withColumn("__eval", isEval), Seq("__eval"))
+      .localCheckpoint(eager = false)
+    val evalHashes = wins.where(col("__eval")).select("h").distinct()
+      .withColumn("__hit", lit(1L))
+    wins.where(!col("__eval"))
+      .join(broadcast(evalHashes), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contaminated", col("n_contaminated") > 0)
+  }
+}

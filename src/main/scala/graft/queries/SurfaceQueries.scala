@@ -5,6 +5,7 @@ import graft.functions.WeightedMean
 import graft.operators.Skyline
 import graft.streaming.SessionStream
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -101,6 +102,96 @@ object SurfaceQueries {
       SessionStream.closedSessions(spark, dir)
     },
 
+    // UNION DISTINCT (u1 is UNION ALL): set-semantics merge.
+    "u7_union_distinct" -> { (spark, dir) =>
+      Tables.nation(spark, dir).select(col("n_regionkey").as("k"))
+        .union(Tables.region(spark, dir).select(col("r_regionkey").as("k")))
+        .distinct()
+        .orderBy("k")
+    },
+
+    // Binary-function surface: hex / base64 / sha2-256 / md5 / byte
+    // length — both engines agree on case conventions (hex uppercase,
+    // digest hex lowercase, RFC 4648 base64), probed before trusting.
+    "f12_binary_funcs" -> { (spark, dir) =>
+      Tables.nation(spark, dir).select(
+          col("n_nationkey"),
+          hex(col("n_name")).as("hx"),
+          base64(col("n_name").cast("binary")).as("b64"),
+          sha2(col("n_name"), 256).as("sha256_hex"),
+          md5(col("n_name")).as("md5_hex"),
+          octet_length(col("n_name")).cast(LongType).as("n_bytes"))
+        .orderBy("n_nationkey")
+    },
+
+    // Array-function surface, scalar-reduced (the driver compare cannot
+    // sort array cells): distinct count, sorted prefix join, membership,
+    // position (Spark's missing→0 mirrored with COALESCE), first element.
+    "g8_array_funcs" -> { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
+        .select(
+          col("doc_id"),
+          size(col("w")).cast(LongType).as("n_tokens"),
+          size(array_distinct(col("w"))).cast(LongType).as("n_distinct"),
+          array_join(slice(sort_array(col("w")), 1, 5), " ").as("first5_sorted"),
+          array_contains(col("w"), "the").as("has_the"),
+          array_position(col("w"), "the").as("pos_the"),
+          element_at(col("w"), 1).as("first_tok"))
+        .orderBy("doc_id")
+    },
+
+    // Ratio-to-report: share of each (returnflag, linestatus) cell within
+    // its returnflag group — exact BIGINT cents, one double division per
+    // row against the partition-window total.
+    "a21_ratio_to_report" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(floor(col("l_extendedprice") * 100).cast(LongType)).as("grp_cents"))
+        .withColumn("share",
+          col("grp_cents").cast(DoubleType) /
+            sum("grp_cents").over(Window.partitionBy("l_returnflag")).cast(DoubleType))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Event-time RANGE frame with a true INTERVAL bound (w5 is the epoch-
+    // seconds formulation): trailing one-hour count and exact decimal sum
+    // per event. Frames are value-defined, so tied timestamps are peers
+    // and the result is partitioning-independent.
+    "w8_range_interval" -> { (spark, dir) =>
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts_sec"),
+          floor(col("value") * 10000).cast(LongType).as("v4"))
+        .createOrReplaceTempView("events_w8")
+      spark.sql("""
+        SELECT event_id, user_id, ts_sec,
+          COUNT(*) OVER w AS n_1h,
+          SUM(v4) OVER w AS sum_1h
+        FROM events_w8
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""")
+    },
+
+    // The rank-filter idiom, run THROUGH the optimizer rewrite: this SQL
+    // plans as TopKPerKeyPlan (RewriteRankFilterToTopK is on by default),
+    // so the correctness gate exercises the custom operator against
+    // DuckDB's row_number evaluation of the same text. Total order via
+    // (cents DESC, orderkey, linenumber) keeps it hash-exact.
+    "x17_topk_rewrite" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_topk")
+      spark.sql("""
+        WITH c AS (
+          SELECT l_returnflag, l_orderkey, l_linenumber,
+                 CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+          FROM lineitem_topk)
+        SELECT l_returnflag, l_orderkey, l_linenumber, cents FROM (
+          SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                      ORDER BY cents DESC, l_orderkey, l_linenumber) AS rn
+          FROM c) WHERE rn <= 5
+        ORDER BY l_returnflag, cents DESC, l_orderkey, l_linenumber""")
+    },
+
     // XML ingestion: from_xml over a deterministically-built payload;
     // the oracle parses the identical string with regexes, so the typed
     // extraction itself is what is being checked.
@@ -186,6 +277,64 @@ object SurfaceQueries {
         |SELECT n_nationkey, 'region' AS attr, CAST(n_regionkey AS VARCHAR) AS val
         |FROM nation
         |ORDER BY n_nationkey, attr""".stripMargin,
+    "u7_union_distinct" ->
+      """SELECT n_regionkey AS k FROM nation
+        |UNION
+        |SELECT r_regionkey AS k FROM region
+        |ORDER BY k""".stripMargin,
+    "f12_binary_funcs" ->
+      """SELECT n_nationkey,
+        |  hex(n_name) AS hx,
+        |  to_base64(CAST(n_name AS BLOB)) AS b64,
+        |  sha256(n_name) AS sha256_hex,
+        |  md5(n_name) AS md5_hex,
+        |  CAST(strlen(n_name) AS BIGINT) AS n_bytes
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "g8_array_funcs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+        |  array_to_string(list_slice(list_sort(w), 1, 5), ' ') AS first5_sorted,
+        |  list_contains(w, 'the') AS has_the,
+        |  CAST(COALESCE(list_position(w, 'the'), 0) AS BIGINT) AS pos_the,
+        |  w[1] AS first_tok
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "a21_ratio_to_report" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS grp_cents
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, grp_cents,
+        |  CAST(grp_cents AS DOUBLE)
+        |    / CAST(SUM(grp_cents) OVER (PARTITION BY l_returnflag) AS DOUBLE)
+        |    AS share
+        |FROM g ORDER BY 1, 2""".stripMargin,
+    "w8_range_interval" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, date_trunc('second', ts) AS ts_sec,
+        |    CAST(floor(value * 10000) AS BIGINT) AS v4
+        |  FROM events)
+        |SELECT event_id, user_id, ts_sec,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(v4) OVER w AS BIGINT) AS sum_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "x17_topk_rewrite" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |         CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem)
+        |SELECT l_returnflag, l_orderkey, l_linenumber, cents FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |              ORDER BY cents DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM c) q WHERE rn <= 5
+        |ORDER BY l_returnflag, cents DESC, l_orderkey, l_linenumber""".stripMargin,
     "f11_xml" ->
       """WITH x AS (
         |  SELECT n_nationkey,

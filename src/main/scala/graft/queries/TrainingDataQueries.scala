@@ -1,0 +1,125 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Contamination, Packing, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Training-data pipeline operators beyond cleaning/dedup: sequence
+  * packing into context-window bins, train/eval contamination audit,
+  * and data-mixture weight computation. All oracle-gated; the usual
+  * cross-engine rules (exact BIGINT accumulators, late double division,
+  * identical aliases) apply.
+  */
+object TrainingDataQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+
+    // Sequence packing: documents → fixed-capacity token bins (the rows
+    // an LLM trainer actually consumes). Cumulative-offset assignment is
+    // a pure function of the corpus, and the prefix sum underneath is
+    // the distributed two-pass form — no single-partition global window.
+    "pack1_sequence_packing" -> { (spark, dir) =>
+      val toks = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          size(TextAnalysis.words(col("text"))).cast(LongType).as("n_tok"))
+      Packing.packBins(toks, Seq(col("doc_id")), col("n_tok"), 2048L)
+        .groupBy("bin_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").as("bin_tokens"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"))
+        .orderBy("bin_id")
+    },
+
+    // Contamination audit: does a training document share a 32-char span
+    // with the (broadcast-small) eval split? Every 20th document plays
+    // the benchmark here; at warehouse scale the eval hash set stays a
+    // broadcast and the train scan joins shuffle-free.
+    "cont1_contamination" -> { (spark, dir) =>
+      Contamination.report(
+          Tables.documentsParallel(spark, dir), col("doc_id") % 20 === 0)
+        .orderBy("doc_id")
+    },
+
+    // Data-mixture weights: per-language token mass and the resampling
+    // weight that would flatten the corpus to a uniform language mix —
+    // the knob a training-mixture spec turns. Exact BIGINT token sums;
+    // the two divisions are the only floating steps and mirror the
+    // oracle expression shape exactly.
+    "dm1_mixture_weights" -> { (spark, dir) =>
+      val byLang = Tables.documents(spark, dir)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(TextAnalysis.words(col("text"))).cast(LongType)).as("n_tokens"))
+      val all = Window.partitionBy() // post-agg: one row per language
+      byLang
+        .withColumn("total_tokens", sum("n_tokens").over(all))
+        .withColumn("n_langs", count(lit(1)).over(all))
+        .select(
+          col("lang"), col("n_docs"), col("n_tokens"),
+          (col("n_tokens").cast(DoubleType) / col("total_tokens").cast(DoubleType))
+            .as("token_share"),
+          ((col("total_tokens").cast(DoubleType) / col("n_langs").cast(DoubleType))
+            / col("n_tokens").cast(DoubleType)).as("uniform_weight"))
+        .orderBy("lang")
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "pack1_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+        |      AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT (cum - n_tok) // 2048 AS bin_id,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+        |  MIN(doc_id) AS first_doc,
+        |  MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cont1_contamination" ->
+      """WITH wins AS (
+        |  SELECT doc_id, doc_id % 20 = 0 AS is_eval,
+        |    md5(substr(text, CAST(g.p AS INTEGER), 32)) AS h
+        |  FROM documents, UNNEST(generate_series(1, n_chars - 31, 8)) AS g(p)
+        |  WHERE n_chars >= 32
+        |), ev AS (
+        |  SELECT DISTINCT h FROM wins WHERE is_eval
+        |), tr AS (
+        |  SELECT doc_id, h FROM wins WHERE NOT is_eval)
+        |SELECT tr.doc_id, COUNT(*) AS n_windows,
+        |  CAST(SUM(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_contaminated,
+        |  CAST(SUM(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) > 0
+        |    AS contaminated
+        |FROM tr LEFT JOIN ev ON tr.h = ev.h
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    "dm1_mixture_weights" ->
+      """WITH s AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS BIGINT)) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang
+        |), t AS (
+        |  SELECT *, CAST(SUM(n_tokens) OVER () AS BIGINT) AS total_tokens,
+        |    COUNT(*) OVER () AS n_langs
+        |  FROM s)
+        |SELECT lang, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
+        |  (CAST(total_tokens AS DOUBLE) / CAST(n_langs AS DOUBLE))
+        |    / CAST(n_tokens AS DOUBLE) AS uniform_weight
+        |FROM t ORDER BY lang""".stripMargin,
+  )
+}

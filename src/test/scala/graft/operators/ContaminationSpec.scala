@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ContaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 40-char eval passage; a 32-char span of it is leaked verbatim into
+  // one train doc. Spans are md5'd over [p, p+32) at stride 8 from
+  // position 1, so the leak lands on a window boundary when it starts at
+  // an 8-aligned offset — place it at the very start of the train doc.
+  private val passage = "the quick brown fox jumps over a lazy dog"
+  private val docs = Seq(
+    (1L, passage, "en", "eval-bench"), // doc_id % 2 == 1 -> eval
+    (2L, passage.substring(0, 32) + " padded with unrelated tail text", "en", "web"),
+    (4L, "completely unrelated training text that is long enough to window", "en", "web"),
+    (6L, "short", "en", "web"), // < 32 chars: no windows, absent from report
+  ).toDF("doc_id", "text", "lang", "source")
+    .withColumn("n_chars", length(col("text")).cast("long")) // matches documents.parquet's int64
+
+  test("leaked span flags exactly the contaminated train doc") {
+    val rep = Contamination.report(docs, col("doc_id") % 2 === 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(rep.keySet === Set(2L, 4L)) // doc 6 has no windows; doc 1 is eval
+    val (w2, c2, f2) = rep(2L)
+    assert(f2 && c2 >= 1 && c2 <= w2, s"doc 2 should be contaminated: $rep")
+    val (w4, c4, f4) = rep(4L)
+    assert(!f4 && c4 === 0L && w4 >= 1)
+  }
+
+  test("report is empty-safe when the eval split is empty") {
+    val rep = Contamination.report(docs, lit(false))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rep.values.forall(_ == 0L))
+    assert(rep.keySet === Set(1L, 2L, 4L))
+  }
+
+  test("spanHashes: strided window count matches (n_chars - 32) div 8 + 1") {
+    val counts = Contamination.spanHashes(docs)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Seq(1L, 2L, 4L).map { id =>
+      val n = docs.where(col("doc_id") === id).head().getAs[Long]("n_chars")
+      id -> ((n - 32) / 8 + 1)
+    }.toMap
+    assert(counts === expect)
+  }
+}
