@@ -33,7 +33,13 @@ object Bench {
     // narrow queries would time the bare scan instead of their compute.
     def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev-loop filter (same contract as Verify's third arg): regex over
+    // query names. The driver leaves it unset and benches everything.
+    val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    def selected(name: String): Boolean =
+      nameFilter.forall(_.findFirstIn(name).isDefined)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(kv => selected(kv._1)).map { case (name, fn) =>
       try { run(fn) } catch { case _: Throwable => () } // warmup
       val t0 = System.nanoTime()
       // A failed query reports -1, not a (misleadingly fast) elapsed time.

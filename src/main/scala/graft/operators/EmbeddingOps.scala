@@ -152,6 +152,67 @@ object EmbeddingOps {
     assigned
   }
 
+  /** Product-quantization code assignment: split each embedding into
+    * `nSub` contiguous subspaces and, per subspace, assign the nearest
+    * codeword from `centroidsLong` restricted to those dims (codebook =
+    * the class centroids — k codewords per subspace). Output is the
+    * PQ code tuple plus the total quantized reconstruction distance,
+    * i.e. (vec_id, code0..code{nSub-1}, qdist_total).
+    *
+    * Same execution shape as [[assignToCentroids]]: the codebook is
+    * broadcast, subspace distances are fused `slice`+`zip_with` folds
+    * over the quantized arrays (no per-dim explosion of the corpus), and
+    * the per-subspace argmins combine map-side via `min(struct(...))` —
+    * the one exchange carries nSub structs per (task, vec). At index
+    * time this replaces a d-dim float scan per query with nSub byte
+    * codes + a small lookup table, which is why PQ is the standard
+    * memory tier for billion-vector ANN.
+    */
+  def pqAssign(
+      embeddings: DataFrame,
+      centroidsLong: DataFrame,
+      nSub: Int = 4,
+  ): DataFrame = {
+    require(nSub >= 1, s"need at least one subspace, got $nSub")
+    val cent = centroidsLong
+      .select(col("label"), col("dim"), q20(col("centroid")).as("qc"))
+      .groupBy("label")
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("dim"), col("qc")))),
+          s => s.getField("qc")).as("qcs"))
+    // Vectors whose length doesn't split evenly into nSub subspaces drop
+    // (a real PQ index pads or rejects them at ingest); empty ones too.
+    val vecs = embeddings
+      .where(size(col("embedding")) > 0 && size(col("embedding")) % nSub === 0)
+      .select(
+        col("vec_id"),
+        transform(col("embedding"), v => q20(v)).as("qv"))
+      .withColumn("__subdim", size(col("qv")) / nSub)
+    val subDists = (0 until nSub).map { s =>
+      aggregate(
+        zip_with(
+          slice(col("qv"), col("__subdim") * s + 1, col("__subdim")),
+          slice(col("qcs"), col("__subdim") * s + 1, col("__subdim")),
+          (a, b) => coalesce((a - b) * (a - b), lit(0L))),
+        lit(0L),
+        (acc, d) => acc + d).as(s"d$s")
+    }
+    val scored = vecs
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id") +: col("label") +: subDists: _*)
+    val bests = (0 until nSub).map(s =>
+      min(struct(col(s"d$s"), col("label"))).as(s"b$s"))
+    scored
+      .groupBy("vec_id")
+      .agg(bests.head, bests.tail: _*)
+      .select(
+        col("vec_id") +:
+          (0 until nSub).map(s => col(s"b$s.label").as(s"code$s")) :+
+          (0 until nSub).map(s => col(s"b$s.d$s"))
+            .reduce(_ + _).as("qdist_total"): _*)
+  }
+
   /** Int8 quantization statistics per vector: clip count (|v| > 1 would
     * saturate), the quantized sum, and the quantized min/max — the
     * calibration numbers an int8 export pipeline collects in one pass.

@@ -69,9 +69,84 @@ object TrainingDataQueries {
             / col("n_tokens").cast(DoubleType)).as("uniform_weight"))
         .orderBy("lang")
     },
+
+    // Product quantization: 4 × 16-dim subspaces, codebook = the class
+    // centroids restricted to each subspace (10 codewords per subspace).
+    // The memory tier of billion-vector ANN, exact-integer throughout,
+    // so the code tuples are oracle-checkable.
+    "e5_pq_assign" -> { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      graft.operators.EmbeddingOps
+        .pqAssign(emb, graft.operators.EmbeddingOps.centroids(emb), nSub = 4)
+        .orderBy("vec_id")
+    },
+
+    // TPC-H Q18 shape: HAVING-filtered aggregate (big-quantity orders)
+    // semi-joined back through orders × customer, top-10 by order value.
+    // The aggregate runs BEFORE the joins, so the join input is the
+    // filtered order-key set, not the fact table.
+    "hav1_having_topn" -> { (spark, dir) =>
+      val big = Tables.lineitem(spark, dir)
+        .groupBy("l_orderkey")
+        .agg(sum(floor(col("l_quantity")).cast(LongType)).as("sum_qty"))
+        .where(col("sum_qty") > 200)
+      Tables.orders(spark, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+        .select(
+          col("c_name"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("o_day"),
+          floor(col("o_totalprice") * 100).cast(LongType).as("total_cents"),
+          col("sum_qty"))
+        .orderBy(col("total_cents").desc, col("o_orderkey"))
+        .limit(10)
+    },
   )
 
   val oracles: Map[String, String] = Map(
+    "e5_pq_assign" ->
+      """WITH terms AS (
+        |  SELECT label, g.i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        |), cent AS (
+        |  SELECT label, dim,
+        |    CAST(floor(CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1048576.0)
+        |      * 1048576.0) AS BIGINT) AS qc
+        |  FROM terms GROUP BY 1, 2
+        |), vq AS (
+        |  SELECT vec_id, g.i - 1 AS dim, len(embedding) // 4 AS subdim,
+        |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        |  WHERE len(embedding) % 4 = 0
+        |), dists AS (
+        |  SELECT v.vec_id, v.dim // v.subdim AS sub, c.label,
+        |    CAST(SUM((qv - qc) * (qv - qc)) AS BIGINT) AS qdist
+        |  FROM vq v JOIN cent c ON c.dim = v.dim
+        |  GROUP BY 1, 2, 3
+        |), ranked AS (
+        |  SELECT vec_id, sub, label, qdist,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY qdist, label) AS rn
+        |  FROM dists)
+        |SELECT vec_id,
+        |  MAX(CASE WHEN sub = 0 THEN label END) AS code0,
+        |  MAX(CASE WHEN sub = 1 THEN label END) AS code1,
+        |  MAX(CASE WHEN sub = 2 THEN label END) AS code2,
+        |  MAX(CASE WHEN sub = 3 THEN label END) AS code3,
+        |  CAST(SUM(qdist) AS BIGINT) AS qdist_total
+        |FROM ranked WHERE rn = 1
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "hav1_having_topn" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING SUM(CAST(floor(l_quantity) AS BIGINT)) > 200)
+        |SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_day,
+        |  CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents, sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_cents DESC, o_orderkey LIMIT 10""".stripMargin,
     "pack1_sequence_packing" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -130,4 +130,48 @@ class EmbeddingOpsSpec extends SparkSpec {
     val cPlan = EmbeddingOps.centroids(emb).queryExecution.executedPlan.toString
     assert("Exchange".r.findAllIn(cPlan).size == 1, cPlan.take(300))
   }
+
+  private def emb4d = {
+    val rnd = new scala.util.Random(9)
+    (1 to 200).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1), rnd.nextInt(4))
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  test("pqAssign: per-subspace argmin sum never exceeds the full-space argmin") {
+    // For every label L, Σ_s dist_s(L) equals the full distance to L, so
+    // minimizing each subspace independently can only do better:
+    // Σ_s min_L dist_s(L) <= min_L Σ_s dist_s(L) = assignToCentroids' qdist.
+    val df = emb4d
+    val cents = EmbeddingOps.centroids(df)
+    val pq = EmbeddingOps.pqAssign(df, cents, nSub = 4)
+      .select("vec_id", "qdist_total").as[(Long, Long)].collect().toMap
+    val full = EmbeddingOps.assignToCentroids(df, cents)
+      .select("vec_id", "qdist").as[(Long, Long)].collect().toMap
+    assert(pq.keySet === full.keySet)
+    for ((id, d) <- pq) assert(d <= full(id), s"vec $id: PQ $d > full ${full(id)}")
+  }
+
+  test("pqAssign: codes are valid labels and assignment is partitioning-invariant") {
+    val df = emb4d
+    val cents = EmbeddingOps.centroids(df)
+    def run(parts: Int) = EmbeddingOps.pqAssign(df.repartition(parts), cents, nSub = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5))).toMap
+    val a = run(2)
+    assert(a === run(13))
+    val labels = df.select("label").distinct().as[Int].collect().toSet
+    a.values.foreach { case (c0, c1, c2, c3, _) =>
+      assert(Set(c0, c1, c2, c3).subsetOf(labels))
+    }
+  }
+
+  test("pqAssign drops vectors whose length does not split into nSub") {
+    val mixed = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.5f), 0),
+      (2L, Array(1.0f, 0.0f, 0.0f), 1), // 3 dims, nSub=4 -> dropped
+    ).toDF("vec_id", "embedding", "label")
+    val out = EmbeddingOps.pqAssign(mixed, EmbeddingOps.centroids(mixed), nSub = 4)
+    assert(out.select("vec_id").as[Long].collect().toSeq === Seq(1L))
+  }
 }
