@@ -192,6 +192,14 @@ object SurfaceQueries {
         ORDER BY l_returnflag, cents DESC, l_orderkey, l_linenumber""")
     },
 
+    // Streaming state-v2: transformWithState (Spark 4's StatefulProcessor
+    // with named, individually-typed ValueStates) over the RocksDB store —
+    // the modern replacement for mapGroupsWithState's opaque state blob.
+    // Final per-user snapshot == plain batch aggregate (the oracle).
+    "st10_transform_with_state" -> { (spark, dir) =>
+      graft.streaming.StateV2.userTotals(spark, dir)
+    },
+
     // XML ingestion: from_xml over a deterministically-built payload;
     // the oracle parses the identical string with regexes, so the typed
     // extraction itself is what is being checked.
@@ -335,6 +343,12 @@ object SurfaceQueries {
         |              ORDER BY cents DESC, l_orderkey, l_linenumber) AS rn
         |  FROM c) q WHERE rn <= 5
         |ORDER BY l_returnflag, cents DESC, l_orderkey, l_linenumber""".stripMargin,
+    "st10_transform_with_state" ->
+      """SELECT user_id,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS sum_v4,
+        |  epoch_ns(max(ts)) // 1000000 AS last_event_ms
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "f11_xml" ->
       """WITH x AS (
         |  SELECT n_nationkey,
