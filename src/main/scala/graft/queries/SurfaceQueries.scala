@@ -192,6 +192,32 @@ object SurfaceQueries {
         ORDER BY l_returnflag, cents DESC, l_orderkey, l_linenumber""")
     },
 
+    // Per-event session-relative features (the behavioral-model training
+    // columns): session id, index within session, seconds since session
+    // start — one shuffle, second window rides the same partitioning.
+    "sess1_session_features" -> { (spark, dir) =>
+      graft.operators.Sessionize
+        .eventFeatures(Tables.t(spark, dir, "events"))
+        .orderBy("event_id")
+    },
+
+    // Correlated EXISTS + uncorrelated IN in one predicate — the
+    // subquery-decorrelation surface (Catalyst rewrites EXISTS to a
+    // semi join and IN to a semi join on the subquery relation).
+    "sub2_exists_in" -> { (spark, dir) =>
+      Tables.customer(spark, dir).createOrReplaceTempView("customer_sub2")
+      Tables.orders(spark, dir).createOrReplaceTempView("orders_sub2")
+      Tables.nation(spark, dir).createOrReplaceTempView("nation_sub2")
+      spark.sql("""
+        SELECT c_custkey, c_name FROM customer_sub2 c
+        WHERE EXISTS (SELECT 1 FROM orders_sub2 o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND c_nationkey IN (SELECT n_nationkey FROM nation_sub2
+                              WHERE n_regionkey <= 1)
+        ORDER BY c_custkey""")
+    },
+
     // Streaming state-v2: transformWithState (Spark 4's StatefulProcessor
     // with named, individually-typed ValueStates) over the RocksDB store —
     // the modern replacement for mapGroupsWithState's opaque state blob.
@@ -343,6 +369,36 @@ object SurfaceQueries {
         |              ORDER BY cents DESC, l_orderkey, l_linenumber) AS rn
         |  FROM c) q WHERE rn <= 5
         |ORDER BY l_returnflag, cents DESC, l_orderkey, l_linenumber""".stripMargin,
+    "sess1_session_features" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS tns, event_id FROM events),
+        |m AS (
+        |  SELECT user_id, tns, event_id,
+        |    CASE WHEN lag(tns) OVER w IS NULL
+        |           OR tns - lag(tns) OVER w > 1800000000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)),
+        |g AS (
+        |  SELECT user_id, tns, event_id,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT event_id, user_id,
+        |  CAST(sid AS BIGINT) AS session_idx,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id, sid
+        |                          ORDER BY tns, event_id) AS BIGINT)
+        |    AS idx_in_session,
+        |  CAST((tns - MIN(tns) OVER (PARTITION BY user_id, sid)) // 1000000000
+        |    AS BIGINT) AS secs_since_start
+        |FROM g ORDER BY event_id""".stripMargin,
+    "sub2_exists_in" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND c_nationkey IN (SELECT n_nationkey FROM nation
+        |                      WHERE n_regionkey <= 1)
+        |ORDER BY c_custkey""".stripMargin,
     "st10_transform_with_state" ->
       """SELECT user_id,
         |  COUNT(*) AS n_events,

@@ -37,6 +37,13 @@ class ContaminationSpec extends SparkSpec {
     assert(rep.keySet === Set(1L, 2L, 4L))
   }
 
+  test("the eval hash set joins as a broadcast — the train scan never shuffles for it") {
+    val plan = Contamination.report(docs, col("doc_id") % 2 === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      plan.take(600))
+  }
+
   test("spanHashes: strided window count matches (n_chars - 32) div 8 + 1") {
     val counts = Contamination.spanHashes(docs)
       .groupBy("doc_id").count().collect()

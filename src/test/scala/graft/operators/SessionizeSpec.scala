@@ -38,4 +38,24 @@ class SessionizeSpec extends SparkSpec {
     val diffs = batch.keySet.filter(k => batch(k) != stream(k))
     assert(diffs.isEmpty, s"divergent users: ${diffs.take(5).map(k => (k, batch(k), stream(k)))}")
   }
+
+  test("eventFeatures: correct session-relative columns, one exchange total") {
+    val ev = Seq(
+      (1L, ns(0), 10L), (1L, ns(60), 11L), (1L, ns(4000), 12L),
+      (2L, ns(5), 20L),
+    ).toDF("user_id", "ts", "event_id")
+    val df = Sessionize.eventFeatures(ev)
+    val rows = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows(10L) === ((1L, 1L, 0L)))
+    assert(rows(11L) === ((1L, 2L, 60L)))
+    assert(rows(12L) === ((2L, 1L, 0L))) // new session after the 4000s gap
+    assert(rows(20L) === ((1L, 1L, 0L)))
+    // the (user, session) window must reuse the user_id hash partitioning:
+    // exactly one shuffle exchange in the FINAL plan (AQE's toString
+    // repeats the initial plan below it — don't double-count)
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 exchange, plan:\n${plan.take(800)}")
+  }
 }
