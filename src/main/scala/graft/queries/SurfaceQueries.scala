@@ -192,6 +192,34 @@ object SurfaceQueries {
         ORDER BY l_returnflag, cents DESC, l_orderkey, l_linenumber""")
     },
 
+    // Exact distinct counting via mergeable bitmaps (Spark 3.5+ bitmap
+    // aggregates): per (group, 32768-bit bucket) bitmaps OR-combine
+    // map-side, counts sum across buckets — the exact-tier companion to
+    // HLL (x13) when the key domain is dense integers. The per-bucket
+    // partial is what an incremental pipeline would persist and merge.
+    "x18_bitmap_distinct" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"),
+          expr("bitmap_bucket_number(l_orderkey)").as("b"))
+        .agg(expr("bitmap_count(bitmap_construct_agg(bitmap_bit_position(l_orderkey)))")
+          .as("cnt"))
+        .groupBy("l_returnflag")
+        .agg(sum("cnt").as("n_distinct_orders"))
+        .orderBy("l_returnflag")
+    },
+
+    // approx_top_k (Spark 4): heavy-hitter sketch. k exceeds the distinct
+    // count here, so the sketch degenerates to the exact histogram and is
+    // oracle-checkable after a deterministic re-sort (at the k boundary
+    // the sketch tie-breaks arbitrarily — never gate THAT).
+    "x19_approx_topk" -> { (spark, dir) =>
+      Tables.events(spark, dir)
+        .agg(expr("approx_top_k(event_type, 8)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("item"), col("e.count").as("est_count"))
+        .orderBy(col("est_count").desc, col("item"))
+    },
+
     // Per-event session-relative features (the behavioral-model training
     // columns): session id, index within session, seconds since session
     // start — one shuffle, second window rides the same partitioning.
@@ -369,6 +397,14 @@ object SurfaceQueries {
         |              ORDER BY cents DESC, l_orderkey, l_linenumber) AS rn
         |  FROM c) q WHERE rn <= 5
         |ORDER BY l_returnflag, cents DESC, l_orderkey, l_linenumber""".stripMargin,
+    "x18_bitmap_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS n_distinct_orders
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x19_approx_topk" ->
+      """SELECT event_type AS item, COUNT(*) AS est_count
+        |FROM events GROUP BY 1
+        |ORDER BY est_count DESC, item""".stripMargin,
     "sess1_session_features" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts) AS tns, event_id FROM events),
