@@ -76,28 +76,51 @@ object Similarity {
       nProbe: Int = 2,
   ): DataFrame = {
     import graft.functions.CosineSimilarity.cosine
-    val centroids = broadcast(
-      corpus.orderBy(col("vec_id")).limit(nCentroids)
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb")))
+    val centroids = corpus.orderBy(col("vec_id")).limit(nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
 
-    // nearest-n centroid assignment: cross with the broadcast centroid set,
-    // rank by similarity, keep n list ids per vector
-    def assign(df: DataFrame, idCol: String, embCol: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("centroid_id"))
-      df.crossJoin(centroids)
-        .withColumn("__sim", cosine(col(embCol), col("c_emb")))
+    // CORPUS assignment (n = 1) is the scale-critical branch: fold an
+    // argmax over a one-row broadcast array of all centroids — a
+    // BroadcastNestedLoopJoin against a single row plus a per-row
+    // `aggregate` lambda, so the corpus is assigned with ZERO exchange
+    // and zero per-key sort (the earlier crossJoin + row_number window
+    // shuffled 16x the corpus just to compute this argmax). Strictly-
+    // greater over the id-sorted array keeps the LOWEST centroid_id on
+    // ties — the same tie-break as a (sim DESC, centroid_id ASC) window.
+    val centArr = broadcast(centroids.agg(
+      array_sort(collect_list(struct(col("centroid_id"), col("c_emb")))).as("__cents")))
+    def nearestList(embCol: Column): Column =
+      aggregate(
+        col("__cents"),
+        struct(lit(-2.0).as("sim"), lit(-1L).as("centroid_id")),
+        (acc, c) => {
+          val s = cosine(embCol, c.getField("c_emb"))
+          when(s > acc.getField("sim"),
+            struct(s.as("sim"), c.getField("centroid_id").as("centroid_id")))
+            .otherwise(acc)
+        },
+      ).getField("centroid_id")
+
+    val c = corpus
+      .select(col("vec_id").as("c_vec"), col("embedding").as("c_emb2"))
+      .crossJoin(centArr)
+      .withColumn("list_id", nearestList(col("c_emb2")))
+      .drop("__cents")
+
+    // QUERY assignment keeps the rank formulation (nProbe > 1 list ids
+    // per query): the query side is tiny and the row_number idiom itself
+    // plans as the bounded-heap TopKPerKey operator via the rewrite.
+    val q = {
+      val w = Window.partitionBy(col("q_vec")).orderBy(col("__sim").desc, col("centroid_id"))
+      queries
+        .select(col("vec_id").as("q_vec"), col("embedding").as("q_emb"))
+        .crossJoin(broadcast(centroids))
+        .withColumn("__sim", cosine(col("q_emb"), col("c_emb")))
         .withColumn("__rk", row_number().over(w))
-        .where(col("__rk") <= n)
+        .where(col("__rk") <= nProbe)
         .withColumn("list_id", col("centroid_id"))
         .drop("centroid_id", "c_emb", "__sim", "__rk")
     }
-
-    val c = assign(
-      corpus.select(col("vec_id").as("c_vec"), col("embedding").as("c_emb2")),
-      "c_vec", "c_emb2", 1)
-    val q = assign(
-      queries.select(col("vec_id").as("q_vec"), col("embedding").as("q_emb")),
-      "q_vec", "q_emb", nProbe)
 
     val w = Window.partitionBy(col("q_vec")).orderBy(col("cosine").desc, col("c_vec"))
     c.join(broadcast(q), Seq("list_id"))

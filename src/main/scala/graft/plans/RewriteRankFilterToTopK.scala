@@ -23,8 +23,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *
   * Matched filters: `rn <= K`, `rn < K`, `K >= rn`, `K > rn`, `rn = 1`.
   * Guards: single window expression, plain-attribute partition keys,
-  * the projection must not reference the rank, K must be positive after
-  * normalization. Disable with `spark.graft.topk.rewrite=false`.
+  * K must be positive after normalization. When the enclosing projection
+  * references the rank, the plan node is asked to EMIT it (the final
+  * bounded heap pops its k survivors already ordered, so the 1..k
+  * numbering is free) — the rewrite fires either way. Disable with
+  * `spark.graft.topk.rewrite=false`.
   */
 class RewriteRankFilterToTopK extends Rule[LogicalPlan] {
 
@@ -66,15 +69,19 @@ class RewriteRankFilterToTopK extends Rule[LogicalPlan] {
             // the order key may be any expression over the child's output
             // (the heap evaluates it per comparison); partition keys stay
             // plain attributes because they type the logical node
-            orderSpec.forall(_.references.subsetOf(child.outputSet)) &&
-            !projectList.exists(_.exists(_.semanticEquals(alias.toAttribute))) =>
+            orderSpec.forall(_.references.subsetOf(child.outputSet)) =>
         rankBound(cond, alias.toAttribute) match {
           case Some(k) if k >= 1 && k <= Int.MaxValue =>
+            val rankUsed =
+              projectList.exists(_.exists(_.semanticEquals(alias.toAttribute)))
             Project(projectList,
               TopKPerKeyPlan(
                 partitionSpec.map(_.asInstanceOf[AttributeReference]),
                 orderSpec, // passed whole: direction AND null ordering survive
-                k.toInt, child))
+                k.toInt, child,
+                // reuse the alias's exprId so the projection resolves
+                // against the emitted ordinal unchanged
+                if (rankUsed) Some(alias.toAttribute) else None))
           case _ => p
         }
     }

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BaseOrdering, Descending, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BaseOrdering, Descending, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
@@ -26,6 +26,13 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * statistics. Ties: the sort order should be made total (append a
   * unique tiebreak column) for deterministic output, exactly as a
   * window-function formulation requires.
+  *
+  * The final phase can additionally EMIT the rank ordinal (`rankAttr`):
+  * the surviving k rows per key pop off the heap already ordered, so the
+  * 1..k numbering is free — no sort, no window. This is what lets
+  * [[RewriteRankFilterToTopK]] fire even when the query projects the
+  * `row_number()` column itself (the ANN top-k surface does: it returns
+  * `(q_vec, rank, c_vec, cosine)`).
   *
   * Registered via `GraftExtensions` (`injectPlannerStrategy`); the
   * logical node is built already-resolved against the child's output, so
@@ -58,8 +65,9 @@ case class TopKPerKeyPlan(
     keys: Seq[Attribute],
     order: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
-  override def output: Seq[Attribute] = child.output
+    child: LogicalPlan,
+    rankAttr: Option[Attribute] = None) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output ++ rankAttr
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyPlan =
     copy(child = newChild)
@@ -67,9 +75,12 @@ case class TopKPerKeyPlan(
 
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyPlan(keys, order, k, child) =>
-      val partial = TopKPerKeyExec(keys, order, k, partial = true, planLater(child))
-      TopKPerKeyExec(keys, order, k, partial = false, partial) :: Nil
+    case TopKPerKeyPlan(keys, order, k, child, rankAttr) =>
+      // Only the final phase numbers rows: partial survivors are a
+      // superset of the true top-k, so any rank assigned map-side would
+      // be provisional and discarded anyway.
+      val partial = TopKPerKeyExec(keys, order, k, partial = true, None, planLater(child))
+      TopKPerKeyExec(keys, order, k, partial = false, rankAttr, partial) :: Nil
     case _ => Nil
   }
 }
@@ -78,16 +89,19 @@ object TopKPerKeyStrategy extends SparkStrategy {
   * whatever partitioning the child has; the final phase declares
   * `ClusteredDistribution(keys)` so EnsureRequirements plants the hash
   * exchange between the two — which then carries only the partial
-  * survivors.
+  * survivors. When `rankAttr` is set (final phase only), each group's
+  * survivors are emitted best-first with the 1-based ordinal appended —
+  * the heap pops in reverse sort order, so the numbering costs nothing.
   */
 case class TopKPerKeyExec(
     keys: Seq[Attribute],
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
+    rankAttr: Option[Attribute],
     child: SparkPlan) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankAttr
   override def outputPartitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution) else Seq(ClusteredDistribution(keys))
@@ -99,6 +113,8 @@ case class TopKPerKeyExec(
     val keyExprs = keys
     val sortOrder = order
     val limit = k
+    val emitRank = rankAttr.isDefined
+    val outputTypes = output.map(_.dataType).toArray
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering: BaseOrdering = RowOrdering.create(sortOrder, childOutput)
@@ -122,7 +138,27 @@ case class TopKPerKeyExec(
         }
       }
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator)
+      val groups = heaps.values().iterator().asScala
+      if (!emitRank) {
+        groups.flatMap(_.iterator)
+      } else {
+        // dequeueAll pops worst-first (the heap is a max-heap under the
+        // sort order); reversing gives the group best-first, so element
+        // i carries rank i + 1 — identical to row_number() over a window
+        // with the same (possibly tie-arbitrary) order.
+        val proj = UnsafeProjection.create(outputTypes)
+        val joined = new JoinedRow
+        val rankRow = new GenericInternalRow(1)
+        groups.flatMap { heap =>
+          val sorted = new Array[InternalRow](heap.size)
+          var j = sorted.length - 1
+          while (j >= 0) { sorted(j) = heap.dequeue(); j -= 1 }
+          sorted.iterator.zipWithIndex.map { case (row, i) =>
+            rankRow.update(0, i + 1)
+            proj(joined(row, rankRow))
+          }
+        }
+      }
     }, preservesPartitioning = true)
   }
 }

@@ -55,11 +55,32 @@ class SimilaritySpec extends SparkSpec {
     val ivfPairs = ivf.map(r => (r.getAs[Long]("q_vec"), r.getAs[Long]("c_vec"))).toSet
     val recall = (exact & ivfPairs).size.toDouble / exact.size
     info(f"IVF recall@3 = $recall%.2f (nProbe=2/16 lists)")
-    assert(recall > 0.0)
+    assert(recall >= 0.95, f"IVF recall regressed: $recall%.2f")
     // every query returns at most k ranked rows
     ivf.groupBy(_.getAs[Long]("q_vec")).foreach { case (_, rows) =>
       assert(rows.length <= 3 && rows.map(_.getAs[Int]("rank")).distinct.length == rows.length)
     }
+  }
+
+  test("ANN top-k plans route through TopKPerKeyExec, not a window sort") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val qs = emb.where(col("vec_id") < 4)
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val plans = Map(
+      "bruteForce" -> planOf(Similarity.bruteForceTopK(qs, emb, k = 3)),
+      "lsh" -> planOf(Similarity.lshTopK(qs, emb, k = 3)),
+      "ivf" -> planOf(Similarity.ivfTopK(qs, emb, k = 3)),
+    )
+    plans.foreach { case (name, p) =>
+      // the projected `rank` column no longer blocks the rewrite: the
+      // bounded heap emits the ordinal, so no WindowExec sort anywhere
+      assert(p.contains("TopKPerKey"), s"$name plan lacks TopKPerKeyExec:\n$p")
+      assert(!p.contains("Window"), s"$name plan still sorts via a window:\n$p")
+    }
+    // the IVF corpus-assignment branch is a broadcast fold — a nested-loop
+    // join against the one-row centroid array, never an exchange
+    assert(plans("ivf").contains("BroadcastNestedLoopJoin"), plans("ivf"))
   }
 
   test("cosineExact matches cosineFast to quantization tolerance") {

@@ -77,15 +77,35 @@ class RankRewriteSpec extends SparkSpec {
     }
   }
 
-  test("no rewrite when the rank column survives the projection") {
+  test("projected rank rewrites too — the heap emits the ordinal") {
+    fixture()
+    val rankSql = """
+      SELECT key, id, v, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY key ORDER BY v DESC, id) AS rn
+        FROM rr_t) WHERE rn <= 3"""
+    def rows(df: DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val (rewritten, rewrittenPlan) = withRewrite(true) {
+      val df = spark.sql(rankSql); (rows(df), planOf(df))
+    }
+    val baseline = withRewrite(false)(rows(spark.sql(rankSql)))
+    assert(rewrittenPlan.contains("TopKPerKey"), rewrittenPlan)
+    assert(!rewrittenPlan.contains("Window"), rewrittenPlan)
+    // rank VALUES must match the window formulation exactly (the order
+    // here is total, so there is no tie arbitrariness to hide behind)
+    assert(rewritten === baseline)
+  }
+
+  test("projected rank in an expression (rn used downstream) still rewrites") {
     fixture()
     withRewrite(true) {
       val df = spark.sql("""
-        SELECT key, id, rn FROM (
+        SELECT key, id, rn * 10 AS rx FROM (
           SELECT *, row_number() OVER (PARTITION BY key ORDER BY v DESC, id) AS rn
-          FROM rr_t) WHERE rn <= 3""")
-      assert(!planOf(df).contains("TopKPerKey"))
-      assert(df.count() === 23 * 3)
+          FROM rr_t) WHERE rn <= 2""")
+      assert(planOf(df).contains("TopKPerKey"), planOf(df))
+      val rx = df.collect().map(_.getInt(2)).toSet
+      assert(rx === Set(10, 20))
     }
   }
 
