@@ -255,15 +255,22 @@ object Dedup {
       edges: DataFrame, // two columns: a, b (undirected pairs)
       maxIter: Int = 50,
   ): DataFrame = {
-    // Pin the symmetric edge relation ONCE: it is read by every round's
-    // min-label join, and without the checkpoint each round re-derives it
-    // from scratch — for the LSH pipeline that re-runs candidate
-    // generation + Jaccard verification per jump (measured at sf0.1:
-    // d7 10.0 s → 3.0 s, d6 12.4 s → 2.8 s). The pinned relation is only
-    // the near-dup PAIRS (two longs each), tiny relative to the corpus.
-    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+    // Pin the edge relation ONCE: it is read by every round's min-label
+    // join, and without the checkpoint each round re-derives it from
+    // scratch — for the LSH pipeline that re-runs candidate generation +
+    // Jaccard verification per jump (d6 12.4 s → 2.8 s at sf0.1; d7
+    // measures 2.2-2.8 s in BENCH_r04 runs — the 10 s d7 in BENCH_r03
+    // did not reproduce on the same tree and is attributed to a GC/host
+    // outlier during that run). Edges pin BEFORE the symmetric union:
+    // union reads its input twice, so checkpointing only the union would
+    // still evaluate the whole upstream pipeline twice. The pinned
+    // relation is only the near-dup PAIRS (two longs each), tiny
+    // relative to the corpus.
+    val pinned = edges.select(col("a"), col("b")).localCheckpoint()
+    val sym = pinned.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pinned.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
+    pinned.unpersist() // sym is pinned eagerly above; the pre-union blocks can go
     var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
     var iter = 0
     var converged = false
@@ -294,6 +301,10 @@ object Dedup {
     require(converged,
       s"connectedComponents did not converge within $maxIter rounds — " +
         "component diameter exceeds 2^rounds; raise maxIter")
+    // The result is the final checkpoint — its lineage no longer touches
+    // sym, so the edge blocks are dead weight in a long-lived session
+    // (the bench runs every query twice); free them before returning.
+    sym.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
