@@ -113,6 +113,28 @@ object Dedup {
       .groupBy("doc_id", "h_idx")
       .agg(min(col("h")).as("min_hash"))
 
+  /** Banded LSH keys over the PORTABLE signature rows of
+    * [[minHashPortable]]: signature slots group into bands of
+    * `rowsPerBand`, and each band keys on portableHash60 of the
+    * slot-ordered min-hashes joined with ','. Every step (md5, string
+    * formatting of longs, ordered aggregation) is reproducible in any
+    * engine, so band buckets — and the candidate pairs they induce —
+    * can be recomputed and checked outside Spark (the d2 oracle does).
+    */
+  def portableBandKeys(sigs: DataFrame, rowsPerBand: Int): DataFrame =
+    sigs
+      .withColumn("band_idx", expr(s"h_idx div $rowsPerBand").cast(IntegerType))
+      .groupBy("doc_id", "band_idx")
+      // collect order is partition-dependent; sorting by the slot index
+      // restores the deterministic h_idx-ascending concatenation
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("h_idx"), col("min_hash")))),
+          s => s.getField("min_hash").cast(StringType)),
+        ",").as("band_str"))
+      .select(col("doc_id"), col("band_idx"),
+        portableHash60(col("band_str")).as("band_key"))
+
   /** LSH candidate pairs from banded MinHash signatures, verified with
     * exact Jaccard over the shingle sets. `maxBucket` caps degenerate
     * buckets (dropped pairs are the price of not going quadratic).

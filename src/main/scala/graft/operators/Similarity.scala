@@ -46,14 +46,17 @@ object Similarity {
   private def planeWeight(p: Int, d: Int): Double =
     (((1103515245L * (p * 64 + d) + 12345L) % 2001L + 2001L) % 2001L - 1000L) / 1000.0
 
-  /** Sign-pattern bucket id from `nPlanes` random hyperplanes. */
-  def lshBucket(emb: Column, dim: Int, nPlanes: Int): Column =
+  /** Sign-pattern bucket id from `nPlanes` random hyperplanes.
+    * `planeOffset` selects a disjoint plane family — table t of an
+    * OR-construction uses offset t * nPlanes.
+    */
+  def lshBucket(emb: Column, dim: Int, nPlanes: Int, planeOffset: Int = 0): Column =
     (0 until nPlanes)
-      .map { p =>
+      .map { i =>
         val dot = (0 until dim)
-          .map(d => emb.getItem(d).cast(DoubleType) * lit(planeWeight(p, d)))
+          .map(d => emb.getItem(d).cast(DoubleType) * lit(planeWeight(planeOffset + i, d)))
           .reduce(_ + _)
-        when(dot > 0, lit(1L << p)).otherwise(0L)
+        when(dot > 0, lit(1L << i)).otherwise(0L)
       }
       .reduce(_ + _)
 
@@ -134,8 +137,20 @@ object Similarity {
       .select("q_vec", "rank", "c_vec", "cosine", "list_id")
   }
 
-  /** LSH-bucketed top-k: queries and corpus are bucketed by hyperplane
-    * signs; ranking happens within buckets only (fast-path cosine).
+  /** LSH-bucketed top-k with an OR-construction: `nTables` independent
+    * hash tables of `nPlanes` hyperplanes each; a corpus vector is a
+    * candidate for a query when they share a bucket in ANY table.
+    * Recall for near pairs is 1 - (1 - p^nPlanes)^nTables — a single
+    * table (the previous shape) measured recall@3 = 0.25 on the sf0.01
+    * fixture; four tables lift it well past 0.5 at 4x the (cheap)
+    * hashing and candidate cost, the classic LSH quality dial.
+    *
+    * Scale shape: the query side is tiny and BROADCAST, so the corpus
+    * explodes its nTables (table, bucket) keys map-side and joins
+    * without a shuffle. The only exchange is the candidate-pair dedup
+    * (groupBy on (q_vec, c_vec) — max-cosine + table count), which
+    * carries scored id pairs, never embeddings; the final rank idiom
+    * plans as the bounded-heap TopKPerKey operator.
     */
   def lshTopK(
       queries: DataFrame,
@@ -143,25 +158,34 @@ object Similarity {
       k: Int,
       dim: Int = 64,
       nPlanes: Int = 4,
+      nTables: Int = 4,
   ): DataFrame = {
+    def tableBuckets(emb: Column): Column =
+      array((0 until nTables).map(t =>
+        struct(lit(t).as("t"),
+          lshBucket(emb, dim, nPlanes, planeOffset = t * nPlanes).as("b"))): _*)
     val q = broadcast(
       queries
         .select(col("vec_id").as("q_vec"), col("embedding").as("q_emb"))
-        .withColumn("bucket", lshBucket(col("q_emb"), dim, nPlanes)))
+        .select(col("q_vec"), col("q_emb"), explode(tableBuckets(col("q_emb"))).as("tb")))
     val c = corpus
       .select(col("vec_id").as("c_vec"), col("embedding").as("c_emb"))
-      .withColumn("bucket", lshBucket(col("c_emb"), dim, nPlanes))
+      .select(col("c_vec"), col("c_emb"), explode(tableBuckets(col("c_emb"))).as("tb"))
     val w = Window.partitionBy(col("q_vec")).orderBy(col("cosine").desc, col("c_vec"))
-    c.join(q, Seq("bucket"))
+    c.join(q, Seq("tb"))
       .where(col("c_vec") =!= col("q_vec"))
       .select(
-        col("q_vec"), col("c_vec"), col("bucket"),
+        col("q_vec"), col("c_vec"),
         // Native codegen'd expression: one fused loop per pair instead of
         // three aggregate(zip_with(...)) walks.
         graft.functions.CosineSimilarity.cosine(col("q_emb"), col("c_emb")).as("cosine"),
       )
+      // a pair colliding in several tables scores identically each time:
+      // dedup on ids, keeping the collision count as a diagnostic
+      .groupBy("q_vec", "c_vec")
+      .agg(max(col("cosine")).as("cosine"), count(lit(1)).as("n_tables"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select("q_vec", "rank", "c_vec", "cosine", "bucket")
+      .select("q_vec", "rank", "c_vec", "cosine", "n_tables")
   }
 }

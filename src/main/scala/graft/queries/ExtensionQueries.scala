@@ -6,7 +6,7 @@ import graft.operators.{Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** The large-scale training-data-pipeline extension set (BASELINE.json
   * north star): dedup, similarity search, text analysis, multimodal
@@ -22,26 +22,37 @@ object ExtensionQueries {
     "d1_dedup_exact" -> { (spark, dir) =>
       Dedup.exact(Tables.documents(spark, dir)).orderBy("content_hash")
     },
-    // MinHash+LSH near-dup: per-doc signature summary + candidate count
-    // (pair-level API: Dedup.minHashCandidates). Rows-only (xxhash64).
+    // MinHash+LSH near-dup over the PORTABLE (md5) hash family: per-doc
+    // signature summary + banded-LSH candidate count. Every step — the
+    // signatures (d8 proves them), the band keys, the bucket-capped
+    // candidate pairs — is recomputed by the DuckDB oracle, closing the
+    // "signatures are engine-internal" gap the xxhash64 variant had.
+    // (The xxhash64-KM family stays the in-Spark fast path:
+    // Dedup.minHashCandidates / d7.)
     "d2_dedup_minhash" -> { (spark, dir) =>
       val docs = Tables.documentsParallel(spark, dir)
-      val rows = Dedup.shingleRows(docs, 3)
-      val sigs = Dedup.minHashSignaturesFromShingles(rows, 16)
-      val cands = Dedup.minHashCandidates(docs,
-        precomputedSigs = Some(sigs),
-        precomputedSets = Some(Dedup.shingleSets(docs, 3)))
-      val perDoc = cands
-        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_candidates"))
-      sigs
-        .join(perDoc, Seq("doc_id"), "left")
-        .select(
-          col("doc_id"),
-          xxhash64(col("signature")).as("sig_hash"),
-          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-        )
+      val sigs = Dedup.minHashPortable(docs, 3, 16) // (doc_id, h_idx, min_hash)
+      val bands = Dedup.portableBandKeys(sigs, 4)
+      val sized = bands.groupBy("band_idx", "band_key")
+        .agg(count(lit(1)).as("__n"))
+        .where(col("__n").between(2, 64))
+        .drop("__n")
+      val cands = bands.join(sized, Seq("band_idx", "band_key"))
+        .select(col("band_idx"), col("band_key"), col("doc_id").as("doc_a"))
+        .join(bands.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_b")),
+          Seq("band_idx", "band_key"))
+        .where(col("doc_a") =!= col("doc_b"))
+        .groupBy("doc_a")
+        .agg(count_distinct(col("doc_b")).as("n_candidates"))
+        .withColumnRenamed("doc_a", "doc_id")
+      sigs.groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_hashes"),
+          min("min_hash").as("sig_min"),
+          max("min_hash").as("sig_max"))
+        .join(cands, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_hashes"), col("sig_min"), col("sig_max"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
         .orderBy("doc_id")
     },
     // SimHash near-dup: signatures + per-doc candidate count. Rows-only.
@@ -124,6 +135,25 @@ object ExtensionQueries {
       Similarity.ivfTopK(emb.where(col("vec_id") < 8), emb, k = 3)
         .orderBy("q_vec", "rank")
     },
+    // LSH recall instrumentation: recall@3 of the bucketed path (x2)
+    // against exact brute force (x1) — the QUALITY number that must ride
+    // alongside the bucketed path's speed (an ANN variant that silently
+    // degrades recall is not "faster", it is wrong). Rows-only: one
+    // summary row; the recall floor is asserted in SimilaritySpec.
+    "x2r_ann_lsh_recall" -> { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      val qs = emb.where(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(qs, emb, k = 3)
+        .select(col("q_vec"), col("c_vec"))
+      val lsh = Similarity.lshTopK(qs, emb, k = 3)
+        .select(col("q_vec"), col("c_vec"), lit(1L).as("__hit"))
+      exact.join(lsh, Seq("q_vec", "c_vec"), "left")
+        .agg(
+          count(lit(1)).as("n_exact"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .select(col("n_exact"), col("n_hit"),
+          (col("n_hit").cast(DoubleType) / col("n_exact")).as("recall"))
+    },
 
     // --- Text analysis ---
     "t1_token_counts" -> { (spark, dir) =>
@@ -197,14 +227,21 @@ object ExtensionQueries {
     "m1_media_meta" -> { (spark, dir) =>
       Multimodal.mediaMeta(Tables.documents(spark, dir)).orderBy("doc_id")
     },
-    // mapPartitions feature extraction (decode STUB) — rows-only. The
-    // feature vector is unpacked to scalar columns: the driver's compare
-    // sorts rows via pandas, which cannot sort array cells.
+    // mapPartitions feature extraction (decode STUB) — oracle-checked:
+    // the stub's deterministic output (dims from the first two bytes +
+    // an 8-bin byte histogram) is recomputable in SQL. The normalized
+    // float features multiply back by n_bytes and round to recover the
+    // EXACT integer bin counts (float32 error < c * 2^-24 << 0.5), so
+    // the gate hashes integers, never float representations. Feature
+    // vector unpacked to scalar columns: the driver's compare sorts
+    // rows via pandas, which cannot sort array cells.
     "m2_media_features" -> { (spark, dir) =>
       val feats = Multimodal.extractFeatures(spark, Tables.documents(spark, dir)).toDF()
       feats.select(
         Seq(col("doc_id"), col("width"), col("height"), col("n_bytes")) ++
-          (0 until 8).map(i => col("features").getItem(i).as(s"f$i")): _*)
+          (0 until 8).map(i =>
+            round(col("features").getItem(i).cast(DoubleType) *
+              greatest(col("n_bytes"), lit(1))).cast(LongType).as(s"b$i")): _*)
         .orderBy("doc_id")
     },
 
@@ -470,6 +507,80 @@ object ExtensionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "d2_dedup_minhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+        |  FROM toks WHERE len(w) >= 3
+        |), hs AS (
+        |  SELECT doc_id, CAST(g.i AS INTEGER) AS h_idx,
+        |    ('0x' || substr(md5(g.i || ':' || s), 1, 15))::BIGINT AS h
+        |  FROM sh, UNNEST(generate_series(0, 15)) AS g(i)
+        |), sigs AS (
+        |  SELECT doc_id, h_idx, min(h) AS min_hash FROM hs GROUP BY 1, 2
+        |), bands AS (
+        |  SELECT doc_id, CAST(h_idx // 4 AS INTEGER) AS band_idx,
+        |    ('0x' || substr(md5(string_agg(min_hash::VARCHAR, ',' ORDER BY h_idx)), 1, 15))::BIGINT
+        |      AS band_key
+        |  FROM sigs GROUP BY doc_id, h_idx // 4
+        |), sized AS (
+        |  SELECT band_idx, band_key FROM bands GROUP BY 1, 2
+        |  HAVING count(*) BETWEEN 2 AND 64
+        |), cands AS (
+        |  SELECT b1.doc_id, count(DISTINCT b2.doc_id) AS n_candidates
+        |  FROM bands b1
+        |  JOIN sized s ON s.band_idx = b1.band_idx AND s.band_key = b1.band_key
+        |  JOIN bands b2 ON b2.band_idx = b1.band_idx AND b2.band_key = b1.band_key
+        |  WHERE b2.doc_id <> b1.doc_id
+        |  GROUP BY b1.doc_id
+        |), per_sig AS (
+        |  SELECT doc_id, count(*) AS n_hashes,
+        |    min(min_hash) AS sig_min, max(min_hash) AS sig_max
+        |  FROM sigs GROUP BY doc_id
+        |)
+        |SELECT p.doc_id, p.n_hashes, p.sig_min, p.sig_max,
+        |  CAST(coalesce(c.n_candidates, 0) AS BIGINT) AS n_candidates
+        |FROM per_sig p LEFT JOIN cands c USING (doc_id)
+        |ORDER BY p.doc_id""".stripMargin,
+    "m2_media_features" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+        |  FROM documents
+        |), bins AS (
+        |  SELECT doc_id, ord(substr(text, CAST(g.i AS INTEGER), 1)) // 32 AS bin
+        |  FROM base, UNNEST(generate_series(1, length(text))) AS g(i)
+        |), hist AS (
+        |  SELECT doc_id,
+        |    count(*) FILTER (WHERE bin = 0) AS b0,
+        |    count(*) FILTER (WHERE bin = 1) AS b1,
+        |    count(*) FILTER (WHERE bin = 2) AS b2,
+        |    count(*) FILTER (WHERE bin = 3) AS b3,
+        |    count(*) FILTER (WHERE bin = 4) AS b4,
+        |    count(*) FILTER (WHERE bin = 5) AS b5,
+        |    count(*) FILTER (WHERE bin = 6) AS b6,
+        |    count(*) FILTER (WHERE bin = 7) AS b7
+        |  FROM bins GROUP BY doc_id
+        |)
+        |SELECT b.doc_id,
+        |  CAST(64 + ord(substr(b.text, 1, 1)) % 64 AS INTEGER) AS width,
+        |  CAST(64 + CASE WHEN length(b.text) > 1
+        |    THEN ord(substr(b.text, 2, 1)) % 64 ELSE 0 END AS INTEGER) AS height,
+        |  b.n_bytes,
+        |  CAST(coalesce(h.b0, 0) AS BIGINT) AS b0,
+        |  CAST(coalesce(h.b1, 0) AS BIGINT) AS b1,
+        |  CAST(coalesce(h.b2, 0) AS BIGINT) AS b2,
+        |  CAST(coalesce(h.b3, 0) AS BIGINT) AS b3,
+        |  CAST(coalesce(h.b4, 0) AS BIGINT) AS b4,
+        |  CAST(coalesce(h.b5, 0) AS BIGINT) AS b5,
+        |  CAST(coalesce(h.b6, 0) AS BIGINT) AS b6,
+        |  CAST(coalesce(h.b7, 0) AS BIGINT) AS b7
+        |FROM base b LEFT JOIN hist h USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
         |  COUNT(*) AS n_copies

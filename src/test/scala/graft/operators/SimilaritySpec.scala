@@ -83,6 +83,17 @@ class SimilaritySpec extends SparkSpec {
     assert(plans("ivf").contains("BroadcastNestedLoopJoin"), plans("ivf"))
   }
 
+  test("x2r query reports LSH recall@3 above the floor") {
+    val df = graft.SparkEntry.queries("x2r_ann_lsh_recall")(spark, sf0001)
+    val row = df.collect().head
+    val recall = row.getAs[Double]("recall")
+    info(f"LSH recall@3 = $recall%.2f (${row.getAs[Long]("n_hit")}/${row.getAs[Long]("n_exact")})")
+    // 4 hyperplanes over near-uniform synthetic vectors: recall well
+    // under 1.0 by construction, but a broken bucketing (hash drift,
+    // plane regression) collapses it to ~0 — that is what this guards.
+    assert(recall >= 0.25, f"LSH recall collapsed: $recall%.2f")
+  }
+
   test("cosineExact matches cosineFast to quantization tolerance") {
     val emb = Tables.embeddings(spark, sf0001).limit(50)
       .select(col("embedding").as("a"), col("embedding").as("b"))
