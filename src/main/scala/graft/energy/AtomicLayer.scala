@@ -1,0 +1,98 @@
+package graft.energy
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Atomic overwrite for the medallion layer tables: snapshot-versioned
+  * Parquet with a commit marker, so a reader NEVER sees a half-written
+  * layer.
+  *
+  * The reference stores layers in Delta and relies on its log for
+  * atomic `mode("overwrite")` (`src/utils/spark_session.py:77-78`,
+  * `power_ingestion.py:76`); this environment ships no Delta jars
+  * (SURVEY.md §1), and a plain Parquet overwrite has a window where the
+  * old files are deleted and the new ones half-moved — a concurrent
+  * reader sees a torn table. Same protocol as
+  * [[graft.streaming.UpsertSink]]: each write lands in a fresh
+  * `v<n>` directory inside the table root, the commit marker is Spark's
+  * own `_SUCCESS` file (written by the job committer only after every
+  * task file is in place), and readers resolve the highest version
+  * whose marker exists. A crashed write leaves an uncommitted directory
+  * that readers skip and the next write supersedes.
+  *
+  * All file ops go through the Hadoop FileSystem API, so the protocol
+  * works unchanged on HDFS/object stores; it relies only on marker
+  * VISIBILITY (create-after-data), never on rename atomicity. Committed
+  * versions beyond `keepVersions` are pruned after each successful
+  * commit — keeping 2 gives in-flight readers of the previous snapshot
+  * a grace window, the same reasoning as Delta's default retention,
+  * scaled down.
+  */
+object AtomicLayer {
+
+  private val V = "v(\\d+)".r
+
+  private def fsFor(spark: SparkSession, root: String): (FileSystem, Path) = {
+    val p = new Path(root)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** (version, dir, committed) for every `v<n>` child of `root`,
+    * version-ascending.
+    */
+  private def versionDirs(spark: SparkSession, root: String): Seq[(Int, Path, Boolean)] = {
+    val (fs, p) = fsFor(spark, root)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        st.getPath.getName match {
+          case V(n) =>
+            Some((n.toInt, st.getPath, fs.exists(new Path(st.getPath, "_SUCCESS"))))
+          case _ => None
+        }
+      }
+      .sortBy(_._1)
+  }
+
+  /** Highest committed snapshot directory, if any. */
+  def latestCommitted(spark: SparkSession, root: String): Option[String] =
+    versionDirs(spark, root).filter(_._3).lastOption.map(_._2.toString)
+
+  /** Write `df` as the next snapshot version of the table at `root`.
+    * The version counter advances past uncommitted (crashed) attempts
+    * rather than reusing their directories. Returns the committed dir.
+    */
+  def write(
+      df: DataFrame,
+      root: String,
+      partitionCols: Seq[String] = Nil,
+      keepVersions: Int = 2,
+  ): String = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val spark = df.sparkSession
+    val all = versionDirs(spark, root)
+    val next = all.map(_._1).maxOption.getOrElse(-1) + 1
+    val dir = s"$root/v$next"
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(dir)
+    // prune: committed versions beyond the retention window, plus any
+    // uncommitted debris older than the new snapshot (crashed writes)
+    val (fs, _) = fsFor(spark, root)
+    val after = versionDirs(spark, root)
+    val staleCommitted = after.filter(_._3).dropRight(keepVersions)
+    val crashed = after.filter { case (v, _, committed) => !committed && v < next }
+    (staleCommitted ++ crashed).foreach { case (_, p, _) => fs.delete(p, true) }
+    dir
+  }
+
+  /** Read the highest committed snapshot. Falls back to reading `root`
+    * directly when no version directories exist (pre-atomic layouts and
+    * external tables stay readable).
+    */
+  def read(spark: SparkSession, root: String): DataFrame =
+    latestCommitted(spark, root) match {
+      case Some(dir) => spark.read.parquet(dir)
+      case None => spark.read.parquet(root)
+    }
+}

@@ -1,7 +1,7 @@
 package graft.energy
 
 import java.time.LocalDate
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import scala.jdk.CollectionConverters._
@@ -77,7 +77,9 @@ object Bronze {
     if (n == 0) return 0L
     // Partition by ingest day: at scale (years of backfill × many zones)
     // this gives partition pruning on date-ranged reads downstream.
-    df.write.mode(SaveMode.Overwrite).partitionBy("date").parquet(outPath)
+    // Snapshot-versioned (AtomicLayer): a reader during the overwrite
+    // sees the previous complete snapshot, never a torn table.
+    AtomicLayer.write(df, outPath, partitionCols = Seq("date"))
     n.toLong
   }
 }

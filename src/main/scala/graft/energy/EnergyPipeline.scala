@@ -58,33 +58,36 @@ object EnergyPipeline {
     val nPow = Bronze.ingestPower(spark, src, country, dates, bronzePowerPath)
     val nPri = Bronze.ingestPrice(spark, src, bzn, dates, bronzePricePath)
 
-    val silverPower = Silver.powerToSilver(spark.read.parquet(bronzePowerPath))
-    val silverPrice = Silver.priceToSilver(spark.read.parquet(bronzePricePath))
+    // Every layer read resolves the latest COMMITTED snapshot
+    // (AtomicLayer): overlapping runs cannot hand a half-written table
+    // to the next stage.
+    val silverPower = Silver.powerToSilver(AtomicLayer.read(spark, bronzePowerPath))
+    val silverPrice = Silver.priceToSilver(AtomicLayer.read(spark, bronzePricePath))
     val silverPowerPath = cfg.storage.silver("power")
     val silverPricePath = cfg.storage.silver("price")
     Silver.write(silverPower, silverPowerPath, partitionCols = Seq("date"))
     Silver.write(silverPrice, silverPricePath)
 
-    val sp = spark.read.parquet(silverPowerPath)
-    val spr = spark.read.parquet(silverPricePath)
+    val sp = Silver.read(spark, silverPowerPath)
+    val spr = Silver.read(spark, silverPricePath)
     val goldPower = Gold.powerDailyByType(sp)
     val goldPrice = Gold.priceDaily(spr)
     Gold.write(goldPower, cfg.storage.gold("power_daily_by_type"))
     Gold.write(goldPrice, cfg.storage.gold("price_daily"))
     val join = Gold.offshoreWindVsPrice(
-      spark.read.parquet(cfg.storage.gold("power_daily_by_type")),
-      spark.read.parquet(cfg.storage.gold("price_daily")),
+      Gold.read(spark, cfg.storage.gold("power_daily_by_type")),
+      Gold.read(spark, cfg.storage.gold("price_daily")),
     )
     Gold.write(join, cfg.storage.gold("power_price_daily"))
 
     PipelineResult(
       nPow,
       nPri,
-      spark.read.parquet(silverPowerPath).count(),
-      spark.read.parquet(silverPricePath).count(),
-      spark.read.parquet(cfg.storage.gold("power_daily_by_type")),
-      spark.read.parquet(cfg.storage.gold("price_daily")),
-      spark.read.parquet(cfg.storage.gold("power_price_daily")),
+      Silver.read(spark, silverPowerPath).count(),
+      Silver.read(spark, silverPricePath).count(),
+      Gold.read(spark, cfg.storage.gold("power_daily_by_type")),
+      Gold.read(spark, cfg.storage.gold("price_daily")),
+      Gold.read(spark, cfg.storage.gold("power_price_daily")),
     )
   }
 }

@@ -1,6 +1,6 @@
 package graft.energy
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Silver → Gold: daily aggregates and the offshore-wind-vs-price join.
@@ -46,5 +46,8 @@ object Gold {
   }
 
   def write(df: DataFrame, outPath: String): Unit =
-    df.write.mode(SaveMode.Overwrite).parquet(outPath)
+    AtomicLayer.write(df, outPath)
+
+  def read(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    AtomicLayer.read(spark, path)
 }

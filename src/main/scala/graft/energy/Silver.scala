@@ -1,6 +1,6 @@
 package graft.energy
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -105,12 +105,9 @@ object Silver {
     * ingest-day column so gold's date-ranged reads prune partitions
     * (price carries no date column and stays unpartitioned).
     */
-  def write(df: DataFrame, outPath: String, partitionCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite)
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(outPath)
-  }
+  def write(df: DataFrame, outPath: String, partitionCols: Seq[String] = Nil): Unit =
+    AtomicLayer.write(df, outPath, partitionCols)
 
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    AtomicLayer.read(spark, path)
 }

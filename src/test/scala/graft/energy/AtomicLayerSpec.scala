@@ -1,0 +1,85 @@
+package graft.energy
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+
+/** AtomicLayer: snapshot-versioned Parquet overwrite with a commit
+  * marker — readers see only complete snapshots, crashed writes are
+  * invisible and superseded.
+  */
+class AtomicLayerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("atomic_layer").resolve("t").toString
+
+  private def df(vals: Int*) = vals.toSeq.toDF("x")
+
+  test("reader sees the previous snapshot while a torn write sits uncommitted") {
+    val root = tmpTable()
+    AtomicLayer.write(df(1, 2, 3), root)
+    assert(AtomicLayer.read(spark, root).as[Int].collect().sorted === Array(1, 2, 3))
+
+    // simulate a write killed mid-flight: a version directory with data
+    // files but NO _SUCCESS marker (the job committer died before commit)
+    val torn = Paths.get(root, "v1")
+    Files.createDirectories(torn)
+    df(9, 9, 9).write.mode("overwrite").parquet(torn.resolve("tmp").toString)
+    Files.move(
+      torn.resolve("tmp").resolve(
+        Files.list(torn.resolve("tmp")).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get().getFileName.toString),
+      torn.resolve("part-00000.parquet"))
+    Files.walk(torn.resolve("tmp")).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    assert(!Files.exists(torn.resolve("_SUCCESS")))
+
+    // the torn snapshot is invisible
+    assert(AtomicLayer.read(spark, root).as[Int].collect().sorted === Array(1, 2, 3))
+
+    // the next write supersedes it (never reuses the crashed dir) and wins
+    AtomicLayer.write(df(4, 5), root)
+    assert(AtomicLayer.read(spark, root).as[Int].collect().sorted === Array(4, 5))
+    assert(!Files.exists(torn), "crashed debris should be pruned after a commit")
+  }
+
+  test("overwrite keeps the previous committed snapshot as a grace window") {
+    val root = tmpTable()
+    AtomicLayer.write(df(1), root)
+    AtomicLayer.write(df(2), root)
+    AtomicLayer.write(df(3), root)
+    assert(AtomicLayer.read(spark, root).as[Int].collect() === Array(3))
+    // keepVersions = 2: v2 (current) + v1 (grace) remain, v0 pruned
+    val vs = Files.list(Paths.get(root)).map(_.getFileName.toString)
+      .toArray.map(_.toString).sorted
+    assert(vs === Array("v1", "v2"), vs.mkString(","))
+  }
+
+  test("partitioned writes commit atomically too") {
+    val root = tmpTable()
+    val d = Seq((1, "a"), (2, "b")).toDF("x", "p")
+    AtomicLayer.write(d, root, partitionCols = Seq("p"))
+    val back = AtomicLayer.read(spark, root)
+    assert(back.select("x").as[Int].collect().sorted === Array(1, 2))
+    assert(back.columns.toSet === Set("x", "p"))
+  }
+
+  test("read falls back to a plain (pre-atomic) parquet layout") {
+    val root = tmpTable()
+    df(7, 8).write.parquet(root)
+    assert(AtomicLayer.read(spark, root).as[Int].collect().sorted === Array(7, 8))
+  }
+
+  test("medallion write helpers route through the protocol") {
+    val root = tmpTable()
+    val power = Seq(("de", "2024-01-01", "wind offshore",
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("country", "date", "production_type", "timestamp", "value")
+    Silver.write(power, root, partitionCols = Seq("date"))
+    Silver.write(power.withColumn("value", lit(2.0)), root, partitionCols = Seq("date"))
+    val got = Silver.read(spark, root)
+    assert(got.select("value").as[Double].collect() === Array(2.0))
+    assert(Files.exists(Paths.get(root, "v1", "_SUCCESS")))
+  }
+}
