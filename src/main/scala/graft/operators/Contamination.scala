@@ -43,7 +43,10 @@ object Contamination {
 
   /** Per-train-document contamination report against the eval split
     * selected by `isEval` (a predicate over the docs columns):
-    * (doc_id, n_windows, n_contaminated, contaminated).
+    * (doc_id, n_windows, n_contaminated, contaminated). EVERY train
+    * document gets a row — documents shorter than [[WindowChars]] carry
+    * no spans and report (0, 0, false), so "is doc X contaminated?"
+    * always has an answer.
     */
   def report(docs: DataFrame, isEval: Column): DataFrame = {
     // Both splits need the hashed windows; pin the shared intermediate so
@@ -52,12 +55,20 @@ object Contamination {
       .localCheckpoint(eager = false)
     val evalHashes = wins.where(col("__eval")).select("h").distinct()
       .withColumn("__hit", lit(1L))
-    wins.where(!col("__eval"))
+    val perDoc = wins.where(!col("__eval"))
       .join(broadcast(evalHashes), Seq("h"), "left")
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_windows"),
-        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+        count(lit(1)).as("__nw"),
+        sum(coalesce(col("__hit"), lit(0L))).as("__nc"))
+    // Left-join back onto the full train split: windowless (short)
+    // documents surface with zero counts instead of vanishing.
+    docs.where(!isEval).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("__nw"), lit(0L)).as("n_windows"),
+        coalesce(col("__nc"), lit(0L)).as("n_contaminated"))
       .withColumn("contaminated", col("n_contaminated") > 0)
   }
 }

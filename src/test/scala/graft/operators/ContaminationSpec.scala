@@ -15,7 +15,7 @@ class ContaminationSpec extends SparkSpec {
     (1L, passage, "en", "eval-bench"), // doc_id % 2 == 1 -> eval
     (2L, passage.substring(0, 32) + " padded with unrelated tail text", "en", "web"),
     (4L, "completely unrelated training text that is long enough to window", "en", "web"),
-    (6L, "short", "en", "web"), // < 32 chars: no windows, absent from report
+    (6L, "short", "en", "web"), // < 32 chars: no windows, reported as (0, 0, false)
   ).toDF("doc_id", "text", "lang", "source")
     .withColumn("n_chars", length(col("text")).cast("long")) // matches documents.parquet's int64
 
@@ -23,18 +23,20 @@ class ContaminationSpec extends SparkSpec {
     val rep = Contamination.report(docs, col("doc_id") % 2 === 1)
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
-    assert(rep.keySet === Set(2L, 4L)) // doc 6 has no windows; doc 1 is eval
+    assert(rep.keySet === Set(2L, 4L, 6L)) // every train doc answers; doc 1 is eval
     val (w2, c2, f2) = rep(2L)
     assert(f2 && c2 >= 1 && c2 <= w2, s"doc 2 should be contaminated: $rep")
     val (w4, c4, f4) = rep(4L)
     assert(!f4 && c4 === 0L && w4 >= 1)
+    // windowless short doc: present, zero windows, not contaminated
+    assert(rep(6L) === ((0L, 0L, false)))
   }
 
   test("report is empty-safe when the eval split is empty") {
     val rep = Contamination.report(docs, lit(false))
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(rep.values.forall(_ == 0L))
-    assert(rep.keySet === Set(1L, 2L, 4L))
+    assert(rep.keySet === Set(1L, 2L, 4L, 6L))
   }
 
   test("the eval hash set joins as a broadcast — the train scan never shuffles for it") {

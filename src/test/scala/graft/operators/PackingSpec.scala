@@ -46,6 +46,29 @@ class PackingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("negative weights are rejected, not silently binned") {
+    val df = Seq((1L, 5L), (2L, -3L), (3L, 4L)).toDF("id", "w")
+    val ex = intercept[Exception] {
+      Packing.packBins(df, Seq(col("id")), col("w"), 8L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => String.valueOf(e.getMessage) +: messages(e.getCause))
+    assert(messages(ex).exists(_.contains("non-negative")), ex.getMessage)
+  }
+
+  test("all-NULL-weight partitions sum to zero offset instead of NPE") {
+    // ids 1..10 with NULL weights range-partition together: their
+    // partition total is NULL pre-coalesce — the exact shape that NPE'd
+    val df = (1 to 10).map(i => (i.toLong, Option.empty[Long]))
+      .++((11 to 2000).map(i => (i.toLong, Some(1L))))
+      .toDF("id", "w")
+    val got = Packing.prefixSum(df.repartition(8), Seq(col("id")), col("w"), "cum")
+      .where(col("id") > 10)
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    // null weights carry no mass: id 11 starts the running sum at 1
+    assert(got(11L) === 1L && got(2000L) === 1990L)
+  }
+
   test("bins are contiguous and capacity-respecting: a bin closes only once full") {
     val rows = randomWeights(3000, 31)
     val target = 512L
