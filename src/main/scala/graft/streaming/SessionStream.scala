@@ -90,7 +90,7 @@ object SessionStream {
       gapSeconds: Long = 1800,
   ): DataFrame = {
     import spark.implicits._
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = StreamRun.cachedSchema(spark, dir, "events.parquet")
     val name = s"closed_sessions_${runId.incrementAndGet()}"
 
     val events: Dataset[EventIn] = spark.readStream
@@ -105,15 +105,8 @@ object SessionStream {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         emitClosed(gapSeconds * 1000000000L))
 
-    val query = closed.writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(name)
-      .start()
-    try query.processAllAvailable()
-    finally query.stop()
-
-    spark.table(name).orderBy("user_id", "session_start_ms")
+    StreamRun.toMemorySnapshot(closed.toDF(), "append", name)
+      .orderBy("user_id", "session_start_ms")
   }
 
   /** Run sessionization over `$dir/events.parquet` as a stream; returns
@@ -125,7 +118,7 @@ object SessionStream {
       gapSeconds: Long = 1800,
   ): DataFrame = {
     import spark.implicits._
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = StreamRun.cachedSchema(spark, dir, "events.parquet")
     val name = s"user_sessions_${runId.incrementAndGet()}"
 
     val events: Dataset[EventIn] = spark.readStream
@@ -140,14 +133,7 @@ object SessionStream {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
         updateState(gapSeconds * 1000000000L))
 
-    val query = snapshots.writeStream
-      .outputMode(OutputMode.Update())
-      .format("memory")
-      .queryName(name)
-      .start()
-    try query.processAllAvailable()
-    finally query.stop()
-
-    spark.table(name).orderBy("user_id")
+    StreamRun.toMemorySnapshot(snapshots.toDF(), "update", name)
+      .orderBy("user_id")
   }
 }

@@ -68,7 +68,7 @@ object StateV2 {
     */
   def userTotals(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = StreamRun.cachedSchema(spark, dir, "events.parquet")
     val name = s"user_totals_v2_${runId.incrementAndGet()}"
 
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
@@ -89,24 +89,14 @@ object StateV2 {
           new TotalsProcessor, TimeMode.None(), OutputMode.Update(),
           Encoders.product[UserTotals])
 
-      val query = totals.writeStream
-        .outputMode(OutputMode.Update())
-        .format("memory")
-        .queryName(name)
-        .start()
-      try query.processAllAvailable()
-      finally query.stop()
+      // StreamRun materializes the snapshot and drops the memory-sink
+      // table (no orphaned result tables), and drives with few state
+      // partitions — fewer RocksDB instances to open per run.
+      StreamRun.toMemorySnapshot(totals.toDF(), "update", name)
+        .orderBy("user_id")
     } finally savedProvider match {
       case Some(v) => spark.conf.set(providerKey, v)
       case None => spark.conf.unset(providerKey)
     }
-
-    // Materialize the snapshot and DROP the memory-sink table: the sink
-    // caches every batch's rows on the driver, and a long-lived session
-    // (the bench runs each query twice) would accumulate one orphaned
-    // result table per invocation.
-    val out = spark.table(name).orderBy("user_id").localCheckpoint()
-    spark.catalog.dropTempView(name)
-    out
   }
 }

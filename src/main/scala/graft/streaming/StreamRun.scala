@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared drive harness for the synchronous local streaming queries.
+  *
+  * Two costs dominate a `processAllAvailable` micro-batch drive at small
+  * scale, and both scale with `spark.sql.shuffle.partitions`:
+  * every stateful operator materializes one state store PER PARTITION
+  * per micro-batch (32 HDFS-backed stores + their checkpoint fsyncs for
+  * a session configured for batch throughput), and the stateful stage
+  * launches that many tasks for data that fits in a handful. Batch
+  * queries want the wide setting; the stream drives run with a few
+  * state partitions instead — aggregation, dedup, join and
+  * *GroupsWithState results are partition-count-independent, so this is
+  * a pure startup-cost knob (a production deployment sizes it to state
+  * volume, not to this harness default).
+  *
+  * The memory sink snapshot is materialized (`localCheckpoint`) and its
+  * backing temp view dropped immediately: the sink caches every batch's
+  * rows on the driver, and a long-lived session (the bench runs each
+  * query twice) must not accumulate one orphaned result table per run.
+  */
+object StreamRun {
+
+  /** State/shuffle partitions for the local drives. */
+  val StatePartitions = 4
+
+  /** Cost floor, measured (sf0.1, local[32], warm JVM): a MINIMAL
+    * one-batch file-stream drive — noop sink, no watermark, no state —
+    * costs ~0.5-1.1 s; the smallest stateful one ~1.0-1.2 s. That is
+    * micro-batch lifecycle (per-batch incremental re-planning, offset
+    * WAL, no-data watermark batch, stop), not our query plans: the
+    * engine's streaming queries time within ~0.1-0.4 s of the floor.
+    * The knobs below (state partitions, RAM-disk checkpoints) removed
+    * the costs ABOVE the floor; pushing further means faking the drive,
+    * not running it.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  /** Schema of `$dir/$file`, cached per path — every stream drive needs
+    * it (readStream requires an explicit schema) and the footer-read
+    * batch job is pure repeat cost within a session.
+    */
+  def cachedSchema(spark: SparkSession, dir: String, file: String): org.apache.spark.sql.types.StructType =
+    schemaCache.computeIfAbsent(s"$dir/$file",
+      p => spark.read.parquet(p).schema)
+
+  /** Run `body` (a stream start + drain) with the reduced partition
+    * count; always restores the session's previous setting.
+    */
+  def withStreamConf[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, StatePartitions.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Ephemeral checkpoint root: these drives are one-shot (the query is
+    * drained and stopped; the checkpoint is never resumed), so the
+    * offset/commit/state WAL fsyncs are pure overhead — put them on the
+    * RAM disk when one exists. A production deployment points its
+    * checkpoint at durable storage precisely BECAUSE it resumes; this
+    * knob only applies to the drain-and-discard harness path.
+    */
+  private def ephemeralCheckpointRoot: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-stream-ckpt"
+    else sys.props("java.io.tmpdir") + "/graft-stream-ckpt"
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
+  /** Start `df` into a memory sink named `name`, drain it synchronously,
+    * and return the MATERIALIZED snapshot with the sink table dropped
+    * and the ephemeral checkpoint removed.
+    */
+  def toMemorySnapshot(df: DataFrame, mode: String, name: String): DataFrame = {
+    val spark = df.sparkSession
+    val ckpt = new java.io.File(
+      s"$ephemeralCheckpointRoot/$name-${java.util.UUID.randomUUID()}")
+    withStreamConf(spark) {
+      try {
+        val query = df.writeStream
+          .outputMode(mode)
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .start()
+        try query.processAllAvailable()
+        finally query.stop()
+      } finally deleteRecursively(ckpt)
+    }
+    val out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
+  }
+}
