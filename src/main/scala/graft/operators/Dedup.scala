@@ -186,10 +186,23 @@ object Dedup {
     * accumulates +1/-1 by whether the word hash has that bit set; the
     * signature takes the sign of each accumulator.
     */
-  def simHashSignatures(docs: DataFrame, bits: Int = 32): DataFrame = {
+  def simHashSignatures(docs: DataFrame, bits: Int = 32): DataFrame =
+    simHashFrom(docs, bits, xxhash64(col("word")))
+
+  /** SimHash over the PORTABLE hash family ([[portableHash60]] per
+    * word): identical banding/Hamming semantics, but every step — hash,
+    * bit sums, sign assembly — is reproducible in any engine with md5,
+    * so signatures AND candidate counts are oracle-checkable (d3).
+    * Same trade as [[minHashPortable]]: md5 costs a few times xxhash64;
+    * use the xxhash64 family when signatures never leave Spark.
+    */
+  def simHashPortableSignatures(docs: DataFrame, bits: Int = 32): DataFrame =
+    simHashFrom(docs, bits, portableHash60(col("word")))
+
+  private def simHashFrom(docs: DataFrame, bits: Int, wordHash: Column): DataFrame = {
     val wordsDf = docs
       .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("word"))
-      .withColumn("h", xxhash64(col("word")))
+      .withColumn("h", wordHash)
     val bitSums = (0 until bits).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b"))
     val sig = (0 until bits)

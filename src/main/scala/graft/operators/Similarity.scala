@@ -41,9 +41,11 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
     * an LCG step mapped to [-1, 1]. No RNG state, so every engine (and
-    * every re-run) derives the identical planes.
+    * every re-run) derives the identical planes. Public contract: the
+    * native [[graft.functions.LshBuckets]] expression reproduces this
+    * table exactly.
     */
-  private def planeWeight(p: Int, d: Int): Double =
+  def planeWeight(p: Int, d: Int): Double =
     (((1103515245L * (p * 64 + d) + 12345L) % 2001L + 2001L) % 2001L - 1000L) / 1000.0
 
   /** Sign-pattern bucket id from `nPlanes` random hyperplanes.
@@ -160,19 +162,20 @@ object Similarity {
       nPlanes: Int = 4,
       nTables: Int = 4,
   ): DataFrame = {
-    def tableBuckets(emb: Column): Column =
-      array((0 until nTables).map(t =>
-        struct(lit(t).as("t"),
-          lshBucket(emb, dim, nPlanes, planeOffset = t * nPlanes).as("b"))): _*)
-    val q = broadcast(
-      queries
-        .select(col("vec_id").as("q_vec"), col("embedding").as("q_emb"))
-        .select(col("q_vec"), col("q_emb"), explode(tableBuckets(col("q_emb"))).as("tb")))
-    val c = corpus
-      .select(col("vec_id").as("c_vec"), col("embedding").as("c_emb"))
-      .select(col("c_vec"), col("c_emb"), explode(tableBuckets(col("c_emb"))).as("tb"))
+    // All table buckets in one fused native kernel (LshBuckets): the
+    // Column-composed equivalent is nTables x nPlanes x dim expression
+    // nodes, which overflows codegen's method budget (measured 7x
+    // slower). posexplode yields the (table, bucket) join key.
+    def withTableBuckets(df: DataFrame, embCol: String): DataFrame =
+      df.select(col("*"),
+        posexplode(graft.functions.LshBuckets.buckets(col(embCol), nPlanes, nTables))
+          .as(Seq("t", "b")))
+    val q = broadcast(withTableBuckets(
+      queries.select(col("vec_id").as("q_vec"), col("embedding").as("q_emb")), "q_emb"))
+    val c = withTableBuckets(
+      corpus.select(col("vec_id").as("c_vec"), col("embedding").as("c_emb")), "c_emb")
     val w = Window.partitionBy(col("q_vec")).orderBy(col("cosine").desc, col("c_vec"))
-    c.join(q, Seq("tb"))
+    c.join(q, Seq("t", "b"))
       .where(col("c_vec") =!= col("q_vec"))
       .select(
         col("q_vec"), col("c_vec"),

@@ -55,10 +55,13 @@ object ExtensionQueries {
           coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
         .orderBy("doc_id")
     },
-    // SimHash near-dup: signatures + per-doc candidate count. Rows-only.
+    // SimHash near-dup over the PORTABLE (md5) hash family: signatures
+    // + per-doc candidate count, all recomputed by the DuckDB oracle
+    // (bit sums, sign assembly, byte-banding, Hamming filter). The
+    // xxhash64 family stays the in-Spark fast path (simHashSignatures).
     "d3_dedup_simhash" -> { (spark, dir) =>
       val docs = Tables.documentsParallel(spark, dir)
-      val sigs = Dedup.simHashSignatures(docs)
+      val sigs = Dedup.simHashPortableSignatures(docs)
       val cands = Dedup.simHashCandidates(docs, maxHamming = 10,
         precomputedSigs = Some(sigs))
       val perDoc = cands
@@ -506,7 +509,61 @@ object ExtensionQueries {
     },
   )
 
+  /** d3's oracle recomputes the portable SimHash end to end; the 32
+    * per-bit accumulators and the sign-assembly are generated here
+    * rather than hand-written (same SQL either way, no transcription
+    * slips).
+    */
+  private val d3OracleSql: String = {
+    val bitSums = (0 until 32)
+      .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n    ")
+    val sigExpr = (0 until 32)
+      .map(b => s"CASE WHEN s$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+       |  FROM documents
+       |), hashed AS (
+       |  SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h
+       |  FROM toks
+       |), bitsums AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM hashed GROUP BY doc_id
+       |), sigs AS (
+       |  SELECT doc_id, $sigExpr AS simhash
+       |  FROM bitsums
+       |), banded AS (
+       |  SELECT doc_id, simhash, CAST(g.b AS INTEGER) AS band_idx,
+       |    (simhash >> (g.b * 8)) & 255 AS band_key
+       |  FROM sigs, UNNEST(generate_series(0, 3)) AS g(b)
+       |), sized AS (
+       |  SELECT band_idx, band_key FROM banded GROUP BY 1, 2
+       |  HAVING count(*) BETWEEN 2 AND 64
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM banded a
+       |  JOIN sized s ON s.band_idx = a.band_idx AND s.band_key = a.band_key
+       |  JOIN banded b ON b.band_idx = a.band_idx AND b.band_key = a.band_key
+       |  WHERE a.doc_id < b.doc_id
+       |), near AS (
+       |  SELECT doc_a, doc_b FROM pairs WHERE bit_count(xor(sa, sb)) <= 10
+       |), perdoc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near FROM (
+       |    SELECT doc_a AS doc_id FROM near
+       |    UNION ALL SELECT doc_b AS doc_id FROM near)
+       |  GROUP BY doc_id
+       |)
+       |SELECT s.doc_id, s.simhash, CAST(coalesce(p.n_near, 0) AS BIGINT) AS n_near
+       |FROM sigs s LEFT JOIN perdoc p USING (doc_id)
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "d3_dedup_simhash" -> d3OracleSql,
     "d2_dedup_minhash" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w

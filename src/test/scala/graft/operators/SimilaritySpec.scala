@@ -83,6 +83,19 @@ class SimilaritySpec extends SparkSpec {
     assert(plans("ivf").contains("BroadcastNestedLoopJoin"), plans("ivf"))
   }
 
+  test("LshBuckets native kernel equals the composed lshBucket per table") {
+    val emb = Tables.embeddings(spark, sf0001).limit(50)
+    val both = emb.select(
+      graft.functions.LshBuckets.buckets(col("embedding"), 4, 4).as("nb"),
+      array((0 until 4).map(t =>
+        Similarity.lshBucket(col("embedding"), 64, 4, planeOffset = t * 4)): _*).as("cb"),
+    ).collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1), r)
+    }
+  }
+
   test("x2r query reports LSH recall@3 above the floor") {
     val df = graft.SparkEntry.queries("x2r_ann_lsh_recall")(spark, sf0001)
     val row = df.collect().head
