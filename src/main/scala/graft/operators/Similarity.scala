@@ -80,7 +80,13 @@ object Similarity {
       nCentroids: Int = 16,
       nProbe: Int = 2,
   ): DataFrame = {
-    import graft.functions.CosineSimilarity.cosine
+    // Quantized (integer-exact) cosine throughout: every sum is of
+    // exact integers < 2^53, so assignment argmaxes and ranks are
+    // bit-identical on ANY engine in ANY evaluation order — which is
+    // what lets the x5 oracle recompute the full IVF pipeline in DuckDB
+    // (float cosine sums are order-dependent near ties; quantized ones
+    // are not).
+    import graft.functions.QuantizedCosine.{quantizedCosine => cosine}
     val centroids = corpus.orderBy(col("vec_id")).limit(nCentroids)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
 

@@ -132,7 +132,10 @@ object ExtensionQueries {
         .orderBy("q_vec", "rank")
     },
     // IVF-style variant: corpus partitioned by nearest centroid, queries
-    // probe nProbe lists (rows-only: ranking uses the native expression).
+    // probe nProbe lists. Oracle-checked end to end: the similarity is
+    // the integer-quantized cosine, so centroid argmaxes and ranks are
+    // order-independent and DuckDB recomputes the WHOLE pipeline —
+    // centroid selection, corpus assignment, query probes, final rank.
     "x5_ann_ivf" -> { (spark, dir) =>
       val emb = Tables.embeddings(spark, dir)
       Similarity.ivfTopK(emb.where(col("vec_id") < 8), emb, k = 3)
@@ -563,6 +566,46 @@ object ExtensionQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "x5_ann_ivf" ->
+      """WITH qe AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, v -> floor(CAST(v AS DOUBLE) * 1048576.0)) AS q
+        |  FROM embeddings
+        |), cent AS (
+        |  SELECT vec_id AS centroid_id, q AS cq FROM qe ORDER BY vec_id LIMIT 16
+        |), corpus_assign AS (
+        |  SELECT c_vec, centroid_id AS list_id FROM (
+        |    SELECT e.vec_id AS c_vec, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.q, c.cq) /
+        |          nullif(sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(c.cq, c.cq)), 0)
+        |          DESC, c.centroid_id) AS rk
+        |    FROM qe e, cent c) t WHERE rk = 1
+        |), query_assign AS (
+        |  SELECT q_vec, centroid_id AS list_id FROM (
+        |    SELECT e.vec_id AS q_vec, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.q, c.cq) /
+        |          nullif(sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(c.cq, c.cq)), 0)
+        |          DESC, c.centroid_id) AS rk
+        |    FROM qe e, cent c WHERE e.vec_id < 8) t WHERE rk <= 2
+        |), scored AS (
+        |  SELECT qa.q_vec, ca.c_vec, qa.list_id,
+        |    list_dot_product(eq.q, ec.q) /
+        |      nullif(sqrt(list_dot_product(eq.q, eq.q)) * sqrt(list_dot_product(ec.q, ec.q)), 0)
+        |      AS cosine
+        |  FROM query_assign qa
+        |  JOIN corpus_assign ca USING (list_id)
+        |  JOIN qe eq ON eq.vec_id = qa.q_vec
+        |  JOIN qe ec ON ec.vec_id = ca.c_vec
+        |  WHERE ca.c_vec <> qa.q_vec
+        |), ranked AS (
+        |  SELECT q_vec, c_vec, list_id, cosine,
+        |    row_number() OVER (PARTITION BY q_vec ORDER BY cosine DESC, c_vec) AS rank
+        |  FROM scored
+        |)
+        |SELECT q_vec, rank, c_vec, cosine, list_id FROM ranked
+        |WHERE rank <= 3 ORDER BY q_vec, rank""".stripMargin,
     "d3_dedup_simhash" -> d3OracleSql,
     "d2_dedup_minhash" ->
       """WITH toks AS (

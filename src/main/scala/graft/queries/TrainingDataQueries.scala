@@ -36,6 +36,39 @@ object TrainingDataQueries {
         .orderBy("bin_id")
     },
 
+    // Per-domain document cap — the sampling step that stops one crawl
+    // domain from dominating a mixture — expressed DIRECTLY on the
+    // engine's whole-operator TopKPerKey plan node: bounded heaps cap
+    // each map partition at k rows per source, the exchange carries
+    // only survivors (never the corpus), no sort anywhere. The oracle
+    // is the row_number formulation DuckDB runs.
+    "cap1_domain_cap" -> { (spark, dir) =>
+      graft.plans.TopKPerKey.topKPerKey(
+          Tables.documentsParallel(spark, dir)
+            .select(col("doc_id"), col("source"), col("n_chars")),
+          keyCols = Seq("source"),
+          orderCols = Seq(("n_chars", false), ("doc_id", true)),
+          k = 10)
+        .orderBy("source", "doc_id")
+    },
+
+    // BPE pair counts — the merge-selection statistic of byte-pair-
+    // encoding tokenizer training (iteration 1: most frequent adjacent
+    // symbol pair within words). Counts compact map-side; only
+    // (pair, count) partials shuffle; deterministic tie-break on the
+    // pair for the top-50 cut.
+    "bpe1_pair_counts" -> { (spark, dir) =>
+      Tables.documentsParallel(spark, dir)
+        .select(explode(TextAnalysis.words(col("text"))).as("w"))
+        .where(length(col("w")) >= 2)
+        .select(col("w"), explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+        .select(expr("substring(w, CAST(i AS INT), 2)").as("pair"))
+        .groupBy("pair")
+        .agg(count(lit(1)).as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("pair"))
+        .limit(50)
+    },
+
     // Contamination audit: does a training document share a 32-char span
     // with the (broadcast-small) eval split? Every 20th document plays
     // the benchmark here; at warehouse scale the eval hash set stays a
@@ -104,6 +137,24 @@ object TrainingDataQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "cap1_domain_cap" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin,
+    "bpe1_pair_counts" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT substr(w, CAST(g.i AS INTEGER), 2) AS pair
+        |  FROM toks, UNNEST(generate_series(1, length(w) - 1)) AS g(i)
+        |  WHERE length(w) >= 2
+        |)
+        |SELECT pair, count(*) AS n_occurrences FROM pairs
+        |GROUP BY pair ORDER BY n_occurrences DESC, pair LIMIT 50""".stripMargin,
     "e5_pq_assign" ->
       """WITH terms AS (
         |  SELECT label, g.i - 1 AS dim,
