@@ -19,8 +19,12 @@ import org.apache.spark.sql.types._
   * the plane weights are one flat precomputed array carried as a
   * codegen reference object and the kernel is three tight loops.
   *
-  * Weights reproduce [[graft.operators.Similarity.planeWeight]]'s LCG
-  * exactly (plane index stride 64), so table t's bucket equals
+  * Weights reproduce [[graft.operators.Similarity.planeWeightInt]]'s
+  * integer LCG exactly (plane index stride 64), and the dot products
+  * are sums of exact integers (floor(v * 2^20) longs x [-1000, 1000]
+  * weights, < 2^38 total) — evaluation-order-independent, so bucket
+  * assignment is recomputable in any engine (the x2 oracle recomputes
+  * it in DuckDB SQL). Table t's bucket equals
   * `lshBucket(emb, dim, nPlanes, planeOffset = t * nPlanes)` — asserted
   * in SimilaritySpec. Null elements contribute nothing to a plane's
   * dot product; a null array yields null.
@@ -41,9 +45,9 @@ case class LshBuckets(child: Expression, nPlanes: Int, nTables: Int)
   }
 
   /** Flat [(plane) * 64 + dim] weight table, plane = t * nPlanes + i. */
-  @transient private lazy val weights: Array[Double] =
+  @transient private lazy val weights: Array[Long] =
     Array.tabulate(nTables * nPlanes * 64) { k =>
-      graft.operators.Similarity.planeWeight(k / 64, k % 64)
+      graft.operators.Similarity.planeWeightInt(k / 64, k % 64)
     }
 
   override def nullSafeEval(a: Any): Any = {
@@ -55,11 +59,13 @@ case class LshBuckets(child: Expression, nPlanes: Int, nTables: Int)
       var bucket = 0L
       var p = 0
       while (p < nPlanes) {
-        var dot = 0.0
+        var dot = 0L
         val base = (t * nPlanes + p) * 64
         var d = 0
         while (d < n) {
-          if (!x.isNullAt(d)) dot += x.getFloat(d).toDouble * weights(base + d)
+          if (!x.isNullAt(d)) {
+            dot += math.floor(x.getFloat(d).toDouble * 1048576.0).toLong * weights(base + d)
+          }
           d += 1
         }
         if (dot > 0) bucket |= (1L << p)
@@ -72,7 +78,7 @@ case class LshBuckets(child: Expression, nPlanes: Int, nTables: Int)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val wts = ctx.addReferenceObj("lshWeights", weights, "double[]")
+    val wts = ctx.addReferenceObj("lshWeights", weights, "long[]")
     nullSafeCodeGen(ctx, ev, a => {
       val n = ctx.freshName("n")
       val out = ctx.freshName("out")
@@ -88,11 +94,12 @@ case class LshBuckets(child: Expression, nPlanes: Int, nTables: Int)
          |for (int $t = 0; $t < $nTables; $t++) {
          |  long $bucket = 0L;
          |  for (int $p = 0; $p < $nPlanes; $p++) {
-         |    double $dot = 0.0;
+         |    long $dot = 0L;
          |    int $base = ($t * $nPlanes + $p) * 64;
          |    for (int $d = 0; $d < $n; $d++) {
          |      if ($a.isNullAt($d)) continue;
-         |      $dot += ((double) $a.getFloat($d)) * $wts[$base + $d];
+         |      $dot += ((long) java.lang.Math.floor(((double) $a.getFloat($d)) * 1048576.0))
+         |        * $wts[$base + $d];
          |    }
          |    if ($dot > 0) $bucket |= (1L << $p);
          |  }

@@ -39,16 +39,21 @@ object Similarity {
       .select("q_vec", "rank", "c_vec", "cosine")
   }
 
-  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
-    * an LCG step mapped to [-1, 1]. No RNG state, so every engine (and
-    * every re-run) derives the identical planes. Public contract: the
-    * native [[graft.functions.LshBuckets]] expression reproduces this
-    * table exactly.
+  /** Deterministic INTEGER hyperplane weight for (plane, dim): an LCG
+    * step mapped to [-1000, 1000]. No RNG state and no floating point,
+    * so every engine (and every re-run) derives the identical planes —
+    * and because the bucket dot products below are sums of exact
+    * integers (|q| < 2^21, |w| <= 2^10, 64 dims → < 2^38), bucket
+    * assignment is evaluation-order-independent and recomputable in
+    * plain SQL (the x2 oracle does). Public contract: the native
+    * [[graft.functions.LshBuckets]] expression reproduces this table
+    * exactly.
     */
-  def planeWeight(p: Int, d: Int): Double =
-    (((1103515245L * (p * 64 + d) + 12345L) % 2001L + 2001L) % 2001L - 1000L) / 1000.0
+  def planeWeightInt(p: Int, d: Int): Long =
+    ((1103515245L * (p * 64 + d) + 12345L) % 2001L + 2001L) % 2001L - 1000L
 
-  /** Sign-pattern bucket id from `nPlanes` random hyperplanes.
+  /** Sign-pattern bucket id from `nPlanes` hyperplanes: bit i set iff
+    * sum_d floor(emb[d] * 2^20) * planeWeightInt(offset + i, d) > 0.
     * `planeOffset` selects a disjoint plane family — table t of an
     * OR-construction uses offset t * nPlanes.
     */
@@ -56,7 +61,8 @@ object Similarity {
     (0 until nPlanes)
       .map { i =>
         val dot = (0 until dim)
-          .map(d => emb.getItem(d).cast(DoubleType) * lit(planeWeight(planeOffset + i, d)))
+          .map(d => floor(emb.getItem(d).cast(DoubleType) * 1048576.0).cast(LongType) *
+            lit(planeWeightInt(planeOffset + i, d)))
           .reduce(_ + _)
         when(dot > 0, lit(1L << i)).otherwise(0L)
       }
@@ -185,9 +191,11 @@ object Similarity {
       .where(col("c_vec") =!= col("q_vec"))
       .select(
         col("q_vec"), col("c_vec"),
-        // Native codegen'd expression: one fused loop per pair instead of
-        // three aggregate(zip_with(...)) walks.
-        graft.functions.CosineSimilarity.cosine(col("q_emb"), col("c_emb")).as("cosine"),
+        // Native codegen'd QUANTIZED cosine: one fused loop per pair,
+        // and — like the bucket dots above — exact-integer accumulation,
+        // so the whole x2 pipeline (buckets, candidates, ranks) is
+        // engine-recomputable.
+        graft.functions.QuantizedCosine.quantizedCosine(col("q_emb"), col("c_emb")).as("cosine"),
       )
       // a pair colliding in several tables scores identically each time:
       // dedup on ids, keeping the collision count as a diagnostic

@@ -125,7 +125,10 @@ object ExtensionQueries {
       Similarity.bruteForceTopK(emb.where(col("vec_id") < 8), emb, k = 5)
         .orderBy("q_vec", "rank")
     },
-    // LSH-bucketed variant (rows-only: bucket uses Spark-side plane math).
+    // LSH-bucketed variant. Oracle-checked end to end: integer
+    // hyperplane weights + quantized embeddings make bucket assignment
+    // exact-integer, and the quantized-cosine ranking is too — DuckDB
+    // recomputes buckets, candidate pairs, and ranks bit for bit.
     "x2_ann_lsh" -> { (spark, dir) =>
       val emb = Tables.embeddings(spark, dir)
       Similarity.lshTopK(emb.where(col("vec_id") < 8), emb, k = 3)
@@ -144,8 +147,9 @@ object ExtensionQueries {
     // LSH recall instrumentation: recall@3 of the bucketed path (x2)
     // against exact brute force (x1) — the QUALITY number that must ride
     // alongside the bucketed path's speed (an ANN variant that silently
-    // degrades recall is not "faster", it is wrong). Rows-only: one
-    // summary row; the recall floor is asserted in SimilaritySpec.
+    // degrades recall is not "faster", it is wrong). Oracle-checked:
+    // both sides are exact-integer pipelines, so DuckDB recomputes the
+    // recall itself. The floor is ALSO asserted in SimilaritySpec.
     "x2r_ann_lsh_recall" -> { (spark, dir) =>
       val emb = Tables.embeddings(spark, dir)
       val qs = emb.where(col("vec_id") < 8)
@@ -565,7 +569,69 @@ object ExtensionQueries {
        |ORDER BY s.doc_id""".stripMargin
   }
 
+  /** Shared CTE chain for the x2/x2r oracles: quantized embeddings,
+    * integer hyperplane weights (the planeWeightInt LCG in SQL), per-
+    * plane integer dots, per-table buckets, bucket-joined candidate
+    * pairs, quantized-cosine ranking. Everything is exact-integer (or a
+    * division of exact integers), so DuckDB reproduces the Spark
+    * pipeline bit for bit.
+    */
+  private val lshOracleCtes: String =
+    """qe AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, v -> floor(CAST(v AS DOUBLE) * 1048576.0)) AS q
+      |  FROM embeddings
+      |), w AS (
+      |  SELECT p.p, d.d,
+      |    ((CAST(1103515245 AS BIGINT) * (p.p * 64 + d.d) + 12345) % 2001 + 2001) % 2001 - 1000 AS w
+      |  FROM UNNEST(generate_series(0, 15)) AS p(p), UNNEST(generate_series(0, 63)) AS d(d)
+      |), dots AS (
+      |  SELECT e.vec_id, w.p, SUM(e.q[w.d + 1] * w.w) AS dot
+      |  FROM qe e, w GROUP BY 1, 2
+      |), buckets AS (
+      |  SELECT vec_id, CAST(p // 4 AS INTEGER) AS t,
+      |    CAST(SUM(CASE WHEN dot > 0 THEN (1 << (p % 4)) ELSE 0 END) AS BIGINT) AS b
+      |  FROM dots GROUP BY 1, 2
+      |), lsh_pairs AS (
+      |  SELECT qb.vec_id AS q_vec, cb.vec_id AS c_vec, CAST(count(*) AS BIGINT) AS n_tables
+      |  FROM buckets qb JOIN buckets cb ON cb.t = qb.t AND cb.b = qb.b
+      |  WHERE qb.vec_id < 8 AND cb.vec_id <> qb.vec_id
+      |  GROUP BY 1, 2
+      |), lsh_scored AS (
+      |  SELECT p.q_vec, p.c_vec, p.n_tables,
+      |    list_dot_product(a.q, b.q) /
+      |      nullif(sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q)), 0) AS cosine
+      |  FROM lsh_pairs p
+      |  JOIN qe a ON a.vec_id = p.q_vec
+      |  JOIN qe b ON b.vec_id = p.c_vec
+      |), lsh_ranked AS (
+      |  SELECT q_vec, c_vec, cosine, n_tables,
+      |    row_number() OVER (PARTITION BY q_vec ORDER BY cosine DESC, c_vec) AS rank
+      |  FROM lsh_scored
+      |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x2_ann_lsh" ->
+      s"""WITH $lshOracleCtes
+         |SELECT q_vec, rank, c_vec, cosine, n_tables FROM lsh_ranked
+         |WHERE rank <= 3 ORDER BY q_vec, rank""".stripMargin,
+    "x2r_ann_lsh_recall" ->
+      s"""WITH $lshOracleCtes, brute AS (
+         |  SELECT q_vec, c_vec FROM (
+         |    SELECT a.vec_id AS q_vec, b.vec_id AS c_vec,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        list_dot_product(a.q, b.q) /
+         |          nullif(sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q)), 0)
+         |          DESC, b.vec_id) AS rank
+         |    FROM qe a, qe b WHERE a.vec_id < 8 AND b.vec_id <> a.vec_id) t
+         |  WHERE rank <= 3
+         |), lsh3 AS (
+         |  SELECT q_vec, c_vec FROM lsh_ranked WHERE rank <= 3
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(SUM(CASE WHEN l.c_vec IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  CAST(SUM(CASE WHEN l.c_vec IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
+         |FROM brute br LEFT JOIN lsh3 l ON l.q_vec = br.q_vec AND l.c_vec = br.c_vec""".stripMargin,
     "x5_ann_ivf" ->
       """WITH qe AS (
         |  SELECT vec_id,
