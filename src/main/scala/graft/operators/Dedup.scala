@@ -182,6 +182,46 @@ object Dedup {
       )
   }
 
+  /** Portable-family LSH candidate pairs: [[minHashPortable]] signatures
+    * banded with [[portableBandKeys]], bucket-capped, verified with
+    * exact Jaccard over the shingle sets — the same pipeline shape as
+    * [[minHashCandidates]] with every hash md5-derived, so candidate
+    * GENERATION (not just verification) is recomputable by any engine;
+    * the d7 oracle replays it in DuckDB. Costs a few times the xxhash64
+    * family's hashing CPU (16 md5s per shingle) — use the fast family
+    * when candidates never leave Spark.
+    */
+  def minHashCandidatesPortable(
+      docs: DataFrame,
+      k: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      maxBucket: Int = 64,
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = minHashPortable(docs, k, numHashes)
+    val banded = portableBandKeys(sigs, numHashes / bands)
+    val sized = banded
+      .groupBy("band_idx", "band_key")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+    val pairs = sized
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_bands"))
+    val sets = shingleSets(docs, k)
+    pairs
+      .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), Seq("doc_a"))
+      .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"), col("n_bands"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"),
+      )
+  }
+
   /** SimHash signatures (32-bit): per-word xxhash64, each bit position
     * accumulates +1/-1 by whether the word hash has that bit set; the
     * signature takes the sign of each accumulator.
@@ -359,8 +399,12 @@ object Dedup {
       k: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4,
+      portable: Boolean = false,
   ): DataFrame = {
-    val verified = minHashCandidates(docs, k, numHashes, bands)
+    val cands =
+      if (portable) minHashCandidatesPortable(docs, k, numHashes, bands)
+      else minHashCandidates(docs, k, numHashes, bands)
+    val verified = cands
       .where(col("jaccard") >= minJaccard)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     clusterAndKeep(docs, verified)

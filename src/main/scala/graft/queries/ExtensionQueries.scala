@@ -103,10 +103,15 @@ object ExtensionQueries {
       Dedup.cosineNearDupPairs(Tables.embeddings(spark, dir)).orderBy("vec_a")
     },
     // End-to-end dedup pipeline: LSH candidates -> exact-Jaccard verify
-    // -> clusters -> keep decision. Rows-only (candidate generation uses
-    // Spark-side xxhash64); invariants asserted in DedupSpec.
+    // -> clusters -> keep decision, on the PORTABLE hash family. The
+    // DuckDB oracle replays the entire pipeline — signatures, band
+    // buckets, candidate pairs, Jaccard verification, and the
+    // transitive closure (recursive CTE) — so even the iterative
+    // pointer-jumping component loop is gated. Invariants also in
+    // DedupSpec.
     "d7_dedup_pipeline" -> { (spark, dir) =>
-      Dedup.dedupPipeline(Tables.documentsParallel(spark, dir), minJaccard = 0.05)
+      Dedup.dedupPipeline(Tables.documentsParallel(spark, dir),
+          minJaccard = 0.05, portable = true)
         .orderBy("doc_id")
     },
     // Transitive near-dup clusters: connected components (iterative
@@ -611,6 +616,53 @@ object ExtensionQueries {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d7_dedup_pipeline" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+        |  FROM toks WHERE len(w) >= 3
+        |), hs AS (
+        |  SELECT doc_id, CAST(g.i AS INTEGER) AS h_idx,
+        |    ('0x' || substr(md5(g.i || ':' || s), 1, 15))::BIGINT AS h
+        |  FROM sh, UNNEST(generate_series(0, 15)) AS g(i)
+        |), sigs AS (
+        |  SELECT doc_id, h_idx, min(h) AS min_hash FROM hs GROUP BY 1, 2
+        |), bands AS (
+        |  SELECT doc_id, CAST(h_idx // 4 AS INTEGER) AS band_idx,
+        |    ('0x' || substr(md5(string_agg(min_hash::VARCHAR, ',' ORDER BY h_idx)), 1, 15))::BIGINT
+        |      AS band_key
+        |  FROM sigs GROUP BY doc_id, h_idx // 4
+        |), sized AS (
+        |  SELECT band_idx, band_key FROM bands GROUP BY 1, 2
+        |  HAVING count(*) BETWEEN 2 AND 64
+        |), cpairs AS (
+        |  SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+        |  FROM bands b1
+        |  JOIN sized s ON s.band_idx = b1.band_idx AND s.band_key = b1.band_key
+        |  JOIN bands b2 ON b2.band_idx = b1.band_idx AND b2.band_key = b1.band_key
+        |  WHERE b1.doc_id < b2.doc_id
+        |), sets AS (
+        |  SELECT doc_id, list_distinct(list(s)) AS shingles FROM sh GROUP BY doc_id
+        |), e0 AS (
+        |  SELECT p.doc_a AS a, p.doc_b AS b
+        |  FROM cpairs p
+        |  JOIN sets sa ON sa.doc_id = p.doc_a
+        |  JOIN sets sb ON sb.doc_id = p.doc_b
+        |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.05
+        |), edges AS (
+        |  SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0
+        |), reach AS (
+        |  SELECT doc_id AS node, doc_id AS root FROM documents
+        |  UNION
+        |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+        |)
+        |SELECT node AS doc_id, MIN(root) AS cluster_id,
+        |  CAST(node = MIN(root) AS INT) AS is_kept
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "x2_ann_lsh" ->
       s"""WITH $lshOracleCtes
          |SELECT q_vec, rank, c_vec, cosine, n_tables FROM lsh_ranked
