@@ -47,13 +47,18 @@ object Ids {
     val offsets = counts.scanLeft(0 -> startAt) {
       case ((_, acc), (pid, c)) => pid -> (acc + c)
     }
-    // offset for pid = sum of counts of all LOWER pids
-    val offsetByPid = counts.map(_._1).zip(offsets.map(_._2)).toMap
-    val offsetExpr = offsetByPid.foldLeft(lit(startAt)) {
-      case (acc, (pid, off)) => when(col("__pid") === pid, lit(off)).otherwise(acc)
-    }
+    // offset for pid = sum of counts of all LOWER pids. Ship the
+    // (pid, offset) vector back as a BROADCAST join, not a when-chain
+    // expression: folding thousands of partitions into nested
+    // when/otherwise blows up the expression tree and codegen at exactly
+    // the partition counts 100 TB implies (same shape as Packing).
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetRows = counts.map(_._1).zip(offsets.map(_._2))
+    val offsetsDf = broadcast(offsetRows.toSeq.toDF("__pid", "__off"))
     positioned
-      .withColumn(idCol, offsetExpr + col("__pos") - 1)
-      .drop("__pid", "__pos")
+      .join(offsetsDf, Seq("__pid"))
+      .withColumn(idCol, col("__off") + col("__pos") - 1)
+      .drop("__pid", "__pos", "__off")
   }
 }

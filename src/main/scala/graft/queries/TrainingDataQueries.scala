@@ -69,6 +69,150 @@ object TrainingDataQueries {
         .limit(50)
     },
 
+    // Content-defined chunking — the byte-level dedup primitive (rsync/
+    // FastCDC shape): a chunk boundary falls wherever the hash of the
+    // 16-char window starting there is 0 mod 64, so boundaries survive
+    // insertions/deletions (unlike fixed-size blocks). The hash is the
+    // portable md5 family — engine-recomputable. Work is linear in
+    // characters (one window hash per position, exactly a rolling CDC's
+    // cost) and stays in the scan stage; only per-doc aggregates
+    // shuffle.
+    "cdc1_chunking" -> { (spark, dir) =>
+      val W = 16
+      Tables.documentsParallel(spark, dir)
+        .where(col("n_chars") >= W)
+        .select(col("doc_id"),
+          explode(sequence(lit(1L), col("n_chars") - (W - 1))).as("p"),
+          col("text"))
+        .select(col("doc_id"), col("p"),
+          (graft.operators.Dedup.portableHash60(
+            expr(s"substring(text, CAST(p AS INT), $W)")) % 64 === 0).as("is_b"))
+        .groupBy("doc_id")
+        .agg(
+          sum(when(col("is_b"), 1L).otherwise(0L)).as("n_boundaries"),
+          (sum(when(col("is_b"), 1L).otherwise(0L)) + 1L).as("n_chunks"),
+          min(when(col("is_b"), col("p"))).as("first_boundary"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic corpus shuffle — the epoch-0 global shuffle a
+    // dataloader needs: position is a pure function of (doc_id, seed)
+    // via the portable hash, reproducible across runs and engines, and
+    // assigned WITHOUT a single-partition global window —
+    // Ids.contiguousIds range-partitions by the hash and broadcasts
+    // per-partition offsets (driver traffic = numPartitions longs).
+    "shuf1_det_shuffle" -> { (spark, dir) =>
+      val hashed = Tables.documentsParallel(spark, dir)
+        .select(col("doc_id"),
+          graft.operators.Dedup.portableHash60(
+            concat(col("doc_id").cast("string"), lit(":shuf42"))).as("h"))
+      graft.operators.Ids
+        .contiguousIds(hashed, Seq(col("h"), col("doc_id")), idCol = "shuffle_pos")
+        .select(col("doc_id"), col("h"), col("shuffle_pos"))
+        .orderBy("doc_id")
+    },
+
+    // Curriculum binning: 4 difficulty tiers by token count. The rank
+    // underneath is the distributed contiguous-id assignment (range
+    // partition + local window + broadcast offsets), NOT a global
+    // NTILE window — same quartile split (bucket sizes differ by at
+    // most one), no single-partition sort. Bin ids are exact integer
+    // math: (pos * 4) div N.
+    "cur1_curriculum_bins" -> { (spark, dir) =>
+      val toks = Tables.documentsParallel(spark, dir)
+        .select(col("doc_id"),
+          size(TextAnalysis.words(col("text"))).cast(LongType).as("n_tok"))
+      val ranked = graft.operators.Ids
+        .contiguousIds(toks, Seq(col("n_tok"), col("doc_id")), idCol = "pos")
+      val total = toks.agg(count(lit(1)).cast(LongType).as("n_total"))
+      ranked.crossJoin(broadcast(total))
+        .withColumn("bin", expr("(pos * 4) div n_total"))
+        .groupBy("bin")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min("n_tok").as("min_tok"),
+          max("n_tok").as("max_tok"),
+          sum("n_tok").as("sum_tok"))
+        .orderBy("bin")
+    },
+
+    // Quality-filter funnel: per-stage survivor counts of the standard
+    // pretraining filter chain (length → mean word length → type-token
+    // diversity). All conditions are exact integer comparisons (no
+    // float thresholds), computed in ONE scan with a single tiny
+    // aggregate — the shape that audits a 100 TB corpus in one pass.
+    "qf1_quality_funnel" -> { (spark, dir) =>
+      val flags = Tables.documentsParallel(spark, dir)
+        .select(col("n_chars"), TextAnalysis.words(col("text")).as("ws"))
+        .select(
+          col("n_chars"),
+          size(col("ws")).cast(LongType).as("n_tok"),
+          size(array_distinct(col("ws"))).cast(LongType).as("n_types"),
+          aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).as("sum_len"))
+        .select(
+          (col("n_chars") >= 100).as("c1"),
+          (col("sum_len") >= col("n_tok") * 3 &&
+            col("sum_len") <= col("n_tok") * 12).as("c2"),
+          (col("n_types") * 10 >= col("n_tok") * 3).as("c3"))
+      flags.agg(
+          count(lit(1)).as("n_all"),
+          sum(when(col("c1"), 1L).otherwise(0L)).as("n_len"),
+          sum(when(col("c1") && col("c2"), 1L).otherwise(0L)).as("n_wordlen"),
+          sum(when(col("c1") && col("c2") && col("c3"), 1L).otherwise(0L))
+            .as("n_final"))
+        .selectExpr("""stack(4,
+            '1_all', n_all,
+            '2_len_ge_100', n_len,
+            '3_mean_wordlen_3_12', n_wordlen,
+            '4_type_token_03', n_final) AS (stage, n_docs)""")
+        .orderBy("stage")
+    },
+
+    // Out-of-vocabulary rate vs the corpus top-1000 vocabulary — the
+    // tokenizer-coverage statistic. The vocab cut is deterministic
+    // (count desc, word asc) and broadcast-tiny; the token stream joins
+    // against it map-side, so the only shuffles are the word count and
+    // the per-doc aggregate.
+    "t11_oov_rate" -> { (spark, dir) =>
+      val toks = Tables.documentsParallel(spark, dir)
+        .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("w"))
+      val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(1000)
+        .select(col("w").as("vw"))
+      toks.join(broadcast(vocab), col("w") === col("vw"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tok"),
+          sum(when(col("vw").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          col("n_oov").cast(DoubleType) / col("n_tok").cast(DoubleType))
+        .orderBy("doc_id")
+    },
+
+    // RAG chunk inventory: fixed 64-char windows at stride 48 (overlap
+    // 16), the retrieval-chunking shape. Chunk hashes are the portable
+    // family, so within-doc chunk dedup (n_distinct_chunks) is oracle-
+    // recomputable; work is linear in characters and stays in the scan
+    // stage.
+    "rag1_chunk_windows" -> { (spark, dir) =>
+      val W = 64
+      Tables.documentsParallel(spark, dir)
+        .where(col("n_chars") >= W)
+        .select(col("doc_id"),
+          explode(sequence(lit(1L), col("n_chars") - (W - 1), lit(48L))).as("p"),
+          col("text"))
+        .select(col("doc_id"), col("p"),
+          graft.operators.Dedup.portableHash60(
+            expr(s"substring(text, CAST(p AS INT), $W)")).as("h"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          countDistinct(col("h")).as("n_distinct_chunks"),
+          max(col("p")).as("last_start"),
+          min(col("h")).as("min_chunk_hash"))
+        .orderBy("doc_id")
+    },
+
     // Contamination audit: does a training document share a 32-char span
     // with the (broadcast-small) eval split? Every 20th document plays
     // the benchmark here; at warehouse scale the eval hash set stays a
@@ -144,6 +288,20 @@ object TrainingDataQueries {
         |      ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin,
+    "cdc1_chunking" ->
+      """WITH pos AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ('0x' || substr(md5(substr(text, CAST(g.p AS INTEGER), 16)), 1, 15))::BIGINT
+        |           % 64 = 0
+        |      THEN g.p END AS bp
+        |  FROM documents, UNNEST(generate_series(1, n_chars - 15)) AS g(p)
+        |  WHERE n_chars >= 16
+        |)
+        |SELECT doc_id,
+        |  CAST(count(bp) AS BIGINT) AS n_boundaries,
+        |  CAST(count(bp) + 1 AS BIGINT) AS n_chunks,
+        |  min(bp) AS first_boundary
+        |FROM pos GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "bpe1_pair_counts" ->
       """WITH toks AS (
         |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
@@ -215,6 +373,80 @@ object TrainingDataQueries {
         |  MIN(doc_id) AS first_doc,
         |  MAX(doc_id) AS last_doc
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "shuf1_det_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf42'), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT doc_id, h,
+        |  CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS shuffle_pos
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "cur1_curriculum_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), r AS (
+        |  SELECT n_tok,
+        |    CAST(row_number() OVER (ORDER BY n_tok, doc_id) - 1 AS BIGINT) AS pos,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n_total
+        |  FROM t)
+        |SELECT (pos * 4) // n_total AS bin,
+        |  COUNT(*) AS n_docs,
+        |  MIN(n_tok) AS min_tok,
+        |  MAX(n_tok) AS max_tok,
+        |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "qf1_quality_funnel" ->
+      """WITH f AS (
+        |  SELECT n_chars,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS n_types,
+        |    CAST(list_sum(list_transform(string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> length(w))) AS BIGINT) AS sum_len
+        |  FROM documents
+        |), g AS (
+        |  SELECT COUNT(*) AS n_all,
+        |    CAST(SUM(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+        |    CAST(SUM(CASE WHEN n_chars >= 100
+        |      AND sum_len BETWEEN n_tok * 3 AND n_tok * 12 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_wordlen,
+        |    CAST(SUM(CASE WHEN n_chars >= 100
+        |      AND sum_len BETWEEN n_tok * 3 AND n_tok * 12
+        |      AND n_types * 10 >= n_tok * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+        |  FROM f)
+        |SELECT * FROM (
+        |  SELECT '1_all' AS stage, n_all AS n_docs FROM g
+        |  UNION ALL SELECT '2_len_ge_100', n_len FROM g
+        |  UNION ALL SELECT '3_mean_wordlen_3_12', n_wordlen FROM g
+        |  UNION ALL SELECT '4_type_token_03', n_final FROM g)
+        |ORDER BY stage""".stripMargin,
+    "t11_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents
+        |), vocab AS (
+        |  SELECT w AS vw FROM (
+        |    SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w
+        |    ORDER BY cnt DESC, w LIMIT 1000)
+        |), j AS (
+        |  SELECT t.doc_id, CASE WHEN v.vw IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM toks t LEFT JOIN vocab v ON t.w = v.vw)
+        |SELECT doc_id, COUNT(*) AS n_tok,
+        |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+        |  CAST(SUM(oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "rag1_chunk_windows" ->
+      """WITH ch AS (
+        |  SELECT doc_id, g.p AS p,
+        |    ('0x' || substr(md5(substr(text, CAST(g.p AS INTEGER), 64)), 1, 15))::BIGINT AS h
+        |  FROM documents, UNNEST(generate_series(1, n_chars - 63, 48)) AS g(p)
+        |  WHERE n_chars >= 64)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |  CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_chunks,
+        |  MAX(p) AS last_start,
+        |  MIN(h) AS min_chunk_hash
+        |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "cont1_contamination" ->
       """WITH wins AS (
         |  SELECT doc_id, doc_id % 20 = 0 AS is_eval,
