@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Scale-operations surface: the queries an operator of a 100 TB
+  * warehouse runs ABOUT the data layout itself — space-filling-curve
+  * clustering keys, join-skew diagnostics, per-group mass cuts. All
+  * exact integer math (bit ops, BIGINT sums, late single divisions), so
+  * every query is DuckDB-recomputable bit for bit.
+  */
+object ScaleOpsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Morton (Z-order) interleave of the low `bits` bits of two
+    * non-negative columns: bit i of `a` lands at position 2i, bit i of
+    * `b` at 2i+1. Pure bitwise-codegen'd Column expression — no UDF.
+    */
+  private def morton(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(a.bitwiseAND(lit(1L << i)), i))
+        .bitwiseOR(shiftleft(b.bitwiseAND(lit(1L << i)), i + 1))
+    }
+
+  /** The same interleave as SQL text (for the DuckDB oracle), over
+    * columns named `dx`/`dy`.
+    */
+  private def mortonSql(bits: Int): String =
+    (0 until bits).map { i =>
+      s"((dx & ${1L << i}) << $i) | ((dy & ${1L << i}) << ${i + 1})"
+    }.mkString(" | ")
+
+  val queries: Map[String, Q] = Map(
+
+    // Z-order layout audit — the clustering key behind multi-dimensional
+    // scan pruning (Delta/Iceberg OPTIMIZE ZORDER): interleave customer
+    // and order-day buckets into a 16-bit Morton value, split the curve
+    // into 16 ranges, and report each range's bounding box. Tight
+    // min/max boxes on BOTH dimensions are exactly what lets a reader
+    // skip files for 2-D predicates. Bit ops only — fully codegen'd,
+    // one scan, one small aggregate.
+    "zord1_zorder_layout" -> { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .select(
+          (col("o_custkey") % 256).as("dx"),
+          (datediff(to_date(col("o_orderdate")), lit("1992-01-01")) % 256)
+            .cast(LongType).as("dy"))
+        .withColumn("zval", morton(col("dx"), col("dy"), 8))
+        .withColumn("zrange", expr("zval div 4096"))
+        .groupBy("zrange")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min("dx").as("min_cust"), max("dx").as("max_cust"),
+          min("dy").as("min_day"), max("dy").as("max_day"))
+        .orderBy("zrange")
+    },
+
+    // Join-skew diagnostic — the statistic you compute BEFORE choosing a
+    // salting factor: per-key frequencies of the orders→customer join
+    // key, reduced to key count, max frequency, and the skew ratio
+    // max_freq / mean_freq. Two map-side-partial aggregates; nothing
+    // wide. skew ≈ 1 means uniform keys; the salting decision threshold
+    // reads directly off this row.
+    "skw1_skew_stats" -> { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("freq"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum("freq").as("n_rows"),
+          max("freq").as("max_freq"))
+        .select(
+          col("n_keys"), col("n_rows"), col("max_freq"),
+          (col("max_freq").cast(DoubleType) * col("n_keys").cast(DoubleType)
+            / col("n_rows").cast(DoubleType)).as("skew_ratio"))
+    },
+
+    // Per-source top-p (nucleus) selection — keep each source's largest
+    // documents until 80% of that source's token mass is covered: the
+    // mass-based variant of the cap1 count-based domain cap. The
+    // cumulative window is PARTITIONED by source (no global sort), and
+    // the 80% test is exact integer cross-multiplication:
+    // cum_before * 5 < total * 4.
+    "tp1_top_p_per_source" -> { (spark, dir) =>
+      val toks = Tables.documentsParallel(spark, dir)
+        .select(col("doc_id"), col("source"),
+          size(TextAnalysis.words(col("text"))).cast(LongType).as("n_tok"))
+      val ord = Window.partitionBy("source")
+        .orderBy(col("n_tok").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy("source")
+      toks
+        .withColumn("cum", sum("n_tok").over(ord))
+        .withColumn("total", sum("n_tok").over(all))
+        .where((col("cum") - col("n_tok")) * 5 < col("total") * 4)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs_kept"),
+          sum("n_tok").as("kept_tokens"),
+          max("total").as("total_tokens"))
+        .orderBy("source")
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "zord1_zorder_layout" ->
+      s"""WITH d AS (
+         |  SELECT o_custkey % 256 AS dx,
+         |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256 AS dy
+         |  FROM orders
+         |), z AS (
+         |  SELECT dx, dy, (${mortonSql(8)}) AS zval FROM d)
+         |SELECT zval // 4096 AS zrange,
+         |  COUNT(*) AS n_rows,
+         |  MIN(dx) AS min_cust, MAX(dx) AS max_cust,
+         |  MIN(dy) AS min_day, MAX(dy) AS max_day
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+    "skw1_skew_stats" ->
+      """WITH f AS (
+        |  SELECT o_custkey, COUNT(*) AS freq FROM orders GROUP BY 1
+        |), s AS (
+        |  SELECT COUNT(*) AS n_keys,
+        |    CAST(SUM(freq) AS BIGINT) AS n_rows,
+        |    CAST(MAX(freq) AS BIGINT) AS max_freq
+        |  FROM f)
+        |SELECT n_keys, n_rows, max_freq,
+        |  CAST(max_freq AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |    / CAST(n_rows AS DOUBLE) AS skew_ratio
+        |FROM s""".stripMargin,
+    "tp1_top_p_per_source" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY source
+        |      ORDER BY n_tok DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY source) AS BIGINT) AS total
+        |  FROM t)
+        |SELECT source,
+        |  COUNT(*) AS n_docs_kept,
+        |  CAST(SUM(n_tok) AS BIGINT) AS kept_tokens,
+        |  MAX(total) AS total_tokens
+        |FROM c
+        |WHERE (cum - n_tok) * 5 < total * 4
+        |GROUP BY source ORDER BY source""".stripMargin,
+  )
+}
