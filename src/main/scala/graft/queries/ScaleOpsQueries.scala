@@ -80,6 +80,23 @@ object ScaleOpsQueries {
             / col("n_rows").cast(DoubleType)).as("skew_ratio"))
     },
 
+    // Join-size estimation without running the join — the planner
+    // statistic behind "will this self-join blow up": the exact output
+    // cardinality of lineitem ⋈ lineitem on l_partkey is Σ freq(k)²,
+    // computed from the per-key frequency table (|keys| rows, never the
+    // |rows|² join). max_key_pairs names the worst key — the one
+    // salting would split first.
+    "est1_selfjoin_size" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("freq"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum("freq").as("n_rows"),
+          sum(col("freq") * col("freq")).as("selfjoin_rows"),
+          max(col("freq") * col("freq")).as("max_key_pairs"))
+    },
+
     // Per-source top-p (nucleus) selection — keep each source's largest
     // documents until 80% of that source's token mass is covered: the
     // mass-based variant of the cap1 count-based domain cap. The
@@ -132,6 +149,14 @@ object ScaleOpsQueries {
         |  CAST(max_freq AS DOUBLE) * CAST(n_keys AS DOUBLE)
         |    / CAST(n_rows AS DOUBLE) AS skew_ratio
         |FROM s""".stripMargin,
+    "est1_selfjoin_size" ->
+      """WITH f AS (
+        |  SELECT l_partkey, COUNT(*) AS freq FROM lineitem GROUP BY 1)
+        |SELECT COUNT(*) AS n_keys,
+        |  CAST(SUM(freq) AS BIGINT) AS n_rows,
+        |  CAST(SUM(freq * freq) AS BIGINT) AS selfjoin_rows,
+        |  CAST(MAX(freq * freq) AS BIGINT) AS max_key_pairs
+        |FROM f""".stripMargin,
     "tp1_top_p_per_source" ->
       """WITH t AS (
         |  SELECT doc_id, source,
