@@ -459,4 +459,51 @@ object Dedup {
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     clusterAndKeep(docs, edges)
   }
+
+  /** Semantic (embedding-space) dedup, the SemDeDup shape (Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): cluster the corpus with k-means, then compare
+    * pairs only WITHIN a cluster and drop every vector that has a
+    * more-senior (lower vec_id) near-twin — cluster bucketing turns the
+    * all-pairs O(N²) into O(Σ|cluster|²), and the paper's operating point
+    * keeps clusters at ~√N so the quadratic term stays linear overall.
+    *
+    * Execution shape: assignment is the broadcast-centroid map-side
+    * argmin of [[EmbeddingOps.assignToCentroids]] (zero corpus exchange);
+    * the pair generation is ONE shuffle of the corpus by cluster id and a
+    * per-cluster self-join; scoring is the codegen'd exact-integer
+    * quantized cosine, so assignments, scores, and the drop decision are
+    * engine-portable (the sd2 oracle replays all of it in SQL).
+    *
+    * The drop rule is deliberately non-transitive — `vec_b` drops when ANY
+    * lower-id same-cluster vector scores ≥ `minCosine`, whether or not
+    * that vector itself survives. That is SemDeDup's own semantics (one
+    * representative per ε-ball, greedy by seniority), and it is what
+    * keeps the decision a single semi-join instead of an iterative
+    * closure ([[nearDupClusters]] is the transitive variant when that is
+    * wanted).
+    *
+    * Returns one row per input vector: (vec_id, cluster, is_kept).
+    */
+  def semanticDedup(embeddings: DataFrame, minCosine: Double = 0.3): DataFrame = {
+    import graft.functions.QuantizedCosine.{quantizedCosine => cosine}
+    val assigned = EmbeddingOps
+      .assignToCentroids(embeddings, EmbeddingOps.centroids(embeddings))
+      .select(col("vec_id"), col("cluster"))
+    val clustered = assigned
+      .join(embeddings.select(col("vec_id"), col("embedding")), "vec_id")
+    val a = clustered.select(
+      col("cluster"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = clustered.select(
+      col("cluster"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    val dups = a.join(b, Seq("cluster"))
+      .where(col("vec_a") < col("vec_b") &&
+        cosine(col("emb_a"), col("emb_b")) >= minCosine)
+      .select(col("vec_b").as("vec_id"))
+      .distinct()
+    assigned
+      .join(dups.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("__dup"), lit(false)).unary_!.as("is_kept"))
+  }
 }

@@ -169,6 +169,70 @@ object ExtensionQueries {
         .select(col("n_exact"), col("n_hit"),
           (col("n_hit").cast(DoubleType) / col("n_exact")).as("recall"))
     },
+    // PQ-ADC search: the corpus is stored as 4 codeword ids per vector
+    // and a query scans CODES (lookup-table adds), not floats — the
+    // memory tier of billion-vector ANN. Oracle-checked end to end: the
+    // codebook, code assignment, per-query lookup tables, approximate
+    // distances, and ranks are all exact-integer, so DuckDB recomputes
+    // the ENTIRE index build + search in SQL.
+    "x20_ann_pq" -> { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.pqTopK(emb.where(col("vec_id") < 8), emb, k = 5)
+        .orderBy("q_vec", "rank")
+    },
+    // PQ recall instrumentation: recall@3 of the code-scan path (x20)
+    // against exact brute force — the quality dial that rides with PQ's
+    // compression (nSub codes ↔ recall trade). Oracle-checked: both
+    // sides are exact-integer pipelines.
+    "x20r_ann_pq_recall" -> { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      val qs = emb.where(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(qs, emb, k = 3)
+        .select(col("q_vec"), col("c_vec"))
+      val pq = Similarity.pqTopK(qs, emb, k = 3)
+        .select(col("q_vec"), col("c_vec"), lit(1L).as("__hit"))
+      exact.join(pq, Seq("q_vec", "c_vec"), "left")
+        .agg(
+          count(lit(1)).as("n_exact"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .select(col("n_exact"), col("n_hit"),
+          (col("n_hit").cast(DoubleType) / col("n_exact")).as("recall"))
+    },
+    // PQ with exact re-rank (IVFADC-refine): the code scan produces a
+    // 32-deep shortlist; only those candidates' real vectors are fetched
+    // and re-ranked by exact quantized L2. Oracle-checked end to end —
+    // shortlist AND refine are exact-integer.
+    "x21_ann_pq_refine" -> { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.pqRefineTopK(emb.where(col("vec_id") < 8), emb, k = 3, refine = 32)
+        .orderBy("q_vec", "rank")
+    },
+    // Refined-PQ recall@3 vs the metric-matched exact reference
+    // (quantized-L2 brute force): the number that justifies the refine
+    // tier — 0.17 codes-only → ~0.7 here at sf0.01.
+    "x21r_ann_pq_refine_recall" -> { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      val qs = emb.where(col("vec_id") < 8)
+      val exact = Similarity.bruteForceL2TopK(qs, emb, k = 3)
+        .select(col("q_vec"), col("c_vec"))
+      val pq = Similarity.pqRefineTopK(qs, emb, k = 3, refine = 32)
+        .select(col("q_vec"), col("c_vec"), lit(1L).as("__hit"))
+      exact.join(pq, Seq("q_vec", "c_vec"), "left")
+        .agg(
+          count(lit(1)).as("n_exact"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .select(col("n_exact"), col("n_hit"),
+          (col("n_hit").cast(DoubleType) / col("n_exact")).as("recall"))
+    },
+    // Semantic dedup (SemDeDup): k-means cluster bucketing + within-
+    // cluster cosine, drop every vector with a more-senior near-twin.
+    // Threshold 0.3: the synthetic corpus has no true semantic twins
+    // (within-cluster max cosine ≈ 0.47), so a low bar is what makes the
+    // drop set non-trivial here; production operates near 0.95+.
+    "sd2_semantic_dedup" -> { (spark, dir) =>
+      Dedup.semanticDedup(Tables.embeddings(spark, dir), minCosine = 0.3)
+        .orderBy("vec_id")
+    },
 
     // --- Text analysis ---
     "t1_token_counts" -> { (spark, dir) =>
@@ -724,6 +788,261 @@ object ExtensionQueries {
         |)
         |SELECT q_vec, rank, c_vec, cosine, list_id FROM ranked
         |WHERE rank <= 3 ORDER BY q_vec, rank""".stripMargin,
+    // Full PQ index + ADC search replay: sampled per-subspace codebook,
+    // per-(vec, subspace) codeword argmin, per-query lookup tables
+    // (= the same subspace distances restricted to query vecs),
+    // table-lookup distance sums, rank. All integer-exact.
+    "x20_ann_pq" ->
+      """WITH sample AS (
+        |  SELECT vec_id AS cw_id, embedding AS cw_emb FROM embeddings
+        |  WHERE len(embedding) > 0 AND len(embedding) % 8 = 0
+        |  ORDER BY vec_id LIMIT 32
+        |), cwq AS (
+        |  SELECT cw_id, g.i - 1 AS dim,
+        |    CAST(floor(CAST(cw_emb[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS qc
+        |  FROM sample, UNNEST(generate_series(1, len(cw_emb))) AS g(i)
+        |), vq AS (
+        |  SELECT vec_id, len(embedding) // 8 AS sd, g.i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        |  WHERE len(embedding) > 0 AND len(embedding) % 8 = 0
+        |), subdist AS (
+        |  SELECT v.vec_id, c.cw_id, v.dim // v.sd AS s,
+        |    CAST(SUM((qv - qc) * (qv - qc)) AS BIGINT) AS d
+        |  FROM vq v JOIN cwq c ON c.dim = v.dim GROUP BY 1, 2, 3
+        |), codes AS (
+        |  SELECT vec_id, s, cw_id AS code FROM (
+        |    SELECT vec_id, s, cw_id, d,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cw_id) AS rn
+        |    FROM subdist) t WHERE rn = 1
+        |), approx AS (
+        |  SELECT l.vec_id AS q_vec, c.vec_id AS c_vec,
+        |    CAST(SUM(l.d) AS BIGINT) AS qdist_approx
+        |  FROM codes c JOIN subdist l ON l.s = c.s AND l.cw_id = c.code
+        |  WHERE l.vec_id < 8 AND c.vec_id <> l.vec_id
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT q_vec, c_vec, qdist_approx,
+        |    row_number() OVER (PARTITION BY q_vec
+        |      ORDER BY qdist_approx, c_vec) AS rank
+        |  FROM approx
+        |)
+        |SELECT q_vec, rank, c_vec, qdist_approx FROM ranked
+        |WHERE rank <= 5 ORDER BY q_vec, rank""".stripMargin,
+    "x20r_ann_pq_recall" ->
+      """WITH sample AS (
+        |  SELECT vec_id AS cw_id, embedding AS cw_emb FROM embeddings
+        |  WHERE len(embedding) > 0 AND len(embedding) % 8 = 0
+        |  ORDER BY vec_id LIMIT 32
+        |), cwq AS (
+        |  SELECT cw_id, g.i - 1 AS dim,
+        |    CAST(floor(CAST(cw_emb[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS qc
+        |  FROM sample, UNNEST(generate_series(1, len(cw_emb))) AS g(i)
+        |), vq AS (
+        |  SELECT vec_id, len(embedding) // 8 AS sd, g.i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        |  WHERE len(embedding) > 0 AND len(embedding) % 8 = 0
+        |), subdist AS (
+        |  SELECT v.vec_id, c.cw_id, v.dim // v.sd AS s,
+        |    CAST(SUM((qv - qc) * (qv - qc)) AS BIGINT) AS d
+        |  FROM vq v JOIN cwq c ON c.dim = v.dim GROUP BY 1, 2, 3
+        |), codes AS (
+        |  SELECT vec_id, s, cw_id AS code FROM (
+        |    SELECT vec_id, s, cw_id, d,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cw_id) AS rn
+        |    FROM subdist) t WHERE rn = 1
+        |), approx AS (
+        |  SELECT l.vec_id AS q_vec, c.vec_id AS c_vec,
+        |    CAST(SUM(l.d) AS BIGINT) AS qdist_approx
+        |  FROM codes c JOIN subdist l ON l.s = c.s AND l.cw_id = c.code
+        |  WHERE l.vec_id < 8 AND c.vec_id <> l.vec_id
+        |  GROUP BY 1, 2
+        |), pq3 AS (
+        |  SELECT q_vec, c_vec FROM (
+        |    SELECT q_vec, c_vec,
+        |      row_number() OVER (PARTITION BY q_vec
+        |        ORDER BY qdist_approx, c_vec) AS rank
+        |    FROM approx) t WHERE rank <= 3
+        |), dots AS (
+        |  SELECT a.vec_id AS q_vec, b.vec_id AS c_vec,
+        |    CAST(SUM(a.qv * b.qv) AS DOUBLE) AS dot,
+        |    CAST(SUM(a.qv * a.qv) AS DOUBLE) AS nx,
+        |    CAST(SUM(b.qv * b.qv) AS DOUBLE) AS ny
+        |  FROM vq a JOIN vq b ON a.dim = b.dim
+        |  WHERE a.vec_id < 8 AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2
+        |), brute AS (
+        |  SELECT q_vec, c_vec FROM (
+        |    SELECT q_vec, c_vec,
+        |      row_number() OVER (PARTITION BY q_vec ORDER BY
+        |        dot / nullif(sqrt(nx) * sqrt(ny), 0) DESC, c_vec) AS rank
+        |    FROM dots) t WHERE rank <= 3
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(SUM(CASE WHEN p.c_vec IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  CAST(SUM(CASE WHEN p.c_vec IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
+        |FROM brute br LEFT JOIN pq3 p ON p.q_vec = br.q_vec AND p.c_vec = br.c_vec""".stripMargin,
+    "x21_ann_pq_refine" ->
+      """WITH sample AS (
+        |  SELECT vec_id AS cw_id, embedding AS cw_emb FROM embeddings
+        |  WHERE len(embedding) > 0 AND len(embedding) % 8 = 0
+        |  ORDER BY vec_id LIMIT 32
+        |), cwq AS (
+        |  SELECT cw_id, g.i - 1 AS dim,
+        |    CAST(floor(CAST(cw_emb[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS qc
+        |  FROM sample, UNNEST(generate_series(1, len(cw_emb))) AS g(i)
+        |), vq AS (
+        |  SELECT vec_id, len(embedding) // 8 AS sd, g.i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        |  WHERE len(embedding) > 0 AND len(embedding) % 8 = 0
+        |), subdist AS (
+        |  SELECT v.vec_id, c.cw_id, v.dim // v.sd AS s,
+        |    CAST(SUM((qv - qc) * (qv - qc)) AS BIGINT) AS d
+        |  FROM vq v JOIN cwq c ON c.dim = v.dim GROUP BY 1, 2, 3
+        |), codes AS (
+        |  SELECT vec_id, s, cw_id AS code FROM (
+        |    SELECT vec_id, s, cw_id, d,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cw_id) AS rn
+        |    FROM subdist) t WHERE rn = 1
+        |), approx AS (
+        |  SELECT l.vec_id AS q_vec, c.vec_id AS c_vec,
+        |    CAST(SUM(l.d) AS BIGINT) AS qdist_approx
+        |  FROM codes c JOIN subdist l ON l.s = c.s AND l.cw_id = c.code
+        |  WHERE l.vec_id < 8 AND c.vec_id <> l.vec_id
+        |  GROUP BY 1, 2
+        |), short AS (
+        |  SELECT q_vec, c_vec FROM (
+        |    SELECT q_vec, c_vec,
+        |      row_number() OVER (PARTITION BY q_vec
+        |        ORDER BY qdist_approx, c_vec) AS rank
+        |    FROM approx) t WHERE rank <= 32
+        |), rex AS (
+        |  SELECT sh.q_vec, sh.c_vec,
+        |    CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS qdist_exact
+        |  FROM short sh
+        |  JOIN vq a ON a.vec_id = sh.q_vec
+        |  JOIN vq b ON b.vec_id = sh.c_vec AND b.dim = a.dim
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT q_vec, c_vec, qdist_exact,
+        |    row_number() OVER (PARTITION BY q_vec
+        |      ORDER BY qdist_exact, c_vec) AS rank
+        |  FROM rex
+        |)
+        |SELECT q_vec, rank, c_vec, qdist_exact FROM ranked
+        |WHERE rank <= 3 ORDER BY q_vec, rank""".stripMargin,
+    "x21r_ann_pq_refine_recall" ->
+      """WITH sample AS (
+        |  SELECT vec_id AS cw_id, embedding AS cw_emb FROM embeddings
+        |  WHERE len(embedding) > 0 AND len(embedding) % 8 = 0
+        |  ORDER BY vec_id LIMIT 32
+        |), cwq AS (
+        |  SELECT cw_id, g.i - 1 AS dim,
+        |    CAST(floor(CAST(cw_emb[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS qc
+        |  FROM sample, UNNEST(generate_series(1, len(cw_emb))) AS g(i)
+        |), vq AS (
+        |  SELECT vec_id, len(embedding) // 8 AS sd, g.i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        |  WHERE len(embedding) > 0 AND len(embedding) % 8 = 0
+        |), subdist AS (
+        |  SELECT v.vec_id, c.cw_id, v.dim // v.sd AS s,
+        |    CAST(SUM((qv - qc) * (qv - qc)) AS BIGINT) AS d
+        |  FROM vq v JOIN cwq c ON c.dim = v.dim GROUP BY 1, 2, 3
+        |), codes AS (
+        |  SELECT vec_id, s, cw_id AS code FROM (
+        |    SELECT vec_id, s, cw_id, d,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cw_id) AS rn
+        |    FROM subdist) t WHERE rn = 1
+        |), approx AS (
+        |  SELECT l.vec_id AS q_vec, c.vec_id AS c_vec,
+        |    CAST(SUM(l.d) AS BIGINT) AS qdist_approx
+        |  FROM codes c JOIN subdist l ON l.s = c.s AND l.cw_id = c.code
+        |  WHERE l.vec_id < 8 AND c.vec_id <> l.vec_id
+        |  GROUP BY 1, 2
+        |), short AS (
+        |  SELECT q_vec, c_vec FROM (
+        |    SELECT q_vec, c_vec,
+        |      row_number() OVER (PARTITION BY q_vec
+        |        ORDER BY qdist_approx, c_vec) AS rank
+        |    FROM approx) t WHERE rank <= 32
+        |), rex AS (
+        |  SELECT sh.q_vec, sh.c_vec,
+        |    CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS qdist_exact
+        |  FROM short sh
+        |  JOIN vq a ON a.vec_id = sh.q_vec
+        |  JOIN vq b ON b.vec_id = sh.c_vec AND b.dim = a.dim
+        |  GROUP BY 1, 2
+        |), ref3 AS (
+        |  SELECT q_vec, c_vec FROM (
+        |    SELECT q_vec, c_vec,
+        |      row_number() OVER (PARTITION BY q_vec
+        |        ORDER BY qdist_exact, c_vec) AS rank
+        |    FROM rex) t WHERE rank <= 3
+        |), vqall AS (
+        |  SELECT vec_id, g.i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        |), l2 AS (
+        |  SELECT a.vec_id AS q_vec, b.vec_id AS c_vec,
+        |    CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS d
+        |  FROM vqall a JOIN vqall b ON a.dim = b.dim
+        |  WHERE a.vec_id < 8 AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2
+        |), ex3 AS (
+        |  SELECT q_vec, c_vec FROM (
+        |    SELECT q_vec, c_vec,
+        |      row_number() OVER (PARTITION BY q_vec ORDER BY d, c_vec) AS rank
+        |    FROM l2) t WHERE rank <= 3
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(SUM(CASE WHEN p.c_vec IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  CAST(SUM(CASE WHEN p.c_vec IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
+        |FROM ex3 br LEFT JOIN ref3 p ON p.q_vec = br.q_vec AND p.c_vec = br.c_vec""".stripMargin,
+    // SemDeDup replay: k-means assignment (the e4 pipeline), within-
+    // cluster pairwise quantized cosine, drop-on-senior-twin decision.
+    "sd2_semantic_dedup" ->
+      """WITH terms AS (
+        |  SELECT label, g.i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        |), cent AS (
+        |  SELECT label, dim,
+        |    CAST(floor(CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1048576.0)
+        |      * 1048576.0) AS BIGINT) AS qc
+        |  FROM terms GROUP BY 1, 2
+        |), vq AS (
+        |  SELECT vec_id, g.i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        |), dists AS (
+        |  SELECT v.vec_id, c.label,
+        |    CAST(SUM((qv - qc) * (qv - qc)) AS BIGINT) AS qdist
+        |  FROM vq v JOIN cent c ON c.dim = v.dim GROUP BY 1, 2
+        |), assign AS (
+        |  SELECT vec_id, label AS cluster FROM (
+        |    SELECT vec_id, label, qdist,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY qdist, label) AS rn
+        |    FROM dists) t WHERE rn = 1
+        |), scored AS (
+        |  SELECT pa.vec_id AS va, pb.vec_id AS vb,
+        |    CAST(SUM(a.qv * b.qv) AS DOUBLE) AS dot,
+        |    CAST(SUM(a.qv * a.qv) AS DOUBLE) AS nx,
+        |    CAST(SUM(b.qv * b.qv) AS DOUBLE) AS ny
+        |  FROM assign pa JOIN assign pb
+        |    ON pa.cluster = pb.cluster AND pa.vec_id < pb.vec_id
+        |  JOIN vq a ON a.vec_id = pa.vec_id
+        |  JOIN vq b ON b.vec_id = pb.vec_id AND b.dim = a.dim
+        |  GROUP BY 1, 2
+        |), dups AS (
+        |  SELECT DISTINCT vb FROM scored
+        |  WHERE dot / nullif(sqrt(nx) * sqrt(ny), 0) >= 0.3
+        |)
+        |SELECT a.vec_id, a.cluster, (d.vb IS NULL) AS is_kept
+        |FROM assign a LEFT JOIN dups d ON d.vb = a.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
     "d3_dedup_simhash" -> d3OracleSql,
     "d2_dedup_minhash" ->
       """WITH toks AS (

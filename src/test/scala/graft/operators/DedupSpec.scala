@@ -124,4 +124,46 @@ class DedupSpec extends SparkSpec {
     assert(r.map(_.getLong(1)).toSeq == Seq(10L, 10L, 12L))
     assert(r.map(_.getInt(2)).toSeq == Seq(1, 0, 1))
   }
+
+  test("semanticDedup: exact twin drops; senior survives; one row per vec") {
+    import spark.implicits._
+    // two identical vectors (one cluster seed each way) + two far apart
+    val emb = Seq(
+      (1L, Array.tabulate(16)(i => (math.sin(i + 1) / 2).toFloat), 0),
+      (2L, Array.tabulate(16)(i => (math.sin(i + 1) / 2).toFloat), 0), // twin of 1
+      (3L, Array.tabulate(16)(i => (math.cos(i * 3 + 2) / 2).toFloat), 1),
+      (4L, Array.tabulate(16)(i => (math.sin(i * 7 + 5) / 2).toFloat), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val r = Dedup.semanticDedup(emb, minCosine = 0.95).orderBy("vec_id").collect()
+    assert(r.length == 4, "one decision row per input vector")
+    val keep = r.map(x => x.getAs[Long]("vec_id") -> x.getAs[Boolean]("is_kept")).toMap
+    assert(keep(1L), "the senior twin survives")
+    assert(!keep(2L), "the junior twin drops")
+    assert(keep(3L) && keep(4L), "dissimilar vectors survive")
+  }
+
+  test("semanticDedup decisions match a collected brute-force replay") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val tau = 0.3
+    val got = Dedup.semanticDedup(emb, minCosine = tau).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cluster"), r.getAs[Boolean]("is_kept")))
+    // replay: same cluster assignment, then an O(n²) driver-side check
+    val clusters = EmbeddingOps
+      .assignToCentroids(emb, EmbeddingOps.centroids(emb))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(v => math.floor(v * 1048576.0).toLong))
+      .toMap
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      dot / (math.sqrt(a.map(x => x * x).sum.toDouble) * math.sqrt(b.map(y => y * y).sum.toDouble))
+    }
+    got.foreach { case (id, cl, kept) =>
+      assert(clusters(id) == cl)
+      val hasSeniorTwin = vecs.keys.exists(o =>
+        o < id && clusters(o) == cl && cos(vecs(o), vecs(id)) >= tau)
+      assert(kept == !hasSeniorTwin, s"vec $id: kept=$kept but seniorTwin=$hasSeniorTwin")
+    }
+  }
 }

@@ -107,6 +107,55 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.25, f"LSH recall collapsed: $recall%.2f")
   }
 
+  test("pqTopK: an exact duplicate gets identical codes and ranks first") {
+    val emb = Seq(
+      (1L, Array.tabulate(64)(i => (math.sin(i + 1) / 2).toFloat)),
+      (2L, Array.tabulate(64)(i => (math.sin(i + 1) / 2).toFloat)),
+      (3L, Array.tabulate(64)(i => (math.cos(i * 3 + 2) / 2).toFloat)),
+      (4L, Array.tabulate(64)(i => (math.sin(i * 7 + 5) / 2).toFloat)),
+    ).toDF("vec_id", "embedding")
+    val res = Similarity.pqTopK(emb.where(col("vec_id") === 1), emb, k = 2)
+      .orderBy("rank").collect()
+    assert(res.length == 2)
+    // identical vectors quantize to identical codes → ADC distance equal
+    // to the query's own reconstruction error, the minimum possible
+    assert(res.head.getAs[Long]("c_vec") == 2L)
+  }
+
+  test("pqRefineTopK: recall@3 vs exact L2 clears the refine-tier floor") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val qs = emb.where(col("vec_id") < 8)
+    val exact = Similarity.bruteForceL2TopK(qs, emb, k = 3).collect()
+      .map(r => (r.getAs[Long]("q_vec"), r.getAs[Long]("c_vec"))).toSet
+    val pqPairs = Similarity.pqRefineTopK(qs, emb, k = 3, refine = 32).collect()
+      .map(r => (r.getAs[Long]("q_vec"), r.getAs[Long]("c_vec"))).toSet
+    val codesOnly = Similarity.pqTopK(qs, emb, k = 3).collect()
+      .map(r => (r.getAs[Long]("q_vec"), r.getAs[Long]("c_vec"))).toSet
+    val recall = (exact & pqPairs).size.toDouble / exact.size
+    val recallCodes = (exact & codesOnly).size.toDouble / exact.size
+    info(f"PQ recall@3 = $recallCodes%.2f codes-only, $recall%.2f with refine=32")
+    // near-uniform synthetic vectors are PQ's worst case (quantization
+    // noise ~ inter-point distances), so the codes-only floor is low;
+    // the refine tier is what carries deployable recall
+    assert(recall >= 0.5, f"refined PQ recall collapsed: $recall%.2f")
+    assert(recall >= recallCodes, "refinement must not reduce recall")
+  }
+
+  test("PQ plans route through TopKPerKeyExec with no window sort") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val qs = emb.where(col("vec_id") < 4)
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    Seq(
+      "pq" -> planOf(Similarity.pqTopK(qs, emb, k = 3)),
+      "pqRefine" -> planOf(Similarity.pqRefineTopK(qs, emb, k = 3, refine = 16)),
+      "bruteL2" -> planOf(Similarity.bruteForceL2TopK(qs, emb, k = 3)),
+    ).foreach { case (name, p) =>
+      assert(p.contains("TopKPerKey"), s"$name plan lacks TopKPerKeyExec:\n$p")
+      assert(!p.contains("Window"), s"$name plan still sorts via a window:\n$p")
+    }
+  }
+
   test("cosineExact matches cosineFast to quantization tolerance") {
     val emb = Tables.embeddings(spark, sf0001).limit(50)
       .select(col("embedding").as("a"), col("embedding").as("b"))
