@@ -228,6 +228,34 @@ object TrainingDataQueries {
     // the knob a training-mixture spec turns. Exact BIGINT token sums;
     // the two divisions are the only floating steps and mirror the
     // oracle expression shape exactly.
+    // Temperature-scaled mixture (α = 0.5): sampling weight ∝ share^α —
+    // the standard dial between natural (α=1) and uniform (α=0) language
+    // mixing (mT5/XLM-R shape). α=0.5 is √share, and √ of an exact
+    // BIGINT is correctly rounded IEEE, so quantizing it (floor·2^20)
+    // gives exact-integer weights: the normalizing sum is a BIGINT sum,
+    // portable across engines — no order-dependent float accumulation.
+    // upsample_factor = temp_weight / natural_share reads off how hard
+    // each language is over/under-sampled.
+    "dm2_temperature_mix" -> { (spark, dir) =>
+      val byLang = Tables.documents(spark, dir)
+        .groupBy("lang")
+        .agg(sum(size(TextAnalysis.words(col("text"))).cast(LongType)).as("n_tokens"))
+      val all = Window.partitionBy() // post-agg: one row per language
+      byLang
+        .withColumn("qw",
+          floor(sqrt(col("n_tokens").cast(DoubleType)) * 1048576.0).cast(LongType))
+        .withColumn("total_qw", sum("qw").over(all))
+        .withColumn("total_tokens", sum("n_tokens").over(all))
+        .select(
+          col("lang"), col("n_tokens"), col("qw"),
+          (col("qw").cast(DoubleType) / col("total_qw").cast(DoubleType))
+            .as("temp_weight"),
+          ((col("qw").cast(DoubleType) * col("total_tokens").cast(DoubleType))
+            / (col("total_qw").cast(DoubleType) * col("n_tokens").cast(DoubleType)))
+            .as("upsample_factor"))
+        .orderBy("lang")
+    },
+
     "dm1_mixture_weights" -> { (spark, dir) =>
       val byLang = Tables.documents(spark, dir)
         .groupBy("lang")
@@ -470,6 +498,25 @@ object TrainingDataQueries {
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |WHERE NOT (d.doc_id % 20 = 0)
         |ORDER BY d.doc_id""".stripMargin,
+    "dm2_temperature_mix" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    CAST(SUM(CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS BIGINT)) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang
+        |), q AS (
+        |  SELECT lang, n_tokens,
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1048576.0) AS BIGINT) AS qw
+        |  FROM s
+        |), t AS (
+        |  SELECT *, CAST(SUM(qw) OVER () AS BIGINT) AS total_qw,
+        |    CAST(SUM(n_tokens) OVER () AS BIGINT) AS total_tokens
+        |  FROM q)
+        |SELECT lang, n_tokens, qw,
+        |  CAST(qw AS DOUBLE) / CAST(total_qw AS DOUBLE) AS temp_weight,
+        |  (CAST(qw AS DOUBLE) * CAST(total_tokens AS DOUBLE))
+        |    / (CAST(total_qw AS DOUBLE) * CAST(n_tokens AS DOUBLE)) AS upsample_factor
+        |FROM t ORDER BY lang""".stripMargin,
     "dm1_mixture_weights" ->
       """WITH s AS (
         |  SELECT lang, COUNT(*) AS n_docs,
