@@ -460,6 +460,76 @@ object Dedup {
     clusterAndKeep(docs, edges)
   }
 
+  /** Incremental dedup: a NEW batch checked against the EXISTING corpus —
+    * the shape continuous ingestion actually runs (re-deduping 100 TB
+    * from scratch per batch is not a plan). Two tiers:
+    *
+    *  1. exact — the batch anti-joins the corpus on sha256(text): the
+    *     shuffle carries 32-byte hashes, and at scale the corpus side is
+    *     a write-once materialized hash index, not a re-scan;
+    *  2. near — exact-tier survivors build portable-MinHash band keys
+    *     and join the CORPUS band table (again: a maintained index at
+    *     scale) on (band_idx, band_key); degenerate corpus buckets
+    *     (> `maxBucket` members) are dropped, candidate pairs verify
+    *     with exact shingle Jaccard, and any hit ≥ `minJaccard` marks
+    *     the batch doc a near-dup.
+    *
+    * The batch side is typically tiny relative to the corpus, so its
+    * hash/band relations broadcast and the corpus is never shuffled by
+    * the check. Returns one row per incoming doc:
+    * (doc_id, status ∈ exact_dup | near_dup | new). Every step is on
+    * the portable (md5) family — the d10 oracle replays both tiers.
+    */
+  def incrementalDedup(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      k: Int = 3,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      maxBucket: Int = 64,
+      minJaccard: Double = 0.5,
+  ): DataFrame = {
+    val corpusHashes = corpus
+      .select(sha2(col("text"), 256).as("content_hash")).distinct()
+    val flagged = incoming
+      .select(col("doc_id"), col("text"), sha2(col("text"), 256).as("content_hash"))
+      .join(corpusHashes.withColumn("__exact", lit(true)), Seq("content_hash"), "left")
+    val survivors = flagged.where(col("__exact").isNull)
+      .select(col("doc_id"), col("text"))
+    val incBands = portableBandKeys(minHashPortable(survivors, k, numHashes), rowsPerBand)
+    val corpBands = portableBandKeys(minHashPortable(corpus, k, numHashes), rowsPerBand)
+    val okBuckets = corpBands
+      .groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxBucket)
+      .drop("__n")
+    val cand = incBands
+      .join(okBuckets, Seq("band_idx", "band_key"))
+      .join(
+        corpBands.select(
+          col("band_idx"), col("band_key"), col("doc_id").as("corpus_doc")),
+        Seq("band_idx", "band_key"))
+      .select(col("doc_id"), col("corpus_doc"))
+      .distinct()
+    val incSets = shingleSets(survivors, k)
+      .select(col("doc_id"), col("shingles").as("sh_i"))
+    val corpSets = shingleSets(corpus, k)
+      .select(col("doc_id").as("corpus_doc"), col("shingles").as("sh_c"))
+    val nearIds = cand
+      .join(incSets, Seq("doc_id"))
+      .join(corpSets, Seq("corpus_doc"))
+      .where(
+        (size(array_intersect(col("sh_i"), col("sh_c"))).cast(DoubleType) /
+          size(array_union(col("sh_i"), col("sh_c")))) >= minJaccard)
+      .select(col("doc_id")).distinct()
+    flagged
+      .join(nearIds.withColumn("__near", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__exact"), lit("exact_dup"))
+          .when(col("__near"), lit("near_dup"))
+          .otherwise(lit("new")).as("status"))
+  }
+
   /** Semantic (embedding-space) dedup, the SemDeDup shape (Abbas et al.,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication", 2023): cluster the corpus with k-means, then compare

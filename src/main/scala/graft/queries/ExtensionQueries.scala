@@ -124,6 +124,21 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // Incremental (batch-vs-corpus) dedup: docs with doc_id % 4 == 0
+    // arrive as the new batch; the rest are the existing corpus. Exact
+    // tier = sha256 anti-join; near tier = portable-MinHash bands vs the
+    // corpus band table + shingle-Jaccard verify. Oracle replays both
+    // tiers (threshold 0.05: the synthetic corpus has no true near-dups,
+    // a low bar keeps the decision structure non-trivial).
+    "d10_incremental_dedup" -> { (spark, dir) =>
+      val docs = Tables.documentsParallel(spark, dir)
+      Dedup.incrementalDedup(
+        docs.where(col("doc_id") % 4 =!= 0),
+        docs.where(col("doc_id") % 4 === 0),
+        minJaccard = 0.05)
+        .orderBy("doc_id")
+    },
+
     // --- Similarity search ---
     "x1_ann_bruteforce" -> { (spark, dir) =>
       val emb = Tables.embeddings(spark, dir)
@@ -1122,6 +1137,77 @@ object ExtensionQueries {
       """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "d10_incremental_dedup" ->
+      """WITH inc AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+        |), corp AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0
+        |), corph AS (
+        |  SELECT DISTINCT sha256(text) AS h FROM corp
+        |), flagged AS (
+        |  SELECT i.doc_id, i.text, (c.h IS NOT NULL) AS is_exact
+        |  FROM inc i LEFT JOIN corph c ON c.h = sha256(i.text)
+        |), surv AS (
+        |  SELECT doc_id, text FROM flagged WHERE NOT is_exact
+        |), stoks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM surv
+        |), ssh AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+        |  FROM stoks WHERE len(w) >= 3
+        |), shs AS (
+        |  SELECT doc_id, CAST(g.i AS INTEGER) AS h_idx,
+        |    ('0x' || substr(md5(g.i || ':' || s), 1, 15))::BIGINT AS h
+        |  FROM ssh, UNNEST(generate_series(0, 15)) AS g(i)
+        |), ssigs AS (
+        |  SELECT doc_id, h_idx, min(h) AS min_hash FROM shs GROUP BY 1, 2
+        |), sbands AS (
+        |  SELECT doc_id, CAST(h_idx // 4 AS INTEGER) AS band_idx,
+        |    ('0x' || substr(md5(string_agg(min_hash::VARCHAR, ',' ORDER BY h_idx)), 1, 15))::BIGINT
+        |      AS band_key
+        |  FROM ssigs GROUP BY doc_id, h_idx // 4
+        |), ctoks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM corp
+        |), csh AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+        |  FROM ctoks WHERE len(w) >= 3
+        |), chs AS (
+        |  SELECT doc_id, CAST(g.i AS INTEGER) AS h_idx,
+        |    ('0x' || substr(md5(g.i || ':' || s), 1, 15))::BIGINT AS h
+        |  FROM csh, UNNEST(generate_series(0, 15)) AS g(i)
+        |), csigs AS (
+        |  SELECT doc_id, h_idx, min(h) AS min_hash FROM chs GROUP BY 1, 2
+        |), cbands AS (
+        |  SELECT doc_id, CAST(h_idx // 4 AS INTEGER) AS band_idx,
+        |    ('0x' || substr(md5(string_agg(min_hash::VARCHAR, ',' ORDER BY h_idx)), 1, 15))::BIGINT
+        |      AS band_key
+        |  FROM csigs GROUP BY doc_id, h_idx // 4
+        |), ok AS (
+        |  SELECT band_idx, band_key FROM cbands GROUP BY 1, 2 HAVING count(*) <= 64
+        |), cand AS (
+        |  SELECT DISTINCT s.doc_id, c.doc_id AS corpus_doc
+        |  FROM sbands s
+        |  JOIN ok z ON z.band_idx = s.band_idx AND z.band_key = s.band_key
+        |  JOIN cbands c ON c.band_idx = s.band_idx AND c.band_key = s.band_key
+        |), ssets AS (
+        |  SELECT doc_id, list_distinct(list(s)) AS sh FROM ssh GROUP BY doc_id
+        |), csets AS (
+        |  SELECT doc_id, list_distinct(list(s)) AS sh FROM csh GROUP BY doc_id
+        |), near AS (
+        |  SELECT DISTINCT p.doc_id
+        |  FROM cand p
+        |  JOIN ssets a ON a.doc_id = p.doc_id
+        |  JOIN csets b ON b.doc_id = p.corpus_doc
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05
+        |)
+        |SELECT f.doc_id,
+        |  CASE WHEN f.is_exact THEN 'exact_dup'
+        |       WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+        |       ELSE 'new' END AS status
+        |FROM flagged f LEFT JOIN near n ON n.doc_id = f.doc_id
+        |ORDER BY f.doc_id""".stripMargin,
     "d4_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w

@@ -125,6 +125,24 @@ class DedupSpec extends SparkSpec {
     assert(r.map(_.getInt(2)).toSeq == Seq(1, 0, 1))
   }
 
+  test("incrementalDedup: exact twin, near twin, and novel docs classified") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val corpus = Seq(
+      (1L, base, "en"),
+      (2L, "one two three four five six seven eight nine ten", "en"),
+    ).toDF("doc_id", "text", "lang")
+    val incoming = Seq(
+      (10L, base, "en"),                      // byte-identical → exact tier
+      (11L, base + " nu", "en"),              // one appended word → near tier
+      (12L, "completely different words appear here entirely now today", "en"),
+    ).toDF("doc_id", "text", "lang")
+    val r = Dedup.incrementalDedup(corpus, incoming, minJaccard = 0.5)
+      .orderBy("doc_id").collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("status")).toMap
+    assert(r == Map(10L -> "exact_dup", 11L -> "near_dup", 12L -> "new"))
+  }
+
   test("semanticDedup: exact twin drops; senior survives; one row per vec") {
     import spark.implicits._
     // two identical vectors (one cluster seed each way) + two far apart
