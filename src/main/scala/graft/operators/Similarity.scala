@@ -195,14 +195,29 @@ object Similarity {
       df.where(size(col("embedding")) > 0 && size(col("embedding")) % nSub === 0)
     // Codebook = a deterministic corpus sample (first nCodes by vec_id —
     // same seeding discipline as ivfTopK's centroids; a trained k-means
-    // codebook would slot in unchanged). Broadcast as one id-sorted row.
-    val cbArr = broadcast(
-      splittable(corpus).orderBy(col("vec_id")).limit(nCodes)
-        .select(col("vec_id").as("cw_id"), quant(col("embedding")).as("qcw"))
-        .agg(array_sort(collect_list(struct(col("cw_id"), col("qcw")))).as("__cb")))
+    // codebook would slot in unchanged). Id-sorted, so codeword POSITION
+    // ↔ codeword id is a bijection — codes and lookup tables both index
+    // positionally.
+    val sample = splittable(corpus).orderBy(col("vec_id")).limit(nCodes)
+      .select(col("vec_id").as("cw_id"), quant(col("embedding")).as("qcw"))
+    val cbArr = broadcast(sample.agg(
+      transform(
+        array_sort(collect_list(struct(col("cw_id"), col("qcw")))),
+        e => e.getField("qcw")).as("__cbv")))
+    // Code assignment: the native fused PqEncode kernel (three tight
+    // primitive loops, codegen'd) over the one-row broadcast codebook —
+    // zero exchange, and the per-row encode constant that dominates a
+    // real write-time index build is ~free. Tie-break = lowest position
+    // = lowest cw_id, matching the oracle's (d, cw_id) rank order.
+    val codes = splittable(corpus)
+      .select(col("vec_id").as("c_vec"), col("embedding"))
+      .crossJoin(cbArr)
+      .select(col("c_vec"),
+        graft.functions.PqEncode.encode(col("embedding"), col("__cbv"), nSub).as("codes"))
     // Squared L2 between subspace s of `v` and of codeword `cw`, as a
     // fused slice+zip_with fold (null elements contribute 0, the
-    // SUM-skips-nulls contract shared with EmbeddingOps).
+    // SUM-skips-nulls contract shared with EmbeddingOps). Query-side
+    // only: queries × nCodes rows, so the HOF composition is fine here.
     def subL2(v: Column, cw: Column, s: Int, subdim: Column): Column =
       aggregate(
         zip_with(
@@ -211,47 +226,29 @@ object Similarity {
           (a, b) => coalesce((a - b) * (a - b), lit(0L))),
         lit(0L),
         (acc, d) => acc + d)
-    // Code assignment: per corpus row, per subspace, a strictly-less
-    // argmin fold over the broadcast codebook — keeps the LOWEST cw_id on
-    // ties (the array is id-sorted), matching the oracle's (d, cw_id)
-    // rank order. Zero exchange.
-    def codeFor(s: Int): Column =
-      aggregate(
-        col("__cb"),
-        struct(lit(Long.MaxValue).as("d"), lit(-1L).as("j")),
-        (acc, cw) => {
-          val d = subL2(col("__qv"), cw.getField("qcw"), s, col("__subdim"))
-          when(d < acc.getField("d"), struct(d.as("d"), cw.getField("cw_id").as("j")))
-            .otherwise(acc)
-        }).getField("j")
-    val codes = splittable(corpus)
-      .select(col("vec_id").as("c_vec"), quant(col("embedding")).as("__qv"))
-      .withColumn("__subdim", size(col("__qv")) / nSub)
-      .crossJoin(cbArr)
-      .select(col("c_vec") +: (0 until nSub).map(s => codeFor(s).as(s"code$s")): _*)
-    // Per-(query, codeword) subspace distances: the ADC lookup table.
-    // The query side pays the float-vector math once per codeword.
+    // Per-(query, codeword) subspace distances: the ADC lookup table,
+    // position-ordered to match the codes.
     val qv = splittable(queries)
       .select(col("vec_id").as("q_vec"), quant(col("embedding")).as("qqv"))
       .withColumn("__subdim", size(col("qqv")) / nSub)
     val lut = qv
-      .crossJoin(broadcast(
-        splittable(corpus).orderBy(col("vec_id")).limit(nCodes)
-          .select(col("vec_id").as("cw_id"), quant(col("embedding")).as("qcw"))))
+      .crossJoin(broadcast(sample))
       .select(col("q_vec"), col("cw_id"),
         array((0 until nSub).map(s =>
           subL2(col("qqv"), col("qcw"), s, col("__subdim"))): _*).as("ds"))
       .groupBy("q_vec")
-      // collect order is partition-dependent; the sort restores a
-      // deterministic broadcast value
-      .agg(array_sort(collect_list(struct(col("cw_id"), col("ds")))).as("lut"))
-    // Search: per (corpus code row × query), nSub lookups into the
-    // broadcast LUT. The filter-on-id probe is a linear scan of nCodes
-    // entries inside one codegen'd projection.
+      // collect order is partition-dependent; the sort restores the
+      // deterministic cw_id-ascending (= positional) order
+      .agg(transform(
+        array_sort(collect_list(struct(col("cw_id"), col("ds")))),
+        e => e.getField("ds")).as("lut"))
+    // Search: per (corpus code row × query), nSub O(1) positional
+    // lookups into the broadcast LUT.
     val dist = (0 until nSub).map { s =>
       element_at(
-        filter(col("lut"), e => e.getField("cw_id") === col(s"code$s")), 1)
-        .getField("ds").getItem(s)
+        element_at(col("lut"),
+          (element_at(col("codes"), s + 1) + 1).cast(IntegerType)),
+        s + 1)
     }.reduce(_ + _)
     val w = Window.partitionBy(col("q_vec")).orderBy(col("qdist_approx"), col("c_vec"))
     codes
