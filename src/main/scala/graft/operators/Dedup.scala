@@ -497,19 +497,17 @@ object Dedup {
     val survivors = flagged.where(col("__exact").isNull)
       .select(col("doc_id"), col("text"))
     val incBands = portableBandKeys(minHashPortable(survivors, k, numHashes), rowsPerBand)
-    val corpBands = portableBandKeys(minHashPortable(corpus, k, numHashes), rowsPerBand)
-    val okBuckets = corpBands
+    // One pass over the corpus band pipeline: group each bucket's member
+    // list and apply the degeneracy cap on the grouped row — joining a
+    // separate count-filter relation back onto the band table would
+    // evaluate the whole md5 pipeline twice.
+    val corpBuckets = portableBandKeys(minHashPortable(corpus, k, numHashes), rowsPerBand)
       .groupBy("band_idx", "band_key")
-      .agg(count(lit(1)).as("__n"))
-      .where(col("__n") <= maxBucket)
-      .drop("__n")
+      .agg(collect_list(col("doc_id")).as("__ids"))
+      .where(size(col("__ids")) <= maxBucket)
     val cand = incBands
-      .join(okBuckets, Seq("band_idx", "band_key"))
-      .join(
-        corpBands.select(
-          col("band_idx"), col("band_key"), col("doc_id").as("corpus_doc")),
-        Seq("band_idx", "band_key"))
-      .select(col("doc_id"), col("corpus_doc"))
+      .join(corpBuckets, Seq("band_idx", "band_key"))
+      .select(col("doc_id"), explode(col("__ids")).as("corpus_doc"))
       .distinct()
     val incSets = shingleSets(survivors, k)
       .select(col("doc_id"), col("shingles").as("sh_i"))
