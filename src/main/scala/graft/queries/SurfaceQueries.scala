@@ -225,6 +225,40 @@ object SurfaceQueries {
         .orderBy(col("est_count").desc, col("item"))
     },
 
+    // Count-min sketch on the PORTABLE hash family — unlike x13's HLL /
+    // x19's space-saving (engine-internal sketches, rows-only checked),
+    // this sketch is md5-keyed, so DuckDB rebuilds the identical 4×256
+    // cell table and the per-key estimates gate hash-exact. The build is
+    // one map-side-partial aggregate into depth×width cells (mergeable
+    // partials = the property that makes CMS a streaming/distributed
+    // counter); probes broadcast-join the tiny cell table. overcount =
+    // est − truth ≥ 0 demonstrates the one-sided error bound live.
+    "cms1_countmin" -> { (spark, dir) =>
+      import graft.operators.Dedup.portableHash60
+      val depth = 4
+      val width = 256
+      def h(i: Int, c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        portableHash60(concat(lit(i), lit(":"), c.cast(StringType))) % width
+      val ev = Tables.events(spark, dir)
+      val cells = ev
+        .select(posexplode(
+          array((0 until depth).map(i => h(i, col("user_id"))): _*))
+          .as(Seq("row_i", "cell")))
+        .groupBy("row_i", "cell")
+        .agg(count(lit(1)).as("c"))
+      val truth = ev.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      truth
+        .select(col("user_id"), col("n_events"),
+          posexplode(array((0 until depth).map(i => h(i, col("user_id"))): _*))
+            .as(Seq("row_i", "cell")))
+        .join(broadcast(cells), Seq("row_i", "cell"))
+        .groupBy("user_id", "n_events")
+        .agg(min(col("c")).as("cms_est"))
+        .select(col("user_id"), col("n_events"), col("cms_est"),
+          (col("cms_est") - col("n_events")).as("overcount"))
+        .orderBy("user_id")
+    },
+
     // Per-event session-relative features (the behavioral-model training
     // columns): session id, index within session, seconds since session
     // start — one shuffle, second window rides the same partitioning.
@@ -410,6 +444,25 @@ object SurfaceQueries {
       """SELECT event_type AS item, COUNT(*) AS est_count
         |FROM events GROUP BY 1
         |ORDER BY est_count DESC, item""".stripMargin,
+    "cms1_countmin" ->
+      """WITH cells AS (
+        |  SELECT g.i AS row_i,
+        |    ('0x' || substr(md5(g.i || ':' || user_id), 1, 15))::BIGINT % 256 AS cell,
+        |    COUNT(*) AS c
+        |  FROM events, UNNEST(generate_series(0, 3)) AS g(i)
+        |  GROUP BY 1, 2
+        |), truth AS (
+        |  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1
+        |), probes AS (
+        |  SELECT t.user_id, t.n_events, g.i AS row_i,
+        |    ('0x' || substr(md5(g.i || ':' || user_id), 1, 15))::BIGINT % 256 AS cell
+        |  FROM truth t, UNNEST(generate_series(0, 3)) AS g(i)
+        |)
+        |SELECT p.user_id, p.n_events,
+        |  CAST(MIN(c.c) AS BIGINT) AS cms_est,
+        |  CAST(MIN(c.c) - p.n_events AS BIGINT) AS overcount
+        |FROM probes p JOIN cells c ON c.row_i = p.row_i AND c.cell = p.cell
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "sess1_session_features" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts) AS tns, event_id FROM events),

@@ -228,6 +228,33 @@ object TrainingDataQueries {
     // the knob a training-mixture spec turns. Exact BIGINT token sums;
     // the two divisions are the only floating steps and mirror the
     // oracle expression shape exactly.
+    // Trigram LM conditional counts — the relational core of n-gram
+    // language-model estimation (and of Kneser-Ney's numerator/
+    // denominator tables): for each (w1 w2, w3), the continuation count
+    // n3 and the prefix total n2 = Σ_w n3(prefix, w), with the MLE
+    // conditional P(w3|w1 w2) as one late division. Two aggregations,
+    // both with map-side partials keyed on the prefix; the denominator
+    // derives from the numerator relation (no second corpus scan).
+    // Deterministic top-100 via the total (n3 desc, prefix, next_tok)
+    // order → TakeOrdered, no global sort.
+    "t12_trigram_lm" -> { (spark, dir) =>
+      val ws = TextAnalysis.words(col("text"))
+      val tri = Tables.documentsParallel(spark, dir)
+        .select(ws.as("w"))
+        .where(size(col("w")) >= 3)
+        .select(explode(sequence(lit(0), size(col("w")) - 3)).as("i"), col("w"))
+        .select(
+          concat_ws(" ", slice(col("w"), col("i") + 1, lit(2))).as("prefix"),
+          element_at(col("w"), col("i") + 3).as("next_tok"))
+      val n3 = tri.groupBy("prefix", "next_tok").agg(count(lit(1)).as("n3"))
+      val n2 = n3.groupBy("prefix").agg(sum("n3").as("n2"))
+      n3.join(n2, Seq("prefix"))
+        .select(col("prefix"), col("next_tok"), col("n3"), col("n2"),
+          (col("n3").cast(DoubleType) / col("n2").cast(DoubleType)).as("cond_p"))
+        .orderBy(col("n3").desc, col("prefix"), col("next_tok"))
+        .limit(100)
+    },
+
     // Temperature-scaled mixture (α = 0.5): sampling weight ∝ share^α —
     // the standard dial between natural (α=1) and uniform (α=0) language
     // mixing (mT5/XLM-R shape). α=0.5 is √share, and √ of an exact
@@ -498,6 +525,22 @@ object TrainingDataQueries {
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |WHERE NOT (d.doc_id % 20 = 0)
         |ORDER BY d.doc_id""".stripMargin,
+    "t12_trigram_lm" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+        |), tri AS (
+        |  SELECT w[g.i] || ' ' || w[g.i + 1] AS prefix, w[g.i + 2] AS next_tok
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS g(i)
+        |  WHERE len(w) >= 3
+        |), t3 AS (
+        |  SELECT prefix, next_tok, COUNT(*) AS n3 FROM tri GROUP BY 1, 2
+        |), t2 AS (
+        |  SELECT prefix, CAST(SUM(n3) AS BIGINT) AS n2 FROM t3 GROUP BY 1
+        |)
+        |SELECT a.prefix, a.next_tok, a.n3, b.n2,
+        |  CAST(a.n3 AS DOUBLE) / CAST(b.n2 AS DOUBLE) AS cond_p
+        |FROM t3 a JOIN t2 b USING (prefix)
+        |ORDER BY a.n3 DESC, a.prefix, a.next_tok LIMIT 100""".stripMargin,
     "dm2_temperature_mix" ->
       """WITH s AS (
         |  SELECT lang,
