@@ -1,9 +1,9 @@
 package graft
 
-import graft.functions.{CosineSimilarity, QuantizedCosine}
+import graft.functions.{CosineSimilarity, LshBuckets, PqEncode, QuantizedCosine}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 /** SparkSessionExtensions entry point: registers the engine's native
@@ -14,6 +14,16 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
   * or `spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Structural-parameter arguments (plane counts, subspace counts) must
+    * be integer literals — they size codegen'd loops, not per-row data.
+    */
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an INTEGER literal, got $other")
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     // Whole-operator extension: plans graft.plans.TopKPerKeyPlan as the
     // two-phase bounded-heap exec (partial → exchange → final).
@@ -42,6 +52,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "quantized_cosine takes exactly 2 arguments")
         QuantizedCosine(exprs(0), exprs(1))
+      },
+    ))
+    e.injectFunction((
+      FunctionIdentifier("lsh_buckets"),
+      new ExpressionInfo(
+        classOf[LshBuckets].getName, null, "lsh_buckets",
+        "lsh_buckets(emb, nPlanes, nTables) - all nTables hyperplane-LSH bucket ids of a float array",
+        "", "", "", "array_funcs", "1.0.0", "", "scala_udf"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "lsh_buckets takes exactly 3 arguments")
+        LshBuckets(exprs(0),
+          litInt(exprs(1), "lsh_buckets", "nPlanes"),
+          litInt(exprs(2), "lsh_buckets", "nTables"))
+      },
+    ))
+    e.injectFunction((
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(
+        classOf[PqEncode].getName, null, "pq_encode",
+        "pq_encode(emb, codebook, nSub) - nSub product-quantization codeword positions of a float array",
+        "", "", "", "array_funcs", "1.0.0", "", "scala_udf"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "pq_encode takes exactly 3 arguments")
+        PqEncode(exprs(0), exprs(1), litInt(exprs(2), "pq_encode", "nSub"))
       },
     ))
     // Catalyst's own semi-join-reduction bloom pair (what the optimizer

@@ -50,4 +50,37 @@ class SqlFrontDoorSpec extends SparkSpec {
     assert(top.length == 5)
     top.foreach(r => assert(math.abs(r.getAs[Double]("sim")) <= 1.0 + 1e-12))
   }
+
+  test("lsh_buckets and pq_encode usable from SQL, matching the Column API") {
+    views
+    val sqlLsh = spark.sql(
+      """SELECT vec_id, lsh_buckets(embedding, 4, 4) AS b
+        |FROM embeddings WHERE vec_id < 5 ORDER BY vec_id""".stripMargin).collect()
+    val apiLsh = Tables.embeddings(spark, sf0001).where(col("vec_id") < 5)
+      .select(col("vec_id"),
+        graft.functions.LshBuckets.buckets(col("embedding"), 4, 4).as("b"))
+      .orderBy("vec_id").collect()
+    assert(sqlLsh.map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq ==
+      apiLsh.map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq)
+
+    val sqlPq = spark.sql(
+      """WITH cb AS (
+        |  SELECT collect_list(q) AS cbv FROM (
+        |    SELECT transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+        |    FROM embeddings ORDER BY vec_id LIMIT 8)
+        |)
+        |SELECT e.vec_id, pq_encode(e.embedding, cb.cbv, 8) AS codes
+        |FROM embeddings e CROSS JOIN cb WHERE e.vec_id < 5
+        |ORDER BY e.vec_id""".stripMargin).collect()
+    assert(sqlPq.length == 5)
+    sqlPq.foreach { r =>
+      val codes = r.getSeq[Long](1)
+      assert(codes.length == 8 && codes.forall(j => j >= 0 && j < 8), r)
+    }
+    // non-literal structural args are rejected, not silently mis-planned
+    val err = intercept[Exception] {
+      spark.sql("SELECT pq_encode(embedding, array(array(1L)), CAST(vec_id AS INT)) FROM embeddings").collect()
+    }
+    assert(err.getMessage.contains("INTEGER literal"))
+  }
 }
