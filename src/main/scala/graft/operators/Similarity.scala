@@ -79,6 +79,64 @@ object Similarity {
     * shuffles ONCE by centroid id (a write-time layout in a real store),
     * and each query reads nProbe/nCentroids of the data.
     */
+  /** First `n` corpus vectors by id as (centroid_id, c_emb) — the
+    * deterministic centroid seeding shared by the IVF variants.
+    */
+  private def sampleCentroids(corpus: DataFrame, n: Int): DataFrame =
+    corpus.orderBy(col("vec_id")).limit(n)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+
+  /** One-row broadcast of the id-sorted centroid array (column
+    * `__cents`): the relation the corpus-side argmax folds over.
+    */
+  private def centroidArr(centroids: DataFrame): DataFrame =
+    broadcast(centroids.agg(
+      array_sort(collect_list(struct(col("centroid_id"), col("c_emb")))).as("__cents")))
+
+  /** CORPUS list assignment (n = 1), the scale-critical branch: fold an
+    * argmax over the one-row broadcast centroid array — a
+    * BroadcastNestedLoopJoin against a single row plus a per-row
+    * `aggregate` lambda, so the corpus is assigned with ZERO exchange
+    * and zero per-key sort (a crossJoin + row_number window would
+    * shuffle nCentroids× the corpus just to compute this argmax).
+    * Strictly-greater over the id-sorted array keeps the LOWEST
+    * centroid_id on ties — the same tie-break as a
+    * (sim DESC, centroid_id ASC) window. Quantized (integer-exact)
+    * cosine: sums of exact integers < 2^53, so assignments are
+    * bit-identical on any engine in any evaluation order.
+    */
+  private def nearestListCol(embCol: Column): Column = {
+    import graft.functions.QuantizedCosine.{quantizedCosine => cosine}
+    aggregate(
+      col("__cents"),
+      struct(lit(-2.0).as("sim"), lit(-1L).as("centroid_id")),
+      (acc, c) => {
+        val s = cosine(embCol, c.getField("c_emb"))
+        when(s > acc.getField("sim"),
+          struct(s.as("sim"), c.getField("centroid_id").as("centroid_id")))
+          .otherwise(acc)
+      },
+    ).getField("centroid_id")
+  }
+
+  /** QUERY-side probe assignment: each query's `nProbe` nearest lists as
+    * (q_vec, q_emb, list_id) rows. Keeps the rank formulation (nProbe >
+    * 1 ids per query) — the query side is tiny and the row_number idiom
+    * itself plans as the bounded-heap TopKPerKey operator.
+    */
+  private def probeLists(queries: DataFrame, centroids: DataFrame, nProbe: Int): DataFrame = {
+    import graft.functions.QuantizedCosine.{quantizedCosine => cosine}
+    val w = Window.partitionBy(col("q_vec")).orderBy(col("__sim").desc, col("centroid_id"))
+    queries
+      .select(col("vec_id").as("q_vec"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__sim", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= nProbe)
+      .withColumn("list_id", col("centroid_id"))
+      .drop("centroid_id", "c_emb", "__sim", "__rk")
+  }
+
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -86,59 +144,17 @@ object Similarity {
       nCentroids: Int = 16,
       nProbe: Int = 2,
   ): DataFrame = {
-    // Quantized (integer-exact) cosine throughout: every sum is of
-    // exact integers < 2^53, so assignment argmaxes and ranks are
-    // bit-identical on ANY engine in ANY evaluation order — which is
-    // what lets the x5 oracle recompute the full IVF pipeline in DuckDB
-    // (float cosine sums are order-dependent near ties; quantized ones
-    // are not).
+    // Quantized (integer-exact) cosine throughout — what lets the x5
+    // oracle recompute the full IVF pipeline in DuckDB (float cosine
+    // sums are order-dependent near ties; quantized ones are not).
     import graft.functions.QuantizedCosine.{quantizedCosine => cosine}
-    val centroids = corpus.orderBy(col("vec_id")).limit(nCentroids)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-
-    // CORPUS assignment (n = 1) is the scale-critical branch: fold an
-    // argmax over a one-row broadcast array of all centroids — a
-    // BroadcastNestedLoopJoin against a single row plus a per-row
-    // `aggregate` lambda, so the corpus is assigned with ZERO exchange
-    // and zero per-key sort (the earlier crossJoin + row_number window
-    // shuffled 16x the corpus just to compute this argmax). Strictly-
-    // greater over the id-sorted array keeps the LOWEST centroid_id on
-    // ties — the same tie-break as a (sim DESC, centroid_id ASC) window.
-    val centArr = broadcast(centroids.agg(
-      array_sort(collect_list(struct(col("centroid_id"), col("c_emb")))).as("__cents")))
-    def nearestList(embCol: Column): Column =
-      aggregate(
-        col("__cents"),
-        struct(lit(-2.0).as("sim"), lit(-1L).as("centroid_id")),
-        (acc, c) => {
-          val s = cosine(embCol, c.getField("c_emb"))
-          when(s > acc.getField("sim"),
-            struct(s.as("sim"), c.getField("centroid_id").as("centroid_id")))
-            .otherwise(acc)
-        },
-      ).getField("centroid_id")
-
+    val centroids = sampleCentroids(corpus, nCentroids)
     val c = corpus
       .select(col("vec_id").as("c_vec"), col("embedding").as("c_emb2"))
-      .crossJoin(centArr)
-      .withColumn("list_id", nearestList(col("c_emb2")))
+      .crossJoin(centroidArr(centroids))
+      .withColumn("list_id", nearestListCol(col("c_emb2")))
       .drop("__cents")
-
-    // QUERY assignment keeps the rank formulation (nProbe > 1 list ids
-    // per query): the query side is tiny and the row_number idiom itself
-    // plans as the bounded-heap TopKPerKey operator via the rewrite.
-    val q = {
-      val w = Window.partitionBy(col("q_vec")).orderBy(col("__sim").desc, col("centroid_id"))
-      queries
-        .select(col("vec_id").as("q_vec"), col("embedding").as("q_emb"))
-        .crossJoin(broadcast(centroids))
-        .withColumn("__sim", cosine(col("q_emb"), col("c_emb")))
-        .withColumn("__rk", row_number().over(w))
-        .where(col("__rk") <= nProbe)
-        .withColumn("list_id", col("centroid_id"))
-        .drop("centroid_id", "c_emb", "__sim", "__rk")
-    }
-
+    val q = probeLists(queries, centroids, nProbe)
     val w = Window.partitionBy(col("q_vec")).orderBy(col("cosine").desc, col("c_vec"))
     c.join(broadcast(q), Seq("list_id"))
       .where(col("c_vec") =!= col("q_vec"))
@@ -180,6 +196,78 @@ object Similarity {
     * (q_vec, rank, c_vec, qdist_approx); approximate by construction
     * (reconstruction error), quality gated by the x20r recall query.
     */
+  private def q20(v: Column): Column =
+    floor(v.cast(DoubleType) * 1048576.0).cast(LongType)
+  private def quantEmb(emb: Column): Column = transform(emb, v => q20(v))
+
+  /** Vectors that don't split evenly into nSub subspaces drop (a real
+    * PQ index pads or rejects at ingest) — mirrored in the oracles.
+    */
+  private def pqSplittable(df: DataFrame, nSub: Int): DataFrame =
+    df.where(size(col("embedding")) > 0 && size(col("embedding")) % nSub === 0)
+
+  /** PQ codebook = a deterministic corpus sample (first nCodes by
+    * vec_id — same seeding discipline as the IVF centroids; a trained
+    * k-means codebook would slot in unchanged) as (cw_id, qcw) rows.
+    * Id-sorted downstream, so codeword POSITION ↔ codeword id is a
+    * bijection — codes and lookup tables both index positionally.
+    */
+  private def pqSample(corpus: DataFrame, nSub: Int, nCodes: Int): DataFrame =
+    pqSplittable(corpus, nSub).orderBy(col("vec_id")).limit(nCodes)
+      .select(col("vec_id").as("cw_id"), quantEmb(col("embedding")).as("qcw"))
+
+  /** One-row broadcast of the position-ordered codeword arrays (column
+    * `__cbv`) — the relation [[graft.functions.PqEncode]] folds over.
+    */
+  private def pqCodebookArr(sample: DataFrame): DataFrame =
+    broadcast(sample.agg(
+      transform(
+        array_sort(collect_list(struct(col("cw_id"), col("qcw")))),
+        e => e.getField("qcw")).as("__cbv")))
+
+  /** Squared L2 between subspace s of `v` and of codeword `cw`, as a
+    * fused slice+zip_with fold (null elements contribute 0, the
+    * SUM-skips-nulls contract shared with EmbeddingOps). Query-side
+    * only: queries × nCodes rows, so the HOF composition is fine here —
+    * the corpus side uses the native PqEncode kernel instead.
+    */
+  private def pqSubL2(v: Column, cw: Column, s: Int, subdim: Column): Column =
+    aggregate(
+      zip_with(
+        slice(v, subdim * s + 1, subdim),
+        slice(cw, subdim * s + 1, subdim),
+        (a, b) => coalesce((a - b) * (a - b), lit(0L))),
+      lit(0L),
+      (acc, d) => acc + d)
+
+  /** Per-query ADC lookup tables as (q_vec, lut) — `lut` is the
+    * position-ordered array of per-codeword subspace-distance arrays.
+    * The query side pays the float-vector math once per codeword.
+    */
+  private def pqLutDf(queries: DataFrame, sample: DataFrame, nSub: Int): DataFrame =
+    pqSplittable(queries, nSub)
+      .select(col("vec_id").as("q_vec"), quantEmb(col("embedding")).as("qqv"))
+      .withColumn("__subdim", size(col("qqv")) / nSub)
+      .crossJoin(broadcast(sample))
+      .select(col("q_vec"), col("cw_id"),
+        array((0 until nSub).map(s =>
+          pqSubL2(col("qqv"), col("qcw"), s, col("__subdim"))): _*).as("ds"))
+      .groupBy("q_vec")
+      // collect order is partition-dependent; the sort restores the
+      // deterministic cw_id-ascending (= positional) order
+      .agg(transform(
+        array_sort(collect_list(struct(col("cw_id"), col("ds")))),
+        e => e.getField("ds")).as("lut"))
+
+  /** ADC distance: nSub O(1) positional lookups of `codes` into `lut`. */
+  private def pqAdcDist(nSub: Int): Column =
+    (0 until nSub).map { s =>
+      element_at(
+        element_at(col("lut"),
+          (element_at(col("codes"), s + 1) + 1).cast(IntegerType)),
+        s + 1)
+    }.reduce(_ + _)
+
   def pqTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -187,77 +275,94 @@ object Similarity {
       nSub: Int = 8,
       nCodes: Int = 32,
   ): DataFrame = {
-    def q20(v: Column) = floor(v.cast(DoubleType) * 1048576.0).cast(LongType)
-    def quant(emb: Column) = transform(emb, v => q20(v))
-    // Vectors that don't split evenly into nSub subspaces drop (a real
-    // PQ index pads or rejects at ingest) — mirrored in the oracle.
-    def splittable(df: DataFrame): DataFrame =
-      df.where(size(col("embedding")) > 0 && size(col("embedding")) % nSub === 0)
-    // Codebook = a deterministic corpus sample (first nCodes by vec_id —
-    // same seeding discipline as ivfTopK's centroids; a trained k-means
-    // codebook would slot in unchanged). Id-sorted, so codeword POSITION
-    // ↔ codeword id is a bijection — codes and lookup tables both index
-    // positionally.
-    val sample = splittable(corpus).orderBy(col("vec_id")).limit(nCodes)
-      .select(col("vec_id").as("cw_id"), quant(col("embedding")).as("qcw"))
-    val cbArr = broadcast(sample.agg(
-      transform(
-        array_sort(collect_list(struct(col("cw_id"), col("qcw")))),
-        e => e.getField("qcw")).as("__cbv")))
+    val sample = pqSample(corpus, nSub, nCodes)
     // Code assignment: the native fused PqEncode kernel (three tight
     // primitive loops, codegen'd) over the one-row broadcast codebook —
     // zero exchange, and the per-row encode constant that dominates a
     // real write-time index build is ~free. Tie-break = lowest position
     // = lowest cw_id, matching the oracle's (d, cw_id) rank order.
-    val codes = splittable(corpus)
+    val codes = pqSplittable(corpus, nSub)
       .select(col("vec_id").as("c_vec"), col("embedding"))
-      .crossJoin(cbArr)
+      .crossJoin(pqCodebookArr(sample))
       .select(col("c_vec"),
         graft.functions.PqEncode.encode(col("embedding"), col("__cbv"), nSub).as("codes"))
-    // Squared L2 between subspace s of `v` and of codeword `cw`, as a
-    // fused slice+zip_with fold (null elements contribute 0, the
-    // SUM-skips-nulls contract shared with EmbeddingOps). Query-side
-    // only: queries × nCodes rows, so the HOF composition is fine here.
-    def subL2(v: Column, cw: Column, s: Int, subdim: Column): Column =
-      aggregate(
-        zip_with(
-          slice(v, subdim * s + 1, subdim),
-          slice(cw, subdim * s + 1, subdim),
-          (a, b) => coalesce((a - b) * (a - b), lit(0L))),
-        lit(0L),
-        (acc, d) => acc + d)
-    // Per-(query, codeword) subspace distances: the ADC lookup table,
-    // position-ordered to match the codes.
-    val qv = splittable(queries)
-      .select(col("vec_id").as("q_vec"), quant(col("embedding")).as("qqv"))
-      .withColumn("__subdim", size(col("qqv")) / nSub)
-    val lut = qv
-      .crossJoin(broadcast(sample))
-      .select(col("q_vec"), col("cw_id"),
-        array((0 until nSub).map(s =>
-          subL2(col("qqv"), col("qcw"), s, col("__subdim"))): _*).as("ds"))
-      .groupBy("q_vec")
-      // collect order is partition-dependent; the sort restores the
-      // deterministic cw_id-ascending (= positional) order
-      .agg(transform(
-        array_sort(collect_list(struct(col("cw_id"), col("ds")))),
-        e => e.getField("ds")).as("lut"))
-    // Search: per (corpus code row × query), nSub O(1) positional
-    // lookups into the broadcast LUT.
-    val dist = (0 until nSub).map { s =>
-      element_at(
-        element_at(col("lut"),
-          (element_at(col("codes"), s + 1) + 1).cast(IntegerType)),
-        s + 1)
-    }.reduce(_ + _)
+    val lut = pqLutDf(queries, sample, nSub)
     val w = Window.partitionBy(col("q_vec")).orderBy(col("qdist_approx"), col("c_vec"))
     codes
       .crossJoin(broadcast(lut))
       .where(col("c_vec") =!= col("q_vec"))
-      .select(col("q_vec"), col("c_vec"), dist.as("qdist_approx"))
+      .select(col("q_vec"), col("c_vec"), pqAdcDist(nSub).as("qdist_approx"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("q_vec", "rank", "c_vec", "qdist_approx")
+  }
+
+  /** IVF + PQ-ADC + exact refine — the composed billion-vector index
+    * architecture (FAISS's IVFADC, Jégou et al. 2011): the corpus is
+    * partitioned into `nLists` inverted lists AND stored as PQ codes;
+    * a query probes its `nProbe` nearest lists, ADC-scans ONLY those
+    * lists' codes, and exact-re-ranks a `refine`-deep shortlist. The
+    * two reductions multiply: the scan touches (nProbe/nLists) of the
+    * corpus at (nSub × 8 B)/(dims × 4 B) of its width — at a billion
+    * vectors that is the difference between a cluster job and a
+    * single-node lookup.
+    *
+    * Execution shape: ONE pass over the corpus builds the index (list
+    * assignment = broadcast-centroid argmax fold; codes = the native
+    * PqEncode kernel; zero exchange — write-time work at a real
+    * deployment). The search side joins the tiny broadcast probe and
+    * LUT relations onto the code relation, ranks through the
+    * bounded-heap TopKPerKey operator twice (shortlist, final), and
+    * fetches only shortlist survivors' real vectors for the refine.
+    * Everything is exact-integer; the x22 oracle replays list
+    * assignment, codes, LUTs, probed-list ADC, and the refine in SQL.
+    */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 2,
+      nSub: Int = 8,
+      nCodes: Int = 32,
+      refine: Int = 32,
+  ): DataFrame = {
+    require(refine >= k, s"refine depth $refine must be >= k=$k")
+    val centroids = sampleCentroids(corpus, nLists)
+    val sample = pqSample(corpus, nSub, nCodes)
+    // the persisted index at scale: (c_vec, list_id, codes), one pass
+    val index = pqSplittable(corpus, nSub)
+      .select(col("vec_id").as("c_vec"), col("embedding"))
+      .crossJoin(centroidArr(centroids))
+      .withColumn("list_id", nearestListCol(col("embedding")))
+      .drop("__cents")
+      .crossJoin(pqCodebookArr(sample))
+      .select(col("c_vec"), col("list_id"),
+        graft.functions.PqEncode.encode(col("embedding"), col("__cbv"), nSub).as("codes"))
+    val probes = probeLists(queries, centroids, nProbe)
+      .select(col("q_vec"), col("list_id"))
+    val lut = pqLutDf(queries, sample, nSub)
+    val wShort = Window.partitionBy(col("q_vec")).orderBy(col("qdist_approx"), col("c_vec"))
+    val shortlist = index
+      .join(broadcast(probes), Seq("list_id"))
+      .join(broadcast(lut), Seq("q_vec"))
+      .where(col("c_vec") =!= col("q_vec"))
+      .select(col("q_vec"), col("c_vec"), col("list_id"),
+        pqAdcDist(nSub).as("qdist_approx"))
+      .withColumn("rank", row_number().over(wShort))
+      .where(col("rank") <= refine)
+      .select(col("q_vec"), col("c_vec"), col("list_id"))
+    val q = broadcast(
+      queries.select(col("vec_id").as("q_vec"), col("embedding").as("q_emb")))
+    val wK = Window.partitionBy(col("q_vec")).orderBy(col("qdist_exact"), col("c_vec"))
+    corpus.select(col("vec_id").as("c_vec"), col("embedding").as("c_emb"))
+      .join(broadcast(shortlist), Seq("c_vec"))
+      .join(q, Seq("q_vec"))
+      .select(col("q_vec"), col("c_vec"), col("list_id"),
+        quantL2(col("q_emb"), col("c_emb")).as("qdist_exact"))
+      .withColumn("rank", row_number().over(wK))
+      .where(col("rank") <= k)
+      .select("q_vec", "rank", "c_vec", "qdist_exact", "list_id")
   }
 
   /** Exact quantized squared-L2 between two embedding columns (the 2^20

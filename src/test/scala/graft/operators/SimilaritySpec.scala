@@ -150,9 +150,25 @@ class SimilaritySpec extends SparkSpec {
       "pq" -> planOf(Similarity.pqTopK(qs, emb, k = 3)),
       "pqRefine" -> planOf(Similarity.pqRefineTopK(qs, emb, k = 3, refine = 16)),
       "bruteL2" -> planOf(Similarity.bruteForceL2TopK(qs, emb, k = 3)),
+      "ivfPq" -> planOf(Similarity.ivfPqTopK(qs, emb, k = 3)),
     ).foreach { case (name, p) =>
       assert(p.contains("TopKPerKey"), s"$name plan lacks TopKPerKeyExec:\n$p")
       assert(!p.contains("Window"), s"$name plan still sorts via a window:\n$p")
+    }
+  }
+
+  test("ivfPqTopK: compounded recall clears the refined floor; k respected") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val qs = emb.where(col("vec_id") < 8)
+    val exact = Similarity.bruteForceL2TopK(qs, emb, k = 3).collect()
+      .map(r => (r.getAs[Long]("q_vec"), r.getAs[Long]("c_vec"))).toSet
+    val got = Similarity.ivfPqTopK(qs, emb, k = 3).collect()
+    val pairs = got.map(r => (r.getAs[Long]("q_vec"), r.getAs[Long]("c_vec"))).toSet
+    val recall = (exact & pairs).size.toDouble / exact.size
+    info(f"IVFADC recall@3 = $recall%.2f (nProbe 2/16, refine 32)")
+    assert(recall >= 0.6, f"IVFADC recall collapsed: $recall%.2f")
+    got.groupBy(_.getAs[Long]("q_vec")).foreach { case (_, rows) =>
+      assert(rows.length <= 3 && rows.map(_.getAs[Int]("rank")).distinct.length == rows.length)
     }
   }
 
