@@ -490,6 +490,14 @@ object ExtensionQueries {
       EventsStream.streamDedup(spark, dir)
     },
     // Stream-static dimension join + aggregate.
+    // Streaming ANN serving: query vectors arrive as a stream, hash to
+    // LSH buckets map-side (native kernel, no stream shuffle), join the
+    // static corpus bucket index, and the per-query best neighbor
+    // maintains in complete mode. The oracle replays the exact same
+    // integer-hyperplane + quantized-cosine pipeline in batch SQL.
+    "st11_stream_ann" -> { (spark, dir) =>
+      graft.streaming.VectorStream.annTop1(spark, dir)
+    },
     "st4_stream_static_join" -> { (spark, dir) =>
       EventsStream.streamStaticJoin(spark, dir)
     },
@@ -771,6 +779,10 @@ object ExtensionQueries {
       s"""WITH $lshOracleCtes
          |SELECT q_vec, rank, c_vec, cosine, n_tables FROM lsh_ranked
          |WHERE rank <= 3 ORDER BY q_vec, rank""".stripMargin,
+    "st11_stream_ann" ->
+      s"""WITH $lshOracleCtes
+         |SELECT q_vec, cosine AS best_cosine, c_vec AS best_c_vec
+         |FROM lsh_ranked WHERE rank = 1 ORDER BY q_vec""".stripMargin,
     "x2r_ann_lsh_recall" ->
       s"""WITH $lshOracleCtes, brute AS (
          |  SELECT q_vec, c_vec FROM (
