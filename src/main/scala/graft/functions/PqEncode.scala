@@ -24,7 +24,11 @@ import org.apache.spark.sql.types._
   * coalesce-0 semantics); a null codeword entry is skipped; ties keep
   * the LOWEST position (strictly-less argmin over the id-sorted array —
   * the same (d, cw_id) order the x20 oracle ranks by). All arithmetic
-  * is exact-integer, so codes are engine-portable.
+  * is exact-integer, so codes are engine-portable. A vector whose
+  * length is 0 or not divisible by nSub has no well-defined codes and
+  * yields NULL; an empty (or all-null) codebook yields the sentinel
+  * position -1 in every subspace — pipeline callers guard both
+  * (pqSplittable filter; nCodes >= 1 require).
   *
   * Why native: the composed form builds nSub × nCodes nested lambda
   * evaluations per row — higher-order functions run interpreted, per
@@ -41,6 +45,9 @@ case class PqEncode(left: Expression, right: Expression, nSub: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "pq_encode"
 
+  // NULL for non-splittable vectors (below), beyond child nullability
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(FloatType, _), ArrayType(ArrayType(LongType, _), _)) =>
       TypeCheckResult.TypeCheckSuccess
@@ -53,6 +60,12 @@ case class PqEncode(left: Expression, right: Expression, nSub: Int)
     val x = e.asInstanceOf[ArrayData]
     val cbs = cb.asInstanceOf[ArrayData]
     val len = x.numElements()
+    // A vector that doesn't split evenly into nSub subspaces has no
+    // well-defined codes: return NULL rather than silently dropping
+    // trailing dims (len % nSub != 0) or degenerating to subdim = 0
+    // (len < nSub). Pipeline callers pre-filter (pqSplittable); this
+    // guard protects the registered SQL surface.
+    if (len == 0 || len % nSub != 0) return null
     val subdim = len / nSub
     val q = new Array[Long](len)
     val qNull = new Array[Boolean](len)
@@ -112,33 +125,37 @@ case class PqEncode(left: Expression, right: Expression, nSub: Int)
       val bestJ = ctx.freshName("bestJ")
       s"""
          |int $len = $a.numElements();
-         |int $subdim = $len / $nSub;
-         |long[] $q = new long[$len];
-         |boolean[] $qn = new boolean[$len];
-         |for (int $d = 0; $d < $len; $d++) {
-         |  if ($a.isNullAt($d)) { $qn[$d] = true; continue; }
-         |  $q[$d] = (long) java.lang.Math.floor(((double) $a.getFloat($d)) * 1048576.0);
-         |}
-         |long[] $out = new long[$nSub];
-         |for (int $s = 0; $s < $nSub; $s++) {
-         |  long $bestD = Long.MAX_VALUE;
-         |  long $bestJ = -1L;
-         |  for (int $j = 0; $j < $b.numElements(); $j++) {
-         |    if ($b.isNullAt($j)) continue;
-         |    org.apache.spark.sql.catalyst.util.ArrayData $cw = $b.getArray($j);
-         |    int $cwn = $cw.numElements();
-         |    long $dist = 0L;
-         |    for (int $i = 0; $i < $subdim; $i++) {
-         |      int $di = $s * $subdim + $i;
-         |      if ($di >= $cwn || $qn[$di] || $cw.isNullAt($di)) continue;
-         |      long $diff = $q[$di] - $cw.getLong($di);
-         |      $dist += $diff * $diff;
-         |    }
-         |    if ($dist < $bestD) { $bestD = $dist; $bestJ = $j; }
+         |if ($len == 0 || $len % $nSub != 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $subdim = $len / $nSub;
+         |  long[] $q = new long[$len];
+         |  boolean[] $qn = new boolean[$len];
+         |  for (int $d = 0; $d < $len; $d++) {
+         |    if ($a.isNullAt($d)) { $qn[$d] = true; continue; }
+         |    $q[$d] = (long) java.lang.Math.floor(((double) $a.getFloat($d)) * 1048576.0);
          |  }
-         |  $out[$s] = $bestJ;
+         |  long[] $out = new long[$nSub];
+         |  for (int $s = 0; $s < $nSub; $s++) {
+         |    long $bestD = Long.MAX_VALUE;
+         |    long $bestJ = -1L;
+         |    for (int $j = 0; $j < $b.numElements(); $j++) {
+         |      if ($b.isNullAt($j)) continue;
+         |      org.apache.spark.sql.catalyst.util.ArrayData $cw = $b.getArray($j);
+         |      int $cwn = $cw.numElements();
+         |      long $dist = 0L;
+         |      for (int $i = 0; $i < $subdim; $i++) {
+         |        int $di = $s * $subdim + $i;
+         |        if ($di >= $cwn || $qn[$di] || $cw.isNullAt($di)) continue;
+         |        long $diff = $q[$di] - $cw.getLong($di);
+         |        $dist += $diff * $diff;
+         |      }
+         |      if ($dist < $bestD) { $bestD = $dist; $bestJ = $j; }
+         |    }
+         |    $out[$s] = $bestJ;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
   }

@@ -464,21 +464,31 @@ object Dedup {
     * the shape continuous ingestion actually runs (re-deduping 100 TB
     * from scratch per batch is not a plan). Two tiers:
     *
-    *  1. exact — the batch anti-joins the corpus on sha256(text): the
-    *     shuffle carries 32-byte hashes, and at scale the corpus side is
-    *     a write-once materialized hash index, not a re-scan;
+    *  1. exact — a batch doc is an exact dup when its sha256(text)
+    *     exists in the corpus OR in a more-senior (lower doc_id) doc of
+    *     the SAME batch — without the intra-batch check, two identical
+    *     arrivals in one batch would both pass and the duplicate pair
+    *     would live in the corpus forever. The shuffle carries 32-byte
+    *     hashes, and at scale the corpus side is a write-once
+    *     materialized hash index, not a re-scan;
     *  2. near — exact-tier survivors build portable-MinHash band keys
     *     and join the CORPUS band table (again: a maintained index at
     *     scale) on (band_idx, band_key); degenerate corpus buckets
     *     (> `maxBucket` members) are dropped, candidate pairs verify
-    *     with exact shingle Jaccard, and any hit ≥ `minJaccard` marks
-    *     the batch doc a near-dup.
+    *     with exact shingle Jaccard — computed only for CANDIDATE docs
+    *     on both sides — and any hit ≥ `minJaccard` marks the batch doc
+    *     a near-dup. (Intra-batch NEAR-dup detection is deliberately out
+    *     of scope: run [[dedupPipeline]] over the admitted set for
+    *     that — this operator's contract is batch-vs-corpus.)
     *
     * The batch side is typically tiny relative to the corpus, so its
-    * hash/band relations broadcast and the corpus is never shuffled by
-    * the check. Returns one row per incoming doc:
-    * (doc_id, status ∈ exact_dup | near_dup | new). Every step is on
-    * the portable (md5) family — the d10 oracle replays both tiers.
+    * hash/band relations broadcast; the corpus ships only 60-bit band
+    * keys and hashes, never text. Candidate pairs are pinned
+    * (`localCheckpoint`) before fan-out to the two set-verify branches —
+    * the relation is candidate-sized, and re-deriving it would re-run
+    * the md5 band pipeline per consumer. Returns one row per incoming
+    * doc: (doc_id, status ∈ exact_dup | near_dup | new). Every step is
+    * on the portable (md5) family — the d10 oracle replays both tiers.
     */
   def incrementalDedup(
       corpus: DataFrame,
@@ -491,10 +501,17 @@ object Dedup {
   ): DataFrame = {
     val corpusHashes = corpus
       .select(sha2(col("text"), 256).as("content_hash")).distinct()
+    // per-hash senior within the batch: the lowest doc_id owns the text
+    val seniors = incoming
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min(col("doc_id")).as("__senior"))
     val flagged = incoming
       .select(col("doc_id"), col("text"), sha2(col("text"), 256).as("content_hash"))
-      .join(corpusHashes.withColumn("__exact", lit(true)), Seq("content_hash"), "left")
-    val survivors = flagged.where(col("__exact").isNull)
+      .join(corpusHashes.withColumn("__in_corpus", lit(true)), Seq("content_hash"), "left")
+      .join(seniors, Seq("content_hash"))
+      .withColumn("__exact",
+        col("__in_corpus").isNotNull || col("doc_id") =!= col("__senior"))
+    val survivors = flagged.where(!col("__exact"))
       .select(col("doc_id"), col("text"))
     val incBands = portableBandKeys(minHashPortable(survivors, k, numHashes), rowsPerBand)
     // One pass over the corpus band pipeline: group each bucket's member
@@ -509,9 +526,15 @@ object Dedup {
       .join(corpBuckets, Seq("band_idx", "band_key"))
       .select(col("doc_id"), explode(col("__ids")).as("corpus_doc"))
       .distinct()
-    val incSets = shingleSets(survivors, k)
+      .localCheckpoint()
+    // shingle sets ONLY for candidate docs — the verify cost is bounded
+    // by the candidate set, not the corpus
+    val incSets = shingleSets(
+      survivors.join(cand.select("doc_id").distinct(), Seq("doc_id"), "left_semi"), k)
       .select(col("doc_id"), col("shingles").as("sh_i"))
-    val corpSets = shingleSets(corpus, k)
+    val corpSets = shingleSets(
+      corpus.join(cand.select(col("corpus_doc").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi"), k)
       .select(col("doc_id").as("corpus_doc"), col("shingles").as("sh_c"))
     val nearIds = cand
       .join(incSets, Seq("doc_id"))
@@ -551,7 +574,12 @@ object Dedup {
     * closure ([[nearDupClusters]] is the transitive variant when that is
     * wanted).
     *
-    * Returns one row per input vector: (vec_id, cluster, is_kept).
+    * Requires a `label` column (the k-means seeding of
+    * [[EmbeddingOps.centroids]]). Returns one row per input vector:
+    * (vec_id, cluster, is_kept) — a vector with an empty or null
+    * embedding cannot be assigned or compared, so it carries
+    * cluster = null and is_kept = true (nothing to dedup it against)
+    * rather than silently vanishing from the decision set.
     */
   def semanticDedup(embeddings: DataFrame, minCosine: Double = 0.3): DataFrame = {
     import graft.functions.QuantizedCosine.{quantizedCosine => cosine}
@@ -569,7 +597,8 @@ object Dedup {
         cosine(col("emb_a"), col("emb_b")) >= minCosine)
       .select(col("vec_b").as("vec_id"))
       .distinct()
-    assigned
+    embeddings.select(col("vec_id"))
+      .join(assigned, Seq("vec_id"), "left")
       .join(dups.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"),
         coalesce(col("__dup"), lit(false)).unary_!.as("is_kept"))

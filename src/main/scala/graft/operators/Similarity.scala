@@ -68,17 +68,6 @@ object Similarity {
       }
       .reduce(_ + _)
 
-  /** IVF-style top-k: the corpus is partitioned into `nCentroids`
-    * inverted lists by nearest centroid; each query probes its `nProbe`
-    * nearest lists and ranks only those candidates.
-    *
-    * Centroids here are a deterministic sample of the corpus (first
-    * `nCentroids` by vec_id) — a k-means step would slot in unchanged
-    * (IVF cares only that assignment uses the same centroid set on both
-    * sides). At scale: centroids broadcast everywhere, the corpus
-    * shuffles ONCE by centroid id (a write-time layout in a real store),
-    * and each query reads nProbe/nCentroids of the data.
-    */
   /** First `n` corpus vectors by id as (centroid_id, c_emb) — the
     * deterministic centroid seeding shared by the IVF variants.
     */
@@ -137,6 +126,17 @@ object Similarity {
       .drop("centroid_id", "c_emb", "__sim", "__rk")
   }
 
+  /** IVF-style top-k: the corpus is partitioned into `nCentroids`
+    * inverted lists by nearest centroid; each query probes its `nProbe`
+    * nearest lists and ranks only those candidates.
+    *
+    * Centroids here are a deterministic sample of the corpus (first
+    * `nCentroids` by vec_id) — a k-means step would slot in unchanged
+    * (IVF cares only that assignment uses the same centroid set on both
+    * sides). At scale: centroids broadcast everywhere, the corpus
+    * shuffles ONCE by centroid id (a write-time layout in a real store),
+    * and each query reads nProbe/nCentroids of the data.
+    */
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -275,6 +275,7 @@ object Similarity {
       nSub: Int = 8,
       nCodes: Int = 32,
   ): DataFrame = {
+    require(nCodes >= 1, s"need at least one codeword, got $nCodes")
     val sample = pqSample(corpus, nSub, nCodes)
     // Code assignment: the native fused PqEncode kernel (three tight
     // primitive loops, codegen'd) over the one-row broadcast codebook —
@@ -328,6 +329,7 @@ object Similarity {
       refine: Int = 32,
   ): DataFrame = {
     require(refine >= k, s"refine depth $refine must be >= k=$k")
+    require(nCodes >= 1, s"need at least one codeword, got $nCodes")
     val centroids = sampleCentroids(corpus, nLists)
     val sample = pqSample(corpus, nSub, nCodes)
     // the persisted index at scale: (c_vec, list_id, codes), one pass
@@ -406,7 +408,7 @@ object Similarity {
     * is how production PQ serves high recall from a lossy code scan —
     * the quantization error decides which ~refine/|corpus| fraction is
     * re-read, not the final order. Measured on the sf0.01 fixture:
-    * recall@3 = 0.17 codes-only (x20r) → 0.71 with refine=32 (x21r).
+    * recall@3 = 0.17 codes-only (x20r) → 0.75 with refine=32 (x21r).
     *
     * Scale shape: the shortlist is queries × refine ID PAIRS — tiny and
     * broadcast, so the refine pass is one selective semi-join against

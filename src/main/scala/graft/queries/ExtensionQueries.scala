@@ -1262,9 +1262,11 @@ object ExtensionQueries {
         |  SELECT DISTINCT vb FROM scored
         |  WHERE dot / nullif(sqrt(nx) * sqrt(ny), 0) >= 0.3
         |)
-        |SELECT a.vec_id, a.cluster, (d.vb IS NULL) AS is_kept
-        |FROM assign a LEFT JOIN dups d ON d.vb = a.vec_id
-        |ORDER BY a.vec_id""".stripMargin,
+        |SELECT e.vec_id, a.cluster, (d.vb IS NULL) AS is_kept
+        |FROM embeddings e
+        |LEFT JOIN assign a ON a.vec_id = e.vec_id
+        |LEFT JOIN dups d ON d.vb = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
     "d3_dedup_simhash" -> d3OracleSql,
     "d2_dedup_minhash" ->
       """WITH toks AS (
@@ -1351,9 +1353,14 @@ object ExtensionQueries {
         |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0
         |), corph AS (
         |  SELECT DISTINCT sha256(text) AS h FROM corp
+        |), seniors AS (
+        |  SELECT sha256(text) AS h, MIN(doc_id) AS senior FROM inc GROUP BY 1
         |), flagged AS (
-        |  SELECT i.doc_id, i.text, (c.h IS NOT NULL) AS is_exact
-        |  FROM inc i LEFT JOIN corph c ON c.h = sha256(i.text)
+        |  SELECT i.doc_id, i.text,
+        |    (c.h IS NOT NULL OR i.doc_id <> s.senior) AS is_exact
+        |  FROM inc i
+        |  JOIN seniors s ON s.h = sha256(i.text)
+        |  LEFT JOIN corph c ON c.h = sha256(i.text)
         |), surv AS (
         |  SELECT doc_id, text FROM flagged WHERE NOT is_exact
         |), stoks AS (

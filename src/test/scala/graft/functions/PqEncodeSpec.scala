@@ -88,4 +88,20 @@ class PqEncodeSpec extends SparkSpec {
       .select(PqEncode.encode(col("embedding"), cb, 2).as("c")).collect()
     assert(nullArr.head.isNullAt(0))
   }
+
+  test("non-splittable vectors yield NULL codes, not silently-wrong ones") {
+    // len 5 % nSub 2 != 0 → trailing-dim ambiguity → NULL; len 1 < nSub 2
+    // → subdim 0 degeneracy → NULL; empty → NULL
+    val cb = array(typedLit(Seq(0L, 0L, 0L, 0L, 0L)))
+    val r = Seq(
+      (1L, Array.fill(5)(0.5f)),
+      (2L, Array.fill(1)(0.5f)),
+      (3L, Array.empty[Float]),
+      (4L, Array.fill(4)(0.5f)), // splittable control
+    ).toDF("vec_id", "embedding")
+      .select(col("vec_id"), PqEncode.encode(col("embedding"), cb, 2).as("c"))
+      .orderBy("vec_id").collect()
+    assert(r(0).isNullAt(1) && r(1).isNullAt(1) && r(2).isNullAt(1))
+    assert(!r(3).isNullAt(1) && r(3).getSeq[Long](1) == Seq(0L, 0L))
+  }
 }

@@ -132,15 +132,18 @@ class DedupSpec extends SparkSpec {
       (1L, base, "en"),
       (2L, "one two three four five six seven eight nine ten", "en"),
     ).toDF("doc_id", "text", "lang")
+    val novel = "completely different words appear here entirely now today"
     val incoming = Seq(
       (10L, base, "en"),                      // byte-identical → exact tier
       (11L, base + " nu", "en"),              // one appended word → near tier
-      (12L, "completely different words appear here entirely now today", "en"),
+      (12L, novel, "en"),
+      (13L, novel, "en"),                     // intra-batch twin of 12 → exact tier
     ).toDF("doc_id", "text", "lang")
     val r = Dedup.incrementalDedup(corpus, incoming, minJaccard = 0.5)
       .orderBy("doc_id").collect()
       .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("status")).toMap
-    assert(r == Map(10L -> "exact_dup", 11L -> "near_dup", 12L -> "new"))
+    assert(r == Map(10L -> "exact_dup", 11L -> "near_dup",
+      12L -> "new", 13L -> "exact_dup"))
   }
 
   test("semanticDedup: exact twin drops; senior survives; one row per vec") {
