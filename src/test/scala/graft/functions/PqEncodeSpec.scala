@@ -89,6 +89,47 @@ class PqEncodeSpec extends SparkSpec {
     assert(nullArr.head.isNullAt(0))
   }
 
+  test("random vectors/codebooks: kernel matches a plain-Scala reference") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(77L + i)))
+    def refCodes(v: Array[Float], cb: Seq[Array[Float]], nSub: Int): Seq[Long] = {
+      val q = v.map(x => math.floor(x.toDouble * 1048576.0).toLong)
+      val qcb = cb.map(_.map(x => math.floor(x.toDouble * 1048576.0).toLong))
+      val sd = v.length / nSub
+      (0 until nSub).map { s =>
+        var bestD = Long.MaxValue; var bestJ = -1L
+        for (j <- qcb.indices) {
+          var d = 0L
+          for (i <- 0 until sd) {
+            val di = s * sd + i
+            if (di < qcb(j).length) { val df = q(di) - qcb(j)(di); d += df * df }
+          }
+          if (d < bestD) { bestD = d; bestJ = j }
+        }
+        bestJ
+      }
+    }
+    val nSub = 4
+    val gen = for {
+      dim <- Gen.oneOf(4, 8, 16)
+      nCw <- Gen.choose(1, 6)
+      vec <- Gen.listOfN(dim, Gen.choose(-1.0f, 1.0f))
+      cb <- Gen.listOfN(nCw, Gen.listOfN(dim, Gen.choose(-1.0f, 1.0f)))
+    } yield (vec.toArray, cb.map(_.toArray))
+    val cases = samples(gen, 20)
+    val df = cases.zipWithIndex.map { case ((v, cb), i) =>
+      (i.toLong, v, cb.map(_.map(x => math.floor(x.toDouble * 1048576.0).toLong).toSeq).toSeq)
+    }.toDF("case_id", "embedding", "cb")
+    val got = df
+      .select(col("case_id"), PqEncode.encode(col("embedding"), col("cb"), nSub).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    cases.zipWithIndex.foreach { case ((v, cb), i) =>
+      assert(got(i.toLong) == refCodes(v, cb, nSub), s"case $i: v=${v.toSeq} cb=${cb.map(_.toSeq)}")
+    }
+  }
+
   test("non-splittable vectors yield NULL codes, not silently-wrong ones") {
     // len 5 % nSub 2 != 0 → trailing-dim ambiguity → NULL; len 1 < nSub 2
     // → subdim 0 degeneracy → NULL; empty → NULL
