@@ -94,22 +94,36 @@ object Dedup {
   def portableHash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast(LongType)
 
-  /** MinHash signatures over the portable hash family h_i(s) =
-    * portableHash60(i || ':' || s), exploded to one (doc_id, h_idx,
-    * min_hash) row per signature slot. Each shingle is hashed `numHashes`
-    * times (16 md5s ≈ the cost of one xxhash64-KM pass only at tiny k; at
-    * scale this variant trades ~2-4× hashing CPU for cross-engine
-    * verifiability — use [[minHashSignatures]] when the signatures never
-    * leave Spark). The min reduces with a map-side partial aggregate on
+  /** Modulus of the portable slot family: the Mersenne prime 2^31-1.
+    * Small enough that multiplier·hash products stay under 2^62 (exact
+    * in 64-bit integers on any engine), large enough that per-slot min
+    * collisions are negligible at realistic shingles-per-doc counts.
+    */
+  val portableP: Long = 2147483647L
+
+  /** MinHash signatures over the portable multiplicative family
+    * h_i(s) = (a_i · hv(s) + i) mod p, where hv = portableHash60 mod p
+    * (ONE md5 per shingle for the whole family), p = 2^31-1 and
+    * a_i = ((2i+1) · 1103515245) mod p — distinct odd-derived
+    * multipliers, so the mod-p wrap-around decorrelates the slots (the
+    * textbook 2-universal construction; plain h1 + i·h2 would NOT work
+    * here: with sub-hashes of unequal width the high bits dominate the
+    * argmin and every slot degenerates to the same min-shingle). Every
+    * step is exact 64-bit integer arithmetic reproducible in any engine
+    * with md5 — the d2/d7/d8/d10 oracles recompute it in DuckDB.
+    * Output is one (doc_id, h_idx, min_hash) row per signature slot;
+    * the min reduces with a map-side partial aggregate on
     * (doc_id, h_idx).
     */
   def minHashPortable(docs: DataFrame, k: Int, numHashes: Int): DataFrame =
     shingleRows(docs, k)
+      .select(col("doc_id"), (portableHash60(col("shingle")) % portableP).as("hv"))
       .select(col("doc_id"),
         explode(sequence(lit(0), lit(numHashes - 1))).as("h_idx"),
-        col("shingle"))
+        col("hv"))
       .select(col("doc_id"), col("h_idx"),
-        portableHash60(concat(col("h_idx"), lit(":"), col("shingle"))).as("h"))
+        (((col("h_idx") * 2 + 1) * lit(1103515245L) % portableP * col("hv")
+          + col("h_idx")) % portableP).as("h"))
       .groupBy("doc_id", "h_idx")
       .agg(min(col("h")).as("min_hash"))
 
@@ -187,9 +201,9 @@ object Dedup {
     * exact Jaccard over the shingle sets — the same pipeline shape as
     * [[minHashCandidates]] with every hash md5-derived, so candidate
     * GENERATION (not just verification) is recomputable by any engine;
-    * the d7 oracle replays it in DuckDB. Costs a few times the xxhash64
-    * family's hashing CPU (16 md5s per shingle) — use the fast family
-    * when candidates never leave Spark.
+    * the d7 oracle replays it in DuckDB. The KM construction keeps the
+    * hashing cost at ONE md5 per shingle regardless of family size, so
+    * the portable path is now within ~2× of the xxhash64 family.
     */
   def minHashCandidatesPortable(
       docs: DataFrame,

@@ -591,7 +591,9 @@ object AnalyticsQueries {
         |  FROM toks WHERE len(w) >= 3
         |), hs AS (
         |  SELECT doc_id, CAST(g.i AS INTEGER) AS h_idx,
-        |    ('0x' || substr(md5(g.i || ':' || s), 1, 15))::BIGINT AS h
+        |    ((g.i * 2 + 1) * 1103515245 % 2147483647
+        |      * (('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)
+        |      + g.i) % 2147483647 AS h
         |  FROM sh, UNNEST(generate_series(0, 15)) AS g(i)
         |)
         |SELECT doc_id, h_idx, min(h) AS min_hash

@@ -31,8 +31,12 @@ object ExtensionQueries {
     // Dedup.minHashCandidates / d7.)
     "d2_dedup_minhash" -> { (spark, dir) =>
       val docs = Tables.documentsParallel(spark, dir)
+      // The md5 signature pipeline fans out to four consumers (bands ×3,
+      // summary ×1); pin both relations so the 16-hashes-per-shingle scan
+      // runs once — at scale these are the persisted index tables.
       val sigs = Dedup.minHashPortable(docs, 3, 16) // (doc_id, h_idx, min_hash)
-      val bands = Dedup.portableBandKeys(sigs, 4)
+        .localCheckpoint(eager = false)
+      val bands = Dedup.portableBandKeys(sigs, 4).localCheckpoint(eager = false)
       val sized = bands.groupBy("band_idx", "band_key")
         .agg(count(lit(1)).as("__n"))
         .where(col("__n").between(2, 64))
@@ -738,7 +742,9 @@ object ExtensionQueries {
         |  FROM toks WHERE len(w) >= 3
         |), hs AS (
         |  SELECT doc_id, CAST(g.i AS INTEGER) AS h_idx,
-        |    ('0x' || substr(md5(g.i || ':' || s), 1, 15))::BIGINT AS h
+        |    ((g.i * 2 + 1) * 1103515245 % 2147483647
+        |      * (('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)
+        |      + g.i) % 2147483647 AS h
         |  FROM sh, UNNEST(generate_series(0, 15)) AS g(i)
         |), sigs AS (
         |  SELECT doc_id, h_idx, min(h) AS min_hash FROM hs GROUP BY 1, 2
@@ -1279,7 +1285,9 @@ object ExtensionQueries {
         |  FROM toks WHERE len(w) >= 3
         |), hs AS (
         |  SELECT doc_id, CAST(g.i AS INTEGER) AS h_idx,
-        |    ('0x' || substr(md5(g.i || ':' || s), 1, 15))::BIGINT AS h
+        |    ((g.i * 2 + 1) * 1103515245 % 2147483647
+        |      * (('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)
+        |      + g.i) % 2147483647 AS h
         |  FROM sh, UNNEST(generate_series(0, 15)) AS g(i)
         |), sigs AS (
         |  SELECT doc_id, h_idx, min(h) AS min_hash FROM hs GROUP BY 1, 2
@@ -1371,7 +1379,9 @@ object ExtensionQueries {
         |  FROM stoks WHERE len(w) >= 3
         |), shs AS (
         |  SELECT doc_id, CAST(g.i AS INTEGER) AS h_idx,
-        |    ('0x' || substr(md5(g.i || ':' || s), 1, 15))::BIGINT AS h
+        |    ((g.i * 2 + 1) * 1103515245 % 2147483647
+        |      * (('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)
+        |      + g.i) % 2147483647 AS h
         |  FROM ssh, UNNEST(generate_series(0, 15)) AS g(i)
         |), ssigs AS (
         |  SELECT doc_id, h_idx, min(h) AS min_hash FROM shs GROUP BY 1, 2
@@ -1388,7 +1398,9 @@ object ExtensionQueries {
         |  FROM ctoks WHERE len(w) >= 3
         |), chs AS (
         |  SELECT doc_id, CAST(g.i AS INTEGER) AS h_idx,
-        |    ('0x' || substr(md5(g.i || ':' || s), 1, 15))::BIGINT AS h
+        |    ((g.i * 2 + 1) * 1103515245 % 2147483647
+        |      * (('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)
+        |      + g.i) % 2147483647 AS h
         |  FROM csh, UNNEST(generate_series(0, 15)) AS g(i)
         |), csigs AS (
         |  SELECT doc_id, h_idx, min(h) AS min_hash FROM chs GROUP BY 1, 2

@@ -29,11 +29,16 @@ class PortableHashSpec extends SparkSpec {
       .orderBy("doc_id", "h_idx")
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
-    // brute force via the same column expression
-    def h(idx: Int, shingle: String): Long =
-      Seq(shingle).toDF("s")
-        .select(Dedup.portableHash60(concat(lit(s"$idx:"), col("s"))))
-        .head().getLong(0)
+    // brute force: multiplicative family h_i = (a_i*hv + i) mod p from
+    // one md5, recomputed with plain JVM MessageDigest (independent of
+    // any Spark expression)
+    def h(idx: Int, shingle: String): Long = {
+      val p = 2147483647L
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(shingle.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val hv = java.lang.Long.parseLong(hex.substring(0, 15), 16) % p
+      ((2L * idx + 1) * 1103515245L % p * hv + idx) % p
+    }
     val d1Shingles = Seq("alpha beta gamma", "beta gamma delta")
     val expected =
       (0 until 4).map(i => (1L, i, d1Shingles.map(h(i, _)).min)) ++
