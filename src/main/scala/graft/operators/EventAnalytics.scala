@@ -72,4 +72,65 @@ object EventAnalytics {
       .select(col("day"), col("new_users"),
         sum(col("new_users")).over(w).as("cum_users"))
   }
+
+  /** Market-basket co-occurrence with lift: baskets are (user_id, day),
+    * items are the event types seen in the basket. For every unordered
+    * type pair ta < tb: the pair's basket support and
+    * lift = P(ta,tb) / (P(ta)·P(tb)) = n_ab·n_baskets / (n_a·n_b).
+    *
+    * Scale posture: the item-pair expansion self-joins the DEDUPLICATED
+    * (basket, item) relation on the basket key — per-basket fanout is
+    * bounded by the (small, capped-in-practice) per-basket distinct-item
+    * count, never |events|²; the per-item totals and the basket count are
+    * tiny aggregates that broadcast onto the pair counts. Counts are
+    * exact BIGINTs; lift is one double expression over them
+    * (bit-identical cross-engine).
+    */
+  def cooccurrenceLift(events: DataFrame): DataFrame = {
+    val basket = events
+      .select(col("user_id"), to_date(col("ts_sec")).as("day"), col("event_type"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val nBaskets = basket.select("user_id", "day").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val typeCounts = basket.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    val pairs = basket.as("x")
+      .join(basket.as("y"),
+        col("x.user_id") === col("y.user_id") && col("x.day") === col("y.day") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(typeCounts.select(col("event_type").as("ta"), col("n_t").as("n_a"))), Seq("ta"))
+      .join(broadcast(typeCounts.select(col("event_type").as("tb"), col("n_t").as("n_b"))), Seq("tb"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("ta"), col("tb"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_ab").cast("double") * col("n_baskets").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+  }
+
+  /** First-order Markov transition matrix over each user's event
+    * sequence: for every observed (src → dst) consecutive-event pair, the
+    * exact transition count and the row-normalized probability. Ordering
+    * is (raw event timestamp, event_id) — a total order, so the sequence
+    * is engine- and partitioning-independent.
+    *
+    * Scale posture: one window pass partitioned by user (each partition
+    * is one user's history), one exact-count aggregate, and the row
+    * normalization is a window sum over the TINY transition matrix
+    * (|types|² rows), not the events. Probability is one double division
+    * of exact BIGINTs.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = events
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotal = Window.partitionBy("src")
+    trans.select(col("src"), col("dst"), col("n"),
+      (col("n").cast("double") / sum(col("n")).over(rowTotal).cast("double")).as("p"))
+  }
 }

@@ -107,4 +107,44 @@ object GraphOps {
     }
     pr.select(col("v"), col("pr").as("pr_q"))
   }
+
+  /** Breadth-first shortest hop counts from the lexicographically-smallest
+    * node of an undirected edge list (ta, tb), bounded at `maxHops`.
+    * Output: (v, hops) for every node reachable within the bound —
+    * unreachable nodes are absent, same as a frontier BFS that never
+    * visits them.
+    *
+    * Scale posture: the classic distributed frontier expansion — each
+    * round is ONE join of the current frontier against the symmetrized
+    * edge list (shuffled on the node id, co-partitioned round to round)
+    * plus an anti-join against the visited set, so round i touches only
+    * frontier-adjacent edges, never the whole graph per round. Visited
+    * and frontier are localCheckpoint-pinned so round i does not replay
+    * rounds 0..i-1 (the same lineage-bounding discipline as
+    * [[pageRank]] and Dedup's pointer jumping). Frontier emptiness is
+    * the only driver-side signal (one count per round, O(log-ish
+    * diameter) rounds total).
+    */
+  def bfsHops(edges: DataFrame, maxHops: Int): DataFrame = {
+    val und = edges
+      .select(col("ta").as("src"), col("tb").as("dst"))
+      .unionAll(edges.select(col("tb").as("src"), col("ta").as("dst")))
+      .localCheckpoint(eager = true)
+    val source = und.agg(min(col("src")).as("v")).withColumn("hops", lit(0))
+    var visited = source.localCheckpoint(eager = true)
+    var frontier = visited
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val next = frontier
+        .join(und, col("v") === col("src"))
+        .select(col("dst").as("v")).distinct()
+        .join(visited.select("v"), Seq("v"), "left_anti")
+        .withColumn("hops", lit(hop))
+        .localCheckpoint(eager = true)
+      visited = visited.unionAll(next).localCheckpoint(eager = true)
+      frontier = next
+    }
+    visited.select(col("v"), col("hops").cast("int").as("hops"))
+  }
 }

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Prefix-filtered set-similarity self-join (the PPJoin/AllPairs family):
+  * the deterministic, exact-threshold alternative to MinHash-LSH candidate
+  * generation. Where LSH trades recall for speed, prefix filtering is
+  * LOSSLESS: every pair with Jaccard >= t shares at least one token in the
+  * other's "prefix", so joining on prefix tokens alone finds ALL qualifying
+  * pairs — no missed duplicates, no tuning bands.
+  *
+  * The prefix rule: order each document's token set by ascending global
+  * document frequency (rarest first, ties on the token string so the order
+  * is total and engine-independent); a set of size n keeps its first
+  * n - ceil(t*n) + 1 tokens. Two sets with Jaccard >= t must overlap in
+  * at least one prefix token, so the candidate join keys on prefix tokens
+  * only. Rare-first ordering makes prefix tokens the LEAST shared tokens,
+  * which is what keeps the candidate join's fanout small.
+  *
+  * Scale posture:
+  *  - candidate generation joins PREFIX rows only (a few tokens per doc,
+  *    each rare by construction) — never the full doc-token relation
+  *    against itself, and never all doc pairs;
+  *  - the df table is one narrow aggregate over the token relation, and
+  *    the per-doc rank window partitions by doc_id (each partition is one
+  *    document's token set — bounded, no global sort);
+  *  - verification computes exact intersections for candidates only, via
+  *    a token-keyed join grouped by pair — candidate count bounds the
+  *    verify cost, and the similarity itself is exact BIGINT counts with
+  *    one final double division (bit-identical cross-engine).
+  */
+object SetSimilarityJoin {
+
+  /** All document pairs (doc_a < doc_b) whose k-shingle sets have Jaccard
+    * similarity >= `threshold`, with exact intersection / set sizes.
+    * Output: (doc_a, doc_b, n_inter, n_a, n_b, jaccard), exact.
+    */
+  def prefixJaccardJoin(docs: DataFrame, shingleK: Int, threshold: Double): DataFrame = {
+    // Distinct (doc_id, term) over k-word shingles: the SET the Jaccard
+    // is defined on.
+    val toks = Dedup.shingleRows(docs, shingleK)
+      .select(col("doc_id"), col("shingle").as("term"))
+      .distinct()
+      .localCheckpoint(eager = false)
+
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val df = toks.groupBy("term").agg(count(lit(1)).as("df"))
+
+    // Rank each doc's tokens rarest-first; keep the prefix. The window
+    // partitions per document, so there is no global sort — each
+    // partition is one token set.
+    val rk = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("term"))
+    val prefix = toks
+      .join(df, Seq("term"))
+      .join(sizes, Seq("doc_id"))
+      .select(col("doc_id"), col("term"), col("n_tok"),
+        row_number().over(rk).as("rk"))
+      .where(col("rk") <=
+        col("n_tok") - ceil(lit(threshold) * col("n_tok")).cast("long") + 1)
+      .select("doc_id", "term")
+
+    // Candidates: docs sharing any prefix token. Prefix tokens are the
+    // rarest per doc, so this join's per-key fanout is the smallest
+    // possible for a lossless filter.
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    // Exact verification on candidates only: intersection via the token
+    // relation keyed by term, then one double division of exact counts.
+    val inter = cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("term")), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("term")), Seq("doc_b", "term"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+
+    val jac = col("n_inter").cast(DoubleType) /
+      (col("n_a") + col("n_b") - col("n_inter")).cast(DoubleType)
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_tok").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_tok").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
+        jac.as("jaccard"))
+      .where(jac >= threshold)
+  }
+}

@@ -171,4 +171,31 @@ object TextAnalysis {
     )
     docs.select(col("doc_id"), fp.as("fingerprint"))
   }
+
+  /** Lexical diversity via the Gini–Simpson index 1 − Σ cntᵢ²/N² — the
+    * log-free complement to [[repetition]]'s top-token ratio (a diversity
+    * ENTROPY surrogate that needs no transcendental function, so it is
+    * bit-identical cross-engine: exact BIGINT count sums, one double
+    * division at the end). 0 = one token repeated, → 1 = all distinct.
+    *
+    * Same two-level doc_id-keyed aggregation shape as [[repetition]]
+    * (one shuffle); tokenless docs drop out with the UNNEST semantics.
+    */
+  def diversity(docs: DataFrame): DataFrame = {
+    docs
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("cnt") * col("cnt")).as("sum_sq"),
+      )
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (lit(1.0) - col("sum_sq").cast(DoubleType) /
+          (col("n_tokens").cast(DoubleType) * col("n_tokens").cast(DoubleType)))
+          .as("simpson"))
+  }
 }

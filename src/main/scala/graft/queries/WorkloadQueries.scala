@@ -1,0 +1,340 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{EventAnalytics, GraphOps, SetSimilarityJoin, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Round-4 widening: decision-support multi-join rollups (the TPC-H Q5/Q10
+  * shapes), market-basket lift, Markov transition matrices, distributed
+  * frontier BFS, blocked fuzzy record linkage, lexical diversity, per-group
+  * feature standardization, and the prefix-filtered set-similarity join
+  * (the lossless alternative to LSH candidate generation).
+  *
+  * Every query is DuckDB-oracle-gated. Cross-engine float rules as
+  * established (SCALE.md): exact integer/decimal accumulators everywhere a
+  * sum happens, one identical-shape double expression at the end; revenue
+  * uses the j5 integer cents × discount-basis-points encoding so even the
+  * top-N cutoffs are bit-identical.
+  */
+object WorkloadQueries {
+
+  /** TPC-H Q5-shaped revenue: lineitems bought from a supplier in the
+    * customer's own nation, per nation of one region, over a date range.
+    */
+  private def revQ = (floor(col("l_extendedprice") * 100).cast(LongType) *
+    (lit(10000L) - floor(col("l_discount") * 10000).cast(LongType)))
+    .cast(DecimalType(38, 0))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- Decision-support rollups ---
+    // Q5 shape: six-table snowflake with the "local supplier" constraint
+    // (s_nationkey = c_nationkey). Broadcast hints go ONLY on the
+    // always-tiny dims (region 5 rows, nation 25): customer, supplier and
+    // orders are mid-size at warehouse scale, so their join strategy is
+    // left to AQE/statistics — region pre-filters nation, nation
+    // pre-filters customer map-side, and lineitem (the one huge relation)
+    // shuffles once on l_orderkey. The group-by key is tiny with map-side
+    // partials.
+    "tq5_local_supplier" -> { (spark, dir) =>
+      val r = Tables.region(spark, dir).where(col("r_name") === "EUROPE")
+      val n = Tables.nation(spark, dir)
+      val nr = broadcast(n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name"))
+      val c = Tables.customer(spark, dir)
+        .join(nr, col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+      val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      val o = Tables.orders(spark, dir)
+        .where(expr("o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '2001-01-01'"))
+        .select("o_orderkey", "o_custkey")
+      val l = Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      c.join(o, col("o_custkey") === col("c_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(s,
+          col("s_suppkey") === col("l_suppkey") && col("s_nationkey") === col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          (sum(revQ).cast(DoubleType) / 1000000.0).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // Q10 shape: returned-item revenue per customer over one year, top 20
+    // "problem customers". Only nation (25 rows) carries a broadcast
+    // hint; customer⋈orders and orders⋈lineitem are left to AQE. The
+    // top-20 cutoff is exact because revenue is the integer encoding.
+    "tq10_returned_items" -> { (spark, dir) =>
+      val c = Tables.customer(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)),
+          col("n_nationkey") === col("c_nationkey"))
+        .select("c_custkey", "c_name", "n_name")
+      val o = Tables.orders(spark, dir)
+        .where(expr("o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '2000-01-01'"))
+        .select("o_orderkey", "o_custkey")
+      val l = Tables.lineitem(spark, dir).where(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      c.join(o, col("o_custkey") === col("c_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+          (sum(revQ).cast(DoubleType) / 1000000.0).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // --- Behavioral / sequence analytics ---
+    "mb1_cooccurrence" -> { (spark, dir) =>
+      EventAnalytics.cooccurrenceLift(Tables.events(spark, dir))
+        .orderBy("ta", "tb")
+    },
+    "markov1_transitions" -> { (spark, dir) =>
+      EventAnalytics.transitionMatrix(Tables.events(spark, dir))
+        .orderBy("src", "dst")
+    },
+
+    // --- Graph ---
+    // Frontier BFS over the same capped co-occurrence graph tri1/pr1
+    // read, from the lexicographically-smallest node.
+    "bfs1_hops" -> { (spark, dir) =>
+      GraphOps.bfsHops(
+        GraphOps.termCooccurrenceEdges(Tables.documentsParallel(spark, dir),
+          topK = 40, minCo = 5L),
+        maxHops = 6)
+        .orderBy("v")
+    },
+
+    // --- Entity resolution ---
+    // Blocked fuzzy linkage over the deduplicated part-name catalog:
+    // block on the last name word, levenshtein within the block only —
+    // the blocking-key discipline that replaces the all-pairs edit
+    // distance at scale (same candidate-bounding idea as LSH bands, but
+    // for string identity).
+    "rl1_record_linkage" -> { (spark, dir) =>
+      val nm = Tables.part(spark, dir).select("p_name").distinct()
+        .select(col("p_name"), element_at(split(col("p_name"), " "), -1).as("blk"))
+      nm.as("a")
+        .join(nm.as("b"),
+          col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
+        .where(levenshtein(col("a.p_name"), col("b.p_name")) <= 4)
+        .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+          col("a.blk").as("blk"),
+          levenshtein(col("a.p_name"), col("b.p_name")).as("edit_dist"))
+        .orderBy("name_a", "name_b")
+    },
+
+    // --- Text quality ---
+    "ent1_diversity" -> { (spark, dir) =>
+      TextAnalysis.diversity(Tables.documentsParallel(spark, dir))
+        .orderBy("doc_id")
+    },
+
+    // --- Feature engineering ---
+    // Per-segment z-score standardization. The two moments accumulate as
+    // EXACT integer cents / cents² (acctbal has exactly 2 decimals, so
+    // round(x·100) is the true integer value; sums of longs are
+    // order-independent and engine-independent — no double→decimal cast
+    // of a computed product, which is where last-ulp divergence creeps
+    // in). One identical-shape double formula at the end; the per-segment
+    // stats broadcast onto the scan.
+    "fs1_feature_scale" -> { (spark, dir) =>
+      val c = Tables.customer(spark, dir)
+      val cents = round(col("c_acctbal") * 100).cast(LongType)
+      val st = c.groupBy("c_mktsegment").agg(
+        count(lit(1)).as("n"),
+        sum(cents).as("s"),
+        sum(cents * cents).as("sq"))
+      c.join(broadcast(st), Seq("c_mktsegment"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          ((col("c_acctbal") * 100.0 - col("s").cast(DoubleType) / col("n")) /
+            sqrt((col("sq").cast(DoubleType) -
+              col("s").cast(DoubleType) * col("s").cast(DoubleType) / col("n")) /
+              (col("n") - 1)))
+            .as("z"))
+        .orderBy("c_custkey")
+    },
+
+    // --- Set-similarity join ---
+    // Lossless prefix-filtered Jaccard self-join over 3-shingle sets at
+    // t=0.7 — finds EVERY pair ≥ t (unlike LSH), candidates bounded by
+    // rare-prefix collisions only.
+    "ssj1_prefix_jaccard" -> { (spark, dir) =>
+      SetSimilarityJoin.prefixJaccardJoin(
+        Tables.documentsParallel(spark, dir), shingleK = 3, threshold = 0.7)
+        .orderBy("doc_a", "doc_b")
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "tq5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |    * (10000 - CAST(floor(l_discount * 10000) AS BIGINT))) AS DOUBLE)
+        |    / 1000000.0 AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |  JOIN customer ON c_nationkey = n_nationkey
+        |  JOIN orders ON o_custkey = c_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1998-01-01'
+        |  AND o_orderdate < TIMESTAMP '2001-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "tq10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |    * (10000 - CAST(floor(l_discount * 10000) AS BIGINT))) AS DOUBLE)
+        |    / 1000000.0 AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |  JOIN orders ON o_custkey = c_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1999-01-01'
+        |  AND o_orderdate < TIMESTAMP '2000-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "mb1_cooccurrence" ->
+      """WITH basket AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', date_trunc('second', ts)) AS DATE) AS day,
+        |    event_type
+        |  FROM events
+        |), nb AS (SELECT COUNT(DISTINCT (user_id, day)) AS n_baskets FROM basket),
+        |tc AS (SELECT event_type, COUNT(*) AS n_t FROM basket GROUP BY 1),
+        |pairs AS (
+        |  SELECT x.event_type AS ta, y.event_type AS tb, COUNT(*) AS n_ab
+        |  FROM basket x JOIN basket y
+        |    ON x.user_id = y.user_id AND x.day = y.day
+        |    AND x.event_type < y.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.ta, p.tb, p.n_ab, a.n_t AS n_a, b.n_t AS n_b,
+        |  (CAST(p.n_ab AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE))
+        |    / (CAST(a.n_t AS DOUBLE) * CAST(b.n_t AS DOUBLE)) AS lift
+        |FROM pairs p JOIN tc a ON a.event_type = p.ta
+        |  JOIN tc b ON b.event_type = p.tb
+        |  CROSS JOIN nb
+        |ORDER BY ta, tb""".stripMargin,
+    "markov1_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_type
+        |  FROM events
+        |), trans AS (
+        |  SELECT event_type AS src, next_type AS dst, COUNT(*) AS n
+        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT src, dst, n,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+        |FROM trans ORDER BY src, dst""".stripMargin,
+    "bfs1_hops" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, u.term
+        |  FROM documents,
+        |    UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS u(term)
+        |  WHERE u.term <> ''
+        |), top AS (
+        |  SELECT term FROM toks GROUP BY 1
+        |  ORDER BY COUNT(*) DESC, term LIMIT 40
+        |), dt AS (
+        |  SELECT DISTINCT doc_id, term FROM toks
+        |  WHERE term IN (SELECT term FROM top)
+        |), e0 AS (
+        |  SELECT a.term AS ta, b.term AS tb
+        |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        |), edges AS (
+        |  SELECT ta AS src, tb AS dst FROM e0
+        |  UNION ALL SELECT tb, ta FROM e0
+        |), seed AS (SELECT min(src) AS s FROM edges),
+        |r(v, hop) AS (
+        |  SELECT s, 0 FROM seed
+        |  UNION
+        |  SELECT e.dst, r.hop + 1 FROM r JOIN edges e ON e.src = r.v
+        |  WHERE r.hop < 6
+        |)
+        |SELECT v, CAST(min(hop) AS INTEGER) AS hops
+        |FROM r GROUP BY v ORDER BY v""".stripMargin,
+    "rl1_record_linkage" ->
+      """WITH nm AS (SELECT DISTINCT p_name FROM part),
+        |b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM nm)
+        |SELECT a.p_name AS name_a, c.p_name AS name_b, a.blk AS blk,
+        |  CAST(levenshtein(a.p_name, c.p_name) AS INTEGER) AS edit_dist
+        |FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+        |WHERE levenshtein(a.p_name, c.p_name) <= 4
+        |ORDER BY name_a, name_b""".stripMargin,
+    "ent1_diversity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.term FROM documents,
+        |    UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS u(term)
+        |  WHERE u.term <> ''
+        |), cnts AS (
+        |  SELECT doc_id, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+        |)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS n_distinct,
+        |  1.0 - CAST(SUM(cnt * cnt) AS DOUBLE)
+        |    / (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE)) AS simpson
+        |FROM cnts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "fs1_feature_scale" ->
+      """WITH st AS (
+        |  SELECT c_mktsegment,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+        |    CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)
+        |      * CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sq
+        |  FROM customer GROUP BY 1
+        |)
+        |SELECT c_custkey, c.c_mktsegment, c_acctbal,
+        |  (c_acctbal * 100.0 - CAST(s AS DOUBLE) / n)
+        |    / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+        |      / (n - 1)) AS z
+        |FROM customer c JOIN st ON st.c_mktsegment = c.c_mktsegment
+        |ORDER BY c_custkey""".stripMargin,
+    "ssj1_prefix_jaccard" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents
+        |), toks AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    generate_series(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS term
+        |  FROM w0 WHERE len(w) >= 3
+        |), sz AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY 1),
+        |df AS (SELECT term, COUNT(*) AS df FROM toks GROUP BY 1),
+        |ranked AS (
+        |  SELECT t.doc_id, t.term,
+        |    row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.term)
+        |      AS rk,
+        |    s.n_tok
+        |  FROM toks t JOIN df d ON t.term = d.term
+        |    JOIN sz s ON t.doc_id = s.doc_id
+        |), prefix AS (
+        |  SELECT doc_id, term FROM ranked
+        |  WHERE rk <= n_tok - CAST(ceil(0.7 * n_tok) AS BIGINT) + 1
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM prefix a JOIN prefix b
+        |    ON a.term = b.term AND a.doc_id < b.doc_id
+        |), inter AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        |  FROM cand c JOIN toks ta ON ta.doc_id = c.doc_a
+        |    JOIN toks tb ON tb.doc_id = c.doc_b AND tb.term = ta.term
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i.doc_a, i.doc_b, i.n_inter, sa.n_tok AS n_a, sb.n_tok AS n_b,
+        |  CAST(i.n_inter AS DOUBLE)
+        |    / CAST(sa.n_tok + sb.n_tok - i.n_inter AS DOUBLE) AS jaccard
+        |FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
+        |  JOIN sz sb ON sb.doc_id = i.doc_b
+        |WHERE CAST(i.n_inter AS DOUBLE)
+        |    / CAST(sa.n_tok + sb.n_tok - i.n_inter AS DOUBLE) >= 0.7
+        |ORDER BY doc_a, doc_b""".stripMargin,
+  )
+}
