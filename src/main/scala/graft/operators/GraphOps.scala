@@ -108,6 +108,87 @@ object GraphOps {
     pr.select(col("v"), col("pr").as("pr_q"))
   }
 
+  /** Personalized (topic-sensitive) PageRank: the teleport mass returns to
+    * ONE source node — the lexicographically-smallest — instead of
+    * spreading uniformly, so ranks measure proximity to the source. Same
+    * integer-exact arithmetic and per-iteration plan as [[pageRank]]
+    * (scaled BIGINT ranks, floor splits, order-independent long sums —
+    * bit-identical on any engine/partitioning); only the teleport term
+    * differs: source gets 15% of the TOTAL mass, everyone else 0.
+    */
+  def personalizedPageRank(edges: DataFrame, iterations: Int,
+                           scale: Long = 1000000000000L): DataFrame = {
+    require(scale % 100 == 0, "scale must be divisible by 100")
+    val directed = edges
+      .select(col("ta").as("src"), col("tb").as("dst"))
+      .unionAll(edges.select(col("tb").as("src"), col("ta").as("dst")))
+      .localCheckpoint(eager = true)
+    val withDeg = directed.join(
+      directed.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
+      .localCheckpoint(eager = true)
+    val nodes = directed.select(col("src").as("v")).distinct()
+      .localCheckpoint(eager = true)
+    // isSource via a broadcast of the 1-row min — no global window needed.
+    val sourceRow = broadcast(nodes.agg(min(col("v")).as("source_v")))
+    var pr = nodes.crossJoin(sourceRow)
+      .select(col("v"), col("source_v"),
+        when(col("v") === col("source_v"), lit(scale)).otherwise(lit(0L)).as("pr"))
+    for (_ <- 1 to iterations) {
+      val contrib = withDeg
+        .join(pr.select("v", "pr"), col("src") === col("v"))
+        .select(col("dst"), expr("pr div outdeg").as("share"))
+        .groupBy("dst").agg(sum(col("share")).as("in_share"))
+      pr = nodes.crossJoin(sourceRow)
+        .join(contrib, col("v") === col("dst"), "left")
+        .select(col("v"), col("source_v"),
+          (when(col("v") === col("source_v"), lit(15L * (scale / 100L)))
+            .otherwise(lit(0L)) +
+            expr("(85L * coalesce(in_share, 0L)) div 100L")).as("pr"))
+    }
+    pr.select(col("v"), col("pr").as("ppr_q"))
+  }
+
+  /** HITS hubs & authorities over the symmetrized edge list, unrolled for
+    * a fixed iteration count with EXACT integer scores (the classic
+    * per-round L2 normalization is replaced by bounded iterations — all
+    * arithmetic stays in BIGINT sums, so the result is engine- and
+    * partitioning-independent; callers rank by the scores, and ranking is
+    * normalization-invariant). hub₀ = 1; authₖ(v) = Σ_{u→v} hubₖ₋₁(u);
+    * hubₖ(v) = Σ_{v→u} authₖ(u).
+    *
+    * Scale posture: two joins per iteration, both keyed on a node id
+    * against the checkpoint-pinned edge list (co-partitioned round to
+    * round), each followed by a partial+final long-sum aggregate.
+    * Score growth is deg^(2k), so k must satisfy deg^(2k) < 2^63 —
+    * enforced per round by summing into BIGINTs (overflow would wrap,
+    * callers pick small k; the census graphs here have deg ≤ 40, k ≤ 2).
+    */
+  def hits(edges: DataFrame, iterations: Int): DataFrame = {
+    val directed = edges
+      .select(col("ta").as("src"), col("tb").as("dst"))
+      .unionAll(edges.select(col("tb").as("src"), col("ta").as("dst")))
+      .localCheckpoint(eager = true)
+    val nodes = directed.select(col("src").as("v")).distinct()
+      .localCheckpoint(eager = true)
+    var hub = nodes.select(col("v"), lit(1L).as("hub"))
+    var auth = nodes.select(col("v"), lit(0L).as("auth"))
+    for (_ <- 1 to iterations) {
+      auth = nodes.join(
+        directed.join(hub, col("src") === col("v"))
+          .groupBy(col("dst")).agg(sum(col("hub")).as("s")),
+        col("v") === col("dst"), "left")
+        .select(col("v"), coalesce(col("s"), lit(0L)).as("auth"))
+      hub = nodes.join(
+        directed.join(auth, col("dst") === col("v"))
+          .groupBy(col("src")).agg(sum(col("auth")).as("s")),
+        col("v") === col("src"), "left")
+        .select(col("v"), coalesce(col("s"), lit(0L)).as("hub"))
+    }
+    nodes
+      .join(hub, Seq("v")).join(auth, Seq("v"))
+      .select(col("v"), col("hub"), col("auth"))
+  }
+
   /** Breadth-first shortest hop counts from the lexicographically-smallest
     * node of an undirected edge list (ta, tb), bounded at `maxHops`.
     * Output: (v, hops) for every node reachable within the bound —

@@ -108,6 +108,32 @@ object WorkloadQueries {
         .orderBy("v")
     },
 
+    // Personalized PageRank: teleport mass pinned to the smallest node —
+    // proximity ranking, same integer-exact loop as pr1.
+    "pr2_personalized_pagerank" -> { (spark, dir) =>
+      GraphOps.personalizedPageRank(
+        GraphOps.termCooccurrenceEdges(Tables.documentsParallel(spark, dir),
+          topK = 40, minCo = 5L),
+        iterations = 3)
+        .orderBy("v")
+    },
+    // HITS hubs/authorities, exact BIGINT unrolled iterations.
+    "hits1_hubs_authorities" -> { (spark, dir) =>
+      GraphOps.hits(
+        GraphOps.termCooccurrenceEdges(Tables.documentsParallel(spark, dir),
+          topK = 40, minCo = 5L),
+        iterations = 2)
+        .orderBy("v")
+    },
+
+    // --- Streaming ---
+    // Streaming incremental dedup: new docs stream against the static
+    // corpus hash index (broadcast anti-join — the stream never
+    // shuffles), survivors aggregate deterministically in complete mode.
+    "st12_stream_incremental_dedup" -> { (spark, dir) =>
+      graft.streaming.DocsStream.incrementalDedup(spark, dir)
+    },
+
     // --- Entity resolution ---
     // Blocked fuzzy linkage over the deduplicated part-name catalog:
     // block on the last name word, levenshtein within the block only —
@@ -261,6 +287,113 @@ object WorkloadQueries {
         |)
         |SELECT v, CAST(min(hop) AS INTEGER) AS hops
         |FROM r GROUP BY v ORDER BY v""".stripMargin,
+    "pr2_personalized_pagerank" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.term
+        |  FROM documents,
+        |    UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS u(term)
+        |  WHERE u.term <> ''
+        |), top AS (
+        |  SELECT term FROM toks GROUP BY 1
+        |  ORDER BY COUNT(*) DESC, term LIMIT 40
+        |), dt AS (
+        |  SELECT DISTINCT doc_id, term FROM toks
+        |  WHERE term IN (SELECT term FROM top)
+        |), e0 AS (
+        |  SELECT a.term AS ta, b.term AS tb
+        |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        |), dir AS (
+        |  SELECT ta AS src, tb AS dst FROM e0
+        |  UNION ALL SELECT tb AS src, ta AS dst FROM e0
+        |), od AS (
+        |  SELECT src, COUNT(*) AS outdeg FROM dir GROUP BY 1
+        |), nodes AS (
+        |  SELECT DISTINCT src AS v FROM dir
+        |), seed AS (SELECT min(v) AS s FROM nodes),
+        |p0 AS (
+        |  SELECT v, CASE WHEN v = (SELECT s FROM seed)
+        |    THEN CAST(1000000000000 AS BIGINT) ELSE 0 END AS pr FROM nodes
+        |), c1 AS (
+        |  SELECT d.dst, SUM(p.pr // o.outdeg) AS s
+        |  FROM dir d JOIN od o USING (src) JOIN p0 p ON p.v = d.src GROUP BY 1
+        |), p1 AS (
+        |  SELECT n.v, CASE WHEN n.v = (SELECT s FROM seed)
+        |      THEN 150000000000 ELSE 0 END
+        |    + (85 * COALESCE(c.s, 0)) // 100 AS pr
+        |  FROM nodes n LEFT JOIN c1 c ON c.dst = n.v
+        |), c2 AS (
+        |  SELECT d.dst, SUM(p.pr // o.outdeg) AS s
+        |  FROM dir d JOIN od o USING (src) JOIN p1 p ON p.v = d.src GROUP BY 1
+        |), p2 AS (
+        |  SELECT n.v, CASE WHEN n.v = (SELECT s FROM seed)
+        |      THEN 150000000000 ELSE 0 END
+        |    + (85 * COALESCE(c.s, 0)) // 100 AS pr
+        |  FROM nodes n LEFT JOIN c2 c ON c.dst = n.v
+        |), c3 AS (
+        |  SELECT d.dst, SUM(p.pr // o.outdeg) AS s
+        |  FROM dir d JOIN od o USING (src) JOIN p2 p ON p.v = d.src GROUP BY 1
+        |), p3 AS (
+        |  SELECT n.v, CASE WHEN n.v = (SELECT s FROM seed)
+        |      THEN 150000000000 ELSE 0 END
+        |    + (85 * COALESCE(c.s, 0)) // 100 AS pr
+        |  FROM nodes n LEFT JOIN c3 c ON c.dst = n.v
+        |)
+        |SELECT v, CAST(pr AS BIGINT) AS ppr_q FROM p3 ORDER BY v""".stripMargin,
+    "hits1_hubs_authorities" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.term
+        |  FROM documents,
+        |    UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS u(term)
+        |  WHERE u.term <> ''
+        |), top AS (
+        |  SELECT term FROM toks GROUP BY 1
+        |  ORDER BY COUNT(*) DESC, term LIMIT 40
+        |), dt AS (
+        |  SELECT DISTINCT doc_id, term FROM toks
+        |  WHERE term IN (SELECT term FROM top)
+        |), e0 AS (
+        |  SELECT a.term AS ta, b.term AS tb
+        |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        |), dir AS (
+        |  SELECT ta AS src, tb AS dst FROM e0
+        |  UNION ALL SELECT tb AS src, ta AS dst FROM e0
+        |), nodes AS (
+        |  SELECT DISTINCT src AS v FROM dir
+        |), h0 AS (SELECT v, CAST(1 AS BIGINT) AS hub FROM nodes),
+        |a1 AS (
+        |  SELECT n.v, COALESCE(x.s, 0) AS auth FROM nodes n
+        |  LEFT JOIN (SELECT d.dst, SUM(h.hub) AS s
+        |    FROM dir d JOIN h0 h ON h.v = d.src GROUP BY 1) x ON x.dst = n.v
+        |), h1 AS (
+        |  SELECT n.v, COALESCE(x.s, 0) AS hub FROM nodes n
+        |  LEFT JOIN (SELECT d.src, SUM(a.auth) AS s
+        |    FROM dir d JOIN a1 a ON a.v = d.dst GROUP BY 1) x ON x.src = n.v
+        |), a2 AS (
+        |  SELECT n.v, COALESCE(x.s, 0) AS auth FROM nodes n
+        |  LEFT JOIN (SELECT d.dst, SUM(h.hub) AS s
+        |    FROM dir d JOIN h1 h ON h.v = d.src GROUP BY 1) x ON x.dst = n.v
+        |), h2 AS (
+        |  SELECT n.v, COALESCE(x.s, 0) AS hub FROM nodes n
+        |  LEFT JOIN (SELECT d.src, SUM(a.auth) AS s
+        |    FROM dir d JOIN a2 a ON a.v = d.dst GROUP BY 1) x ON x.src = n.v
+        |)
+        |SELECT n.v, CAST(h2.hub AS BIGINT) AS hub, CAST(a2.auth AS BIGINT) AS auth
+        |FROM nodes n JOIN h2 ON h2.v = n.v JOIN a2 ON a2.v = n.v
+        |ORDER BY n.v""".stripMargin,
+    "st12_stream_incremental_dedup" ->
+      """WITH corp AS (
+        |  SELECT DISTINCT sha256(text) AS content_hash FROM documents
+        |  WHERE doc_id % 4 <> 0
+        |), inc AS (
+        |  SELECT doc_id, sha256(text) AS content_hash FROM documents
+        |  WHERE doc_id % 4 = 0
+        |)
+        |SELECT content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+        |FROM inc
+        |WHERE content_hash NOT IN (SELECT content_hash FROM corp)
+        |GROUP BY 1 ORDER BY content_hash""".stripMargin,
     "rl1_record_linkage" ->
       """WITH nm AS (SELECT DISTINCT p_name FROM part),
         |b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM nm)

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming face of the incremental-dedup tier (the streaming twin of
+  * `Dedup.incrementalDedup`'s exact tier): newly-arriving documents are
+  * screened against the content-hash index of an existing corpus as they
+  * stream in, instead of in a nightly batch.
+  *
+  * Scale posture: the corpus index is DISTINCT 32-byte hashes — the
+  * smallest possible representation — and joins the stream as a
+  * broadcast anti-join, so the unbounded stream is never shuffled for
+  * the membership test. (At a corpus size where the hash index outgrows
+  * broadcast, the same plan runs as a shuffled stream-static join —
+  * Spark picks by statistics; the semantics don't change.) The surviving
+  * hashes aggregate in complete mode with exact min/count, so the result
+  * is deterministic under any arrival order / parallelism — there is no
+  * "first arrival wins" race on which copy survives.
+  */
+object DocsStream {
+  private val runId = new AtomicInteger(0)
+
+  /** New docs (the doc_id % 4 == 0 slice, matching d10's batch split)
+    * stream against the static index of everyone else. Output: one row
+    * per NEW distinct content hash with its keeper id and copy count.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StreamRun.cachedSchema(spark, dir, "documents.parquet")
+    val newDocs = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .where(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
+    val corpusIndex = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % 4 =!= 0)
+      .select(sha2(col("text"), 256).as("content_hash"))
+      .distinct()
+    val fresh = newDocs
+      .join(broadcast(corpusIndex), Seq("content_hash"), "left_anti")
+      .groupBy("content_hash")
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+    StreamRun.toMemorySnapshot(fresh, "complete",
+        s"stream_inc_dedup_${runId.incrementAndGet()}")
+      .orderBy("content_hash")
+  }
+}

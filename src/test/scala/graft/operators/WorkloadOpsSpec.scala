@@ -82,6 +82,48 @@ class WorkloadOpsSpec extends SparkSpec {
     assert(rows.map(_._3).sum === nEvents - nUsers)
   }
 
+  test("personalizedPageRank: all teleport mass returns to the source") {
+    // Star: center "a" — with teleport pinned to "a", leaves rank only
+    // via mass flowing from a; every leaf gets the same rank.
+    val edges = Seq(("a", "b"), ("a", "c"), ("a", "d")).toDF("ta", "tb")
+    val pr = GraphOps.personalizedPageRank(edges, iterations = 3)
+      .as[(String, Long)].collect().toMap
+    assert(pr("b") === pr("c") && pr("c") === pr("d"))
+    assert(pr("a") > pr("b")) // source keeps the teleport share
+    // Uniform pageRank on the same graph must differ from the
+    // personalized one on the leaves (teleport there is 0).
+    val uni = GraphOps.pageRank(edges, iterations = 3)
+      .as[(String, Long)].collect().toMap
+    assert(uni("b") !== pr("b"))
+  }
+
+  test("hits: exact integer scores match the hand-computed unrolled recursion") {
+    // Path a-b-c (symmetrized). h0=1 for all.
+    // a1: auth(v) = sum of h0 over in-neighbors = deg: a=1, b=2, c=1
+    // h1: hub(v) = sum of a1 over out-neighbors: a=2, b=2, c=2
+    // a2: auth = sum of h1 in-neighbors: a=2, b=4, c=2
+    // h2: hub = sum of a2 out-neighbors: a=4, b=4, c=4
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("ta", "tb")
+    val got = GraphOps.hits(edges, iterations = 2)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === Map("a" -> (4L, 2L), "b" -> (4L, 4L), "c" -> (4L, 2L)))
+  }
+
+  test("streaming incremental dedup: no corpus hash survives, counts are exact") {
+    val out = graft.streaming.DocsStream.incrementalDedup(spark, sf0001)
+      .as[(String, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, keepId, n) =>
+      assert(keepId % 4 === 0) // keeper comes from the streamed batch
+      assert(n >= 1L)
+    }
+    // batch replay equivalence
+    val corpus = docs.where(col("doc_id") % 4 =!= 0)
+      .select(sha2(col("text"), 256).as("h")).distinct()
+      .as[String].collect().toSet
+    assert(out.forall { case (h, _, _) => !corpus.contains(h) })
+  }
+
   test("diversity: simpson is 0 for a constant doc and rises with distinctness") {
     val d = Seq((1L, "x x x x"), (2L, "a b c d")).toDF("doc_id", "text")
     val got = TextAnalysis.diversity(d).as[(Long, Long, Long, Double)]
