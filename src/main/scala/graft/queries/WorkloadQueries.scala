@@ -184,6 +184,38 @@ object WorkloadQueries {
         .orderBy("c_custkey")
     },
 
+    // Robust (median/MAD) standardization — the outlier-insensitive twin
+    // of fs1. Two grouped medians (the a16-proven interpolation path:
+    // identical formula both engines), stats broadcast back onto the
+    // scan; one double expression at the end.
+    "fs2_robust_scale" -> { (spark, dir) =>
+      val c = Tables.customer(spark, dir)
+      val med = c.groupBy("c_mktsegment").agg(median(col("c_acctbal")).as("med"))
+      val withMed = c.join(broadcast(med), Seq("c_mktsegment"))
+      val mad = withMed.groupBy("c_mktsegment")
+        .agg(median(abs(col("c_acctbal") - col("med"))).as("mad"))
+      withMed.join(broadcast(mad), Seq("c_mktsegment"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          ((col("c_acctbal") - col("med")) / col("mad")).as("robust_z"))
+        .orderBy("c_custkey")
+    },
+
+    // Winsorization: clip each value into its group's [p05, p95] band
+    // (a8-proven percentile interpolation; one grouped percentile pass,
+    // broadcast stats, least/greatest clip — no per-row sort).
+    "fs3_winsorize" -> { (spark, dir) =>
+      val c = Tables.customer(spark, dir)
+      val pct = c.groupBy("c_mktsegment")
+        .agg(expr("percentile(c_acctbal, array(0.05D, 0.95D))").as("pcts"))
+        .select(col("c_mktsegment"),
+          element_at(col("pcts"), 1).as("p05"),
+          element_at(col("pcts"), 2).as("p95"))
+      c.join(broadcast(pct), Seq("c_mktsegment"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          least(greatest(col("c_acctbal"), col("p05")), col("p95")).as("clipped"))
+        .orderBy("c_custkey")
+    },
+
     // --- Set-similarity join ---
     // Lossless prefix-filtered Jaccard self-join over 3-shingle sets at
     // t=0.7 — finds EVERY pair ≥ t (unlike LSH), candidates bounded by
@@ -429,6 +461,30 @@ object WorkloadQueries {
         |    / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
         |      / (n - 1)) AS z
         |FROM customer c JOIN st ON st.c_mktsegment = c.c_mktsegment
+        |ORDER BY c_custkey""".stripMargin,
+    "fs2_robust_scale" ->
+      """WITH med AS (
+        |  SELECT c_mktsegment, median(c_acctbal) AS med FROM customer GROUP BY 1
+        |), mad AS (
+        |  SELECT c.c_mktsegment, median(abs(c.c_acctbal - m.med)) AS mad
+        |  FROM customer c JOIN med m ON m.c_mktsegment = c.c_mktsegment
+        |  GROUP BY 1
+        |)
+        |SELECT c_custkey, c.c_mktsegment, c_acctbal,
+        |  (c_acctbal - m.med) / d.mad AS robust_z
+        |FROM customer c JOIN med m ON m.c_mktsegment = c.c_mktsegment
+        |  JOIN mad d ON d.c_mktsegment = c.c_mktsegment
+        |ORDER BY c_custkey""".stripMargin,
+    "fs3_winsorize" ->
+      """WITH pct AS (
+        |  SELECT c_mktsegment,
+        |    quantile_cont(c_acctbal, 0.05) AS p05,
+        |    quantile_cont(c_acctbal, 0.95) AS p95
+        |  FROM customer GROUP BY 1
+        |)
+        |SELECT c_custkey, c.c_mktsegment, c_acctbal,
+        |  least(greatest(c_acctbal, p.p05), p.p95) AS clipped
+        |FROM customer c JOIN pct p ON p.c_mktsegment = c.c_mktsegment
         |ORDER BY c_custkey""".stripMargin,
     "ssj1_prefix_jaccard" ->
       """WITH w0 AS (
