@@ -73,4 +73,43 @@ object Multimodal {
       .as[MediaRecord]
       .mapPartitions(_.grouped(batchSize).flatMap(decodeBatchStub))
   }
+
+  /** Scene-cut detection over the frame-digest sequence (the segmentation
+    * pass of a video pipeline): consecutive frames whose digest bits
+    * differ by >= `hammingThreshold` (of the 60 bits in the digest's
+    * 15-hex-char prefix) mark a cut. Per video: frame count, cut count,
+    * and the max inter-frame distance — all exact integers.
+    *
+    * Shape: the 16-byte-stride frame expansion is a narrow generate; the
+    * lag window partitions per video (each partition one clip's frames);
+    * the rollup reuses the window's hash partitioning. Videos with a
+    * single frame have no frame PAIRS and are absent — same UNNEST/lag
+    * semantics as the oracle.
+    */
+  def sceneCuts(docs: DataFrame, hammingThreshold: Int): DataFrame = {
+    val frames = asMediaRecords(docs)
+      .select(col("doc_id"), hex(col("payload")).as("hx"),
+        octet_length(col("payload")).as("nb"))
+      .where(col("nb") >= 32)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), expr("(nb - 32) div 16"))).as("frame_idx"),
+        col("hx"))
+      .select(col("doc_id"), col("frame_idx"),
+        conv(substring(
+          md5(expr("substring(hx, CAST(frame_idx * 32 + 1 AS INT), 64)")),
+          1, 15), 16, 10).cast("long").as("dh"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    frames
+      .select(col("doc_id"), col("frame_idx"), col("dh"),
+        lag(col("dh"), 1).over(w).as("prev"))
+      .where(col("prev").isNotNull)
+      .select(col("doc_id"),
+        bit_count(col("dh").bitwiseXOR(col("prev"))).as("ham"))
+      .groupBy("doc_id")
+      .agg(
+        (count(lit(1)) + 1).as("n_frames"),
+        count(when(col("ham") >= hammingThreshold, 1)).as("n_cuts"),
+        max(col("ham")).cast("int").as("max_ham"))
+  }
 }

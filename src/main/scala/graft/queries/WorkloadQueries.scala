@@ -134,6 +134,16 @@ object WorkloadQueries {
       graft.streaming.DocsStream.incrementalDedup(spark, dir)
     },
 
+    // --- Multimodal ---
+    // Scene-cut detection over the frame-digest sequence (16-byte-stride
+    // frames from the opaque payload, bit-hamming between consecutive
+    // digests) — the segmentation pass of a video pipeline, exact ints.
+    "m4_scene_cuts" -> { (spark, dir) =>
+      graft.operators.Multimodal.sceneCuts(
+        Tables.documentsParallel(spark, dir), hammingThreshold = 20)
+        .orderBy("doc_id")
+    },
+
     // --- Entity resolution ---
     // Blocked fuzzy linkage over the deduplicated part-name catalog:
     // block on the last name word, levenshtein within the block only —
@@ -426,6 +436,30 @@ object WorkloadQueries {
         |FROM inc
         |WHERE content_hash NOT IN (SELECT content_hash FROM corp)
         |GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "m4_scene_cuts" ->
+      """WITH m AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, g.i AS frame_idx,
+        |    md5(substr(hx, CAST(g.i * 32 + 1 AS INTEGER), 64)) AS d
+        |  FROM m, UNNEST(generate_series(0, (nb - 32) // 16)) AS g(i)
+        |  WHERE nb >= 32
+        |), h AS (
+        |  SELECT doc_id, frame_idx,
+        |    ('0x' || substr(d, 1, 15))::BIGINT AS dh,
+        |    lag(('0x' || substr(d, 1, 15))::BIGINT)
+        |      OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+        |  FROM f
+        |), x AS (
+        |  SELECT doc_id, bit_count(xor(dh, prev)) AS ham
+        |  FROM h WHERE prev IS NOT NULL
+        |)
+        |SELECT doc_id, COUNT(*) + 1 AS n_frames,
+        |  COUNT(*) FILTER (ham >= 20) AS n_cuts,
+        |  CAST(MAX(ham) AS INTEGER) AS max_ham
+        |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "rl1_record_linkage" ->
       """WITH nm AS (SELECT DISTINCT p_name FROM part),
         |b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM nm)
