@@ -83,7 +83,19 @@ object GraphOps {
     * the edge construction i times.
     */
   def pageRank(edges: DataFrame, iterations: Int,
-               scale: Long = 1000000000000L): DataFrame = {
+               scale: Long = 1000000000000L): DataFrame =
+    pageRankLoop(edges, iterations, scale, personalized = false)
+      .select(col("v"), col("pr").as("pr_q"))
+
+  /** The shared BIGINT power-iteration core behind [[pageRank]] and
+    * [[personalizedPageRank]]. `personalized = false`: uniform init
+    * (every node starts with `scale`) and uniform teleport (15% of scale
+    * to every node). `personalized = true`: all initial mass and all
+    * teleport mass on the lexicographically-smallest node (carried as a
+    * broadcast 1-row seed — no global window).
+    */
+  private def pageRankLoop(edges: DataFrame, iterations: Int, scale: Long,
+                           personalized: Boolean): DataFrame = {
     require(scale % 100 == 0, "scale must be divisible by 100")
     val directed = edges
       .select(col("ta").as("src"), col("tb").as("dst"))
@@ -92,20 +104,30 @@ object GraphOps {
     val withDeg = directed.join(
       directed.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
       .localCheckpoint(eager = true)
-    val nodes = directed.select(col("src").as("v")).distinct()
+    val nodes0 = directed.select(col("src").as("v")).distinct()
       .localCheckpoint(eager = true)
-    var pr = nodes.select(col("v"), lit(scale).as("pr"))
+    // For the uniform variant source_v is unused; carrying the 1-row
+    // broadcast unconditionally keeps the loop identical for both.
+    val nodes = nodes0.crossJoin(broadcast(nodes0.agg(min(col("v")).as("source_v"))))
+    val teleport =
+      if (personalized)
+        when(col("v") === col("source_v"), lit(15L * (scale / 100L))).otherwise(lit(0L))
+      else lit(15L * (scale / 100L))
+    val init =
+      if (personalized)
+        when(col("v") === col("source_v"), lit(scale)).otherwise(lit(0L))
+      else lit(scale)
+    var pr = nodes.select(col("v"), col("source_v"), init.as("pr"))
     for (_ <- 1 to iterations) {
       val contrib = withDeg
-        .join(pr, col("src") === col("v"))
+        .join(pr.select("v", "pr"), col("src") === col("v"))
         .select(col("dst"), expr("pr div outdeg").as("share"))
         .groupBy("dst").agg(sum(col("share")).as("in_share"))
       pr = nodes.join(contrib, col("v") === col("dst"), "left")
-        .select(col("v"),
-          (lit(15L * (scale / 100L)) +
-            expr("(85L * coalesce(in_share, 0L)) div 100L")).as("pr"))
+        .select(col("v"), col("source_v"),
+          (teleport + expr("(85L * coalesce(in_share, 0L)) div 100L")).as("pr"))
     }
-    pr.select(col("v"), col("pr").as("pr_q"))
+    pr
   }
 
   /** Personalized (topic-sensitive) PageRank: the teleport mass returns to
@@ -117,36 +139,9 @@ object GraphOps {
     * differs: source gets 15% of the TOTAL mass, everyone else 0.
     */
   def personalizedPageRank(edges: DataFrame, iterations: Int,
-                           scale: Long = 1000000000000L): DataFrame = {
-    require(scale % 100 == 0, "scale must be divisible by 100")
-    val directed = edges
-      .select(col("ta").as("src"), col("tb").as("dst"))
-      .unionAll(edges.select(col("tb").as("src"), col("ta").as("dst")))
-      .localCheckpoint(eager = true)
-    val withDeg = directed.join(
-      directed.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
-      .localCheckpoint(eager = true)
-    val nodes = directed.select(col("src").as("v")).distinct()
-      .localCheckpoint(eager = true)
-    // isSource via a broadcast of the 1-row min — no global window needed.
-    val sourceRow = broadcast(nodes.agg(min(col("v")).as("source_v")))
-    var pr = nodes.crossJoin(sourceRow)
-      .select(col("v"), col("source_v"),
-        when(col("v") === col("source_v"), lit(scale)).otherwise(lit(0L)).as("pr"))
-    for (_ <- 1 to iterations) {
-      val contrib = withDeg
-        .join(pr.select("v", "pr"), col("src") === col("v"))
-        .select(col("dst"), expr("pr div outdeg").as("share"))
-        .groupBy("dst").agg(sum(col("share")).as("in_share"))
-      pr = nodes.crossJoin(sourceRow)
-        .join(contrib, col("v") === col("dst"), "left")
-        .select(col("v"), col("source_v"),
-          (when(col("v") === col("source_v"), lit(15L * (scale / 100L)))
-            .otherwise(lit(0L)) +
-            expr("(85L * coalesce(in_share, 0L)) div 100L")).as("pr"))
-    }
-    pr.select(col("v"), col("pr").as("ppr_q"))
-  }
+                           scale: Long = 1000000000000L): DataFrame =
+    pageRankLoop(edges, iterations, scale, personalized = true)
+      .select(col("v"), col("pr").as("ppr_q"))
 
   /** HITS hubs & authorities over the symmetrized edge list, unrolled for
     * a fixed iteration count with EXACT integer scores (the classic

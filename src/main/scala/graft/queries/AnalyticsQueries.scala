@@ -115,9 +115,7 @@ object AnalyticsQueries {
       val sn = Tables.supplier(spark, dir)
         .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
-      val revQ = (floor(col("l_extendedprice") * 100).cast(LongType) *
-        (lit(10000L) - floor(col("l_discount") * 10000).cast(LongType)))
-        .cast(DecimalType(38, 0))
+      val revQ = QueryExprs.revQ
       Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
         .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
           col("c_custkey") === col("o_custkey"))

@@ -537,9 +537,7 @@ object ReferenceQueries {
         .select("c_custkey")
       val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderdate")
       val l = Tables.lineitem(spark, dir)
-      val revQ = (floor(col("l_extendedprice") * 100).cast(LongType) *
-        (lit(10000L) - floor(col("l_discount") * 10000).cast(LongType)))
-        .cast(DecimalType(38, 0))
+      val revQ = QueryExprs.revQ
       broadcast(c)
         .join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("o_orderkey") === col("l_orderkey"))

@@ -20,12 +20,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   */
 object WorkloadQueries {
 
-  /** TPC-H Q5-shaped revenue: lineitems bought from a supplier in the
-    * customer's own nation, per nation of one region, over a date range.
-    */
-  private def revQ = (floor(col("l_extendedprice") * 100).cast(LongType) *
-    (lit(10000L) - floor(col("l_discount") * 10000).cast(LongType)))
-    .cast(DecimalType(38, 0))
+  private def revQ = QueryExprs.revQ
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -138,9 +133,12 @@ object WorkloadQueries {
     // Scene-cut detection over the frame-digest sequence (16-byte-stride
     // frames from the opaque payload, bit-hamming between consecutive
     // digests) — the segmentation pass of a video pipeline, exact ints.
+    // Threshold 34 sits in the upper tail of the ~Binomial(60, ½)
+    // inter-frame hamming distribution, so both branches of the cut
+    // predicate carry real mass (20 would fire on ~99.7% of pairs).
     "m4_scene_cuts" -> { (spark, dir) =>
       graft.operators.Multimodal.sceneCuts(
-        Tables.documentsParallel(spark, dir), hammingThreshold = 20)
+        Tables.documentsParallel(spark, dir), hammingThreshold = 34)
         .orderBy("doc_id")
     },
 
@@ -156,10 +154,10 @@ object WorkloadQueries {
       nm.as("a")
         .join(nm.as("b"),
           col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
-        .where(levenshtein(col("a.p_name"), col("b.p_name")) <= 4)
         .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
           col("a.blk").as("blk"),
           levenshtein(col("a.p_name"), col("b.p_name")).as("edit_dist"))
+        .where(col("edit_dist") <= 4)
         .orderBy("name_a", "name_b")
     },
 
@@ -457,7 +455,7 @@ object WorkloadQueries {
         |  FROM h WHERE prev IS NOT NULL
         |)
         |SELECT doc_id, COUNT(*) + 1 AS n_frames,
-        |  COUNT(*) FILTER (ham >= 20) AS n_cuts,
+        |  COUNT(*) FILTER (ham >= 34) AS n_cuts,
         |  CAST(MAX(ham) AS INTEGER) AS max_ham
         |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "rl1_record_linkage" ->

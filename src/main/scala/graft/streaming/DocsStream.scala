@@ -22,6 +22,18 @@ import org.apache.spark.sql.functions._
 object DocsStream {
   private val runId = new AtomicInteger(0)
 
+  /** The screening plan itself — shared by the streaming drive and the
+    * plan-shape spec (which applies it to a batch frame, the only way to
+    * inspect the join after a stream is stopped): broadcast anti-join
+    * against the corpus index, then the deterministic survivor rollup.
+    * `newDocs` must carry (doc_id, content_hash).
+    */
+  private[graft] def screen(newDocs: DataFrame, corpusIndex: DataFrame): DataFrame =
+    newDocs
+      .join(broadcast(corpusIndex), Seq("content_hash"), "left_anti")
+      .groupBy("content_hash")
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
   /** New docs (the doc_id % 4 == 0 slice, matching d10's batch split)
     * stream against the static index of everyone else. Output: one row
     * per NEW distinct content hash with its keeper id and copy count.
@@ -38,11 +50,7 @@ object DocsStream {
       .where(col("doc_id") % 4 =!= 0)
       .select(sha2(col("text"), 256).as("content_hash"))
       .distinct()
-    val fresh = newDocs
-      .join(broadcast(corpusIndex), Seq("content_hash"), "left_anti")
-      .groupBy("content_hash")
-      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
-    StreamRun.toMemorySnapshot(fresh, "complete",
+    StreamRun.toMemorySnapshot(screen(newDocs, corpusIndex), "complete",
         s"stream_inc_dedup_${runId.incrementAndGet()}")
       .orderBy("content_hash")
   }

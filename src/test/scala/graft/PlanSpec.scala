@@ -170,12 +170,20 @@ class PlanSpec extends SparkSpec {
   test("ssj1: candidate generation never crosses the full token relation with itself") {
     val df = q("ssj1_prefix_jaccard")
     df.count()
-    val plan = planString(df)
-    assert(!plan.contains("CartesianProduct"), "prefix join degenerated to a cartesian")
+    val executed = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p: SparkPlan => p
+    }
+    assert(!executed.toString.contains("CartesianProduct"),
+      "prefix join degenerated to a cartesian")
     // the rank window partitions per document — a global (empty-key) sort
     // window over the token relation would be the scale bug
-    assert(!plan.contains("Window [") || !plan.contains("windowspecdefinition()"),
-      "found a partition-less window")
+    val windows = executed.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected the per-doc rank window in the plan")
+    windows.foreach(w =>
+      assert(w.partitionSpec.nonEmpty, "found a partition-less (global sort) window"))
   }
 
   test("fs1/fs2/fs3: per-group stats broadcast back onto the scan (no fact re-shuffle)") {
@@ -188,26 +196,22 @@ class PlanSpec extends SparkSpec {
   }
 
   test("st12: the corpus membership test reaches the stream as a broadcast anti-join") {
-    val df = q("st12_stream_incremental_dedup")
-    // the memory-sink snapshot already ran; assert on the batch replay of
-    // the same plan shape instead (stream plans are not inspectable after
-    // stop): broadcast anti-join of hashes, never a shuffled stream side.
+    import org.apache.spark.sql.functions.{col, sha2}
+    // Stream plans are not inspectable after the drive stops, so apply
+    // DocsStream's OWN plan builder (the exact code the stream runs) to a
+    // batch frame and assert the join shape there.
     val corpus = Tables.documents(spark, sf0001)
-      .where(org.apache.spark.sql.functions.col("doc_id") % 4 =!= 0)
-      .select(org.apache.spark.sql.functions.sha2(
-        org.apache.spark.sql.functions.col("text"), 256).as("content_hash"))
+      .where(col("doc_id") % 4 =!= 0)
+      .select(sha2(col("text"), 256).as("content_hash"))
       .distinct()
-    val stream = Tables.documents(spark, sf0001)
-      .where(org.apache.spark.sql.functions.col("doc_id") % 4 === 0)
-      .select(org.apache.spark.sql.functions.col("doc_id"),
-        org.apache.spark.sql.functions.sha2(
-          org.apache.spark.sql.functions.col("text"), 256).as("content_hash"))
-    val joined = stream.join(
-      org.apache.spark.sql.functions.broadcast(corpus), Seq("content_hash"), "left_anti")
-    joined.count()
-    val p = planString(joined)
+    val newDocs = Tables.documents(spark, sf0001)
+      .where(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
+    val screened = graft.streaming.DocsStream.screen(newDocs, corpus)
+    screened.count()
+    val p = planString(screened)
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       "membership test is not a broadcast anti-join")
-    assert(df.columns.toSeq === Seq("content_hash", "keep_doc_id", "n_copies"))
+    assert(screened.columns.toSeq === Seq("content_hash", "keep_doc_id", "n_copies"))
   }
 }
