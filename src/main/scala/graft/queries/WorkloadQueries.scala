@@ -82,6 +82,33 @@ object WorkloadQueries {
         .limit(20)
     },
 
+    // Q21 shape: the double-correlated EXISTS / NOT EXISTS on the same
+    // derived relation ("suppliers who alone delayed a multi-supplier
+    // order"). Runs through Spark SQL so Catalyst's decorrelation turns
+    // both subqueries into semi/anti joins on l_orderkey — the classic
+    // stress case for subquery planning (late = DISTINCT pairs first, so
+    // the anti join is against the SMALL derived table, not lineitem).
+    "tq21_waiting_supplier" -> { (spark, dir) =>
+      Tables.supplier(spark, dir).createOrReplaceTempView("supplier_tq21")
+      Tables.orders(spark, dir).createOrReplaceTempView("orders_tq21")
+      Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_tq21")
+      spark.sql(
+        """WITH late AS (
+          |  SELECT DISTINCT l_orderkey, l_suppkey
+          |  FROM lineitem_tq21 JOIN orders_tq21 ON o_orderkey = l_orderkey
+          |  WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+          |)
+          |SELECT s_name, COUNT(*) AS numwait
+          |FROM late l1 JOIN supplier_tq21 ON s_suppkey = l1.l_suppkey
+          |WHERE EXISTS (
+          |    SELECT 1 FROM lineitem_tq21 l2
+          |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (
+          |    SELECT 1 FROM late l3
+          |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+          |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)
+    },
+
     // --- Behavioral / sequence analytics ---
     "mb1_cooccurrence" -> { (spark, dir) =>
       EventAnalytics.cooccurrenceLift(Tables.events(spark, dir))
@@ -264,6 +291,21 @@ object WorkloadQueries {
         |  AND o_orderdate >= TIMESTAMP '1999-01-01'
         |  AND o_orderdate < TIMESTAMP '2000-01-01'
         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "tq21_waiting_supplier" ->
+      """WITH late AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "mb1_cooccurrence" ->
       """WITH basket AS (
         |  SELECT DISTINCT user_id,
