@@ -156,6 +156,73 @@ object WorkloadQueries {
       graft.streaming.DocsStream.incrementalDedup(spark, dir)
     },
 
+    // Per-group reservoir sampling (exact k per group, reproducible):
+    // rank by the seeded portable hash within each group and keep the k
+    // smallest — runs through the engine's own TopKPerKeyPlan (bounded
+    // heaps, no per-group sort), so the "random" sample is a pure
+    // function of the data AND cheap at scale.
+    "smp5_group_reservoir" -> { (spark, dir) =>
+      val ranked = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(concat(lit("smp5:"), col("doc_id").cast("string"))).as("h"))
+      graft.plans.TopKPerKey.topKPerKey(
+        ranked,
+        keyCols = Seq("lang"),
+        orderCols = Seq("h" -> true, "doc_id" -> true),
+        k = 8)
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    },
+
+    // Positional phrase search through the inverted index: exact
+    // adjacent-position join on the postings (the IR phrase operator —
+    // same shape at scale: postings shuffle once on doc, the position
+    // self-join is per-doc local).
+    "i2_phrase_search" -> { (spark, dir) =>
+      val pos = Tables.documentsParallel(spark, dir)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.words(col("text"))).as(Seq("p", "term")))
+      pos.as("a")
+        .join(pos.as("b"),
+          col("b.doc_id") === col("a.doc_id") && col("b.p") === col("a.p") + 1)
+        .where(col("a.term") === "table" && col("b.term") === "hash")
+        .groupBy(col("a.doc_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_hits"),
+          (min(col("a.p")) + 1).cast("long").as("first_pos"))
+        .orderBy("doc_id")
+    },
+
+    // Referential-integrity + coverage audit across the star: per FK
+    // edge, child rows / orphaned child rows / parent rows / referenced
+    // parents. Orphan checks are anti-join counts; coverage is a
+    // distinct-key semi-join — each edge one narrow aggregate, unioned.
+    "dq3_ri_audit" -> { (spark, dir) =>
+      // Fully relational (no driver-side counts): each edge is four
+      // scalar aggregates cross-joined into one row; the edges union.
+      def edge(name: String, child: DataFrame, ck: String,
+               parent: DataFrame, pk: String): DataFrame = {
+        val c = child.select(col(ck).as("k")).where(col("k").isNotNull)
+        val p = parent.select(col(pk).as("k"))
+        c.agg(count(lit(1)).as("n_child"))
+          .crossJoin(c.join(p, Seq("k"), "left_anti")
+            .agg(count(lit(1)).as("n_orphans")))
+          .crossJoin(p.agg(count(lit(1)).as("n_parents")))
+          .crossJoin(c.distinct().join(p, Seq("k"), "left_semi")
+            .agg(count(lit(1)).as("n_referenced")))
+          .select(lit(name).as("fk"), col("n_child"), col("n_orphans"),
+            col("n_parents"), col("n_referenced"))
+      }
+      edge("events->customer", Tables.events(spark, dir), "user_id",
+          Tables.customer(spark, dir), "c_custkey")
+        .unionByName(edge("lineitem->orders", Tables.lineitem(spark, dir), "l_orderkey",
+          Tables.orders(spark, dir), "o_orderkey"))
+        .unionByName(edge("lineitem->part", Tables.lineitem(spark, dir), "l_partkey",
+          Tables.part(spark, dir), "p_partkey"))
+        .unionByName(edge("orders->customer", Tables.orders(spark, dir), "o_custkey",
+          Tables.customer(spark, dir), "c_custkey"))
+        .orderBy("fk")
+    },
+
     // --- Multimodal ---
     // Scene-cut detection over the frame-digest sequence (16-byte-stride
     // frames from the opaque payload, bit-hamming between consecutive
@@ -476,6 +543,58 @@ object WorkloadQueries {
         |FROM inc
         |WHERE content_hash NOT IN (SELECT content_hash FROM corp)
         |GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "smp5_group_reservoir" ->
+      """WITH ranked AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('smp5:' || doc_id), doc_id) AS rk
+        |  FROM documents
+        |)
+        |SELECT lang, doc_id, n_chars FROM ranked
+        |WHERE rk <= 8 ORDER BY lang, doc_id""".stripMargin,
+    "i2_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, g.i AS p, w[CAST(g.i AS INTEGER)] AS term
+        |  FROM toks, UNNEST(generate_series(1, len(w))) AS g(i)
+        |)
+        |SELECT a.doc_id, COUNT(*) AS n_hits, CAST(MIN(a.p) AS BIGINT) AS first_pos
+        |FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+        |WHERE a.term = 'table' AND b.term = 'hash'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dq3_ri_audit" ->
+      """WITH edges AS (
+        |  SELECT 'events->customer' AS fk, e.user_id AS ck, c.c_custkey AS pk
+        |  FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+        |  WHERE e.user_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'lineitem->orders', l.l_orderkey, o.o_orderkey
+        |  FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  WHERE l.l_orderkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'lineitem->part', l.l_partkey, p.p_partkey
+        |  FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE l.l_partkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'orders->customer', o.o_custkey, c.c_custkey
+        |  FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+        |  WHERE o.o_custkey IS NOT NULL
+        |), parents AS (
+        |  SELECT 'events->customer' AS fk, COUNT(*) AS n_parents FROM customer
+        |  UNION ALL SELECT 'lineitem->orders', COUNT(*) FROM orders
+        |  UNION ALL SELECT 'lineitem->part', COUNT(*) FROM part
+        |  UNION ALL SELECT 'orders->customer', COUNT(*) FROM customer
+        |)
+        |SELECT g.fk, g.n_child, g.n_orphans, p.n_parents, g.n_referenced
+        |FROM (
+        |  SELECT fk, COUNT(*) AS n_child,
+        |    COUNT(*) FILTER (pk IS NULL) AS n_orphans,
+        |    COUNT(DISTINCT pk) AS n_referenced
+        |  FROM edges GROUP BY fk
+        |) g JOIN parents p ON p.fk = g.fk
+        |ORDER BY g.fk""".stripMargin,
     "m4_scene_cuts" ->
       """WITH m AS (
         |  SELECT doc_id, hex(encode(text)) AS hx,

@@ -195,6 +195,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("smp5: per-group reservoir sample plans through TopKPerKeyExec (no window sort)") {
+    val plan = planString(q("smp5_group_reservoir"))
+    assert(plan.contains("TopKPerKey"), s"smp5 plan lacks TopKPerKeyExec:\n${plan.take(500)}")
+    assert(!plan.contains("WindowExec"), "sample fell back to a window sort")
+  }
+
   test("st12: the corpus membership test reaches the stream as a broadcast anti-join") {
     import org.apache.spark.sql.functions.{col, sha2}
     // Stream plans are not inspectable after the drive stops, so apply
