@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.{EventAnalytics, GraphOps, SetSimilarityJoin, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
@@ -107,6 +108,51 @@ object WorkloadQueries {
           |    SELECT 1 FROM late l3
           |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
           |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)
+    },
+
+    // Hierarchical percent-of-parent rollup: nation revenue with its
+    // share of region and of total. One exact-cents aggregate (25 rows),
+    // then two window sums over the TINY aggregate — never over the
+    // fact; shares are double divisions of exact BIGINTs.
+    "hr1_hierarchical_share" -> { (spark, dir) =>
+      val rev = Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.nation(spark, dir)), col("n_nationkey") === col("c_nationkey"))
+        .join(broadcast(Tables.region(spark, dir)), col("r_regionkey") === col("n_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(floor(col("o_totalprice") * 100).cast(LongType)).as("cents"))
+      val wRegion = Window.partitionBy("r_name")
+      val wAll = Window.partitionBy()
+      rev.select(col("r_name"), col("n_name"),
+          (col("cents").cast(DoubleType) / 100.0).as("revenue"),
+          (col("cents").cast(DoubleType) /
+            sum(col("cents")).over(wRegion).cast(DoubleType)).as("share_of_region"),
+          (col("cents").cast(DoubleType) /
+            sum(col("cents")).over(wAll).cast(DoubleType)).as("share_of_total"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // CDC snapshot diff: classify keys across two snapshot views as
+    // inserted / deleted / changed / unchanged via ONE full-outer join
+    // on the key (one shuffle; the 100 TB shape for diffing table
+    // versions — complements x7 upsert and x11 SCD-2).
+    "cdc2_snapshot_diff" -> { (spark, dir) =>
+      val o = Tables.orders(spark, dir)
+      val olds = o.where(col("o_orderkey") % 10 < 7)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+      val news = o.where(col("o_orderkey") % 10 >= 3)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")).as("v"))
+      olds.as("o").join(news.as("n"), col("n.k") === col("o.k"), "full_outer")
+        .select(
+          when(col("o.k").isNull, "inserted")
+            .when(col("n.k").isNull, "deleted")
+            .when(col("o.v") =!= col("n.v"), "changed")
+            .otherwise("unchanged").as("change_type"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("change_type")
     },
 
     // --- Behavioral / sequence analytics ---
@@ -358,6 +404,41 @@ object WorkloadQueries {
         |  AND o_orderdate >= TIMESTAMP '1999-01-01'
         |  AND o_orderdate < TIMESTAMP '2000-01-01'
         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "hr1_hierarchical_share" ->
+      """WITH rev AS (
+        |  SELECT r_name, n_name,
+        |    SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |    JOIN nation ON n_nationkey = c_nationkey
+        |    JOIN region ON r_regionkey = n_regionkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT r_name, n_name,
+        |  CAST(cents AS DOUBLE) / 100.0 AS revenue,
+        |  CAST(cents AS DOUBLE)
+        |    / CAST(SUM(cents) OVER (PARTITION BY r_name) AS DOUBLE)
+        |    AS share_of_region,
+        |  CAST(cents AS DOUBLE) / CAST(SUM(cents) OVER () AS DOUBLE)
+        |    AS share_of_total
+        |FROM rev ORDER BY r_name, n_name""".stripMargin,
+    "cdc2_snapshot_diff" ->
+      """WITH olds AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+        |  WHERE o_orderkey % 10 < 7
+        |), news AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS v
+        |  FROM orders WHERE o_orderkey % 10 >= 3
+        |)
+        |SELECT
+        |  CASE WHEN o.k IS NULL THEN 'inserted'
+        |       WHEN n.k IS NULL THEN 'deleted'
+        |       WHEN o.v <> n.v THEN 'changed'
+        |       ELSE 'unchanged' END AS change_type,
+        |  COUNT(*) AS n
+        |FROM olds o FULL OUTER JOIN news n ON n.k = o.k
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "tq21_waiting_supplier" ->
       """WITH late AS (
         |  SELECT DISTINCT l_orderkey, l_suppkey
