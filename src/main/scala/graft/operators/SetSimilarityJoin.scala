@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -49,18 +48,22 @@ object SetSimilarityJoin {
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
     val df = toks.groupBy("term").agg(count(lit(1)).as("df"))
 
-    // Rank each doc's tokens rarest-first; keep the prefix. The window
-    // partitions per document, so there is no global sort — each
-    // partition is one token set.
-    val rk = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("term"))
+    // Rank each doc's tokens rarest-first and keep the prefix — as ONE
+    // per-doc aggregate: collect the (df, term) set, sort it locally,
+    // slice the prefix, re-explode. A document's token set is bounded by
+    // the document's length, so the local sort is safe at any corpus
+    // size; vs the join-sizes + row_number window formulation this saves
+    // one doc-keyed exchange and a sort-based window pass.
+    val prefixLen = (col("n_tok") -
+      ceil(lit(threshold) * col("n_tok")).cast("long") + 1).cast("int")
     val prefix = toks
       .join(df, Seq("term"))
-      .join(sizes, Seq("doc_id"))
-      .select(col("doc_id"), col("term"), col("n_tok"),
-        row_number().over(rk).as("rk"))
-      .where(col("rk") <=
-        col("n_tok") - ceil(lit(threshold) * col("n_tok")).cast("long") + 1)
-      .select("doc_id", "term")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("term")))).as("ts"),
+        count(lit(1)).as("n_tok"))
+      .select(col("doc_id"),
+        explode(slice(col("ts"), lit(1), prefixLen)).as("t"))
+      .select(col("doc_id"), col("t.term").as("term"))
 
     // Candidates: docs sharing any prefix token. Prefix tokens are the
     // rarest per doc, so this join's per-key fanout is the smallest
