@@ -120,7 +120,10 @@ object WorkloadQueries {
         .join(broadcast(Tables.nation(spark, dir)), col("n_nationkey") === col("c_nationkey"))
         .join(broadcast(Tables.region(spark, dir)), col("r_regionkey") === col("n_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(sum(floor(col("o_totalprice") * 100).cast(LongType)).as("cents"))
+        // round, not floor: doubles storing 2-decimal prices can sit just
+        // below the true product (910.29*100 = 91028.999…), and floor
+        // would systematically drop those cents (SCALE.md §Aggregation)
+        .agg(sum(round(col("o_totalprice") * 100).cast(LongType)).as("cents"))
       val wRegion = Window.partitionBy("r_name")
       val wAll = Window.partitionBy()
       rev.select(col("r_name"), col("n_name"),
@@ -225,9 +228,13 @@ object WorkloadQueries {
     // same shape at scale: postings shuffle once on doc, the position
     // self-join is per-doc local).
     "i2_phrase_search" -> { (spark, dir) =>
+      // pin the postings before the self-join — the two sides key on
+      // (doc_id, p) vs (doc_id, p+1), so without the pin each side
+      // re-runs the regex tokenize + posexplode over the whole corpus
       val pos = Tables.documentsParallel(spark, dir)
         .select(col("doc_id"),
           posexplode(TextAnalysis.words(col("text"))).as(Seq("p", "term")))
+        .localCheckpoint(eager = false)
       pos.as("a")
         .join(pos.as("b"),
           col("b.doc_id") === col("a.doc_id") && col("b.p") === col("a.p") + 1)
@@ -243,18 +250,21 @@ object WorkloadQueries {
     // parents. Orphan checks are anti-join counts; coverage is a
     // distinct-key semi-join — each edge one narrow aggregate, unioned.
     "dq3_ri_audit" -> { (spark, dir) =>
-      // Fully relational (no driver-side counts): each edge is four
-      // scalar aggregates cross-joined into one row; the edges union.
+      // Fully relational AND single-pass per edge: ONE child LEFT JOIN
+      // parent scan yields n_child / n_orphans / n_referenced as
+      // conditional aggregates (the same shape as the oracle SQL and
+      // DataQuality's one-pass convention); only the tiny parent count
+      // is a separate scalar.
       def edge(name: String, child: DataFrame, ck: String,
                parent: DataFrame, pk: String): DataFrame = {
         val c = child.select(col(ck).as("k")).where(col("k").isNotNull)
-        val p = parent.select(col(pk).as("k"))
-        c.agg(count(lit(1)).as("n_child"))
-          .crossJoin(c.join(p, Seq("k"), "left_anti")
-            .agg(count(lit(1)).as("n_orphans")))
+        val p = parent.select(col(pk).as("pk"))
+        c.join(p, col("k") === col("pk"), "left")
+          .agg(
+            count(lit(1)).as("n_child"),
+            count(when(col("pk").isNull, 1)).as("n_orphans"),
+            countDistinct(col("pk")).as("n_referenced"))
           .crossJoin(p.agg(count(lit(1)).as("n_parents")))
-          .crossJoin(c.distinct().join(p, Seq("k"), "left_semi")
-            .agg(count(lit(1)).as("n_referenced")))
           .select(lit(name).as("fk"), col("n_child"), col("n_orphans"),
             col("n_parents"), col("n_referenced"))
       }
@@ -407,7 +417,7 @@ object WorkloadQueries {
     "hr1_hierarchical_share" ->
       """WITH rev AS (
         |  SELECT r_name, n_name,
-        |    SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+        |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
         |  FROM orders JOIN customer ON c_custkey = o_custkey
         |    JOIN nation ON n_nationkey = c_nationkey
         |    JOIN region ON r_regionkey = n_regionkey

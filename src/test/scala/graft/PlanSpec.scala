@@ -197,9 +197,19 @@ class PlanSpec extends SparkSpec {
   }
 
   test("smp5: per-group reservoir sample plans through TopKPerKeyExec (no window sort)") {
-    val plan = planString(q("smp5_group_reservoir"))
-    assert(plan.contains("TopKPerKey"), s"smp5 plan lacks TopKPerKeyExec:\n${plan.take(500)}")
-    assert(!plan.contains("WindowExec"), "sample fell back to a window sort")
+    val df = q("smp5_group_reservoir")
+    val executed = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p: SparkPlan => p
+    }
+    assert(executed.toString.contains("TopKPerKey"),
+      s"smp5 plan lacks TopKPerKeyExec:\n${executed.toString.take(500)}")
+    // typed collect — plan strings strip the Exec suffix, so a string
+    // match on "WindowExec" can never fire
+    val windows = executed.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, "sample fell back to a window sort")
   }
 
   test("st12: the corpus membership test reaches the stream as a broadcast anti-join") {
