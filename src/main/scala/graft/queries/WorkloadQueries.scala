@@ -292,6 +292,14 @@ object WorkloadQueries {
         .orderBy("doc_id")
     },
 
+    // Streaming medallion refresh: complete-mode daily gold landed via
+    // foreachBatch -> AtomicLayer snapshots (commit-marker protocol), so
+    // concurrent readers never see a torn refresh; result = the final
+    // committed snapshot, gated against the batch aggregate.
+    "st13_stream_gold_refresh" -> { (spark, dir) =>
+      graft.streaming.EventsStream.goldRefresh(spark, dir)
+    },
+
     // --- Entity resolution ---
     // Blocked fuzzy linkage over the deduplicated part-name catalog:
     // block on the last name word, levenshtein within the block only —
@@ -710,6 +718,10 @@ object WorkloadQueries {
         |  COUNT(*) FILTER (ham >= 34) AS n_cuts,
         |  CAST(MAX(ham) AS INTEGER) AS max_ham
         |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "st13_stream_gold_refresh" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "rl1_record_linkage" ->
       """WITH nm AS (SELECT DISTINCT p_name FROM part),
         |b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM nm)

@@ -124,6 +124,39 @@ object EventsStream {
       .orderBy("day", "event_type")
   }
 
+  /** Streaming medallion refresh: the same daily aggregate as
+    * [[dailyAggregates]], but LANDED — each micro-batch's complete-mode
+    * snapshot is written through `AtomicLayer` (snapshot version + commit
+    * marker), so a concurrent reader always sees one consistent gold
+    * table, never a half-written refresh. Returns the final committed
+    * snapshot; the oracle is the batch daily aggregate.
+    *
+    * This is the production shape for continuously-refreshed gold
+    * layers: foreachBatch decides persistence, the streaming engine owns
+    * state + exactly-once batch ids, and the table protocol owns
+    * atomicity (what Delta gave the reference; SURVEY §2.13 / K1).
+    */
+  def goldRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("st13-gold").toString
+    val stream = eventsStream(spark, dir)
+      .withWatermark("ts_sec", "1 day")
+      .groupBy(window(col("ts_sec"), "1 day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(20, 4))).cast(DoubleType).as("sum_value"),
+      )
+    StreamRun.driveForeachBatch(stream, "complete",
+        s"st13_gold_${runId.incrementAndGet()}") { (batch, _) =>
+      graft.energy.AtomicLayer.write(
+        batch.select(
+          col("window.start").cast(DateType).as("day"),
+          col("event_type"), col("n_events"), col("sum_value")),
+        root): Unit
+    }
+    graft.energy.AtomicLayer.read(spark, root).orderBy("day", "event_type")
+  }
+
   /** Bounded-state streaming dedup: `dropDuplicatesWithinWatermark`
     * holds a key's state only until the event-time watermark passes it,
     * so state is bounded by the watermark horizon — unlike plain

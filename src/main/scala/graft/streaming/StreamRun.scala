@@ -103,4 +103,27 @@ object StreamRun {
     spark.catalog.dropTempView(name)
     out
   }
+
+  /** Start `df` into a foreachBatch sink, drain it synchronously, clean
+    * up the ephemeral checkpoint. The batch function decides persistence
+    * (e.g. an AtomicLayer snapshot write) — this is the drive harness
+    * for sink-integration streaming queries.
+    */
+  def driveForeachBatch(df: DataFrame, mode: String, name: String)(
+      f: (DataFrame, Long) => Unit): Unit = {
+    val spark = df.sparkSession
+    val ckpt = new java.io.File(
+      s"$ephemeralCheckpointRoot/$name-${java.util.UUID.randomUUID()}")
+    withStreamConf(spark) {
+      try {
+        val query = df.writeStream
+          .outputMode(mode)
+          .foreachBatch((batch: DataFrame, id: Long) => f(batch, id))
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .start()
+        try query.processAllAvailable()
+        finally query.stop()
+      } finally deleteRecursively(ckpt)
+    }
+  }
 }
