@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, LshBuckets, PqEncode, QuantizedCosine}
+import graft.functions.{CosineSimilarity, LshBuckets, PqEncode, QuantizedCosine, ShingleGen}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
@@ -76,6 +76,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 3, "pq_encode takes exactly 3 arguments")
         PqEncode(exprs(0), exprs(1), litInt(exprs(2), "pq_encode", "nSub"))
+      },
+    ))
+    e.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(
+        classOf[ShingleGen].getName, null, "graft_shingles",
+        "graft_shingles(text, k) - table function: the k-word shingles of text (lowered, trimmed, duplicates kept)",
+        "", "", "", "generator_funcs", "1.0.0", "", "scala_udf"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_shingles takes exactly 2 arguments")
+        ShingleGen(exprs(0), litInt(exprs(1), "graft_shingles", "k"))
       },
     ))
     // Catalyst's own semi-join-reduction bloom pair (what the optimizer

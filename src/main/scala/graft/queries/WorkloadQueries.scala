@@ -279,6 +279,17 @@ object WorkloadQueries {
         .orderBy("fk")
     },
 
+    // Native Generator (UDTF) on the SQL surface: shingles as a LATERAL
+    // VIEW table function, per-doc counts gated (full multiset identity
+    // with the composed form is spec-proven in ShingleGenSpec).
+    "sg1_shingle_udtf" -> { (spark, dir) =>
+      Tables.documentsParallel(spark, dir).createOrReplaceTempView("docs_sg1")
+      spark.sql(
+        """SELECT doc_id, s.shingle
+          |FROM docs_sg1 LATERAL VIEW graft_shingles(text, 3) s AS shingle
+          |ORDER BY doc_id, shingle""".stripMargin)
+    },
+
     // --- Multimodal ---
     // Scene-cut detection over the frame-digest sequence (16-byte-stride
     // frames from the opaque payload, bit-hamming between consecutive
@@ -694,6 +705,16 @@ object WorkloadQueries {
         |  FROM edges GROUP BY fk
         |) g JOIN parents p ON p.fk = g.fk
         |ORDER BY g.fk""".stripMargin,
+    "sg1_shingle_udtf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents
+        |)
+        |SELECT doc_id, unnest(list_transform(
+        |  generate_series(1, len(w) - 2),
+        |  i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingle
+        |FROM toks WHERE len(w) >= 3
+        |ORDER BY doc_id, shingle""".stripMargin,
     "m4_scene_cuts" ->
       """WITH m AS (
         |  SELECT doc_id, hex(encode(text)) AS hx,
