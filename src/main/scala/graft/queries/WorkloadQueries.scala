@@ -311,6 +311,77 @@ object WorkloadQueries {
       graft.streaming.EventsStream.goldRefresh(spark, dir)
     },
 
+    // Centroid similarity matrix: pairwise cosine between class
+    // centroids from exact integer component sums (the n cancels out of
+    // the cosine, so the whole computation is integer until one final
+    // double formula). The component table is tiny (labels × dims); the
+    // heavy reduce is the per-(label, dim) sum with map-side partials.
+    "e6_centroid_sim" -> { (spark, dir) =>
+      val comp = Tables.embeddings(spark, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(sum(floor(col("v").cast(DoubleType) * 1048576.0).cast(LongType)).as("sq"))
+        .localCheckpoint(eager = false)
+      val dec = DecimalType(20, 0)
+      val self = comp.groupBy("label")
+        .agg(sum(col("sq").cast(dec) * col("sq").cast(dec)).as("aa"))
+      val dots = comp.as("a")
+        .join(comp.as("b"),
+          col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+        .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+        .agg(sum(col("a.sq").cast(dec) * col("b.sq").cast(dec)).as("dot"))
+      dots
+        .join(broadcast(self.select(col("label").as("label_a"), col("aa"))), Seq("label_a"))
+        .join(broadcast(self.select(col("label").as("label_b"), col("aa").as("bb"))), Seq("label_b"))
+        .select(col("label_a"), col("label_b"),
+          (col("dot").cast(DoubleType) /
+            (sqrt(col("aa").cast(DoubleType)) * sqrt(col("bb").cast(DoubleType))))
+            .as("cos_sim"))
+        .orderBy("label_a", "label_b")
+    },
+
+    // Dataset card: per-source corpus datasheet (counts, char mass,
+    // language spread, length-band tails) in ONE conditional-aggregate
+    // pass — the summary a data-curation pipeline publishes per shard.
+    "qf2_data_card" -> { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          count(when(col("n_chars") < 150, 1)).as("n_short"),
+          count(when(col("n_chars") >= 450, 1)).as("n_long"))
+        .orderBy("source")
+    },
+
+    // IGNORE NULLS window: carry each user's last purchase value forward
+    // across their subsequent events (the classic last-observation
+    // carry-forward shape, one per-user window pass).
+    "w9_ignore_nulls" -> { (spark, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true)
+            .over(w).as("last_purchase_value"))
+        .orderBy("event_id")
+    },
+
+    // rank()-with-ties top-N: every row tied at the boundary survives —
+    // deliberately NOT rewritable to the bounded-heap TopKPerKey (which
+    // implements row_number semantics); the rewrite's guard must leave
+    // this on the window path and the oracle confirms tie semantics.
+    "w10_rank_ties" -> { (spark, dir) =>
+      val w = Window.partitionBy("l_returnflag").orderBy(col("qty"))
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_quantity")).cast(LongType).as("qty"))
+        .withColumn("rnk", rank().over(w))
+        .where(col("rnk") <= 2)
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+    },
+
     // --- Entity resolution ---
     // Blocked fuzzy linkage over the deduplicated part-name catalog:
     // block on the last name word, levenshtein within the block only —
@@ -546,6 +617,55 @@ object WorkloadQueries {
         |)
         |SELECT v, CAST(min(hop) AS INTEGER) AS hops
         |FROM r GROUP BY v ORDER BY v""".stripMargin,
+    "e6_centroid_sim" ->
+      """WITH comp AS (
+        |  SELECT label, g.i AS dim,
+        |    SUM(CAST(floor(CAST(e.embedding[CAST(g.i AS INTEGER) + 1] AS DOUBLE)
+        |      * 1048576.0) AS BIGINT)) AS sq
+        |  FROM embeddings e,
+        |    UNNEST(generate_series(0, len(e.embedding) - 1)) AS g(i)
+        |  GROUP BY 1, 2
+        |), selfdot AS (
+        |  SELECT label, SUM(CAST(sq AS HUGEINT) * sq) AS aa FROM comp GROUP BY 1
+        |), dots AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |    SUM(CAST(a.sq AS HUGEINT) * b.sq) AS dot
+        |  FROM comp a JOIN comp b ON a.dim = b.dim AND a.label < b.label
+        |  GROUP BY 1, 2
+        |)
+        |SELECT d.label_a, d.label_b,
+        |  CAST(d.dot AS DOUBLE)
+        |    / (sqrt(CAST(x.aa AS DOUBLE)) * sqrt(CAST(y.aa AS DOUBLE))) AS cos_sim
+        |FROM dots d JOIN selfdot x ON x.label = d.label_a
+        |  JOIN selfdot y ON y.label = d.label_b
+        |ORDER BY label_a, label_b""".stripMargin,
+    "qf2_data_card" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  COUNT(*) FILTER (n_chars < 150) AS n_short,
+        |  COUNT(*) FILTER (n_chars >= 450) AS n_long
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w9_ignore_nulls" ->
+      """SELECT event_id, user_id, event_type, value,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |    IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_purchase_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "w10_rank_ties" ->
+      """WITH rk AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    CAST(floor(l_quantity) AS BIGINT) AS qty,
+        |    rank() OVER (PARTITION BY l_returnflag
+        |      ORDER BY CAST(floor(l_quantity) AS BIGINT)) AS r
+        |  FROM lineitem
+        |)
+        |SELECT l_returnflag, l_orderkey, l_linenumber, qty,
+        |  CAST(r AS INTEGER) AS rnk
+        |FROM rk WHERE r <= 2
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
     "pr2_personalized_pagerank" ->
       """WITH toks AS (
         |  SELECT doc_id, u.term
