@@ -86,8 +86,12 @@ object Multimodal {
     * single frame have no frame PAIRS and are absent — same UNNEST/lag
     * semantics as the oracle.
     */
-  def sceneCuts(docs: DataFrame, hammingThreshold: Int): DataFrame = {
-    val frames = asMediaRecords(docs)
+  /** (doc_id, frame_idx, d): md5 digests of the 16-byte-stride 32-byte
+    * frame windows of each payload — the shared frame index behind
+    * [[sceneCuts]] and the cross-video shared-frame join (m5).
+    */
+  def frameDigestRows(docs: DataFrame): DataFrame =
+    asMediaRecords(docs)
       .select(col("doc_id"), hex(col("payload")).as("hx"),
         octet_length(col("payload")).as("nb"))
       .where(col("nb") >= 32)
@@ -95,9 +99,12 @@ object Multimodal {
         explode(sequence(lit(0L), expr("(nb - 32) div 16"))).as("frame_idx"),
         col("hx"))
       .select(col("doc_id"), col("frame_idx"),
-        conv(substring(
-          md5(expr("substring(hx, CAST(frame_idx * 32 + 1 AS INT), 64)")),
-          1, 15), 16, 10).cast("long").as("dh"))
+        md5(expr("substring(hx, CAST(frame_idx * 32 + 1 AS INT), 64)")).as("d"))
+
+  def sceneCuts(docs: DataFrame, hammingThreshold: Int): DataFrame = {
+    val frames = frameDigestRows(docs)
+      .select(col("doc_id"), col("frame_idx"),
+        conv(substring(col("d"), 1, 15), 16, 10).cast("long").as("dh"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("frame_idx")
     frames

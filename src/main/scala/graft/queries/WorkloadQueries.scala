@@ -168,6 +168,87 @@ object WorkloadQueries {
         .orderBy("src", "dst")
     },
 
+    // Gaps-and-islands: per-user activity streaks via the day − rank
+    // anchor trick (one window pass over DISTINCT (user, day), two tiny
+    // rollups — never the raw events twice).
+    "str1_streaks" -> { (spark, dir) =>
+      val days = Tables.events(spark, dir)
+        .select(col("user_id"), to_date(col("ts_sec")).as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val streaks = days
+        .select(col("user_id"), col("day"),
+          date_sub(col("day"), row_number().over(w)).as("anchor"))
+        .groupBy("user_id", "anchor")
+        .agg(count(lit(1)).as("len"))
+      streaks.groupBy("user_id")
+        .agg(max(col("len")).as("max_streak"), count(lit(1)).as("n_streaks"))
+        .orderBy("user_id")
+    },
+
+    // Pearson cross-correlation between two event-type series. The
+    // hourly sums are DECIMAL-exact and quantized to integer 1/10000ths,
+    // so every moment (Σc, Σv, Σcv, Σcc, Σvv) accumulates as exact
+    // DECIMAL — order-independent — and the correlation is one double
+    // formula at the end (the 10^4 scale cancels out of Pearson).
+    "ts7_crosscorr" -> { (spark, dir) =>
+      val dec = DecimalType(38, 0)
+      val hourly = Tables.events(spark, dir)
+        .groupBy(date_trunc("hour", col("ts_sec")).as("hr"))
+        .agg(
+          sum(when(col("event_type") === "click", col("value").cast(DecimalType(20, 4)))).as("cd"),
+          sum(when(col("event_type") === "view", col("value").cast(DecimalType(20, 4)))).as("vd"))
+        .select(
+          coalesce((col("cd") * 10000).cast(LongType), lit(0L)).as("c"),
+          coalesce((col("vd") * 10000).cast(LongType), lit(0L)).as("v"))
+      val m = hourly.agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum(col("c").cast(dec)).as("sc"),
+        sum(col("v").cast(dec)).as("sv"),
+        sum(col("c").cast(dec) * col("v").cast(dec)).as("scv"),
+        sum(col("c").cast(dec) * col("c").cast(dec)).as("scc"),
+        sum(col("v").cast(dec) * col("v").cast(dec)).as("svv"))
+      m.select(
+        col("n").cast(LongType).as("n"),
+        ((col("n") * col("scv") - col("sc") * col("sv")).cast(DoubleType) /
+          (sqrt((col("n") * col("scc") - col("sc") * col("sc")).cast(DoubleType)) *
+            sqrt((col("n") * col("svv") - col("sv") * col("sv")).cast(DoubleType))))
+          .as("corr_cv"))
+    },
+
+    // try_* error-tolerant function surface (the ANSI-mode-safe escape
+    // hatches: null-on-error without disabling ANSI globally).
+    "f13_try_funcs" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("try_divide(l_extendedprice, floor(l_quantity) - 25)").as("div_maybe"),
+          expr("try_cast(l_returnflag AS INT)").as("flag_int"),
+          expr("try_cast(l_linenumber AS STRING)").as("line_str"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Cross-video shared-frame detection: the frame-digest inverted
+    // index (distinct per doc, degenerate digests capped — the same
+    // bucket-cap discipline as LSH bands) self-joined to find clip pairs
+    // sharing >= 3 frames — the video-dedup candidate generator.
+    "m5_shared_frames" -> { (spark, dir) =>
+      val fd = graft.operators.Multimodal.frameDigestRows(
+        Tables.documentsParallel(spark, dir))
+        .select("doc_id", "d").distinct()
+        .localCheckpoint(eager = false)
+      val ok = fd.join(
+        fd.groupBy("d").agg(count(lit(1)).as("c"))
+          .where(col("c").between(2, 50)).select("d"),
+        Seq("d"))
+      ok.as("a")
+        .join(ok.as("b"),
+          col("a.d") === col("b.d") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 3)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // --- Graph ---
     // Frontier BFS over the same capped co-occurrence graph tri1/pr1
     // read, from the lexicographically-smallest node.
@@ -617,6 +698,72 @@ object WorkloadQueries {
         |)
         |SELECT v, CAST(min(hop) AS INTEGER) AS hops
         |FROM r GROUP BY v ORDER BY v""".stripMargin,
+    "str1_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', date_trunc('second', ts)) AS DATE) AS day
+        |  FROM events
+        |), grp AS (
+        |  SELECT user_id, day,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS INTEGER) AS anchor
+        |  FROM days
+        |), streaks AS (
+        |  SELECT user_id, anchor, COUNT(*) AS len FROM grp GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak,
+        |  COUNT(*) AS n_streaks
+        |FROM streaks GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ts7_crosscorr" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', date_trunc('second', ts)) AS hr,
+        |    SUM(CASE WHEN event_type = 'click'
+        |      THEN CAST(value AS DECIMAL(20,4)) END) AS cd,
+        |    SUM(CASE WHEN event_type = 'view'
+        |      THEN CAST(value AS DECIMAL(20,4)) END) AS vd
+        |  FROM events GROUP BY 1
+        |), z AS (
+        |  SELECT COALESCE(CAST(cd * 10000 AS BIGINT), 0) AS c,
+        |    COALESCE(CAST(vd * 10000 AS BIGINT), 0) AS v
+        |  FROM hourly
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(CAST(c AS HUGEINT)) AS sc, SUM(CAST(v AS HUGEINT)) AS sv,
+        |    SUM(CAST(c AS HUGEINT) * v) AS scv,
+        |    SUM(CAST(c AS HUGEINT) * c) AS scc,
+        |    SUM(CAST(v AS HUGEINT) * v) AS svv
+        |  FROM z
+        |)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(n * scv - sc * sv AS DOUBLE)
+        |    / (sqrt(CAST(n * scc - sc * sc AS DOUBLE))
+        |      * sqrt(CAST(n * svv - sv * sv AS DOUBLE))) AS corr_cv
+        |FROM m""".stripMargin,
+    "f13_try_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice / nullif(floor(l_quantity) - 25, 0) AS div_maybe,
+        |  TRY_CAST(l_returnflag AS INTEGER) AS flag_int,
+        |  CAST(l_linenumber AS VARCHAR) AS line_str
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "m5_shared_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, md5(substr(hx, CAST(g.i * 32 + 1 AS INTEGER), 64)) AS d
+        |  FROM m, UNNEST(generate_series(0, (nb - 32) // 16)) AS g(i)
+        |  WHERE nb >= 32
+        |), fd AS (SELECT DISTINCT doc_id, d FROM f),
+        |freq AS (SELECT d, COUNT(*) AS c FROM fd GROUP BY 1),
+        |ok AS (
+        |  SELECT fd.doc_id, fd.d FROM fd JOIN freq ON freq.d = fd.d
+        |  WHERE freq.c BETWEEN 2 AND 50
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |FROM ok a JOIN ok b ON a.d = b.d AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |ORDER BY 1, 2""".stripMargin,
     "e6_centroid_sim" ->
       """WITH comp AS (
         |  SELECT label, g.i AS dim,
