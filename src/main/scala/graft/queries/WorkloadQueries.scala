@@ -449,6 +449,36 @@ object WorkloadQueries {
         .orderBy("event_id")
     },
 
+    // ntile decile bucketing (calibration / feature-binning): the only
+    // rank-family member w7 lacks; total order makes buckets exact.
+    "w11_ntile" -> { (spark, dir) =>
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(10).over(w).as("decile"))
+        .orderBy("o_orderkey")
+    },
+
+    // Numeric column profiler (the schema-drift / data-contract check):
+    // unpivot the measured columns once, one grouped pass for
+    // count / nulls / distincts / bounds per column.
+    "dq4_numeric_profile" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(Array.empty[org.apache.spark.sql.Column],
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "col_name", "v")
+        .groupBy("col_name")
+        .agg(
+          count(lit(1)).as("n"),
+          (count(lit(1)) - count(col("v"))).as("n_null"),
+          countDistinct(col("v")).as("n_distinct"),
+          min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"))
+        .orderBy("col_name")
+    },
+
     // rank()-with-ties top-N: every row tied at the boundary survives —
     // deliberately NOT rewritable to the bounded-heap TopKPerKey (which
     // implements row_number semantics); the rewrite's guard must leave
@@ -801,6 +831,21 @@ object WorkloadQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS last_purchase_value
         |FROM events ORDER BY event_id""".stripMargin,
+    "w11_ntile" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS decile
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "dq4_numeric_profile" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS col_name, l_quantity AS v FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+        |)
+        |SELECT col_name, COUNT(*) AS n, COUNT(*) - COUNT(v) AS n_null,
+        |  COUNT(DISTINCT v) AS n_distinct, MIN(v) AS min_v, MAX(v) AS max_v
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "w10_rank_ties" ->
       """WITH rk AS (
         |  SELECT l_returnflag, l_orderkey, l_linenumber,
