@@ -217,12 +217,18 @@ object WorkloadQueries {
     },
 
     // try_* error-tolerant function surface (the ANSI-mode-safe escape
-    // hatches: null-on-error without disabling ANSI globally).
+    // hatches: null-on-error without disabling ANSI globally). The
+    // failing-cast rows are ~1% BY DESIGN: try_cast implements
+    // null-on-error as catch-the-ANSI-exception, so a column that fails
+    // on EVERY row pays exception construction per row — measured 7.5 s
+    // vs 0.55 s for the same scan when all 600k casts failed. Error
+    // paths must be exceptional to be cheap.
     "f13_try_funcs" -> { (spark, dir) =>
       Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_linenumber"),
           expr("try_divide(l_extendedprice, floor(l_quantity) - 25)").as("div_maybe"),
-          expr("try_cast(l_returnflag AS INT)").as("flag_int"),
+          expr("""try_cast(CASE WHEN l_orderkey % 100 = 0 THEN l_returnflag
+                 ELSE CAST(l_linenumber AS STRING) END AS INT)""").as("flag_int"),
           expr("try_cast(l_linenumber AS STRING)").as("line_str"))
         .orderBy("l_orderkey", "l_linenumber")
     },
@@ -772,7 +778,8 @@ object WorkloadQueries {
     "f13_try_funcs" ->
       """SELECT l_orderkey, l_linenumber,
         |  l_extendedprice / nullif(floor(l_quantity) - 25, 0) AS div_maybe,
-        |  TRY_CAST(l_returnflag AS INTEGER) AS flag_int,
+        |  TRY_CAST(CASE WHEN l_orderkey % 100 = 0 THEN l_returnflag
+        |    ELSE CAST(l_linenumber AS VARCHAR) END AS INTEGER) AS flag_int,
         |  CAST(l_linenumber AS VARCHAR) AS line_str
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "m5_shared_frames" ->
