@@ -36,6 +36,39 @@ object AsOfJoin {
       rightTs: String,
       rightPrefix: String = "asof_",
       inner: Boolean = true,
+  ): DataFrame =
+    asofImpl(left, right, keyCols, leftTs, rightTs, rightPrefix, inner,
+      forward = false)
+
+  /** Forward as-of: for each left row, the right row with the SMALLEST
+    * timestamp >= the left timestamp within the same key (`ON l.ts <=
+    * r.ts` — "next quote after the trade"). Identical cost shape to the
+    * backward [[asof]]: the union sort flips side order at equal ts
+    * (left first, so a same-ts right row is inside the FOLLOWING frame —
+    * inclusive) and `first(_, ignoreNulls)` scans forward instead of
+    * `last(_, ignoreNulls)` backward.
+    */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPrefix: String = "asof_",
+      inner: Boolean = true,
+  ): DataFrame =
+    asofImpl(left, right, keyCols, leftTs, rightTs, rightPrefix, inner,
+      forward = true)
+
+  private def asofImpl(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPrefix: String,
+      inner: Boolean,
+      forward: Boolean,
   ): DataFrame = {
     val rightPayloadCols =
       right.columns.filterNot(c => keyCols.contains(c) || c == rightTs).toSeq
@@ -55,19 +88,24 @@ object AsOfJoin {
     // time axis -> it can never be "the nearest preceding" row. (Without
     // this filter, Spark's nulls-first ordering would treat it as
     // preceding everything.)
+    // Side ordering at equal ts decides inclusivity: backward wants the
+    // right row BEFORE the left (right side 0), forward wants it AFTER
+    // (right side 1) — in both cases a same-ts right row lands inside
+    // the carry frame.
+    val (rightSide, leftSide) = if (forward) (1, 0) else (0, 1)
     val taggedRight = right
       .where(col(rightTs).isNotNull)
       .select(
         keyCols.map(col) ++ Seq(
           col(rightTs).as("__ts"),
-          lit(0).as("__side"),
+          lit(rightSide).as("__side"),
           rStruct.as("__rdata"),
           lit(null).cast(lType).as("__ldata"),
         ): _*)
     val taggedLeft = left.select(
       keyCols.map(col) ++ Seq(
         col(leftTs).as("__ts"),
-        lit(1).as("__side"),
+        lit(leftSide).as("__side"),
         lit(null).cast(rType).as("__rdata"),
         lStruct.as("__ldata"),
       ): _*)
@@ -85,14 +123,20 @@ object AsOfJoin {
     val orderCols =
       if (rdataOrderable) Seq(col("__ts"), col("__side"), col("__rdata"))
       else Seq(col("__ts"), col("__side"))
-    val w = Window
+    val wBase = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(orderCols: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry =
+      if (forward)
+        first(col("__rdata"), ignoreNulls = true)
+          .over(wBase.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      else
+        last(col("__rdata"), ignoreNulls = true)
+          .over(wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     val matched = taggedRight
       .unionByName(taggedLeft)
-      .withColumn("__match", last(col("__rdata"), ignoreNulls = true).over(w))
-      .where(col("__side") === 1)
+      .withColumn("__match", carry)
+      .where(col("__side") === lit(leftSide))
 
     val out = matched.select(
       keyCols.map(col)

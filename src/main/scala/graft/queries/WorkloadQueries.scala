@@ -168,6 +168,23 @@ object WorkloadQueries {
         .orderBy("src", "dst")
     },
 
+    // Forward as-of join: each click attached to the user's NEXT
+    // purchase (l.ts <= r.ts) — the time-to-conversion primitive; same
+    // one-shuffle union-sort shape as the backward x6.
+    "x26_asof_forward" -> { (spark, dir) =>
+      val ev = Tables.t(spark, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      graft.operators.AsOfJoin.asofForward(
+        clicks, purchases, Seq("user_id"), "ts", "ts", rightPrefix = "purchase_")
+        .select(col("user_id"), col("event_id"),
+          expr("timestamp_seconds(ts div 1000000000)").as("click_ts"),
+          col("purchase_event_id"))
+        .orderBy("user_id", "event_id")
+    },
+
     // Gaps-and-islands: per-user activity streaks via the day − rank
     // anchor trick (one window pass over DISTINCT (user, day), two tiny
     // rollups — never the raw events twice).
@@ -734,6 +751,14 @@ object WorkloadQueries {
         |)
         |SELECT v, CAST(min(hop) AS INTEGER) AS hops
         |FROM r GROUP BY v ORDER BY v""".stripMargin,
+    "x26_asof_forward" ->
+      """SELECT c.user_id, c.event_id,
+        |  date_trunc('second', c.ts) AS click_ts,
+        |  s.event_id AS purchase_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') s
+        |  ON c.user_id = s.user_id AND c.ts <= s.ts
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
     "str1_streaks" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id,

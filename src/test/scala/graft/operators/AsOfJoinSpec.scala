@@ -33,6 +33,28 @@ class AsOfJoinSpec extends SparkSpec {
     ))
   }
 
+  test("forward as-of: nearest following (inclusive) quote per trade") {
+    val res = AsOfJoin.asofForward(trades, quotes, Seq("sym"), "ts", "ts")
+      .orderBy("sym", "ts")
+      .collect()
+      .map(r => (r.getAs[String]("sym"), r.getAs[Long]("ts"),
+        r.getAs[Long]("trade_id"), r.getAs[Double]("asof_price")))
+    assert(res.toSeq == Seq(
+      ("A", 5L, 100L, 1.0),   // before any quote -> first quote (10)
+      ("A", 20L, 101L, 2.0),  // exactly at quote ts -> inclusive
+      ("A", 25L, 102L, 3.0),  // between -> next (30)
+      ("B", 14L, 104L, 9.0),  // before B's only quote -> it (15)
+      // A@99 (after all) and C (no quotes) drop under inner semantics
+    ))
+  }
+
+  test("forward outer as-of keeps left rows with nothing following") {
+    val res = AsOfJoin.asofForward(trades, quotes, Seq("sym"), "ts", "ts",
+      inner = false)
+    assert(res.count() == 6)
+    assert(res.where("asof_price IS NULL").count() == 2) // A@99, C@50
+  }
+
   test("right rows with null timestamps never match") {
     val q = Seq((Some("A"), Option.empty[java.lang.Long], Some(5.0)))
       .toDF("sym", "ts", "price")
