@@ -110,32 +110,43 @@ object AsOfJoin {
         lStruct.as("__ldata"),
       ): _*)
 
-    // Right rows sort before left rows at equal ts -> inclusive match.
+    // Both directions run the SAME growing frame (unbounded preceding →
+    // current row) with `last(_, ignoreNulls)` — O(n) incremental per
+    // partition. Backward iterates time ASCENDING; forward simply
+    // iterates DESCENDING, so "the last right row seen so far" is the
+    // nearest following one. At equal ts the right row must be visited
+    // before the left in iteration order for the inclusive match —
+    // side values + sort direction arrange that in both modes. (A
+    // shrinking (current → unbounded following) frame with first() would
+    // be the naive forward formulation; Spark re-scans the remainder of
+    // the partition per row for such frames — O(n²).)
+    //
     // `__rdata` is the final tiebreak: when several right rows share the
-    // same (key, ts), the struct ordering makes `last(__rdata)` pick the
-    // same payload on every run/partitioning (it is null on left rows,
-    // which are already distinguished by `__side`). Only added when the
-    // payload type is orderable — a map-typed payload cannot be sorted,
-    // and requiring orderability would regress those callers; they keep
-    // the (documented) nondeterminism on exact (key, ts) duplicates.
+    // same (key, ts), the struct ordering makes the carry pick the same
+    // payload on every run/partitioning (backward: the max struct;
+    // forward: the min — each direction is internally deterministic).
+    // Only added when the payload type is orderable — a map-typed
+    // payload cannot be sorted, and requiring orderability would regress
+    // those callers; they keep the (documented) nondeterminism on exact
+    // (key, ts) duplicates.
     val rdataOrderable =
       org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(rType)
-    val orderCols =
+    val orderCols0 =
       if (rdataOrderable) Seq(col("__ts"), col("__side"), col("__rdata"))
       else Seq(col("__ts"), col("__side"))
-    val wBase = Window
+    val orderCols = if (forward) orderCols0.map(_.desc) else orderCols0
+    val w = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(orderCols: _*)
-    val carry =
-      if (forward)
-        first(col("__rdata"), ignoreNulls = true)
-          .over(wBase.rowsBetween(Window.currentRow, Window.unboundedFollowing))
-      else
-        last(col("__rdata"), ignoreNulls = true)
-          .over(wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // A left row with a NULL timestamp has no position on the time axis
+    // either — guard it to "no match" explicitly (sort-order nulls
+    // placement must not decide semantics in either direction).
     val matched = taggedRight
       .unionByName(taggedLeft)
-      .withColumn("__match", carry)
+      .withColumn("__match",
+        when(col("__ts").isNotNull,
+          last(col("__rdata"), ignoreNulls = true).over(w)))
       .where(col("__side") === lit(leftSide))
 
     val out = matched.select(

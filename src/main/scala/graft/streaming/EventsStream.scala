@@ -106,21 +106,34 @@ object EventsStream {
     * landing results in a memory sink; returns the final table:
     * (day, event_type, n_events, sum_value).
     */
-  def dailyAggregates(spark: SparkSession, dir: String): DataFrame = {
-    val stream = eventsStream(spark, dir)
+  /** The one watermarked 1-day-window aggregate behind BOTH
+    * [[dailyAggregates]] and [[goldRefresh]] — the two queries gate
+    * against the same batch oracle, so they must share the plan.
+    */
+  private def dailyAggStream(spark: SparkSession, dir: String): DataFrame =
+    eventsStream(spark, dir)
       .withWatermark("ts_sec", "1 day")
       .groupBy(window(col("ts_sec"), "1 day"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(20, 4))).cast(DoubleType).as("sum_value"),
       )
-    runToMemory(stream, spark, "complete", "events_daily")
-      .select(
-        col("window.start").cast(DateType).as("day"),
-        col("event_type"),
-        col("n_events"),
-        col("sum_value"),
-      )
+
+  /** (day, event_type, n_events, sum_value) projection of the windowed
+    * aggregate — applied after the memory sink in [[dailyAggregates]]
+    * and inside foreachBatch in [[goldRefresh]].
+    */
+  private def dailyProjection(df: DataFrame): DataFrame =
+    df.select(
+      col("window.start").cast(DateType).as("day"),
+      col("event_type"),
+      col("n_events"),
+      col("sum_value"),
+    )
+
+  def dailyAggregates(spark: SparkSession, dir: String): DataFrame = {
+    dailyProjection(
+      runToMemory(dailyAggStream(spark, dir), spark, "complete", "events_daily"))
       .orderBy("day", "event_type")
   }
 
@@ -137,24 +150,26 @@ object EventsStream {
     * atomicity (what Delta gave the reference; SURVEY §2.13 / K1).
     */
   def goldRefresh(spark: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files
-      .createTempDirectory("st13-gold").toString
-    val stream = eventsStream(spark, dir)
-      .withWatermark("ts_sec", "1 day")
-      .groupBy(window(col("ts_sec"), "1 day"), col("event_type"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(20, 4))).cast(DoubleType).as("sum_value"),
-      )
-    StreamRun.driveForeachBatch(stream, "complete",
-        s"st13_gold_${runId.incrementAndGet()}") { (batch, _) =>
-      graft.energy.AtomicLayer.write(
-        batch.select(
-          col("window.start").cast(DateType).as("day"),
-          col("event_type"), col("n_events"), col("sum_value")),
-        root): Unit
+    val rootDir = java.nio.file.Files.createTempDirectory("st13-gold")
+    val root = rootDir.toString
+    try {
+      StreamRun.driveForeachBatch(dailyAggStream(spark, dir), "complete",
+          s"st13_gold_${runId.incrementAndGet()}") { (batch, _) =>
+        graft.energy.AtomicLayer.write(dailyProjection(batch), root): Unit
+      }
+      // materialize the final committed snapshot BEFORE the root is
+      // deleted — repeated drives (bench warm+timed, test reruns) must
+      // not accumulate snapshot directories in tmp
+      graft.energy.AtomicLayer.read(spark, root)
+        .orderBy("day", "event_type")
+        .localCheckpoint()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(rootDir.toFile)
     }
-    graft.energy.AtomicLayer.read(spark, root).orderBy("day", "event_type")
   }
 
   /** Bounded-state streaming dedup: `dropDuplicatesWithinWatermark`

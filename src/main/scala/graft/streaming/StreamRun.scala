@@ -85,20 +85,7 @@ object StreamRun {
     */
   def toMemorySnapshot(df: DataFrame, mode: String, name: String): DataFrame = {
     val spark = df.sparkSession
-    val ckpt = new java.io.File(
-      s"$ephemeralCheckpointRoot/$name-${java.util.UUID.randomUUID()}")
-    withStreamConf(spark) {
-      try {
-        val query = df.writeStream
-          .outputMode(mode)
-          .format("memory")
-          .queryName(name)
-          .option("checkpointLocation", ckpt.getAbsolutePath)
-          .start()
-        try query.processAllAvailable()
-        finally query.stop()
-      } finally deleteRecursively(ckpt)
-    }
+    runDrained(df, name)(_.outputMode(mode).format("memory").queryName(name))
     val out = spark.table(name).localCheckpoint()
     spark.catalog.dropTempView(name)
     out
@@ -110,15 +97,22 @@ object StreamRun {
     * for sink-integration streaming queries.
     */
   def driveForeachBatch(df: DataFrame, mode: String, name: String)(
-      f: (DataFrame, Long) => Unit): Unit = {
-    val spark = df.sparkSession
+      f: (DataFrame, Long) => Unit): Unit =
+    runDrained(df, name)(
+      _.outputMode(mode).foreachBatch((batch: DataFrame, id: Long) => f(batch, id)))
+
+  /** One copy of the drive lifecycle (state-partition conf, ephemeral
+    * checkpoint, start → drain → stop → cleanup); the sink is the only
+    * thing a caller configures.
+    */
+  private def runDrained(df: DataFrame, name: String)(
+      sink: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]
+        => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
     val ckpt = new java.io.File(
       s"$ephemeralCheckpointRoot/$name-${java.util.UUID.randomUUID()}")
-    withStreamConf(spark) {
+    withStreamConf(df.sparkSession) {
       try {
-        val query = df.writeStream
-          .outputMode(mode)
-          .foreachBatch((batch: DataFrame, id: Long) => f(batch, id))
+        val query = sink(df.writeStream)
           .option("checkpointLocation", ckpt.getAbsolutePath)
           .start()
         try query.processAllAvailable()

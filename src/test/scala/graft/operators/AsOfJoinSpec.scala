@@ -55,6 +55,14 @@ class AsOfJoinSpec extends SparkSpec {
     assert(res.where("asof_price IS NULL").count() == 2) // A@99, C@50
   }
 
+  test("left rows with null timestamps never match, in either direction") {
+    val t = Seq(("A", Option.empty[Long], 200L)).toDF("sym", "ts", "trade_id")
+    assert(AsOfJoin.asof(t, quotes, Seq("sym"), "ts", "ts").count() == 0)
+    assert(AsOfJoin.asofForward(t, quotes, Seq("sym"), "ts", "ts").count() == 0)
+    val outer = AsOfJoin.asofForward(t, quotes, Seq("sym"), "ts", "ts", inner = false)
+    assert(outer.count() == 1 && outer.where("asof_price IS NULL").count() == 1)
+  }
+
   test("right rows with null timestamps never match") {
     val q = Seq((Some("A"), Option.empty[java.lang.Long], Some(5.0)))
       .toDF("sym", "ts", "price")
