@@ -185,6 +185,36 @@ object WorkloadQueries {
         .orderBy("user_id", "event_id")
     },
 
+    // As-of with a staleness tolerance: the nearest preceding signup
+    // only counts within 7 days (market-data max-staleness semantics) —
+    // a post-filter on the as-of match, same one-shuffle core.
+    "x27_asof_tolerance" -> { (spark, dir) =>
+      val ev = Tables.t(spark, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      val signups = ev.where(col("event_type") === "signup")
+        .select("user_id", "ts", "event_id")
+      graft.operators.AsOfJoin.asof(
+        clicks, signups, Seq("user_id"), "ts", "ts", rightPrefix = "signup_")
+        .where(col("ts") - col("signup_ts") <= lit(7L * 86400L * 1000000000L))
+        .select(col("user_id"), col("event_id"), col("signup_event_id"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // Boolean / conditional aggregate surface: count_if, every, any,
+    // plus a DETERMINISTIC any_value stand-in (min) — the grab-bag the
+    // SQL spec calls "filtered and boolean aggregates".
+    "a22_bool_aggs" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("count_if(l_quantity > 25)").as("n_big"),
+          expr("every(l_quantity > 0)").as("all_positive"),
+          expr("any(l_discount > 0.09)").as("any_deep_discount"),
+          min(col("l_orderkey")).as("det_any_order"))
+        .orderBy("l_returnflag")
+    },
+
     // Gaps-and-islands: per-user activity streaks via the day − rank
     // anchor trick (one window pass over DISTINCT (user, day), two tiny
     // rollups — never the raw events twice).
@@ -751,6 +781,20 @@ object WorkloadQueries {
         |)
         |SELECT v, CAST(min(hop) AS INTEGER) AS hops
         |FROM r GROUP BY v ORDER BY v""".stripMargin,
+    "x27_asof_tolerance" ->
+      """SELECT c.user_id, c.event_id, s.event_id AS signup_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON c.user_id = s.user_id AND c.ts >= s.ts
+        |WHERE c.ts - s.ts <= INTERVAL 7 DAY
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
+    "a22_bool_aggs" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) FILTER (l_quantity > 25) AS n_big,
+        |  bool_and(l_quantity > 0) AS all_positive,
+        |  bool_or(l_discount > 0.09) AS any_deep_discount,
+        |  CAST(MIN(l_orderkey) AS BIGINT) AS det_any_order
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "x26_asof_forward" ->
       """SELECT c.user_id, c.event_id,
         |  date_trunc('second', c.ts) AS click_ts,
