@@ -73,6 +73,34 @@ object EventAnalytics {
         sum(col("new_users")).over(w).as("cum_users"))
   }
 
+  /** Time-bounded funnel: like [[funnel3]], but each step must follow the
+    * previous within `windowSecs` — the product-analytics standard
+    * ("converted within N hours"), and the semantics unbounded funnels
+    * silently overstate. Same scale shape: per-user min-aggregates, only
+    * per-user scalars flow between stages.
+    */
+  def windowedFunnel3(events: DataFrame, s1: String, s2: String, s3: String,
+                      windowSecs: Long): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"), col("ts_sec"))
+    val bound = expr(s"INTERVAL $windowSecs SECOND")
+    val t1 = ev.where(col("event_type") === s1)
+      .groupBy("user_id").agg(min(col("ts_sec")).as("t1"))
+    val t2 = t1.join(ev.where(col("event_type") === s2), Seq("user_id"))
+      .where(col("ts_sec") > col("t1") && col("ts_sec") <= col("t1") + bound)
+      .groupBy("user_id").agg(min(col("ts_sec")).as("t2"))
+    val t3 = t2.join(ev.where(col("event_type") === s3), Seq("user_id"))
+      .where(col("ts_sec") > col("t2") && col("ts_sec") <= col("t2") + bound)
+      .groupBy("user_id").agg(min(col("ts_sec")).as("t3"))
+    val n1 = t1.agg(count(lit(1)).as("n_users")).withColumn("step", lit(1))
+      .withColumn("event_type", lit(s1))
+    val n2 = t2.agg(count(lit(1)).as("n_users")).withColumn("step", lit(2))
+      .withColumn("event_type", lit(s2))
+    val n3 = t3.agg(count(lit(1)).as("n_users")).withColumn("step", lit(3))
+      .withColumn("event_type", lit(s3))
+    n1.unionByName(n2).unionByName(n3)
+      .select(col("step"), col("event_type"), col("n_users"))
+  }
+
   /** Market-basket co-occurrence with lift: baskets are (user_id, day),
     * items are the event types seen in the basket. For every unordered
     * type pair ta < tb: the pair's basket support and

@@ -158,6 +158,41 @@ object WorkloadQueries {
         .orderBy("change_type")
     },
 
+    // Time-bounded funnel: each step within 6 hours of the previous —
+    // the "converted within N hours" semantics unbounded funnels (fn1)
+    // silently overstate.
+    "fn2_windowed_funnel" -> { (spark, dir) =>
+      EventAnalytics.windowedFunnel3(Tables.events(spark, dir),
+        "view", "click", "purchase", windowSecs = 21600L)
+        .orderBy("step")
+    },
+
+    // Integer token-budget apportionment by corpus mass (largest
+    // remainder / Hamilton method): exact floor shares + the remainder
+    // distributed by fractional rank — sums to the budget EXACTLY, the
+    // property a float-weighted allocation cannot guarantee. The rank
+    // window runs over |sources| rows, not the corpus.
+    "dm3_budget_apportion" -> { (spark, dir) =>
+      val budget = 1000000L
+      val w = Tables.documents(spark, dir)
+        .groupBy("source").agg(sum(col("n_chars")).as("mass"))
+      val tot = w.agg(sum(col("mass")).as("t"))
+      val ideal = w.crossJoin(broadcast(tot))
+        .select(col("source"), col("mass"),
+          expr(s"(mass * ${budget}L) div t").as("fl"),
+          expr(s"(mass * ${budget}L) % t").as("rem"))
+      val rk = Window.orderBy(col("rem").desc, col("source"))
+      val leftover = Window.partitionBy()
+      ideal
+        .select(col("source"), col("mass"), col("fl"), col("rem"),
+          row_number().over(rk).as("rk"),
+          (lit(budget) - sum(col("fl")).over(leftover)).as("leftover"))
+        .select(col("source"), col("mass"),
+          (col("fl") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .as("tokens"))
+        .orderBy("source")
+    },
+
     // --- Behavioral / sequence analytics ---
     "mb1_cooccurrence" -> { (spark, dir) =>
       EventAnalytics.cooccurrenceLift(Tables.events(spark, dir))
@@ -718,6 +753,48 @@ object WorkloadQueries {
         |    SELECT 1 FROM late l3
         |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "fn2_windowed_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(date_trunc('second', ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, MIN(date_trunc('second', e.ts)) AS t2
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click'
+        |    AND date_trunc('second', e.ts) > v.t1
+        |    AND date_trunc('second', e.ts) <= v.t1 + INTERVAL 6 HOUR
+        |  GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, MIN(date_trunc('second', e.ts)) AS t3
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND date_trunc('second', e.ts) > c.t2
+        |    AND date_trunc('second', e.ts) <= c.t2 + INTERVAL 6 HOUR
+        |  GROUP BY 1
+        |)
+        |SELECT 1 AS step, 'view' AS event_type,
+        |  (SELECT COUNT(*) FROM v) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+        |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM p)
+        |ORDER BY step""".stripMargin,
+    "dm3_budget_apportion" ->
+      """WITH w AS (
+        |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass
+        |  FROM documents GROUP BY 1
+        |), tot AS (SELECT SUM(mass) AS t FROM w),
+        |ideal AS (
+        |  SELECT source, mass, (mass * 1000000) // t AS fl,
+        |    (mass * 1000000) % t AS rem
+        |  FROM w CROSS JOIN tot
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+        |    1000000 - SUM(fl) OVER () AS leftover
+        |  FROM ideal
+        |)
+        |SELECT source, mass,
+        |  CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS tokens
+        |FROM ranked ORDER BY source""".stripMargin,
     "mb1_cooccurrence" ->
       """WITH basket AS (
         |  SELECT DISTINCT user_id,
