@@ -1,0 +1,371 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Packing
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Decision-support plan shapes beyond tq5/tq10/tq21, plus exact model-
+  * evaluation analytics (AUC, decile lift) computed relationally.
+  *
+  * The TPC-H-shaped queries each exercise a DISTINCT planner stress:
+  * tq7 a disjunctive cross-dimension predicate, tq13 an outer join with
+  * a join-condition filter feeding a double aggregation, tq14 a
+  * conditional-share single row, tq15 a max-of-aggregate selection,
+  * tq16 an anti-excluded distinct count, tq18 a HAVING-filtered
+  * aggregate driving the fact join, tq22 a scalar-aggregate comparison
+  * plus anti join. All revenue arithmetic uses the shared exact integer
+  * encodings (QueryExprs.revQ / round-cents), so every cutoff and share
+  * is bit-identical vs the DuckDB oracle.
+  *
+  * ml1/ml2 are the "is this filter predictive?" primitives a training-
+  * data pipeline runs constantly (quality-score vs downstream label):
+  * exact Mann–Whitney AUC via the distributed two-pass prefix sum
+  * (Packing.prefixSum — no single-partition global window), and decile
+  * lift via broadcast percentile thresholds (no global ntile sort).
+  */
+object DecisionQueries {
+
+  private def revQ = QueryExprs.revQ
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q7 shape: bilateral trade volume between a fixed nation set —
+    // the disjunctive (n1, n2) predicate Catalyst must NOT turn into a
+    // cartesian. Both nation sides are filtered tiny and broadcast;
+    // lineitem shuffles once on l_orderkey to meet orders.
+    "tq7_cross_nation_volume" -> { (spark, dir) =>
+      val nat = Seq("NATION_0", "NATION_1", "NATION_2")
+      val n1 = Tables.nation(spark, dir).where(col("n_name").isin(nat: _*))
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(spark, dir).where(col("n_name").isin(nat: _*))
+        .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      val s = Tables.supplier(spark, dir).join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .select("s_suppkey", "supp_nation")
+      val c = Tables.customer(spark, dir).join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .select("c_custkey", "cust_nation")
+      val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+      val l = Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      l.join(s, col("s_suppkey") === col("l_suppkey"))
+        .join(o, col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("c_custkey") === col("o_custkey"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+        .agg((sum(revQ).cast(DoubleType) / 1000000.0).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // Q13 shape: customer order-count distribution. The filter lives in
+    // the JOIN CONDITION of the outer join (not a WHERE — that would
+    // turn it inner), and the aggregate of an aggregate is the
+    // histogram. Zero-order customers survive with c_count = 0.
+    "tq13_order_distribution" -> { (spark, dir) =>
+      val c = Tables.customer(spark, dir).select("c_custkey")
+      val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderpriority")
+      c.join(o,
+          col("o_custkey") === col("c_custkey") &&
+            col("o_orderpriority") =!= "4-NOT SPECIFIED",
+          "left")
+        .groupBy("c_custkey")
+        // count(col) counts non-null only: unmatched customers get 0
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // Q14 shape: promo revenue share for one month — two conditional
+    // exact-integer sums, ONE double division at the end. part is a dim
+    // (200 rows/sf0.001) and broadcasts into the month-filtered fact.
+    "tq14_promo_revenue" -> { (spark, dir) =>
+      val p = Tables.part(spark, dir).select("p_partkey", "p_type")
+      Tables.lineitem(spark, dir)
+        .where(col("l_shipdate") >= lit("1999-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-04-01").cast("timestamp"))
+        .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", revQ).otherwise(lit(0).cast(DecimalType(38, 0))))
+            .as("promo"),
+          sum(revQ).as("total"))
+        .select(
+          ((lit(100.0) * col("promo").cast(DoubleType)) / col("total").cast(DoubleType))
+            .as("promo_revenue_pct"))
+    },
+
+    // Q15 shape: the supplier(s) with MAX quarterly revenue — an
+    // aggregate feeding a scalar-max selection back onto itself. The
+    // max is a 1-row broadcast; the equality join on exact DECIMAL
+    // revenue keeps ties (the spec's correctness trap) instead of
+    // arbitrarily picking one.
+    "tq15_top_supplier" -> { (spark, dir) =>
+      val rev = Tables.lineitem(spark, dir)
+        .where(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sum(revQ).as("r"))
+      val mx = rev.agg(max(col("r")).as("mx"))
+      rev.join(broadcast(mx), col("r") === col("mx"))
+        .join(Tables.supplier(spark, dir), col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("r").cast(DoubleType) / 1000000.0).as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+
+    // Q16 shape: supplier variety per part segment, minus an excluded
+    // supplier list (NOT IN → broadcast anti join) — distinct-count
+    // after exclusion. lineitem stands in for partsupp (the testdata
+    // ships no partsupp table; l_partkey × l_suppkey carries the same
+    // relationship).
+    "tq16_supplier_variety" -> { (spark, dir) =>
+      val sizes = Seq(1, 5, 10, 15, 20, 25, 30, 35)
+      val p = Tables.part(spark, dir)
+        .where(col("p_brand") =!= "Brand#1" && col("p_size").isin(sizes: _*))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val bad = Tables.supplier(spark, dir).where(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+        .join(broadcast(bad), col("s_suppkey") === col("l_suppkey"), "left_anti")
+        .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+
+    // Q18 shape: large-volume orders — the HAVING-filtered aggregate IS
+    // the driving relation (no second lineitem pass to re-derive the
+    // qty the subquery already computed). l_quantity holds integer
+    // values, so its double sum is exact and the >300 cut is safe.
+    "tq18_large_orders" -> { (spark, dir) =>
+      val qty = Tables.lineitem(spark, dir)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .where(col("total_qty") > 300.0)
+      Tables.orders(spark, dir)
+        .join(qty, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    // Q22 shape: positive-balance customers above the mean balance with
+    // no recent orders. The "above average" comparison is the exact
+    // integer cross-multiply cents·n > Σcents — no double division
+    // anywhere near the filter — and "no recent orders" is an anti
+    // join against the date-filtered orders.
+    "tq22_idle_capital" -> { (spark, dir) =>
+      val pos = Tables.customer(spark, dir).where(col("c_acctbal") > 0)
+        .select(col("c_custkey"), col("c_nationkey"),
+          round(col("c_acctbal") * 100).cast(LongType).as("cents"))
+      val st = pos.agg(sum(col("cents")).as("tot"), count(lit(1)).as("n"))
+      val recent = Tables.orders(spark, dir)
+        .where(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+      pos.crossJoin(broadcast(st))
+        .where(col("cents") * col("n") > col("tot"))
+        .join(recent, col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          (sum(col("cents")).cast(DoubleType) / 100.0).as("totacctbal"))
+        .orderBy("c_nationkey")
+    },
+
+    // Exact Mann–Whitney AUC of order price predicting fulfilled
+    // status. U counts (pos, neg) pairs ordered correctly (ties worth
+    // ½): group to one row per distinct score with pos/neg counts, then
+    // a DISTRIBUTED prefix sum of negatives in score order (the
+    // Packing.prefixSum two-pass — a naive SUM() OVER (ORDER BY score)
+    // is a single-partition sort at corpus scale). Everything is exact
+    // integers in DECIMAL accumulators until the one final division;
+    // doubled-U (2·below + ties) keeps the ½-tie credit integral.
+    "ml1_auc" -> { (spark, dir) =>
+      val dec = DecimalType(38, 0)
+      val scored = Tables.orders(spark, dir)
+        .groupBy(round(col("o_totalprice") * 100).cast(LongType).as("c"))
+        .agg(
+          expr("count_if(o_orderstatus = 'F')").as("npos"),
+          expr("count_if(o_orderstatus <> 'F')").as("nneg"))
+      val cum = Packing.prefixSum(scored, Seq(col("c")), col("nneg"), "cumneg")
+      cum.agg(
+          sum(col("npos")).as("np"),
+          sum(col("nneg")).as("nn"),
+          sum(col("npos").cast(dec) *
+            (lit(2) * (col("cumneg") - col("nneg")) + col("nneg")).cast(dec)).as("u2"))
+        .select(
+          col("np").as("n_pos"), col("nn").as("n_neg"),
+          (col("u2").cast(DoubleType) /
+            (lit(2.0) * col("np").cast(DoubleType) * col("nn").cast(DoubleType))).as("auc"))
+    },
+
+    // Decile lift table for the same score/label pair: decile
+    // boundaries come from exact rank selection over the grouped-by-
+    // score relation (the a12 integer-ceil formula on a DISTRIBUTED
+    // prefix sum of counts — no global ntile sort over raw rows), then
+    // the 9 thresholds broadcast back onto the grouped relation. Equal
+    // scores always land in the same decile — a promise ntile cannot
+    // make. Lift is an exact integer cross-product ratio with one
+    // double division.
+    "ml2_decile_lift" -> { (spark, dir) =>
+      val g = Tables.orders(spark, dir)
+        .groupBy(round(col("o_totalprice") * 100).cast(LongType).as("c"))
+        .agg(count(lit(1)).as("m"), expr("count_if(o_orderstatus = 'F')").as("p"))
+      // crank = inclusive cumulative row count in score order; n = total
+      val ranked = Packing.prefixSum(g, Seq(col("c")), col("m"), "crank")
+        .localCheckpoint(eager = false) // two consumers below
+      val st = broadcast(ranked.agg(sum(col("m")).as("n_all"), sum(col("p")).as("pos_all")))
+      // threshold t_d = value at sorted position ceil(d·n/10): the
+      // smallest score whose cumulative count reaches the boundary
+      val th = ranked.crossJoin(st)
+        .select(col("c"), col("crank"),
+          explode(sequence(lit(1L), lit(9L))).as("d"), col("n_all"))
+        .where(col("crank") >= expr("(d * n_all + 9L) div 10L"))
+        .groupBy("d").agg(min(col("c")).as("t"))
+      ranked.crossJoin(broadcast(th))
+        .groupBy("c")
+        .agg(min(col("m")).as("m1"), min(col("p")).as("p1"),
+          sum(when(col("t") < col("c"), 1L).otherwise(0L)).as("bucket"))
+        .groupBy("bucket")
+        .agg(sum(col("m1")).as("n"), sum(col("p1")).as("n_pos"))
+        .crossJoin(st)
+        .select(col("bucket"), col("n"), col("n_pos"),
+          ((col("n_pos") * col("n_all")).cast(DoubleType) /
+            (col("n") * col("pos_all")).cast(DoubleType)).as("lift"))
+        .orderBy("bucket")
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "tq7_cross_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |    * (10000 - CAST(floor(l_discount * 10000) AS BIGINT))) AS DOUBLE)
+        |    / 1000000.0 AS revenue
+        |FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |WHERE n1.n_name IN ('NATION_0', 'NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_0', 'NATION_1', 'NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "tq13_order_distribution" ->
+      """WITH c_orders AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON o_custkey = c_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM c_orders GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "tq14_promo_revenue" ->
+      """WITH t AS (
+        |  SELECT
+        |    SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |        * (10000 - CAST(floor(l_discount * 10000) AS BIGINT))
+        |      ELSE 0 END) AS promo,
+        |    SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |      * (10000 - CAST(floor(l_discount * 10000) AS BIGINT))) AS total
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1999-03-01'
+        |    AND l_shipdate < TIMESTAMP '1999-04-01')
+        |SELECT (100.0 * CAST(promo AS DOUBLE)) / CAST(total AS DOUBLE)
+        |  AS promo_revenue_pct
+        |FROM t""".stripMargin,
+    "tq15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |      * (10000 - CAST(floor(l_discount * 10000) AS BIGINT))) AS r
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+        |    AND l_shipdate < TIMESTAMP '1999-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(r AS DOUBLE) / 1000000.0 AS total_revenue
+        |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE r = (SELECT max(r) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "tq16_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "tq18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  total_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "tq22_idle_capital" ->
+      """WITH pos AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer WHERE c_acctbal > 0),
+        |st AS (SELECT sum(cents) AS tot, count(*) AS n FROM pos)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(cents) AS DOUBLE) / 100.0 AS totacctbal
+        |FROM pos, st
+        |WHERE cents * n > tot
+        |  AND c_custkey NOT IN (
+        |    SELECT o_custkey FROM orders
+        |    WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ml1_auc" ->
+      """WITH s AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+        |    count(*) FILTER (WHERE o_orderstatus = 'F') AS npos,
+        |    count(*) FILTER (WHERE o_orderstatus <> 'F') AS nneg
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT npos, nneg,
+        |    coalesce(sum(nneg) OVER (ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM s)
+        |SELECT CAST(sum(npos) AS BIGINT) AS n_pos,
+        |  CAST(sum(nneg) AS BIGINT) AS n_neg,
+        |  CAST(sum(npos * (2 * below + nneg)) AS DOUBLE)
+        |    / (2.0 * CAST(sum(npos) AS DOUBLE) * CAST(sum(nneg) AS DOUBLE))
+        |    AS auc
+        |FROM p""".stripMargin,
+    "ml2_decile_lift" ->
+      """WITH g AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+        |    count(*) AS m,
+        |    count(*) FILTER (WHERE o_orderstatus = 'F') AS p
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT c, m, p,
+        |    sum(m) OVER (ORDER BY c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS crank,
+        |    sum(m) OVER () AS n_all
+        |  FROM g),
+        |th AS (
+        |  SELECT d, min(c) AS t
+        |  FROM r, (SELECT unnest(range(1, 10)) AS d)
+        |  WHERE crank >= (d * n_all + 9) // 10
+        |  GROUP BY d),
+        |st AS (SELECT sum(m) AS n_all, sum(p) AS pos_all FROM g),
+        |b AS (
+        |  SELECT r.c, min(r.m) AS m1, min(r.p) AS p1,
+        |    CAST(sum(CASE WHEN th.t < r.c THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS bucket
+        |  FROM r CROSS JOIN th GROUP BY r.c)
+        |SELECT bucket, CAST(sum(m1) AS BIGINT) AS n,
+        |  CAST(sum(p1) AS BIGINT) AS n_pos,
+        |  CAST(sum(p1) * (SELECT n_all FROM st) AS DOUBLE)
+        |    / CAST(sum(m1) * (SELECT pos_all FROM st) AS DOUBLE) AS lift
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+  )
+}
