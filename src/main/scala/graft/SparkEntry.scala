@@ -32,12 +32,14 @@ object SparkEntry {
       graft.queries.AnalyticsQueries.queries ++ graft.queries.PipelineQueries.queries ++
       graft.queries.SurfaceQueries.queries ++ graft.queries.TrainingDataQueries.queries ++
       graft.queries.ScaleOpsQueries.queries ++ graft.queries.WorkloadQueries.queries ++
-      graft.queries.DecisionQueries.queries
+      graft.queries.DecisionQueries.queries ++
+      graft.queries.ExperimentQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.ReferenceQueries.oracles ++ graft.queries.ExtensionQueries.oracles ++
       graft.queries.AnalyticsQueries.oracles ++ graft.queries.PipelineQueries.oracles ++
       graft.queries.SurfaceQueries.oracles ++ graft.queries.TrainingDataQueries.oracles ++
       graft.queries.ScaleOpsQueries.oracles ++ graft.queries.WorkloadQueries.oracles ++
-      graft.queries.DecisionQueries.oracles
+      graft.queries.DecisionQueries.oracles ++
+      graft.queries.ExperimentQueries.oracles
 }

@@ -1,0 +1,312 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Packing
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Experimentation & distribution-drift analytics — the statistical
+  * monitoring layer a 100 TB training-data pipeline runs on every
+  * ingest batch: "does this source still look like the corpus?" (KS),
+  * "how concentrated is the data?" (Gini), "did the experiment move the
+  * metric?" (two-proportion z), "are these factors independent?"
+  * (chi-square), and behavioral segmentation (RFM).
+  *
+  * Numeric discipline (SCALE.md): every statistic is exact-integer until
+  * ONE trailing double formula whose expression tree is written
+  * identically in the DuckDB oracle. Global ranks/CDFs never use a
+  * partition-less window — they run through the distributed two-pass
+  * prefix sum (Packing.prefixSum) over the grouped-by-value relation,
+  * which is also the 100 TB shape (the grouped relation is |distinct
+  * values|, not |rows|).
+  */
+object ExperimentQueries {
+
+  private val dec = DecimalType(38, 0)
+
+  /** Exact discrete median of `valueCol` (the a12 rank-selection rule,
+    * position ceil(n/2)) computed on the grouped-by-value relation via
+    * the distributed prefix sum. Returns a 1-row frame `(outCol)`.
+    */
+  private def medianDisc(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+    val g = df.groupBy(col(valueCol).as("__v")).agg(count(lit(1)).as("__m"))
+    val ranked = Packing.prefixSum(g, Seq(col("__v")), col("__m"), "__crank")
+    val tot = ranked.agg(sum(col("__m")).as("__n"))
+    ranked.crossJoin(broadcast(tot))
+      .where(col("__crank") >= expr("(__n + 1L) div 2L"))
+      .agg(min(col("__v")).as(outCol))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Kolmogorov–Smirnov drift test: does src0's length distribution
+    // match the rest of the corpus? The two CDFs are exact-integer
+    // prefix sums over the grouped value axis; the KS distance
+    // |F_a − F_b| is compared as the cross-multiplied integer
+    // |cum_a·n_b − cum_b·n_a| (no float until the final division), so
+    // the argmax value is deterministic.
+    "ks1_source_drift" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val g = docs
+        .groupBy(col("n_chars").as("v"))
+        .agg(
+          expr("count_if(source = 'src0')").as("ca"),
+          expr("count_if(source <> 'src0')").as("cb"))
+      val cums = Packing.prefixSum(
+        Packing.prefixSum(g, Seq(col("v")), col("ca"), "cuma"),
+        Seq(col("v")), col("cb"), "cumb")
+        .localCheckpoint(eager = false) // consumed by totals + argmax below
+      val tot = broadcast(cums.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb")))
+      val diffs = cums.crossJoin(tot)
+        .select(col("v"), col("na"), col("nb"),
+          abs(col("cuma") * col("nb") - col("cumb") * col("na")).as("d"))
+      val mx = broadcast(diffs.agg(max(col("d")).as("mx")))
+      diffs.crossJoin(mx)
+        .where(col("d") === col("mx"))
+        .groupBy("na", "nb", "mx")
+        .agg(min(col("v")).as("ks_at"))
+        .select(col("na").as("n_a"), col("nb").as("n_b"), col("ks_at"),
+          (col("mx").cast(DoubleType) /
+            (col("na").cast(DoubleType) * col("nb").cast(DoubleType))).as("ks_stat"))
+    },
+
+    // Gini concentration of document length — "how unequal is the
+    // corpus's mass across documents?" (source-skew monitoring). Uses
+    // the sorted-rank identity G = 2·Σ(rank·x) / (n·Σx) − (n+1)/n with
+    // rank sums per value group derived EXACTLY from the inclusive
+    // prefix count: Σranks(group) = m·crank − m(m−1)/2.
+    "gini1_length_concentration" -> { (spark, dir) =>
+      val g = Tables.documents(spark, dir)
+        .groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("m"))
+      val ranked = Packing.prefixSum(g, Seq(col("v")), col("m"), "crank")
+      ranked
+        .select(col("v"), col("m"),
+          (col("m") * col("crank") - expr("(m * (m - 1L)) div 2L")).as("rsum"))
+        .agg(
+          sum(col("m")).as("n"),
+          sum(col("v").cast(dec) * col("m").cast(dec)).as("t"),
+          sum(col("v").cast(dec) * col("rsum").cast(dec)).as("s"))
+        .select(
+          col("n").as("n_docs"),
+          col("t").cast(LongType).as("total_chars"),
+          ((lit(2.0) * col("s").cast(DoubleType)) /
+            (col("n").cast(DoubleType) * col("t").cast(DoubleType)) -
+            (col("n").cast(DoubleType) + 1.0) / col("n").cast(DoubleType)).as("gini"))
+    },
+
+    // Two-proportion z-test: did variant A (even user ids) convert
+    // better than variant B? Per-user conversion first (event counts
+    // would double-count loyal users). The conversion predicate is
+    // more-purchases-than-errors — a per-user comparison that actually
+    // varies (every fixture user has ≥1 raw purchase, which would
+    // degenerate p̂ to 1 and the z denominator to 0/0 → NULL).
+    "ab1_conversion_ztest" -> { (spark, dir) =>
+      val perUser = Tables.events(spark, dir)
+        .groupBy(col("user_id"))
+        .agg(when(
+          expr("count_if(event_type = 'purchase')") >
+            expr("count_if(event_type = 'error')"), 1L).otherwise(0L).as("conv"))
+        .select((col("user_id") % 2 === 0).as("variant_a"), col("conv"))
+      perUser
+        .agg(
+          expr("count_if(variant_a)").as("na"),
+          sum(when(col("variant_a"), col("conv")).otherwise(0L)).as("xa"),
+          expr("count_if(NOT variant_a)").as("nb"),
+          sum(when(!col("variant_a"), col("conv")).otherwise(0L)).as("xb"))
+        .select(col("na"), col("xa"), col("nb"), col("xb"),
+          ((col("xa").cast(DoubleType) / col("na").cast(DoubleType) -
+            col("xb").cast(DoubleType) / col("nb").cast(DoubleType)) /
+            sqrt(
+              ((col("xa") + col("xb")).cast(DoubleType) /
+                (col("na") + col("nb")).cast(DoubleType)) *
+                (lit(1.0) - (col("xa") + col("xb")).cast(DoubleType) /
+                  (col("na") + col("nb")).cast(DoubleType)) *
+                (lit(1.0) / col("na").cast(DoubleType) +
+                  lit(1.0) / col("nb").cast(DoubleType)))).as("z"))
+    },
+
+    // Chi-square contingency cells: event type × ISO weekday. Expected
+    // counts and per-cell contributions stay as exact integer products
+    // inside one double division per cell — emitted PER CELL (35 rows),
+    // never summed across cells in floating point (summation order is
+    // engine-dependent; a per-cell table is both deterministic and more
+    // useful for diagnosis). weekday()+1 == DuckDB's isodow.
+    "chi1_contingency" -> { (spark, dir) =>
+      val obs = Tables.events(spark, dir)
+        .groupBy(col("event_type"), expr("weekday(to_date(ts_sec)) + 1").as("dow"))
+        .agg(count(lit(1)).as("o"))
+      val rowT = obs.groupBy("event_type").agg(sum(col("o")).as("r"))
+      val colT = obs.groupBy("dow").agg(sum(col("o")).as("c"))
+      val tot = obs.agg(sum(col("o")).as("n"))
+      obs
+        .join(broadcast(rowT), Seq("event_type"))
+        .join(broadcast(colT), Seq("dow"))
+        .crossJoin(broadcast(tot))
+        .select(col("event_type"), col("dow"), col("o"),
+          ((col("r") * col("c")).cast(DoubleType) / col("n").cast(DoubleType))
+            .as("expected"),
+          (((col("o") * col("n") - col("r") * col("c")).cast(dec) *
+            (col("o") * col("n") - col("r") * col("c")).cast(dec)).cast(DoubleType) /
+            (col("n").cast(dec) * col("r").cast(dec) * col("c").cast(dec))
+              .cast(DoubleType)).as("contrib"))
+        .orderBy("event_type", "dow")
+    },
+
+    // RFM segmentation: users split at the exact discrete median of
+    // recency / frequency / monetary (three medians over the per-user
+    // aggregate — |users| rows, not |events| — each via the distributed
+    // prefix sum; thresholds broadcast back as one 1×3 row). Segment
+    // codes order R→F→M, '1' = at-or-better-than median.
+    "rfm1_segments" -> { (spark, dir) =>
+      val maxDay = Tables.events(spark, dir)
+        .agg(max(to_date(col("ts_sec"))).as("d0"))
+      val perUser = Tables.events(spark, dir)
+        .groupBy("user_id")
+        .agg(
+          max(to_date(col("ts_sec"))).as("last_day"),
+          count(lit(1)).as("freq"),
+          sum(round(col("value") * 100).cast(LongType)).as("mon"))
+        .crossJoin(broadcast(maxDay))
+        .select(col("user_id"),
+          datediff(col("d0"), col("last_day")).cast(LongType).as("rec"),
+          col("freq"), col("mon"))
+        .localCheckpoint(eager = false) // feeds three medians + the join
+      val th = broadcast(
+        medianDisc(perUser, "rec", "rmed")
+          .crossJoin(medianDisc(perUser, "freq", "fmed"))
+          .crossJoin(medianDisc(perUser, "mon", "mmed")))
+      perUser.crossJoin(th)
+        .select(
+          concat(
+            when(col("rec") <= col("rmed"), "R1").otherwise("R0"),
+            when(col("freq") >= col("fmed"), "F1").otherwise("F0"),
+            when(col("mon") >= col("mmed"), "M1").otherwise("M0")).as("segment"),
+          col("mon"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_users"),
+          (sum(col("mon")).cast(DoubleType) / 100.0).as("total_monetary"))
+        .orderBy("segment")
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ks1_source_drift" ->
+      """WITH g AS (
+        |  SELECT n_chars AS v,
+        |    count(*) FILTER (WHERE source = 'src0') AS ca,
+        |    count(*) FILTER (WHERE source <> 'src0') AS cb
+        |  FROM documents GROUP BY 1),
+        |c AS (
+        |  SELECT v,
+        |    sum(ca) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    sum(cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+        |    sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+        |  FROM g),
+        |d AS (
+        |  SELECT v, na, nb, abs(cuma * nb - cumb * na) AS d FROM c)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  min(v) AS ks_at,
+        |  CAST(d AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+        |    AS ks_stat
+        |FROM d
+        |WHERE d = (SELECT max(d) FROM d)
+        |GROUP BY na, nb, d""".stripMargin,
+    "gini1_length_concentration" ->
+      """WITH g AS (
+        |  SELECT n_chars AS v, count(*) AS m FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT v, m,
+        |    sum(m) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS crank
+        |  FROM g),
+        |s AS (
+        |  SELECT sum(m) AS n, sum(v * m) AS t,
+        |    sum(v * (m * crank - (m * (m - 1)) // 2)) AS s
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_docs, CAST(t AS BIGINT) AS total_chars,
+        |  (2.0 * CAST(s AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+        |    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+        |FROM s""".stripMargin,
+    "ab1_conversion_ztest" ->
+      """WITH u AS (
+        |  SELECT user_id % 2 = 0 AS variant_a,
+        |    CASE WHEN count(*) FILTER (WHERE event_type = 'purchase')
+        |      > count(*) FILTER (WHERE event_type = 'error')
+        |      THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY user_id),
+        |s AS (
+        |  SELECT
+        |    count(*) FILTER (WHERE variant_a) AS na,
+        |    CAST(sum(CASE WHEN variant_a THEN conv ELSE 0 END) AS BIGINT) AS xa,
+        |    count(*) FILTER (WHERE NOT variant_a) AS nb,
+        |    CAST(sum(CASE WHEN NOT variant_a THEN conv ELSE 0 END) AS BIGINT) AS xb
+        |  FROM u)
+        |SELECT na, xa, nb, xb,
+        |  (CAST(xa AS DOUBLE) / CAST(na AS DOUBLE)
+        |    - CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |  / sqrt(
+        |      (CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |      * (1.0 - CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |      * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))) AS z
+        |FROM s""".stripMargin,
+    "chi1_contingency" ->
+      """WITH obs AS (
+        |  SELECT event_type,
+        |    isodow(CAST(date_trunc('second', ts) AS DATE)) AS dow,
+        |    count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, sum(o) AS r FROM obs GROUP BY 1),
+        |ct AS (SELECT dow, sum(o) AS c FROM obs GROUP BY 1),
+        |t AS (SELECT sum(o) AS n FROM obs)
+        |SELECT obs.event_type, obs.dow, CAST(o AS BIGINT) AS o,
+        |  CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+        |  CAST((o * n - r * c) * (o * n - r * c) AS DOUBLE)
+        |    / CAST(n * r * c AS DOUBLE) AS contrib
+        |FROM obs JOIN rt ON rt.event_type = obs.event_type
+        |  JOIN ct ON ct.dow = obs.dow, t
+        |ORDER BY obs.event_type, obs.dow""".stripMargin,
+    "rfm1_segments" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    date_diff('day',
+        |      max(CAST(date_trunc('second', ts) AS DATE)),
+        |      (SELECT max(CAST(date_trunc('second', ts) AS DATE)) FROM events))
+        |      AS rec,
+        |    count(*) AS freq,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mon
+        |  FROM events GROUP BY user_id),
+        |med AS (
+        |  SELECT
+        |    (SELECT v FROM (
+        |      SELECT rec AS v, count(*) AS m FROM u GROUP BY 1) g
+        |      QUALIFY sum(m) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        >= (sum(m) OVER () + 1) // 2
+        |      ORDER BY v LIMIT 1) AS rmed,
+        |    (SELECT v FROM (
+        |      SELECT freq AS v, count(*) AS m FROM u GROUP BY 1) g
+        |      QUALIFY sum(m) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        >= (sum(m) OVER () + 1) // 2
+        |      ORDER BY v LIMIT 1) AS fmed,
+        |    (SELECT v FROM (
+        |      SELECT mon AS v, count(*) AS m FROM u GROUP BY 1) g
+        |      QUALIFY sum(m) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        >= (sum(m) OVER () + 1) // 2
+        |      ORDER BY v LIMIT 1) AS mmed)
+        |SELECT
+        |  concat(
+        |    CASE WHEN rec <= rmed THEN 'R1' ELSE 'R0' END,
+        |    CASE WHEN freq >= fmed THEN 'F1' ELSE 'F0' END,
+        |    CASE WHEN mon >= mmed THEN 'M1' ELSE 'M0' END) AS segment,
+        |  count(*) AS n_users,
+        |  CAST(sum(mon) AS DOUBLE) / 100.0 AS total_monetary
+        |FROM u, med
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}
