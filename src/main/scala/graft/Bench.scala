@@ -46,6 +46,13 @@ object Bench {
       val sec =
         try { run(fn); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
+      // Drop this query's pinned blocks (localCheckpoint RDDs) before the
+      // next one: lazily-referenced checkpoints otherwise accumulate
+      // until the ContextCleaner's GC hook fires, and the growing storage
+      // memory taxes LATER queries — measured up to ~2x on the heavy
+      // dedup/similarity runs when they follow each other. Outside the
+      // timed window: this is inter-query hygiene, not query cost.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> sec
     }
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)

@@ -61,16 +61,23 @@ object SetSimilarityJoin {
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("term")))).as("ts"),
         count(lit(1)).as("n_tok"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("n_tok"),
         explode(slice(col("ts"), lit(1), prefixLen)).as("t"))
-      .select(col("doc_id"), col("t.term").as("term"))
+      .select(col("doc_id"), col("n_tok"), col("t.term").as("term"))
 
-    // Candidates: docs sharing any prefix token. Prefix tokens are the
-    // rarest per doc, so this join's per-key fanout is the smallest
-    // possible for a lossless filter.
+    // Candidates: docs sharing any prefix token, RESTRICTED by the
+    // AllPairs length filter — Jaccard >= t forces t·|A| <= |B| and
+    // t·|B| <= |A|, so size-mismatched pairs are dropped inside the
+    // join before the distinct. Prefix tokens are the rarest per doc,
+    // so this join's per-key fanout is the smallest possible for a
+    // lossless filter; the length bound then prunes what token
+    // frequency alone cannot (on low-entropy corpora the prefix sets
+    // collide far more than true near-duplicates exist).
     val cand = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n_tok") >= ceil(lit(threshold) * col("a.n_tok")) &&
+          col("a.n_tok") >= ceil(lit(threshold) * col("b.n_tok")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
