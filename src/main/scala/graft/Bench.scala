@@ -74,12 +74,13 @@ object Bench {
     spark.stop()
     // The driver captures only the LAST 2000 chars of stdout and parses the
     // JSON line found there (BENCH_r01/r02 were parsed:null because the full
-    // per-query line overflowed that window and lost its opening brace).
-    // So the FINAL line is compact: total + the 20 slowest queries — plus
-    // every failed query (-1 markers must not be buried in the detail line)
-    // and an explicit failure count.
+    // per-query line overflowed that window and lost its opening brace; r04
+    // re-broke it by appending ALL failed names — 57 failures ≈ 2.5 kB).
+    // So the FINAL line is compact and BOUNDED whatever happens: total, the
+    // failure count, at most 10 failed names, and the 20 slowest queries.
+    // The complete failed list lives in bench_detail.json (-1 markers).
     val (failed, succeeded) = results.partition(_._2 < 0)
-    val slowest = (failed ++ succeeded.sortBy(-_._2).take(20)).sortBy(_._1)
+    val slowest = (failed.take(10) ++ succeeded.sortBy(-_._2).take(20)).sortBy(_._1)
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":${failed.size},"queries":${jsonMap(slowest)},"sf":"$sfDir"}""")
   }
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's Parquet star schema (TESTDATA.md).
   *
@@ -13,15 +14,39 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; we read it as raw long nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong=true`, set in every session we
-    * build) and derive a second-precision timestamp column `ts_sec`.
-    * Queries stay at second precision so the DuckDB oracle (which reads
-    * the nanos natively) can match via `date_trunc('second', ts)`.
+  /** The fixture generator has shipped `events.ts` under two different
+    * physical parquet encodings across rounds: TIMESTAMP(NANOS) (which
+    * Spark reads as raw long nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set in every session we
+    * build) and TIMESTAMP(MICROS) (which Spark reads as TIMESTAMP_NTZ —
+    * `nanosAsLong` only affects NANOS columns). A real engine must accept
+    * either, so this is THE one place the encoding is looked at: whatever
+    * arrives, `ts` leaves as epoch NANOS as a LONG. All downstream gap /
+    * bucket arithmetic stays in exact integer nanos. The NTZ→LTZ cast is
+    * exact because every session is UTC-pinned (SURVEY.md §1); micros→nanos
+    * (×1000) is exact in a Long until year ~2262.
+    *
+    * Works on batch and streaming DataFrames alike (schema is static).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df // TIMESTAMP(NANOS) read as long nanos
+      case TimestampType | TimestampNTZType =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts arrived as unsupported type $other; expected " +
+            "LONG (nanos), TIMESTAMP or TIMESTAMP_NTZ")
+    }
+
+  /** events with `ts` normalized to long nanos (see [[normalizeEventTs]])
+    * plus a second-precision timestamp column `ts_sec`. Queries stay at
+    * second precision so the DuckDB oracle (which reads the parquet
+    * natively) can match via `date_trunc('second', ts)`.
     */
   def events(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
+    normalizeEventTs(t(spark, dir, "events"))
       .withColumn("ts_sec", expr("timestamp_seconds(ts div 1000000000)"))
 
   /** events with scan parallelism restored (same single-row-group local

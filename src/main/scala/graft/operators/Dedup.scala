@@ -519,12 +519,17 @@ object Dedup {
     val seniors = incoming
       .groupBy(sha2(col("text"), 256).as("content_hash"))
       .agg(min(col("doc_id")).as("__senior"))
+    // Pinned: three consumers (survivors, candidate-bounded shingles, the
+    // final status join) would otherwise each replay the sha2 pass over
+    // the batch AND the corpus-hash distinct+join. The relation is
+    // batch-sized — cheap to hold, expensive to re-derive.
     val flagged = incoming
       .select(col("doc_id"), col("text"), sha2(col("text"), 256).as("content_hash"))
       .join(corpusHashes.withColumn("__in_corpus", lit(true)), Seq("content_hash"), "left")
       .join(seniors, Seq("content_hash"))
       .withColumn("__exact",
         col("__in_corpus").isNotNull || col("doc_id") =!= col("__senior"))
+      .localCheckpoint()
     val survivors = flagged.where(!col("__exact"))
       .select(col("doc_id"), col("text"))
     val incBands = portableBandKeys(minHashPortable(survivors, k, numHashes), rowsPerBand)

@@ -291,14 +291,36 @@ object AnalyticsQueries {
     // Trimmed mean (5%..95%): robust aggregation by rank bounds — the
     // same exact-integer rank arithmetic as a12, decimal-exact sum, one
     // double division written identically on both engines.
+    //
+    // Rank selection is the DISTRIBUTED prefix sum (the ml2/rfm1 shape),
+    // not `row_number() OVER (PARTITION BY l_returnflag)`: the flag has 3
+    // distinct values, so the window form sorts the entire fact on 3
+    // tasks no matter the cluster size. Instead: global row numbers over
+    // the total order (flag, price, tiebreak) via range-repartition +
+    // partition-local sums, minus each flag's broadcast start offset =
+    // the same within-group ranks, parallelism bounded by partitions,
+    // not by group cardinality. Tie order inside equal prices cannot
+    // change the aggregate (tied rows straddling a bound contribute
+    // identical values either way), so the result is hash-identical to
+    // the window form and to the oracle.
     "a18_trimmed_mean" -> { (spark, dir) =>
-      val byFlag = Window.partitionBy("l_returnflag")
-      val ranked = Tables.lineitem(spark, dir)
-        .select(col("l_returnflag"), col("l_extendedprice"))
+      import graft.operators.Packing
+      val base = Tables.lineitem(spark, dir)
         .select(col("l_returnflag"), col("l_extendedprice"),
-          row_number().over(byFlag.orderBy("l_extendedprice")).as("rn"),
-          count(lit(1)).over(byFlag).as("n"))
+          (col("l_orderkey") * lit(8L) + col("l_linenumber")).as("__tb"))
+      val ranked = Packing.prefixSum(base,
+        Seq(col("l_returnflag"), col("l_extendedprice"), col("__tb")),
+        lit(1L), "__grn")
+      // 3-row offsets relation: each flag's row count and start offset in
+      // the global order (window over an aggregate, not over the fact).
+      val wFlag = Window.orderBy("l_returnflag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bounds = base.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("__start", sum(col("n")).over(wFlag) - col("n"))
       ranked
+        .join(broadcast(bounds), Seq("l_returnflag"))
+        .withColumn("rn", col("__grn") - col("__start"))
         .where(col("rn") > expr("(5L * n) div 100L") &&
           col("rn") <= expr("(95L * n) div 100L"))
         .groupBy("l_returnflag")

@@ -36,7 +36,9 @@ object DecisionQueries {
     // cartesian. Both nation sides are filtered tiny and broadcast;
     // lineitem shuffles once on l_orderkey to meet orders.
     "tq7_cross_nation_volume" -> { (spark, dir) =>
-      val nat = Seq("NATION_0", "NATION_1", "NATION_2")
+      // nation set chosen to have BOTH suppliers and customers at every
+      // fixture SF (sf0.001 has only 10 suppliers, none in nations 0-2)
+      val nat = Seq("NATION_3", "NATION_8", "NATION_12")
       val n1 = Tables.nation(spark, dir).where(col("n_name").isin(nat: _*))
         .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
       val n2 = Tables.nation(spark, dir).where(col("n_name").isin(nat: _*))
@@ -249,8 +251,8 @@ object DecisionQueries {
         |  JOIN orders ON o_orderkey = l_orderkey
         |  JOIN customer ON c_custkey = o_custkey
         |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
-        |WHERE n1.n_name IN ('NATION_0', 'NATION_1', 'NATION_2')
-        |  AND n2.n_name IN ('NATION_0', 'NATION_1', 'NATION_2')
+        |WHERE n1.n_name IN ('NATION_3', 'NATION_8', 'NATION_12')
+        |  AND n2.n_name IN ('NATION_3', 'NATION_8', 'NATION_12')
         |  AND n1.n_name <> n2.n_name
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "tq13_order_distribution" ->

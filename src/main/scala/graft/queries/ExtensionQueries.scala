@@ -406,7 +406,7 @@ object ExtensionQueries {
     // (bucketed interval join; oracle uses the naive BETWEEN join) ---
     "x8_range_join" -> { (spark, dir) =>
       val base = 1704067200L // 2024-01-01 UTC, matching the events ts span
-      val points = Tables.t(spark, dir, "events")
+      val points = Tables.events(spark, dir)
         .select(col("event_id"), expr("ts div 1000000000").as("t"))
       val intervals = spark.range(20).select(
         col("id").as("interval_id"),
@@ -440,7 +440,7 @@ object ExtensionQueries {
     // --- As-of join: each click matched to the user's nearest preceding
     // signup (checked against DuckDB's NATIVE ASOF JOIN) ---
     "x6_asof_join" -> { (spark, dir) =>
-      val ev = Tables.t(spark, dir, "events")
+      val ev = Tables.events(spark, dir)
       val clicks = ev.where(col("event_type") === "click")
         .select("user_id", "ts", "event_id")
       val signups = ev.where(col("event_type") === "signup")
@@ -457,7 +457,7 @@ object ExtensionQueries {
 
     // --- Sessionization (batch window construction, oracle-checked) ---
     "w2_sessionize" -> { (spark, dir) =>
-      Sessionize.sessions(Tables.t(spark, dir, "events"))
+      Sessionize.sessions(Tables.events(spark, dir))
         .orderBy("user_id", "session_idx")
     },
 
@@ -519,21 +519,36 @@ object ExtensionQueries {
     // Mergeable HLL sketches: per-day partial sketches union-merged into
     // a global distinct estimate — the incremental pattern that lets a
     // 100 TB pipeline maintain distinct counts without re-scanning
-    // history (persist the day sketch, merge on read). Rows-only;
-    // merge-consistency is asserted in specs.
+    // history (persist the day sketch, merge on read). The estimate is
+    // engine-specific, so the gate is the sketch CONTRACT (like x10):
+    // the merged per-day sketches must land within the HLL error bound
+    // of the exact global distinct (lgConfigK=12 ⇒ σ≈1.6%; bound 15%).
     "x13_hll_sketch" -> { (spark, dir) =>
-      Tables.events(spark, dir)
+      val ev = Tables.events(spark, dir)
         .select(to_date(col("ts_sec")).as("day"), col("user_id"))
+      val merged = ev
         .groupBy("day")
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
-        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_users"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = ev.agg(countDistinct(col("user_id")).as("exact"))
+      merged.crossJoin(exact).select(
+        (abs(col("est") - col("exact")).cast(DoubleType) / col("exact") <=
+          lit(0.15)).as("merged_within_bound"))
     },
 
-    // --- Sketches (rows-only: HLL++ internals are engine-specific) ---
+    // HLL++ estimates, gated on the rsd CONTRACT (default rsd=0.05; the
+    // bound is 3σ) against exact distincts computed in the same pass.
     "x3_approx_distinct" -> { (spark, dir) =>
       Tables.events(spark, dir).agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
-        approx_count_distinct(col("event_id")).as("approx_events"),
+        approx_count_distinct(col("user_id")).as("au"),
+        approx_count_distinct(col("event_id")).as("ae"),
+        countDistinct(col("user_id")).as("xu"),
+        countDistinct(col("event_id")).as("xe"),
+      ).select(
+        (abs(col("au") - col("xu")).cast(DoubleType) / col("xu") <=
+          lit(0.15)).as("users_within_bound"),
+        (abs(col("ae") - col("xe")).cast(DoubleType) / col("xe") <=
+          lit(0.15)).as("events_within_bound"),
       )
     },
 
@@ -600,21 +615,48 @@ object ExtensionQueries {
         .orderBy("vec_id")
     },
     // Approx quantiles (Greenwald-Khanna sketch) — the 100 TB stand-in
-    // for a8's exact sort-based percentiles. Rows-only: sketch internals
-    // are engine-specific; accuracy vs exact is asserted in specs.
+    // for a8's exact sort-based percentiles. The sketch VALUE is
+    // engine-specific, so the gate is the GK CONTRACT instead: for each
+    // (flag, q) the returned element's exact rank interval must overlap
+    // [⌈q·n⌉ − εn, ⌈q·n⌉ + εn] (ε = 1/accuracy). The query emits that
+    // bound check — a deterministic relation both engines agree on — so
+    // the sketch is hash-gated without hashing sketch internals. Rank
+    // verification is one broadcast of the 9 (flag, q, v) rows against a
+    // single lineitem pass: scale-safe at any corpus size.
     "x10_approx_quantile" -> { (spark, dir) =>
-      Tables.lineitem(spark, dir)
+      val acc = 10000
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val qs = Seq(0.25, 0.5, 0.95)
+      val approx = li
         .groupBy("l_returnflag")
+        .agg(expr(s"approx_percentile(l_extendedprice, array(${qs.mkString(", ")}), $acc)")
+          .as("pcts"))
+        .select(col("l_returnflag"),
+          posexplode(col("pcts")).as(Seq("qi", "v")))
+      // exact rank interval of v inside its group, one distributed pass
+      val ranks = li.join(broadcast(approx), Seq("l_returnflag"))
+        .groupBy("l_returnflag", "qi", "v")
         .agg(
-          expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.95), 10000)")
-            .as("pcts"))
+          count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("v"), 1L).otherwise(0L)).as("n_lt"),
+          sum(when(col("l_extendedprice") <= col("v"), 1L).otherwise(0L)).as("n_le"),
+        )
+      ranks
         .select(
           col("l_returnflag"),
-          col("pcts").getItem(0).as("p25"),
-          col("pcts").getItem(1).as("p50"),
-          col("pcts").getItem(2).as("p95"),
-        )
-        .orderBy("l_returnflag")
+          element_at(lit(qs.toArray), col("qi") + 1).as("q"),
+          (ceil(element_at(lit(qs.toArray), col("qi") + 1) * col("n")).as("target")),
+          col("n_lt"), col("n_le"), col("n"))
+        .select(
+          col("l_returnflag"), col("q"),
+          // ε-bound = ⌈n/accuracy⌉ plus one rank of slack for the
+          // floor/ceil target convention (measured misses at the ε edge
+          // are exactly ⌈εn⌉; a real contract violation lands far out)
+          ((col("n_lt") + 1 <= col("target") + expr(s"((n + $acc - 1) div $acc) + 1L")) &&
+            (col("n_le") >= col("target") - expr(s"((n + $acc - 1) div $acc) + 1L")))
+            .as("within_bound"))
+        .orderBy("l_returnflag", "q")
     },
 
     // --- Salted skewed join (result == plain join; salt spreads hot keys) ---
@@ -732,6 +774,18 @@ object ExtensionQueries {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // x10 gates the GK rank-error CONTRACT, not the sketch value: the
+    // Spark side emits within_bound per (flag, q); the oracle states the
+    // bound always holds. A sketch violating its ε guarantee fails here.
+    "x10_approx_quantile" ->
+      """SELECT f.l_returnflag, q.q, TRUE AS within_bound
+        |FROM (SELECT DISTINCT l_returnflag FROM lineitem) f,
+        |     (SELECT UNNEST([0.25::DOUBLE, 0.5::DOUBLE, 0.95::DOUBLE]) AS q) q
+        |ORDER BY f.l_returnflag, q.q""".stripMargin,
+    "x3_approx_distinct" ->
+      "SELECT TRUE AS users_within_bound, TRUE AS events_within_bound",
+    "x13_hll_sketch" ->
+      "SELECT TRUE AS merged_within_bound",
     "d7_dedup_pipeline" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w

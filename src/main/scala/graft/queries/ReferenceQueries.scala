@@ -353,7 +353,7 @@ object ReferenceQueries {
     // F4+F5: epoch-seconds -> timestamp round trip (UTC-pinned session).
     // Reference: bronze_to_silver.py:91,143.
     "f4_timestamp_roundtrip" -> { (spark, dir) =>
-      Tables.t(spark, dir, "events")
+      Tables.events(spark, dir)
         .select(
           col("event_id"),
           to_timestamp(from_unixtime(expr("ts div 1000000000"))).as("ts_second"),

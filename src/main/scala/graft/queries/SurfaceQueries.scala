@@ -264,7 +264,7 @@ object SurfaceQueries {
     // start — one shuffle, second window rides the same partitioning.
     "sess1_session_features" -> { (spark, dir) =>
       graft.operators.Sessionize
-        .eventFeatures(Tables.t(spark, dir, "events"))
+        .eventFeatures(Tables.events(spark, dir))
         .orderBy("event_id")
     },
 

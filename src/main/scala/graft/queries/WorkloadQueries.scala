@@ -207,7 +207,7 @@ object WorkloadQueries {
     // purchase (l.ts <= r.ts) — the time-to-conversion primitive; same
     // one-shuffle union-sort shape as the backward x6.
     "x26_asof_forward" -> { (spark, dir) =>
-      val ev = Tables.t(spark, dir, "events")
+      val ev = Tables.events(spark, dir)
       val clicks = ev.where(col("event_type") === "click")
         .select("user_id", "ts", "event_id")
       val purchases = ev.where(col("event_type") === "purchase")
@@ -224,7 +224,7 @@ object WorkloadQueries {
     // only counts within 7 days (market-data max-staleness semantics) —
     // a post-filter on the as-of match, same one-shuffle core.
     "x27_asof_tolerance" -> { (spark, dir) =>
-      val ev = Tables.t(spark, dir, "events")
+      val ev = Tables.events(spark, dir)
       val clicks = ev.where(col("event_type") === "click")
         .select("user_id", "ts", "event_id")
       val signups = ev.where(col("event_type") === "signup")

@@ -21,10 +21,11 @@ object EventsStream {
     */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = StreamRun.cachedSchema(spark, dir, "events.parquet")
-    spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    graft.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
       .withColumn("ts_sec", expr("timestamp_seconds(ts div 1000000000)"))
   }
 

@@ -93,10 +93,11 @@ object SessionStream {
     val schema = StreamRun.cachedSchema(spark, dir, "events.parquet")
     val name = s"closed_sessions_${runId.incrementAndGet()}"
 
-    val events: Dataset[EventIn] = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val events: Dataset[EventIn] = graft.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
       .select(col("user_id"), col("ts"), col("event_id"))
       .as[EventIn]
 
@@ -121,10 +122,11 @@ object SessionStream {
     val schema = StreamRun.cachedSchema(spark, dir, "events.parquet")
     val name = s"user_sessions_${runId.incrementAndGet()}"
 
-    val events: Dataset[EventIn] = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val events: Dataset[EventIn] = graft.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
       .select(col("user_id"), col("ts"), col("event_id"))
       .as[EventIn]
 

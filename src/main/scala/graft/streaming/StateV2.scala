@@ -76,10 +76,11 @@ object StateV2 {
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val events: Dataset[EvIn] = spark.readStream
-        .schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      val events: Dataset[EvIn] = graft.Tables.normalizeEventTs(
+        spark.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir))
         .select(col("user_id"), col("ts"), col("value"), col("event_id"))
         .as[EvIn]
 

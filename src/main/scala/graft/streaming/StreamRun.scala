@@ -48,16 +48,30 @@ object StreamRun {
       p => spark.read.parquet(p).schema)
 
   /** Run `body` (a stream start + drain) with the reduced partition
-    * count; always restores the session's previous setting.
+    * count; always restores the session's previous settings.
+    *
+    * `noDataMicroBatches=false` removes the second, empty micro-batch
+    * each drive otherwise executes after draining its data: that batch
+    * exists to advance the watermark so APPEND-mode windowed aggregates
+    * can finalize — and costs nearly a full batch lifecycle (plan, WAL,
+    * state commit). None of the engine's drives needs it for output:
+    * the windowed aggregates run in complete mode (every batch emits the
+    * full result), and the append-mode ops (dedup, stream-stream inner
+    * join, *GroupsWithState) emit within the data batch. A query that
+    * adds an append-mode windowed aggregate must re-enable it or drain
+    * forever-pending windows.
     */
   def withStreamConf[A](spark: SparkSession)(body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, StatePartitions.toString)
+    val keys = Seq(
+      "spark.sql.shuffle.partitions" -> StatePartitions.toString,
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false",
+    )
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
     try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 

@@ -231,4 +231,26 @@ class PlanSpec extends SparkSpec {
       "membership test is not a broadcast anti-join")
     assert(screened.columns.toSeq === Seq("content_hash", "keep_doc_id", "n_copies"))
   }
+
+  test("a18_trimmed_mean: rank selection is distributed, not a 3-partition window sort") {
+    // The trimmed-mean rank bounds must come from the prefix-sum rank
+    // selection (range repartition + partition-local windows), never from
+    // `row_number() OVER (PARTITION BY l_returnflag)` — that window hashes
+    // the whole fact onto 3 tasks at any cluster size. The fact-side sort
+    // must therefore be RANGE partitioned; the only acceptable hash
+    // partitioning on bare l_returnflag is the final 3-row aggregate's.
+    // Assert on the INITIAL physical plan (no collect): AQE's
+    // post-execution rendering collapses materialized stages and hides
+    // the checkpoint leaf; the initial plan shows the true shape.
+    val df = q("a18_trimmed_mean")
+    val plan = df.queryExecution.executedPlan.toString
+    // The prefix-sum path ends in a localCheckpoint, so the fact-side
+    // range partitioning is materialized behind a Scan ExistingRDD — its
+    // presence (and the absence of any row_number window) is the
+    // signature that the rank came from Packing.prefixSum.
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected checkpointed prefix-sum rank input:\n${plan.take(600)}")
+    assert(!plan.contains("row_number"),
+      "a18 must not rank via a per-flag global window")
+  }
 }

@@ -24,7 +24,7 @@ class SessionizeSpec extends SparkSpec {
   }
 
   test("streaming sessionizer agrees with batch on session counts") {
-    val batch = Sessionize.sessions(Tables.t(spark, sf0001, "events"))
+    val batch = Sessionize.sessions(Tables.events(spark, sf0001))
       .groupBy("user_id")
       .agg(max(col("session_idx")).as("n_sessions"), sum(col("n_events")).as("n_events"))
       .collect()
