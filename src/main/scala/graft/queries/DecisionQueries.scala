@@ -10,12 +10,16 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   * evaluation analytics (AUC, decile lift) computed relationally.
   *
   * The TPC-H-shaped queries each exercise a DISTINCT planner stress:
-  * tq7 a disjunctive cross-dimension predicate, tq13 an outer join with
-  * a join-condition filter feeding a double aggregation, tq14 a
-  * conditional-share single row, tq15 a max-of-aggregate selection,
-  * tq16 an anti-excluded distinct count, tq18 a HAVING-filtered
-  * aggregate driving the fact join, tq22 a scalar-aggregate comparison
-  * plus anti join. All revenue arithmetic uses the shared exact integer
+  * tq3 a top-N over a 3-way join (TakeOrdered, no global sort), tq7 a
+  * disjunctive cross-dimension predicate, tq9 a 5-way star with exact
+  * integer profit, tq12 a fact-fact conditional-count join, tq13 an
+  * outer join with a join-condition filter feeding a double
+  * aggregation, tq14 a conditional-share single row, tq15 a
+  * max-of-aggregate selection, tq16 an anti-excluded distinct count,
+  * tq17 a decorrelated per-part scalar subquery with an integer-exact
+  * half-average cutoff, tq18 a HAVING-filtered aggregate driving the
+  * fact join, tq19 the OR-of-ANDs predicate kept as one filter, tq22 a
+  * scalar-aggregate comparison plus anti join. All revenue arithmetic uses the shared exact integer
   * encodings (QueryExprs.revQ / round-cents), so every cutoff and share
   * is bit-identical vs the DuckDB oracle.
   *
@@ -174,6 +178,121 @@ object DecisionQueries {
         .orderBy("c_nationkey")
     },
 
+    // Q3 shape: shipping priority — segment-filtered customers drive
+    // orders; still-unshipped-at-cutoff lineitems aggregate per order;
+    // the global top-10 by revenue plans as TakeOrderedAndProject
+    // (per-partition heaps + driver merge), never a full sort.
+    "tq3_shipping_priority" -> { (spark, dir) =>
+      val cut = lit("1998-01-01").cast("timestamp")
+      val c = Tables.customer(spark, dir)
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables.orders(spark, dir)
+        .where(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val l = Tables.lineitem(spark, dir)
+        .where(col("l_shipdate") > cut)
+        .select(col("l_orderkey"), revQ.as("rq"))
+      l.join(o, col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("l_orderkey"),
+          to_date(col("o_orderdate")).as("odate"), col("o_orderpriority"))
+        .agg((sum(col("rq")).cast(DoubleType) / 1000000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("odate"), col("l_orderkey"))
+        .limit(10)
+    },
+
+    // Q9 shape (adapted: no partsupp fixture — unit cost proxied by
+    // p_retailprice): profit by supplier nation and order year. Part
+    // LIKE-filter and supplier/nation broadcast onto the fact; the only
+    // big-big shuffle is lineitem⋈orders on the order key. Profit stays
+    // an exact scaled integer until the final /1e6.
+    "tq9_product_profit" -> { (spark, dir) =>
+      val p = Tables.part(spark, dir)
+        .where(col("p_name").like("%gear%"))
+        .select(col("p_partkey"),
+          round(col("p_retailprice") * 100).cast(LongType).as("rp_cents"))
+      val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      val l = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          revQ.as("rq"), col("l_quantity").cast(LongType).as("ql"))
+      l.join(broadcast(p), col("p_partkey") === col("l_partkey"))
+        .join(broadcast(s), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(n), col("n_nationkey") === col("s_nationkey"))
+        .join(o, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("n_name").as("nation"), col("o_year"))
+        .agg((sum(col("rq") - col("ql") * col("rp_cents") * 10000L)
+          .cast(DoubleType) / 1000000.0).as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // Q12 shape (adapted: no l_shipmode/commitdate — lateness = shipped
+    // >60 days after the order date): late-shipment share per order
+    // priority. One fact-fact join, conditional count_if aggregation
+    // with map-side partials, and a share division written identically
+    // on both engines.
+    "tq12_late_lines" -> { (spark, dir) =>
+      val o = Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+      o.join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          expr("count_if(l_shipdate > o_orderdate + INTERVAL 60 DAYS)").as("n_late"))
+        .select(col("o_orderpriority"), col("n_lines"), col("n_late"),
+          (col("n_late").cast(DoubleType) / col("n_lines").cast(DoubleType))
+            .as("late_share"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Q17 shape: revenue locked in small-quantity lines — the
+    // decorrelated scalar subquery (per-part average quantity) joined
+    // back onto the same brand-filtered fact slice. The half-average
+    // comparison is exact integer algebra (2·q·n < Σq), so the cutoff
+    // cannot drift between engines.
+    "tq17_small_qty_revenue" -> { (spark, dir) =>
+      val p = Tables.part(spark, dir)
+        .where(col("p_brand").isin("Brand#11", "Brand#12", "Brand#13"))
+        .select("p_partkey")
+      val l = Tables.lineitem(spark, dir)
+        .select(col("l_partkey"), col("l_quantity").cast(LongType).as("ql"),
+          revQ.as("rq"))
+        .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+      val avgq = l.groupBy("l_partkey")
+        .agg(sum(col("ql")).as("sq"), count(lit(1)).as("nq"))
+      l.join(avgq, Seq("l_partkey"))
+        .where(col("ql") * 2L * col("nq") < col("sq"))
+        .agg(
+          count(lit(1)).as("n_small_lines"),
+          (sum(col("rq")).cast(DoubleType) / 1000000.0).as("small_qty_revenue"))
+    },
+
+    // Q19 shape: the disjunctive brand/size/quantity OR-blocks — the
+    // predicate Catalyst must keep as one post-join filter (plus a
+    // derivable p_partkey IsNotNull pushdown) rather than exploding
+    // into a union of three scans.
+    "tq19_disjunctive_revenue" -> { (spark, dir) =>
+      val p = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+      val l = Tables.lineitem(spark, dir)
+        .select(col("l_partkey"), col("l_quantity").cast(LongType).as("ql"),
+          revQ.as("rq"))
+      val cond =
+        (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+          col("ql").between(1, 20)) ||
+        (col("p_brand") === "Brand#12" && col("p_size").between(10, 30) &&
+          col("ql").between(10, 30)) ||
+        (col("p_brand") === "Brand#13" && col("p_size").between(20, 50) &&
+          col("ql").between(20, 40))
+      l.join(broadcast(p), col("p_partkey") === col("l_partkey"))
+        .where(cond)
+        .agg(
+          count(lit(1)).as("n_lines"),
+          (sum(col("rq")).cast(DoubleType) / 1000000.0).as("revenue"))
+    },
+
     // Exact Mann–Whitney AUC of order price predicting fulfilled
     // status. U counts (pos, neg) pairs ordered correctly (ties worth
     // ½): group to one row per distinct score with pos/neg counts, then
@@ -239,6 +358,72 @@ object DecisionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "tq3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(o_orderdate AS DATE) AS odate, o_orderpriority,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |    * (10000 - CAST(floor(l_discount * 10000) AS BIGINT))) AS DOUBLE)
+        |    / 1000000.0 AS revenue
+        |FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, odate, l_orderkey LIMIT 10""".stripMargin,
+    "tq9_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |      * (10000 - CAST(floor(l_discount * 10000) AS BIGINT))
+        |    - CAST(l_quantity AS BIGINT)
+        |      * CAST(round(p_retailprice * 100) AS BIGINT) * 10000) AS DOUBLE)
+        |    / 1000000.0 AS profit
+        |FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "tq12_late_lines" ->
+      """WITH j AS (
+        |  SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |    count_if(l_shipdate > o_orderdate + INTERVAL 60 DAY) AS n_late
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY 1)
+        |SELECT o_orderpriority, n_lines, CAST(n_late AS BIGINT) AS n_late,
+        |  CAST(n_late AS DOUBLE) / CAST(n_lines AS DOUBLE) AS late_share
+        |FROM j ORDER BY o_orderpriority""".stripMargin,
+    "tq17_small_qty_revenue" ->
+      """WITH l AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS ql,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |      * (10000 - CAST(floor(l_discount * 10000) AS BIGINT)) AS rq
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand IN ('Brand#11', 'Brand#12', 'Brand#13')
+        |), a AS (
+        |  SELECT l_partkey, CAST(SUM(ql) AS BIGINT) AS sq, COUNT(*) AS nq
+        |  FROM l GROUP BY 1)
+        |SELECT COUNT(*) AS n_small_lines,
+        |  CAST(SUM(rq) AS DOUBLE) / 1000000.0 AS small_qty_revenue
+        |FROM l JOIN a USING (l_partkey)
+        |WHERE ql * 2 * nq < sq""".stripMargin,
+    "tq19_disjunctive_revenue" ->
+      """WITH l AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS ql,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |      * (10000 - CAST(floor(l_discount * 10000) AS BIGINT)) AS rq
+        |  FROM lineitem)
+        |SELECT COUNT(*) AS n_lines,
+        |  CAST(SUM(rq) AS DOUBLE) / 1000000.0 AS revenue
+        |FROM l JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+        |        AND ql BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30
+        |        AND ql BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50
+        |        AND ql BETWEEN 20 AND 40)""".stripMargin,
     "tq7_cross_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  year(l_shipdate) AS l_year,

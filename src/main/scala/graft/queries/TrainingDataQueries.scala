@@ -255,6 +255,43 @@ object TrainingDataQueries {
         .limit(100)
     },
 
+    // CCNet-shape LM quality filter: score every document under the
+    // corpus's own trigram LM (the perplexity-filter pipeline stage).
+    // Per-trigram conditional p = n3/n2 — both exact BIGINTs — is
+    // quantized portably (floor(p·2^40): the division and the
+    // power-of-two multiply are single IEEE ops identical on both
+    // engines; a log-sum would ride libm's 1-ulp drift); the per-doc
+    // score is the exact-integer mean of those quanta, the arithmetic-
+    // mean twin of perplexity. Execution: one corpus pass builds the
+    // trigram relation (doc_id carried), LM counts reduce with map-side
+    // partials, scoring joins trigrams to the LM on the prefix pair —
+    // at 100 TB the LM prunes to a capped vocabulary and broadcasts.
+    "ppl1_lm_doc_score" -> { (spark, dir) =>
+      val ws = TextAnalysis.words(col("text"))
+      val tri = Tables.documentsParallel(spark, dir)
+        .select(col("doc_id"), ws.as("w"))
+        .where(size(col("w")) >= 3)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), size(col("w")) - 3)).as("i"), col("w"))
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("w"), col("i") + 1, lit(2))).as("prefix"),
+          element_at(col("w"), col("i") + 3).as("next_tok"))
+        .localCheckpoint(eager = false) // LM build + scoring share one pass
+      val n3 = tri.groupBy("prefix", "next_tok").agg(count(lit(1)).as("n3"))
+      val n2 = n3.groupBy("prefix").agg(sum("n3").as("n2"))
+      val lm = n3.join(n2, Seq("prefix"))
+        .select(col("prefix"), col("next_tok"),
+          floor(col("n3").cast(DoubleType) / col("n2").cast(DoubleType) *
+            lit(1099511627776.0)).cast(LongType).as("q"))
+      tri.join(lm, Seq("prefix", "next_tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tri"), sum(col("q")).as("q_sum"))
+        .select(col("doc_id"), col("n_tri"),
+          (col("q_sum").cast(DoubleType) / col("n_tri").cast(DoubleType) /
+            lit(1099511627776.0)).as("avg_cond_p"))
+        .orderBy("doc_id")
+    },
+
     // Temperature-scaled mixture (α = 0.5): sampling weight ∝ share^α —
     // the standard dial between natural (α=1) and uniform (α=0) language
     // mixing (mT5/XLM-R shape). α=0.5 is √share, and √ of an exact
@@ -525,6 +562,32 @@ object TrainingDataQueries {
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |WHERE NOT (d.doc_id % 20 = 0)
         |ORDER BY d.doc_id""".stripMargin,
+    "ppl1_lm_doc_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents
+        |), tri AS (
+        |  SELECT doc_id, w[g.i] || ' ' || w[g.i + 1] AS prefix,
+        |    w[g.i + 2] AS next_tok
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS g(i)
+        |  WHERE len(w) >= 3
+        |), t3 AS (
+        |  SELECT prefix, next_tok, COUNT(*) AS n3 FROM tri GROUP BY 1, 2
+        |), t2 AS (
+        |  SELECT prefix, CAST(SUM(n3) AS BIGINT) AS n2 FROM t3 GROUP BY 1
+        |), lm AS (
+        |  SELECT a.prefix, a.next_tok,
+        |    CAST(floor(CAST(a.n3 AS DOUBLE) / CAST(b.n2 AS DOUBLE)
+        |      * 1099511627776.0) AS BIGINT) AS q
+        |  FROM t3 a JOIN t2 b USING (prefix)
+        |), sc AS (
+        |  SELECT tr.doc_id, COUNT(*) AS n_tri, CAST(SUM(lm.q) AS BIGINT) AS q_sum
+        |  FROM tri tr JOIN lm ON lm.prefix = tr.prefix AND lm.next_tok = tr.next_tok
+        |  GROUP BY 1)
+        |SELECT doc_id, n_tri,
+        |  CAST(q_sum AS DOUBLE) / CAST(n_tri AS DOUBLE) / 1099511627776.0
+        |    AS avg_cond_p
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "t12_trigram_lm" ->
       """WITH toks AS (
         |  SELECT string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
