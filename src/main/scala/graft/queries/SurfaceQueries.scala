@@ -102,6 +102,15 @@ object SurfaceQueries {
       SessionStream.closedSessions(spark, dir)
     },
 
+    // Streaming: event-time TIMERS (transformWithState) — sessions close
+    // by TIMEOUT when the watermark passes last_event + gap, not only
+    // when a later event proves the gap. The watermark-driven eviction
+    // that bounds state on an unbounded stream; st9 can never emit a
+    // user's final session, this does.
+    "st14_timer_sessions" -> { (spark, dir) =>
+      graft.streaming.TimerSessions.closedByTimeout(spark, dir)
+    },
+
     // UNION DISTINCT (u1 is UNION ALL): set-semantics merge.
     "u7_union_distinct" -> { (spark, dir) =>
       Tables.nation(spark, dir).select(col("n_regionkey").as("k"))
@@ -346,6 +355,41 @@ object SurfaceQueries {
         |SELECT o_orderkey, 'status' AS attr, o_orderstatus AS val
         |FROM orders WHERE o_orderkey <= 500
         |ORDER BY o_orderkey, attr""".stripMargin,
+    // st14: gap-split sessions; non-final sessions close by 'gap' (a
+    // later event exists), the final session closes by 'timeout' iff its
+    // ceil-ms expiry (end + gap) is at or below the final watermark
+    // (= max second-floored event time, delay 0).
+    "st14_timer_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS tns, event_id FROM events),
+        |m AS (
+        |  SELECT user_id, tns, event_id,
+        |    CASE WHEN lag(tns) OVER w IS NULL
+        |           OR tns - lag(tns) OVER w > 1800000000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)),
+        |g AS (
+        |  SELECT user_id, tns,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |s AS (
+        |  SELECT user_id, sid, min(tns) AS start_ns, max(tns) AS end_ns,
+        |         count(*) AS n_events
+        |  FROM g GROUP BY 1, 2),
+        |s2 AS (
+        |  SELECT *, max(sid) OVER (PARTITION BY user_id) AS max_sid FROM s),
+        |wm AS (
+        |  SELECT (max(epoch_ns(ts)) // 1000000000) * 1000 AS wm_ms FROM events)
+        |SELECT user_id,
+        |  start_ns // 1000000 AS session_start_ms,
+        |  end_ns // 1000000 AS session_end_ms,
+        |  n_events,
+        |  CASE WHEN sid < max_sid THEN 'gap' ELSE 'timeout' END AS closed_by
+        |FROM s2, wm
+        |WHERE sid < max_sid
+        |   OR (end_ns + 1800000000000 + 999999) // 1000000 <= wm_ms
+        |ORDER BY user_id, session_start_ms""".stripMargin,
     "st9_stream_closed_sessions" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts) AS tns, event_id FROM events),

@@ -61,10 +61,10 @@ object StreamRun {
     * adds an append-mode windowed aggregate must re-enable it or drain
     * forever-pending windows.
     */
-  def withStreamConf[A](spark: SparkSession)(body: => A): A = {
+  def withStreamConf[A](spark: SparkSession, needsNoDataBatch: Boolean = false)(body: => A): A = {
     val keys = Seq(
       "spark.sql.shuffle.partitions" -> StatePartitions.toString,
-      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false",
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> needsNoDataBatch.toString,
     )
     val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
     keys.foreach { case (k, v) => spark.conf.set(k, v) }
@@ -97,9 +97,15 @@ object StreamRun {
     * and return the MATERIALIZED snapshot with the sink table dropped
     * and the ephemeral checkpoint removed.
     */
-  def toMemorySnapshot(df: DataFrame, mode: String, name: String): DataFrame = {
+  /** `needsNoDataBatch`: event-time TIMERS only fire in the watermark-
+    * advancing no-data batch after the data drains — a timer-driven query
+    * must opt back into it (everything else skips it, see withStreamConf).
+    */
+  def toMemorySnapshot(df: DataFrame, mode: String, name: String,
+      needsNoDataBatch: Boolean = false): DataFrame = {
     val spark = df.sparkSession
-    runDrained(df, name)(_.outputMode(mode).format("memory").queryName(name))
+    runDrained(df, name, needsNoDataBatch)(
+      _.outputMode(mode).format("memory").queryName(name))
     val out = spark.table(name).localCheckpoint()
     spark.catalog.dropTempView(name)
     out
@@ -119,12 +125,13 @@ object StreamRun {
     * checkpoint, start → drain → stop → cleanup); the sink is the only
     * thing a caller configures.
     */
-  private def runDrained(df: DataFrame, name: String)(
+  private def runDrained(df: DataFrame, name: String,
+      needsNoDataBatch: Boolean = false)(
       sink: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]
         => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
     val ckpt = new java.io.File(
       s"$ephemeralCheckpointRoot/$name-${java.util.UUID.randomUUID()}")
-    withStreamConf(df.sparkSession) {
+    withStreamConf(df.sparkSession, needsNoDataBatch) {
       try {
         val query = sink(df.writeStream)
           .option("checkpointLocation", ckpt.getAbsolutePath)
