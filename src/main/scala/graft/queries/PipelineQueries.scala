@@ -5,7 +5,7 @@ import graft.operators.{DataQuality, GraphOps, Relevance, TextAnalysis, TimeSeri
 import graft.streaming.EventsStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** Round-3 continuation surface: corpus/table audit, robust anomaly
   * detection, exact EWMA, graph census over co-occurrence structure, and
@@ -28,6 +28,33 @@ object PipelineQueries {
     // quartiles over the quantized value — all-BIGINT decision.
     "ts3_anomaly" -> { (spark, dir) =>
       TimeSeries.iqrOutliers(Tables.events(spark, dir)).orderBy("event_id")
+    },
+
+    // Bad-record quarantine (dead-letter routing): a deterministic slice
+    // of the JSON payloads is corrupted in-flight (event_id % 13 —
+    // prefixed with '{' so no parser can accept it), PERMISSIVE
+    // from_json turns exactly those into null extractions, and one
+    // conditional aggregate routes counts to ingest vs quarantine. The
+    // production shape: never fail the batch, never drop silently —
+    // split, count both sides, land the bad rows with their raw payload.
+    // The oracle gates on the corruption RULE, not on parser edge
+    // agreement (every '{{'-prefixed payload must quarantine, all
+    // others must extract k).
+    "dq5_quarantine" -> { (spark, dir) =>
+      val ev = Tables.eventsParallel(spark, dir)
+        .withColumn("raw",
+          when(col("event_id") % 13 === 0, concat(lit("{"), col("props")))
+            .otherwise(col("props")))
+      ev.select(col("event_type"),
+          from_json(col("raw"), StructType(Seq(StructField("k", IntegerType))))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(
+          expr("count_if(k IS NOT NULL)").as("n_ingested"),
+          expr("count_if(k IS NULL)").as("n_quarantined"),
+          sum(when(col("k").isNotNull, col("k").cast(LongType))
+            .otherwise(0L)).as("k_sum"))
+        .orderBy("event_type")
     },
 
     // Exact EWMA (α=1/2, 16-row span) as integer num/den pairs — the
@@ -373,6 +400,17 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    // dq5 gates the ROUTING RULE: event_id % 13 payloads were made
+    // unparseable, everything else carries a valid k.
+    "dq5_quarantine" ->
+      """SELECT event_type,
+        |  CAST(count_if(event_id % 13 <> 0) AS BIGINT) AS n_ingested,
+        |  CAST(count_if(event_id % 13 = 0) AS BIGINT) AS n_quarantined,
+        |  CAST(SUM(CASE WHEN event_id % 13 <> 0
+        |    THEN CAST(props->>'k' AS BIGINT) ELSE 0 END) AS BIGINT) AS k_sum
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "dq1_quality_audit" ->
       """WITH one_pass AS (

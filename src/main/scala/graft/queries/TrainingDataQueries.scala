@@ -255,6 +255,51 @@ object TrainingDataQueries {
         .limit(100)
     },
 
+    // DSIR-shape importance weights (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): score raw
+    // documents by how target-like their hashed-bigram distribution is.
+    // Features are portable-md5 bigram buckets (B=4096); target = the
+    // 'en' slice, raw = everything. Each bucket's add-1-smoothed
+    // likelihood ratio is ONE exact integer expression —
+    // ((p_f+1)(q_tot+B)·2^20) div ((q_f+1)(p_tot+B)) — no logs, no
+    // floats, so the scores are bit-identical on any engine (DSIR's
+    // log-w ordering is monotone in the ratio; the mean-of-ratios is
+    // its portable twin). Execution: one feature pass, two tiny count
+    // aggregates (map-side partials over 4096 buckets), broadcast the
+    // bucket table back onto the feature stream — at 100 TB the bucket
+    // table is B rows whatever the corpus size.
+    "dsir1_importance_weights" -> { (spark, dir) =>
+      import graft.operators.Dedup.portableHash60
+      val B = 4096
+      val ws = TextAnalysis.words(col("text"))
+      val feats = Tables.documentsParallel(spark, dir)
+        .select(col("doc_id"), col("lang"), ws.as("w"))
+        .where(size(col("w")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(0), size(col("w")) - 2)).as("i"), col("w"))
+        .select(col("doc_id"), col("lang"),
+          pmod(portableHash60(concat_ws(" ", slice(col("w"), col("i") + 1, lit(2)))),
+            lit(B.toLong)).as("b"))
+        .localCheckpoint(eager = false) // counts + scoring share one pass
+      val counts = feats.groupBy("b").agg(
+        expr("count_if(lang = 'en')").as("pc"),
+        count(lit(1)).as("qc"))
+      val totals = counts.agg(
+        sum(col("pc")).as("ptot"), sum(col("qc")).as("qtot"))
+      val ratios = counts.crossJoin(broadcast(totals))
+        .select(col("b"),
+          expr(s"((pc + 1L) * (qtot + $B) * 1048576L) div ((qc + 1L) * (ptot + $B))")
+            .as("r"))
+      feats.join(broadcast(ratios), Seq("b"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feats"), sum(col("r")).as("r_sum"))
+        .select(col("doc_id"), col("n_feats"),
+          (col("r_sum").cast(DoubleType) / col("n_feats").cast(DoubleType) /
+            lit(1048576.0)).as("dsir_score"),
+          (col("r_sum") > col("n_feats") * 1048576L).as("target_like"))
+        .orderBy("doc_id")
+    },
+
     // CCNet-shape LM quality filter: score every document under the
     // corpus's own trigram LM (the perplexity-filter pipeline stage).
     // Per-trigram conditional p = n3/n2 — both exact BIGINTs — is
@@ -562,6 +607,36 @@ object TrainingDataQueries {
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |WHERE NOT (d.doc_id % 20 = 0)
         |ORDER BY d.doc_id""".stripMargin,
+    "dsir1_importance_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(w[g.i] || ' ' || w[g.i + 1]), 1, 15))::BIGINT
+        |      % 4096 AS b
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS g(i)
+        |  WHERE len(w) >= 2
+        |), c AS (
+        |  SELECT b, CAST(count_if(lang = 'en') AS BIGINT) AS pc,
+        |    COUNT(*) AS qc
+        |  FROM f GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(SUM(pc) AS BIGINT) AS ptot,
+        |    CAST(SUM(qc) AS BIGINT) AS qtot FROM c
+        |), r AS (
+        |  SELECT b,
+        |    ((pc + 1) * (qtot + 4096) * 1048576)
+        |      // ((qc + 1) * (ptot + 4096)) AS r
+        |  FROM c, t
+        |), sc AS (
+        |  SELECT f.doc_id, COUNT(*) AS n_feats, CAST(SUM(r.r) AS BIGINT) AS r_sum
+        |  FROM f JOIN r USING (b) GROUP BY 1)
+        |SELECT doc_id, n_feats,
+        |  CAST(r_sum AS DOUBLE) / CAST(n_feats AS DOUBLE) / 1048576.0
+        |    AS dsir_score,
+        |  r_sum > n_feats * 1048576 AS target_like
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "ppl1_lm_doc_score" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
