@@ -69,6 +69,63 @@ object TrainingDataQueries {
         .limit(50)
     },
 
+    // BPE merge LOOP (iterations 2..4 of tokenizer training): starting
+    // from the per-word character sequences, repeatedly (K=3) pick the
+    // most frequent adjacent symbol pair (weighted by word frequency,
+    // ties broken on the pair string) and merge it corpus-wide. The
+    // merge is defined OPERATIONALLY as two sweeps of non-overlapping
+    // left-to-right string replace on the space-delimited symbol string
+    // — a convention both engines implement identically (`replace`),
+    // sidestepping regex-lookahead differences. Scale shape: BPE trains
+    // on the WORD-FREQUENCY table (vocabulary-sized, not corpus-sized);
+    // each round is one map-side-partial pair count plus a 1-row
+    // driver scalar (the selected rule — the same bounded-collect
+    // pattern as Ids' offsets). Output: the K merge rules.
+    "bpe2_merge_loop" -> { (spark, dir) =>
+      val K = 3
+      val wc = Tables.documentsParallel(spark, dir)
+        .select(explode(TextAnalysis.words(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        // ' h e l l o ' — every symbol space-delimited, boundary spaces
+        .select(
+          concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("seq"),
+          col("n"))
+        .localCheckpoint()
+      var seqs = wc
+      val rules = Seq.newBuilder[(Int, String, Long)]
+      for (k <- 1 to K) {
+        val top = seqs
+          .select(col("n"), split(trim(col("seq")), " ").as("syms"))
+          .where(size(col("syms")) >= 2)
+          .select(col("n"),
+            explode(sequence(lit(0), size(col("syms")) - 2)).as("i"),
+            col("syms"))
+          .select(
+            concat_ws(" ",
+              element_at(col("syms"), col("i") + 1),
+              element_at(col("syms"), col("i") + 2)).as("pair"),
+            col("n"))
+          .groupBy("pair").agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(1)
+          .collect()(0)
+        val pair = top.getString(0)
+        val cnt = top.getLong(1)
+        rules += ((k, pair, cnt))
+        val pat = lit(" " + pair + " ")
+        val rep = lit(" " + pair.replace(" ", "") + " ")
+        seqs = seqs
+          .select(
+            call_function("replace",
+              call_function("replace", col("seq"), pat, rep), pat, rep).as("seq"),
+            col("n"))
+          .localCheckpoint()
+      }
+      import spark.implicits._
+      rules.result().toDF("merge_idx", "pair", "n_occurrences")
+        .orderBy("merge_idx")
+    },
+
     // Content-defined chunking — the byte-level dedup primitive (rsync/
     // FastCDC shape): a chunk boundary falls wherever the hash of the
     // 16-char window starting there is 0 mod 64, so boundaries survive
@@ -439,6 +496,52 @@ object TrainingDataQueries {
         |  CAST(count(bp) + 1 AS BIGINT) AS n_chunks,
         |  min(bp) AS first_boundary
         |FROM pos GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // bpe2: the oracle replays the 3-round merge loop with chained CTEs
+    // — same pair counting, same (cnt DESC, pair) selection, same
+    // two-sweep replace convention.
+    "bpe2_merge_loop" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents
+        |), wc0 AS (
+        |  SELECT w, COUNT(*) AS n FROM words GROUP BY 1
+        |), s0 AS (
+        |  SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS seq, n FROM wc0
+        |), p1 AS (
+        |  SELECT sy[g.i] || ' ' || sy[g.i + 1] AS pair,
+        |    CAST(SUM(n) AS BIGINT) AS cnt
+        |  FROM (SELECT string_split(trim(seq), ' ') AS sy, n FROM s0) t,
+        |       UNNEST(generate_series(1, len(sy) - 1)) AS g(i)
+        |  WHERE len(sy) >= 2 GROUP BY 1
+        |), r1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1
+        |), s1 AS (
+        |  SELECT replace(replace(seq,
+        |      ' ' || r1.pair || ' ', ' ' || replace(r1.pair, ' ', '') || ' '),
+        |      ' ' || r1.pair || ' ', ' ' || replace(r1.pair, ' ', '') || ' ') AS seq, n
+        |  FROM s0, r1
+        |), p2 AS (
+        |  SELECT sy[g.i] || ' ' || sy[g.i + 1] AS pair,
+        |    CAST(SUM(n) AS BIGINT) AS cnt
+        |  FROM (SELECT string_split(trim(seq), ' ') AS sy, n FROM s1) t,
+        |       UNNEST(generate_series(1, len(sy) - 1)) AS g(i)
+        |  WHERE len(sy) >= 2 GROUP BY 1
+        |), r2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1
+        |), s2 AS (
+        |  SELECT replace(replace(seq,
+        |      ' ' || r2.pair || ' ', ' ' || replace(r2.pair, ' ', '') || ' '),
+        |      ' ' || r2.pair || ' ', ' ' || replace(r2.pair, ' ', '') || ' ') AS seq, n
+        |  FROM s1, r2
+        |), p3 AS (
+        |  SELECT sy[g.i] || ' ' || sy[g.i + 1] AS pair,
+        |    CAST(SUM(n) AS BIGINT) AS cnt
+        |  FROM (SELECT string_split(trim(seq), ' ') AS sy, n FROM s2) t,
+        |       UNNEST(generate_series(1, len(sy) - 1)) AS g(i)
+        |  WHERE len(sy) >= 2 GROUP BY 1
+        |), r3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
+        |SELECT 1 AS merge_idx, pair, cnt AS n_occurrences FROM r1
+        |UNION ALL SELECT 2, pair, cnt FROM r2
+        |UNION ALL SELECT 3, pair, cnt FROM r3
+        |ORDER BY merge_idx""".stripMargin,
     "bpe1_pair_counts" ->
       """WITH toks AS (
         |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
