@@ -168,6 +168,59 @@ object ExtensionQueries {
       Similarity.ivfTopK(emb.where(col("vec_id") < 8), emb, k = 3)
         .orderBy("q_vec", "rank")
     },
+    // MMR diversified re-ranking (Carbonell & Goldstein 1998) — the RAG
+    // retrieval-diversity primitive: from the query's top-20 shortlist,
+    // greedily select 5 results maximizing λ·rel − (1−λ)·max-sim-to-
+    // selected (λ=0.5). The DISTRIBUTED work is the shortlist scan
+    // (brute-force quantized cosine over the corpus — the x1 pipeline);
+    // the greedy selection is inherently sequential and runs as 5
+    // one-row argmax scalars over the 20-row shortlist (the bounded-
+    // collect pattern). All similarities are the exact-integer quantized
+    // cosine, so scores — and therefore the selection — are
+    // bit-identical on both engines. Oracle replays shortlist, pairwise
+    // sims, and all 5 greedy steps in chained CTEs.
+    "mmr1_diversified_topk" -> { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      val q = broadcast(emb.where(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb")))
+      val shortlist = emb.where(col("vec_id") =!= 0)
+        .crossJoin(q)
+        .select(col("vec_id").as("c"), col("embedding").as("e"),
+          VectorMath.cosineExact(col("q_emb"), col("embedding")).as("rel"))
+        .orderBy(col("rel").desc, col("c"))
+        .limit(20)
+        .localCheckpoint()
+      val sims = shortlist.select(col("c").as("a"), col("e").as("ea"))
+        .join(shortlist.select(col("c").as("b"), col("e").as("eb")),
+          col("a") =!= col("b"))
+        .select(col("a"), col("b"),
+          VectorMath.cosineExact(col("ea"), col("eb")).as("sim"))
+        .localCheckpoint()
+      var selected = Vector.empty[(Long, Double, Double)] // (vec, rel, score)
+      for (_ <- 1 to 5) {
+        val selIds = selected.map(_._1)
+        val cands = shortlist.where(!col("c").isInCollection(selIds ++ Seq(-1L)))
+        val top =
+          if (selIds.isEmpty)
+            cands.select(col("c"), col("rel"), (col("rel") * 0.5).as("score"))
+              .orderBy(col("score").desc, col("c")).limit(1).collect()(0)
+          else
+            cands.join(sims.where(col("b").isInCollection(selIds)),
+                col("c") === col("a"))
+              .groupBy(col("c"), col("rel"))
+              .agg(max(col("sim")).as("maxsim"))
+              .select(col("c"), col("rel"),
+                (col("rel") * 0.5 - col("maxsim") * 0.5).as("score"))
+              .orderBy(col("score").desc, col("c")).limit(1).collect()(0)
+        selected :+= ((top.getLong(0), top.getDouble(1), top.getDouble(2)))
+      }
+      import spark.implicits._
+      selected.zipWithIndex
+        .map { case ((v, r, s), i) => (i + 1, v, r, s) }
+        .toDF("rank", "vec_id", "rel", "mmr_score")
+        .orderBy("rank")
+    },
+
     // LSH recall instrumentation: recall@3 of the bucketed path (x2)
     // against exact brute force (x1) — the QUALITY number that must ride
     // alongside the bucketed path's speed (an ANN variant that silently
@@ -784,6 +837,73 @@ object ExtensionQueries {
         |ORDER BY f.l_returnflag, q.q""".stripMargin,
     "x3_approx_distinct" ->
       "SELECT TRUE AS users_within_bound, TRUE AS events_within_bound",
+    "mmr1_diversified_topk" ->
+      """WITH q AS (SELECT embedding AS eq FROM embeddings WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT c.vec_id AS c, c.embedding AS ec, q.eq
+        |  FROM embeddings c, q WHERE c.vec_id <> 0),
+        |relterms AS (
+        |  SELECT c,
+        |    CAST(floor(CAST(eq[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS x,
+        |    CAST(floor(CAST(ec[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS y
+        |  FROM cand, UNNEST(generate_series(1, len(eq))) AS g(i)),
+        |rel AS (
+        |  SELECT c, CAST(SUM(x * y) AS DOUBLE)
+        |    / nullif(sqrt(CAST(SUM(x * x) AS DOUBLE))
+        |      * sqrt(CAST(SUM(y * y) AS DOUBLE)), 0) AS rel
+        |  FROM relterms GROUP BY 1),
+        |short AS (SELECT c, rel FROM rel ORDER BY rel DESC, c LIMIT 20),
+        |spairs AS (
+        |  SELECT sa.c AS a, sb.c AS b, ea.embedding AS eea, eb.embedding AS eeb
+        |  FROM short sa JOIN short sb ON sa.c <> sb.c
+        |  JOIN embeddings ea ON ea.vec_id = sa.c
+        |  JOIN embeddings eb ON eb.vec_id = sb.c),
+        |simterms AS (
+        |  SELECT a, b,
+        |    CAST(floor(CAST(eea[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS x,
+        |    CAST(floor(CAST(eeb[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS y
+        |  FROM spairs, UNNEST(generate_series(1, len(eea))) AS g(i)),
+        |sims AS (
+        |  SELECT a, b, CAST(SUM(x * y) AS DOUBLE)
+        |    / nullif(sqrt(CAST(SUM(x * x) AS DOUBLE))
+        |      * sqrt(CAST(SUM(y * y) AS DOUBLE)), 0) AS sim
+        |  FROM simterms GROUP BY 1, 2),
+        |sel1 AS (
+        |  SELECT c, rel, rel * 0.5 AS score FROM short
+        |  ORDER BY score DESC, c LIMIT 1),
+        |sel2 AS (
+        |  SELECT s.c, s.rel, s.rel * 0.5 - MAX(m.sim) * 0.5 AS score
+        |  FROM short s JOIN sims m ON m.a = s.c AND m.b IN (SELECT c FROM sel1)
+        |  WHERE s.c NOT IN (SELECT c FROM sel1)
+        |  GROUP BY s.c, s.rel ORDER BY score DESC, s.c LIMIT 1),
+        |sel3 AS (
+        |  SELECT s.c, s.rel, s.rel * 0.5 - MAX(m.sim) * 0.5 AS score
+        |  FROM short s JOIN sims m ON m.a = s.c
+        |    AND m.b IN (SELECT c FROM sel1 UNION ALL SELECT c FROM sel2)
+        |  WHERE s.c NOT IN (SELECT c FROM sel1 UNION ALL SELECT c FROM sel2)
+        |  GROUP BY s.c, s.rel ORDER BY score DESC, s.c LIMIT 1),
+        |sel4 AS (
+        |  SELECT s.c, s.rel, s.rel * 0.5 - MAX(m.sim) * 0.5 AS score
+        |  FROM short s JOIN sims m ON m.a = s.c
+        |    AND m.b IN (SELECT c FROM sel1 UNION ALL SELECT c FROM sel2
+        |                UNION ALL SELECT c FROM sel3)
+        |  WHERE s.c NOT IN (SELECT c FROM sel1 UNION ALL SELECT c FROM sel2
+        |                    UNION ALL SELECT c FROM sel3)
+        |  GROUP BY s.c, s.rel ORDER BY score DESC, s.c LIMIT 1),
+        |sel5 AS (
+        |  SELECT s.c, s.rel, s.rel * 0.5 - MAX(m.sim) * 0.5 AS score
+        |  FROM short s JOIN sims m ON m.a = s.c
+        |    AND m.b IN (SELECT c FROM sel1 UNION ALL SELECT c FROM sel2
+        |                UNION ALL SELECT c FROM sel3 UNION ALL SELECT c FROM sel4)
+        |  WHERE s.c NOT IN (SELECT c FROM sel1 UNION ALL SELECT c FROM sel2
+        |                    UNION ALL SELECT c FROM sel3 UNION ALL SELECT c FROM sel4)
+        |  GROUP BY s.c, s.rel ORDER BY score DESC, s.c LIMIT 1)
+        |SELECT 1 AS rank, c AS vec_id, rel, score AS mmr_score FROM sel1
+        |UNION ALL SELECT 2, c, rel, score FROM sel2
+        |UNION ALL SELECT 3, c, rel, score FROM sel3
+        |UNION ALL SELECT 4, c, rel, score FROM sel4
+        |UNION ALL SELECT 5, c, rel, score FROM sel5
+        |ORDER BY rank""".stripMargin,
     "x13_hll_sketch" ->
       "SELECT TRUE AS merged_within_bound",
     "d7_dedup_pipeline" ->
