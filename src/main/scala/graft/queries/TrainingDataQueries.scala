@@ -126,6 +126,68 @@ object TrainingDataQueries {
         .orderBy("merge_idx")
     },
 
+    // BPE ENCODE (applying the learned tokenizer): run the bpe2 merge
+    // rules over the vocabulary and measure the corpus under the
+    // resulting segmentation — tokens per doc, corpus compression vs
+    // raw characters. Encoding is computed once per DISTINCT word and
+    // joined back to the doc→word stream (the scale move: the encode
+    // table is vocabulary-sized; the corpus is never re-segmented
+    // per-occurrence). Output: per-language token totals under the
+    // learned tokenizer next to whitespace-token and char totals.
+    "bpe3_encode" -> { (spark, dir) =>
+      val K = 3
+      val words = Tables.documentsParallel(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(TextAnalysis.words(col("text"))).as("w"))
+        .localCheckpoint(eager = false)
+      val wc = words.groupBy("w").agg(count(lit(1)).as("n"))
+        .select(
+          col("w"),
+          concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("seq"),
+          col("n"))
+        .localCheckpoint()
+      // re-derive the same K merge rules as bpe2 (same selection, same
+      // two-sweep replace convention)
+      var seqs = wc
+      for (_ <- 1 to K) {
+        val top = seqs
+          .select(col("n"), split(trim(col("seq")), " ").as("syms"))
+          .where(size(col("syms")) >= 2)
+          .select(col("n"),
+            explode(sequence(lit(0), size(col("syms")) - 2)).as("i"),
+            col("syms"))
+          .select(
+            concat_ws(" ",
+              element_at(col("syms"), col("i") + 1),
+              element_at(col("syms"), col("i") + 2)).as("pair"),
+            col("n"))
+          .groupBy("pair").agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(1)
+          .collect()(0)
+        val pat = lit(" " + top.getString(0) + " ")
+        val rep = lit(" " + top.getString(0).replace(" ", "") + " ")
+        seqs = seqs
+          .select(col("w"),
+            call_function("replace",
+              call_function("replace", col("seq"), pat, rep), pat, rep).as("seq"),
+            col("n"))
+          .localCheckpoint()
+      }
+      val encoded = seqs.select(col("w"),
+        size(split(trim(col("seq")), " ")).cast(LongType).as("n_sym"))
+      words.join(encoded, Seq("w"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(col("n_sym")).as("n_bpe_tokens"),
+          sum(length(col("w")).cast(LongType)).as("n_chars"))
+        .select(col("lang"), col("n_words"), col("n_bpe_tokens"), col("n_chars"),
+          (col("n_bpe_tokens").cast(DoubleType) / col("n_chars").cast(DoubleType))
+            .as("tokens_per_char"))
+        .orderBy("lang")
+    },
+
     // Content-defined chunking — the byte-level dedup primitive (rsync/
     // FastCDC shape): a chunk boundary falls wherever the hash of the
     // 16-char window starting there is 0 mod 64, so boundaries survive
@@ -496,6 +558,63 @@ object TrainingDataQueries {
         |  CAST(count(bp) + 1 AS BIGINT) AS n_chunks,
         |  min(bp) AS first_boundary
         |FROM pos GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // bpe3: same 3-round merge chain as bpe2 (w carried through), then
+    // symbol counts per word joined back onto the doc→word stream.
+    "bpe3_encode" ->
+      """WITH dw AS (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents
+        |), wc0 AS (
+        |  SELECT w, COUNT(*) AS n FROM dw GROUP BY 1
+        |), s0 AS (
+        |  SELECT w, ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS seq, n FROM wc0
+        |), p1 AS (
+        |  SELECT sy[g.i] || ' ' || sy[g.i + 1] AS pair,
+        |    CAST(SUM(n) AS BIGINT) AS cnt
+        |  FROM (SELECT string_split(trim(seq), ' ') AS sy, n FROM s0) t,
+        |       UNNEST(generate_series(1, len(sy) - 1)) AS g(i)
+        |  WHERE len(sy) >= 2 GROUP BY 1
+        |), r1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair LIMIT 1
+        |), s1 AS (
+        |  SELECT w, replace(replace(seq,
+        |      ' ' || r1.pair || ' ', ' ' || replace(r1.pair, ' ', '') || ' '),
+        |      ' ' || r1.pair || ' ', ' ' || replace(r1.pair, ' ', '') || ' ') AS seq, n
+        |  FROM s0, r1
+        |), p2 AS (
+        |  SELECT sy[g.i] || ' ' || sy[g.i + 1] AS pair,
+        |    CAST(SUM(n) AS BIGINT) AS cnt
+        |  FROM (SELECT string_split(trim(seq), ' ') AS sy, n FROM s1) t,
+        |       UNNEST(generate_series(1, len(sy) - 1)) AS g(i)
+        |  WHERE len(sy) >= 2 GROUP BY 1
+        |), r2 AS (SELECT pair FROM p2 ORDER BY cnt DESC, pair LIMIT 1
+        |), s2 AS (
+        |  SELECT w, replace(replace(seq,
+        |      ' ' || r2.pair || ' ', ' ' || replace(r2.pair, ' ', '') || ' '),
+        |      ' ' || r2.pair || ' ', ' ' || replace(r2.pair, ' ', '') || ' ') AS seq, n
+        |  FROM s1, r2
+        |), p3 AS (
+        |  SELECT sy[g.i] || ' ' || sy[g.i + 1] AS pair,
+        |    CAST(SUM(n) AS BIGINT) AS cnt
+        |  FROM (SELECT string_split(trim(seq), ' ') AS sy, n FROM s2) t,
+        |       UNNEST(generate_series(1, len(sy) - 1)) AS g(i)
+        |  WHERE len(sy) >= 2 GROUP BY 1
+        |), r3 AS (SELECT pair FROM p3 ORDER BY cnt DESC, pair LIMIT 1
+        |), s3 AS (
+        |  SELECT w, replace(replace(seq,
+        |      ' ' || r3.pair || ' ', ' ' || replace(r3.pair, ' ', '') || ' '),
+        |      ' ' || r3.pair || ' ', ' ' || replace(r3.pair, ' ', '') || ' ') AS seq, n
+        |  FROM s2, r3
+        |), enc AS (
+        |  SELECT w, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_sym
+        |  FROM s3)
+        |SELECT lang, COUNT(*) AS n_words,
+        |  CAST(SUM(e.n_sym) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(SUM(length(d.w)) AS BIGINT) AS n_chars,
+        |  CAST(SUM(e.n_sym) AS DOUBLE) / CAST(SUM(length(d.w)) AS DOUBLE)
+        |    AS tokens_per_char
+        |FROM dw d JOIN enc e USING (w)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // bpe2: the oracle replays the 3-round merge loop with chained CTEs
     // — same pair counting, same (cnt DESC, pair) selection, same
     // two-sweep replace convention.
