@@ -730,6 +730,12 @@ object ExtensionQueries {
     "st5_stream_stream_join" -> { (spark, dir) =>
       EventsStream.streamStreamJoin(spark, dir)
     },
+
+    // Stream-stream LEFT OUTER join: unmatched clicks emit null-extended
+    // only when the watermark seals their fate — eviction IS emission.
+    "st15_stream_stream_left" -> { (spark, dir) =>
+      EventsStream.streamStreamLeftJoin(spark, dir)
+    },
   )
 
   /** d3's oracle recomputes the portable SimHash end to end; the 32
@@ -2037,5 +2043,40 @@ object ExtensionQueries {
         |FROM c JOIN p ON p.user_id = c.user_id
         |  AND p.pts >= c.cts AND p.pts <= c.cts + 3600
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // st15: matched pairs always emit; an unmatched click emits
+    // null-extended iff its 1 h match window closed strictly below the
+    // final GLOBAL watermark — which, with two withWatermark operators,
+    // is the MIN of the two sides' maxima (multipleWatermarkPolicy=min,
+    // the default), not the overall max event time. Clicks still inside
+    // the window stay pending and never surface.
+    "st15_stream_stream_left" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id,
+        |    epoch_ns(ts) // 1000000000 AS cts
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id AS p_user_id, event_id AS purchase_id,
+        |    epoch_ns(ts) // 1000000000 AS pts
+        |  FROM events WHERE event_type = 'purchase'
+        |), wm AS (
+        |  SELECT LEAST((SELECT max(cts) FROM c), (SELECT max(pts) FROM p)) AS w
+        |), m AS (
+        |  SELECT c.user_id, c.click_id, p.purchase_id
+        |  FROM c JOIN p ON p.p_user_id = c.user_id
+        |    AND p.pts >= c.cts AND p.pts <= c.cts + 3600
+        |), u AS (
+        |  SELECT c.user_id, c.click_id
+        |  FROM c, wm
+        |  WHERE c.cts + 3600 < wm.w
+        |    AND NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
+        |), allrows AS (
+        |  SELECT user_id, click_id, purchase_id FROM m
+        |  UNION ALL SELECT user_id, click_id, NULL AS purchase_id FROM u
+        |)
+        |SELECT user_id, COUNT(*) AS n_rows,
+        |  CAST(count_if(purchase_id IS NULL) AS BIGINT) AS n_unmatched,
+        |  CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases_matched
+        |FROM allrows GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -103,6 +103,52 @@ object EventsStream {
       .orderBy("user_id")
   }
 
+  /** Stream-stream LEFT OUTER join: clicks keep flowing even when no
+    * purchase follows within the hour — the unmatched side emits
+    * null-extended ONLY when the watermark proves no match can still
+    * arrive (state eviction IS the emission trigger). This is the half
+    * of the bounded-state story the inner join (st5) doesn't show: the
+    * engine holds a click exactly until `click_ts + 1 h` passes the
+    * watermark, then emits it null-extended and frees the state. Needs
+    * the no-data watermark batch (same opt-in as timers). Zero-delay
+    * watermarks make the final emission set deterministic: every click
+    * whose match window closed below max(event_time) has its fate
+    * sealed; later clicks stay pending and are NOT emitted.
+    */
+  def streamStreamLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val clicks = ev
+      .where(col("event_type") === "click")
+      .select(
+        col("user_id"),
+        col("event_id").as("click_id"),
+        col("ts_sec").as("click_ts"))
+      .withWatermark("click_ts", "0 seconds")
+    val purchases = ev
+      .where(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"),
+        col("ts_sec").as("purchase_ts"))
+      .withWatermark("purchase_ts", "0 seconds")
+    val joined = clicks.join(
+      purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+    StreamRun.toMemorySnapshot(joined, "append",
+        s"stream_stream_left_${runId.incrementAndGet()}",
+        needsNoDataBatch = true)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("count_if(purchase_id IS NULL)").as("n_unmatched"),
+        countDistinct(col("purchase_id")).as("n_purchases_matched"),
+      )
+      .orderBy("user_id")
+  }
+
   /** Run the windowed aggregation over `$dir/events.parquet` as a stream,
     * landing results in a memory sink; returns the final table:
     * (day, event_type, n_events, sum_value).
