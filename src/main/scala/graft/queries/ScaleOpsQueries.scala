@@ -122,6 +122,60 @@ object ScaleOpsQueries {
           max("total").as("total_tokens"))
         .orderBy("source")
     },
+
+    // Merkle-tree snapshot reconciliation (anti-entropy): compare two
+    // replicas of a 100 TB table WITHOUT a full row-by-row diff. Each
+    // side builds a two-level hash tree — leaf = md5 over the bucket's
+    // row digests in key order, parent = md5 over 16 leaves in order —
+    // and comparison descends ONLY into parents whose hashes differ,
+    // touching a log-fraction of buckets. Here replica B is replica A
+    // with deterministic in-query mutations (drops at %97, updates at
+    // %101); the output is the dirty-leaf report an anti-entropy
+    // repairer would fetch. Hashes are portable md5 over canonical
+    // strings, so DuckDB rebuilds both trees bit for bit.
+    "mk1_merkle_diff" -> { (spark, dir) =>
+      def digested(df: DataFrame): DataFrame = df.select(
+        expr("o_orderkey div 1000").as("leaf"),
+        col("o_orderkey"),
+        md5(concat_ws("|", col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast(LongType))).as("d"))
+      def leaves(df: DataFrame): DataFrame = digested(df)
+        .groupBy("leaf")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          md5(array_join(transform(
+            sort_array(collect_list(struct(col("o_orderkey"), col("d")))),
+            s => s.getField("d")), ",")).as("lh"))
+      val a = Tables.orders(spark, dir)
+      val b = a
+        .where(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 101 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      val la = leaves(a).localCheckpoint(eager = false)
+      val lb = leaves(b).localCheckpoint(eager = false)
+      def parents(l: DataFrame): DataFrame = l
+        .groupBy(expr("leaf div 16").as("parent"))
+        .agg(md5(array_join(transform(
+          sort_array(collect_list(struct(col("leaf"), col("lh")))),
+          s => s.getField("lh")), ",")).as("ph"))
+      val dirtyParents = parents(la).as("pa")
+        .join(parents(lb).as("pb"), Seq("parent"), "full")
+        .where(col("pa.ph").isNull || col("pb.ph").isNull ||
+          col("pa.ph") =!= col("pb.ph"))
+        .select("parent")
+      // descend: leaf comparison ONLY under dirty parents
+      la.as("a").join(lb.as("b"), Seq("leaf"), "full")
+        .join(broadcast(dirtyParents),
+          expr("coalesce(a.leaf, b.leaf) div 16") === col("parent"))
+        .where(col("a.lh").isNull || col("b.lh").isNull ||
+          col("a.lh") =!= col("b.lh"))
+        .select(
+          col("leaf"),
+          coalesce(col("a.n_rows"), lit(0L)).as("n_rows_a"),
+          coalesce(col("b.n_rows"), lit(0L)).as("n_rows_b"))
+        .orderBy("leaf")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -175,5 +229,45 @@ object ScaleOpsQueries {
         |FROM c
         |WHERE (cum - n_tok) * 5 < total * 4
         |GROUP BY source ORDER BY source""".stripMargin,
+    "mk1_merkle_diff" ->
+      """WITH a AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |b AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 <> 0),
+        |da AS (
+        |  SELECT o_orderkey // 1000 AS leaf, o_orderkey,
+        |    md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+        |        CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)) AS d
+        |  FROM a),
+        |db AS (
+        |  SELECT o_orderkey // 1000 AS leaf, o_orderkey,
+        |    md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+        |        CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)) AS d
+        |  FROM b),
+        |la AS (SELECT leaf, COUNT(*) AS n_rows,
+        |         md5(string_agg(d, ',' ORDER BY o_orderkey)) AS lh
+        |       FROM da GROUP BY 1),
+        |lb AS (SELECT leaf, COUNT(*) AS n_rows,
+        |         md5(string_agg(d, ',' ORDER BY o_orderkey)) AS lh
+        |       FROM db GROUP BY 1),
+        |pa AS (SELECT leaf // 16 AS parent,
+        |         md5(string_agg(lh, ',' ORDER BY leaf)) AS ph
+        |       FROM la GROUP BY 1),
+        |pb AS (SELECT leaf // 16 AS parent,
+        |         md5(string_agg(lh, ',' ORDER BY leaf)) AS ph
+        |       FROM lb GROUP BY 1),
+        |dirty AS (
+        |  SELECT COALESCE(pa.parent, pb.parent) AS parent
+        |  FROM pa FULL JOIN pb ON pa.parent = pb.parent
+        |  WHERE pa.ph IS NULL OR pb.ph IS NULL OR pa.ph <> pb.ph)
+        |SELECT COALESCE(la.leaf, lb.leaf) AS leaf,
+        |  COALESCE(la.n_rows, 0) AS n_rows_a,
+        |  COALESCE(lb.n_rows, 0) AS n_rows_b
+        |FROM la FULL JOIN lb ON la.leaf = lb.leaf
+        |JOIN dirty ON COALESCE(la.leaf, lb.leaf) // 16 = dirty.parent
+        |WHERE la.lh IS NULL OR lb.lh IS NULL OR la.lh <> lb.lh
+        |ORDER BY leaf""".stripMargin,
   )
 }
