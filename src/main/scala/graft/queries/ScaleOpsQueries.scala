@@ -123,6 +123,39 @@ object ScaleOpsQueries {
         .orderBy("source")
     },
 
+    // Equi-depth histogram construction — the optimizer statistic behind
+    // selectivity estimation (ANALYZE ... COMPUTE STATISTICS histogram):
+    // 8 buckets of ~equal row mass over l_extendedprice. Boundaries come
+    // from the ml2 pattern — group by distinct value (cents-exact),
+    // DISTRIBUTED prefix sum of counts, threshold per rank bound — never
+    // a global ntile sort of raw rows. Equal values always share a
+    // bucket (a promise ntile cannot make), so depths are approximate
+    // exactly where duplicate mass forces them to be.
+    "hist1_equidepth" -> { (spark, dir) =>
+      import graft.operators.Packing
+      val g = Tables.lineitem(spark, dir)
+        .groupBy(round(col("l_extendedprice") * 100).cast(LongType).as("c"))
+        .agg(count(lit(1)).as("m"))
+      val ranked = Packing.prefixSum(g, Seq(col("c")), col("m"), "crank")
+        .localCheckpoint(eager = false) // thresholds + assignment share it
+      val st = broadcast(ranked.agg(sum(col("m")).as("n_all")))
+      val th = ranked.crossJoin(st)
+        .select(col("c"), col("crank"),
+          explode(sequence(lit(1L), lit(7L))).as("d"), col("n_all"))
+        .where(col("crank") >= expr("(d * n_all + 7L) div 8L"))
+        .groupBy("d").agg(min(col("c")).as("t"))
+      ranked.crossJoin(broadcast(th))
+        .groupBy("c", "m")
+        .agg(sum(when(col("t") < col("c"), 1L).otherwise(0L)).as("bucket"))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n_distinct"),
+          sum(col("m")).as("depth"),
+          (min(col("c")).cast(DoubleType) / 100.0).as("lo"),
+          (max(col("c")).cast(DoubleType) / 100.0).as("hi"))
+        .orderBy("bucket")
+    },
+
     // Merkle-tree snapshot reconciliation (anti-entropy): compare two
     // replicas of a 100 TB table WITHOUT a full row-by-row diff. Each
     // side builds a two-level hash tree — leaf = md5 over the bucket's
@@ -229,6 +262,31 @@ object ScaleOpsQueries {
         |FROM c
         |WHERE (cum - n_tok) * 5 < total * 4
         |GROUP BY source ORDER BY source""".stripMargin,
+    "hist1_equidepth" ->
+      """WITH g AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+        |    COUNT(*) AS m
+        |  FROM lineitem GROUP BY 1
+        |), r AS (
+        |  SELECT c, m,
+        |    CAST(SUM(m) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS crank,
+        |    CAST(SUM(m) OVER () AS BIGINT) AS n_all
+        |  FROM g
+        |), th AS (
+        |  SELECT d.d, min(r.c) AS t
+        |  FROM r, UNNEST(generate_series(1, 7)) AS d(d)
+        |  WHERE r.crank >= (d.d * r.n_all + 7) // 8
+        |  GROUP BY 1
+        |), b AS (
+        |  SELECT r.c, r.m,
+        |    CAST(count_if(th.t < r.c) AS BIGINT) AS bucket
+        |  FROM r, th GROUP BY 1, 2)
+        |SELECT bucket, COUNT(*) AS n_distinct,
+        |  CAST(SUM(m) AS BIGINT) AS depth,
+        |  CAST(MIN(c) AS DOUBLE) / 100.0 AS lo,
+        |  CAST(MAX(c) AS DOUBLE) / 100.0 AS hi
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "mk1_merkle_diff" ->
       """WITH a AS (SELECT o_orderkey, o_totalprice FROM orders),
         |b AS (
