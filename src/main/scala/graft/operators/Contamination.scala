@@ -29,15 +29,20 @@ object Contamination {
     * least [[WindowChars]] chars. Positions explode from a cheap integer
     * `sequence`; substring+md5 evaluate per exploded row.
     */
-  def spanHashes(docs: DataFrame, carryCols: Seq[String] = Nil): DataFrame = {
+  def spanHashes(
+      docs: DataFrame,
+      carryCols: Seq[String] = Nil,
+      keepPos: Boolean = false,
+  ): DataFrame = {
     val carried = carryCols.map(col)
+    val pos = if (keepPos) Seq(col("p")) else Nil
     docs
       .where(col("n_chars") >= WindowChars)
       .select(col("doc_id") +: carried :+
         explode(sequence(lit(1L), col("n_chars") - (WindowChars - 1), lit(Stride.toLong)))
           .as("p") :+
         col("text"): _*)
-      .select(col("doc_id") +: carried :+
+      .select(col("doc_id") +: carried ++: pos :+
         md5(expr(s"substring(text, CAST(p AS INT), $WindowChars)")).as("h"): _*)
   }
 
@@ -70,5 +75,36 @@ object Contamination {
         coalesce(col("__nw"), lit(0L)).as("n_windows"),
         coalesce(col("__nc"), lit(0L)).as("n_contaminated"))
       .withColumn("contaminated", col("n_contaminated") > 0)
+  }
+
+  /** Contamination RUN lengths (the Lee et al. memorization-span shape):
+    * for each contaminated train document, the contiguous runs of
+    * contaminated windows — a 50-window run is a verbatim benchmark
+    * passage, one isolated window is a common idiom. Islands via the
+    * gaps-and-islands trick (window index minus per-doc row_number is
+    * constant within a run); the per-doc window is bounded by document
+    * length, so partitions stay balanced at corpus scale. span_chars
+    * converts the longest run back to text length:
+    * (run−1)·stride + window.
+    */
+  def spanRuns(docs: DataFrame, isEval: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = spanHashes(docs.withColumn("__eval", isEval), Seq("__eval"),
+      keepPos = true).localCheckpoint(eager = false)
+    val evalHashes = wins.where(col("__eval")).select("h").distinct()
+    val hit = wins.where(!col("__eval"))
+      .join(broadcast(evalHashes), Seq("h"), "left_semi")
+      .select(col("doc_id"), expr(s"(p - 1) div $Stride").as("i"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("i")
+    hit
+      .withColumn("island", col("i") - row_number().over(byDoc))
+      .groupBy("doc_id", "island")
+      .agg(count(lit(1)).as("run_windows"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_runs"),
+        max(col("run_windows")).as("max_run_windows"))
+      .select(col("doc_id"), col("n_runs"), col("max_run_windows"),
+        ((col("max_run_windows") - 1L) * Stride + WindowChars).as("max_span_chars"))
   }
 }

@@ -342,6 +342,17 @@ object TrainingDataQueries {
         .orderBy("doc_id")
     },
 
+    // Contamination RUN lengths (Lee et al. memorization spans): a
+    // 50-window run is a verbatim benchmark passage, one isolated
+    // window a common idiom — the severity dimension cont1's boolean
+    // cannot see. Gaps-and-islands over window indices, per-doc
+    // windows only.
+    "cont2_contamination_spans" -> { (spark, dir) =>
+      Contamination.spanRuns(
+          Tables.documentsParallel(spark, dir), col("doc_id") % 20 === 0)
+        .orderBy("doc_id")
+    },
+
     // Data-mixture weights: per-language token mass and the resampling
     // weight that would flatten the corpus to a uniform language mix —
     // the knob a training-mixture spec turns. Exact BIGINT token sums;
@@ -829,6 +840,29 @@ object TrainingDataQueries {
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |WHERE NOT (d.doc_id % 20 = 0)
         |ORDER BY d.doc_id""".stripMargin,
+    "cont2_contamination_spans" ->
+      """WITH wins AS (
+        |  SELECT doc_id, doc_id % 20 = 0 AS is_eval, g.p,
+        |    md5(substr(text, CAST(g.p AS INTEGER), 32)) AS h
+        |  FROM documents, UNNEST(generate_series(1, n_chars - 31, 8)) AS g(p)
+        |  WHERE n_chars >= 32
+        |), ev AS (
+        |  SELECT DISTINCT h FROM wins WHERE is_eval
+        |), hit AS (
+        |  SELECT w.doc_id, (w.p - 1) // 8 AS i
+        |  FROM wins w JOIN ev ON ev.h = w.h
+        |  WHERE NOT w.is_eval
+        |), isl AS (
+        |  SELECT doc_id, i,
+        |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS island
+        |  FROM hit
+        |), runs AS (
+        |  SELECT doc_id, island, COUNT(*) AS run_windows
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT doc_id, COUNT(*) AS n_runs,
+        |  CAST(MAX(run_windows) AS BIGINT) AS max_run_windows,
+        |  CAST((MAX(run_windows) - 1) * 8 + 32 AS BIGINT) AS max_span_chars
+        |FROM runs GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "dsir1_importance_weights" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS w
