@@ -54,7 +54,19 @@ object Tables {
     * are compute-bound and would otherwise run on the one scan task.
     */
   def eventsParallel(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir).repartition(spark.sparkContext.defaultParallelism)
+    withScanParallelism(spark, events(spark, dir))
+
+  /** Repartition ONLY when the scan planned clearly fewer splits than the
+    * cluster has cores (the single-row-group local-fixture case). A real
+    * 100 TB corpus arrives as thousands of splits and takes the no-shuffle
+    * branch — the shipped code path IS the scale-safe one. The split count
+    * comes from the planned partitioning, not the data, so this adds no
+    * job. Guarded by `PlanSpec` ("multi-split input plans no Exchange").
+    */
+  private[graft] def withScanParallelism(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target / 2) df.repartition(target) else df
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "orders")
@@ -73,6 +85,6 @@ object Tables {
     * bytes here are trivially small relative to the CPU they unlock).
     */
   def documentsParallel(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir).repartition(spark.sparkContext.defaultParallelism)
+    withScanParallelism(spark, documents(spark, dir))
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
 }

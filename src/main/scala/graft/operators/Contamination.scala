@@ -77,6 +77,85 @@ object Contamination {
       .withColumn("contaminated", col("n_contaminated") > 0)
   }
 
+  /** Substring-dedup REMOVAL (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better" — the emit-the-cleaned-corpus
+    * half that [[report]]/[[spanRuns]] only detect): every strided
+    * 32-char window whose hash occurs in >= 2 DISTINCT documents is a
+    * duplicated span; overlapping/adjacent duplicated windows merge into
+    * maximal removal intervals (gaps-and-islands over character
+    * positions, the [[spanRuns]] trick); each document is reconstructed
+    * from the KEEP-segment complement, with per-doc removal stats.
+    * Within-doc repeats don't count toward the threshold — self-similar
+    * boilerplate is a different operator (sd1's concern).
+    *
+    * Scale shape: the only corpus-wide shuffle keys on the 16-byte
+    * window hash (positions ride along; documents never shuffle for the
+    * frequency count); interval merge and reconstruction run in per-doc
+    * windows bounded by document length; keep-segment substrings stay in
+    * the scan stage. Never all-pairs, no driver-side data.
+    *
+    * Output: (doc_id, n_spans_removed, removed_chars, clean_text,
+    * n_chars_clean) — one row per input document, clean docs pass
+    * through verbatim, fully-duplicated docs come back empty.
+    */
+  def removeDuplicateSpans(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    val wins = spanHashes(docs, keepPos = true) // (doc_id, p, h)
+    val dupH = wins.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2L)
+      .select("h")
+    val dupWins = wins.join(dupH, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("p").as("s"),
+        (col("p") + (WindowChars - 1).toLong).as("e"))
+    // merge into maximal intervals: a window starts a new island iff its
+    // start clears the running max end by more than 1 (adjacent merges)
+    val byStart = Window.partitionBy("doc_id").orderBy("s")
+    val prevMaxE = max(col("e"))
+      .over(byStart.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = dupWins
+      .withColumn("brk",
+        when(prevMaxE.isNull || col("s") > prevMaxE + 1L, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("brk")).over(byStart.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min("s").as("s"), max("e").as("e"))
+      .localCheckpoint(eager = false)
+    val stats = merged.groupBy("doc_id").agg(
+      count(lit(1)).as("n_spans_removed"),
+      sum(col("e") - col("s") + 1L).as("removed_chars"),
+      max("e").as("last_e"))
+    // keep segments: the gap before each interval, plus the per-doc tail
+    val before = merged
+      .withColumn("ks", coalesce(lag(col("e"), 1).over(byStart) + 1L, lit(1L)))
+      .select(col("doc_id"), col("ks"), (col("s") - col("ks")).as("kl"))
+    val tail = stats.join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+      .select(col("doc_id"), (col("last_e") + 1L).as("ks"),
+        (col("n_chars") - col("last_e")).as("kl"))
+    val rebuilt = before.unionByName(tail)
+      .where(col("kl") > 0L)
+      .join(docs.select("doc_id", "text"), Seq("doc_id"))
+      .select(col("doc_id"), col("ks"),
+        expr("substring(text, CAST(ks AS INT), CAST(kl AS INT))").as("seg"))
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("ks"), col("seg")))),
+          x => x.getField("seg")), "").as("clean_text"))
+    docs.select(col("doc_id"), col("text"))
+      .join(stats, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_spans_removed"), lit(0L)).as("n_spans_removed"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+        // stats row but no rebuilt row = every keep-segment was empty:
+        // the document was removed WHOLE, not passed through
+        when(col("n_spans_removed").isNull, col("text"))
+          .otherwise(coalesce(col("clean_text"), lit(""))).as("clean_text"))
+      .withColumn("n_chars_clean", length(col("clean_text")).cast(LongType))
+  }
+
   /** Contamination RUN lengths (the Lee et al. memorization-span shape):
     * for each contaminated train document, the contiguous runs of
     * contaminated windows — a 50-window run is a verbatim benchmark

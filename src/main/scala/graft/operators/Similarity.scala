@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.energy.AtomicLayer
 import graft.functions.VectorMath
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -328,12 +329,27 @@ object Similarity {
       nCodes: Int = 32,
       refine: Int = 32,
   ): DataFrame = {
-    require(refine >= k, s"refine depth $refine must be >= k=$k")
     require(nCodes >= 1, s"need at least one codeword, got $nCodes")
     val centroids = sampleCentroids(corpus, nLists)
     val sample = pqSample(corpus, nSub, nCodes)
     // the persisted index at scale: (c_vec, list_id, codes), one pass
-    val index = pqSplittable(corpus, nSub)
+    val index = ivfPqIndexDf(corpus, centroids, sample, nSub)
+    ivfPqSearch(index, centroids, sample, queries, corpus, k, nProbe, nSub, refine)
+  }
+
+  /** The one-pass index relation (c_vec, list_id, codes): list
+    * assignment = broadcast-centroid argmax fold, codes = the native
+    * PqEncode kernel over the one-row broadcast codebook — zero
+    * exchange. This is the write-time artifact [[buildIvfPqIndex]]
+    * persists and [[ivfPqTopK]] materializes inline.
+    */
+  private def ivfPqIndexDf(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      sample: DataFrame,
+      nSub: Int,
+  ): DataFrame =
+    pqSplittable(corpus, nSub)
       .select(col("vec_id").as("c_vec"), col("embedding"))
       .crossJoin(centroidArr(centroids))
       .withColumn("list_id", nearestListCol(col("embedding")))
@@ -341,6 +357,25 @@ object Similarity {
       .crossJoin(pqCodebookArr(sample))
       .select(col("c_vec"), col("list_id"),
         graft.functions.PqEncode.encode(col("embedding"), col("__cbv"), nSub).as("codes"))
+
+  /** The search half shared by [[ivfPqTopK]] (inline index) and
+    * [[ivfPqTopKFromIndex]] (persisted artifacts) — ONE definition so
+    * the two paths can never drift on probe, ADC, shortlist, or refine
+    * semantics. `index` = (c_vec, list_id, codes); `centroids` =
+    * (centroid_id, c_emb); `sample` = (cw_id, qcw).
+    */
+  private def ivfPqSearch(
+      index: DataFrame,
+      centroids: DataFrame,
+      sample: DataFrame,
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nProbe: Int,
+      nSub: Int,
+      refine: Int,
+  ): DataFrame = {
+    require(refine >= k, s"refine depth $refine must be >= k=$k")
     val probes = probeLists(queries, centroids, nProbe)
       .select(col("q_vec"), col("list_id"))
     val lut = pqLutDf(queries, sample, nSub)
@@ -365,6 +400,78 @@ object Similarity {
       .withColumn("rank", row_number().over(wK))
       .where(col("rank") <= k)
       .select("q_vec", "rank", "c_vec", "qdist_exact", "list_id")
+  }
+
+  /** Deterministic on-disk root for the persisted IVF-PQ artifacts of
+    * the corpus at `dir`, keyed by the sf directory's basename — the
+    * x23 oracle replays the same parquet files in DuckDB by literal
+    * path, so this layout is part of the serving contract.
+    */
+  def indexRoot(dir: String): String =
+    s"/tmp/graft_ann_index/${new java.io.File(dir).getName}"
+
+  /** Build + PERSIST the IVF-PQ index artifacts — the write-time half
+    * of a billion-vector serving deployment that [[ivfPqTopK]] only
+    * models inline. Three parquet tables land under `root` via
+    * [[AtomicLayer]] commit-marker snapshots (readers never see a torn
+    * index; a crashed build leaves uncommitted debris the next build
+    * supersedes):
+    *
+    *  - `centroids.parquet` (centroid_id, c_emb) — the coarse quantizer;
+    *  - `codebook.parquet`  (cw_id, qcw)         — the PQ codebook;
+    *  - `index.parquet`     (c_vec, list_id, codes) — the encoded corpus.
+    *
+    * Skips when all three already have a committed snapshot (build
+    * once, serve many — the warmup builds, every later call serves),
+    * unless `force`. keepVersions=1 so exactly one committed version
+    * exists at serve time (the oracle reads `v*` by glob).
+    */
+  def buildIvfPqIndex(
+      corpus: DataFrame,
+      root: String,
+      nLists: Int = 16,
+      nSub: Int = 8,
+      nCodes: Int = 32,
+      force: Boolean = false,
+  ): Unit = {
+    require(nCodes >= 1, s"need at least one codeword, got $nCodes")
+    val spark = corpus.sparkSession
+    val arts = Seq("centroids.parquet", "codebook.parquet", "index.parquet")
+    if (force ||
+        !arts.forall(a => AtomicLayer.latestCommitted(spark, s"$root/$a").isDefined)) {
+      val centroids = sampleCentroids(corpus, nLists)
+      val sample = pqSample(corpus, nSub, nCodes)
+      AtomicLayer.write(centroids, s"$root/centroids.parquet", keepVersions = 1)
+      AtomicLayer.write(sample, s"$root/codebook.parquet", keepVersions = 1)
+      AtomicLayer.write(ivfPqIndexDf(corpus, centroids, sample, nSub),
+        s"$root/index.parquet", keepVersions = 1)
+      (): Unit
+    }
+  }
+
+  /** Answer queries from the PERSISTED index at `root` — the serving
+    * path: centroids, codebook, and corpus codes come off disk (no
+    * recompute, no corpus re-encode); only the probe assignment, the
+    * per-query LUTs, the probed-list ADC scan, and the refine-depth
+    * exact re-rank run at query time. `corpus` is consulted ONLY to
+    * fetch shortlist survivors' real vectors for the refine (at a
+    * deployment, a point-lookup store). Search semantics are
+    * [[ivfPqSearch]] — identical to the inline path by construction.
+    */
+  def ivfPqTopKFromIndex(
+      queries: DataFrame,
+      corpus: DataFrame,
+      root: String,
+      k: Int,
+      nProbe: Int = 2,
+      nSub: Int = 8,
+      refine: Int = 32,
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = AtomicLayer.read(spark, s"$root/centroids.parquet")
+    val sample = AtomicLayer.read(spark, s"$root/codebook.parquet")
+    val index = AtomicLayer.read(spark, s"$root/index.parquet")
+    ivfPqSearch(index, centroids, sample, queries, corpus, k, nProbe, nSub, refine)
   }
 
   /** Exact quantized squared-L2 between two embedding columns (the 2^20

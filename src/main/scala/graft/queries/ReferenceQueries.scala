@@ -368,12 +368,23 @@ object ReferenceQueries {
         .orderBy("event_id")
     },
 
-    // F7+F8: ingestion metadata stamps (current_timestamp is nondeterministic
-    // -> rows-only check, no oracle). Reference: power_ingestion.py:64-69.
+    // F7+F8: ingestion metadata stamps. Reference: power_ingestion.py:64-69.
+    // The wall-clock stamp itself can never hash across engines, so the
+    // RESULT projects it through deterministic gates instead: the stamp
+    // is applied (real current_timestamp), then asserted non-null and
+    // inside the engine's own run-day bracket (±1 day of its own
+    // current_date — each engine brackets against its own clock, so both
+    // sides yield identical booleans and the query is hash-exact).
     "f7_metadata_stamp" -> { (spark, dir) =>
       Tables.region(spark, dir)
         .withColumn("ingested_at", current_timestamp())
         .withColumn("source", lit("energy-charts"))
+        .select(col("r_regionkey"), col("r_name"), col("source"),
+          col("ingested_at").isNotNull.as("stamped"),
+          to_date(col("ingested_at"))
+            .between(date_sub(current_date(), 1), date_add(current_date(), 1))
+            .as("stamp_in_bracket"))
+        .orderBy("r_regionkey")
     },
 
     // K4: global top-N — plans as TakeOrderedAndProject (per-partition
@@ -806,6 +817,17 @@ object ReferenceQueries {
         |FROM events ORDER BY event_id""".stripMargin,
     "f6_to_date" ->
       "SELECT event_id, CAST(ts AS DATE) AS day FROM events ORDER BY event_id",
+    // f7: each engine stamps with ITS OWN clock and gates the stamp
+    // relationally (non-null, within ±1 day of its own current_date) —
+    // the gate booleans are deterministic on both sides, so the query is
+    // hash-comparable even though the stamp itself never could be.
+    "f7_metadata_stamp" ->
+      """SELECT r_regionkey, r_name, 'energy-charts' AS source,
+        |  current_timestamp IS NOT NULL AS stamped,
+        |  CAST(current_timestamp AS DATE)
+        |    BETWEEN current_date - INTERVAL 1 DAY AND current_date + INTERVAL 1 DAY
+        |    AS stamp_in_bracket
+        |FROM region ORDER BY r_regionkey""".stripMargin,
     "u1_union_all" ->
       """SELECT nationkey, COUNT(*) AS n FROM (
         |  SELECT c_nationkey AS nationkey FROM customer

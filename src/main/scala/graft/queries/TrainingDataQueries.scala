@@ -5,7 +5,7 @@ import graft.operators.{Contamination, Packing, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** Training-data pipeline operators beyond cleaning/dedup: sequence
   * packing into context-window bins, train/eval contamination audit,
@@ -15,6 +15,53 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object TrainingDataQueries {
   type Q = (SparkSession, String) => DataFrame
+
+  /** The BPE merge loop shared by bpe2 (reports the rules) and bpe3
+    * (applies them to encode the corpus) — one definition so the two can
+    * never desynchronize on pair selection, tie-break, or the two-sweep
+    * replace convention. `wc` must carry `seq` (space-delimited symbols
+    * with boundary spaces) and `n` (word frequency); all other columns
+    * pass through. Each of the K rounds is one map-side-partial pair
+    * count plus a 1-row driver scalar (the selected rule), with the
+    * rewritten vocabulary localCheckpoint-pinned between rounds. Returns
+    * the rules and the final rewritten table.
+    */
+  private def learnMerges(wc: DataFrame, k: Int): (Seq[(Int, String, Long)], DataFrame) = {
+    var seqs = wc
+    val rules = Seq.newBuilder[(Int, String, Long)]
+    for (round <- 1 to k) {
+      val top = seqs
+        .select(col("n"), split(trim(col("seq")), " ").as("syms"))
+        .where(size(col("syms")) >= 2)
+        .select(col("n"),
+          explode(sequence(lit(0), size(col("syms")) - 2)).as("i"),
+          col("syms"))
+        .select(
+          concat_ws(" ",
+            element_at(col("syms"), col("i") + 1),
+            element_at(col("syms"), col("i") + 2)).as("pair"),
+          col("n"))
+        .groupBy("pair").agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1)
+        .collect().headOption
+        .getOrElse(throw new IllegalStateException(
+          s"BPE merge round $round: no adjacent symbol pair left " +
+            "(every word already collapsed to a single symbol — " +
+            s"vocabulary too small for k=$k merges)"))
+      val pair = top.getString(0)
+      rules += ((round, pair, top.getLong(1)))
+      val pat = lit(" " + pair + " ")
+      val rep = lit(" " + pair.replace(" ", "") + " ")
+      val others = seqs.columns.filterNot(_ == "seq").map(col).toSeq
+      seqs = seqs
+        .select(others :+
+          call_function("replace",
+            call_function("replace", col("seq"), pat, rep), pat, rep).as("seq"): _*)
+        .localCheckpoint()
+    }
+    (rules.result(), seqs)
+  }
 
   val queries: Map[String, Q] = Map(
 
@@ -82,7 +129,6 @@ object TrainingDataQueries {
     // driver scalar (the selected rule — the same bounded-collect
     // pattern as Ids' offsets). Output: the K merge rules.
     "bpe2_merge_loop" -> { (spark, dir) =>
-      val K = 3
       val wc = Tables.documentsParallel(spark, dir)
         .select(explode(TextAnalysis.words(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("n"))
@@ -91,38 +137,9 @@ object TrainingDataQueries {
           concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("seq"),
           col("n"))
         .localCheckpoint()
-      var seqs = wc
-      val rules = Seq.newBuilder[(Int, String, Long)]
-      for (k <- 1 to K) {
-        val top = seqs
-          .select(col("n"), split(trim(col("seq")), " ").as("syms"))
-          .where(size(col("syms")) >= 2)
-          .select(col("n"),
-            explode(sequence(lit(0), size(col("syms")) - 2)).as("i"),
-            col("syms"))
-          .select(
-            concat_ws(" ",
-              element_at(col("syms"), col("i") + 1),
-              element_at(col("syms"), col("i") + 2)).as("pair"),
-            col("n"))
-          .groupBy("pair").agg(sum(col("n")).as("cnt"))
-          .orderBy(col("cnt").desc, col("pair"))
-          .limit(1)
-          .collect()(0)
-        val pair = top.getString(0)
-        val cnt = top.getLong(1)
-        rules += ((k, pair, cnt))
-        val pat = lit(" " + pair + " ")
-        val rep = lit(" " + pair.replace(" ", "") + " ")
-        seqs = seqs
-          .select(
-            call_function("replace",
-              call_function("replace", col("seq"), pat, rep), pat, rep).as("seq"),
-            col("n"))
-          .localCheckpoint()
-      }
+      val (rules, _) = learnMerges(wc, 3)
       import spark.implicits._
-      rules.result().toDF("merge_idx", "pair", "n_occurrences")
+      rules.toDF("merge_idx", "pair", "n_occurrences")
         .orderBy("merge_idx")
     },
 
@@ -135,7 +152,6 @@ object TrainingDataQueries {
     // per-occurrence). Output: per-language token totals under the
     // learned tokenizer next to whitespace-token and char totals.
     "bpe3_encode" -> { (spark, dir) =>
-      val K = 3
       val words = Tables.documentsParallel(spark, dir)
         .select(col("doc_id"), col("lang"),
           explode(TextAnalysis.words(col("text"))).as("w"))
@@ -146,34 +162,9 @@ object TrainingDataQueries {
           concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("seq"),
           col("n"))
         .localCheckpoint()
-      // re-derive the same K merge rules as bpe2 (same selection, same
-      // two-sweep replace convention)
-      var seqs = wc
-      for (_ <- 1 to K) {
-        val top = seqs
-          .select(col("n"), split(trim(col("seq")), " ").as("syms"))
-          .where(size(col("syms")) >= 2)
-          .select(col("n"),
-            explode(sequence(lit(0), size(col("syms")) - 2)).as("i"),
-            col("syms"))
-          .select(
-            concat_ws(" ",
-              element_at(col("syms"), col("i") + 1),
-              element_at(col("syms"), col("i") + 2)).as("pair"),
-            col("n"))
-          .groupBy("pair").agg(sum(col("n")).as("cnt"))
-          .orderBy(col("cnt").desc, col("pair"))
-          .limit(1)
-          .collect()(0)
-        val pat = lit(" " + top.getString(0) + " ")
-        val rep = lit(" " + top.getString(0).replace(" ", "") + " ")
-        seqs = seqs
-          .select(col("w"),
-            call_function("replace",
-              call_function("replace", col("seq"), pat, rep), pat, rep).as("seq"),
-            col("n"))
-          .localCheckpoint()
-      }
+      // the SAME rules as bpe2, by construction (shared learnMerges);
+      // `w` passes through so the encoded vocabulary joins back to docs
+      val (_, seqs) = learnMerges(wc, 3)
       val encoded = seqs.select(col("w"),
         size(split(trim(col("seq")), " ")).cast(LongType).as("n_sym"))
       words.join(encoded, Seq("w"))
@@ -353,6 +344,17 @@ object TrainingDataQueries {
         .orderBy("doc_id")
     },
 
+    // Span-removal dedup — the cleaned corpus cont1/cont2/sd1 only point
+    // at: cross-document duplicated 32-char spans merge into maximal
+    // intervals and are CUT OUT, docs reconstructed from the keep
+    // segments with per-doc removal stats. The full Lee et al. pipeline
+    // shape; the oracle replays window hashing, the >= 2-docs threshold,
+    // interval merge, and substring reconstruction.
+    "sdr1_span_removal" -> { (spark, dir) =>
+      Contamination.removeDuplicateSpans(Tables.documentsParallel(spark, dir))
+        .orderBy("doc_id")
+    },
+
     // Data-mixture weights: per-language token mass and the resampling
     // weight that would flatten the corpus to a uniform language mix —
     // the knob a training-mixture spec turns. Exact BIGINT token sums;
@@ -398,6 +400,47 @@ object TrainingDataQueries {
     // aggregates (map-side partials over 4096 buckets), broadcast the
     // bucket table back onto the feature stream — at 100 TB the bucket
     // table is B rows whatever the corpus size.
+    // Hashed-feature linear quality classifier (the fastText-shape gate
+    // that sits next to ppl1/dsir1 in a corpus-quality stack): word
+    // bigrams hash into B=4096 buckets (portable md5), a deterministic
+    // per-bucket integer weight TABLE — the stand-in for learned
+    // weights, derived from each bucket id's own md5 so both engines
+    // materialize the identical table — broadcasts onto the per-doc
+    // bucket counts, and each document scores as the exact-integer dot
+    // product Σ count(b)·w(b), gate = score > 0. Scale shape: features
+    // aggregate map-side per (doc, bucket); the 4096-row weight table is
+    // the only join side at ANY corpus size; every doc gets a verdict
+    // (featureless docs score 0 / fail).
+    "qc1_linear_quality" -> { (spark, dir) =>
+      import graft.operators.Dedup.portableHash60
+      val B = 4096
+      val weights = broadcast(
+        spark.range(B.toLong)
+          .select(col("id").as("b"),
+            (pmod(portableHash60(col("id").cast(StringType)), lit(17L)) - 8L).as("w")))
+      val docs = Tables.documentsParallel(spark, dir)
+      val ws = TextAnalysis.words(col("text"))
+      val perDoc = docs
+        .select(col("doc_id"), ws.as("wd"))
+        .where(size(col("wd")) >= 2)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), size(col("wd")) - 2)).as("i"), col("wd"))
+        .select(col("doc_id"),
+          pmod(portableHash60(concat_ws(" ", slice(col("wd"), col("i") + 1, lit(2)))),
+            lit(B.toLong)).as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        .join(weights, Seq("b"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_feats"), sum(col("c") * col("w")).as("score"))
+      docs.select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+          coalesce(col("score"), lit(0L)).as("score"))
+        .withColumn("quality_pass", col("score") > 0L)
+        .orderBy("doc_id")
+    },
+
     "dsir1_importance_weights" -> { (spark, dir) =>
       import graft.operators.Dedup.portableHash60
       val B = 4096
@@ -863,6 +906,91 @@ object TrainingDataQueries {
         |  CAST(MAX(run_windows) AS BIGINT) AS max_run_windows,
         |  CAST((MAX(run_windows) - 1) * 8 + 32 AS BIGINT) AS max_span_chars
         |FROM runs GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "sdr1_span_removal" ->
+      """WITH wins AS (
+        |  SELECT doc_id, g.p AS p,
+        |    md5(substr(text, CAST(g.p AS INTEGER), 32)) AS h
+        |  FROM documents, UNNEST(generate_series(1, n_chars - 31, 8)) AS g(p)
+        |  WHERE n_chars >= 32
+        |), duph AS (
+        |  SELECT h FROM (SELECT DISTINCT h, doc_id FROM wins)
+        |  GROUP BY h HAVING COUNT(*) >= 2
+        |), dw AS (
+        |  SELECT w.doc_id, w.p AS s, w.p + 31 AS e
+        |  FROM wins w JOIN duph USING (h)
+        |), brk AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN max(e) OVER pm IS NULL OR s > max(e) OVER pm + 1
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM dw WINDOW pm AS (PARTITION BY doc_id ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), isl AS (
+        |  SELECT doc_id, s, e,
+        |    SUM(b) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM brk
+        |), merged AS (
+        |  SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e
+        |  FROM isl GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT doc_id, COUNT(*) AS n_spans_removed,
+        |    CAST(SUM(e - s + 1) AS BIGINT) AS removed_chars,
+        |    MAX(e) AS last_e
+        |  FROM merged GROUP BY 1
+        |), before AS (
+        |  SELECT doc_id,
+        |    coalesce(lag(e) OVER ws + 1, 1) AS ks,
+        |    s - coalesce(lag(e) OVER ws + 1, 1) AS kl
+        |  FROM merged WINDOW ws AS (PARTITION BY doc_id ORDER BY s)
+        |), segs AS (
+        |  SELECT doc_id, ks, kl FROM before
+        |  UNION ALL
+        |  SELECT st.doc_id, st.last_e + 1 AS ks, d.n_chars - st.last_e AS kl
+        |  FROM stats st JOIN documents d USING (doc_id)
+        |), rebuilt AS (
+        |  SELECT s.doc_id,
+        |    string_agg(substr(d.text, CAST(s.ks AS INTEGER), CAST(s.kl AS INTEGER)),
+        |               '' ORDER BY s.ks) AS clean_text
+        |  FROM segs s JOIN documents d USING (doc_id)
+        |  WHERE s.kl > 0
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(st.n_spans_removed, 0) AS BIGINT) AS n_spans_removed,
+        |  CAST(coalesce(st.removed_chars, 0) AS BIGINT) AS removed_chars,
+        |  CASE WHEN st.doc_id IS NULL THEN d.text
+        |       ELSE coalesce(r.clean_text, '') END AS clean_text,
+        |  CAST(length(CASE WHEN st.doc_id IS NULL THEN d.text
+        |       ELSE coalesce(r.clean_text, '') END) AS BIGINT) AS n_chars_clean
+        |FROM documents d
+        |LEFT JOIN stats st USING (doc_id)
+        |LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "qc1_linear_quality" ->
+      """WITH wt AS (
+        |  SELECT g.b AS b,
+        |    (('0x' || substr(md5(CAST(g.b AS VARCHAR)), 1, 15))::BIGINT % 17) - 8 AS w
+        |  FROM UNNEST(generate_series(0, 4095)) AS g(b)
+        |), toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS wd
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(wd[g.i] || ' ' || wd[g.i + 1]), 1, 15))::BIGINT
+        |      % 4096 AS b
+        |  FROM toks, UNNEST(generate_series(1, len(wd) - 1)) AS g(i)
+        |  WHERE len(wd) >= 2
+        |), cb AS (
+        |  SELECT doc_id, b, COUNT(*) AS c FROM f GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT cb.doc_id, CAST(SUM(cb.c) AS BIGINT) AS n_feats,
+        |    CAST(SUM(cb.c * wt.w) AS BIGINT) AS score
+        |  FROM cb JOIN wt USING (b) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+        |  CAST(coalesce(sc.score, 0) AS BIGINT) AS score,
+        |  coalesce(sc.score, 0) > 0 AS quality_pass
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "dsir1_importance_weights" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS w

@@ -252,5 +252,33 @@ class PlanSpec extends SparkSpec {
       s"expected checkpointed prefix-sum rank input:\n${plan.take(600)}")
     assert(!plan.contains("row_number"),
       "a18 must not rank via a per-flag global window")
+    // Track the PROPERTY, not the plan-text signature: no Window node in
+    // the visible plan may partition by bare l_returnflag — that is the
+    // 3-task global sort this guard exists to forbid, and it stays red
+    // even if some other checkpointed input later satisfies the
+    // "Scan ExistingRDD" string match.
+    val flagWindows = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.exists(_.references.exists(_.name == "l_returnflag")) => w
+    }
+    assert(flagWindows.isEmpty,
+      "a18 has a Window partitioned by l_returnflag (3-task global sort)")
+  }
+
+  test("withScanParallelism: multi-split input plans no Exchange; single-split repartitions") {
+    // The 100 TB posture: a corpus arriving as many splits must take the
+    // no-shuffle branch — the repartition exists only to rescue the
+    // single-row-group local fixture.
+    val dir = java.nio.file.Files.createTempDirectory("scanpar").toString
+    spark.range(1000).repartition(4).write.parquet(s"$dir/many")
+    spark.range(1000).coalesce(1).write.parquet(s"$dir/one")
+
+    val many = Tables.withScanParallelism(spark, spark.read.parquet(s"$dir/many"))
+    assert(!many.queryExecution.executedPlan.toString.contains("Exchange"),
+      "multi-split input must not be reshuffled")
+
+    val one = Tables.withScanParallelism(spark, spark.read.parquet(s"$dir/one"))
+    assert(one.rdd.getNumPartitions == spark.sparkContext.defaultParallelism,
+      "single-split fixture should be repartitioned to full parallelism")
   }
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import graft.energy.AtomicLayer
+import org.apache.spark.sql.functions._
+
+/** The persisted IVF-PQ index (x23): build-once artifacts under
+  * AtomicLayer snapshots, serve-from-disk equal to the inline path.
+  */
+class AnnIndexSpec extends SparkSpec {
+
+  private def tmpRoot(): String =
+    java.nio.file.Files.createTempDirectory("ann-index").toString + "/idx"
+
+  test("serve-from-persisted-index equals the inline IVFADC path exactly") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val qs = emb.where(col("vec_id") < 8)
+    val root = tmpRoot()
+    Similarity.buildIvfPqIndex(emb, root)
+
+    // all three artifacts committed (v0 + _SUCCESS marker)
+    for (a <- Seq("centroids.parquet", "codebook.parquet", "index.parquet")) {
+      val committed = AtomicLayer.latestCommitted(spark, s"$root/$a")
+      assert(committed.isDefined, s"$a has no committed snapshot")
+      assert(committed.get.endsWith("/v0"), s"$a first build should be v0")
+    }
+
+    val inline = Similarity.ivfPqTopK(qs, emb, k = 3)
+      .orderBy("q_vec", "rank").collect().toSeq
+    val served = Similarity.ivfPqTopKFromIndex(qs, emb, root, k = 3)
+      .orderBy("q_vec", "rank").collect().toSeq
+    assert(served == inline,
+      s"persisted-index search diverged from inline:\n$served\nvs\n$inline")
+  }
+
+  test("build is idempotent without force; force writes a fresh snapshot") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val root = tmpRoot()
+    Similarity.buildIvfPqIndex(emb, root)
+    val v0 = AtomicLayer.latestCommitted(spark, s"$root/index.parquet").get
+
+    // second build without force: skip — same committed dir, no new version
+    Similarity.buildIvfPqIndex(emb, root)
+    assert(AtomicLayer.latestCommitted(spark, s"$root/index.parquet").get == v0,
+      "build without force must not rewrite a committed index")
+
+    // force: a new snapshot commits and (keepVersions=1) v0 is pruned
+    Similarity.buildIvfPqIndex(emb, root, force = true)
+    val v1 = AtomicLayer.latestCommitted(spark, s"$root/index.parquet").get
+    assert(v1 != v0, "forced rebuild must commit a new version")
+    assert(!new java.io.File(new java.net.URI(v0).getPath).exists ||
+      !new java.io.File(new java.net.URI(v0).getPath + "/_SUCCESS").exists,
+      "keepVersions=1 should prune the superseded snapshot")
+
+    // the rebuilt index still serves identically
+    val qs = emb.where(col("vec_id") < 8)
+    val inline = Similarity.ivfPqTopK(qs, emb, k = 3)
+      .orderBy("q_vec", "rank").collect().toSeq
+    val served = Similarity.ivfPqTopKFromIndex(qs, emb, root, k = 3)
+      .orderBy("q_vec", "rank").collect().toSeq
+    assert(served == inline)
+  }
+}

@@ -36,4 +36,37 @@ class TimerSessionsSpec extends SparkSpec {
       assert(r.getAs[Long]("session_end_ms") / 1000L + 1800L <= maxSec,
         s"premature timeout: $r")
   }
+
+  test("timer expiry exactly AT the watermark fires (pins the <= convention)") {
+    // The st14 oracle emits a final session iff ceil-ms(end + gap) <=
+    // final watermark. Whether the ENGINE fires a timer whose expiry
+    // exactly equals the watermark is a boundary the real fixture's
+    // sub-second timestamps essentially never exercise — so pin it here
+    // with second-aligned synthetic data: gap 10 s, user 1's expiry lands
+    // exactly ON the 10 s watermark (must fire), user 3's lands 1 s past
+    // it (must NOT fire).
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("timer-boundary")
+    val stage = tmp.resolve("stage")
+    Seq(
+      (1L, 0L, 1L),             // expiry 0+10s = 10_000 ms == watermark
+      (3L, 1_000_000_000L, 3L), // expiry 11_000 ms > watermark
+      (2L, 10_000_000_000L, 2L) // watermark driver: max ts = 10 s
+    ).toDF("user_id", "ts", "event_id")
+      .coalesce(1).write.parquet(stage.toString)
+    val part = Files.list(stage).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, tmp.resolve("events.parquet"))
+
+    val out = TimerSessions.closedByTimeout(spark, tmp.toString, gapSeconds = 10L)
+      .collect()
+    assert(out.length == 1, s"expected exactly user 1's boundary timeout, got: ${out.toSeq}")
+    val r = out.head
+    assert(r.getAs[Long]("user_id") == 1L)
+    assert(r.getAs[String]("closed_by") == "timeout")
+    assert(r.getAs[Long]("session_end_ms") == 0L)
+    assert(r.getAs[Long]("n_events") == 1L)
+  }
 }
