@@ -30,10 +30,19 @@ object Relevance {
     * per-term score.
     */
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    // Pin the tokenized relation: it feeds THREE independent subtrees
+    // (per-doc lengths, the corpus totals derived from them, and the
+    // query-term tf counts), and without the checkpoint each subtree
+    // re-runs the scan + regex tokenize + explode from scratch — the
+    // whole query's cost is ~3 tokenize passes instead of 1 (the r5→r3
+    // bm1 drift). dl is doc-count-sized and feeds two subtrees; pin it
+    // too.
     val toks = docs
       .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("term"))
       .where(col("term") =!= "")
+      .localCheckpoint(eager = false)
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .localCheckpoint(eager = false)
     val corpus = dl.agg(
       count(lit(1)).cast(DoubleType).as("n_docs"),
       sum(col("dl")).cast(DoubleType).as("sum_dl"))
