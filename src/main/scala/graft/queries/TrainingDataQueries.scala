@@ -412,32 +412,61 @@ object TrainingDataQueries {
     // the only join side at ANY corpus size; every doc gets a verdict
     // (featureless docs score 0 / fail).
     "qc1_linear_quality" -> { (spark, dir) =>
-      import graft.operators.Dedup.portableHash60
-      val B = 4096
-      val weights = broadcast(
-        spark.range(B.toLong)
-          .select(col("id").as("b"),
-            (pmod(portableHash60(col("id").cast(StringType)), lit(17L)) - 8L).as("w")))
+      graft.operators.DataQuality.linearQualityScores(Tables.documentsParallel(spark, dir))
+        .orderBy("doc_id")
+    },
+
+    // End-to-end training-set FUNNEL — the composed corpus build every
+    // stage above feeds: exact dedup (keep the min doc_id per
+    // sha256(text)) → Gopher repetition gate → linear-classifier
+    // quality gate → language allowlist, with per-stage survivor and
+    // attrition counts (the numbers a dataset card reports). Each gate
+    // is THE same definition its standalone oracle query uses
+    // (DataQuality.gopherMetrics / linearQualityScores), so the funnel
+    // can never drift from the audited parts. Output is stage-level:
+    // 5 rows of exact BIGINTs.
+    "tm1_training_funnel" -> { (spark, dir) =>
+      import spark.implicits._
+      val dq = graft.operators.DataQuality
       val docs = Tables.documentsParallel(spark, dir)
-      val ws = TextAnalysis.words(col("text"))
-      val perDoc = docs
-        .select(col("doc_id"), ws.as("wd"))
-        .where(size(col("wd")) >= 2)
-        .select(col("doc_id"),
-          explode(sequence(lit(0), size(col("wd")) - 2)).as("i"), col("wd"))
-        .select(col("doc_id"),
-          pmod(portableHash60(concat_ws(" ", slice(col("wd"), col("i") + 1, lit(2)))),
-            lit(B.toLong)).as("b"))
-        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-        .join(weights, Seq("b"))
-        .groupBy("doc_id")
-        .agg(sum(col("c")).as("n_feats"), sum(col("c") * col("w")).as("score"))
-      docs.select(col("doc_id"))
-        .join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-          coalesce(col("score"), lit(0L)).as("score"))
-        .withColumn("quality_pass", col("score") > 0L)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+        .localCheckpoint(eager = false)
+      val keepExact = docs
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val s1 = docs.join(keepExact, Seq("doc_id")).localCheckpoint(eager = false)
+      val s2 = s1.join(
+        dq.gopherMetrics(s1).where(col("gopher_pass")).select("doc_id"),
+        Seq("doc_id")).localCheckpoint(eager = false)
+      val s3 = s2.join(
+        dq.linearQualityScores(s2).where(col("quality_pass")).select("doc_id"),
+        Seq("doc_id")).localCheckpoint(eager = false)
+      val s4 = s3.where(col("lang").isin("en", "de", "fr", "es"))
+      val stages = Seq(
+        (1L, "input", docs), (2L, "exact_dedup", s1), (3L, "gopher_gate", s2),
+        (4L, "quality_gate", s3), (5L, "lang_allowlist", s4))
+      stages.map { case (ord, name, df) =>
+        df.agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+          .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+            col("n_docs"), coalesce(col("n_chars"), lit(0L)).as("n_chars"))
+      }.reduce(_ unionByName _).orderBy("stage_ord")
+    },
+
+    // Gopher/MassiveText repetition-quality rules (Rae et al. 2021,
+    // appendix A): the pre-LM heuristic gate every corpus pipeline runs
+    // before perplexity/classifier scoring. Per document: top-word and
+    // top-bigram occurrence fractions, duplicated-trigram occurrence
+    // fraction, word-length stats — all as exact BIGINT numerators /
+    // denominators, with the pass verdict decided by integer
+    // cross-multiplication (no float compares anywhere near the gate).
+    // The fixture has no newlines, so the line-dup family is vacuous
+    // here and the n-gram family carries the signal. Scale shape: three
+    // map-side-partial counts keyed on (doc, gram) + one per-doc window
+    // over the doc's own vocabulary — partitions bounded by document
+    // length, never corpus-wide.
+    "gq1_gopher_quality" -> { (spark, dir) =>
+      graft.operators.DataQuality.gopherMetrics(Tables.documentsParallel(spark, dir))
         .orderBy("doc_id")
     },
 
@@ -965,6 +994,170 @@ object TrainingDataQueries {
         |LEFT JOIN stats st USING (doc_id)
         |LEFT JOIN rebuilt r USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "gq1_gopher_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents
+        |), words AS (
+        |  SELECT doc_id, w[g.i] AS wd
+        |  FROM toks, UNNEST(generate_series(1, len(w))) AS g(i)
+        |), wstats AS (
+        |  SELECT doc_id, COUNT(*) AS n_words,
+        |    CAST(SUM(length(wd)) AS BIGINT) AS word_chars
+        |  FROM words GROUP BY 1
+        |), topw AS (
+        |  SELECT doc_id, c AS top_word_n FROM (
+        |    SELECT doc_id, wd, COUNT(*) AS c,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY COUNT(*) DESC, wd) AS rn
+        |    FROM words GROUP BY doc_id, wd) t WHERE rn = 1
+        |), bg AS (
+        |  SELECT doc_id, w[g.i] || ' ' || w[g.i + 1] AS g2
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS g(i)
+        |  WHERE len(w) >= 2
+        |), topbg AS (
+        |  SELECT doc_id, c AS top_bigram_n FROM (
+        |    SELECT doc_id, g2, COUNT(*) AS c,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY COUNT(*) DESC, g2) AS rn
+        |    FROM bg GROUP BY doc_id, g2) t WHERE rn = 1
+        |), tg AS (
+        |  SELECT doc_id, w[g.i] || ' ' || w[g.i + 1] || ' ' || w[g.i + 2] AS g3
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS g(i)
+        |  WHERE len(w) >= 3
+        |), tgc AS (
+        |  SELECT doc_id, g3, COUNT(*) AS c FROM tg GROUP BY 1, 2
+        |), tri AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_trigrams,
+        |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_trigram_n
+        |  FROM tgc GROUP BY 1
+        |), m AS (
+        |  SELECT d.doc_id,
+        |    CAST(coalesce(ws.n_words, 0) AS BIGINT) AS n_words,
+        |    CAST(coalesce(ws.word_chars, 0) AS BIGINT) AS word_chars,
+        |    CAST(coalesce(tw.top_word_n, 0) AS BIGINT) AS top_word_n,
+        |    CAST(coalesce(tb.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+        |    CAST(coalesce(tr.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+        |    CAST(coalesce(tr.dup_trigram_n, 0) AS BIGINT) AS dup_trigram_n
+        |  FROM documents d
+        |  LEFT JOIN wstats ws USING (doc_id)
+        |  LEFT JOIN topw tw USING (doc_id)
+        |  LEFT JOIN topbg tb USING (doc_id)
+        |  LEFT JOIN tri tr USING (doc_id))
+        |SELECT *,
+        |  CAST(top_word_n AS DOUBLE) / nullif(n_words, 0) AS top_word_frac,
+        |  CAST(dup_trigram_n AS DOUBLE) / nullif(n_trigrams, 0) AS dup_trigram_frac,
+        |  (n_words BETWEEN 5 AND 100000
+        |   AND top_word_n * 8 <= n_words
+        |   AND top_bigram_n * 5 <= n_words - 1
+        |   AND dup_trigram_n * 10 <= n_trigrams * 3
+        |   AND word_chars >= n_words * 2
+        |   AND word_chars <= n_words * 10) AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // tm1: both gates replayed via the SAME CTE chains as their
+    // standalone oracles (gq1 / qc1), intersected stage by stage; the
+    // gates are per-document, so gating survivors == gating all docs
+    // then intersecting.
+    "tm1_training_funnel" ->
+      """WITH keep AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+        |), toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents
+        |), words AS (
+        |  SELECT doc_id, w[g.i] AS wd
+        |  FROM toks, UNNEST(generate_series(1, len(w))) AS g(i)
+        |), wstats AS (
+        |  SELECT doc_id, COUNT(*) AS n_words,
+        |    CAST(SUM(length(wd)) AS BIGINT) AS word_chars
+        |  FROM words GROUP BY 1
+        |), topw AS (
+        |  SELECT doc_id, c AS top_word_n FROM (
+        |    SELECT doc_id, wd, COUNT(*) AS c,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY COUNT(*) DESC, wd) AS rn
+        |    FROM words GROUP BY doc_id, wd) t WHERE rn = 1
+        |), bgr AS (
+        |  SELECT doc_id, w[g.i] || ' ' || w[g.i + 1] AS g2
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS g(i)
+        |  WHERE len(w) >= 2
+        |), topbg AS (
+        |  SELECT doc_id, c AS top_bigram_n FROM (
+        |    SELECT doc_id, g2, COUNT(*) AS c,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY COUNT(*) DESC, g2) AS rn
+        |    FROM bgr GROUP BY doc_id, g2) t WHERE rn = 1
+        |), tg AS (
+        |  SELECT doc_id, w[g.i] || ' ' || w[g.i + 1] || ' ' || w[g.i + 2] AS g3
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS g(i)
+        |  WHERE len(w) >= 3
+        |), tgc AS (
+        |  SELECT doc_id, g3, COUNT(*) AS c FROM tg GROUP BY 1, 2
+        |), tri AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_trigrams,
+        |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_trigram_n
+        |  FROM tgc GROUP BY 1
+        |), gm AS (
+        |  SELECT d.doc_id,
+        |    coalesce(ws.n_words, 0) AS n_words,
+        |    coalesce(ws.word_chars, 0) AS word_chars,
+        |    coalesce(tw.top_word_n, 0) AS top_word_n,
+        |    coalesce(tb.top_bigram_n, 0) AS top_bigram_n,
+        |    coalesce(tr.n_trigrams, 0) AS n_trigrams,
+        |    coalesce(tr.dup_trigram_n, 0) AS dup_trigram_n
+        |  FROM documents d
+        |  LEFT JOIN wstats ws USING (doc_id)
+        |  LEFT JOIN topw tw USING (doc_id)
+        |  LEFT JOIN topbg tb USING (doc_id)
+        |  LEFT JOIN tri tr USING (doc_id)
+        |), gpass AS (
+        |  SELECT doc_id FROM gm
+        |  WHERE n_words BETWEEN 5 AND 100000
+        |    AND top_word_n * 8 <= n_words
+        |    AND top_bigram_n * 5 <= n_words - 1
+        |    AND dup_trigram_n * 10 <= n_trigrams * 3
+        |    AND word_chars >= n_words * 2
+        |    AND word_chars <= n_words * 10
+        |), wt AS (
+        |  SELECT g.b AS b,
+        |    (('0x' || substr(md5(CAST(g.b AS VARCHAR)), 1, 15))::BIGINT % 17) - 8 AS w
+        |  FROM UNNEST(generate_series(0, 4095)) AS g(b)
+        |), f AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(w[g.i] || ' ' || w[g.i + 1]), 1, 15))::BIGINT
+        |      % 4096 AS b
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS g(i)
+        |  WHERE len(w) >= 2
+        |), cb AS (
+        |  SELECT doc_id, b, COUNT(*) AS c FROM f GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT cb.doc_id, CAST(SUM(cb.c * wt.w) AS BIGINT) AS score
+        |  FROM cb JOIN wt USING (b) GROUP BY 1
+        |), qpass AS (
+        |  SELECT d.doc_id FROM documents d LEFT JOIN sc USING (doc_id)
+        |  WHERE coalesce(sc.score, 0) > 0
+        |), s1 AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars FROM documents d JOIN keep USING (doc_id)
+        |), s2 AS (
+        |  SELECT s1.* FROM s1 JOIN gpass USING (doc_id)
+        |), s3 AS (
+        |  SELECT s2.* FROM s2 JOIN qpass USING (doc_id)
+        |), s4 AS (
+        |  SELECT * FROM s3 WHERE lang IN ('en', 'de', 'fr', 'es')
+        |)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_ord, 'input' AS stage,
+        |    COUNT(*) AS n_docs, CAST(coalesce(SUM(n_chars), 0) AS BIGINT) AS n_chars
+        |  FROM documents
+        |  UNION ALL SELECT 2, 'exact_dedup', COUNT(*),
+        |    CAST(coalesce(SUM(n_chars), 0) AS BIGINT) FROM s1
+        |  UNION ALL SELECT 3, 'gopher_gate', COUNT(*),
+        |    CAST(coalesce(SUM(n_chars), 0) AS BIGINT) FROM s2
+        |  UNION ALL SELECT 4, 'quality_gate', COUNT(*),
+        |    CAST(coalesce(SUM(n_chars), 0) AS BIGINT) FROM s3
+        |  UNION ALL SELECT 5, 'lang_allowlist', COUNT(*),
+        |    CAST(coalesce(SUM(n_chars), 0) AS BIGINT) FROM s4
+        |) ORDER BY stage_ord""".stripMargin,
     "qc1_linear_quality" ->
       """WITH wt AS (
         |  SELECT g.b AS b,

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Planted-data verification of [[Pii.redactPii]] — the fixture corpus
+  * carries no PII-shaped strings, so this spec IS the correctness gate.
+  */
+class PiiSpec extends SparkSpec {
+
+  test("emails, IPs, and formatted phones are counted and redacted; clean text unchanged") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact john.doe+spam@example.co.uk or sales@corp.io today"),
+      (2L, "server at 192.168.0.1 and fallback 8.8.8.8 on port 443"),
+      (3L, "call (415) 555-2671 or +1 415 555 2671 or 555-123-4567"),
+      (4L, "no personal data here, just words and the number 12345"),
+      (5L, "mixed: admin@host.net from 10.0.0.7 said call 650-555-0199"),
+    ).toDF("doc_id", "text")
+
+    val out = Pii.redactPii(docs).orderBy("doc_id").collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    assert(byId(1L).getAs[Long]("n_emails") == 2L)
+    assert(byId(1L).getAs[String]("redacted") ==
+      "contact [EMAIL] or [EMAIL] today")
+
+    assert(byId(2L).getAs[Long]("n_ips") == 2L)
+    // "443" alone must not be an IP or phone
+    assert(byId(2L).getAs[Long]("n_phones") == 0L)
+    assert(byId(2L).getAs[String]("redacted") ==
+      "server at [IP] and fallback [IP] on port 443")
+
+    assert(byId(3L).getAs[Long]("n_phones") == 3L)
+    assert(byId(3L).getAs[String]("redacted") ==
+      "call [PHONE] or [PHONE] or [PHONE]")
+
+    assert(byId(4L).getAs[Boolean]("has_pii") == false)
+    assert(byId(4L).getAs[String]("redacted") ==
+      "no personal data here, just words and the number 12345")
+
+    val m = byId(5L)
+    assert(m.getAs[Long]("n_emails") == 1L)
+    assert(m.getAs[Long]("n_ips") == 1L)
+    assert(m.getAs[Long]("n_phones") == 1L)
+    assert(m.getAs[String]("redacted") ==
+      "mixed: [EMAIL] from [IP] said call [PHONE]")
+  }
+
+  test("the shipped corpus is PII-free and passes through verbatim") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf0001)
+    val out = Pii.redactPii(docs)
+    assert(out.where(col("has_pii")).count() == 0L,
+      "fixture corpus unexpectedly contains PII-shaped strings")
+    val changed = docs.select(col("doc_id"), col("text"))
+      .join(out.select(col("doc_id"), col("redacted")), Seq("doc_id"))
+      .where(col("text") =!= col("redacted")).count()
+    assert(changed == 0L, s"$changed docs altered by redaction on a PII-free corpus")
+  }
+}
