@@ -46,25 +46,29 @@ object Bench {
     // regressions indistinguishable from noise. The median of 3 kills
     // the one-off GC/compilation outlier without averaging it in.
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
+    // Drop pinned blocks (localCheckpoint RDDs) after EVERY execution,
+    // never between a query's timed runs only at its end: with 3 reps the
+    // blocks of 4 executions otherwise pile up before the per-query
+    // cleanup, and the growing storage fraction taxes every later run —
+    // measured up to 44x on the checkpoint-heavy loops (tri1) when the
+    // hygiene ran once per query. Always outside the timed window.
+    def dropPinned(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter(kv => selected(kv._1)).map { case (name, fn) =>
       try { run(fn) } catch { case _: Throwable => () } // warmup
+      dropPinned()
       // A failed query reports -1, not a (misleadingly fast) elapsed time.
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { run(fn); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
+        val t = try { run(fn); (System.nanoTime() - t0) / 1e9 }
+                catch { case _: Throwable => -1.0 }
+        dropPinned()
+        t
       }
       val sec =
         if (times.exists(_ < 0)) -1.0
         else times.sorted.apply(reps / 2)
-      // Drop this query's pinned blocks (localCheckpoint RDDs) before the
-      // next one: lazily-referenced checkpoints otherwise accumulate
-      // until the ContextCleaner's GC hook fires, and the growing storage
-      // memory taxes LATER queries — measured up to ~2x on the heavy
-      // dedup/similarity runs when they follow each other. Outside the
-      // timed window: this is inter-query hygiene, not query cost.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> sec
     }
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)

@@ -402,6 +402,36 @@ object Similarity {
       .select("q_vec", "rank", "c_vec", "qdist_exact", "list_id")
   }
 
+  /** Stream-facing serving primitives: both are STATELESS per-row
+    * shapes (a crossJoin against a one-row broadcast relation plus a
+    * fold expression), so they run identically on a batch relation and
+    * on an unbounded stream — the stream never shuffles for candidate
+    * generation. Used by the st16 streaming serving path over the
+    * persisted index.
+    */
+  def withNearestList(df: DataFrame, centroids: DataFrame, embCol: String): DataFrame =
+    df.crossJoin(centroidArr(centroids))
+      .withColumn("list_id", nearestListCol(col(embCol)))
+      .drop("__cents")
+
+  /** ADC distance of a raw query embedding to each row's persisted
+    * `codes`, via the one-row broadcast codebook — nSub positional
+    * lookups + subspace L2 folds, exact integers.
+    */
+  def withAdcDist(df: DataFrame, sample: DataFrame, qEmbCol: String, nSub: Int): DataFrame = {
+    val qqv = quantEmb(col(qEmbCol))
+    val subdim = size(qqv) / nSub
+    val dist = (0 until nSub).map { s =>
+      pqSubL2(qqv,
+        element_at(col("__cbv"),
+          (element_at(col("codes"), s + 1) + 1).cast(IntegerType)),
+        s, subdim)
+    }.reduce(_ + _)
+    df.crossJoin(pqCodebookArr(sample))
+      .withColumn("qdist_approx", dist)
+      .drop("__cbv")
+  }
+
   /** Deterministic on-disk root for the persisted IVF-PQ artifacts of
     * the corpus at `dir`, keyed by the sf directory's basename — the
     * x23 oracle replays the same parquet files in DuckDB by literal

@@ -56,4 +56,46 @@ object VectorStream {
     StreamRun.toMemorySnapshot(best, "complete", s"stream_ann_${runId.incrementAndGet()}")
       .orderBy("q_vec")
   }
+
+  /** Streaming IVF-PQ serving from the PERSISTED index (the x23
+    * artifacts): each streamed query vector assigns to its nearest
+    * inverted list via the broadcast centroid fold (stateless,
+    * map-side — the stream never shuffles for candidate generation),
+    * stream-static-joins that list's persisted codes, ADC-scores them
+    * against the broadcast codebook, and keeps the per-query best in
+    * complete mode. nProbe = 1 and no refine — the latency tier of the
+    * serving stack; batch x23 with probe-2 + refine is the quality
+    * tier. Everything is exact-integer, so the DuckDB oracle replays
+    * probe, ADC, and the argmin from the same persisted files.
+    */
+  def annTop1FromIndex(spark: SparkSession, dir: String): DataFrame = {
+    import graft.energy.AtomicLayer
+    import graft.operators.Similarity
+    val root = Similarity.indexRoot(dir)
+    Similarity.buildIvfPqIndex(
+      spark.read.parquet(s"$dir/embeddings.parquet"), root)
+    val centroids = AtomicLayer.read(spark, s"$root/centroids.parquet")
+    val sample = AtomicLayer.read(spark, s"$root/codebook.parquet")
+    val index = AtomicLayer.read(spark, s"$root/index.parquet")
+    val schema = StreamRun.cachedSchema(spark, dir, "embeddings.parquet")
+    val qs = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+      .where(col("vec_id") < 8 &&
+        size(col("embedding")) > 0 && size(col("embedding")) % 8 === 0)
+      .select(col("vec_id").as("q_vec"), col("embedding").as("q_emb"))
+    val cands = Similarity.withNearestList(qs, centroids, "q_emb")
+      .join(index, Seq("list_id")) // stream-static: index planned per batch
+      .where(col("c_vec") =!= col("q_vec"))
+    val best = Similarity.withAdcDist(cands, sample, "q_emb", nSub = 8)
+      .groupBy("q_vec")
+      .agg(min(struct(col("qdist_approx"), col("c_vec"))).as("best"))
+      .select(col("q_vec"),
+        col("best.qdist_approx").as("best_qdist"),
+        col("best.c_vec").as("best_c_vec"))
+    StreamRun.toMemorySnapshot(best, "complete",
+        s"stream_ivfpq_${runId.incrementAndGet()}")
+      .orderBy("q_vec")
+  }
 }

@@ -265,6 +265,42 @@ class PlanSpec extends SparkSpec {
       "a18 has a Window partitioned by l_returnflag (3-task global sort)")
   }
 
+  test("x23: the serve path never re-encodes the corpus (no PqEncode past build)") {
+    // The whole point of the persisted index: query time reads codes off
+    // disk. A PqEncode expression anywhere in the SERVE plan means the
+    // index is being rebuilt per query — the x22 inline shape leaking
+    // back in. (The query fn builds the index as a side effect first;
+    // the returned DataFrame is the serve plan.)
+    val df = q("x23_ann_ivfpq_persisted")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("pq_encode"),
+      "serve path re-encodes the corpus instead of reading persisted codes")
+    assert(!plan.contains("CartesianProduct"))
+    // contrast: the inline path DOES encode
+    val inline = q("x22_ann_ivfpq").queryExecution.executedPlan.toString
+    assert(inline.toLowerCase.contains("pq_encode"),
+      "x22 should encode inline — if this fails the guard above is vacuous")
+  }
+
+  test("sdr1: span removal has no cartesian and only per-doc windows") {
+    val df = q("sdr1_span_removal")
+    df.count()
+    val executed = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p: SparkPlan => p
+    }
+    assert(!executed.toString.contains("CartesianProduct"))
+    // every Window must partition by doc_id: a partition-less (or
+    // corpus-keyed) window here would be the single-task scale bug
+    val windows = executed.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "interval merge should use per-doc windows")
+    for (w <- windows)
+      assert(w.partitionSpec.exists(_.references.exists(_.name == "doc_id")),
+        s"window not partitioned by doc_id: ${w.partitionSpec}")
+  }
+
   test("withScanParallelism: multi-split input plans no Exchange; single-split repartitions") {
     // The 100 TB posture: a corpus arriving as many splits must take the
     // no-shuffle branch — the repartition exists only to rescue the
