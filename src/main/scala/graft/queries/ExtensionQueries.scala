@@ -626,6 +626,52 @@ object ExtensionQueries {
       )
     },
 
+    // Sketch SET ALGEBRA — the audience-overlap question ("how many
+    // users do slices A and B share?") answered without ever holding
+    // either id set: per-slice Datasketches HLLs, |A∩B| by inclusion-
+    // exclusion over the merged sketch. At 100 TB the sketches are a
+    // few KB per slice and merge associatively across partitions /
+    // days / replicas — the exact intersection (computed here only to
+    // GATE the estimate) would be a full shuffle of both slices.
+    // Intersection error is gated against |A∪B| (the standard bound:
+    // inclusion-exclusion inherits the union's absolute error), the
+    // per-slice and union estimates against their own exact counts.
+    "x24_sketch_setops" -> { (spark, dir) =>
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"))
+      val a = ev.where(col("event_type") === "click")
+      val b = ev.where(col("event_type") === "purchase")
+      val sk = a.agg(hll_sketch_agg(col("user_id")).as("ska"))
+        .crossJoin(b.agg(hll_sketch_agg(col("user_id")).as("skb")))
+        .select(
+          hll_sketch_estimate(col("ska")).as("est_a"),
+          hll_sketch_estimate(col("skb")).as("est_b"),
+          hll_sketch_estimate(hll_union(col("ska"), col("skb")))
+            .as("est_u"))
+        .select(col("est_a"), col("est_b"), col("est_u"),
+          (col("est_a") + col("est_b") - col("est_u")).as("est_i"))
+      val exact = ev
+        .where(col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+          max(when(col("event_type") === "click", 1L).otherwise(0L)).as("ina"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("inb"))
+        .agg(
+          sum(col("ina")).as("xa"),
+          sum(col("inb")).as("xb"),
+          count(lit(1)).as("xu"),
+          sum(col("ina") * col("inb")).as("xi"))
+      sk.crossJoin(exact).select(
+        (abs(col("est_a") - col("xa")).cast(DoubleType) / col("xa") <=
+          lit(0.1)).as("a_within_bound"),
+        (abs(col("est_b") - col("xb")).cast(DoubleType) / col("xb") <=
+          lit(0.1)).as("b_within_bound"),
+        (abs(col("est_u") - col("xu")).cast(DoubleType) / col("xu") <=
+          lit(0.1)).as("union_within_bound"),
+        (abs(col("est_i") - col("xi")).cast(DoubleType) / col("xu") <=
+          lit(0.15)).as("inter_within_bound"))
+    },
+
     // --- Repetition detection (Gopher-style boilerplate/spam signal) ---
     "t6_repetition" -> { (spark, dir) =>
       TextAnalysis.repetition(Tables.documents(spark, dir)).orderBy("doc_id")
@@ -933,6 +979,13 @@ object ExtensionQueries {
         |ORDER BY rank""".stripMargin,
     "x13_hll_sketch" ->
       "SELECT TRUE AS merged_within_bound",
+    // The sketches themselves are engine-internal (Datasketches HLL has
+    // no DuckDB twin); the RELATIONAL content — every exact count and
+    // the inclusion-exclusion identity the gates divide by — is what
+    // the booleans encode, so the oracle is the gate contract.
+    "x24_sketch_setops" ->
+      """SELECT TRUE AS a_within_bound, TRUE AS b_within_bound,
+        |  TRUE AS union_within_bound, TRUE AS inter_within_bound""".stripMargin,
     "d7_dedup_pipeline" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w

@@ -367,6 +367,38 @@ object PipelineQueries {
         .orderBy("split")
     },
 
+    // Leakage-safe train/val/test split — the assignment that makes
+    // smp4 sound in the presence of duplicates: the split gate hashes
+    // the DUP-CLUSTER representative (min doc_id per sha256(text)), not
+    // the doc, so every copy of a duplicated document lands in the SAME
+    // split and eval can never see a training near-twin. Output is the
+    // per-split census at both granularities plus a corpus-wide
+    // leak_clusters counter (clusters straddling >1 split — 0 by
+    // construction, and the oracle recomputes it rather than trusting
+    // it). Shape at scale: one hash-groupBy of 32-byte keys, the rep
+    // hash gate is a projection, the final agg is 3 rows.
+    "smp6_leakage_safe_split" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars"), sha2(col("text"), 256).as("h"))
+      val reps = docs.groupBy("h").agg(min(col("doc_id")).as("rep"))
+      val u = graft.operators.Dedup.portableHash60(
+        concat(lit("smp6:"), col("rep"))).cast(DoubleType) /
+        lit(1152921504606846976.0)
+      val assigned = docs.join(reps, Seq("h"))
+        .withColumn("split",
+          when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test"))
+      val leak = assigned.groupBy("h")
+        .agg(countDistinct(col("split")).as("ns"))
+        .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("leak_clusters"))
+      assigned.groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_clusters"),
+          sum(col("n_chars")).as("sum_chars"))
+        .crossJoin(broadcast(leak))
+        .orderBy("split")
+    },
+
     // Aggregate FILTER clause (per-aggregate predicates without CASE
     // scaffolding — one pass, selective accumulators).
     "a20_filter_clause" -> { (spark, dir) =>
@@ -790,6 +822,30 @@ object PipelineQueries {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         |FROM s GROUP BY 1 ORDER BY split""".stripMargin,
+    "smp6_leakage_safe_split" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars, sha256(text) AS h FROM documents
+        |), r AS (
+        |  SELECT h, MIN(doc_id) AS rep FROM d GROUP BY 1
+        |), a AS (
+        |  SELECT d.doc_id, d.n_chars, d.h,
+        |    CASE
+        |      WHEN CAST(('0x' || substr(md5('smp6:' || r.rep), 1, 15))::BIGINT
+        |           AS DOUBLE) / 1152921504606846976.0 < 0.8 THEN 'train'
+        |      WHEN CAST(('0x' || substr(md5('smp6:' || r.rep), 1, 15))::BIGINT
+        |           AS DOUBLE) / 1152921504606846976.0 < 0.9 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM d JOIN r USING (h)
+        |), leak AS (
+        |  SELECT CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS leak_clusters
+        |  FROM (SELECT h, COUNT(DISTINCT split) AS ns FROM a GROUP BY 1)
+        |)
+        |SELECT split, COUNT(*) AS n_docs,
+        |  CAST(COUNT(DISTINCT h) AS BIGINT) AS n_clusters,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars, leak.leak_clusters
+        |FROM a CROSS JOIN leak
+        |GROUP BY 1, leak.leak_clusters ORDER BY split""".stripMargin,
 
     "a20_filter_clause" ->
       """SELECT l_returnflag,

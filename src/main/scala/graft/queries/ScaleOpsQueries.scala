@@ -209,9 +209,132 @@ object ScaleOpsQueries {
           coalesce(col("b.n_rows"), lit(0L)).as("n_rows_b"))
         .orderBy("leaf")
     },
+
+    // Bucketed co-located join — the exchange-free join layout of a
+    // 100 TB warehouse: both fact tables are WRITTEN hash-bucketed (and
+    // in-bucket sorted) on the join key, so the sort-merge join reads
+    // bucket i of each side in the same task and plans NO shuffle on
+    // either input (`PlanSpec` "bucketed join plans no Exchange" proves
+    // it with broadcast disabled). At scale this is the difference
+    // between re-shuffling the fact table on every join and never
+    // shuffling it again after one layout write. The driver-visible
+    // result is the join itself — identical to the unbucketed plan,
+    // which is the point: bucketing is pure physical layout. Revenue
+    // rides QueryExprs.revQ exact-integer cents, sum_qty is summed as
+    // LONG, so the rollup is bit-identical across engines.
+    "bkt1_bucketed_join" -> { (spark, dir) =>
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_bucketed").getAbsolutePath
+      def layOut(df: DataFrame, table: String, key: String): Unit = {
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        df.write.mode("overwrite").format("parquet")
+          .bucketBy(8, key).sortBy(key)
+          .option("path", s"$base/$table")
+          .saveAsTable(table)
+      }
+      layOut(Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
+        "bkt1_orders", "o_orderkey")
+      layOut(Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"),
+        "bkt1_lineitem", "l_orderkey")
+      spark.table("bkt1_lineitem")
+        .join(spark.table("bkt1_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast(LongType)).as("sum_qty"),
+          (sum(QueryExprs.revQ).cast(DoubleType) / 1000000.0).as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+
+    // File-skipping effectiveness audit — WHY a warehouse z-orders: for
+    // the same file granularity (value-range splits of the sort key,
+    // 16 files either way), a dx-major linear layout prunes dx
+    // predicates perfectly and dy predicates not at all, while the
+    // Morton layout prunes BOTH dimensions moderately. Files are
+    // "scanned" iff their per-file min/max bounding box intersects the
+    // predicate box — exactly the parquet row-group/Iceberg manifest
+    // pruning rule. One scan, one small aggregate, exact integers.
+    "skip1_skipping_stats" -> { (spark, dir) =>
+      val d = Tables.orders(spark, dir)
+        .select(
+          (col("o_custkey") % 256).as("dx"),
+          (datediff(to_date(col("o_orderdate")), lit("1992-01-01")) % 256)
+            .cast(LongType).as("dy"))
+        .withColumn("zval", morton(col("dx"), col("dy"), 8))
+        .withColumn("linkey", col("dx") * 256 + col("dy"))
+      val files = d
+        .select(lit("linear").as("layout"),
+          expr("linkey div 4096").as("file"), col("dx"), col("dy"))
+        .unionByName(d.select(lit("zorder").as("layout"),
+          expr("zval div 4096").as("file"), col("dx"), col("dy")))
+        .groupBy("layout", "file")
+        .agg(count(lit(1)).as("n_rows"),
+          min("dx").as("min_dx"), max("dx").as("max_dx"),
+          min("dy").as("min_dy"), max("dy").as("max_dy"))
+      val preds = explode(array(
+        struct(lit("dx_16_47").as("pred"),
+          lit(16L).as("lo_dx"), lit(47L).as("hi_dx"),
+          lit(0L).as("lo_dy"), lit(255L).as("hi_dy")),
+        struct(lit("dy_64_95").as("pred"),
+          lit(0L).as("lo_dx"), lit(255L).as("hi_dx"),
+          lit(64L).as("lo_dy"), lit(95L).as("hi_dy"))))
+      val hit = col("max_dx") >= col("lo_dx") && col("min_dx") <= col("hi_dx") &&
+        col("max_dy") >= col("lo_dy") && col("min_dy") <= col("hi_dy")
+      files.withColumn("p", preds).select(col("*"), col("p.*")).drop("p")
+        .groupBy("layout", "pred")
+        .agg(
+          count(lit(1)).as("n_files"),
+          sum(when(hit, 1L).otherwise(0L)).as("files_hit"),
+          sum(col("n_rows")).as("rows_total"),
+          sum(when(hit, col("n_rows")).otherwise(0L)).as("rows_scanned"))
+        .orderBy("layout", "pred")
+    },
   )
 
   val oracles: Map[String, String] = Map(
+    "bkt1_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |    * (10000 - CAST(floor(l_discount * 10000) AS BIGINT))) AS DOUBLE)
+        |    / 1000000.0 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "skip1_skipping_stats" ->
+      s"""WITH d AS (
+         |  SELECT o_custkey % 256 AS dx,
+         |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256 AS dy
+         |  FROM orders
+         |), z AS (
+         |  SELECT dx, dy, (${mortonSql(8)}) AS zval, dx * 256 + dy AS linkey
+         |  FROM d
+         |), files AS (
+         |  SELECT layout, file, COUNT(*) AS n_rows,
+         |    MIN(dx) AS min_dx, MAX(dx) AS max_dx,
+         |    MIN(dy) AS min_dy, MAX(dy) AS max_dy
+         |  FROM (
+         |    SELECT 'linear' AS layout, linkey // 4096 AS file, dx, dy FROM z
+         |    UNION ALL
+         |    SELECT 'zorder' AS layout, zval // 4096 AS file, dx, dy FROM z)
+         |  GROUP BY 1, 2
+         |)
+         |SELECT layout, pred,
+         |  COUNT(*) AS n_files,
+         |  CAST(SUM(CASE WHEN max_dx >= lo_dx AND min_dx <= hi_dx
+         |    AND max_dy >= lo_dy AND min_dy <= hi_dy THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS files_hit,
+         |  CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+         |  CAST(SUM(CASE WHEN max_dx >= lo_dx AND min_dx <= hi_dx
+         |    AND max_dy >= lo_dy AND min_dy <= hi_dy THEN n_rows ELSE 0 END)
+         |    AS BIGINT) AS rows_scanned
+         |FROM files CROSS JOIN (VALUES
+         |    ('dx_16_47', 16, 47, 0, 255),
+         |    ('dy_64_95', 0, 255, 64, 95))
+         |  AS p(pred, lo_dx, hi_dx, lo_dy, hi_dy)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "zord1_zorder_layout" ->
       s"""WITH d AS (
          |  SELECT o_custkey % 256 AS dx,

@@ -617,9 +617,51 @@ object TrainingDataQueries {
         .orderBy(col("total_cents").desc, col("o_orderkey"))
         .limit(10)
     },
+
+    // Taxonomy tagging by broadcast dictionary — the FlashText/keyword-
+    // gazetteer shape every corpus curation run uses for topic routing:
+    // a tiny keyword→category table broadcasts to every executor, the
+    // tokenized corpus hash-joins it map-side (NO corpus shuffle), and
+    // the only wide stage is the (source × category) rollup — a few
+    // hundred rows at any corpus size. Per-category doc reach counts
+    // distinct docs, hit counts total keyword occurrences.
+    "kw1_keyword_tagging" -> { (spark, dir) =>
+      val dict = spark.createDataFrame(Seq(
+        ("join", "joins"), ("merge", "joins"), ("hash", "joins"),
+        ("scan", "access"), ("filter", "access"), ("table", "access"),
+        ("stream", "streaming"), ("window", "streaming"), ("batch", "streaming"),
+        ("slow", "perf"), ("fast", "perf"), ("big", "perf"), ("small", "perf")))
+        .toDF("kw", "category")
+      val toks = Tables.documentsParallel(spark, dir)
+        .select(col("doc_id"), col("source"),
+          explode(TextAnalysis.words(col("text"))).as("w"))
+      toks.join(broadcast(dict), col("w") === col("kw"))
+        .groupBy("source", "category")
+        .agg(
+          countDistinct(col("doc_id")).as("docs_tagged"),
+          count(lit(1)).as("n_hits"))
+        .orderBy("source", "category")
+    },
   )
 
   val oracles: Map[String, String] = Map(
+    "kw1_keyword_tagging" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents
+        |)
+        |SELECT source, category,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs_tagged,
+        |  COUNT(*) AS n_hits
+        |FROM toks
+        |JOIN (VALUES
+        |    ('join', 'joins'), ('merge', 'joins'), ('hash', 'joins'),
+        |    ('scan', 'access'), ('filter', 'access'), ('table', 'access'),
+        |    ('stream', 'streaming'), ('window', 'streaming'), ('batch', 'streaming'),
+        |    ('slow', 'perf'), ('fast', 'perf'), ('big', 'perf'), ('small', 'perf'))
+        |  AS d(kw, category) ON w = kw
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "cap1_domain_cap" ->
       """SELECT doc_id, source, n_chars FROM (
         |  SELECT doc_id, source, n_chars,

@@ -301,6 +301,29 @@ class PlanSpec extends SparkSpec {
         s"window not partitioned by doc_id: ${w.partitionSpec}")
   }
 
+  test("bkt1: bucketed sort-merge join plans no shuffle on either input") {
+    import org.apache.spark.sql.functions.col
+    // Materialize the bucketed layout (bkt1 writes the tables as a side
+    // effect), then prove the join itself — broadcast disabled so the
+    // planner can't dodge the question — is exchange-free: the 100 TB
+    // claim is that after one layout write the fact tables never
+    // re-shuffle for this join key again.
+    q("bkt1_bucketed_join").collect()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt1_lineitem")
+        .join(spark.table("bkt1_orders"), col("l_orderkey") === col("o_orderkey"))
+      joined.count()
+      val plan = planString(joined)
+      assert(plan.contains("SortMergeJoin"), plan.take(600))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n${plan.take(600)}")
+      assert(plan.contains("Bucketed: true"),
+        s"scan did not report bucketed reading:\n${plan.take(600)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("withScanParallelism: multi-split input plans no Exchange; single-split repartitions") {
     // The 100 TB posture: a corpus arriving as many splits must take the
     // no-shuffle branch — the repartition exists only to rescue the
