@@ -272,6 +272,33 @@ object AnalyticsQueries {
           |)
           |SELECT doc_id, cluster_root FROM r ORDER BY doc_id""".stripMargin)
     },
+
+    // Bounded-round synchronous label propagation — the OTHER community
+    // primitive next to d6's run-to-convergence pointer jumping: every
+    // round each node takes the MIN label over itself and its neighbors,
+    // for exactly K=4 rounds. Fixed rounds means fixed cost (K scans of
+    // a checkpointed edge list — no convergence test, no long lineage),
+    // which is how label propagation is actually scheduled on a
+    // 100 TB graph; the oracle unrolls the same 4 rounds in SQL.
+    "lp1_label_propagation" -> { (spark, dir) =>
+      val docs = Tables.documentsParallel(spark, dir)
+      val edges = Dedup.consecutiveBigramEdges(docs, minJaccard = 0.05)
+        .localCheckpoint(eager = true)
+      var labels = docs.select(col("doc_id").as("v"), col("doc_id").as("lab"))
+      for (_ <- 1 to 4) {
+        val viaA = edges.join(labels, col("v") === col("doc_b"))
+          .select(col("doc_a").as("v"), col("lab"))
+        val viaB = edges.join(labels, col("v") === col("doc_a"))
+          .select(col("doc_b").as("v"), col("lab"))
+        labels = labels.unionByName(viaA).unionByName(viaB)
+          .groupBy("v").agg(min(col("lab")).as("lab"))
+          .localCheckpoint(eager = false)
+      }
+      labels.groupBy("lab")
+        .agg(count(lit(1)).as("n_members"),
+          min(col("v")).as("min_doc"), max(col("v")).as("max_doc"))
+        .orderBy("lab")
+    },
     // Cross join (explicit Cartesian surface).
     "j9_cross_join" -> { (spark, dir) =>
       Tables.region(spark, dir).select("r_name")
@@ -649,6 +676,43 @@ object AnalyticsQueries {
         |  FROM r JOIN edges e ON e.doc_a = r.doc_id
         |)
         |SELECT doc_id, cluster_root FROM r ORDER BY doc_id""".stripMargin,
+    "lp1_label_propagation" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1])) AS bg
+        |  FROM toks WHERE len(w) >= 2
+        |), edges AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+        |  WHERE CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.bg, b.bg))) >= 0.05
+        |), l0 AS (SELECT doc_id AS v, doc_id AS lab FROM documents),
+        |l1 AS (SELECT v, MIN(lab) AS lab FROM (
+        |  SELECT v, lab FROM l0
+        |  UNION ALL SELECT e.doc_a AS v, l.lab FROM edges e JOIN l0 l ON l.v = e.doc_b
+        |  UNION ALL SELECT e.doc_b AS v, l.lab FROM edges e JOIN l0 l ON l.v = e.doc_a
+        |) GROUP BY v),
+        |l2 AS (SELECT v, MIN(lab) AS lab FROM (
+        |  SELECT v, lab FROM l1
+        |  UNION ALL SELECT e.doc_a AS v, l.lab FROM edges e JOIN l1 l ON l.v = e.doc_b
+        |  UNION ALL SELECT e.doc_b AS v, l.lab FROM edges e JOIN l1 l ON l.v = e.doc_a
+        |) GROUP BY v),
+        |l3 AS (SELECT v, MIN(lab) AS lab FROM (
+        |  SELECT v, lab FROM l2
+        |  UNION ALL SELECT e.doc_a AS v, l.lab FROM edges e JOIN l2 l ON l.v = e.doc_b
+        |  UNION ALL SELECT e.doc_b AS v, l.lab FROM edges e JOIN l2 l ON l.v = e.doc_a
+        |) GROUP BY v),
+        |l4 AS (SELECT v, MIN(lab) AS lab FROM (
+        |  SELECT v, lab FROM l3
+        |  UNION ALL SELECT e.doc_a AS v, l.lab FROM edges e JOIN l3 l ON l.v = e.doc_b
+        |  UNION ALL SELECT e.doc_b AS v, l.lab FROM edges e JOIN l3 l ON l.v = e.doc_a
+        |) GROUP BY v)
+        |SELECT lab, COUNT(*) AS n_members,
+        |  MIN(v) AS min_doc, MAX(v) AS max_doc
+        |FROM l4 GROUP BY 1 ORDER BY 1""".stripMargin,
     "j9_cross_join" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,

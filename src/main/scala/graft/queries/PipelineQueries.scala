@@ -4,6 +4,7 @@ import graft.Tables
 import graft.operators.{DataQuality, GraphOps, Relevance, TextAnalysis, TimeSeries}
 import graft.streaming.EventsStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 
@@ -61,6 +62,32 @@ object PipelineQueries {
     // sequential recurrence recast as a bounded explode + one aggregate.
     "ts4_ewma" -> { (spark, dir) =>
       TimeSeries.ewmaExact(Tables.events(spark, dir)).orderBy("event_id")
+    },
+
+    // CUSUM changepoint detection per series — the drift alarm over
+    // daily metric totals. Deviations are exact cross-multiplied
+    // integers (cusum_t = N·Σ_{i≤t}d_i − t·T, never a mean divide), so
+    // the peak day and peak magnitude are bit-identical across engines.
+    // Per-series windows only — nothing global; at 100 TB each series'
+    // daily rollup is tiny however large the raw stream is.
+    "ts8_cusum" -> { (spark, dir) =>
+      val daily = Tables.events(spark, dir)
+        .groupBy(col("event_type"), to_date(col("ts_sec")).as("day"))
+        .agg(sum(floor(col("value") * 100).cast(LongType)).as("d"))
+      val wAll = Window.partitionBy("event_type")
+      val wOrd = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("nd", count(lit(1)).over(wAll))
+        .withColumn("tot", sum(col("d")).over(wAll))
+        .withColumn("cusum",
+          col("nd") * sum(col("d")).over(wOrd) -
+            col("tot") * count(lit(1)).over(wOrd))
+        .withColumn("mx", max(abs(col("cusum"))).over(wAll))
+        .where(abs(col("cusum")) === col("mx"))
+        .groupBy("event_type")
+        .agg(min(col("day")).as("cp_day"), max(col("mx")).as("peak"))
+        .orderBy("event_type")
     },
 
     // Graph census over the top-40 term co-occurrence graph: nodes, edges,
@@ -491,6 +518,28 @@ object PipelineQueries {
         |WHERE r.q < b.q1 - 3 * (b.q3 - b.q1) OR r.q > b.q3 + 3 * (b.q3 - b.q1)
         |ORDER BY event_id""".stripMargin,
 
+    "ts8_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('second', ts) AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS d
+        |  FROM events GROUP BY 1, 2
+        |), c AS (
+        |  SELECT event_type, day,
+        |    COUNT(*) OVER (PARTITION BY event_type) *
+        |      SUM(d) OVER (PARTITION BY event_type ORDER BY day
+        |                   ROWS UNBOUNDED PRECEDING) -
+        |    SUM(d) OVER (PARTITION BY event_type) *
+        |      COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+        |                     ROWS UNBOUNDED PRECEDING) AS cusum
+        |  FROM daily
+        |), m AS (
+        |  SELECT event_type, day, cusum,
+        |    MAX(abs(cusum)) OVER (PARTITION BY event_type) AS mx
+        |  FROM c
+        |)
+        |SELECT event_type, MIN(day) AS cp_day, CAST(MAX(mx) AS BIGINT) AS peak
+        |FROM m WHERE abs(cusum) = mx
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ts4_ewma" ->
       """WITH ranked AS (
         |  SELECT user_id, event_id,

@@ -330,9 +330,124 @@ object SurfaceQueries {
           col("x").getField("rk").as("rk"))
         .orderBy("n_nationkey")
     },
+
+    // Hive-style partitioned parquet SINK + partition-pruned read-back:
+    // the layout every event warehouse lands in (dt=/type= dirs). The
+    // write is partitionBy(event_type); the read-back filter on one
+    // partition value prunes to that directory — PlanSpec's partition-
+    // pruning guard proves the mechanism; this query proves the sink
+    // round-trips losslessly (counts, distincts and exact value cents
+    // match the unwritten source in the oracle).
+    "pw1_partitioned_sink" -> { (spark, dir) =>
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_pw1").getAbsolutePath
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts_sec"), col("value"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      spark.read.parquet(out)
+        .where(col("event_type") === "click")
+        .groupBy(to_date(col("ts_sec")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(floor(col("value") * 100).cast(LongType)).as("value_cents"))
+        .orderBy("day")
+    },
+
+    // ORC sink/source round-trip — the other columnar format a Spark
+    // warehouse must read and write. Equality with the parquet-sourced
+    // oracle proves type fidelity (dates, doubles, strings) through the
+    // ORC writer/reader pair.
+    "orc1_roundtrip" -> { (spark, dir) =>
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_orc1").getAbsolutePath
+      Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice",
+          "o_orderdate")
+        .write.mode("overwrite").orc(out)
+      spark.read.orc(out)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100).cast(LongType)).as("cents"),
+          min(to_date(col("o_orderdate"))).as("first_day"),
+          max(to_date(col("o_orderdate"))).as("last_day"))
+        .orderBy("o_orderpriority")
+    },
+
+    // JSON-lines sink/source round-trip over the DOCUMENTS corpus — the
+    // interchange format training corpora actually arrive in. The
+    // explicit read schema (never inferSchema at scale: that is a full
+    // extra pass over 100 TB) plus a portable content checksum proves
+    // the text — newlines, quotes, unicode — survives the JSON
+    // escape/unescape pair byte-for-byte.
+    "jsonl1_roundtrip" -> { (spark, dir) =>
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_jsonl1").getAbsolutePath
+      Tables.documents(spark, dir).write.mode("overwrite").json(out)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      spark.read.schema(schema).json(out)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(graft.operators.Dedup.portableHash60(col("text")) % lit(1000003L))
+            .as("content_checksum"))
+        .orderBy("lang")
+    },
+
+    // CSV sink/source round-trip (quoted, explicit schema): the
+    // spreadsheet-adjacent format ops teams still hand the warehouse.
+    // Numeric/date/string columns only — the checksum proves the
+    // quote/escape pair and the typed re-read are lossless.
+    "csv1_roundtrip" -> { (spark, dir) =>
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_csv1").getAbsolutePath
+      Tables.customer(spark, dir)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        .write.mode("overwrite").option("header", "true").csv(out)
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType), StructField("c_name", StringType),
+        StructField("c_nationkey", LongType),
+        StructField("c_acctbal", DoubleType)))
+      spark.read.schema(schema).option("header", "true").csv(out)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("c_acctbal") * 100).cast(LongType)).as("bal_cents"),
+          sum(graft.operators.Dedup.portableHash60(col("c_name")) % lit(1000003L))
+            .as("name_checksum"))
+        .orderBy("c_nationkey")
+    },
   )
 
   val oracles: Map[String, String] = Map(
+    "pw1_partitioned_sink" ->
+      """SELECT CAST(date_trunc('second', ts) AS DATE) AS day,
+        |  COUNT(*) AS n_events,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "orc1_roundtrip" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  MIN(CAST(o_orderdate AS DATE)) AS first_day,
+        |  MAX(CAST(o_orderdate AS DATE)) AS last_day
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "jsonl1_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000003)
+        |    AS BIGINT) AS content_checksum
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+    "csv1_roundtrip" ->
+      """SELECT c_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS bal_cents,
+        |  CAST(SUM(('0x' || substr(md5(c_name), 1, 15))::BIGINT % 1000003)
+        |    AS BIGINT) AS name_checksum
+        |FROM customer GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
     "udaf1_weighted_mean" ->
       """SELECT l_returnflag,
         |  (CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)

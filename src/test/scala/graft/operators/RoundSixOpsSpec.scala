@@ -70,6 +70,19 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("lp1: labels only flow downhill and the census covers every doc") {
+    val rows = SparkEntry.queries("lp1_label_propagation")(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == docs)
+    for (r <- rows) {
+      // a label is a doc id that reached this group by min-propagation:
+      // it can never exceed the smallest member id
+      assert(r.getAs[Long]("lab") <= r.getAs[Long]("min_doc"), r.toString)
+    }
+    // 4 rounds can only coarsen single-node labelling
+    assert(rows.length <= docs)
+  }
+
   test("x24: all sketch set-algebra gates hold") {
     val r = SparkEntry.queries("x24_sketch_setops")(spark, sf0001).collect()
     assert(r.length == 1)
