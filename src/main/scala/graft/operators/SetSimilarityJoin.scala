@@ -98,4 +98,62 @@ object SetSimilarityJoin {
         jac.as("jaccard"))
       .where(jac >= threshold)
   }
+
+  /** All ORDERED pairs (doc_a ≠ doc_b) with set containment
+    * C(A→B) = |A∩B| / |A| >= `threshold` — the asymmetric near-dup
+    * measure Jaccard misses: a short document wholesale-quoted inside a
+    * long one scores high containment but low Jaccard, and training
+    * pipelines drop the contained copy. Output: (doc_a = contained,
+    * doc_b = container, n_inter, n_a, n_b, containment), exact.
+    *
+    * Lossless probe-side prefix filter (ProbeCount shape): if A misses
+    * all of its (1−t)-prefix tokens in B, then |A∩B| <= ceil(t·n_a) − 1
+    * < t·n_a, so joining A's prefix against the FULL token relation of
+    * candidate containers finds every qualifying pair. The container
+    * side needs no prefix (containment is one-sided), only the length
+    * bound n_b >= ceil(t·n_a) (since A∩B ⊆ B). Verification is
+    * candidate-bounded and exact, as in [[prefixJaccardJoin]].
+    */
+  def containmentJoin(docs: DataFrame, shingleK: Int, threshold: Double): DataFrame = {
+    val toks = Dedup.shingleRows(docs, shingleK)
+      .select(col("doc_id"), col("shingle").as("term"))
+      .distinct()
+      .localCheckpoint(eager = false)
+
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val df = toks.groupBy("term").agg(count(lit(1)).as("df"))
+
+    val prefixLen = (col("n_tok") -
+      ceil(lit(threshold) * col("n_tok")).cast("long") + 1).cast("int")
+    val prefix = toks
+      .join(df, Seq("term"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("term")))).as("ts"),
+        count(lit(1)).as("n_tok"))
+      .select(col("doc_id"), col("n_tok"),
+        explode(slice(col("ts"), lit(1), prefixLen)).as("t"))
+      .select(col("doc_id"), col("n_tok"), col("t.term").as("term"))
+
+    val full = toks.join(sizes, Seq("doc_id"))
+    val cand = prefix.as("a")
+      .join(full.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.n_tok") >= ceil(lit(threshold) * col("a.n_tok")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val inter = cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("term")), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("term")), Seq("doc_b", "term"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+
+    val cont = col("n_inter").cast(DoubleType) / col("n_a").cast(DoubleType)
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_tok").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_tok").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
+        cont.as("containment"))
+      .where(cont >= threshold)
+  }
 }

@@ -672,6 +672,16 @@ object WorkloadQueries {
         Tables.documentsParallel(spark, dir), shingleK = 3, threshold = 0.7)
         .orderBy("doc_a", "doc_b")
     },
+
+    // Asymmetric containment dedup (doc_a mostly inside doc_b): the
+    // near-dup class Jaccard misses — wholesale quoting / boilerplate
+    // wrapping. Probe-side lossless prefix filter, candidate-bounded
+    // exact verify; see SetSimilarityJoin.containmentJoin.
+    "d11_containment_join" -> { (spark, dir) =>
+      SetSimilarityJoin.containmentJoin(
+        Tables.documentsParallel(spark, dir), shingleK = 3, threshold = 0.8)
+        .orderBy("doc_a", "doc_b")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -1306,6 +1316,46 @@ object WorkloadQueries {
         |  JOIN sz sb ON sb.doc_id = i.doc_b
         |WHERE CAST(i.n_inter AS DOUBLE)
         |    / CAST(sa.n_tok + sb.n_tok - i.n_inter AS DOUBLE) >= 0.7
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "d11_containment_join" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents
+        |), toks AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    generate_series(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS term
+        |  FROM w0 WHERE len(w) >= 3
+        |), sz AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY 1),
+        |df AS (SELECT term, COUNT(*) AS df FROM toks GROUP BY 1),
+        |ranked AS (
+        |  SELECT t.doc_id, t.term,
+        |    row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.term)
+        |      AS rk,
+        |    s.n_tok
+        |  FROM toks t JOIN df d ON t.term = d.term
+        |    JOIN sz s ON t.doc_id = s.doc_id
+        |), prefix AS (
+        |  SELECT doc_id, term, n_tok FROM ranked
+        |  WHERE rk <= n_tok - CAST(ceil(0.8 * n_tok) AS BIGINT) + 1
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM prefix a
+        |  JOIN (SELECT t.doc_id, t.term, s.n_tok
+        |        FROM toks t JOIN sz s ON t.doc_id = s.doc_id) b
+        |    ON a.term = b.term AND a.doc_id <> b.doc_id
+        |      AND b.n_tok >= ceil(0.8 * a.n_tok)
+        |), inter AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        |  FROM cand c JOIN toks ta ON ta.doc_id = c.doc_a
+        |    JOIN toks tb ON tb.doc_id = c.doc_b AND tb.term = ta.term
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i.doc_a, i.doc_b, i.n_inter, sa.n_tok AS n_a, sb.n_tok AS n_b,
+        |  CAST(i.n_inter AS DOUBLE) / CAST(sa.n_tok AS DOUBLE) AS containment
+        |FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
+        |  JOIN sz sb ON sb.doc_id = i.doc_b
+        |WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_tok AS DOUBLE) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

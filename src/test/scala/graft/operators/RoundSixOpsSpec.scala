@@ -83,6 +83,40 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(rows.length <= docs)
   }
 
+  test("d11: containment output is in range; planted containments are all recalled") {
+    val out = SparkEntry.queries("d11_containment_join")(spark, sf0001).collect()
+    for (r <- out) {
+      val c = r.getAs[Double]("containment")
+      assert(c >= 0.8 && c <= 1.0, s"containment $c out of range: $r")
+      assert(r.getAs[Long]("doc_a") != r.getAs[Long]("doc_b"))
+    }
+
+    // Planted ground truth: doc 1 is a strict prefix of doc 2 (full
+    // shingle containment 1→2), doc 3 duplicates doc 1 exactly (1.0
+    // both ways), doc 4 is unrelated. The lossless prefix filter must
+    // recall ALL of these — no tuning, no probabilistic misses.
+    import spark.implicits._
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val planted = Seq(
+      (1L, base),
+      (2L, base + " x1 x2 x3"),
+      (3L, base),
+      (4L, (1 to 12).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val got = SetSimilarityJoin.containmentJoin(planted, shingleK = 3, threshold = 0.8)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("containment")).toMap
+    assert(got.get((1L, 2L)).contains(1.0), s"prefix-contained pair missing: $got")
+    assert(got.get((1L, 3L)).contains(1.0) && got.get((3L, 1L)).contains(1.0),
+      s"exact-dup pair must appear both ways: $got")
+    assert(got.get((3L, 2L)).contains(1.0))
+    // container → contained direction fails the threshold (|B|>|A|):
+    // 10 shared of 13 shingles = 0.769 < 0.8
+    assert(!got.contains((2L, 1L)), s"asymmetry violated: $got")
+    assert(!got.keys.exists { case (a, b) => a == 4L || b == 4L },
+      s"unrelated doc matched: $got")
+  }
+
   test("x24: all sketch set-algebra gates hold") {
     val r = SparkEntry.queries("x24_sketch_setops")(spark, sf0001).collect()
     assert(r.length == 1)
