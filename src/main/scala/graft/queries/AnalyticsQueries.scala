@@ -299,6 +299,32 @@ object AnalyticsQueries {
           min(col("v")).as("min_doc"), max(col("v")).as("max_doc"))
         .orderBy("lab")
     },
+    // Sequence-pattern matching per user (MATCH_RECOGNIZE-lite): each
+    // user's event history becomes one compact symbol string (first
+    // letter per event, (ts, event_id)-ordered — deterministic on both
+    // engines), and funnel patterns are REGEXES over it: 'v[^p]*p' =
+    // view converting to purchase with no purchase in between
+    // (non-overlapping leftmost matches — identical semantics in Spark's
+    // regexp_count and DuckDB's regexp_extract_all). Per-user state is
+    // bounded by that user's event count — the sessionization
+    // assumption every engine's pattern matcher already makes; nothing
+    // global, one groupBy.
+    "seq1_event_pattern" -> { (spark, dir) =>
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("sym"))
+        .groupBy("user_id")
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("ts"), col("event_id"), col("sym")))),
+          s => s.getField("sym")), "").as("seq"))
+        .select(
+          col("user_id"),
+          length(col("seq")).as("seq_len"),
+          expr("regexp_count(seq, 'v[^p]*p')").as("n_funnels"),
+          col("seq").rlike("p[^v]*e").as("error_after_purchase"))
+        .orderBy("user_id")
+    },
+
     // Cross join (explicit Cartesian surface).
     "j9_cross_join" -> { (spark, dir) =>
       Tables.region(spark, dir).select("r_name")
@@ -713,6 +739,19 @@ object AnalyticsQueries {
         |SELECT lab, COUNT(*) AS n_members,
         |  MIN(v) AS min_doc, MAX(v) AS max_doc
         |FROM l4 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "seq1_event_pattern" ->
+      """WITH seqs AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+        |      AS seq
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT user_id,
+        |  CAST(length(seq) AS INTEGER) AS seq_len,
+        |  CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS INTEGER)
+        |    AS n_funnels,
+        |  regexp_matches(seq, 'p[^v]*e') AS error_after_purchase
+        |FROM seqs ORDER BY user_id""".stripMargin,
     "j9_cross_join" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,

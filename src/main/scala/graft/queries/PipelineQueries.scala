@@ -234,6 +234,12 @@ object PipelineQueries {
       EventsStream.slidingCounts(spark, dir)
     },
 
+    // Streaming windowed top-k: stream owns windowed counts (bounded
+    // mergeable state), rank runs on the tiny snapshot.
+    "st17_stream_windowed_topk" -> { (spark, dir) =>
+      EventsStream.windowedTopK(spark, dir)
+    },
+
     // Watermark-bounded streaming dedup (state expires with event time —
     // the unbounded-stream-safe variant of st3).
     "st8_stream_dedup_wm" -> { (spark, dir) =>
@@ -739,6 +745,23 @@ object PipelineQueries {
         |WHERE c.c_mktsegment = 'BUILDING'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "st17_stream_windowed_topk" ->
+      """WITH ev AS (
+        |  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+        |    event_type
+        |  FROM events
+        |), w AS (
+        |  SELECT es // 21600 * 21600 AS win_start, event_type,
+        |    COUNT(*) AS n
+        |  FROM ev GROUP BY 1, 2
+        |), r AS (
+        |  SELECT win_start, event_type, n,
+        |    row_number() OVER (PARTITION BY win_start
+        |      ORDER BY n DESC, event_type) AS rn
+        |  FROM w
+        |)
+        |SELECT win_start, event_type, n FROM r WHERE rn <= 2
+        |ORDER BY win_start, event_type""".stripMargin,
     "st7_stream_sliding" ->
       """WITH ev AS (
         |  SELECT event_type,

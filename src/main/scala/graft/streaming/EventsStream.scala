@@ -262,4 +262,29 @@ object EventsStream {
       )
       .orderBy("win_start", "event_type")
   }
+
+  /** Streaming windowed top-k: the top-2 event types per 6-hour tumbling
+    * window. The STREAM owns the windowed counts (watermark + window
+    * groupBy — mergeable per-key state, the shape that holds on an
+    * unbounded 100 TB stream); the top-k selection runs over the
+    * complete-mode snapshot, which is #windows × #types rows — tiny at
+    * any stream size — and its `row_number() <= k` idiom rides the
+    * RewriteRankFilterToTopK path like every batch ranking. win_start
+    * is emitted as epoch seconds (BIGINT) for cross-engine hashing.
+    */
+  def windowedTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = eventsStream(spark, dir)
+      .withWatermark("ts_sec", "1 hour")
+      .groupBy(window(col("ts_sec"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val snap = runToMemory(counts, spark, "complete", "stream_topk")
+      .select(unix_seconds(col("window.start")).as("win_start"),
+        col("event_type"), col("n"))
+    val w = Window.partitionBy("win_start")
+      .orderBy(col("n").desc, col("event_type"))
+    snap.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2).drop("rn")
+      .orderBy("win_start", "event_type")
+  }
 }
