@@ -397,6 +397,30 @@ object SurfaceQueries {
         .orderBy("lang")
     },
 
+    // Small-file compaction round-trip: 64 tiny parts rewritten to
+    // ~targetBytes files (here: 1), then the compacted directory must
+    // aggregate IDENTICALLY to the unwritten source — compaction is
+    // pure layout, the metadata-stampede fix, never a content change.
+    // files_reduced carries the layout claim into the oracle gate.
+    "cmp1_compaction_roundtrip" -> { (spark, dir) =>
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_cmp1").getAbsolutePath
+      val src = s"$base/src"
+      val dst = s"$base/dst"
+      Tables.events(spark, dir)
+        .select("event_id", "user_id", "event_type", "value")
+        .repartition(64).write.mode("overwrite").parquet(src)
+      val (nBefore, nAfter) = graft.operators.Compaction.compact(
+        spark, src, dst, targetBytes = 64L * 1024 * 1024)
+      spark.read.parquet(dst)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(floor(col("value") * 100).cast(LongType)).as("value_cents"))
+        .withColumn("files_reduced", lit(nAfter < nBefore))
+        .orderBy("event_type")
+    },
+
     // CSV sink/source round-trip (quoted, explicit schema): the
     // spreadsheet-adjacent format ops teams still hand the warehouse.
     // Numeric/date/string columns only — the checksum proves the
@@ -441,6 +465,13 @@ object SurfaceQueries {
         |  CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000003)
         |    AS BIGINT) AS content_checksum
         |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+    "cmp1_compaction_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_cents,
+        |  TRUE AS files_reduced
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "csv1_roundtrip" ->
       """SELECT c_nationkey, COUNT(*) AS n,
         |  CAST(SUM(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
