@@ -5,6 +5,7 @@ import graft.functions.VectorMath
 import graft.operators.{Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
@@ -626,6 +627,29 @@ object ExtensionQueries {
       )
     },
 
+    // Hard-negative mining for contrastive training — per anchor, the
+    // most-similar corpus vectors BELOW the positive band ([0, 0.3)
+    // quantized cosine): similar enough to be informative, dissimilar
+    // enough to be true negatives. Anchors broadcast (the corpus never
+    // shuffles for scoring — x1's posture), the per-anchor top-4 rides
+    // the row_number()<=k rank-rewrite path. Every score is the
+    // exact-integer quantized cosine, so the selection is bit-portable.
+    "ns1_hard_negatives" -> { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      val q = broadcast(emb.where(col("vec_id") < 3)
+        .select(col("vec_id").as("q_vec"), col("embedding").as("qe")))
+      val scored = emb.crossJoin(q)
+        .where(col("vec_id") =!= col("q_vec"))
+        .select(col("q_vec"), col("vec_id").as("neg_vec"),
+          VectorMath.cosineExact(col("qe"), col("embedding")).as("qcos"))
+        .where(col("qcos") >= 0.0 && col("qcos") < 0.3)
+      val w = Window.partitionBy("q_vec")
+        .orderBy(col("qcos").desc, col("neg_vec"))
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 4)
+        .orderBy("q_vec", "rank")
+    },
+
     // Sketch SET ALGEBRA — the audience-overlap question ("how many
     // users do slices A and B share?") answered without ever holding
     // either id set: per-slice Datasketches HLLs, |A∩B| by inclusion-
@@ -986,6 +1010,38 @@ object ExtensionQueries {
     "x24_sketch_setops" ->
       """SELECT TRUE AS a_within_bound, TRUE AS b_within_bound,
         |  TRUE AS union_within_bound, TRUE AS inter_within_bound""".stripMargin,
+    "ns1_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_vec, embedding AS eq FROM embeddings
+        |  WHERE vec_id < 3
+        |), pairs AS (
+        |  SELECT q.q_vec, c.vec_id AS neg_vec, q.eq, c.embedding AS ec
+        |  FROM q, embeddings c WHERE c.vec_id <> q.q_vec
+        |), terms AS (
+        |  SELECT q_vec, neg_vec,
+        |    CAST(floor(CAST(eq[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS x,
+        |    CAST(floor(CAST(ec[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS y
+        |  FROM pairs, UNNEST(generate_series(1, len(eq))) AS g(i)
+        |), agg AS (
+        |  SELECT q_vec, neg_vec,
+        |    CAST(SUM(x * y) AS DOUBLE) AS dot,
+        |    CAST(SUM(x * x) AS DOUBLE) AS nx,
+        |    CAST(SUM(y * y) AS DOUBLE) AS ny
+        |  FROM terms GROUP BY 1, 2
+        |), band AS (
+        |  SELECT q_vec, neg_vec,
+        |    dot / nullif(sqrt(nx) * sqrt(ny), 0) AS qcos
+        |  FROM agg
+        |  WHERE dot / nullif(sqrt(nx) * sqrt(ny), 0) >= 0.0
+        |    AND dot / nullif(sqrt(nx) * sqrt(ny), 0) < 0.3
+        |), r AS (
+        |  SELECT q_vec, neg_vec, qcos,
+        |    row_number() OVER (PARTITION BY q_vec
+        |      ORDER BY qcos DESC, neg_vec) AS rn
+        |  FROM band
+        |)
+        |SELECT q_vec, neg_vec, qcos, CAST(rn AS INTEGER) AS rank
+        |FROM r WHERE rn <= 4 ORDER BY q_vec, rank""".stripMargin,
     "d7_dedup_pipeline" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
