@@ -554,6 +554,26 @@ object ExtensionQueries {
         .orderBy("user_id", "session_start")
     },
 
+    // Dynamic-gap session windows: the inactivity gap is an EXPRESSION
+    // of the event (purchases hold the session open 60 min, everything
+    // else 30) — Spark merges overlapping-or-touching per-event windows
+    // [ts, ts+gap(event)). The oracle replays union-of-intervals islands
+    // with a prefix-max running end (no reset needed: an island breaks
+    // exactly when ts exceeds the max end seen so far).
+    "st18_dynamic_gap_sessions" -> { (spark, dir) =>
+      val gap = when(col("event_type") === "purchase", lit("60 minutes"))
+        .otherwise(lit("30 minutes"))
+      Tables.events(spark, dir)
+        .groupBy(col("user_id"), session_window(col("ts_sec"), gap))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+
     // --- Streaming ---
     "st1_stream_daily" -> { (spark, dir) =>
       EventsStream.dailyAggregates(spark, dir)
@@ -2067,6 +2087,31 @@ object ExtensionQueries {
         |)
         |SELECT user_id, MIN(tss) AS session_start,
         |  MAX(tss) + INTERVAL 30 MINUTE AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM numbered GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    "st18_dynamic_gap_sessions" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('second', ts) AS tss, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 3600 ELSE 1800 END AS gap
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, tss, event_id, gap,
+        |    CASE WHEN max(CAST(epoch(tss) AS BIGINT) + gap) OVER wprev IS NULL
+        |      OR CAST(epoch(tss) AS BIGINT)
+        |         > max(CAST(epoch(tss) AS BIGINT) + gap) OVER wprev
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM ev
+        |  WINDOW wprev AS (PARTITION BY user_id ORDER BY tss, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), numbered AS (
+        |  SELECT user_id, tss, gap,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tss, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id, MIN(tss) AS session_start,
+        |  MAX(tss + gap * INTERVAL 1 SECOND) AS session_end,
         |  COUNT(*) AS n_events
         |FROM numbered GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
