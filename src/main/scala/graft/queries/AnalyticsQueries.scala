@@ -299,6 +299,28 @@ object AnalyticsQueries {
           min(col("v")).as("min_doc"), max(col("v")).as("max_doc"))
         .orderBy("lab")
     },
+    // Rolling 7-day distinct actives (the DAU/WAU board metric): sliding
+    // COUNT(DISTINCT) doesn't decompose over window frames, so the scale
+    // shape is expand-then-group — each distinct (user, day) contributes
+    // to its 7 covering days (bounded ×7 fanout of the DISTINCT pair
+    // relation, not the raw stream), then one distinct-count per day.
+    // Reported days are restricted to observed days.
+    "w12_rolling_dau" -> { (spark, dir) =>
+      val ud = Tables.events(spark, dir)
+        .select(col("user_id"), to_date(col("ts_sec")).as("day"))
+        .distinct()
+        .localCheckpoint(eager = false) // feeds both the expansion and obs
+      val expanded = ud
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("off"), col("day"))
+        .select(col("user_id"), date_add(col("day"), col("off")).as("d"))
+      val obs = ud.select(col("day").as("d")).distinct()
+      expanded.join(obs, Seq("d"))
+        .groupBy("d")
+        .agg(countDistinct(col("user_id")).as("dau7"))
+        .orderBy("d")
+    },
+
     // Sequence-pattern matching per user (MATCH_RECOGNIZE-lite): each
     // user's event history becomes one compact symbol string (first
     // letter per event, (ts, event_id)-ordered — deterministic on both
@@ -739,6 +761,18 @@ object AnalyticsQueries {
         |SELECT lab, COUNT(*) AS n_members,
         |  MIN(v) AS min_doc, MAX(v) AS max_doc
         |FROM l4 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w12_rolling_dau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('second', ts) AS DATE) AS day
+        |  FROM events
+        |), expanded AS (
+        |  SELECT user_id, day + CAST(g.o AS INTEGER) AS d
+        |  FROM ud, UNNEST(generate_series(0, 6)) AS g(o)
+        |), obs AS (SELECT DISTINCT day AS d FROM ud)
+        |SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau7
+        |FROM expanded JOIN obs USING (d)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "seq1_event_pattern" ->
       """WITH seqs AS (
         |  SELECT user_id,

@@ -63,6 +63,45 @@ object DecisionQueries {
         .orderBy("supp_nation", "cust_nation", "l_year")
     },
 
+    // Q8 shape: national market share — NATION_3 suppliers' slice of
+    // PROMO-part revenue sold into EUROPE, per order year. The share is
+    // a conditional-sum / sum ratio over one joined relation (numerator
+    // and denominator in the SAME pass — never two scans), dims
+    // broadcast, revenue in exact integer cents until one final double
+    // division per year.
+    "tq8_market_share" -> { (spark, dir) =>
+      val eur = Tables.region(spark, dir).where(col("r_name") === "EUROPE")
+        .select("r_regionkey")
+      val natC = Tables.nation(spark, dir)
+        .join(broadcast(eur), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cnk"))
+      val c = Tables.customer(spark, dir)
+        .join(broadcast(natC), col("c_nationkey") === col("cnk"))
+        .select("c_custkey")
+      val natS = Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      val s = Tables.supplier(spark, dir)
+        .join(broadcast(natS), col("s_nationkey") === col("snk"))
+        .select("s_suppkey", "supp_nation")
+      val p = Tables.part(spark, dir).where(col("p_type") === "PROMO")
+        .select("p_partkey")
+      val o = Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_discount")
+        .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+        .join(o, col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("c_custkey") === col("o_custkey"))
+        .join(broadcast(s), col("s_suppkey") === col("l_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          (sum(when(col("supp_nation") === "NATION_3", revQ)
+            .otherwise(lit(0).cast(DecimalType(38, 0)))).cast(DoubleType) /
+            sum(revQ).cast(DoubleType)).as("mkt_share"))
+        .orderBy("o_year")
+    },
+
     // Q13 shape: customer order-count distribution. The filter lives in
     // the JOIN CONDITION of the outer join (not a WHERE — that would
     // turn it inner), and the aggregate of an aggregate is the
@@ -424,6 +463,25 @@ object DecisionQueries {
         |        AND ql BETWEEN 10 AND 30)
         |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50
         |        AND ql BETWEEN 20 AND 40)""".stripMargin,
+    "tq8_market_share" ->
+      """WITH base AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |      * (10000 - CAST(floor(l_discount * 10000) AS BIGINT)) AS rev,
+        |    ns.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation nc ON nc.n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = nc.n_regionkey AND r_name = 'EUROPE'
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ns ON ns.n_nationkey = s_nationkey
+        |)
+        |SELECT o_year,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END)
+        |       AS DOUBLE) / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
     "tq7_cross_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  year(l_shipdate) AS l_year,
