@@ -64,6 +64,46 @@ object PipelineQueries {
       TimeSeries.ewmaExact(Tables.events(spark, dir)).orderBy("event_id")
     },
 
+    // Pairwise Pearson correlation MATRIX over the fact table's numeric
+    // columns in ONE pass: every moment (4 sums, 4 sums-of-squares, 6
+    // cross sums, n) accumulates as an exact DECIMAL(38,0) of quantized
+    // integers in a single map-side-partial aggregate — never one scan
+    // per pair, never doubles before the final formula. The 6 output
+    // rows explode from the single stats row.
+    "corr1_matrix" -> { (spark, dir) =>
+      val d38 = DecimalType(38, 0)
+      val quant: Map[String, org.apache.spark.sql.Column] = Map(
+        "disc" -> floor(col("l_discount") * 10000).cast(LongType),
+        "price" -> floor(col("l_extendedprice") * 100).cast(LongType),
+        "qty" -> floor(col("l_quantity") * 100).cast(LongType),
+        "tax" -> floor(col("l_tax") * 10000).cast(LongType))
+      val names = Seq("disc", "price", "qty", "tax")
+      val base = Tables.lineitem(spark, dir)
+        .select(names.map(n => quant(n).as(n)): _*)
+      val pairs = for {
+        i <- names.indices; j <- names.indices if i < j
+      } yield (names(i), names(j))
+      val aggs =
+        Seq(count(lit(1)).as("n")) ++
+          names.map(n => sum(col(n).cast(d38)).as(s"s_$n")) ++
+          names.map(n => sum((col(n) * col(n)).cast(d38)).as(s"ss_$n")) ++
+          pairs.map { case (a, b) =>
+            sum((col(a) * col(b)).cast(d38)).as(s"sp_${a}_$b")
+          }
+      val stats = base.agg(aggs.head, aggs.tail: _*)
+      def dbl(c: String) = col(c).cast(DoubleType)
+      val rows = pairs.map { case (a, b) =>
+        struct(lit(a).as("col_a"), lit(b).as("col_b"),
+          ((dbl("n") * dbl(s"sp_${a}_$b") - dbl(s"s_$a") * dbl(s"s_$b")) /
+            (sqrt(dbl("n") * dbl(s"ss_$a") - dbl(s"s_$a") * dbl(s"s_$a")) *
+              sqrt(dbl("n") * dbl(s"ss_$b") - dbl(s"s_$b") * dbl(s"s_$b"))))
+            .as("corr"))
+      }
+      stats.select(explode(array(rows: _*)).as("p"))
+        .select(col("p.*"))
+        .orderBy("col_a", "col_b")
+    },
+
     // CUSUM changepoint detection per series — the drift alarm over
     // daily metric totals. Deviations are exact cross-multiplied
     // integers (cusum_t = N·Σ_{i≤t}d_i − t·T, never a mean divide), so
@@ -524,6 +564,35 @@ object PipelineQueries {
         |WHERE r.q < b.q1 - 3 * (b.q3 - b.q1) OR r.q > b.q3 + 3 * (b.q3 - b.q1)
         |ORDER BY event_id""".stripMargin,
 
+    "corr1_matrix" -> {
+      val names = Seq("disc", "price", "qty", "tax")
+      val pairs = for {
+        i <- names.indices; j <- names.indices if i < j
+      } yield (names(i), names(j))
+      val sumCols =
+        names.map(n => s"CAST(SUM($n) AS DOUBLE) AS s_$n") ++
+          names.map(n => s"CAST(SUM($n * $n) AS DOUBLE) AS ss_$n") ++
+          pairs.map { case (a, b) => s"CAST(SUM($a * $b) AS DOUBLE) AS sp_${a}_$b" }
+      val unions = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+           |  (CAST(n AS DOUBLE) * sp_${a}_$b - s_$a * s_$b) /
+           |  (sqrt(CAST(n AS DOUBLE) * ss_$a - s_$a * s_$a) *
+           |   sqrt(CAST(n AS DOUBLE) * ss_$b - s_$b * s_$b)) AS corr
+           |FROM s""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH q AS (
+         |  SELECT CAST(floor(l_discount * 10000) AS BIGINT) AS disc,
+         |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS price,
+         |    CAST(floor(l_quantity * 100) AS BIGINT) AS qty,
+         |    CAST(floor(l_tax * 10000) AS BIGINT) AS tax
+         |  FROM lineitem
+         |), s AS (
+         |  SELECT COUNT(*) AS n, ${sumCols.mkString(", ")} FROM q
+         |)
+         |SELECT col_a, col_b, corr FROM (
+         |$unions
+         |) ORDER BY col_a, col_b""".stripMargin
+    },
     "ts8_cusum" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(date_trunc('second', ts) AS DATE) AS day,
