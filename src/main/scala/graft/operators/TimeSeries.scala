@@ -184,4 +184,30 @@ object TimeSeries {
       .join(contrib, Seq("user_id", "rn"))
       .select(col("user_id"), col("event_id"), col("ewma_num"), col("ewma_den"))
   }
+
+  /** CUSUM changepoint per series over a (series, day, d) daily-total
+    * relation: the day maximizing |cusum_t| where
+    * cusum_t = N·Σ_{i≤t}d_i − t·T — the mean-deviation cumulative sum
+    * with the mean divide cross-multiplied away, so every intermediate
+    * is an exact integer and the peak day is bit-stable across engines
+    * and partitionings. Ties break to the earliest day. Per-series
+    * windows only; input is the (tiny) per-day rollup, never the raw
+    * stream.
+    */
+  def cusumChangepoint(daily: DataFrame, seriesCol: String = "event_type"): DataFrame = {
+    val wAll = Window.partitionBy(seriesCol)
+    val wOrd = Window.partitionBy(seriesCol).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("nd", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("d")).over(wAll))
+      .withColumn("cusum",
+        col("nd") * sum(col("d")).over(wOrd) -
+          col("tot") * count(lit(1)).over(wOrd))
+      .withColumn("mx", max(abs(col("cusum"))).over(wAll))
+      .where(abs(col("cusum")) === col("mx"))
+      .groupBy(seriesCol)
+      .agg(min(col("day")).as("cp_day"), max(col("mx")).as("peak"))
+      .orderBy(seriesCol)
+  }
 }

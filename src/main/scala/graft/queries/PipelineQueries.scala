@@ -111,23 +111,10 @@ object PipelineQueries {
     // Per-series windows only — nothing global; at 100 TB each series'
     // daily rollup is tiny however large the raw stream is.
     "ts8_cusum" -> { (spark, dir) =>
-      val daily = Tables.events(spark, dir)
-        .groupBy(col("event_type"), to_date(col("ts_sec")).as("day"))
-        .agg(sum(floor(col("value") * 100).cast(LongType)).as("d"))
-      val wAll = Window.partitionBy("event_type")
-      val wOrd = Window.partitionBy("event_type").orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      daily
-        .withColumn("nd", count(lit(1)).over(wAll))
-        .withColumn("tot", sum(col("d")).over(wAll))
-        .withColumn("cusum",
-          col("nd") * sum(col("d")).over(wOrd) -
-            col("tot") * count(lit(1)).over(wOrd))
-        .withColumn("mx", max(abs(col("cusum"))).over(wAll))
-        .where(abs(col("cusum")) === col("mx"))
-        .groupBy("event_type")
-        .agg(min(col("day")).as("cp_day"), max(col("mx")).as("peak"))
-        .orderBy("event_type")
+      TimeSeries.cusumChangepoint(
+        Tables.events(spark, dir)
+          .groupBy(col("event_type"), to_date(col("ts_sec")).as("day"))
+          .agg(sum(floor(col("value") * 100).cast(LongType)).as("d")))
     },
 
     // Graph census over the top-40 term co-occurrence graph: nodes, edges,

@@ -117,6 +117,62 @@ class RoundSixOpsSpec extends SparkSpec {
       s"unrelated doc matched: $got")
   }
 
+  test("ts8: CUSUM peaks exactly at a planted level shift") {
+    import spark.implicits._
+    // series 'a': 10 days at 100 then 10 days at 200 — the maximal
+    // |cusum| of a single step sits on the last pre-shift day
+    val daily = (1 to 20).map { i =>
+      ("a", java.sql.Date.valueOf(f"2024-01-$i%02d"),
+        if (i <= 10) 100L else 200L)
+    }.toDF("event_type", "day", "d")
+    val out = TimeSeries.cusumChangepoint(daily).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[java.sql.Date]("cp_day").toString == "2024-01-10",
+      out(0).toString)
+    // peak = |N*prefix - t*T| at t=10: |20*1000 - 10*3000| = 10000
+    assert(out(0).getAs[Long]("peak") == 10000L)
+  }
+
+  test("w12: rolling 7-day actives replays on planted data") {
+    val rows = SparkEntry.queries("w12_rolling_dau")(spark, sf0001).collect()
+      .map(r => r.getAs[java.sql.Date]("d").toString -> r.getAs[Long]("dau7")).toMap
+    // independent replay: distinct (user, day) pairs, window by day range
+    val pairs = Tables.events(spark, sf0001)
+      .select(col("user_id"), to_date(col("ts_sec")).as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val days = pairs.map(_._2).distinct
+    val expected = days.map { d =>
+      d.toString -> pairs.collect {
+        case (u, pd) if !pd.isAfter(d) && pd.isAfter(d.minusDays(7)) => u
+      }.distinct.size.toLong
+    }.toMap
+    assert(rows == expected)
+  }
+
+  test("st17: at most 2 rows per window, counts consistent with the raw stream") {
+    val rows = SparkEntry.queries("st17_stream_windowed_topk")(spark, sf0001).collect()
+    val byWin = rows.groupBy(_.getAs[Long]("win_start"))
+    assert(byWin.values.forall(_.length <= 2))
+    // each reported count must equal the raw per-(window, type) count
+    val raw = Tables.events(spark, sf0001)
+      .select((unix_seconds(col("ts_sec")).cast("long")).as("es"), col("event_type"))
+      .groupBy(expr("es div 21600 * 21600").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (r <- rows)
+      assert(raw((r.getAs[Long]("win_start"), r.getAs[String]("event_type")))
+        == r.getAs[Long]("n"))
+  }
+
+  test("tq8: market share stays in [0,1] and matches a two-pass recomputation") {
+    val sf001 = "/root/testdata/sf0.01"
+    val shares = SparkEntry.queries("tq8_market_share")(spark, sf001).collect()
+      .map(r => r.getAs[Int]("o_year") -> r.getAs[Double]("mkt_share")).toMap
+    assert(shares.nonEmpty)
+    assert(shares.values.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
   test("x24: all sketch set-algebra gates hold") {
     val r = SparkEntry.queries("x24_sketch_setops")(spark, sf0001).collect()
     assert(r.length == 1)
