@@ -618,6 +618,32 @@ object TrainingDataQueries {
         .limit(10)
     },
 
+    // Per-source boilerplate-prefix detection — shared headers/licence
+    // banners are the classic crawl artifact. The longest common prefix
+    // of ALL docs in a source equals LCP(min(text), max(text)) under
+    // lexicographic order, so the corpus pass is ONE min/max aggregate
+    // (map-side partials, never a pairwise compare); the per-source LCP
+    // scan is two bounded strings. The prefix-length probe uses
+    // whole-prefix equality per candidate length (quadratic only in the
+    // two rollup strings' length — corpus-size-independent).
+    "bp1_boilerplate_prefix" -> { (spark, dir) =>
+      val agg = Tables.documents(spark, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("text")).as("lo"), max(col("text")).as("hi"))
+      val bound = least(length(col("lo")), length(col("hi")))
+      val lcpLen = coalesce(array_max(filter(
+        sequence(lit(1), bound),
+        i => col("lo").substr(lit(1), i) === col("hi").substr(lit(1), i))),
+        lit(0))
+      agg
+        .withColumn("lcp_len", lcpLen)
+        .select(col("source"), col("n_docs"),
+          col("lcp_len").cast(LongType).as("lcp_len"),
+          md5(col("lo").substr(lit(1), col("lcp_len"))).as("prefix_digest"))
+        .orderBy("source")
+    },
+
     // Taxonomy tagging by broadcast dictionary — the FlashText/keyword-
     // gazetteer shape every corpus curation run uses for topic routing:
     // a tiny keyword→category table broadcasts to every executor, the
@@ -645,6 +671,21 @@ object TrainingDataQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "bp1_boilerplate_prefix" ->
+      """WITH agg AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    MIN(text) AS lo, MAX(text) AS hi
+        |  FROM documents GROUP BY 1
+        |), lcp AS (
+        |  SELECT source, n_docs, lo,
+        |    COALESCE(list_max(list_filter(
+        |      generate_series(1, least(length(lo), length(hi))),
+        |      i -> substr(lo, 1, i) = substr(hi, 1, i))), 0) AS lcp_len
+        |  FROM agg
+        |)
+        |SELECT source, n_docs, CAST(lcp_len AS BIGINT) AS lcp_len,
+        |  md5(substr(lo, 1, CAST(lcp_len AS INTEGER))) AS prefix_digest
+        |FROM lcp ORDER BY source""".stripMargin,
     "kw1_keyword_tagging" ->
       """WITH toks AS (
         |  SELECT doc_id, source,
