@@ -324,6 +324,36 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("kw1: the gazetteer reaches the tokenized corpus as a broadcast join") {
+    val df = q("kw1_keyword_tagging")
+    df.count()
+    val plan = planString(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dictionary should broadcast, never shuffle the token stream:\n${plan.take(500)}")
+  }
+
+  test("ns1: anchors broadcast; the corpus is never shuffled for scoring") {
+    val df = q("ns1_hard_negatives")
+    df.count()
+    val plan = planString(df)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
+  }
+
+  test("pw1: the read-back scan partition-prunes on event_type") {
+    import org.apache.spark.sql.functions.col
+    q("pw1_partitioned_sink").collect() // writes the partitioned layout
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_pw1").getAbsolutePath
+    val read = spark.read.parquet(out).where(col("event_type") === "click")
+    val scan = read.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.nonEmpty)
+    assert(scan.get.relation.location.listFiles(
+        scan.get.partitionFilters, scan.get.dataFilters).length == 1,
+      "expected exactly the click partition to be read")
+  }
+
   test("withScanParallelism: multi-split input plans no Exchange; single-split repartitions") {
     // The 100 TB posture: a corpus arriving as many splits must take the
     // no-shuffle branch — the repartition exists only to rescue the
