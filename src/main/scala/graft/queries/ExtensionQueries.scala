@@ -647,6 +647,38 @@ object ExtensionQueries {
       )
     },
 
+    // Matryoshka truncation audit — how much retrieval survives keeping
+    // only the first 16 of 64 dims (the MRL memory/latency dial:
+    // truncated vectors are 4× cheaper to store AND score). Per query:
+    // top-5 by full-dim exact cosine vs top-5 by truncated-dim cosine,
+    // reported as the overlap count. Same broadcast-anchor posture as
+    // x1 — one corpus pass computes BOTH scores (slice is free in the
+    // same projection), the corpus never shuffles.
+    "e7_matryoshka_overlap" -> { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      val q = broadcast(emb.where(col("vec_id") < 4)
+        .select(col("vec_id").as("q_vec"), col("embedding").as("qe")))
+      val scored = emb.crossJoin(q)
+        .where(col("vec_id") =!= col("q_vec"))
+        .select(col("q_vec"), col("vec_id").as("cv"),
+          VectorMath.cosineExact(col("qe"), col("embedding")).as("cf"),
+          VectorMath.cosineExact(slice(col("qe"), 1, 16),
+            slice(col("embedding"), 1, 16)).as("ct"))
+        .localCheckpoint(eager = false) // feeds both rankings
+      def top5(score: String) = {
+        val w = Window.partitionBy("q_vec")
+          .orderBy(col(score).desc, col("cv"))
+        scored.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 5).select(col("q_vec"), col("cv"))
+      }
+      val counts = top5("cf").intersect(top5("ct"))
+        .groupBy("q_vec")
+        .agg(count(lit(1)).as("n"))
+      q.select(col("q_vec")).join(counts, Seq("q_vec"), "left")
+        .select(col("q_vec"), coalesce(col("n"), lit(0L)).as("overlap_at_5"))
+        .orderBy("q_vec")
+    },
+
     // Hard-negative mining for contrastive training — per anchor, the
     // most-similar corpus vectors BELOW the positive band ([0, 0.3)
     // quantized cosine): similar enough to be informative, dissimilar
@@ -1030,6 +1062,45 @@ object ExtensionQueries {
     "x24_sketch_setops" ->
       """SELECT TRUE AS a_within_bound, TRUE AS b_within_bound,
         |  TRUE AS union_within_bound, TRUE AS inter_within_bound""".stripMargin,
+    "e7_matryoshka_overlap" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_vec, embedding AS eq FROM embeddings
+        |  WHERE vec_id < 4
+        |), pairs AS (
+        |  SELECT q.q_vec, c.vec_id AS cv, q.eq, c.embedding AS ec
+        |  FROM q, embeddings c WHERE c.vec_id <> q.q_vec
+        |), terms AS (
+        |  SELECT q_vec, cv, g.i AS i,
+        |    CAST(floor(CAST(eq[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS x,
+        |    CAST(floor(CAST(ec[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS y
+        |  FROM pairs, UNNEST(generate_series(1, len(eq))) AS g(i)
+        |), agg AS (
+        |  SELECT q_vec, cv,
+        |    CAST(SUM(x * y) AS DOUBLE) AS dot,
+        |    CAST(SUM(x * x) AS DOUBLE) AS nx,
+        |    CAST(SUM(y * y) AS DOUBLE) AS ny,
+        |    CAST(SUM(CASE WHEN i <= 16 THEN x * y ELSE 0 END) AS DOUBLE) AS dott,
+        |    CAST(SUM(CASE WHEN i <= 16 THEN x * x ELSE 0 END) AS DOUBLE) AS nxt,
+        |    CAST(SUM(CASE WHEN i <= 16 THEN y * y ELSE 0 END) AS DOUBLE) AS nyt
+        |  FROM terms GROUP BY 1, 2
+        |), rf AS (
+        |  SELECT q_vec, cv, row_number() OVER (PARTITION BY q_vec
+        |    ORDER BY dot / nullif(sqrt(nx) * sqrt(ny), 0) DESC, cv) AS rn
+        |  FROM agg
+        |), rt AS (
+        |  SELECT q_vec, cv, row_number() OVER (PARTITION BY q_vec
+        |    ORDER BY dott / nullif(sqrt(nxt) * sqrt(nyt), 0) DESC, cv) AS rn
+        |  FROM agg
+        |)
+        |, ov AS (
+        |  SELECT rf.q_vec, COUNT(*) AS n
+        |  FROM rf JOIN rt ON rf.q_vec = rt.q_vec AND rf.cv = rt.cv
+        |  WHERE rf.rn <= 5 AND rt.rn <= 5
+        |  GROUP BY 1
+        |)
+        |SELECT q.q_vec, CAST(COALESCE(ov.n, 0) AS BIGINT) AS overlap_at_5
+        |FROM q LEFT JOIN ov ON ov.q_vec = q.q_vec
+        |ORDER BY q.q_vec""".stripMargin,
     "ns1_hard_negatives" ->
       """WITH q AS (
         |  SELECT vec_id AS q_vec, embedding AS eq FROM embeddings
