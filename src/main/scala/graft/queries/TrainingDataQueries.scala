@@ -453,6 +453,51 @@ object TrainingDataQueries {
       }.reduce(_ unionByName _).orderBy("stage_ord")
     },
 
+    // The CLEANED-corpus pipeline end to end — the round-5 funnel (tm1)
+    // counted survivors of doc-level gates; this one runs the
+    // content-REWRITING stage first: Lee-et-al span removal produces
+    // clean_text, a 32-char floor drops hollowed-out docs, the Gopher
+    // gate re-judges the CLEANED text (a doc whose repetition lived in
+    // the removed spans can now pass), and the per-source census carries
+    // exact counts, char masses and a portable content digest of the
+    // final corpus — the number a training run would actually consume.
+    // Every stage is the same definition as its standalone oracle query
+    // (sdr1 / gq1), so the chain can never drift from its parts.
+    "tm2_clean_corpus" -> { (spark, dir) =>
+      val dq = graft.operators.DataQuality
+      val docsRaw = Tables.documentsParallel(spark, dir)
+      val cleaned = Contamination.removeDuplicateSpans(docsRaw)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .join(docsRaw.select(col("doc_id"), col("source"),
+          col("n_chars").as("n_chars_input")), Seq("doc_id"))
+        .localCheckpoint(eager = false) // feeds census + gate chain
+      val ne = cleaned.where(length(col("text")) >= 32)
+        .localCheckpoint(eager = false)
+      val fin = ne.join(
+        dq.gopherMetrics(ne.select(col("doc_id"), col("text")))
+          .where(col("gopher_pass")).select("doc_id"),
+        Seq("doc_id"))
+      val a = cleaned.groupBy("source").agg(
+        count(lit(1)).as("n_input"),
+        sum(col("n_chars_input")).as("chars_input"),
+        sum(when(length(col("text")) >= 32, 1L).otherwise(0L))
+          .as("n_after_clean"),
+        sum(when(length(col("text")) >= 32, length(col("text")).cast(LongType))
+          .otherwise(0L)).as("chars_clean"))
+      val f = fin.groupBy("source").agg(
+        count(lit(1)).as("n_final"),
+        sum(length(col("text")).cast(LongType)).as("chars_final"),
+        sum(graft.operators.Dedup.portableHash60(col("text")) % lit(1000003L))
+          .as("clean_digest"))
+      a.join(f, Seq("source"), "left")
+        .select(col("source"), col("n_input"), col("chars_input"),
+          col("n_after_clean"), col("chars_clean"),
+          coalesce(col("n_final"), lit(0L)).as("n_final"),
+          coalesce(col("chars_final"), lit(0L)).as("chars_final"),
+          coalesce(col("clean_digest"), lit(0L)).as("clean_digest"))
+        .orderBy("source")
+    },
+
     // Gopher/MassiveText repetition-quality rules (Rae et al. 2021,
     // appendix A): the pre-LM heuristic gate every corpus pipeline runs
     // before perplexity/classifier scoring. Per document: top-word and
@@ -1137,6 +1182,145 @@ object TrainingDataQueries {
         |   AND word_chars >= n_words * 2
         |   AND word_chars <= n_words * 10) AS gopher_pass
         |FROM m ORDER BY doc_id""".stripMargin,
+    // tm2: sdr1's span-removal chain rebuilds clean_text per doc, gq1's
+    // gopher chain re-judges the CLEANED relation (same CTEs, base
+    // swapped from documents to the cleaned survivors), and the census
+    // aggregates both with a portable content digest.
+    "tm2_clean_corpus" ->
+      """WITH wins AS (
+        |  SELECT doc_id, g.p AS p,
+        |    md5(substr(text, CAST(g.p AS INTEGER), 32)) AS h
+        |  FROM documents, UNNEST(generate_series(1, n_chars - 31, 8)) AS g(p)
+        |  WHERE n_chars >= 32
+        |), duph AS (
+        |  SELECT h FROM (SELECT DISTINCT h, doc_id FROM wins)
+        |  GROUP BY h HAVING COUNT(*) >= 2
+        |), dw AS (
+        |  SELECT w.doc_id, w.p AS s, w.p + 31 AS e
+        |  FROM wins w JOIN duph USING (h)
+        |), brk AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN max(e) OVER pm IS NULL OR s > max(e) OVER pm + 1
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM dw WINDOW pm AS (PARTITION BY doc_id ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), isl AS (
+        |  SELECT doc_id, s, e,
+        |    SUM(b) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM brk
+        |), merged AS (
+        |  SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e
+        |  FROM isl GROUP BY 1, 2
+        |), sp_stats AS (
+        |  SELECT doc_id, MAX(e) AS last_e FROM merged GROUP BY 1
+        |), before AS (
+        |  SELECT doc_id,
+        |    coalesce(lag(e) OVER ws + 1, 1) AS ks,
+        |    s - coalesce(lag(e) OVER ws + 1, 1) AS kl
+        |  FROM merged WINDOW ws AS (PARTITION BY doc_id ORDER BY s)
+        |), segs AS (
+        |  SELECT doc_id, ks, kl FROM before
+        |  UNION ALL
+        |  SELECT st.doc_id, st.last_e + 1 AS ks, d.n_chars - st.last_e AS kl
+        |  FROM sp_stats st JOIN documents d USING (doc_id)
+        |), rebuilt AS (
+        |  SELECT s.doc_id,
+        |    string_agg(substr(d.text, CAST(s.ks AS INTEGER), CAST(s.kl AS INTEGER)),
+        |               '' ORDER BY s.ks) AS clean_text
+        |  FROM segs s JOIN documents d USING (doc_id)
+        |  WHERE s.kl > 0
+        |  GROUP BY 1
+        |), cleandocs AS (
+        |  SELECT d.doc_id, d.source, d.n_chars AS n_chars_input,
+        |    CASE WHEN st.doc_id IS NULL THEN d.text
+        |         ELSE coalesce(r.clean_text, '') END AS text
+        |  FROM documents d
+        |  LEFT JOIN sp_stats st USING (doc_id)
+        |  LEFT JOIN rebuilt r USING (doc_id)
+        |), ne AS (
+        |  SELECT * FROM cleandocs WHERE length(text) >= 32
+        |), toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM ne
+        |), words AS (
+        |  SELECT doc_id, w[g.i] AS wd
+        |  FROM toks, UNNEST(generate_series(1, len(w))) AS g(i)
+        |), wstats AS (
+        |  SELECT doc_id, COUNT(*) AS n_words,
+        |    CAST(SUM(length(wd)) AS BIGINT) AS word_chars
+        |  FROM words GROUP BY 1
+        |), topw AS (
+        |  SELECT doc_id, c AS top_word_n FROM (
+        |    SELECT doc_id, wd, COUNT(*) AS c,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY COUNT(*) DESC, wd) AS rn
+        |    FROM words GROUP BY doc_id, wd) t WHERE rn = 1
+        |), bg AS (
+        |  SELECT doc_id, w[g.i] || ' ' || w[g.i + 1] AS g2
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS g(i)
+        |  WHERE len(w) >= 2
+        |), topbg AS (
+        |  SELECT doc_id, c AS top_bigram_n FROM (
+        |    SELECT doc_id, g2, COUNT(*) AS c,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY COUNT(*) DESC, g2) AS rn
+        |    FROM bg GROUP BY doc_id, g2) t WHERE rn = 1
+        |), tg AS (
+        |  SELECT doc_id, w[g.i] || ' ' || w[g.i + 1] || ' ' || w[g.i + 2] AS g3
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS g(i)
+        |  WHERE len(w) >= 3
+        |), tgc AS (
+        |  SELECT doc_id, g3, COUNT(*) AS c FROM tg GROUP BY 1, 2
+        |), tri AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_trigrams,
+        |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_trigram_n
+        |  FROM tgc GROUP BY 1
+        |), m AS (
+        |  SELECT d.doc_id,
+        |    CAST(coalesce(ws.n_words, 0) AS BIGINT) AS n_words,
+        |    CAST(coalesce(ws.word_chars, 0) AS BIGINT) AS word_chars,
+        |    CAST(coalesce(tw.top_word_n, 0) AS BIGINT) AS top_word_n,
+        |    CAST(coalesce(tb.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+        |    CAST(coalesce(tr.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+        |    CAST(coalesce(tr.dup_trigram_n, 0) AS BIGINT) AS dup_trigram_n
+        |  FROM ne d
+        |  LEFT JOIN wstats ws USING (doc_id)
+        |  LEFT JOIN topw tw USING (doc_id)
+        |  LEFT JOIN topbg tb USING (doc_id)
+        |  LEFT JOIN tri tr USING (doc_id)
+        |), gates AS (
+        |  SELECT doc_id FROM m
+        |  WHERE n_words BETWEEN 5 AND 100000
+        |    AND top_word_n * 8 <= n_words
+        |    AND top_bigram_n * 5 <= n_words - 1
+        |    AND dup_trigram_n * 10 <= n_trigrams * 3
+        |    AND word_chars >= n_words * 2
+        |    AND word_chars <= n_words * 10
+        |), fin AS (
+        |  SELECT ne.* FROM ne JOIN gates USING (doc_id)
+        |), a AS (
+        |  SELECT source, COUNT(*) AS n_input,
+        |    CAST(SUM(n_chars_input) AS BIGINT) AS chars_input,
+        |    CAST(SUM(CASE WHEN length(text) >= 32 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_after_clean,
+        |    CAST(SUM(CASE WHEN length(text) >= 32 THEN length(text)
+        |      ELSE 0 END) AS BIGINT) AS chars_clean
+        |  FROM cleandocs GROUP BY 1
+        |), f AS (
+        |  SELECT source, COUNT(*) AS n_final,
+        |    CAST(SUM(length(text)) AS BIGINT) AS chars_final,
+        |    CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000003)
+        |      AS BIGINT) AS clean_digest
+        |  FROM fin GROUP BY 1
+        |)
+        |SELECT a.source, a.n_input, a.chars_input, a.n_after_clean,
+        |  a.chars_clean,
+        |  CAST(coalesce(f.n_final, 0) AS BIGINT) AS n_final,
+        |  CAST(coalesce(f.chars_final, 0) AS BIGINT) AS chars_final,
+        |  CAST(coalesce(f.clean_digest, 0) AS BIGINT) AS clean_digest
+        |FROM a LEFT JOIN f ON f.source = a.source
+        |ORDER BY a.source""".stripMargin,
     // tm1: both gates replayed via the SAME CTE chains as their
     // standalone oracles (gq1 / qc1), intersected stage by stage; the
     // gates are per-document, so gating survivors == gating all docs
