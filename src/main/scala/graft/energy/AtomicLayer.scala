@@ -59,6 +59,14 @@ object AtomicLayer {
   def latestCommitted(spark: SparkSession, root: String): Option[String] =
     versionDirs(spark, root).filter(_._3).lastOption.map(_._2.toString)
 
+  /** All committed (version, dir) pairs, ascending — the TIME-TRAVEL
+    * surface: any snapshot inside the retention window can be read by
+    * version, exactly like Delta's `versionAsOf` scaled down to the
+    * commit-marker protocol. `keepVersions` bounds how far back.
+    */
+  def committedVersions(spark: SparkSession, root: String): Seq[(Int, String)] =
+    versionDirs(spark, root).filter(_._3).map { case (n, p, _) => (n, p.toString) }
+
   /** Write `df` as the next snapshot version of the table at `root`.
     * The version counter advances past uncommitted (crashed) attempts
     * rather than reusing their directories. Returns the committed dir.

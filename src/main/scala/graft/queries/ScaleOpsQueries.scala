@@ -248,6 +248,67 @@ object ScaleOpsQueries {
         .orderBy("o_orderpriority")
     },
 
+    // Snapshot time travel over the commit-marker table protocol: two
+    // committed writes (filtered half, then full), then BOTH snapshots
+    // read back BY VERSION — Delta's versionAsOf scaled down to
+    // AtomicLayer's retention window. A reader of the old snapshot is
+    // never torn by the new write (fresh v<n> dir + marker), which is
+    // the property that makes concurrent refresh safe at any scale.
+    "tt1_time_travel" -> { (spark, dir) =>
+      import org.apache.hadoop.fs.Path
+      val root = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_tt1").getAbsolutePath
+      val fs = new Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true) // deterministic two-version history
+      val orders = Tables.orders(spark, dir)
+        .select("o_orderkey", "o_totalprice")
+      graft.energy.AtomicLayer.write(
+        orders.where(col("o_orderkey") % 2 === 0), root)
+      graft.energy.AtomicLayer.write(orders, root)
+      val vs = graft.energy.AtomicLayer.committedVersions(spark, root)
+      def census(path: String, label: String): DataFrame =
+        spark.read.parquet(path).agg(
+          count(lit(1)).as("n_rows"),
+          sum(floor(col("o_totalprice") * 100).cast(LongType)).as("cents"))
+          .select(lit(label).as("snapshot"), col("n_rows"), col("cents"))
+      census(vs.head._2, "v_prev")
+        .unionByName(census(vs.last._2, "v_latest"))
+        .orderBy("snapshot")
+    },
+
+    // Partitioned AND bucketed layout composed — the full warehouse
+    // fact-table recipe: partition dirs give coarse pruning on the
+    // filter dimension, in-partition buckets give exchange-free joins
+    // on the key dimension. The 'R' read prunes to one partition, and
+    // the join against the bucket-aligned orders table shuffles
+    // NEITHER side.
+    "bkt2_partitioned_bucketed" -> { (spark, dir) =>
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_bucketed").getAbsolutePath
+      def layOut(df: DataFrame, table: String, key: String,
+          parts: Seq[String]): Unit = {
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        val w = df.write.mode("overwrite").format("parquet")
+          .bucketBy(8, key).sortBy(key)
+          .option("path", s"$base/$table")
+        (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).saveAsTable(table)
+      }
+      layOut(Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_returnflag", "l_quantity"),
+        "bkt2_lineitem", "l_orderkey", Seq("l_returnflag"))
+      layOut(Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
+        "bkt2_orders", "o_orderkey", Nil)
+      spark.table("bkt2_lineitem")
+        .where(col("l_returnflag") === "R")
+        .join(spark.table("bkt2_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    },
+
     // File-skipping effectiveness audit — WHY a warehouse z-orders: for
     // the same file granularity (value-range splits of the sort key,
     // 16 files either way), a dx-major linear layout prunes dx
@@ -294,6 +355,23 @@ object ScaleOpsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "tt1_time_travel" ->
+      """SELECT 'v_latest' AS snapshot, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders
+        |UNION ALL
+        |SELECT 'v_prev' AS snapshot, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |ORDER BY snapshot""".stripMargin,
+    "bkt2_partitioned_bucketed" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "bkt1_bucketed_join" ->
       """SELECT o_orderpriority,
         |  COUNT(*) AS n_lines,

@@ -324,6 +324,26 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bkt2: partition prunes AND the in-partition bucket join is exchange-free") {
+    import org.apache.spark.sql.functions.col
+    q("bkt2_partitioned_bucketed").collect()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt2_lineitem")
+        .where(col("l_returnflag") === "R")
+        .join(spark.table("bkt2_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      joined.count()
+      val plan = planString(joined)
+      assert(plan.contains("SortMergeJoin"), plan.take(600))
+      assert(!plan.contains("Exchange"),
+        s"partitioned+bucketed join must not shuffle:\n${plan.take(600)}")
+      assert(plan.contains("PartitionFilters") && plan.contains("l_returnflag"),
+        s"expected partition pruning on l_returnflag:\n${plan.take(800)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("kw1: the gazetteer reaches the tokenized corpus as a broadcast join") {
     val df = q("kw1_keyword_tagging")
     df.count()
