@@ -63,6 +63,37 @@ object DecisionQueries {
         .orderBy("supp_nation", "cust_nation", "l_year")
     },
 
+    // Q4 shape: order-priority checking — orders with at least one LATE
+    // line (shipped >90 days after the order date), counted per
+    // priority. The EXISTS decorrelates to a left-semi join keyed on
+    // orderkey; the fact side carries only the two date columns.
+    "tq4_priority_check" -> { (spark, dir) =>
+      val late = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_shipdate"))
+      Tables.orders(spark, dir)
+        .join(late,
+          col("l_orderkey") === col("o_orderkey") &&
+            to_date(col("l_shipdate")) > date_add(to_date(col("o_orderdate")), 90),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Q6 shape: forecast-revenue change — one scan, one filter, one
+    // global sum; the exact-integer product floor(price·100) ×
+    // floor(discount·10000) keeps the single output bit-stable.
+    "tq6_forecast_revenue" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .where(year(col("l_shipdate")) === 1999 &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.05 &&
+          col("l_quantity") < 24)
+        .agg((sum((floor(col("l_extendedprice") * 100).cast(LongType) *
+          floor(col("l_discount") * 10000).cast(LongType))
+          .cast(DecimalType(38, 0))).cast(DoubleType) / 1000000.0)
+          .as("forecast_revenue"))
+    },
+
     // Q8 shape: national market share — NATION_3 suppliers' slice of
     // PROMO-part revenue sold into EUROPE, per order year. The share is
     // a conditional-sum / sum ratio over one joined relation (numerator
@@ -463,6 +494,23 @@ object DecisionQueries {
         |        AND ql BETWEEN 10 AND 30)
         |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50
         |        AND ql BETWEEN 20 AND 40)""".stripMargin,
+    "tq4_priority_check" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE)
+        |        + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tq6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |  * CAST(floor(l_discount * 10000) AS BIGINT)) AS DOUBLE) / 1000000.0
+        |  AS forecast_revenue
+        |FROM lineitem
+        |WHERE year(l_shipdate) = 1999
+        |  AND l_discount >= 0.03 AND l_discount <= 0.05
+        |  AND l_quantity < 24""".stripMargin,
     "tq8_market_share" ->
       """WITH base AS (
         |  SELECT year(o_orderdate) AS o_year,
