@@ -206,6 +206,46 @@ object WorkloadQueries {
     // Forward as-of join: each click attached to the user's NEXT
     // purchase (l.ts <= r.ts) — the time-to-conversion primitive; same
     // one-shuffle union-sort shape as the backward x6.
+    // Nearest-either-direction as-of: each click matched to its CLOSEST
+    // purchase in time, backward or forward, ties to the backward
+    // (attribution's "most recent wins") — composed from the two
+    // existing one-directional as-ofs (each a union-sort carry, no
+    // join explosion), then one equi-join on the left identity to pick
+    // the smaller gap. Completes the as-of family: backward (x6),
+    // forward (x26), tolerance (x27), nearest (x28).
+    "x28_asof_nearest" -> { (spark, dir) =>
+      val ev = Tables.events(spark, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      val b = graft.operators.AsOfJoin.asof(
+        clicks, purchases, Seq("user_id"), "ts", "ts", rightPrefix = "b_")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("b_ts"), col("b_event_id"))
+      val f = graft.operators.AsOfJoin.asofForward(
+        clicks, purchases, Seq("user_id"), "ts", "ts", rightPrefix = "f_")
+        .select(col("user_id").as("u2"), col("event_id").as("e2"),
+          col("ts").as("t2"), col("f_ts"), col("f_event_id"))
+      // each one-directional as-of is inner (left rows with no match on
+      // that side drop), so the union of matched identities needs a
+      // FULL join — a click before the user's first purchase exists
+      // only on the forward side, after the last only on the backward.
+      val cts = coalesce(col("ts"), col("t2"))
+      val gb = cts - col("b_ts")
+      val gf = col("f_ts") - cts
+      val useB = col("f_ts").isNull || (col("b_ts").isNotNull && gb <= gf)
+      b.join(f, col("user_id") === col("u2") && col("event_id") === col("e2"),
+          "full")
+        .withColumn("gap", when(useB, gb).otherwise(gf))
+        .select(coalesce(col("user_id"), col("u2")).as("user_id"),
+          coalesce(col("event_id"), col("e2")).as("event_id"),
+          when(useB, col("b_event_id")).otherwise(col("f_event_id"))
+            .as("nearest_purchase"),
+          expr("gap div 1000000000").as("gap_sec"))
+        .orderBy("user_id", "event_id")
+    },
+
     "x26_asof_forward" -> { (spark, dir) =>
       val ev = Tables.events(spark, dir)
       val clicks = ev.where(col("event_type") === "click")
@@ -882,6 +922,25 @@ object WorkloadQueries {
         |  bool_or(l_discount > 0.09) AS any_deep_discount,
         |  CAST(MIN(l_orderkey) AS BIGINT) AS det_any_order
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x28_asof_nearest" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_ns(ts) AS cts, event_id
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, epoch_ns(ts) AS pts, event_id AS pid
+        |  FROM events WHERE event_type = 'purchase'
+        |), ranked AS (
+        |  SELECT c.user_id, c.event_id, p.pid,
+        |    abs(p.pts - c.cts) AS gap,
+        |    row_number() OVER (PARTITION BY c.user_id, c.event_id
+        |      ORDER BY abs(p.pts - c.cts),
+        |        CASE WHEN p.pts <= c.cts THEN 0 ELSE 1 END, p.pid) AS rn
+        |  FROM c JOIN p USING (user_id)
+        |)
+        |SELECT user_id, event_id, pid AS nearest_purchase,
+        |  gap // 1000000000 AS gap_sec
+        |FROM ranked WHERE rn = 1
+        |ORDER BY user_id, event_id""".stripMargin,
     "x26_asof_forward" ->
       """SELECT c.user_id, c.event_id,
         |  date_trunc('second', c.ts) AS click_ts,
