@@ -206,6 +206,35 @@ object WorkloadQueries {
     // Forward as-of join: each click attached to the user's NEXT
     // purchase (l.ts <= r.ts) — the time-to-conversion primitive; same
     // one-shuffle union-sort shape as the backward x6.
+    // CDC apply (the Debezium-merge shape): a keyed change log with
+    // operation + monotone sequence folds to ONE latest op per key
+    // (max_by — map-side partial, never a window sort), then applies to
+    // the base snapshot as one left join: D drops the row, U rewrites
+    // the payload, absent keeps. At scale the log is a day's changes
+    // (small) against a 100 TB base — the join broadcasts the folded
+    // log, the base never shuffles. The log here derives
+    // deterministically from orders so both engines build it bit-equal.
+    "cdc3_cdc_apply" -> { (spark, dir) =>
+      val log = Tables.orders(spark, dir)
+        .select(col("o_custkey").as("c_custkey"),
+          col("o_orderkey").as("seq"),
+          when(col("o_custkey") % 13 === 0, "D").otherwise("U").as("op"),
+          col("o_totalprice").as("new_bal"))
+      val latest = log.groupBy("c_custkey")
+        .agg(max_by(struct(col("op"), col("new_bal")), col("seq")).as("last"))
+        .select(col("c_custkey"), col("last.op").as("op"),
+          col("last.new_bal").as("new_bal"))
+      Tables.customer(spark, dir)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .join(broadcast(latest), Seq("c_custkey"), "left")
+        .where(col("op").isNull || col("op") =!= "D")
+        .select(col("c_custkey"), col("c_name"),
+          when(col("op") === "U", floor(col("new_bal") * 100).cast(LongType))
+            .otherwise(floor(col("c_acctbal") * 100).cast(LongType))
+            .as("bal_cents"))
+        .orderBy("c_custkey")
+    },
+
     // Nearest-either-direction as-of: each click matched to its CLOSEST
     // purchase in time, backward or forward, ties to the backward
     // (attribution's "most recent wins") — composed from the two
@@ -922,6 +951,23 @@ object WorkloadQueries {
         |  bool_or(l_discount > 0.09) AS any_deep_discount,
         |  CAST(MIN(l_orderkey) AS BIGINT) AS det_any_order
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cdc3_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT o_custkey AS c_custkey, o_orderkey AS seq,
+        |    CASE WHEN o_custkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS new_bal
+        |  FROM orders
+        |), latest AS (
+        |  SELECT c_custkey, arg_max(op, seq) AS op,
+        |    arg_max(new_bal, seq) AS new_bal
+        |  FROM log GROUP BY 1
+        |)
+        |SELECT c.c_custkey, c.c_name,
+        |  CAST(CASE WHEN l.op = 'U' THEN floor(l.new_bal * 100)
+        |       ELSE floor(c.c_acctbal * 100) END AS BIGINT) AS bal_cents
+        |FROM customer c LEFT JOIN latest l USING (c_custkey)
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
     "x28_asof_nearest" ->
       """WITH c AS (
         |  SELECT user_id, epoch_ns(ts) AS cts, event_id
