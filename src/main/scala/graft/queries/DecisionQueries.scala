@@ -63,6 +63,56 @@ object DecisionQueries {
         .orderBy("supp_nation", "cust_nation", "l_year")
     },
 
+    // Q1 in full: the pricing summary with all eight aggregates — sums
+    // in exact integer cents/basis points (DECIMAL(38,0) accumulators),
+    // averages as ONE late division of exact sums, so every column is
+    // bit-identical cross-engine. One scan, map-side partials, 6 rows.
+    "tq1_pricing_summary" -> { (spark, dir) =>
+      val d38 = DecimalType(38, 0)
+      val qty = floor(col("l_quantity")).cast(LongType)
+      val price = floor(col("l_extendedprice") * 100).cast(LongType)
+      val disc = floor(col("l_discount") * 10000).cast(LongType)
+      val tax = floor(col("l_tax") * 10000).cast(LongType)
+      Tables.lineitem(spark, dir)
+        .where(to_date(col("l_shipdate")) <= lit("1999-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(qty.cast(d38)).cast(LongType).as("sum_qty"),
+          (sum(price.cast(d38)).cast(DoubleType) / 100.0).as("sum_base_price"),
+          (sum((price * (lit(10000L) - disc)).cast(d38)).cast(DoubleType)
+            / 1000000.0).as("sum_disc_price"),
+          (sum((price * (lit(10000L) - disc)).cast(d38) * (lit(10000L) + tax)
+            .cast(d38)).cast(DoubleType) / 10000000000.0).as("sum_charge"),
+          (sum(qty.cast(d38)).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+          (sum(price.cast(d38)).cast(DoubleType) / count(lit(1)) / 100.0)
+            .as("avg_price"),
+          (sum(disc.cast(d38)).cast(DoubleType) / count(lit(1)) / 10000.0)
+            .as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Time-to-convert percentiles: per user, seconds from FIRST click to
+    // the first purchase AFTER it (exact integer seconds), then the
+    // p25/p50/p75 of that distribution via percentile_disc — the
+    // conversion-latency panel. Two tiny per-user aggregates; the
+    // percentile runs on #users rows.
+    "fn3_time_to_convert" -> { (spark, dir) =>
+      val ev = Tables.events(spark, dir)
+      val fc = ev.where(col("event_type") === "click")
+        .groupBy("user_id").agg(min(col("ts")).as("cts"))
+      val deltas = ev.where(col("event_type") === "purchase")
+        .join(fc, Seq("user_id"))
+        .where(col("ts") >= col("cts"))
+        .groupBy("user_id")
+        .agg(expr("min(ts - cts) div 1000000000").as("secs"))
+      deltas.agg(
+        count(lit(1)).as("n_converted"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY secs)").as("p25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY secs)").as("p50"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY secs)").as("p75"))
+    },
+
     // Q4 shape: order-priority checking — orders with at least one LATE
     // line (shipped >90 days after the order date), counted per
     // priority. The EXISTS decorrelates to a left-semi join keyed on
@@ -494,6 +544,44 @@ object DecisionQueries {
         |        AND ql BETWEEN 10 AND 30)
         |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50
         |        AND ql BETWEEN 20 AND 40)""".stripMargin,
+    "tq1_pricing_summary" ->
+      """WITH q AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(floor(l_quantity) AS BIGINT) AS qty,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS price,
+        |    CAST(floor(l_discount * 10000) AS BIGINT) AS disc,
+        |    CAST(floor(l_tax * 10000) AS BIGINT) AS tax
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) <= DATE '1999-09-02'
+        |)
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(qty) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(price) AS DOUBLE) / 100.0 AS sum_base_price,
+        |  CAST(SUM(price * (10000 - disc)) AS DOUBLE) / 1000000.0
+        |    AS sum_disc_price,
+        |  CAST(SUM(CAST(price * (10000 - disc) AS HUGEINT) * (10000 + tax))
+        |    AS DOUBLE) / 10000000000.0 AS sum_charge,
+        |  CAST(SUM(qty) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(price) AS DOUBLE) / COUNT(*) / 100.0 AS avg_price,
+        |  CAST(SUM(disc) AS DOUBLE) / COUNT(*) / 10000.0 AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "fn3_time_to_convert" ->
+      """WITH fc AS (
+        |  SELECT user_id, min(epoch_ns(ts)) AS cts
+        |  FROM events WHERE event_type = 'click' GROUP BY 1
+        |), deltas AS (
+        |  SELECT p.user_id,
+        |    min(epoch_ns(p.ts) - fc.cts) // 1000000000 AS secs
+        |  FROM events p JOIN fc USING (user_id)
+        |  WHERE p.event_type = 'purchase' AND epoch_ns(p.ts) >= fc.cts
+        |  GROUP BY 1
+        |)
+        |SELECT COUNT(*) AS n_converted,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY secs) AS p25,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY secs) AS p50,
+        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY secs) AS p75
+        |FROM deltas""".stripMargin,
     "tq4_priority_check" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders
         |FROM orders o
