@@ -267,6 +267,11 @@ object PipelineQueries {
       EventsStream.windowedTopK(spark, dir)
     },
 
+    // Streaming CDC latest-wins with tombstones (batch twin: cdc3).
+    "st19_stream_cdc" -> { (spark, dir) =>
+      EventsStream.cdcLatestWins(spark, dir)
+    },
+
     // Watermark-bounded streaming dedup (state expires with event time —
     // the unbounded-stream-safe variant of st3).
     "st8_stream_dedup_wm" -> { (spark, dir) =>
@@ -801,6 +806,17 @@ object PipelineQueries {
         |WHERE c.c_mktsegment = 'BUILDING'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "st19_stream_cdc" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id,
+        |  CAST(floor(value * 100) AS BIGINT) AS bal_cents
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
     "st17_stream_windowed_topk" ->
       """WITH ev AS (
         |  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,

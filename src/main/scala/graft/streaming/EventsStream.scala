@@ -263,6 +263,28 @@ object EventsStream {
       .orderBy("win_start", "event_type")
   }
 
+  /** Streaming CDC latest-wins with tombstones: the per-key state is ONE
+    * max_by struct (declarative aggregate — mergeable partials, RocksDB-
+    * spillable, no custom processor needed), so arrival order across
+    * micro-batches is irrelevant: whatever batch a key's highest
+    * (ts, event_id) lands in, the state converges to the same winner.
+    * A key whose LAST event is an 'error' is a tombstone — excluded
+    * from the serving table on read-out, exactly the Debezium
+    * delete-on-compaction convention (batch twin: cdc3).
+    */
+  def cdcLatestWins(spark: SparkSession, dir: String): DataFrame = {
+    val latest = eventsStream(spark, dir)
+      .groupBy("user_id")
+      .agg(max_by(
+        struct(col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("last"))
+    runToMemory(latest, spark, "complete", "stream_cdc")
+      .where(col("last.event_type") =!= "error")
+      .select(col("user_id"),
+        floor(col("last.value") * 100).cast(LongType).as("bal_cents"))
+      .orderBy("user_id")
+  }
+
   /** Streaming windowed top-k: the top-2 event types per 6-hour tumbling
     * window. The STREAM owns the windowed counts (watermark + window
     * groupBy — mergeable per-key state, the shape that holds on an
