@@ -98,15 +98,24 @@ object Contamination {
     * n_chars_clean) — one row per input document, clean docs pass
     * through verbatim, fully-duplicated docs come back empty.
     */
-  def removeDuplicateSpans(docs: DataFrame): DataFrame = {
+  def removeDuplicateSpans(docs: DataFrame, keepFirst: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.LongType
     val wins = spanHashes(docs, keepPos = true) // (doc_id, p, h)
-    val dupH = wins.select("h", "doc_id").distinct()
-      .groupBy("h").agg(count(lit(1)).as("nd"))
+    // keepFirst = the Lee et al. canonical-copy semantic: the LOWEST
+    // doc_id containing a duplicated window keeps every occurrence of
+    // it; only later docs lose theirs. keepFirst=false removes the span
+    // everywhere (the decontamination posture: nothing verbatim-shared
+    // survives anywhere). hstats is one row per duplicated hash, so the
+    // join multiplies nothing.
+    val hstats = wins.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"), min("doc_id").as("first_doc"))
       .where(col("nd") >= 2L)
-      .select("h")
-    val dupWins = wins.join(dupH, Seq("h"), "left_semi")
+    val joined = wins.join(hstats, Seq("h"))
+    val selected =
+      if (keepFirst) joined.where(col("doc_id") =!= col("first_doc"))
+      else joined
+    val dupWins = selected
       .select(col("doc_id"), col("p").as("s"),
         (col("p") + (WindowChars - 1).toLong).as("e"))
     // merge into maximal intervals: a window starts a new island iff its

@@ -355,6 +355,17 @@ object TrainingDataQueries {
         .orderBy("doc_id")
     },
 
+    // Keep-first span removal — the Lee et al. DEDUP semantic (one
+    // canonical copy of every span survives, in the lowest doc id)
+    // versus sdr1's decontamination semantic (shared spans vanish
+    // everywhere). Same hash → interval-merge → rebuild machinery, one
+    // extra first_doc column on the duplicated-hash stats.
+    "sdr2_span_removal_keep_first" -> { (spark, dir) =>
+      Contamination.removeDuplicateSpans(
+        Tables.documentsParallel(spark, dir), keepFirst = true)
+        .orderBy("doc_id")
+    },
+
     // Data-mixture weights: per-language token mass and the resampling
     // weight that would flatten the corpus to a uniform language mix —
     // the knob a training-mixture spec turns. Exact BIGINT token sums;
@@ -1075,6 +1086,67 @@ object TrainingDataQueries {
         |), dw AS (
         |  SELECT w.doc_id, w.p AS s, w.p + 31 AS e
         |  FROM wins w JOIN duph USING (h)
+        |), brk AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN max(e) OVER pm IS NULL OR s > max(e) OVER pm + 1
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM dw WINDOW pm AS (PARTITION BY doc_id ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), isl AS (
+        |  SELECT doc_id, s, e,
+        |    SUM(b) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM brk
+        |), merged AS (
+        |  SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e
+        |  FROM isl GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT doc_id, COUNT(*) AS n_spans_removed,
+        |    CAST(SUM(e - s + 1) AS BIGINT) AS removed_chars,
+        |    MAX(e) AS last_e
+        |  FROM merged GROUP BY 1
+        |), before AS (
+        |  SELECT doc_id,
+        |    coalesce(lag(e) OVER ws + 1, 1) AS ks,
+        |    s - coalesce(lag(e) OVER ws + 1, 1) AS kl
+        |  FROM merged WINDOW ws AS (PARTITION BY doc_id ORDER BY s)
+        |), segs AS (
+        |  SELECT doc_id, ks, kl FROM before
+        |  UNION ALL
+        |  SELECT st.doc_id, st.last_e + 1 AS ks, d.n_chars - st.last_e AS kl
+        |  FROM stats st JOIN documents d USING (doc_id)
+        |), rebuilt AS (
+        |  SELECT s.doc_id,
+        |    string_agg(substr(d.text, CAST(s.ks AS INTEGER), CAST(s.kl AS INTEGER)),
+        |               '' ORDER BY s.ks) AS clean_text
+        |  FROM segs s JOIN documents d USING (doc_id)
+        |  WHERE s.kl > 0
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(st.n_spans_removed, 0) AS BIGINT) AS n_spans_removed,
+        |  CAST(coalesce(st.removed_chars, 0) AS BIGINT) AS removed_chars,
+        |  CASE WHEN st.doc_id IS NULL THEN d.text
+        |       ELSE coalesce(r.clean_text, '') END AS clean_text,
+        |  CAST(length(CASE WHEN st.doc_id IS NULL THEN d.text
+        |       ELSE coalesce(r.clean_text, '') END) AS BIGINT) AS n_chars_clean
+        |FROM documents d
+        |LEFT JOIN stats st USING (doc_id)
+        |LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "sdr2_span_removal_keep_first" ->
+      """WITH wins AS (
+        |  SELECT doc_id, g.p AS p,
+        |    md5(substr(text, CAST(g.p AS INTEGER), 32)) AS h
+        |  FROM documents, UNNEST(generate_series(1, n_chars - 31, 8)) AS g(p)
+        |  WHERE n_chars >= 32
+        |), duph AS (
+        |  SELECT h, MIN(doc_id) AS first_doc
+        |  FROM (SELECT DISTINCT h, doc_id FROM wins)
+        |  GROUP BY h HAVING COUNT(*) >= 2
+        |), dw AS (
+        |  SELECT w.doc_id, w.p AS s, w.p + 31 AS e
+        |  FROM wins w JOIN duph USING (h)
+        |  WHERE w.doc_id <> duph.first_doc
         |), brk AS (
         |  SELECT doc_id, s, e,
         |    CASE WHEN max(e) OVER pm IS NULL OR s > max(e) OVER pm + 1

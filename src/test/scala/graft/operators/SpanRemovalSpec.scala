@@ -89,4 +89,33 @@ class SpanRemovalSpec extends SparkSpec {
     assert(out(0).getAs[String]("clean_text").contains("x" * 10))
     assert(out(1).getAs[String]("clean_text").contains("w" * 10))
   }
+
+  test("keepFirst: the lowest doc keeps its copy verbatim; later docs lose theirs") {
+    import spark.implicits._
+    val twin = "0123456789abcdef" * 6 // 96 chars, stride-aligned
+    val docs = Seq(
+      (1L, twin), (2L, twin), (3L, twin), (4L, "unique text with no twin at all.."),
+    ).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = Contamination.removeDuplicateSpans(docs, keepFirst = true)
+      .orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // canonical copy (lowest id) is untouched
+    assert(out(1L).getAs[String]("clean_text") == twin)
+    assert(out(1L).getAs[Long]("n_spans_removed") == 0L)
+    // every later twin is removed whole
+    for (id <- Seq(2L, 3L)) {
+      assert(out(id).getAs[String]("clean_text") == "", s"doc $id")
+      assert(out(id).getAs[Long]("removed_chars") == 96L, s"doc $id")
+    }
+    // unrelated doc passes through under either mode
+    assert(out(4L).getAs[Long]("n_spans_removed") == 0L)
+
+    // and the default (decontamination) mode removes ALL copies,
+    // including the canonical one — the two semantics differ exactly there
+    val all = Contamination.removeDuplicateSpans(docs)
+      .orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(all(1L).getAs[String]("clean_text") == "")
+  }
 }
