@@ -674,6 +674,34 @@ object TrainingDataQueries {
         .limit(10)
     },
 
+    // Vocabulary coverage curve — the tokenizer-budget question "what
+    // fraction of corpus tokens do the top-k vocab entries cover?" for
+    // k = 10/100/1000. The corpus-wide stage is one word-count
+    // aggregate; the ranking window runs on the VOCAB table (orders of
+    // magnitude smaller than the corpus — the single-partition window
+    // is over ~|V| rows, never facts). Coverage is one late division
+    // of exact BIGINTs. k beyond |V| clamps to the full vocabulary.
+    "tok2_vocab_coverage" -> { (spark, dir) =>
+      val counts = Tables.documentsParallel(spark, dir)
+        .select(explode(TextAnalysis.words(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val ord = Window.orderBy(col("c").desc, col("w"))
+      val ranked = counts
+        .withColumn("rk", row_number().over(ord))
+        .withColumn("cum", sum(col("c")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = counts.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
+      ranked.crossJoin(broadcast(tot))
+        .select(col("rk"), col("cum"), col("t"), col("v"),
+          explode(array(lit(10L), lit(100L), lit(1000L))).as("k"))
+        .where(col("rk") === least(col("k"), col("v")))
+        .select(col("k"), col("cum").as("top_k_tokens"),
+          col("t").as("total_tokens"), col("v").as("n_vocab"),
+          (col("cum").cast(DoubleType) / col("t").cast(DoubleType))
+            .as("coverage"))
+        .orderBy("k")
+    },
+
     // Per-source boilerplate-prefix detection — shared headers/licence
     // banners are the classic crawl artifact. The longest common prefix
     // of ALL docs in a source equals LCP(min(text), max(text)) under
@@ -727,6 +755,27 @@ object TrainingDataQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "tok2_vocab_coverage" ->
+      """WITH counts AS (
+        |  SELECT w, COUNT(*) AS c FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |    FROM documents)
+        |  GROUP BY 1
+        |), ranked AS (
+        |  SELECT c,
+        |    row_number() OVER (ORDER BY c DESC, w) AS rk,
+        |    SUM(c) OVER (ORDER BY c DESC, w ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM counts
+        |), tot AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS t, COUNT(*) AS v FROM counts
+        |)
+        |SELECT k, CAST(cum AS BIGINT) AS top_k_tokens, t AS total_tokens,
+        |  v AS n_vocab, CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) AS coverage
+        |FROM ranked CROSS JOIN tot
+        |CROSS JOIN (VALUES (10), (100), (1000)) AS ks(k0)
+        |CROSS JOIN LATERAL (SELECT CAST(k0 AS BIGINT) AS k) kk
+        |WHERE rk = least(k, v)
+        |ORDER BY k""".stripMargin,
     "bp1_boilerplate_prefix" ->
       """WITH agg AS (
         |  SELECT source, COUNT(*) AS n_docs,
