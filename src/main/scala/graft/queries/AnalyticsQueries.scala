@@ -299,6 +299,26 @@ object AnalyticsQueries {
           min(col("v")).as("min_doc"), max(col("v")).as("max_doc"))
         .orderBy("lab")
     },
+    // Existential flag projection (the MARK JOIN shape): EXISTS in the
+    // SELECT list, not the WHERE — every customer row survives, carrying
+    // has_order / has_big_order booleans. Spark decorrelates each
+    // subquery to a left-semi-style existence join; the distinct key
+    // sets are dimension-sized and the fact table is touched once per
+    // flag with map-side distinct partials.
+    "j13_mark_join" -> { (spark, dir) =>
+      Tables.customer(spark, dir).createOrReplaceTempView("customer_j13")
+      Tables.orders(spark, dir).createOrReplaceTempView("orders_j13")
+      spark.sql(
+        """SELECT c_custkey,
+          |  EXISTS(SELECT 1 FROM orders_j13 o
+          |         WHERE o.o_custkey = c.c_custkey) AS has_order,
+          |  EXISTS(SELECT 1 FROM orders_j13 o
+          |         WHERE o.o_custkey = c.c_custkey
+          |           AND o.o_totalprice > 150000) AS has_big_order
+          |FROM customer_j13 c
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
     // Rolling 7-day distinct actives (the DAU/WAU board metric): sliding
     // COUNT(DISTINCT) doesn't decompose over window frames, so the scale
     // shape is expand-then-group — each distinct (user, day) contributes
@@ -761,6 +781,15 @@ object AnalyticsQueries {
         |SELECT lab, COUNT(*) AS n_members,
         |  MIN(v) AS min_doc, MAX(v) AS max_doc
         |FROM l4 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j13_mark_join" ->
+      """SELECT c_custkey,
+        |  EXISTS(SELECT 1 FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey) AS has_order,
+        |  EXISTS(SELECT 1 FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |           AND o.o_totalprice > 150000) AS has_big_order
+        |FROM customer c
+        |ORDER BY c_custkey""".stripMargin,
     "w12_rolling_dau" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id,
