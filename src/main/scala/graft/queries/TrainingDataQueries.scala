@@ -674,6 +674,39 @@ object TrainingDataQueries {
         .limit(10)
     },
 
+    // Cross-gate agreement audit — do the two independent quality gates
+    // (hashed-feature linear score qc1, Gopher repetition rules gq1)
+    // agree, and WHERE on the score axis do they diverge? Docs band by
+    // integer score; per band: both gates' pass counts and the
+    // agreement fraction (one late division). This is the calibration
+    // check run before trusting a cheap classifier to replace an
+    // expensive rule set. Gates are the SAME DataQuality definitions
+    // as their standalone oracle queries.
+    "cal1_gate_agreement" -> { (spark, dir) =>
+      val dq = graft.operators.DataQuality
+      val docs = Tables.documentsParallel(spark, dir)
+        .localCheckpoint(eager = false) // feeds both gate chains
+      val q = dq.linearQualityScores(docs)
+        .select(col("doc_id"), col("score"), col("quality_pass"))
+      val g = dq.gopherMetrics(docs).select(col("doc_id"), col("gopher_pass"))
+      val band = when(col("score") <= -10, "a_le_m10")
+        .when(col("score") < 0, "b_m9_m1")
+        .when(col("score") === 0, "c_0")
+        .when(col("score") < 10, "d_1_9")
+        .otherwise("e_ge_10")
+      q.join(g, Seq("doc_id"))
+        .withColumn("band", band)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("gopher_pass"), 1L).otherwise(0L)).as("n_gopher_pass"),
+          sum(when(col("quality_pass"), 1L).otherwise(0L)).as("n_quality_pass"),
+          sum(when(col("quality_pass") === col("gopher_pass"), 1L)
+            .otherwise(0L)).as("n_agree"))
+        .withColumn("agreement",
+          col("n_agree").cast(DoubleType) / col("n_docs").cast(DoubleType))
+        .orderBy("band")
+    },
+
     // Vocabulary coverage curve — the tokenizer-budget question "what
     // fraction of corpus tokens do the top-k vocab entries cover?" for
     // k = 10/100/1000. The corpus-wide stage is one word-count
@@ -755,6 +788,109 @@ object TrainingDataQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // cal1: gq1's gate chain + qc1's score chain (qtoks-renamed), joined
+    // per doc, banded by integer score, agreement as one late division.
+    "cal1_gate_agreement" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents
+        |), words AS (
+        |  SELECT doc_id, w[g.i] AS wd
+        |  FROM toks, UNNEST(generate_series(1, len(w))) AS g(i)
+        |), wstats AS (
+        |  SELECT doc_id, COUNT(*) AS n_words,
+        |    CAST(SUM(length(wd)) AS BIGINT) AS word_chars
+        |  FROM words GROUP BY 1
+        |), topw AS (
+        |  SELECT doc_id, c AS top_word_n FROM (
+        |    SELECT doc_id, wd, COUNT(*) AS c,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY COUNT(*) DESC, wd) AS rn
+        |    FROM words GROUP BY doc_id, wd) t WHERE rn = 1
+        |), bg AS (
+        |  SELECT doc_id, w[g.i] || ' ' || w[g.i + 1] AS g2
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS g(i)
+        |  WHERE len(w) >= 2
+        |), topbg AS (
+        |  SELECT doc_id, c AS top_bigram_n FROM (
+        |    SELECT doc_id, g2, COUNT(*) AS c,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY COUNT(*) DESC, g2) AS rn
+        |    FROM bg GROUP BY doc_id, g2) t WHERE rn = 1
+        |), tg AS (
+        |  SELECT doc_id, w[g.i] || ' ' || w[g.i + 1] || ' ' || w[g.i + 2] AS g3
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS g(i)
+        |  WHERE len(w) >= 3
+        |), tgc AS (
+        |  SELECT doc_id, g3, COUNT(*) AS c FROM tg GROUP BY 1, 2
+        |), tri AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_trigrams,
+        |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_trigram_n
+        |  FROM tgc GROUP BY 1
+        |), m AS (
+        |  SELECT d.doc_id,
+        |    CAST(coalesce(ws.n_words, 0) AS BIGINT) AS n_words,
+        |    CAST(coalesce(ws.word_chars, 0) AS BIGINT) AS word_chars,
+        |    CAST(coalesce(tw.top_word_n, 0) AS BIGINT) AS top_word_n,
+        |    CAST(coalesce(tb.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+        |    CAST(coalesce(tr.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+        |    CAST(coalesce(tr.dup_trigram_n, 0) AS BIGINT) AS dup_trigram_n
+        |  FROM documents d
+        |  LEFT JOIN wstats ws USING (doc_id)
+        |  LEFT JOIN topw tw USING (doc_id)
+        |  LEFT JOIN topbg tb USING (doc_id)
+        |  LEFT JOIN tri tr USING (doc_id)
+        |), gflags AS (
+        |  SELECT doc_id,
+        |    (n_words BETWEEN 5 AND 100000
+        |     AND top_word_n * 8 <= n_words
+        |     AND top_bigram_n * 5 <= n_words - 1
+        |     AND dup_trigram_n * 10 <= n_trigrams * 3
+        |     AND word_chars >= n_words * 2
+        |     AND word_chars <= n_words * 10) AS gopher_pass
+        |  FROM m
+        |), wt AS (
+        |  SELECT g.b AS b,
+        |    (('0x' || substr(md5(CAST(g.b AS VARCHAR)), 1, 15))::BIGINT % 17) - 8 AS w
+        |  FROM UNNEST(generate_series(0, 4095)) AS g(b)
+        |), qtoks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS wd
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(wd[g.i] || ' ' || wd[g.i + 1]), 1, 15))::BIGINT
+        |      % 4096 AS b
+        |  FROM qtoks, UNNEST(generate_series(1, len(wd) - 1)) AS g(i)
+        |  WHERE len(wd) >= 2
+        |), cb AS (
+        |  SELECT doc_id, b, COUNT(*) AS c FROM f GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT cb.doc_id,
+        |    CAST(SUM(cb.c * wt.w) AS BIGINT) AS score
+        |  FROM cb JOIN wt USING (b) GROUP BY 1
+        |), qflags AS (
+        |  SELECT d.doc_id, coalesce(sc.score, 0) AS score,
+        |    coalesce(sc.score, 0) > 0 AS quality_pass
+        |  FROM documents d LEFT JOIN sc USING (doc_id)
+        |), banded AS (
+        |  SELECT q.doc_id, q.quality_pass, g.gopher_pass,
+        |    CASE WHEN q.score <= -10 THEN 'a_le_m10'
+        |         WHEN q.score < 0 THEN 'b_m9_m1'
+        |         WHEN q.score = 0 THEN 'c_0'
+        |         WHEN q.score < 10 THEN 'd_1_9'
+        |         ELSE 'e_ge_10' END AS band
+        |  FROM qflags q JOIN gflags g USING (doc_id)
+        |)
+        |SELECT band, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_gopher_pass,
+        |  CAST(SUM(CASE WHEN quality_pass THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_quality_pass,
+        |  CAST(SUM(CASE WHEN quality_pass = gopher_pass THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_agree,
+        |  CAST(SUM(CASE WHEN quality_pass = gopher_pass THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*) AS agreement
+        |FROM banded GROUP BY 1 ORDER BY 1""".stripMargin,
     "tok2_vocab_coverage" ->
       """WITH counts AS (
         |  SELECT w, COUNT(*) AS c FROM (
