@@ -132,6 +132,46 @@ object ExperimentQueries {
     // never summed across cells in floating point (summation order is
     // engine-dependent; a per-cell table is both deterministic and more
     // useful for diagnosis). weekday()+1 == DuckDB's isodow.
+    // CUPED variance reduction (Deng et al. 2013): the experiment
+    // metric adjusted by the pre-period covariate — theta from POOLED
+    // exact integer moments (corr1's cross-multiplied pattern), then
+    // per-variant adjusted means from exact sums with the identical
+    // expression tree on both engines. The per-user aggregate is the
+    // only corpus-wide stage; everything after runs on 2 + 1 rows.
+    "exp2_cuped" -> { (spark, dir) =>
+      val d38 = DecimalType(38, 0)
+      val split = lit("2024-01-16").cast("date")
+      val cents = floor(col("value") * 100).cast(LongType)
+      val pu = Tables.events(spark, dir)
+        .groupBy("user_id")
+        .agg(
+          sum(when(to_date(col("ts_sec")) < split, cents).otherwise(0L))
+            .as("x"),
+          sum(when(to_date(col("ts_sec")) >= split, cents).otherwise(0L))
+            .as("y"))
+        .withColumn("va", col("user_id") % 2 === 0)
+        .localCheckpoint(eager = false) // feeds pooled + per-variant
+      val pooled = broadcast(pu.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy")))
+      val perV = pu.groupBy("va")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("x")).as("sum_pre"), sum(col("y")).as("sum_post"))
+      def dbl(c: String) = col(c).cast(DoubleType)
+      perV.crossJoin(pooled)
+        .withColumn("theta",
+          (dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy")) /
+            (dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")))
+        .select(col("va").as("variant_a"), col("n_users"),
+          col("sum_pre"), col("sum_post"), col("theta"),
+          (dbl("sum_post") / col("n_users") -
+            col("theta") * (dbl("sum_pre") / col("n_users") -
+              dbl("sx") / col("n"))).as("mean_adj"))
+        .orderBy("variant_a")
+    },
+
     "chi1_contingency" -> { (spark, dir) =>
       val obs = Tables.events(spark, dir)
         .groupBy(col("event_type"), expr("weekday(to_date(ts_sec)) + 1").as("dow"))
@@ -253,6 +293,41 @@ object ExperimentQueries {
         |      * (1.0 - CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))
         |      * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))) AS z
         |FROM s""".stripMargin,
+    "exp2_cuped" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN CAST(date_trunc('second', ts) AS DATE)
+        |      < DATE '2024-01-16' THEN CAST(floor(value * 100) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN CAST(date_trunc('second', ts) AS DATE)
+        |      >= DATE '2024-01-16' THEN CAST(floor(value * 100) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1
+        |), pooled AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS dsxx,
+        |    CAST(SUM(x * y) AS DOUBLE) AS dsxy
+        |  FROM pu
+        |), pv AS (
+        |  SELECT user_id % 2 = 0 AS variant_a, COUNT(*) AS n_users,
+        |    CAST(SUM(x) AS BIGINT) AS sum_pre,
+        |    CAST(SUM(y) AS BIGINT) AS sum_post
+        |  FROM pu GROUP BY 1
+        |), t AS (
+        |  SELECT pv.*, pooled.n, pooled.sx,
+        |    (CAST(pooled.n AS DOUBLE) * pooled.dsxy
+        |      - CAST(pooled.sx AS DOUBLE) * CAST(pooled.sy AS DOUBLE)) /
+        |    (CAST(pooled.n AS DOUBLE) * pooled.dsxx
+        |      - CAST(pooled.sx AS DOUBLE) * CAST(pooled.sx AS DOUBLE))
+        |      AS theta
+        |  FROM pv CROSS JOIN pooled
+        |)
+        |SELECT variant_a, n_users, sum_pre, sum_post, theta,
+        |  CAST(sum_post AS DOUBLE) / n_users -
+        |    theta * (CAST(sum_pre AS DOUBLE) / n_users
+        |             - CAST(sx AS DOUBLE) / n) AS mean_adj
+        |FROM t ORDER BY variant_a""".stripMargin,
     "chi1_contingency" ->
       """WITH obs AS (
         |  SELECT event_type,
