@@ -132,6 +132,43 @@ object ExperimentQueries {
     // never summed across cells in floating point (summation order is
     // engine-dependent; a per-cell table is both deterministic and more
     // useful for diagnosis). weekday()+1 == DuckDB's isodow.
+    // k-anonymity GENERALIZATION (the transform dq2 only audits): each
+    // row's quasi-identifiers coarsen up a fixed 3-level ladder —
+    // (nation, balance band) → (nation) → suppressed — to the FIRST
+    // level whose equivalence class reaches k=5. Two small group-count
+    // relations broadcast back onto the scan; the census reports rows
+    // and distinct classes per chosen level, plus the residual minimum
+    // class size (>= 5 by construction, recomputed not trusted).
+    "pp1_kanon_generalize" -> { (spark, dir) =>
+      val c = Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"),
+          floor(col("c_acctbal") / 2000).cast(LongType).as("band"))
+      val g0 = c.groupBy("c_nationkey", "band").agg(count(lit(1)).as("n0"))
+      // the level-1 k-check counts ONLY rows not already anonymous at
+      // level 0 — rows that stayed behind don't anonymize the promoted
+      // ones (the classic generalization-ladder subtlety: k must be
+      // re-checked on the post-reassignment classes)
+      val flagged = c.join(broadcast(g0), Seq("c_nationkey", "band"))
+        .withColumn("l0ok", col("n0") >= 5)
+      val m1 = flagged.where(!col("l0ok"))
+        .groupBy("c_nationkey").agg(count(lit(1)).as("m1"))
+      val lv = flagged.join(broadcast(m1), Seq("c_nationkey"), "left")
+        .withColumn("level",
+          when(col("l0ok"), 0L).when(col("m1") >= 5, 1L).otherwise(2L))
+        .withColumn("cls",
+          when(col("level") === 0,
+            concat_ws(":", col("c_nationkey"), col("band")))
+            .when(col("level") === 1, col("c_nationkey").cast("string"))
+            .otherwise(lit("*")))
+      val sizes = lv.groupBy("cls").agg(count(lit(1)).as("cn"))
+      lv.join(sizes, Seq("cls"))
+        .groupBy("level")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("cls")).as("n_classes"),
+          min(col("cn")).as("min_class_size"))
+        .orderBy("level")
+    },
+
     // CUPED variance reduction (Deng et al. 2013): the experiment
     // metric adjusted by the pre-period covariate — theta from POOLED
     // exact integer moments (corr1's cross-multiplied pattern), then
@@ -293,6 +330,35 @@ object ExperimentQueries {
         |      * (1.0 - CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))
         |      * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))) AS z
         |FROM s""".stripMargin,
+    "pp1_kanon_generalize" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS band
+        |  FROM customer
+        |), g0 AS (
+        |  SELECT c_nationkey, band, COUNT(*) AS n0 FROM c GROUP BY 1, 2
+        |), flagged AS (
+        |  SELECT c.*, g0.n0 >= 5 AS l0ok
+        |  FROM c JOIN g0 USING (c_nationkey, band)
+        |), m1 AS (
+        |  SELECT c_nationkey, COUNT(*) AS m1 FROM flagged
+        |  WHERE NOT l0ok GROUP BY 1
+        |), lv AS (
+        |  SELECT f.*,
+        |    CASE WHEN f.l0ok THEN 0
+        |         WHEN m1.m1 >= 5 THEN 1 ELSE 2 END AS level,
+        |    CASE WHEN f.l0ok THEN f.c_nationkey || ':' || f.band
+        |         WHEN m1.m1 >= 5 THEN CAST(f.c_nationkey AS VARCHAR)
+        |         ELSE '*' END AS cls
+        |  FROM flagged f LEFT JOIN m1 USING (c_nationkey)
+        |), sizes AS (
+        |  SELECT cls, COUNT(*) AS cn FROM lv GROUP BY 1
+        |)
+        |SELECT CAST(level AS BIGINT) AS level, COUNT(*) AS n_rows,
+        |  CAST(COUNT(DISTINCT lv.cls) AS BIGINT) AS n_classes,
+        |  CAST(MIN(cn) AS BIGINT) AS min_class_size
+        |FROM lv JOIN sizes USING (cls)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "exp2_cuped" ->
       """WITH pu AS (
         |  SELECT user_id,
