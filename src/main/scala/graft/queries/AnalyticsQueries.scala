@@ -299,6 +299,32 @@ object AnalyticsQueries {
           min(col("v")).as("min_doc"), max(col("v")).as("max_doc"))
         .orderBy("lab")
     },
+    // Sweep-line interval census — "how many orders are OPEN on each
+    // day" without expanding order×day (an order spans years; row-per-
+    // day explodes 1000×): each order contributes +1 at open and −1
+    // after close, deltas collapse per boundary day, and one running
+    // sum over the BOUNDARY-DAY relation (bounded by distinct calendar
+    // days, never order count) yields the concurrency curve. The
+    // complement to x12's interval-overlap join.
+    "iv1_open_orders_census" -> { (spark, dir) =>
+      val spans = Tables.lineitem(spark, dir)
+        .groupBy("l_orderkey")
+        .agg(max(to_date(col("l_shipdate"))).as("close"))
+        .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("open")),
+          col("o_orderkey") === col("l_orderkey"))
+      val deltas = spans.select(col("open").as("d"), lit(1L).as("delta"))
+        .unionByName(spans.select(date_add(col("close"), 1).as("d"),
+          lit(-1L).as("delta")))
+        .groupBy("d").agg(sum(col("delta")).as("net"))
+      val w = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas
+        .withColumn("open_orders", sum(col("net")).over(w))
+        .select("d", "net", "open_orders")
+        .orderBy("d")
+    },
+
     // Existential flag projection (the MARK JOIN shape): EXISTS in the
     // SELECT list, not the WHERE — every customer row survives, carrying
     // has_order / has_big_order booleans. Spark decorrelates each
@@ -781,6 +807,26 @@ object AnalyticsQueries {
         |SELECT lab, COUNT(*) AS n_members,
         |  MIN(v) AS min_doc, MAX(v) AS max_doc
         |FROM l4 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "iv1_open_orders_census" ->
+      """WITH spans AS (
+        |  SELECT o.o_orderkey,
+        |    CAST(o.o_orderdate AS DATE) AS open,
+        |    lc.close
+        |  FROM orders o
+        |  JOIN (SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close
+        |        FROM lineitem GROUP BY 1) lc
+        |    ON lc.l_orderkey = o.o_orderkey
+        |), deltas AS (
+        |  SELECT d, CAST(SUM(delta) AS BIGINT) AS net FROM (
+        |    SELECT open AS d, 1 AS delta FROM spans
+        |    UNION ALL
+        |    SELECT close + INTERVAL 1 DAY, -1 FROM spans)
+        |  GROUP BY 1
+        |)
+        |SELECT CAST(d AS DATE) AS d, net,
+        |  CAST(SUM(net) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS open_orders
+        |FROM deltas ORDER BY d""".stripMargin,
     "j13_mark_join" ->
       """SELECT c_custkey,
         |  EXISTS(SELECT 1 FROM orders o
