@@ -309,6 +309,36 @@ object ScaleOpsQueries {
         .orderBy("o_orderpriority")
     },
 
+    // Delta-encoding efficiency audit — WHY sorted layouts compress:
+    // within each "row group" the key column stores as base + deltas,
+    // and a sorted layout makes deltas small (few bits) while a
+    // scattered layout leaves them key-range-sized. Both layouts are
+    // simulated with per-GROUP windows only (encoding resets per group,
+    // exactly like parquet pages — no global sort anywhere): group =
+    // key div 4096 for the sorted layout, a portable hash bucket for
+    // the scattered one; first row of a group charges the 64-bit base.
+    // bit cost = length(bin(delta)) — exact on both engines.
+    "enc1_encoding_audit" -> { (spark, dir) =>
+      val o = Tables.orders(spark, dir).select(col("o_orderkey").as("k"))
+      val both = o.withColumn("layout", lit("sorted"))
+        .withColumn("g", expr("k div 4096"))
+        .unionByName(o.withColumn("layout", lit("scattered"))
+          .withColumn("g", graft.operators.Dedup.portableHash60(
+            concat(lit("enc1:"), col("k"))) % 147))
+      val w = Window.partitionBy("layout", "g").orderBy("k")
+      both
+        .withColumn("prev", lag(col("k"), 1).over(w))
+        .withColumn("bits", when(col("prev").isNull, lit(64L))
+          .otherwise(length(bin(col("k") - col("prev"))).cast(LongType)))
+        .groupBy("layout")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("g")).as("n_groups"),
+          sum(col("bits")).as("total_bits"),
+          (sum(col("bits")).cast(DoubleType) / count(lit(1)))
+            .as("bits_per_value"))
+        .orderBy("layout")
+    },
+
     // File-skipping effectiveness audit — WHY a warehouse z-orders: for
     // the same file granularity (value-range splits of the sort key,
     // 16 files either way), a dx-major linear layout prunes dx
@@ -372,6 +402,27 @@ object ScaleOpsQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_returnflag = 'R'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "enc1_encoding_audit" ->
+      """WITH o AS (SELECT o_orderkey AS k FROM orders),
+        |lay AS (
+        |  SELECT 'sorted' AS layout, k // 4096 AS g, k FROM o
+        |  UNION ALL
+        |  SELECT 'scattered' AS layout,
+        |    ('0x' || substr(md5('enc1:' || k), 1, 15))::BIGINT % 147 AS g, k
+        |  FROM o
+        |), d AS (
+        |  SELECT layout, g, k,
+        |    lag(k) OVER (PARTITION BY layout, g ORDER BY k) AS prev
+        |  FROM lay
+        |)
+        |SELECT layout, COUNT(*) AS n_rows,
+        |  CAST(COUNT(DISTINCT g) AS BIGINT) AS n_groups,
+        |  CAST(SUM(CASE WHEN prev IS NULL THEN 64
+        |    ELSE length(bin(k - prev)) END) AS BIGINT) AS total_bits,
+        |  CAST(SUM(CASE WHEN prev IS NULL THEN 64
+        |    ELSE length(bin(k - prev)) END) AS DOUBLE) / COUNT(*)
+        |    AS bits_per_value
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "bkt1_bucketed_join" ->
       """SELECT o_orderpriority,
         |  COUNT(*) AS n_lines,
