@@ -479,6 +479,27 @@ object Similarity {
     }
   }
 
+  /** Incremental index maintenance — the FAISS `add()` path: encode NEW
+    * vectors with the EXISTING centroids and codebook (no retrain — a
+    * retrain would invalidate every already-served code) and land the
+    * merged code table as the next snapshot. Upsert semantics: an id
+    * present in both keeps the NEW encoding (anti-join on c_vec), which
+    * also makes re-running the append idempotent. Cost at scale is one
+    * encode pass over the BATCH plus one anti-join keyed on ids — the
+    * billion-row existing code table never re-encodes.
+    */
+  def appendToIvfPqIndex(newVecs: DataFrame, root: String, nSub: Int = 8): Unit = {
+    val spark = newVecs.sparkSession
+    val centroids = AtomicLayer.read(spark, s"$root/centroids.parquet")
+    val sample = AtomicLayer.read(spark, s"$root/codebook.parquet")
+    val existing = AtomicLayer.read(spark, s"$root/index.parquet")
+    val added = ivfPqIndexDf(newVecs, centroids, sample, nSub)
+    val kept = existing.join(
+      added.select(col("c_vec")), Seq("c_vec"), "left_anti")
+    AtomicLayer.write(kept.unionByName(added),
+      s"$root/index.parquet", keepVersions = 1): Unit
+  }
+
   /** Answer queries from the PERSISTED index at `root` — the serving
     * path: centroids, codebook, and corpus codes come off disk (no
     * recompute, no corpus re-encode); only the probe assignment, the

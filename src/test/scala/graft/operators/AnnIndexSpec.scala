@@ -60,4 +60,37 @@ class AnnIndexSpec extends SparkSpec {
       .orderBy("q_vec", "rank").collect().toSeq
     assert(served == inline)
   }
+
+  test("append encodes with the BASE artifacts, upserts by id, and is idempotent") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val root = tmpRoot()
+    Similarity.buildIvfPqIndex(emb.where(col("vec_id") < 40), root)
+    val baseCount = AtomicLayer.read(spark, s"$root/index.parquet").count()
+
+    Similarity.appendToIvfPqIndex(emb.where(col("vec_id") >= 40), root)
+    val merged = AtomicLayer.read(spark, s"$root/index.parquet")
+    assert(merged.count() == emb.count(), "merged index must cover every vector")
+    assert(merged.groupBy("c_vec").count().where(col("count") > 1).count() == 0,
+      "append must not duplicate ids")
+    val snap1 = merged.orderBy("c_vec").collect().toSeq
+
+    // idempotence: appending the same batch again changes nothing
+    Similarity.appendToIvfPqIndex(emb.where(col("vec_id") >= 40), root)
+    val snap2 = AtomicLayer.read(spark, s"$root/index.parquet")
+      .orderBy("c_vec").collect().toSeq
+    assert(snap2 == snap1, "re-append must be a no-op on content")
+
+    // codes-consistency: a FULL re-encode against the SAME base
+    // artifacts (build on 40, force-free) must agree on every id —
+    // i.e. append really did use the persisted centroids/codebook
+    val rootFull = tmpRoot()
+    Similarity.buildIvfPqIndex(emb.where(col("vec_id") < 40), rootFull)
+    Similarity.appendToIvfPqIndex(emb, rootFull) // upsert ALL ids in one go
+    val full = AtomicLayer.read(spark, s"$rootFull/index.parquet")
+      .orderBy("c_vec").collect().toSeq
+    assert(full == snap1,
+      "append-encoded codes drifted from a fresh encode with the same artifacts")
+
+    assert(baseCount < emb.count()) // the base really was partial
+  }
 }
