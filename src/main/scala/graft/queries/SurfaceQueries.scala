@@ -121,6 +121,14 @@ object SurfaceQueries {
       graft.streaming.VectorStream.annTop1FromIndex(spark, dir)
     },
 
+    // Continuous index maintenance: streamed vectors upsert into the
+    // persisted IVF-PQ code table per micro-batch (encode with BASE
+    // artifacts, id-keyed — final index independent of batching);
+    // queries served from the merged on-disk index.
+    "st21_stream_index_append" -> { (spark, dir) =>
+      graft.streaming.VectorStream.streamIndexAppend(spark, dir)
+    },
+
     // UNION DISTINCT (u1 is UNION ALL): set-semantics merge.
     "u7_union_distinct" -> { (spark, dir) =>
       Tables.nation(spark, dir).select(col("n_regionkey").as("k"))
@@ -550,6 +558,72 @@ object SurfaceQueries {
     // persisted artifacts as x23 (driver verifies at sf0.01; the Spark
     // side builds them on first call). Persisted codes are 0-based
     // positions into the cw_id-sorted codebook.
+    "st21_stream_index_append" ->
+      """WITH cent AS (
+        |  SELECT centroid_id,
+        |    list_transform(c_emb, v -> floor(CAST(v AS DOUBLE) * 1048576.0)) AS cq
+        |  FROM read_parquet('/tmp/graft_ann_index/sf0.01_stream/centroids.parquet/v*/*.parquet')
+        |), qe AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, v -> floor(CAST(v AS DOUBLE) * 1048576.0)) AS q
+        |  FROM embeddings WHERE vec_id < 8
+        |), query_assign AS (
+        |  SELECT q_vec, centroid_id AS list_id FROM (
+        |    SELECT e.vec_id AS q_vec, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.q, c.cq) /
+        |          nullif(sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(c.cq, c.cq)), 0)
+        |          DESC, c.centroid_id) AS rk
+        |    FROM qe e, cent c) t WHERE rk <= 2
+        |), cb AS (
+        |  SELECT qcw, row_number() OVER (ORDER BY cw_id) - 1 AS pos
+        |  FROM read_parquet('/tmp/graft_ann_index/sf0.01_stream/codebook.parquet/v*/*.parquet')
+        |), cwdim AS (
+        |  SELECT pos, g.i - 1 AS dim, qcw[g.i] AS qc
+        |  FROM cb, UNNEST(generate_series(1, len(qcw))) AS g(i)
+        |), vq AS (
+        |  SELECT vec_id, len(embedding) // 8 AS sd, g.i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        |  WHERE len(embedding) > 0 AND len(embedding) % 8 = 0
+        |), lut AS (
+        |  SELECT v.vec_id, c.pos, v.dim // v.sd AS s,
+        |    CAST(SUM((qv - qc) * (qv - qc)) AS BIGINT) AS d
+        |  FROM vq v JOIN cwdim c ON c.dim = v.dim
+        |  WHERE v.vec_id < 8
+        |  GROUP BY 1, 2, 3
+        |), codepos AS (
+        |  SELECT i.c_vec, i.list_id, g.s1 - 1 AS s, i.codes[g.s1] AS pos
+        |  FROM read_parquet('/tmp/graft_ann_index/sf0.01_stream/index.parquet/v*/*.parquet') i,
+        |    UNNEST(generate_series(1, len(i.codes))) AS g(s1)
+        |), adc AS (
+        |  SELECT qa.q_vec, cp.c_vec, cp.list_id,
+        |    CAST(SUM(l.d) AS BIGINT) AS qdist_approx
+        |  FROM codepos cp
+        |  JOIN query_assign qa ON qa.list_id = cp.list_id
+        |  JOIN lut l ON l.s = cp.s AND l.pos = cp.pos AND l.vec_id = qa.q_vec
+        |  WHERE cp.c_vec <> qa.q_vec
+        |  GROUP BY 1, 2, 3
+        |), short AS (
+        |  SELECT q_vec, c_vec, list_id FROM (
+        |    SELECT q_vec, c_vec, list_id,
+        |      row_number() OVER (PARTITION BY q_vec
+        |        ORDER BY qdist_approx, c_vec) AS rank
+        |    FROM adc) t WHERE rank <= 32
+        |), rex AS (
+        |  SELECT sh.q_vec, sh.c_vec, sh.list_id,
+        |    CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS qdist_exact
+        |  FROM short sh
+        |  JOIN vq a ON a.vec_id = sh.q_vec
+        |  JOIN vq b ON b.vec_id = sh.c_vec AND b.dim = a.dim
+        |  GROUP BY 1, 2, 3
+        |), ranked AS (
+        |  SELECT q_vec, c_vec, list_id, qdist_exact,
+        |    row_number() OVER (PARTITION BY q_vec
+        |      ORDER BY qdist_exact, c_vec) AS rank
+        |  FROM rex)
+        |SELECT q_vec, rank, c_vec, qdist_exact, list_id FROM ranked
+        |WHERE rank <= 3 ORDER BY q_vec, rank""".stripMargin,
     "st16_stream_ann_index" ->
       """WITH cent AS (
         |  SELECT centroid_id,

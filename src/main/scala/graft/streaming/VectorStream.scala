@@ -98,4 +98,34 @@ object VectorStream {
         s"stream_ivfpq_${runId.incrementAndGet()}")
       .orderBy("q_vec")
   }
+
+  /** Continuous index MAINTENANCE: the ingest half of the vector-store
+    * loop st16/x23 only served. New vectors arrive as a stream; each
+    * micro-batch encodes against the PERSISTED base centroids/codebook
+    * and upserts into the on-disk code table via
+    * [[graft.operators.Similarity.appendToIvfPqIndex]] (id-keyed, so the
+    * final index is identical however the stream was micro-batched —
+    * and identical to the batch x29 path). Queries are then answered
+    * from the merged on-disk index. foreachBatch owns persistence, the
+    * engine owns exactly-once batch ids, AtomicLayer owns atomicity —
+    * the same division of labor as st13's gold refresh.
+    */
+  def streamIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = graft.Tables.embeddings(spark, dir)
+    val root = Similarity.indexRoot(dir) + "_stream"
+    Similarity.buildIvfPqIndex(emb.where(col("vec_id") < 400), root)
+    val schema = StreamRun.cachedSchema(spark, dir, "embeddings.parquet")
+    val feed = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+      .where(col("vec_id") >= 400)
+    StreamRun.driveForeachBatch(feed, "append",
+        s"st21_index_append_${runId.incrementAndGet()}") { (batch, _) =>
+      if (!batch.isEmpty) Similarity.appendToIvfPqIndex(batch, root)
+    }
+    Similarity.ivfPqTopKFromIndex(emb.where(col("vec_id") < 8), emb, root, k = 3)
+      .orderBy("q_vec", "rank")
+  }
 }
