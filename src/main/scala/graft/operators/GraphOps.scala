@@ -223,4 +223,27 @@ object GraphOps {
     }
     visited.select(col("v"), col("hops").cast("int").as("hops"))
   }
+
+  /** Bounded-round synchronous min-label propagation: every round each
+    * node takes the MIN label over itself and its neighbors (undirected
+    * edges), for exactly `k` rounds — fixed cost per round (2 edge
+    * joins + 1 min-groupBy, labels localCheckpoint-pinned between
+    * rounds), no convergence test, which is how LPA is actually
+    * scheduled on a 100 TB graph. Labels are node ids, so each round
+    * shuffles only (long, long) pairs. `nodes` = (v), `edges` =
+    * (doc_a, doc_b); returns (v, lab).
+    */
+  def minLabelRounds(nodes: DataFrame, edges: DataFrame, k: Int): DataFrame = {
+    var labels = nodes.select(col("v"), col("v").as("lab"))
+    for (_ <- 1 to k) {
+      val viaA = edges.join(labels, col("v") === col("doc_b"))
+        .select(col("doc_a").as("v"), col("lab"))
+      val viaB = edges.join(labels, col("v") === col("doc_a"))
+        .select(col("doc_b").as("v"), col("lab"))
+      labels = labels.unionByName(viaA).unionByName(viaB)
+        .groupBy("v").agg(min(col("lab")).as("lab"))
+        .localCheckpoint(eager = false)
+    }
+    labels
+  }
 }

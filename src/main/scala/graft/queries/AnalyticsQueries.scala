@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, EventAnalytics, Multimodal, TimeSeries}
+import graft.operators.{Dedup, EventAnalytics, GraphOps, Multimodal, TimeSeries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -284,17 +284,8 @@ object AnalyticsQueries {
       val docs = Tables.documentsParallel(spark, dir)
       val edges = Dedup.consecutiveBigramEdges(docs, minJaccard = 0.05)
         .localCheckpoint(eager = true)
-      var labels = docs.select(col("doc_id").as("v"), col("doc_id").as("lab"))
-      for (_ <- 1 to 4) {
-        val viaA = edges.join(labels, col("v") === col("doc_b"))
-          .select(col("doc_a").as("v"), col("lab"))
-        val viaB = edges.join(labels, col("v") === col("doc_a"))
-          .select(col("doc_b").as("v"), col("lab"))
-        labels = labels.unionByName(viaA).unionByName(viaB)
-          .groupBy("v").agg(min(col("lab")).as("lab"))
-          .localCheckpoint(eager = false)
-      }
-      labels.groupBy("lab")
+      GraphOps.minLabelRounds(docs.select(col("doc_id").as("v")), edges, k = 4)
+        .groupBy("lab")
         .agg(count(lit(1)).as("n_members"),
           min(col("v")).as("min_doc"), max(col("v")).as("max_doc"))
         .orderBy("lab")

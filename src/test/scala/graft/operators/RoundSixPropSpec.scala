@@ -51,6 +51,32 @@ class RoundSixPropSpec extends SparkSpec {
     }
   }
 
+  test("minLabelRounds equals a reference K-round replay on random graphs") {
+    val gen = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(0, 60)
+      k <- Gen.choose(1, 5)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1) if a != b
+      } yield (a.toLong, b.toLong))
+    } yield (n, k, edges)
+    for ((n, k, edges) <- samples(gen, 10)) {
+      val nodes = (0L until n.toLong).toDF("v")
+      val edgeDf = edges.toDF("doc_a", "doc_b")
+      val got = GraphOps.minLabelRounds(nodes, edgeDf, k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference replay: synchronous min over self + neighbors, k rounds
+      val adj = (edges ++ edges.map(_.swap))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lab = (0L until n.toLong).map(v => v -> v).toMap
+      for (_ <- 1 to k)
+        lab = lab.map { case (v, l) =>
+          v -> (adj.getOrElse(v, Nil).map(lab) :+ l).min
+        }
+      assert(got == lab, s"n=$n k=$k edges=$edges")
+    }
+  }
+
   private val spanCorpusGen: Gen[Seq[(Long, String)]] = for {
     nDocs <- Gen.choose(2, 8)
     // 32-char window, stride 8: docs of 0..12 chunks of 8 chars from a
