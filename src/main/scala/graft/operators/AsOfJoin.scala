@@ -158,4 +158,41 @@ object AsOfJoin {
         ++ rightPayloadCols.map(c => col("__match").getField(c).as(s"$rightPrefix$c")): _*)
     if (inner) out.where(col(s"$rightPrefix$rightTs").isNotNull) else out
   }
+
+  /** Nearest-either-direction as-of: for each left row, the right row
+    * with the smallest |Δts| within the key, ties to the BACKWARD match
+    * ("most recent wins" attribution). Composed from the two
+    * one-directional union-sort as-ofs in OUTER mode (all left rows
+    * survive both) joined 1:1 on the unique `leftId`, then a gap
+    * compare — no candidate join, no explosion. Left rows with no right
+    * row on either side (key absent from `right`) drop, matching the
+    * one-directional inner semantics. Output: keyCols, leftId,
+    * `nearest_id` (the chosen right's `rightId`), `gap` in ts units.
+    * Timestamps must be numeric (the engine's long-nanos convention).
+    */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      leftId: String,
+      rightId: String,
+  ): DataFrame = {
+    val b = asof(left, right, keyCols, leftTs, rightTs, "nb_", inner = false)
+      .select((keyCols.map(col) :+ col(leftId) :+ col(leftTs) :+
+        col(s"nb_$rightTs").as("__b_ts") :+ col(s"nb_$rightId").as("__b_id")): _*)
+    val f = asofForward(left, right, keyCols, leftTs, rightTs, "nf_", inner = false)
+      .select(col(leftId).as("__lid"),
+        col(s"nf_$rightTs").as("__f_ts"), col(s"nf_$rightId").as("__f_id"))
+    val gb = col(leftTs) - col("__b_ts")
+    val gf = col("__f_ts") - col(leftTs)
+    val useB = col("__f_ts").isNull || (col("__b_ts").isNotNull && gb <= gf)
+    b.join(f, col(leftId) === col("__lid"))
+      .where(col("__b_ts").isNotNull || col("__f_ts").isNotNull)
+      .withColumn("gap", when(useB, gb).otherwise(gf))
+      .select((keyCols.map(col) :+ col(leftId) :+
+        when(useB, col("__b_id")).otherwise(col("__f_id")).as("nearest_id") :+
+        col("gap")): _*)
+  }
 }

@@ -248,29 +248,10 @@ object WorkloadQueries {
         .select("user_id", "ts", "event_id")
       val purchases = ev.where(col("event_type") === "purchase")
         .select("user_id", "ts", "event_id")
-      val b = graft.operators.AsOfJoin.asof(
-        clicks, purchases, Seq("user_id"), "ts", "ts", rightPrefix = "b_")
-        .select(col("user_id"), col("event_id"), col("ts"),
-          col("b_ts"), col("b_event_id"))
-      val f = graft.operators.AsOfJoin.asofForward(
-        clicks, purchases, Seq("user_id"), "ts", "ts", rightPrefix = "f_")
-        .select(col("user_id").as("u2"), col("event_id").as("e2"),
-          col("ts").as("t2"), col("f_ts"), col("f_event_id"))
-      // each one-directional as-of is inner (left rows with no match on
-      // that side drop), so the union of matched identities needs a
-      // FULL join — a click before the user's first purchase exists
-      // only on the forward side, after the last only on the backward.
-      val cts = coalesce(col("ts"), col("t2"))
-      val gb = cts - col("b_ts")
-      val gf = col("f_ts") - cts
-      val useB = col("f_ts").isNull || (col("b_ts").isNotNull && gb <= gf)
-      b.join(f, col("user_id") === col("u2") && col("event_id") === col("e2"),
-          "full")
-        .withColumn("gap", when(useB, gb).otherwise(gf))
-        .select(coalesce(col("user_id"), col("u2")).as("user_id"),
-          coalesce(col("event_id"), col("e2")).as("event_id"),
-          when(useB, col("b_event_id")).otherwise(col("f_event_id"))
-            .as("nearest_purchase"),
+      graft.operators.AsOfJoin.asofNearest(clicks, purchases,
+        Seq("user_id"), "ts", "ts", leftId = "event_id", rightId = "event_id")
+        .select(col("user_id"), col("event_id"),
+          col("nearest_id").as("nearest_purchase"),
           expr("gap div 1000000000").as("gap_sec"))
         .orderBy("user_id", "event_id")
     },

@@ -77,6 +77,45 @@ class RoundSixPropSpec extends SparkSpec {
     }
   }
 
+  test("asofNearest equals brute-force nearest on random event sets") {
+    val gen = for {
+      nUsers <- Gen.choose(1, 4)
+      lefts <- Gen.listOfN(12, for {
+        u <- Gen.choose(0, nUsers - 1); ts <- Gen.choose(0L, 50L)
+      } yield (u.toLong, ts))
+      rights <- Gen.listOfN(8, for {
+        u <- Gen.choose(0, nUsers - 1); ts <- Gen.choose(0L, 50L)
+      } yield (u.toLong, ts))
+    } yield (lefts, rights)
+    for (((lefts0, rights0), seedIdx) <- samples(gen, 12).zipWithIndex) {
+      // unique ids; unique (user, ts) on the right so the within-side
+      // same-ts tie rule (an asofImpl internal) never decides the answer
+      val lefts = lefts0.zipWithIndex.map { case ((u, t), i) => (u, t, i.toLong) }
+      val rights = rights0.distinct.zipWithIndex
+        .map { case ((u, t), i) => (u, t, 1000L + i) }
+      val l = lefts.toDF("user_id", "ts", "event_id")
+      val r = rights.toDF("user_id", "ts", "event_id")
+      val got = AsOfJoin.asofNearest(l, r, Seq("user_id"), "ts", "ts",
+        leftId = "event_id", rightId = "event_id")
+        .collect().map(row => row.getAs[Long]("event_id") ->
+          (row.getAs[Long]("nearest_id"), row.getAs[Long]("gap"))).toMap
+      val expected = lefts.flatMap { case (u, t, id) =>
+        val cands = rights.filter(_._1 == u)
+        if (cands.isEmpty) None
+        else {
+          // min |Δ|, ties prefer the backward (rts <= ts) candidate;
+          // unique right ts per user makes this a total order
+          val best = cands.minBy { case (_, rts, _) =>
+            (math.abs(rts - t), if (rts <= t) 0 else 1)
+          }
+          Some(id -> (best._3, math.abs(best._2 - t)))
+        }
+      }.toMap
+      assert(got == expected,
+        s"case $seedIdx: got=$got expected=$expected lefts=$lefts rights=$rights")
+    }
+  }
+
   private val spanCorpusGen: Gen[Seq[(Long, String)]] = for {
     nDocs <- Gen.choose(2, 8)
     // 32-char window, stride 8: docs of 0..12 chunks of 8 chars from a
