@@ -104,6 +104,23 @@ object PipelineQueries {
         .orderBy("col_a", "col_b")
     },
 
+    // Daily p50/p95 panel — the ops-dashboard staple (latency/value
+    // percentiles per day). percentile_disc picks REAL data points
+    // (exact integer cents), so unlike interpolated percentiles the
+    // result is bit-portable; each day's sort is bounded by that day's
+    // rows.
+    "ts10_daily_percentiles" -> { (spark, dir) =>
+      Tables.events(spark, dir).createOrReplaceTempView("events_ts10")
+      spark.sql(
+        """SELECT CAST(ts_sec AS DATE) AS day,
+          |  COUNT(*) AS n,
+          |  percentile_disc(0.5) WITHIN GROUP
+          |    (ORDER BY CAST(floor(value * 100) AS BIGINT)) AS p50_cents,
+          |  percentile_disc(0.95) WITHIN GROUP
+          |    (ORDER BY CAST(floor(value * 100) AS BIGINT)) AS p95_cents
+          |FROM events_ts10 GROUP BY 1 ORDER BY day""".stripMargin)
+    },
+
     // CUSUM changepoint detection per series — the drift alarm over
     // daily metric totals. Deviations are exact cross-multiplied
     // integers (cusum_t = N·Σ_{i≤t}d_i − t·T, never a mean divide), so
@@ -585,6 +602,14 @@ object PipelineQueries {
          |$unions
          |) ORDER BY col_a, col_b""".stripMargin
     },
+    "ts10_daily_percentiles" ->
+      """SELECT CAST(date_trunc('second', ts) AS DATE) AS day,
+        |  COUNT(*) AS n,
+        |  percentile_disc(0.5) WITHIN GROUP
+        |    (ORDER BY CAST(floor(value * 100) AS BIGINT)) AS p50_cents,
+        |  percentile_disc(0.95) WITHIN GROUP
+        |    (ORDER BY CAST(floor(value * 100) AS BIGINT)) AS p95_cents
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "ts8_cusum" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(date_trunc('second', ts) AS DATE) AS day,
