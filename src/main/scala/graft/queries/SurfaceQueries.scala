@@ -429,6 +429,37 @@ object SurfaceQueries {
         .orderBy("event_type")
     },
 
+    // Corrupt-record JSONL ingestion — the FILE-reader half of dq5's
+    // quarantine (which exercised from_json): a landed JSONL file with
+    // planted malformed lines reads under PERMISSIVE with
+    // columnNameOfCorruptRecord, bad lines route to the corrupt column
+    // (never fail the batch, never drop silently), and the census +
+    // good-row checksum prove exactly the planted lines — no more, no
+    // fewer — were quarantined.
+    "src1_jsonl_corrupt" -> { (spark, dir) =>
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_src1").getAbsolutePath
+      val good = Tables.documents(spark, dir)
+        .select(to_json(struct(col("doc_id"), col("lang"))).as("value"))
+      val bad = spark.range(7)
+        .select(concat(lit("{broken json "), col("id")).as("value"))
+      good.unionByName(bad).write.mode("overwrite").text(out)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("_corrupt_record", StringType)))
+      spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
+            .as("n_good"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+            .as("n_bad"),
+          sum(when(col("_corrupt_record").isNull, col("doc_id"))
+            .otherwise(0L)).as("good_id_sum"))
+    },
+
     // CSV sink/source round-trip (quoted, explicit schema): the
     // spreadsheet-adjacent format ops teams still hand the warehouse.
     // Numeric/date/string columns only — the checksum proves the
@@ -480,6 +511,11 @@ object SurfaceQueries {
         |    AS value_cents,
         |  TRUE AS files_reduced
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src1_jsonl_corrupt" ->
+      """SELECT (SELECT COUNT(*) FROM documents) + 7 AS n_lines,
+        |  (SELECT COUNT(*) FROM documents) AS n_good,
+        |  CAST(7 AS BIGINT) AS n_bad,
+        |  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents) AS good_id_sum""".stripMargin,
     "csv1_roundtrip" ->
       """SELECT c_nationkey, COUNT(*) AS n,
         |  CAST(SUM(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
