@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph-shape analytics over relational edge lists: co-occurrence graph
@@ -233,6 +233,30 @@ object GraphOps {
     * shuffles only (long, long) pairs. `nodes` = (v), `edges` =
     * (doc_a, doc_b); returns (v, lab).
     */
+  /** Bounded-round Bellman-Ford over undirected weighted edges: `k`
+    * synchronous relaxation rounds from `source` — after round k every
+    * ≤k-hop shortest path is exact (the distributed SSSP schedule:
+    * fixed rounds, two edge joins + one min-groupBy each, distances
+    * localCheckpoint-pinned between rounds). Unreached nodes stay at
+    * the INF sentinel. `nodes` = (v), `edges` = (doc_a, doc_b, w).
+    */
+  val SsspInf = 1000000000L
+  def boundedSssp(nodes: DataFrame, edges: DataFrame, k: Int,
+      isSource: Column): DataFrame = {
+    var dist = nodes.select(col("v"),
+      when(isSource, 0L).otherwise(SsspInf).as("d"))
+    for (_ <- 1 to k) {
+      val viaA = edges.join(dist, col("v") === col("doc_a"))
+        .select(col("doc_b").as("v"), (col("d") + col("w")).as("d"))
+      val viaB = edges.join(dist, col("v") === col("doc_b"))
+        .select(col("doc_a").as("v"), (col("d") + col("w")).as("d"))
+      dist = dist.unionByName(viaA).unionByName(viaB)
+        .groupBy("v").agg(min(col("d")).as("d"))
+        .localCheckpoint(eager = false)
+    }
+    dist
+  }
+
   def minLabelRounds(nodes: DataFrame, edges: DataFrame, k: Int): DataFrame = {
     var labels = nodes.select(col("v"), col("v").as("lab"))
     for (_ <- 1 to k) {

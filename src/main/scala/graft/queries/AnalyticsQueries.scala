@@ -384,6 +384,29 @@ object AnalyticsQueries {
         .orderBy("user_id")
     },
 
+    // Bounded-round weighted shortest paths (Bellman-Ford schedule):
+    // exact ≤4-hop distances from doc 0 over the bigram-similarity
+    // graph with deterministic integer weights — the distributed SSSP
+    // shape next to lp1's label propagation and bfs1's unweighted hops.
+    // The oracle unrolls the same 4 relaxation rounds.
+    "sssp1_bounded_paths" -> { (spark, dir) =>
+      val docs = Tables.documentsParallel(spark, dir)
+      val edges = GraphOps.termCooccurrenceEdges(docs, topK = 40, minCo = 5L)
+        .select(col("ta").as("doc_a"), col("tb").as("doc_b"),
+          (lit(1L) + (length(col("ta")) + length(col("tb"))) % 7).as("w"))
+        .localCheckpoint(eager = true)
+      val nodes = edges.select(col("doc_a").as("v"))
+        .unionByName(edges.select(col("doc_b").as("v"))).distinct()
+        .localCheckpoint(eager = false) // feeds init + the source scalar
+      // source = lexicographically-smallest node (1-row bounded scalar,
+      // same pattern as personalized PageRank's seed)
+      val src = nodes.crossJoin(broadcast(nodes.agg(min(col("v")).as("s"))))
+      GraphOps.boundedSssp(src.select(col("v"), col("s")), edges,
+          k = 4, isSource = col("v") === col("s"))
+        .where(col("d") < GraphOps.SsspInf)
+        .orderBy("v")
+    },
+
     // Cross join (explicit Cartesian surface).
     "j9_cross_join" -> { (spark, dir) =>
       Tables.region(spark, dir).select("r_name")
@@ -852,6 +875,52 @@ object AnalyticsQueries {
         |    AS n_funnels,
         |  regexp_matches(seq, 'p[^v]*e') AS error_after_purchase
         |FROM seqs ORDER BY user_id""".stripMargin,
+    "sssp1_bounded_paths" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.term
+        |  FROM documents,
+        |    UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS u(term)
+        |  WHERE u.term <> ''
+        |), top AS (
+        |  SELECT term FROM toks GROUP BY 1
+        |  ORDER BY COUNT(*) DESC, term LIMIT 40
+        |), dt AS (
+        |  SELECT DISTINCT doc_id, term FROM toks
+        |  WHERE term IN (SELECT term FROM top)
+        |), edges AS (
+        |  SELECT ta, tb, 1 + (length(ta) + length(tb)) % 7 AS wt FROM (
+        |    SELECT a.term AS ta, b.term AS tb
+        |    FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+        |    GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |), nodes AS (
+        |  SELECT DISTINCT v FROM (
+        |    SELECT ta AS v FROM edges UNION ALL SELECT tb AS v FROM edges)
+        |), d0 AS (
+        |  SELECT v, CASE WHEN v = (SELECT MIN(v) FROM nodes)
+        |    THEN 0 ELSE 1000000000 END AS d
+        |  FROM nodes
+        |), d1 AS (SELECT v, MIN(d) AS d FROM (
+        |  SELECT v, d FROM d0
+        |  UNION ALL SELECT e.tb AS v, l.d + e.wt FROM edges e JOIN d0 l ON l.v = e.ta
+        |  UNION ALL SELECT e.ta AS v, l.d + e.wt FROM edges e JOIN d0 l ON l.v = e.tb
+        |) GROUP BY v),
+        |d2 AS (SELECT v, MIN(d) AS d FROM (
+        |  SELECT v, d FROM d1
+        |  UNION ALL SELECT e.tb AS v, l.d + e.wt FROM edges e JOIN d1 l ON l.v = e.ta
+        |  UNION ALL SELECT e.ta AS v, l.d + e.wt FROM edges e JOIN d1 l ON l.v = e.tb
+        |) GROUP BY v),
+        |d3 AS (SELECT v, MIN(d) AS d FROM (
+        |  SELECT v, d FROM d2
+        |  UNION ALL SELECT e.tb AS v, l.d + e.wt FROM edges e JOIN d2 l ON l.v = e.ta
+        |  UNION ALL SELECT e.ta AS v, l.d + e.wt FROM edges e JOIN d2 l ON l.v = e.tb
+        |) GROUP BY v),
+        |d4 AS (SELECT v, MIN(d) AS d FROM (
+        |  SELECT v, d FROM d3
+        |  UNION ALL SELECT e.tb AS v, l.d + e.wt FROM edges e JOIN d3 l ON l.v = e.ta
+        |  UNION ALL SELECT e.ta AS v, l.d + e.wt FROM edges e JOIN d3 l ON l.v = e.tb
+        |) GROUP BY v)
+        |SELECT v, CAST(d AS BIGINT) AS d FROM d4
+        |WHERE d < 1000000000 ORDER BY v""".stripMargin,
     "j9_cross_join" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
