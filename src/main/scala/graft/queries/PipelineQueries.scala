@@ -104,6 +104,33 @@ object PipelineQueries {
         .orderBy("col_a", "col_b")
     },
 
+    // Group-mean imputation with missing-indicator — the ML-prep staple:
+    // masked values (deterministic mask: value < 5 plays the null) fill
+    // with their GROUP's mean of observed values, computed as exact
+    // integer cents with a floor division (no float mean crosses the
+    // engines), and the was-missing indicator column survives for the
+    // model. Census per group: observed/imputed counts, fill value,
+    // post-imputation exact sum. Group stats broadcast back onto the
+    // scan — the fs1 posture.
+    "imp1_mean_impute" -> { (spark, dir) =>
+      val ev = Tables.events(spark, dir)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100).cast(LongType).as("cents"))
+        .withColumn("missing", col("cents") < 500)
+      val stats = ev.where(!col("missing"))
+        .groupBy("event_type")
+        .agg(expr("sum(cents) div count(1)").as("fill_cents"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .withColumn("imputed",
+          when(col("missing"), col("fill_cents")).otherwise(col("cents")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("missing"), 1L).otherwise(0L)).as("n_imputed"),
+          max(col("fill_cents")).as("fill_cents"),
+          sum(col("imputed")).as("sum_imputed_cents"))
+        .orderBy("event_type")
+    },
+
     // Daily p50/p95 panel — the ops-dashboard staple (latency/value
     // percentiles per day). percentile_disc picks REAL data points
     // (exact integer cents), so unlike interpolated percentiles the
@@ -602,6 +629,25 @@ object PipelineQueries {
          |$unions
          |) ORDER BY col_a, col_b""".stripMargin
     },
+    "imp1_mean_impute" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents,
+        |    CAST(floor(value * 100) AS BIGINT) < 500 AS missing
+        |  FROM events
+        |), stats AS (
+        |  SELECT event_type,
+        |    CAST(SUM(cents) AS BIGINT) // COUNT(*) AS fill_cents
+        |  FROM ev WHERE NOT missing GROUP BY 1
+        |)
+        |SELECT ev.event_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN missing THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_imputed,
+        |  CAST(MAX(fill_cents) AS BIGINT) AS fill_cents,
+        |  CAST(SUM(CASE WHEN missing THEN fill_cents ELSE cents END)
+        |    AS BIGINT) AS sum_imputed_cents
+        |FROM ev JOIN stats USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ts10_daily_percentiles" ->
       """SELECT CAST(date_trunc('second', ts) AS DATE) AS day,
         |  COUNT(*) AS n,
