@@ -674,6 +674,34 @@ object TrainingDataQueries {
         .limit(10)
     },
 
+    // MLM masking plan (BERT recipe): 15% of token POSITIONS select for
+    // masking via a portable hash gate on (doc, position) — any engine,
+    // any partitioning, any rerun masks the same positions — and the
+    // selected set splits 80/10/10 into [MASK] / random-token /
+    // keep-unchanged on an independent hash digit. Per-doc census;
+    // pure projection + one groupBy, nothing wide.
+    "mlm1_masking_plan" -> { (spark, dir) =>
+      val toks = Tables.documentsParallel(spark, dir)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.words(col("text"))).as(Seq("pos0", "w")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"))
+      val u = graft.operators.Dedup.portableHash60(
+        concat_ws(":", lit("mlm1"), col("doc_id"), col("pos")))
+      val withU = toks.withColumn("u", u)
+        .withColumn("masked", col("u") % 100 < 15)
+        .withColumn("sub", expr("(u div 100) % 10"))
+      withU
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("masked") && col("sub") < 8, 1L).otherwise(0L))
+            .as("n_mask"),
+          sum(when(col("masked") && col("sub") === 8, 1L).otherwise(0L))
+            .as("n_random"),
+          sum(when(col("masked") && col("sub") === 9, 1L).otherwise(0L))
+            .as("n_unchanged"))
+        .orderBy("doc_id")
+    },
+
     // Cross-gate agreement audit — do the two independent quality gates
     // (hashed-feature linear score qc1, Gopher repetition rules gq1)
     // agree, and WHERE on the score axis do they diverge? Docs band by
@@ -788,6 +816,27 @@ object TrainingDataQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "mlm1_masking_plan" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, g.i AS pos
+        |  FROM toks, UNNEST(generate_series(1, len(w))) AS g(i)
+        |), h AS (
+        |  SELECT doc_id, pos,
+        |    ('0x' || substr(md5('mlm1:' || doc_id || ':' || pos), 1, 15))::BIGINT
+        |      AS u
+        |  FROM pos
+        |)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN u % 100 < 15 AND (u // 100) % 10 < 8
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_mask,
+        |  CAST(SUM(CASE WHEN u % 100 < 15 AND (u // 100) % 10 = 8
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_random,
+        |  CAST(SUM(CASE WHEN u % 100 < 15 AND (u // 100) % 10 = 9
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        |FROM h GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // cal1: gq1's gate chain + qc1's score chain (qtoks-renamed), joined
     // per doc, banded by integer score, agreement as one late division.
     "cal1_gate_agreement" ->
