@@ -754,7 +754,12 @@ object ExtensionQueries {
           sum(col("inb")).as("xb"),
           count(lit(1)).as("xu"),
           sum(col("ina") * col("inb")).as("xi"))
+      // exact counts emit ALONGSIDE the gates: the oracle recomputes
+      // them relationally (only the sketch estimates are engine-
+      // internal), so the query is x10-class — mostly hash-checked,
+      // TRUE-gated only where DuckDB has no Datasketches twin
       sk.crossJoin(exact).select(
+        col("xa"), col("xb"), col("xu"), col("xi"),
         (abs(col("est_a") - col("xa")).cast(DoubleType) / col("xa") <=
           lit(0.1)).as("a_within_bound"),
         (abs(col("est_b") - col("xb")).cast(DoubleType) / col("xb") <=
@@ -1072,13 +1077,24 @@ object ExtensionQueries {
         |ORDER BY rank""".stripMargin,
     "x13_hll_sketch" ->
       "SELECT TRUE AS merged_within_bound",
-    // The sketches themselves are engine-internal (Datasketches HLL has
-    // no DuckDB twin); the RELATIONAL content — every exact count and
-    // the inclusion-exclusion identity the gates divide by — is what
-    // the booleans encode, so the oracle is the gate contract.
+    // The sketch estimates are engine-internal (Datasketches HLL has no
+    // DuckDB twin), so THEY are TRUE-gated — but every exact count the
+    // gates divide by is recomputed relationally and hash-checked.
     "x24_sketch_setops" ->
-      """SELECT TRUE AS a_within_bound, TRUE AS b_within_bound,
-        |  TRUE AS union_within_bound, TRUE AS inter_within_bound""".stripMargin,
+      """WITH flags AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ina,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS inb
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1
+        |)
+        |SELECT CAST(SUM(ina) AS BIGINT) AS xa,
+        |  CAST(SUM(inb) AS BIGINT) AS xb,
+        |  COUNT(*) AS xu,
+        |  CAST(SUM(ina * inb) AS BIGINT) AS xi,
+        |  TRUE AS a_within_bound, TRUE AS b_within_bound,
+        |  TRUE AS union_within_bound, TRUE AS inter_within_bound
+        |FROM flags""".stripMargin,
     "e7_matryoshka_overlap" ->
       """WITH q AS (
         |  SELECT vec_id AS q_vec, embedding AS eq FROM embeddings
