@@ -644,6 +644,7 @@ object ExtensionQueries {
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
       val exact = ev.agg(countDistinct(col("user_id")).as("exact"))
       merged.crossJoin(exact).select(
+        col("exact"),
         (abs(col("est") - col("exact")).cast(DoubleType) / col("exact") <=
           lit(0.15)).as("merged_within_bound"))
     },
@@ -1076,7 +1077,9 @@ object ExtensionQueries {
         |UNION ALL SELECT 5, c, rel, score FROM sel5
         |ORDER BY rank""".stripMargin,
     "x13_hll_sketch" ->
-      "SELECT TRUE AS merged_within_bound",
+      """SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact,
+        |  TRUE AS merged_within_bound
+        |FROM events""".stripMargin,
     // The sketch estimates are engine-internal (Datasketches HLL has no
     // DuckDB twin), so THEY are TRUE-gated — but every exact count the
     // gates divide by is recomputed relationally and hash-checked.
