@@ -658,6 +658,7 @@ object ExtensionQueries {
         countDistinct(col("user_id")).as("xu"),
         countDistinct(col("event_id")).as("xe"),
       ).select(
+        col("xu"), col("xe"),
         (abs(col("au") - col("xu")).cast(DoubleType) / col("xu") <=
           lit(0.15)).as("users_within_bound"),
         (abs(col("ae") - col("xe")).cast(DoubleType) / col("xe") <=
@@ -1008,7 +1009,10 @@ object ExtensionQueries {
         |     (SELECT UNNEST([0.25::DOUBLE, 0.5::DOUBLE, 0.95::DOUBLE]) AS q) q
         |ORDER BY f.l_returnflag, q.q""".stripMargin,
     "x3_approx_distinct" ->
-      "SELECT TRUE AS users_within_bound, TRUE AS events_within_bound",
+      """SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS xu,
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS xe,
+        |  TRUE AS users_within_bound, TRUE AS events_within_bound
+        |FROM events""".stripMargin,
     "mmr1_diversified_topk" ->
       """WITH q AS (SELECT embedding AS eq FROM embeddings WHERE vec_id = 0),
         |cand AS (
