@@ -104,6 +104,26 @@ object PipelineQueries {
         .orderBy("col_a", "col_b")
     },
 
+    // Leave-one-out target encoding — the categorical-feature transform
+    // that leaks without the LOO correction: each row's encoding is the
+    // mean target of its category EXCLUDING itself, computed as exact
+    // integer cents with one floor division ((S_g − x_i) div (n_g − 1);
+    // singleton categories get NULL, never a self-leak). Group sums
+    // broadcast onto the scan — no window, no per-row re-aggregation.
+    "fs5_target_encoding" -> { (spark, dir) =>
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100).cast(LongType).as("cents"))
+      val g = o.groupBy("o_orderpriority")
+        .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
+      o.join(broadcast(g), Seq("o_orderpriority"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          when(col("n") > 1,
+            expr("(s - cents) div (n - 1)")).as("loo_cents"))
+        .where(col("o_orderkey") <= 2000)
+        .orderBy("o_orderkey")
+    },
+
     // Group-mean imputation with missing-indicator — the ML-prep staple:
     // masked values (deterministic mask: value < 5 plays the null) fill
     // with their GROUP's mean of observed values, computed as exact
@@ -629,6 +649,21 @@ object PipelineQueries {
          |$unions
          |) ORDER BY col_a, col_b""".stripMargin
     },
+    "fs5_target_encoding" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |), g AS (
+        |  SELECT o_orderpriority, CAST(SUM(cents) AS BIGINT) AS s,
+        |    COUNT(*) AS n
+        |  FROM o GROUP BY 1
+        |)
+        |SELECT o.o_orderkey, o.o_orderpriority,
+        |  CASE WHEN g.n > 1 THEN (g.s - o.cents) // (g.n - 1) END AS loo_cents
+        |FROM o JOIN g USING (o_orderpriority)
+        |WHERE o.o_orderkey <= 2000
+        |ORDER BY o.o_orderkey""".stripMargin,
     "imp1_mean_impute" ->
       """WITH ev AS (
         |  SELECT event_type, event_id,
