@@ -203,6 +203,32 @@ object WorkloadQueries {
         .orderBy("src", "dst")
     },
 
+    // Journey-anomaly readout under the Markov model: each user's
+    // traversed transitions score by their CORPUS-WIDE counts (exact
+    // BIGINTs — no probability products, no logs): the typicality sum
+    // and the weakest-link minimum flag users walking rare paths. The
+    // transition model is markov1's own relation (broadcast — it is
+    // |event_types|² rows at any stream size); per-user windows only.
+    "seq2_journey_anomaly" -> { (spark, dir) =>
+      val ev = Tables.events(spark, dir)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val trans = ev
+        .select(col("user_id"), col("event_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .where(col("next_type").isNotNull)
+      val model = trans
+        .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+        .agg(count(lit(1)).as("n"))
+      trans
+        .join(broadcast(model),
+          col("event_type") === col("src") && col("next_type") === col("dst"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_trans"),
+          sum(col("n")).as("typicality_sum"),
+          min(col("n")).as("weakest_link"))
+        .orderBy("user_id")
+    },
+
     // Forward as-of join: each click attached to the user's NEXT
     // purchase (l.ts <= r.ts) — the time-to-conversion primitive; same
     // one-shuffle union-sort shape as the backward x6.
@@ -877,6 +903,21 @@ object WorkloadQueries {
         |  JOIN tc b ON b.event_type = p.tb
         |  CROSS JOIN nb
         |ORDER BY ta, tb""".stripMargin,
+    "seq2_journey_anomaly" ->
+      """WITH trans AS (
+        |  SELECT user_id, event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS dst
+        |  FROM events
+        |), t AS (SELECT * FROM trans WHERE dst IS NOT NULL
+        |), model AS (
+        |  SELECT src, dst, COUNT(*) AS n FROM t GROUP BY 1, 2
+        |)
+        |SELECT t.user_id, COUNT(*) AS n_trans,
+        |  CAST(SUM(m.n) AS BIGINT) AS typicality_sum,
+        |  CAST(MIN(m.n) AS BIGINT) AS weakest_link
+        |FROM t JOIN model m USING (src, dst)
+        |GROUP BY 1 ORDER BY t.user_id""".stripMargin,
     "markov1_transitions" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,
