@@ -104,6 +104,52 @@ object PipelineQueries {
         .orderBy("col_a", "col_b")
     },
 
+    // Inter-arrival gap histogram — the traffic-shape fingerprint per
+    // event type: per-(user, type) consecutive gaps in exact integer
+    // seconds, banded into fixed buckets (CASE ladder, no logs), counted
+    // per (type, bucket). Per-key windows only.
+    "w13_interarrival" -> { (spark, dir) =>
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = Tables.events(spark, dir)
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .withColumn("gap_s", expr("(ts - prev) div 1000000000"))
+      gaps
+        .withColumn("bucket",
+          when(col("gap_s") < 60, "a_lt_1m")
+            .when(col("gap_s") < 600, "b_lt_10m")
+            .when(col("gap_s") < 3600, "c_lt_1h")
+            .when(col("gap_s") < 86400, "d_lt_1d")
+            .otherwise("e_ge_1d"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(col("gap_s")).as("sum_gap_s"))
+        .orderBy("event_type", "bucket")
+    },
+
+    // Data-contract check — the invariants an ingest contract asserts
+    // before a table is served: stored n_chars equals measured length,
+    // languages stay in the declared set, doc ids are unique, text is
+    // never NULL. Violation counts are the output (all zero on a
+    // healthy fixture — the point is the CHECK runs as one pass, not
+    // that it finds anything).
+    "dq6_contract_check" -> { (spark, dir) =>
+      val d = Tables.documents(spark, dir)
+      val dupIds = d.groupBy("doc_id").agg(count(lit(1)).as("c"))
+        .agg(sum(when(col("c") > 1, col("c"))).as("dup"))
+      d.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+          .as("bad_n_chars"),
+        sum(when(!col("lang").isin("en", "de", "fr", "es", "it"), 1L)
+          .otherwise(0L)).as("bad_lang"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_text"))
+        .crossJoin(broadcast(dupIds))
+        .select(col("n_rows"), col("bad_n_chars"), col("bad_lang"),
+          col("null_text"), coalesce(col("dup"), lit(0L)).as("dup_ids"))
+    },
+
     // Leave-one-out target encoding — the categorical-feature transform
     // that leaks without the LOO correction: each row's encoding is the
     // mean target of its category EXCLUDING itself, computed as exact
@@ -649,6 +695,40 @@ object PipelineQueries {
          |$unions
          |) ORDER BY col_a, col_b""".stripMargin
     },
+    "w13_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    (epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+        |      (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+        |      // 1000000000 AS gap_s
+        |  FROM events
+        |), b AS (
+        |  SELECT event_type, gap_s,
+        |    CASE WHEN gap_s < 60 THEN 'a_lt_1m'
+        |         WHEN gap_s < 600 THEN 'b_lt_10m'
+        |         WHEN gap_s < 3600 THEN 'c_lt_1h'
+        |         WHEN gap_s < 86400 THEN 'd_lt_1d'
+        |         ELSE 'e_ge_1d' END AS bucket
+        |  FROM g WHERE gap_s IS NOT NULL
+        |)
+        |SELECT event_type, bucket, COUNT(*) AS n,
+        |  CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "dq6_contract_check" ->
+      """WITH dup AS (
+        |  SELECT CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+        |    AS dup_ids
+        |  FROM (SELECT doc_id, COUNT(*) AS c FROM documents GROUP BY 1)
+        |)
+        |SELECT (SELECT COUNT(*) FROM documents) AS n_rows,
+        |  (SELECT CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+        |     AS BIGINT) FROM documents) AS bad_n_chars,
+        |  (SELECT CAST(SUM(CASE WHEN lang NOT IN ('en','de','fr','es','it')
+        |     THEN 1 ELSE 0 END) AS BIGINT) FROM documents) AS bad_lang,
+        |  (SELECT CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |     FROM documents) AS null_text,
+        |  dup.dup_ids
+        |FROM dup""".stripMargin,
     "fs5_target_encoding" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_orderpriority,
