@@ -30,6 +30,31 @@ def norm(v):
     return v
 
 
+def type_class(t):
+    """Canonical hash-equivalence class of an arrow type: values of two
+    types in the same class stringify identically (int32 5 / int64 5),
+    different classes do not (DOUBLE 5.0 vs BIGINT 5)."""
+    import pyarrow.types as pt
+    if pt.is_integer(t):
+        return "int"
+    if pt.is_floating(t):
+        return "float"
+    if pt.is_boolean(t):
+        return "bool"
+    if pt.is_string(t) or pt.is_large_string(t):
+        return "str"
+    if pt.is_date(t):
+        return "date"
+    if pt.is_timestamp(t):
+        return "timestamp"
+    if pt.is_list(t) or pt.is_large_list(t):
+        return ("list", type_class(t.value_type))
+    if pt.is_struct(t):
+        return ("struct",
+                tuple((f.name, type_class(f.type)) for f in t))
+    return str(t)
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -73,6 +98,25 @@ def main(sf_dir, out_dir):
         if dec:
             print(f"FAIL {name}: DECIMAL-typed column(s) {dec} — "
                   f"add an explicit cast to BIGINT/DOUBLE")
+            n_fail += 1
+            continue
+        # The driver's hash is TYPE-sensitive: a Spark DOUBLE 46741.0
+        # hashes differently from DuckDB's BIGINT 46741 even though
+        # Python's == coerces them equal (round-6: fn3/ts10 shipped
+        # "green" locally and failed the driver). Compare the type CLASS
+        # of every column pairwise; width differences (int32 vs int64,
+        # float vs double, string vs large_string) hash identically and
+        # are allowed, but float-vs-int / bool-vs-int are not.
+        mismut = []
+        stypes = {f.name: type_class(f.type) for f in spark_tbl.schema}
+        for f in duck.schema:
+            dc = type_class(f.type)
+            if stypes.get(f.name) != dc:
+                mismut.append((f.name, stypes.get(f.name), dc))
+        if mismut:
+            print(f"FAIL {name}: column type-class mismatch "
+                  f"(col, spark, oracle) = {mismut} — cast both sides "
+                  f"to the same type")
             n_fail += 1
             continue
         sp = spark_tbl.select(scols).to_pylist()

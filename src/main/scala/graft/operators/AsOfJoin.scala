@@ -166,9 +166,18 @@ object AsOfJoin {
     * survive both) joined 1:1 on the unique `leftId`, then a gap
     * compare — no candidate join, no explosion. Left rows with no right
     * row on either side (key absent from `right`) drop, matching the
-    * one-directional inner semantics. Output: keyCols, leftId,
-    * `nearest_id` (the chosen right's `rightId`), `gap` in ts units.
-    * Timestamps must be numeric (the engine's long-nanos convention).
+    * one-directional inner semantics.
+    *
+    * Tie-break at duplicate (key, ts) RIGHT rows is explicit and
+    * deterministic, inherited from asofImpl's struct-carry: the backward
+    * leg carries the MAX right payload struct (→ the greatest `rightId`
+    * when ids are the first payload difference), the forward leg the
+    * MIN. Oracles comparing against this operator must order ties the
+    * same way (backward: id DESC; forward: id ASC).
+    *
+    * Output: keyCols, leftId, `nearest_id` (the chosen right's
+    * `rightId`), `gap` in ts units. Timestamps must be numeric (the
+    * engine's long-nanos convention).
     */
   def asofNearest(
       left: DataFrame,

@@ -224,15 +224,6 @@ object GraphOps {
     visited.select(col("v"), col("hops").cast("int").as("hops"))
   }
 
-  /** Bounded-round synchronous min-label propagation: every round each
-    * node takes the MIN label over itself and its neighbors (undirected
-    * edges), for exactly `k` rounds — fixed cost per round (2 edge
-    * joins + 1 min-groupBy, labels localCheckpoint-pinned between
-    * rounds), no convergence test, which is how LPA is actually
-    * scheduled on a 100 TB graph. Labels are node ids, so each round
-    * shuffles only (long, long) pairs. `nodes` = (v), `edges` =
-    * (doc_a, doc_b); returns (v, lab).
-    */
   /** Bounded-round Bellman-Ford over undirected weighted edges: `k`
     * synchronous relaxation rounds from `source` — after round k every
     * ≤k-hop shortest path is exact (the distributed SSSP schedule:
@@ -257,6 +248,15 @@ object GraphOps {
     dist
   }
 
+  /** Bounded-round synchronous min-label propagation: every round each
+    * node takes the MIN label over itself and its neighbors (undirected
+    * edges), for exactly `k` rounds — fixed cost per round (2 edge
+    * joins + 1 min-groupBy, labels localCheckpoint-pinned between
+    * rounds), no convergence test, which is how LPA is actually
+    * scheduled on a 100 TB graph. Labels are node ids, so each round
+    * shuffles only (long, long) pairs. `nodes` = (v), `edges` =
+    * (doc_a, doc_b); returns (v, lab).
+    */
   def minLabelRounds(nodes: DataFrame, edges: DataFrame, k: Int): DataFrame = {
     var labels = nodes.select(col("v"), col("v").as("lab"))
     for (_ <- 1 to k) {

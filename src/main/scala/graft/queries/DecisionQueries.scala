@@ -106,11 +106,15 @@ object DecisionQueries {
         .where(col("ts") >= col("cts"))
         .groupBy("user_id")
         .agg(expr("min(ts - cts) div 1000000000").as("secs"))
+      // Spark's percentile_disc returns DOUBLE while DuckDB returns the
+      // ORDER BY input type (BIGINT). The selected order statistics are
+      // integral seconds < 2^53, so the cast back to LONG is exact and
+      // makes the written parquet column type match the oracle's.
       deltas.agg(
         count(lit(1)).as("n_converted"),
-        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY secs)").as("p25"),
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY secs)").as("p50"),
-        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY secs)").as("p75"))
+        expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY secs) AS BIGINT)").as("p25"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY secs) AS BIGINT)").as("p50"),
+        expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY secs) AS BIGINT)").as("p75"))
     },
 
     // Q4 shape: order-priority checking — orders with at least one LATE

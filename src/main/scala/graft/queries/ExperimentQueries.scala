@@ -138,7 +138,10 @@ object ExperimentQueries {
     // level whose equivalence class reaches k=5. Two small group-count
     // relations broadcast back onto the scan; the census reports rows
     // and distinct classes per chosen level, plus the residual minimum
-    // class size (>= 5 by construction, recomputed not trusted).
+    // class size. Levels 0/1 are k-guaranteed by their gate; the
+    // suppressed '*' level is a CATCH-ALL, not k-guaranteed — fewer
+    // than 5 rows can fall through to it, and the reported
+    // min_class_size is the honest recomputed figure either way.
     "pp1_kanon_generalize" -> { (spark, dir) =>
       val c = Tables.customer(spark, dir)
         .select(col("c_custkey"), col("c_nationkey"),
@@ -188,11 +191,14 @@ object ExperimentQueries {
             .as("y"))
         .withColumn("va", col("user_id") % 2 === 0)
         .localCheckpoint(eager = false) // feeds pooled + per-variant
+      // x/y are per-USER cent sums, unbounded with activity — the
+      // products must be computed IN decimal, not in Long then cast
+      // (Long x*x silently overflows past ~3e9 cents per user).
       val pooled = broadcast(pu.agg(
         count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum((col("x") * col("x")).cast(d38)).as("sxx"),
-        sum((col("x") * col("y")).cast(d38)).as("sxy")))
+        sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"),
+        sum(col("x").cast(d38) * col("y").cast(d38)).as("sxy")))
       val perV = pu.groupBy("va")
         .agg(count(lit(1)).as("n_users"),
           sum(col("x")).as("sum_pre"), sum(col("y")).as("sum_post"))

@@ -573,10 +573,13 @@ object ExtensionQueries {
 
     // Dynamic-gap session windows: the inactivity gap is an EXPRESSION
     // of the event (purchases hold the session open 60 min, everything
-    // else 30) — Spark merges overlapping-or-touching per-event windows
-    // [ts, ts+gap(event)). The oracle replays union-of-intervals islands
-    // with a prefix-max running end (no reset needed: an island breaks
-    // exactly when ts exceeds the max end seen so far).
+    // else 30) — Spark merges overlapping-or-TOUCHING per-event windows
+    // [ts, ts+gap(event)): an event at EXACTLY the running session end
+    // still merges (pinned by SessionBoundarySpec against planted
+    // boundary data — despite the printed [start, end) interval, the
+    // merge condition is inclusive). The oracle replays
+    // union-of-intervals islands with a prefix-max running end, breaking
+    // only when ts strictly exceeds the max end seen so far.
     "st18_dynamic_gap_sessions" -> { (spark, dir) =>
       val gap = when(col("event_type") === "purchase", lit("60 minutes"))
         .otherwise(lit("30 minutes"))

@@ -83,6 +83,13 @@ object PipelineQueries {
       val pairs = for {
         i <- names.indices; j <- names.indices if i < j
       } yield (names(i), names(j))
+      // The per-ROW products stay in Long deliberately (hot path: one
+      // multiply per row over the full fact scan): operands are
+      // quantized bounded domains (price < 1e8 cents, qty < 1e6,
+      // disc/tax < 1e4), so every product is < 1e16 — 300× under
+      // Long.MaxValue. Only the SUM accumulates in DECIMAL(38,0).
+      // (Contrast exp2_cuped, whose operands are unbounded per-user
+      // sums and must multiply in decimal.)
       val aggs =
         Seq(count(lit(1)).as("n")) ++
           names.map(n => sum(col(n).cast(d38)).as(s"s_$n")) ++
@@ -199,18 +206,20 @@ object PipelineQueries {
 
     // Daily p50/p95 panel — the ops-dashboard staple (latency/value
     // percentiles per day). percentile_disc picks REAL data points
-    // (exact integer cents), so unlike interpolated percentiles the
-    // result is bit-portable; each day's sort is bounded by that day's
-    // rows.
+    // (exact integer cents), so the selected VALUE is bit-portable; the
+    // TYPE is not — Spark's builtin returns DOUBLE while DuckDB returns
+    // the ORDER BY input type (BIGINT), so each percentile is cast back
+    // to BIGINT (exact: integral cents < 2^53). Each day's sort is
+    // bounded by that day's rows.
     "ts10_daily_percentiles" -> { (spark, dir) =>
       Tables.events(spark, dir).createOrReplaceTempView("events_ts10")
       spark.sql(
         """SELECT CAST(ts_sec AS DATE) AS day,
           |  COUNT(*) AS n,
-          |  percentile_disc(0.5) WITHIN GROUP
-          |    (ORDER BY CAST(floor(value * 100) AS BIGINT)) AS p50_cents,
-          |  percentile_disc(0.95) WITHIN GROUP
-          |    (ORDER BY CAST(floor(value * 100) AS BIGINT)) AS p95_cents
+          |  CAST(percentile_disc(0.5) WITHIN GROUP
+          |    (ORDER BY CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS p50_cents,
+          |  CAST(percentile_disc(0.95) WITHIN GROUP
+          |    (ORDER BY CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS p95_cents
           |FROM events_ts10 GROUP BY 1 ORDER BY day""".stripMargin)
     },
 

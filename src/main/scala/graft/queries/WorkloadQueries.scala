@@ -1002,7 +1002,8 @@ object WorkloadQueries {
         |    abs(p.pts - c.cts) AS gap,
         |    row_number() OVER (PARTITION BY c.user_id, c.event_id
         |      ORDER BY abs(p.pts - c.cts),
-        |        CASE WHEN p.pts <= c.cts THEN 0 ELSE 1 END, p.pid) AS rn
+        |        CASE WHEN p.pts <= c.cts THEN 0 ELSE 1 END,
+        |        CASE WHEN p.pts <= c.cts THEN -p.pid ELSE p.pid END) AS rn
         |  FROM c JOIN p USING (user_id)
         |)
         |SELECT user_id, event_id, pid AS nearest_purchase,

@@ -118,10 +118,11 @@ class RoundSixPropSpec extends SparkSpec {
       } yield (u.toLong, ts))
     } yield (lefts, rights)
     for (((lefts0, rights0), seedIdx) <- samples(gen, 12).zipWithIndex) {
-      // unique ids; unique (user, ts) on the right so the within-side
-      // same-ts tie rule (an asofImpl internal) never decides the answer
+      // unique ids; duplicate (user, ts) right rows stay IN so the
+      // documented same-ts tie rule (backward: max id, forward: min id)
+      // is exercised, not dodged
       val lefts = lefts0.zipWithIndex.map { case ((u, t), i) => (u, t, i.toLong) }
-      val rights = rights0.distinct.zipWithIndex
+      val rights = rights0.zipWithIndex
         .map { case ((u, t), i) => (u, t, 1000L + i) }
       val l = lefts.toDF("user_id", "ts", "event_id")
       val r = rights.toDF("user_id", "ts", "event_id")
@@ -134,9 +135,11 @@ class RoundSixPropSpec extends SparkSpec {
         if (cands.isEmpty) None
         else {
           // min |Δ|, ties prefer the backward (rts <= ts) candidate;
-          // unique right ts per user makes this a total order
-          val best = cands.minBy { case (_, rts, _) =>
-            (math.abs(rts - t), if (rts <= t) 0 else 1)
+          // same-(user, ts) ties follow the documented struct-carry rule:
+          // backward → MAX right id, forward → MIN right id
+          val best = cands.minBy { case (_, rts, rid) =>
+            (math.abs(rts - t), if (rts <= t) 0 else 1,
+              if (rts <= t) -rid else rid)
           }
           Some(id -> (best._3, math.abs(best._2 - t)))
         }
