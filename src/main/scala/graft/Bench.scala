@@ -54,18 +54,29 @@ object Bench {
     // hygiene ran once per query. Always outside the timed window.
     def dropPinned(): Unit =
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    // Streaming queries: split each drive's wall time into data
+    // (processAllAvailable) vs fixed lifecycle overhead (start/stop/
+    // checkpoint), from the LAST timed rep (steady state) — recorded in
+    // bench_detail.json so a streaming query's drift is attributable to
+    // engine vs micro-batch-floor (VERDICT r6 #7).
+    val streamSplit = scala.collection.mutable.Map[String, (Double, Double)]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter(kv => selected(kv._1)).map { case (name, fn) =>
       try { run(fn) } catch { case _: Throwable => () } // warmup
       dropPinned()
       // A failed query reports -1, not a (misleadingly fast) elapsed time.
       val times = (1 to reps).map { _ =>
+        graft.streaming.StreamRun.resetStats()
         val t0 = System.nanoTime()
         val t = try { run(fn); (System.nanoTime() - t0) / 1e9 }
                 catch { case _: Throwable => -1.0 }
         dropPinned()
         t
       }
+      val drives = graft.streaming.StreamRun.drainedStats()
+      if (drives.nonEmpty)
+        streamSplit(name) =
+          (drives.map(_.drainS).sum, drives.map(_.overheadS).sum)
       val sec =
         if (times.exists(_ < 0)) -1.0
         else times.sorted.apply(reps / 2)
@@ -79,8 +90,11 @@ object Bench {
     // the judge. This line is ~2.5k chars and may be truncated by the
     // driver's 2000-char stdout tail — that is fine, it is not the line
     // the driver parses.
+    val streamJson = streamSplit.toSeq.sortBy(_._1).map { case (k, (d, o)) =>
+      "\"" + k + "\":{\"data_s\":" + fmt(d) + ",\"overhead_s\":" + fmt(o) + "}"
+    }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"detail","value":${fmt(total)},"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"detail","value":${fmt(total)},"unit":"sec","queries":${jsonMap(results)},"stream":$streamJson,"sf":"$sfDir"}"""
     println(detail)
     scala.util.Try {
       java.nio.file.Files.write(

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.energy.AtomicLayer
 import graft.functions.VectorMath
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -494,10 +494,76 @@ object Similarity {
     val sample = AtomicLayer.read(spark, s"$root/codebook.parquet")
     val existing = AtomicLayer.read(spark, s"$root/index.parquet")
     val added = ivfPqIndexDf(newVecs, centroids, sample, nSub)
+      .localCheckpoint() // consumed twice (upsert + tombstone clear)
     val kept = existing.join(
       added.select(col("c_vec")), Seq("c_vec"), "left_anti")
     AtomicLayer.write(kept.unionByName(added),
-      s"$root/index.parquet", keepVersions = 1): Unit
+      s"$root/index.parquet", keepVersions = 1)
+    // Re-adding a deleted id RESURRECTS it: clear its tombstone (the
+    // add is the later operation — latest wins, the st19 CDC rule).
+    val tombs = tombstonesOrEmpty(spark, root)
+    if (!tombs.isEmpty) {
+      AtomicLayer.write(
+        tombs.join(added.select(col("c_vec")), Seq("c_vec"), "left_anti"),
+        s"$root/tombstones.parquet", keepVersions = 1)
+      (): Unit
+    }
+  }
+
+  /** DELETE ids from the persisted index — the tombstone path a real
+    * vector store needs (GDPR erasure, dedup-driven retractions).
+    * Appends the ids to a SMALL side artifact `tombstones.parquet`
+    * instead of rewriting the code table: at a billion vectors the
+    * delete batch is O(|batch|) rows while `index.parquet` is the
+    * corpus, so delete cost must not scale with corpus size. Serving
+    * anti-joins the (broadcast-tiny, compaction-bounded) tombstone set;
+    * [[compactIvfPqIndex]] folds tombstones into a code-table rewrite.
+    * Idempotent: deleting an id twice keeps one tombstone row.
+    * Unknown ids are fine (a tombstone for a never-indexed id filters
+    * nothing and compacts away).
+    */
+  def deleteFromIvfPqIndex(ids: DataFrame, root: String): Unit = {
+    val spark = ids.sparkSession
+    val newTombs = ids.select(ids.columns.head match {
+      case "c_vec" => col("c_vec")
+      case other => col(other).as("c_vec")
+    }).distinct()
+    AtomicLayer.write(
+      tombstonesOrEmpty(spark, root).unionByName(newTombs).distinct(),
+      s"$root/tombstones.parquet", keepVersions = 1): Unit
+  }
+
+  /** Fold pending tombstones into the code table: one rewrite dropping
+    * the dead rows, then an empty tombstone snapshot. Run on a cadence
+    * (or when the tombstone set approaches broadcast limits) — between
+    * compactions, serving stays correct via the anti-join.
+    */
+  def compactIvfPqIndex(spark: SparkSession, root: String): Unit = {
+    val tombs = tombstonesOrEmpty(spark, root)
+    if (!tombs.isEmpty) {
+      val index = AtomicLayer.read(spark, s"$root/index.parquet")
+      AtomicLayer.write(index.join(tombs, Seq("c_vec"), "left_anti"),
+        s"$root/index.parquet", keepVersions = 1)
+      AtomicLayer.write(tombs.limit(0),
+        s"$root/tombstones.parquet", keepVersions = 1)
+      (): Unit
+    }
+  }
+
+  /** The pending-delete set for `root` — empty relation when no delete
+    * has ever run (indexes built before the tombstone feature keep
+    * serving unchanged).
+    */
+  private def tombstonesOrEmpty(spark: SparkSession, root: String): DataFrame = {
+    val path = s"$root/tombstones.parquet"
+    if (AtomicLayer.latestCommitted(spark, path).isDefined)
+      AtomicLayer.read(spark, path)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("c_vec",
+            org.apache.spark.sql.types.LongType))))
   }
 
   /** Answer queries from the PERSISTED index at `root` — the serving
@@ -521,7 +587,11 @@ object Similarity {
     val spark = queries.sparkSession
     val centroids = AtomicLayer.read(spark, s"$root/centroids.parquet")
     val sample = AtomicLayer.read(spark, s"$root/codebook.parquet")
+    // Serve-time delete filter: anti-join the pending tombstone set
+    // (broadcast — its size is bounded by the compaction cadence, not
+    // the corpus) so a deleted id can never reach a shortlist.
     val index = AtomicLayer.read(spark, s"$root/index.parquet")
+      .join(broadcast(tombstonesOrEmpty(spark, root)), Seq("c_vec"), "left_anti")
     ivfPqSearch(index, centroids, sample, queries, corpus, k, nProbe, nSub, refine)
   }
 

@@ -359,6 +359,30 @@ object ExtensionQueries {
       Similarity.ivfPqTopKFromIndex(emb.where(col("vec_id") < 8), emb, root, k = 3)
         .orderBy("q_vec", "rank")
     },
+    // Index DELETE — the tombstone path (GDPR erasure / dedup
+    // retraction) that completes the maintenance lifecycle: build the
+    // full index, DELETE ids [8,208) (a 200-vector erasure batch — 40%
+    // of the sf0.01 corpus, so dead ids provably overlap the query
+    // neighborhoods: 7 of x23's 24 result ids fall in the net-dead
+    // window), then RE-ADD [8,108) (resurrection: the add is the later
+    // op, latest-wins), and serve from the artifacts. The delete lands
+    // in a tiny tombstones.parquet side table (never a code-table
+    // rewrite — delete cost is O(batch) at any corpus size); serving
+    // anti-joins it broadcast. The net dead set [108,208) can never
+    // appear in results — the oracle replays the same artifacts incl.
+    // the tombstone filter; AnnIndexSpec pins delete/re-add/compaction.
+    "x30_ann_index_delete" -> { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      val root = Similarity.indexRoot(dir) + "_del"
+      Similarity.buildIvfPqIndex(emb, root)
+      Similarity.deleteFromIvfPqIndex(
+        emb.where(col("vec_id") >= 8 && col("vec_id") < 208).select("vec_id"),
+        root)
+      Similarity.appendToIvfPqIndex(
+        emb.where(col("vec_id") >= 8 && col("vec_id") < 108), root)
+      Similarity.ivfPqTopKFromIndex(emb.where(col("vec_id") < 8), emb, root, k = 3)
+        .orderBy("q_vec", "rank")
+    },
 
     // Semantic dedup (SemDeDup): k-means cluster bucketing + within-
     // cluster cosine, drop every vector with a more-senior near-twin.
@@ -1784,6 +1808,80 @@ object ExtensionQueries {
         |  SELECT i.c_vec, i.list_id, g.s1 - 1 AS s, i.codes[g.s1] AS pos
         |  FROM read_parquet('/tmp/graft_ann_index/sf0.01_b400/index.parquet/v*/*.parquet') i,
         |    UNNEST(generate_series(1, len(i.codes))) AS g(s1)
+        |), adc AS (
+        |  SELECT qa.q_vec, cp.c_vec, cp.list_id,
+        |    CAST(SUM(l.d) AS BIGINT) AS qdist_approx
+        |  FROM codepos cp
+        |  JOIN query_assign qa ON qa.list_id = cp.list_id
+        |  JOIN lut l ON l.s = cp.s AND l.pos = cp.pos AND l.vec_id = qa.q_vec
+        |  WHERE cp.c_vec <> qa.q_vec
+        |  GROUP BY 1, 2, 3
+        |), short AS (
+        |  SELECT q_vec, c_vec, list_id FROM (
+        |    SELECT q_vec, c_vec, list_id,
+        |      row_number() OVER (PARTITION BY q_vec
+        |        ORDER BY qdist_approx, c_vec) AS rank
+        |    FROM adc) t WHERE rank <= 32
+        |), rex AS (
+        |  SELECT sh.q_vec, sh.c_vec, sh.list_id,
+        |    CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS qdist_exact
+        |  FROM short sh
+        |  JOIN vq a ON a.vec_id = sh.q_vec
+        |  JOIN vq b ON b.vec_id = sh.c_vec AND b.dim = a.dim
+        |  GROUP BY 1, 2, 3
+        |), ranked AS (
+        |  SELECT q_vec, c_vec, list_id, qdist_exact,
+        |    row_number() OVER (PARTITION BY q_vec
+        |      ORDER BY qdist_exact, c_vec) AS rank
+        |  FROM rex)
+        |SELECT q_vec, rank, c_vec, qdist_exact, list_id FROM ranked
+        |WHERE rank <= 3 ORDER BY q_vec, rank""".stripMargin,
+    // Replay of the post-delete serving path from the SAME persisted
+    // artifacts: identical to the x23/x29 replay except the code table
+    // is anti-filtered by the tombstones.parquet side table before
+    // probing — a tombstoned id must be unreachable however close it is.
+    "x30_ann_index_delete" ->
+      """WITH cent AS (
+        |  SELECT centroid_id,
+        |    list_transform(c_emb, v -> floor(CAST(v AS DOUBLE) * 1048576.0)) AS cq
+        |  FROM read_parquet('/tmp/graft_ann_index/sf0.01_del/centroids.parquet/v*/*.parquet')
+        |), qe AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, v -> floor(CAST(v AS DOUBLE) * 1048576.0)) AS q
+        |  FROM embeddings WHERE vec_id < 8
+        |), query_assign AS (
+        |  SELECT q_vec, centroid_id AS list_id FROM (
+        |    SELECT e.vec_id AS q_vec, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.q, c.cq) /
+        |          nullif(sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(c.cq, c.cq)), 0)
+        |          DESC, c.centroid_id) AS rk
+        |    FROM qe e, cent c) t WHERE rk <= 2
+        |), cb AS (
+        |  SELECT qcw, row_number() OVER (ORDER BY cw_id) - 1 AS pos
+        |  FROM read_parquet('/tmp/graft_ann_index/sf0.01_del/codebook.parquet/v*/*.parquet')
+        |), cwdim AS (
+        |  SELECT pos, g.i - 1 AS dim, qcw[g.i] AS qc
+        |  FROM cb, UNNEST(generate_series(1, len(qcw))) AS g(i)
+        |), vq AS (
+        |  SELECT vec_id, len(embedding) // 8 AS sd, g.i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        |  WHERE len(embedding) > 0 AND len(embedding) % 8 = 0
+        |), lut AS (
+        |  SELECT v.vec_id, c.pos, v.dim // v.sd AS s,
+        |    CAST(SUM((qv - qc) * (qv - qc)) AS BIGINT) AS d
+        |  FROM vq v JOIN cwdim c ON c.dim = v.dim
+        |  WHERE v.vec_id < 8
+        |  GROUP BY 1, 2, 3
+        |), tomb AS (
+        |  SELECT c_vec
+        |  FROM read_parquet('/tmp/graft_ann_index/sf0.01_del/tombstones.parquet/v*/*.parquet')
+        |), codepos AS (
+        |  SELECT i.c_vec, i.list_id, g.s1 - 1 AS s, i.codes[g.s1] AS pos
+        |  FROM read_parquet('/tmp/graft_ann_index/sf0.01_del/index.parquet/v*/*.parquet') i,
+        |    UNNEST(generate_series(1, len(i.codes))) AS g(s1)
+        |  WHERE i.c_vec NOT IN (SELECT c_vec FROM tomb)
         |), adc AS (
         |  SELECT qa.q_vec, cp.c_vec, cp.list_id,
         |    CAST(SUM(l.d) AS BIGINT) AS qdist_approx

@@ -26,6 +26,33 @@ object StreamRun {
   /** State/shuffle partitions for the local drives. */
   val StatePartitions = 4
 
+  /** One drive's lifecycle timing: `drainS` is the data path
+    * (processAllAvailable — every micro-batch incl. its planning and
+    * state commits), `overheadS` the fixed harness cost around it
+    * (query start, stop, checkpoint create/delete, conf swap). Collected
+    * so the bench can report engine time separately from the
+    * micro-batch-lifecycle floor (VERDICT r6 #7: a 3× drift in a
+    * streaming query's wall time is unexplainable when the two are
+    * conflated).
+    */
+  final case class DriveStats(name: String, drainS: Double, overheadS: Double)
+
+  private val driveLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[DriveStats]()
+
+  /** Reset the per-execution drive log (bench calls this before a timed
+    * run, then reads [[drainedStats]] after).
+    */
+  def resetStats(): Unit = driveLog.clear()
+
+  /** Drives recorded since the last [[resetStats]] (a query may run
+    * several drives — e.g. index build + serve).
+    */
+  def drainedStats(): Seq[DriveStats] = {
+    import scala.jdk.CollectionConverters._
+    driveLog.iterator().asScala.toSeq
+  }
+
   /** Cost floor, measured (sf0.1, local[32], warm JVM): a MINIMAL
     * one-batch file-stream drive — noop sink, no watermark, no state —
     * costs ~0.5-1.1 s; the smallest stateful one ~1.0-1.2 s. That is
@@ -131,14 +158,22 @@ object StreamRun {
         => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
     val ckpt = new java.io.File(
       s"$ephemeralCheckpointRoot/$name-${java.util.UUID.randomUUID()}")
+    val t0 = System.nanoTime()
+    var drainNs = 0L
     withStreamConf(df.sparkSession, needsNoDataBatch) {
       try {
         val query = sink(df.writeStream)
           .option("checkpointLocation", ckpt.getAbsolutePath)
           .start()
-        try query.processAllAvailable()
-        finally query.stop()
+        try {
+          val d0 = System.nanoTime()
+          query.processAllAvailable()
+          drainNs = System.nanoTime() - d0
+        } finally query.stop()
       } finally deleteRecursively(ckpt)
     }
+    val totalNs = System.nanoTime() - t0
+    driveLog.add(DriveStats(name, drainNs / 1e9, (totalNs - drainNs) / 1e9))
+    ()
   }
 }

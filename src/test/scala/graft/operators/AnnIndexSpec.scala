@@ -93,4 +93,82 @@ class AnnIndexSpec extends SparkSpec {
 
     assert(baseCount < emb.count()) // the base really was partial
   }
+
+  test("delete tombstones ids out of serving; delete is idempotent and cheap") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val qs = emb.where(col("vec_id") < 8)
+    val root = tmpRoot()
+    Similarity.buildIvfPqIndex(emb, root)
+
+    val before = Similarity.ivfPqTopKFromIndex(qs, emb, root, k = 3)
+      .select("c_vec").distinct().collect().map(_.getLong(0)).toSet
+    assert(before.nonEmpty)
+
+    // delete every id the pre-delete serve returned — the strongest
+    // possible check that tombstoned ids become unreachable
+    val victims = before
+    Similarity.deleteFromIvfPqIndex(
+      emb.where(col("vec_id").isin(victims.toSeq: _*)).select("vec_id"), root)
+
+    val after = Similarity.ivfPqTopKFromIndex(qs, emb, root, k = 3)
+      .select("c_vec").distinct().collect().map(_.getLong(0)).toSet
+    assert(after.intersect(victims).isEmpty,
+      s"deleted ids still served: ${after.intersect(victims)}")
+
+    // the delete must NOT have rewritten the code table (O(batch) cost)
+    val codeRows = AtomicLayer.read(spark, s"$root/index.parquet").count()
+    assert(codeRows == emb.count(),
+      "delete must not touch index.parquet (tombstones are a side table)")
+
+    // idempotent: deleting the same ids again keeps one tombstone each
+    Similarity.deleteFromIvfPqIndex(
+      emb.where(col("vec_id").isin(victims.toSeq: _*)).select("vec_id"), root)
+    val tombs = AtomicLayer.read(spark, s"$root/tombstones.parquet")
+    assert(tombs.count() == victims.size)
+    val again = Similarity.ivfPqTopKFromIndex(qs, emb, root, k = 3)
+      .select("c_vec").distinct().collect().map(_.getLong(0)).toSet
+    assert(again == after)
+  }
+
+  test("re-add after delete resurrects; compaction folds tombstones") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val qs = emb.where(col("vec_id") < 8)
+    val root = tmpRoot()
+    Similarity.buildIvfPqIndex(emb, root)
+    val baseline = Similarity.ivfPqTopKFromIndex(qs, emb, root, k = 3)
+      .orderBy("q_vec", "rank").collect().toSeq
+
+    val victims = baseline.map(_.getAs[Long]("c_vec")).distinct
+    Similarity.deleteFromIvfPqIndex(
+      emb.where(col("vec_id").isin(victims: _*)).select("vec_id"), root)
+
+    // resurrection: re-adding the deleted ids clears their tombstones
+    // and restores the exact pre-delete results (same codebook → same
+    // codes → same search)
+    Similarity.appendToIvfPqIndex(
+      emb.where(col("vec_id").isin(victims: _*)), root)
+    val resurrected = Similarity.ivfPqTopKFromIndex(qs, emb, root, k = 3)
+      .orderBy("q_vec", "rank").collect().toSeq
+    assert(resurrected == baseline,
+      "delete → re-add must restore the original serving results")
+    assert(AtomicLayer.read(spark, s"$root/tombstones.parquet").count() == 0,
+      "re-add must clear the ids' tombstones")
+
+    // now delete a disjoint batch and compact: results stay identical,
+    // tombstones drain, the code table drops exactly the dead rows
+    val dead = emb.where(col("vec_id") >= 90).select("vec_id")
+    val nDead = dead.count()
+    Similarity.deleteFromIvfPqIndex(dead, root)
+    val served = Similarity.ivfPqTopKFromIndex(qs, emb, root, k = 3)
+      .orderBy("q_vec", "rank").collect().toSeq
+    Similarity.compactIvfPqIndex(spark, root)
+    assert(AtomicLayer.read(spark, s"$root/tombstones.parquet").count() == 0)
+    assert(AtomicLayer.read(spark, s"$root/index.parquet").count() ==
+      emb.count() - nDead,
+      "compaction must drop exactly the tombstoned rows")
+    val postCompact = Similarity.ivfPqTopKFromIndex(qs, emb, root, k = 3)
+      .orderBy("q_vec", "rank").collect().toSeq
+    assert(postCompact == served,
+      "compaction must not change serving results")
+  }
 }
