@@ -115,7 +115,12 @@ object EventsStream {
     * whose match window closed below max(event_time) has its fate
     * sealed; later clicks stay pending and are NOT emitted.
     */
-  def streamStreamLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+  /** The UN-DRAINED streaming join plan behind [[streamStreamLeftJoin]]
+    * — exposed so ExpensivePlanSpec can assert the bounded-state shape
+    * (watermark on each input, two-sided time-range condition) on the
+    * exact plan the drive runs.
+    */
+  def streamStreamLeftJoined(spark: SparkSession, dir: String): DataFrame = {
     val ev = eventsStream(spark, dir)
     val clicks = ev
       .where(col("event_type") === "click")
@@ -131,13 +136,16 @@ object EventsStream {
         col("event_id").as("purchase_id"),
         col("ts_sec").as("purchase_ts"))
       .withWatermark("purchase_ts", "0 seconds")
-    val joined = clicks.join(
+    clicks.join(
       purchases,
       col("user_id") === col("p_user_id") &&
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
       "leftOuter")
-    StreamRun.toMemorySnapshot(joined, "append",
+  }
+
+  def streamStreamLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    StreamRun.toMemorySnapshot(streamStreamLeftJoined(spark, dir), "append",
         s"stream_stream_left_${runId.incrementAndGet()}",
         needsNoDataBatch = true)
       .groupBy("user_id")

@@ -30,4 +30,16 @@ class RegistrySpec extends AnyFunSuite {
     assert(dupes.isEmpty, s"query names defined in more than one module: ${dupes.toSeq.sorted}")
     assert(all.length == SparkEntry.queries.size)
   }
+
+  test("SURVEY.md documents the actual registry size") {
+    // The §2.14 preamble went stale twice (said 311 while the registry
+    // held 320) — assert the documented count so the doc can't drift.
+    val survey = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+      "UTF-8")
+    val m = """registry holds \*\*(\d+) queries\*\*""".r.findFirstMatchIn(survey)
+    assert(m.isDefined, "SURVEY.md no longer contains the registry-size sentence")
+    assert(m.get.group(1).toInt == SparkEntry.queries.size,
+      s"SURVEY.md says ${m.get.group(1)} queries; registry has ${SparkEntry.queries.size} — update §2.14")
+  }
 }
