@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.Packing
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
@@ -115,6 +116,89 @@ object DecisionQueries {
         expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY secs) AS BIGINT)").as("p25"),
         expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY secs) AS BIGINT)").as("p50"),
         expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY secs) AS BIGINT)").as("p75"))
+    },
+
+    // Kaplan-Meier life table for time-to-convert with right-censoring —
+    // the survival-analysis view fn3's percentiles can't give: subjects
+    // enter at their FIRST click; conversion = first purchase at/after
+    // entry (day granularity); non-converters are administratively
+    // censored at the study end (global max event time). Per observed
+    // day: n_at_risk (reverse cumulative over the bounded day axis),
+    // n_events, n_censored — all exact integers; the KM product itself
+    // is a trivial client-side fold over these rows (a float product
+    // has no bit-portable cross-engine form, the table does). Scale:
+    // two per-user aggregates, then windows over ~study-length rows.
+    "km1_life_table" -> { (spark, dir) =>
+      val ev = Tables.events(spark, dir)
+      val fc = ev.where(col("event_type") === "click")
+        .groupBy("user_id").agg(min(col("ts")).as("cts"))
+        .localCheckpoint(eager = false) // feeds conversions + subjects
+      val fp = ev.where(col("event_type") === "purchase")
+        .join(fc, Seq("user_id"))
+        .where(col("ts") >= col("cts"))
+        .groupBy("user_id").agg(min(col("ts")).as("pts"))
+      val end = ev.agg(max(col("ts")).as("t_end"))
+      val subj = fc.join(fp, Seq("user_id"), "left")
+        .crossJoin(broadcast(end))
+        .select(
+          when(col("pts").isNotNull,
+            expr("(pts - cts) div 86400000000000"))
+            .otherwise(expr("(t_end - cts) div 86400000000000")).as("day"),
+          when(col("pts").isNotNull, 1L).otherwise(0L).as("event"))
+      val tbl = subj.groupBy("day")
+        .agg(sum(col("event")).as("n_events"),
+          sum(lit(1L) - col("event")).as("n_censored"))
+      val w = Window.orderBy(col("day").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl.withColumn("n_at_risk",
+          sum(col("n_events") + col("n_censored")).over(w))
+        .select(col("day"), col("n_at_risk"), col("n_events"),
+          col("n_censored"))
+        .orderBy("day")
+    },
+
+    // Multi-touch attribution over conversion paths: each purchase
+    // credits the user's clicks in the preceding 7 days under three
+    // models — first-touch, last-touch, and linear — reported per
+    // acquisition channel (props.k mod 5). All credit is EXACT integer
+    // milli-cents: the linear split uses largest-remainder
+    // apportionment (base = mc div n, the mc mod n remainder goes +1
+    // to the n earliest touches), so each purchase's credit sums to
+    // exactly its value under every model on every engine. Scale shape:
+    // one user-keyed join bounded by the 7-day window, per-conversion
+    // windows bounded by path length — nothing global.
+    "at1_attribution" -> { (spark, dir) =>
+      val ev = Tables.events(spark, dir)
+      val touches = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          expr("ts div 1000000000").as("cts"),
+          (get_json_object(col("props"), "$.k").cast(LongType) % 5)
+            .as("channel"))
+      val conv = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("c_user"),
+          col("event_id").as("purchase_id"),
+          expr("ts div 1000000000").as("pts"),
+          (floor(col("value") * 100).cast(LongType) * 1000).as("mc"))
+      val w = Window.partitionBy(col("purchase_id"))
+        .orderBy(col("cts"), col("click_id"))
+      val wn = Window.partitionBy(col("purchase_id"))
+      conv.join(touches,
+          col("user_id") === col("c_user") &&
+            col("cts") <= col("pts") && col("cts") > col("pts") - 604800L)
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy("channel")
+        .agg(
+          count(lit(1)).as("n_touches"),
+          countDistinct(col("purchase_id")).as("n_conversions"),
+          sum(when(col("rk") === 1, col("mc")).otherwise(0L))
+            .as("first_touch_mc"),
+          sum(when(col("rk") === col("n"), col("mc")).otherwise(0L))
+            .as("last_touch_mc"),
+          sum(expr("mc div n") +
+            when(col("rk") <= col("mc") % col("n"), 1L).otherwise(0L))
+            .as("linear_mc"))
+        .orderBy("channel")
     },
 
     // Q4 shape: order-priority checking — orders with at least one LATE
@@ -586,6 +670,64 @@ object DecisionQueries {
         |  percentile_disc(0.5) WITHIN GROUP (ORDER BY secs) AS p50,
         |  percentile_disc(0.75) WITHIN GROUP (ORDER BY secs) AS p75
         |FROM deltas""".stripMargin,
+    "km1_life_table" ->
+      """WITH fc AS (
+        |  SELECT user_id, min(epoch_ns(ts)) AS cts
+        |  FROM events WHERE event_type = 'click' GROUP BY 1
+        |), fp AS (
+        |  SELECT p.user_id, min(epoch_ns(p.ts)) AS pts
+        |  FROM events p JOIN fc USING (user_id)
+        |  WHERE p.event_type = 'purchase' AND epoch_ns(p.ts) >= fc.cts
+        |  GROUP BY 1
+        |), t_end AS (
+        |  SELECT max(epoch_ns(ts)) AS te FROM events
+        |), subj AS (
+        |  SELECT CASE WHEN fp.pts IS NOT NULL
+        |      THEN (fp.pts - fc.cts) // 86400000000000
+        |      ELSE (t_end.te - fc.cts) // 86400000000000 END AS day,
+        |    CASE WHEN fp.pts IS NOT NULL THEN 1 ELSE 0 END AS event
+        |  FROM fc LEFT JOIN fp USING (user_id), t_end
+        |), tbl AS (
+        |  SELECT day, CAST(SUM(event) AS BIGINT) AS n_events,
+        |    CAST(SUM(1 - event) AS BIGINT) AS n_censored
+        |  FROM subj GROUP BY 1
+        |)
+        |SELECT day, CAST(SUM(n_events + n_censored) OVER (ORDER BY day DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_at_risk,
+        |  n_events, n_censored
+        |FROM tbl ORDER BY day""".stripMargin,
+    "at1_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id AS click_id,
+        |    epoch_ns(ts) // 1000000000 AS cts,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS channel
+        |  FROM events WHERE event_type = 'click'
+        |), c AS (
+        |  SELECT user_id, event_id AS purchase_id,
+        |    epoch_ns(ts) // 1000000000 AS pts,
+        |    CAST(floor(value * 100) AS BIGINT) * 1000 AS mc
+        |  FROM events WHERE event_type = 'purchase'
+        |), cand AS (
+        |  SELECT c.purchase_id, c.mc, t.click_id, t.cts, t.channel
+        |  FROM c JOIN t USING (user_id)
+        |  WHERE t.cts <= c.pts AND t.cts > c.pts - 604800
+        |), rk AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY purchase_id
+        |      ORDER BY cts, click_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY purchase_id) AS n
+        |  FROM cand
+        |)
+        |SELECT channel, COUNT(*) AS n_touches,
+        |  CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_conversions,
+        |  CAST(SUM(CASE WHEN rk = 1 THEN mc ELSE 0 END) AS BIGINT)
+        |    AS first_touch_mc,
+        |  CAST(SUM(CASE WHEN rk = n THEN mc ELSE 0 END) AS BIGINT)
+        |    AS last_touch_mc,
+        |  CAST(SUM(mc // n + CASE WHEN rk <= mc % n THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS linear_mc
+        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
     "tq4_priority_check" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders
         |FROM orders o

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.Packing
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
@@ -271,9 +272,96 @@ object ExperimentQueries {
           (sum(col("mon")).cast(DoubleType) / 100.0).as("total_monetary"))
         .orderBy("segment")
     },
+
+    // Poisson bootstrap CI for mean purchase spend per purchasing user —
+    // THE bootstrap that works at 100 TB: instead of resampling (a
+    // shuffle per replicate), every user gets an independent
+    // Poisson(1)-distributed weight per replicate, derived
+    // deterministically from the portable 60-bit hash via exact integer
+    // inverse-CDF thresholds (floor(P(X<=k)·2^60), tail capped at 5 —
+    // P(X>5) ≈ 0.06%, an operational definition both engines share).
+    // One pass over the per-user aggregate × 64 replicates; every
+    // replicate mean is an exact-integer num/den pair divided once, so
+    // the CI bounds are bit-identical cross-engine. The rank selection
+    // runs on the 64-row replicate relation (bounded — a global window
+    // there is free at any corpus size).
+    "bs1_bootstrap_ci" -> { (spark, dir) =>
+      val b = 64
+      val pu = Tables.events(spark, dir)
+        .where(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(floor(col("value") * 100).cast(LongType)).as("cents"))
+      val h = graft.operators.Dedup.portableHash60(
+        concat_ws(":", lit("bs1"), col("user_id"), col("r")))
+      val w = when(h < 424136118829305344L, 0L)
+        .when(h < 848272237658610688L, 1L)
+        .when(h < 1060340297073263360L, 2L)
+        .when(h < 1131029650211480960L, 3L)
+        .when(h < 1148701988496035200L, 4L)
+        .otherwise(5L)
+      val reps = pu
+        .select(col("user_id"), col("cents"),
+          explode(sequence(lit(1), lit(b))).as("r"))
+        .withColumn("w", w)
+        .groupBy("r")
+        .agg(sum(col("w") * col("cents")).as("num"), sum(col("w")).as("den"))
+        .where(col("den") > 0)
+        .select(col("r"),
+          (col("num").cast(DoubleType) / col("den").cast(DoubleType))
+            .as("mean_c"))
+      val ord = Window.orderBy(col("mean_c"), col("r"))
+      val ranked = reps.withColumn("rk", row_number().over(ord))
+        .localCheckpoint(eager = false) // feeds lo + hi + count
+      val nRep = broadcast(ranked.agg(count(lit(1)).as("nb")))
+      val lo = ranked.crossJoin(nRep)
+        .where(col("rk") === ceil(col("nb") * 0.025).cast(LongType))
+        .select(col("mean_c").as("ci_lo_cents"))
+      val hi = ranked.crossJoin(nRep)
+        .where(col("rk") === ceil(col("nb") * 0.975).cast(LongType))
+        .select(col("mean_c").as("ci_hi_cents"))
+      pu.agg(count(lit(1)).as("n_users"),
+          (sum(col("cents")).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as("mean_cents"))
+        .crossJoin(broadcast(lo))
+        .crossJoin(broadcast(hi))
+    },
   )
 
   val oracles: Map[String, String] = Map(
+    "bs1_bootstrap_ci" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |), reps AS (
+        |  SELECT pu.user_id, pu.cents, g.r,
+        |    ('0x' || substr(md5('bs1:' || pu.user_id || ':' || g.r), 1, 15))::BIGINT AS h
+        |  FROM pu, UNNEST(generate_series(1, 64)) AS g(r)
+        |), wts AS (
+        |  SELECT r, cents,
+        |    CASE WHEN h < 424136118829305344 THEN 0
+        |         WHEN h < 848272237658610688 THEN 1
+        |         WHEN h < 1060340297073263360 THEN 2
+        |         WHEN h < 1131029650211480960 THEN 3
+        |         WHEN h < 1148701988496035200 THEN 4
+        |         ELSE 5 END AS w
+        |  FROM reps
+        |), rr AS (
+        |  SELECT r, CAST(SUM(w * cents) AS BIGINT) AS num,
+        |    CAST(SUM(w) AS BIGINT) AS den
+        |  FROM wts GROUP BY 1 HAVING SUM(w) > 0
+        |), means AS (
+        |  SELECT r, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS mean_c,
+        |    row_number() OVER (ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE), r) AS rk,
+        |    COUNT(*) OVER () AS nb
+        |  FROM rr
+        |)
+        |SELECT (SELECT COUNT(*) FROM pu) AS n_users,
+        |  (SELECT CAST(SUM(cents) AS DOUBLE) / COUNT(*) FROM pu) AS mean_cents,
+        |  (SELECT mean_c FROM means
+        |     WHERE rk = CAST(ceil(nb * 0.025) AS BIGINT)) AS ci_lo_cents,
+        |  (SELECT mean_c FROM means
+        |     WHERE rk = CAST(ceil(nb * 0.975) AS BIGINT)) AS ci_hi_cents""".stripMargin,
     "ks1_source_drift" ->
       """WITH g AS (
         |  SELECT n_chars AS v,

@@ -930,6 +930,14 @@ object ExtensionQueries {
     "st15_stream_stream_left" -> { (spark, dir) =>
       EventsStream.streamStreamLeftJoin(spark, dir)
     },
+    // FULL OUTER stream-stream join — completes the join-mode family
+    // (st5 inner, st15 left): both unmatched sides emit null-extended
+    // exactly when the watermark seals their fate; the oracle encodes
+    // both emission rules against the MIN-of-watermarks global
+    // watermark.
+    "st22_stream_stream_full" -> { (spark, dir) =>
+      EventsStream.streamStreamFullJoin(spark, dir)
+    },
   )
 
   /** d3's oracle recomputes the portable SimHash end to end; the 32
@@ -2603,6 +2611,46 @@ object ExtensionQueries {
         |SELECT user_id, COUNT(*) AS n_rows,
         |  CAST(count_if(purchase_id IS NULL) AS BIGINT) AS n_unmatched,
         |  CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases_matched
+        |FROM allrows GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Full-outer emission: unmatched clicks exactly as st15; unmatched
+    // purchases once purchase_ts itself passes the global watermark
+    // (their candidate clicks all precede them, and sub-watermark
+    // arrivals are dropped, so nothing can still match).
+    "st22_stream_stream_full" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id,
+        |    epoch_ns(ts) // 1000000000 AS cts
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id AS p_user_id, event_id AS purchase_id,
+        |    epoch_ns(ts) // 1000000000 AS pts
+        |  FROM events WHERE event_type = 'purchase'
+        |), wm AS (
+        |  SELECT LEAST((SELECT max(cts) FROM c), (SELECT max(pts) FROM p)) AS w
+        |), m AS (
+        |  SELECT c.user_id, c.click_id, p.purchase_id
+        |  FROM c JOIN p ON p.p_user_id = c.user_id
+        |    AND p.pts >= c.cts AND p.pts <= c.cts + 3600
+        |), u AS (
+        |  SELECT c.user_id, c.click_id
+        |  FROM c, wm
+        |  WHERE c.cts + 3600 < wm.w
+        |    AND NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
+        |), v AS (
+        |  SELECT p.p_user_id AS user_id, p.purchase_id
+        |  FROM p, wm
+        |  WHERE p.pts < wm.w
+        |    AND NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.purchase_id)
+        |), allrows AS (
+        |  SELECT user_id, click_id, purchase_id FROM m
+        |  UNION ALL SELECT user_id, click_id, NULL AS purchase_id FROM u
+        |  UNION ALL SELECT user_id, NULL AS click_id, purchase_id FROM v
+        |)
+        |SELECT user_id, COUNT(*) AS n_rows,
+        |  CAST(count_if(purchase_id IS NULL) AS BIGINT) AS n_unmatched_clicks,
+        |  CAST(count_if(click_id IS NULL) AS BIGINT) AS n_unmatched_purchases,
+        |  CAST(COUNT(DISTINCT CASE WHEN click_id IS NOT NULL
+        |    THEN purchase_id END) AS BIGINT) AS n_purchases_matched
         |FROM allrows GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

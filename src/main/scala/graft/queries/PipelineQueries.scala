@@ -223,6 +223,30 @@ object PipelineQueries {
           |FROM events_ts10 GROUP BY 1 ORDER BY day""".stripMargin)
     },
 
+    // OHLC + VWAP bars per (event_type, day) — the time-series rollup
+    // every monitoring/market pipeline ships: open/close via min_by/
+    // max_by on a zero-padded (ts, event_id) string key (total order —
+    // same-microsecond ties break on event_id identically on both
+    // engines), high/low/volume as plain aggregates, VWAP as one late
+    // division of exact cent sums. One map-side-partial pass; the
+    // per-bar key space is bounded (types × days), never row-scaled.
+    "ts11_ohlc_bars" -> { (spark, dir) =>
+      val key = format_string("%020d:%020d", col("ts"), col("event_id"))
+      Tables.events(spark, dir)
+        .select(col("event_type"), to_date(col("ts_sec")).as("day"),
+          floor(col("value") * 100).cast(LongType).as("cents"), key.as("k"))
+        .groupBy("event_type", "day")
+        .agg(
+          min_by(col("cents"), col("k")).as("open_cents"),
+          max(col("cents")).as("high_cents"),
+          min(col("cents")).as("low_cents"),
+          max_by(col("cents"), col("k")).as("close_cents"),
+          count(lit(1)).as("n_trades"),
+          (sum(col("cents")).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as("vwap_cents"))
+        .orderBy("event_type", "day")
+    },
+
     // CUSUM changepoint detection per series — the drift alarm over
     // daily metric totals. Deviations are exact cross-multiplied
     // integers (cusum_t = N·Σ_{i≤t}d_i − t·T, never a mean divide), so
@@ -616,6 +640,22 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "ts11_ohlc_bars" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(date_trunc('second', ts) AS DATE) AS day,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents,
+        |    printf('%020d:%020d', epoch_ns(ts), event_id) AS k
+        |  FROM events
+        |)
+        |SELECT event_type, day,
+        |  arg_min(cents, k) AS open_cents,
+        |  MAX(cents) AS high_cents,
+        |  MIN(cents) AS low_cents,
+        |  arg_max(cents, k) AS close_cents,
+        |  COUNT(*) AS n_trades,
+        |  CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS vwap_cents
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // dq5 gates the ROUTING RULE: event_id % 13 payloads were made
     // unparseable, everything else carries a valid k.

@@ -63,6 +63,29 @@ object TrainingDataQueries {
     (rules.result(), seqs)
   }
 
+  /** The RAG chunk relation shared by chunk1 (reports it) and chunk2
+    * (dedups across docs): 32-token windows at stride 24 over the
+    * standard tokenizer — pure per-row expression work (split → start
+    * sequence → posexplode → slice), zero shuffle. One definition so
+    * the two queries can never disagree on the chunk boundaries or the
+    * hash identity. Returns (doc_id, chunk_idx, n_tokens, chunk_hash).
+    */
+  private def ragChunks(docs: DataFrame): DataFrame = {
+    val chunkSize = 32
+    val stride = 24
+    docs
+      .select(col("doc_id"), TextAnalysis.words(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(stride)))
+          .as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast(LongType).as("chunk_idx"),
+        slice(col("toks"), col("start") + 1, lit(chunkSize)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast(LongType).as("n_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_hash"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Sequence packing: documents → fixed-capacity token bins (the rows
@@ -763,6 +786,35 @@ object TrainingDataQueries {
         .orderBy("k")
     },
 
+    // RAG chunking — the retrieval-corpus preparation step: each doc's
+    // token stream splits into overlapping windows of 32 tokens at
+    // stride 24 (8-token overlap so a sentence straddling a boundary
+    // survives whole in one chunk). Pure per-row expression work
+    // (split → sequence of starts → posexplode → slice): zero shuffle
+    // before the output sort, so the pass is scan-bound at any corpus
+    // size. Chunk identity = md5 of the reconstructed chunk text —
+    // the downstream embedding/dedup key.
+    "chunk1_rag_chunking" -> { (spark, dir) =>
+      ragChunks(Tables.documentsParallel(spark, dir))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Cross-doc duplicate CHUNKS — the retrieval-corpus dedup that doc-
+    // level dedup misses (the same boilerplate paragraph embedded in
+    // otherwise-distinct docs): chunks sharing a hash across ≥2 docs,
+    // with occurrence counts and the canonical (lowest) doc. Shuffle
+    // keys on the 32-char chunk hash, never the text; the same
+    // shared-definition chunker as chunk1, so the two can't drift.
+    "chunk2_chunk_dedup" -> { (spark, dir) =>
+      ragChunks(Tables.documentsParallel(spark, dir))
+        .groupBy("chunk_hash")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          min(col("doc_id")).as("first_doc"))
+        .where(col("n_docs") >= 2)
+        .orderBy("chunk_hash")
+    },
+
     // Per-source boilerplate-prefix detection — shared headers/licence
     // banners are the classic crawl artifact. The longest common prefix
     // of ALL docs in a source equals LCP(min(text), max(text)) under
@@ -961,6 +1013,35 @@ object TrainingDataQueries {
         |CROSS JOIN LATERAL (SELECT CAST(k0 AS BIGINT) AS k) kk
         |WHERE rk = least(k, v)
         |ORDER BY k""".stripMargin,
+    "chunk1_rag_chunking" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ts
+        |  FROM documents
+        |), starts AS (
+        |  SELECT doc_id, ts, g.s AS start
+        |  FROM toks, UNNEST(generate_series(0, len(ts) - 1, 24)) AS g(s)
+        |)
+        |SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_idx,
+        |  CAST(len(ts[start + 1 : start + 32]) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(ts[start + 1 : start + 32], ' ')) AS chunk_hash
+        |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin,
+    "chunk2_chunk_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ts
+        |  FROM documents
+        |), chunks AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(ts[g.s + 1 : g.s + 32], ' ')) AS chunk_hash
+        |  FROM toks, UNNEST(generate_series(0, len(ts) - 1, 24)) AS g(s)
+        |)
+        |SELECT chunk_hash,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  COUNT(*) AS n_occurrences,
+        |  MIN(doc_id) AS first_doc
+        |FROM chunks GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY chunk_hash""".stripMargin,
     "bp1_boilerplate_prefix" ->
       """WITH agg AS (
         |  SELECT source, COUNT(*) AS n_docs,

@@ -157,6 +157,54 @@ object EventsStream {
       .orderBy("user_id")
   }
 
+  /** Stream-stream FULL OUTER join — the last member of the join-mode
+    * family (st5 inner, st15 left): BOTH unmatched sides emit
+    * null-extended when the watermark seals their fate. A click with no
+    * purchase in its following hour emits once `click_ts + 1 h` passes
+    * the watermark (exactly st15's rule); an unmatched purchase emits
+    * once `purchase_ts` itself passes it (its candidate clicks all have
+    * `click_ts <= purchase_ts`, and arrivals below the watermark are
+    * dropped — so at that point no future click can match). State cost
+    * is identical to the left join: the range condition bounds both
+    * sides to watermark + 1 h of rows.
+    */
+  def streamStreamFullJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val clicks = ev
+      .where(col("event_type") === "click")
+      .select(
+        col("user_id"),
+        col("event_id").as("click_id"),
+        col("ts_sec").as("click_ts"))
+      .withWatermark("click_ts", "0 seconds")
+    val purchases = ev
+      .where(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"),
+        col("ts_sec").as("purchase_ts"))
+      .withWatermark("purchase_ts", "0 seconds")
+    val joined = clicks.join(
+      purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "fullOuter")
+    StreamRun.toMemorySnapshot(joined, "append",
+        s"stream_stream_full_${runId.incrementAndGet()}",
+        needsNoDataBatch = true)
+      .withColumn("uid", coalesce(col("user_id"), col("p_user_id")))
+      .groupBy(col("uid").as("user_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("count_if(purchase_id IS NULL)").as("n_unmatched_clicks"),
+        expr("count_if(click_id IS NULL)").as("n_unmatched_purchases"),
+        countDistinct(when(col("click_id").isNotNull, col("purchase_id")))
+          .as("n_purchases_matched"),
+      )
+      .orderBy("user_id")
+  }
+
   /** Run the windowed aggregation over `$dir/events.parquet` as a stream,
     * landing results in a memory sink; returns the final table:
     * (day, event_type, n_events, sum_value).
