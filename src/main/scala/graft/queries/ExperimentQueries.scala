@@ -273,6 +273,33 @@ object ExperimentQueries {
         .orderBy("segment")
     },
 
+    // Grouped 5-fold cross-validation assignment — folds split by USER
+    // (the grouping unit), never by row, so no user's events straddle a
+    // train/validation boundary (the leakage smp6 guards for the 2-way
+    // split, extended to K folds). Assignment is the portable 60-bit
+    // hash mod K: deterministic, engine-independent, stable under
+    // reruns and repartitioning. The census reports per-fold balance —
+    // users, events, purchasers, exact purchase cents — the check run
+    // before trusting fold-wise metrics.
+    "cv1_fold_assignment" -> { (spark, dir) =>
+      val folds = Tables.events(spark, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          expr("count_if(event_type = 'purchase')").as("n_purch"),
+          sum(when(col("event_type") === "purchase",
+            floor(col("value") * 100).cast(LongType)).otherwise(0L))
+            .as("cents"))
+        .withColumn("fold",
+          graft.operators.Dedup.portableHash60(
+            concat_ws(":", lit("cv1"), col("user_id"))) % 5)
+      folds.groupBy("fold")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("n_events")).as("n_events"),
+          expr("count_if(n_purch > 0)").as("n_purchasers"),
+          sum(col("cents")).as("purchase_cents"))
+        .orderBy("fold")
+    },
+
     // Poisson bootstrap CI for mean purchase spend per purchasing user —
     // THE bootstrap that works at 100 TB: instead of resampling (a
     // shuffle per replicate), every user gets an independent
@@ -328,6 +355,20 @@ object ExperimentQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "cv1_fold_assignment" ->
+      """WITH pu AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    count_if(event_type = 'purchase') AS n_purch,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS cents,
+        |    ('0x' || substr(md5('cv1:' || user_id), 1, 15))::BIGINT % 5 AS fold
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT fold, COUNT(*) AS n_users,
+        |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |  CAST(count_if(n_purch > 0) AS BIGINT) AS n_purchasers,
+        |  CAST(SUM(cents) AS BIGINT) AS purchase_cents
+        |FROM pu GROUP BY 1 ORDER BY 1""".stripMargin,
     "bs1_bootstrap_ci" ->
       """WITH pu AS (
         |  SELECT user_id,
