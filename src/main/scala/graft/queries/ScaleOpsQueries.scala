@@ -382,9 +382,52 @@ object ScaleOpsQueries {
           sum(when(hit, col("n_rows")).otherwise(0L)).as("rows_scanned"))
         .orderBy("layout", "pred")
     },
+
+    // Incremental materialized-view maintenance — the core loop of
+    // every large-scale rollup pipeline: the daily revenue view is
+    // PERSISTED once from history (days before the split), then each
+    // refresh merges only the DELTA batch's partial aggregate into the
+    // snapshot by key-wise summation (counts and sums are
+    // associative-decomposable, so partial + partial = total). The
+    // billion-row history is never rescanned — refresh cost is
+    // O(delta + view), not O(history). The oracle IS the full
+    // recompute: the incremental result must equal it bit for bit.
+    "imv1_incremental_rollup" -> { (spark, dir) =>
+      import graft.energy.AtomicLayer
+      val split = lit("2024-01-25").cast("date")
+      val ev = Tables.events(spark, dir)
+        .select(col("event_type"), to_date(col("ts_sec")).as("day"),
+          floor(col("value") * 100).cast(LongType).as("cents"))
+      def roll(df: DataFrame): DataFrame = df
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      val root =
+        s"/tmp/graft_imv/${new java.io.File(dir).getName}/daily.parquet"
+      if (AtomicLayer.latestCommitted(spark, root).isEmpty) {
+        AtomicLayer.write(roll(ev.where(col("day") < split)), root,
+          keepVersions = 1)
+        (): Unit
+      }
+      val base = AtomicLayer.read(spark, root)
+      val delta = roll(ev.where(col("day") >= split))
+      base.unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(sum(col("n_events")).as("n_events"),
+          sum(col("sum_cents")).as("sum_cents"))
+        .orderBy("event_type", "day")
+    },
   )
 
   val oracles: Map[String, String] = Map(
+    // imv1's oracle is deliberately the FULL recompute — incremental
+    // maintenance is only correct if it is indistinguishable from it.
+    "imv1_incremental_rollup" ->
+      """SELECT event_type,
+        |  CAST(date_trunc('second', ts) AS DATE) AS day,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "tt1_time_travel" ->
       """SELECT 'v_latest' AS snapshot, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
