@@ -326,6 +326,36 @@ object ExtensionQueries {
         .select(col("n_exact"), col("n_hit"),
           (col("n_hit").cast(DoubleType) / col("n_exact")).as("recall"))
     },
+    // Recall-vs-nProbe tuning curve — the quality/latency trade every
+    // IVF deployment measures before picking its operating point: the
+    // same IVFADC search at nProbe ∈ {1, 2, 4}, each scored against the
+    // exact metric-matched top-3 (recall = |approx ∩ exact| / |exact|).
+    // The exact reference is computed ONCE (checkpoint-pinned) and
+    // reused by all three probe settings; each probe level scans only
+    // its probed lists, so the curve costs ~Σ nProbe/nLists of one full
+    // scan — the cheap sweep that justifies the production setting.
+    // NOTE the curve need NOT be monotone at fixed refine depth (and on
+    // this fixture it isn't): widening the probe set grows the ADC
+    // candidate pool competing for the fixed 32-slot shortlist, and
+    // quantization error can evict true neighbors a narrower probe
+    // would have kept — the sweep exists precisely to expose such
+    // operating-point surprises (production raises refine with nProbe).
+    "x31_ann_recall_curve" -> { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      val qs = emb.where(col("vec_id") < 8)
+      val exact = Similarity.bruteForceL2TopK(qs, emb, k = 3)
+        .select(col("q_vec"), col("c_vec"))
+        .localCheckpoint(eager = false)
+      Seq(1, 2, 4).map { p =>
+        val approx = Similarity.ivfPqTopK(qs, emb, k = 3, nProbe = p)
+          .select(col("q_vec"), col("c_vec"), lit(1L).as("__hit"))
+        exact.join(approx, Seq("q_vec", "c_vec"), "left")
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+          .select(lit(p.toLong).as("n_probe"), col("n_exact"), col("n_hit"),
+            (col("n_hit").cast(DoubleType) / col("n_exact")).as("recall"))
+      }.reduce(_ unionByName _).orderBy("n_probe")
+    },
     // IVFADC from a PERSISTED index — the serving half of the
     // billion-vector story that x22 only models inline (x22 re-derives
     // centroids, codebook, and codes on every call; a real deployment
@@ -945,6 +975,102 @@ object ExtensionQueries {
     * rather than hand-written (same SQL either way, no transcription
     * slips).
     */
+  /** The x22r inline-IVFADC recall replay's CTE chain, parameterized
+    * by probe depth — ONE copy of the pipeline SQL shared by the x22r
+    * single-point oracle and the x31 nProbe sweep (they can never
+    * drift on quantization, assignment, ADC, or refine semantics).
+    * Yields `ref3` (the IVFADC top-3) and `ex3` (the exact top-3).
+    */
+  private def ivfPqRecallCtes(nProbe: Int): String =
+    s"""WITH qe AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, v -> floor(CAST(v AS DOUBLE) * 1048576.0)) AS q
+        |  FROM embeddings
+        |), cent AS (
+        |  SELECT vec_id AS centroid_id, q AS cq FROM qe ORDER BY vec_id LIMIT 16
+        |), corpus_assign AS (
+        |  SELECT c_vec, centroid_id AS list_id FROM (
+        |    SELECT e.vec_id AS c_vec, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.q, c.cq) /
+        |          nullif(sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(c.cq, c.cq)), 0)
+        |          DESC, c.centroid_id) AS rk
+        |    FROM qe e, cent c) t WHERE rk = 1
+        |), query_assign AS (
+        |  SELECT q_vec, centroid_id AS list_id FROM (
+        |    SELECT e.vec_id AS q_vec, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.q, c.cq) /
+        |          nullif(sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(c.cq, c.cq)), 0)
+        |          DESC, c.centroid_id) AS rk
+        |    FROM qe e, cent c WHERE e.vec_id < 8) t WHERE rk <= $nProbe
+        |), sample AS (
+        |  SELECT vec_id AS cw_id, embedding AS cw_emb FROM embeddings
+        |  WHERE len(embedding) > 0 AND len(embedding) % 8 = 0
+        |  ORDER BY vec_id LIMIT 32
+        |), cwq AS (
+        |  SELECT cw_id, g.i - 1 AS dim,
+        |    CAST(floor(CAST(cw_emb[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS qc
+        |  FROM sample, UNNEST(generate_series(1, len(cw_emb))) AS g(i)
+        |), vq AS (
+        |  SELECT vec_id, len(embedding) // 8 AS sd, g.i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        |  WHERE len(embedding) > 0 AND len(embedding) % 8 = 0
+        |), subdist AS (
+        |  SELECT v.vec_id, c.cw_id, v.dim // v.sd AS s,
+        |    CAST(SUM((qv - qc) * (qv - qc)) AS BIGINT) AS d
+        |  FROM vq v JOIN cwq c ON c.dim = v.dim GROUP BY 1, 2, 3
+        |), codes AS (
+        |  SELECT vec_id, s, cw_id AS code FROM (
+        |    SELECT vec_id, s, cw_id, d,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cw_id) AS rn
+        |    FROM subdist) t WHERE rn = 1
+        |), approx AS (
+        |  SELECT qa.q_vec, c.vec_id AS c_vec,
+        |    CAST(SUM(l.d) AS BIGINT) AS qdist_approx
+        |  FROM codes c
+        |  JOIN corpus_assign ca ON ca.c_vec = c.vec_id
+        |  JOIN query_assign qa ON qa.list_id = ca.list_id
+        |  JOIN subdist l ON l.s = c.s AND l.cw_id = c.code AND l.vec_id = qa.q_vec
+        |  WHERE c.vec_id <> qa.q_vec
+        |  GROUP BY 1, 2
+        |), short AS (
+        |  SELECT q_vec, c_vec FROM (
+        |    SELECT q_vec, c_vec,
+        |      row_number() OVER (PARTITION BY q_vec
+        |        ORDER BY qdist_approx, c_vec) AS rank
+        |    FROM approx) t WHERE rank <= 32
+        |), rex AS (
+        |  SELECT sh.q_vec, sh.c_vec,
+        |    CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS qdist_exact
+        |  FROM short sh
+        |  JOIN vq a ON a.vec_id = sh.q_vec
+        |  JOIN vq b ON b.vec_id = sh.c_vec AND b.dim = a.dim
+        |  GROUP BY 1, 2
+        |), ref3 AS (
+        |  SELECT q_vec, c_vec FROM (
+        |    SELECT q_vec, c_vec,
+        |      row_number() OVER (PARTITION BY q_vec
+        |        ORDER BY qdist_exact, c_vec) AS rank
+        |    FROM rex) t WHERE rank <= 3
+        |), vqall AS (
+        |  SELECT vec_id, g.i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        |), l2 AS (
+        |  SELECT a.vec_id AS q_vec, b.vec_id AS c_vec,
+        |    CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS d
+        |  FROM vqall a JOIN vqall b ON a.dim = b.dim
+        |  WHERE a.vec_id < 8 AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2
+        |), ex3 AS (
+        |  SELECT q_vec, c_vec FROM (
+        |    SELECT q_vec, c_vec,
+        |      row_number() OVER (PARTITION BY q_vec ORDER BY d, c_vec) AS rank
+        |    FROM l2) t WHERE rank <= 3
+        |)""".stripMargin
+
   private val d3OracleSql: String = {
     val bitSums = (0 until 32)
       .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
@@ -1613,99 +1739,24 @@ object ExtensionQueries {
         |SELECT q_vec, rank, c_vec, qdist_exact, list_id FROM ranked
         |WHERE rank <= 3 ORDER BY q_vec, rank""".stripMargin,
     "x22r_ann_ivfpq_recall" ->
-      """WITH qe AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, v -> floor(CAST(v AS DOUBLE) * 1048576.0)) AS q
-        |  FROM embeddings
-        |), cent AS (
-        |  SELECT vec_id AS centroid_id, q AS cq FROM qe ORDER BY vec_id LIMIT 16
-        |), corpus_assign AS (
-        |  SELECT c_vec, centroid_id AS list_id FROM (
-        |    SELECT e.vec_id AS c_vec, c.centroid_id,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        list_dot_product(e.q, c.cq) /
-        |          nullif(sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(c.cq, c.cq)), 0)
-        |          DESC, c.centroid_id) AS rk
-        |    FROM qe e, cent c) t WHERE rk = 1
-        |), query_assign AS (
-        |  SELECT q_vec, centroid_id AS list_id FROM (
-        |    SELECT e.vec_id AS q_vec, c.centroid_id,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        list_dot_product(e.q, c.cq) /
-        |          nullif(sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(c.cq, c.cq)), 0)
-        |          DESC, c.centroid_id) AS rk
-        |    FROM qe e, cent c WHERE e.vec_id < 8) t WHERE rk <= 2
-        |), sample AS (
-        |  SELECT vec_id AS cw_id, embedding AS cw_emb FROM embeddings
-        |  WHERE len(embedding) > 0 AND len(embedding) % 8 = 0
-        |  ORDER BY vec_id LIMIT 32
-        |), cwq AS (
-        |  SELECT cw_id, g.i - 1 AS dim,
-        |    CAST(floor(CAST(cw_emb[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS qc
-        |  FROM sample, UNNEST(generate_series(1, len(cw_emb))) AS g(i)
-        |), vq AS (
-        |  SELECT vec_id, len(embedding) // 8 AS sd, g.i - 1 AS dim,
-        |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
-        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
-        |  WHERE len(embedding) > 0 AND len(embedding) % 8 = 0
-        |), subdist AS (
-        |  SELECT v.vec_id, c.cw_id, v.dim // v.sd AS s,
-        |    CAST(SUM((qv - qc) * (qv - qc)) AS BIGINT) AS d
-        |  FROM vq v JOIN cwq c ON c.dim = v.dim GROUP BY 1, 2, 3
-        |), codes AS (
-        |  SELECT vec_id, s, cw_id AS code FROM (
-        |    SELECT vec_id, s, cw_id, d,
-        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cw_id) AS rn
-        |    FROM subdist) t WHERE rn = 1
-        |), approx AS (
-        |  SELECT qa.q_vec, c.vec_id AS c_vec,
-        |    CAST(SUM(l.d) AS BIGINT) AS qdist_approx
-        |  FROM codes c
-        |  JOIN corpus_assign ca ON ca.c_vec = c.vec_id
-        |  JOIN query_assign qa ON qa.list_id = ca.list_id
-        |  JOIN subdist l ON l.s = c.s AND l.cw_id = c.code AND l.vec_id = qa.q_vec
-        |  WHERE c.vec_id <> qa.q_vec
-        |  GROUP BY 1, 2
-        |), short AS (
-        |  SELECT q_vec, c_vec FROM (
-        |    SELECT q_vec, c_vec,
-        |      row_number() OVER (PARTITION BY q_vec
-        |        ORDER BY qdist_approx, c_vec) AS rank
-        |    FROM approx) t WHERE rank <= 32
-        |), rex AS (
-        |  SELECT sh.q_vec, sh.c_vec,
-        |    CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS qdist_exact
-        |  FROM short sh
-        |  JOIN vq a ON a.vec_id = sh.q_vec
-        |  JOIN vq b ON b.vec_id = sh.c_vec AND b.dim = a.dim
-        |  GROUP BY 1, 2
-        |), ref3 AS (
-        |  SELECT q_vec, c_vec FROM (
-        |    SELECT q_vec, c_vec,
-        |      row_number() OVER (PARTITION BY q_vec
-        |        ORDER BY qdist_exact, c_vec) AS rank
-        |    FROM rex) t WHERE rank <= 3
-        |), vqall AS (
-        |  SELECT vec_id, g.i - 1 AS dim,
-        |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
-        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
-        |), l2 AS (
-        |  SELECT a.vec_id AS q_vec, b.vec_id AS c_vec,
-        |    CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS d
-        |  FROM vqall a JOIN vqall b ON a.dim = b.dim
-        |  WHERE a.vec_id < 8 AND b.vec_id <> a.vec_id
-        |  GROUP BY 1, 2
-        |), ex3 AS (
-        |  SELECT q_vec, c_vec FROM (
-        |    SELECT q_vec, c_vec,
-        |      row_number() OVER (PARTITION BY q_vec ORDER BY d, c_vec) AS rank
-        |    FROM l2) t WHERE rank <= 3
-        |)
-        |SELECT CAST(count(*) AS BIGINT) AS n_exact,
-        |  CAST(SUM(CASE WHEN p.c_vec IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-        |  CAST(SUM(CASE WHEN p.c_vec IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
-        |FROM ex3 br LEFT JOIN ref3 p ON p.q_vec = br.q_vec AND p.c_vec = br.c_vec""".stripMargin,
-    // x23: the search replayed FROM THE PERSISTED ARTIFACTS the Spark
+      (ivfPqRecallCtes(2) +
+        """
+          |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+          |  CAST(SUM(CASE WHEN p.c_vec IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+          |  CAST(SUM(CASE WHEN p.c_vec IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
+          |FROM ex3 br LEFT JOIN ref3 p ON p.q_vec = br.q_vec AND p.c_vec = br.c_vec""".stripMargin),
+    // The same inline-IVFADC replay at three probe depths, each scored
+    // against the same exact top-3 — the x31 tuning curve.
+    "x31_ann_recall_curve" ->
+      (Seq(1, 2, 4).map { p =>
+        s"""SELECT * FROM (${ivfPqRecallCtes(p)}
+           |SELECT CAST($p AS BIGINT) AS n_probe,
+           |  CAST(count(*) AS BIGINT) AS n_exact,
+           |  CAST(SUM(CASE WHEN p.c_vec IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |  CAST(SUM(CASE WHEN p.c_vec IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
+           |FROM ex3 br LEFT JOIN ref3 p ON p.q_vec = br.q_vec AND p.c_vec = br.c_vec) u$p""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\nORDER BY n_probe"),
+        // x23: the search replayed FROM THE PERSISTED ARTIFACTS the Spark
     // side wrote (AtomicLayer keeps exactly one committed v* snapshot,
     // so the glob resolves one version). The driver verifies at sf0.01;
     // the literal paths below are Similarity.indexRoot("<sf0.01>")'s
