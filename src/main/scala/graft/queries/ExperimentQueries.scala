@@ -273,6 +273,26 @@ object ExperimentQueries {
         .orderBy("segment")
     },
 
+    // l-diversity audit — the disclosure check k-anonymity (pp1/dq2)
+    // misses: a class can hold k rows yet ONE sensitive value (everyone
+    // in it provably shares the attribute). Over pp1's level-0
+    // quasi-identifier classes (nation, balance band), l = distinct
+    // market segments per class; the census reports, per l, how many
+    // classes and rows sit at that diversity — the l=1 row is the
+    // homogeneity-attack surface. Two small aggregates, nothing wide.
+    "pp2_l_diversity" -> { (spark, dir) =>
+      Tables.customer(spark, dir)
+        .select(col("c_nationkey"),
+          floor(col("c_acctbal") / 2000).cast(LongType).as("band"),
+          col("c_mktsegment"))
+        .groupBy("c_nationkey", "band")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("c_mktsegment")).as("l"))
+        .groupBy("l")
+        .agg(count(lit(1)).as("n_classes"), sum(col("n_rows")).as("n_rows"))
+        .orderBy("l")
+    },
+
     // Grouped 5-fold cross-validation assignment — folds split by USER
     // (the grouping unit), never by row, so no user's events straddle a
     // train/validation boundary (the leakage smp6 guards for the 2-way
@@ -355,6 +375,17 @@ object ExperimentQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "pp2_l_diversity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey,
+        |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS band,
+        |    COUNT(*) AS n_rows,
+        |    CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l
+        |  FROM customer GROUP BY 1, 2
+        |)
+        |SELECT l, COUNT(*) AS n_classes,
+        |  CAST(SUM(n_rows) AS BIGINT) AS n_rows
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
     "cv1_fold_assignment" ->
       """WITH pu AS (
         |  SELECT user_id, COUNT(*) AS n_events,

@@ -815,6 +815,45 @@ object TrainingDataQueries {
         .orderBy("chunk_hash")
     },
 
+    // Tokenizer fertility per language — subtokens emitted per
+    // whitespace word under the t1 BPE-ish pre-tokenizer regex: THE
+    // cross-lingual tokenizer-cost metric (a high-fertility language
+    // pays more sequence length per word, skewing both training cost
+    // and mixture weights). Exact integer sums, one late division.
+    "tok3_fertility" -> { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("lang"),
+          size(TextAnalysis.words(col("text"))).cast(LongType).as("nw"),
+          size(regexp_extract_all(col("text"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+            .cast(LongType).as("ns"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw")).as("n_words"),
+          sum(col("ns")).as("n_subtokens"),
+          (sum(col("ns")).cast(DoubleType) /
+            sum(col("nw")).cast(DoubleType)).as("fertility"))
+        .orderBy("lang")
+    },
+
+    // Context-window truncation census — what each candidate sequence
+    // cap costs: per cap ∈ {16, 32, 64} tokens, how many docs overflow
+    // and exactly how many tokens are lost vs kept. The decision table
+    // consulted before fixing max_seq_len; one scan, caps explode 3×
+    // per row, exact integers.
+    "trunc1_context_census" -> { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(size(TextAnalysis.words(col("text"))).cast(LongType).as("n"))
+        .select(col("n"),
+          explode(array(lit(16L), lit(32L), lit(64L))).as("cap"))
+        .groupBy("cap")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("count_if(n > cap)").as("n_docs_truncated"),
+          sum(greatest(col("n") - col("cap"), lit(0L))).as("tokens_lost"),
+          sum(least(col("n"), col("cap"))).as("tokens_kept"))
+        .orderBy("cap")
+    },
+
     // Per-source boilerplate-prefix detection — shared headers/licence
     // banners are the classic crawl artifact. The longest common prefix
     // of ALL docs in a source equals LCP(min(text), max(text)) under
@@ -1042,6 +1081,34 @@ object TrainingDataQueries {
         |  MIN(doc_id) AS first_doc
         |FROM chunks GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
         |ORDER BY chunk_hash""".stripMargin,
+    "tok3_fertility" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |      AS BIGINT) AS nw,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS ns
+        |  FROM documents
+        |)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(nw) AS BIGINT) AS n_words,
+        |  CAST(SUM(ns) AS BIGINT) AS n_subtokens,
+        |  CAST(SUM(ns) AS DOUBLE) / CAST(SUM(nw) AS DOUBLE) AS fertility
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "trunc1_context_census" ->
+      """WITH t AS (
+        |  SELECT CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+        |    AS BIGINT) AS n
+        |  FROM documents
+        |), x AS (
+        |  SELECT n, CAST(g.cap AS BIGINT) AS cap
+        |  FROM t, UNNEST([16, 32, 64]) AS g(cap)
+        |)
+        |SELECT cap, COUNT(*) AS n_docs,
+        |  CAST(count_if(n > cap) AS BIGINT) AS n_docs_truncated,
+        |  CAST(SUM(greatest(n - cap, 0)) AS BIGINT) AS tokens_lost,
+        |  CAST(SUM(least(n, cap)) AS BIGINT) AS tokens_kept
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     "bp1_boilerplate_prefix" ->
       """WITH agg AS (
         |  SELECT source, COUNT(*) AS n_docs,
