@@ -332,6 +332,106 @@ object DecisionQueries {
     // after exclusion. lineitem stands in for partsupp (the testdata
     // ships no partsupp table; l_partkey × l_suppkey carries the same
     // relationship).
+    // Q2 shape: min-cost supplier — the correlated scalar-min subquery
+    // (for each part, the European supplier matching the regional
+    // minimum cost). The fixture has no partsupp, so — the tq16
+    // convention — the (part, supplier) cost relation derives from
+    // lineitem: supplycost := min observed line price in exact cents.
+    // The correlated min decorrelates to one aggregate joined back on
+    // partkey (ties kept, as in the spec); dims broadcast; the ps
+    // aggregate is the only fact-wide stage. Completes the 22/22
+    // TPC-H plan-shape set together with tq11/tq20.
+    "tq2_min_cost_supplier" -> { (spark, dir) =>
+      val ps = Tables.lineitem(spark, dir)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(floor(col("l_extendedprice") * 100).cast(LongType))
+          .as("cost_cents"))
+      val eu = broadcast(Tables.supplier(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)),
+          col("n_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.region(spark, dir)
+          .where(col("r_name") === "EUROPE")),
+          col("r_regionkey") === col("n_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name")))
+      val euPs = ps.join(eu, col("s_suppkey") === col("l_suppkey"))
+        .localCheckpoint(eager = false) // feeds the min + the match
+      val minCost = euPs.groupBy(col("l_partkey").as("mk"))
+        .agg(min(col("cost_cents")).as("min_cents"))
+      val slice = broadcast(Tables.part(spark, dir)
+        .where(col("p_type") === "ECONOMY" && col("p_size") === 15)
+        .select(col("p_partkey"), col("p_name")))
+      euPs
+        .join(minCost, col("mk") === col("l_partkey") &&
+          col("cost_cents") === col("min_cents"))
+        .join(slice, col("p_partkey") === col("l_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"),
+          (col("cost_cents").cast(DoubleType) / 100.0).as("supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    },
+
+    // Q11 shape: important stock — per-part value HAVING above a
+    // FRACTION of the global total: the aggregate-vs-global-scalar
+    // comparison stays an exact integer cross-multiply
+    // (value·1000 > total, i.e. share > 0.1%), no float near the
+    // filter. Value derives from lineitem for one nation's suppliers
+    // (partsupp substitute); the 1-row total broadcasts.
+    "tq11_important_stock" -> { (spark, dir) =>
+      val natSupp = broadcast(Tables.supplier(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)
+          .where(col("n_name") === "NATION_7")),
+          col("n_nationkey") === col("s_nationkey"))
+        .select(col("s_suppkey")))
+      val value = Tables.lineitem(spark, dir)
+        .join(natSupp, col("s_suppkey") === col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(sum(floor(col("l_extendedprice") * 100).cast(LongType))
+          .as("value_cents"))
+        .localCheckpoint(eager = false) // feeds total + filter
+      val tot = broadcast(value.agg(sum(col("value_cents")).as("tot_cents")))
+      value.crossJoin(tot)
+        .where(col("value_cents") * 1000 > col("tot_cents"))
+        .select(col("l_partkey").as("ps_partkey"),
+          (col("value_cents").cast(DoubleType) / 100.0).as("value"))
+        .orderBy(col("value").desc, col("ps_partkey"))
+    },
+
+    // Q20 shape: potential part promotion — the nested semi-join chain
+    // (suppliers ⋉ (part,supp) pairs ⋉ name-sliced parts) with a
+    // front-loading condition: 1995 shipments exceeded HALF the
+    // all-time volume (the availqty>½·shipped analog without
+    // partsupp), compared as exact integer qty·2 > total. Each hop is
+    // a semi join on keys; nothing explodes.
+    "tq20_excess_stock" -> { (spark, dir) =>
+      val redParts = broadcast(Tables.part(spark, dir)
+        .where(col("p_name").startsWith("red"))
+        .select(col("p_partkey")))
+      val qty = Tables.lineitem(spark, dir)
+        .join(redParts, col("p_partkey") === col("l_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+          sum(floor(col("l_quantity")).cast(LongType)).as("q_total"),
+          sum(when(year(to_date(col("l_shipdate"))) === 1995,
+            floor(col("l_quantity")).cast(LongType)).otherwise(0L))
+            .as("q_1995"))
+        .where(col("q_1995") * 2 > col("q_total"))
+        // the fixture has only 100 suppliers, so a bare EXISTS saturates
+        // — require a MATERIAL excess-stock position (≥12 front-loaded
+        // red parts) to keep the supplier cut selective
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_excess_parts"))
+        .where(col("n_excess_parts") >= 12)
+      Tables.supplier(spark, dir)
+        .join(qty, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(spark, dir)),
+          col("n_nationkey") === col("s_nationkey"))
+        .select(col("s_name"), col("n_name"), col("n_excess_parts"))
+        .orderBy("s_name")
+    },
+
     "tq16_supplier_variety" -> { (spark, dir) =>
       val sizes = Seq(1, 5, 10, 15, 20, 25, 30, 35)
       val p = Tables.part(spark, dir)
@@ -816,6 +916,73 @@ object DecisionQueries {
         |FROM rev JOIN supplier ON s_suppkey = l_suppkey
         |WHERE r = (SELECT max(r) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+    "tq2_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+        |  FROM lineitem GROUP BY 1, 2
+        |), eu AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |), eups AS (
+        |  SELECT ps.l_partkey, ps.cost_cents, eu.s_name, eu.s_acctbal,
+        |    eu.n_name
+        |  FROM ps JOIN eu ON eu.s_suppkey = ps.l_suppkey
+        |), mc AS (
+        |  SELECT l_partkey, MIN(cost_cents) AS min_cents
+        |  FROM eups GROUP BY 1
+        |)
+        |SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_name,
+        |  CAST(e.cost_cents AS DOUBLE) / 100.0 AS supplycost
+        |FROM eups e
+        |JOIN mc ON mc.l_partkey = e.l_partkey
+        |  AND e.cost_cents = mc.min_cents
+        |JOIN part p ON p.p_partkey = e.l_partkey
+        |WHERE p.p_type = 'ECONOMY' AND p.p_size = 15
+        |ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+        |LIMIT 100""".stripMargin,
+    "tq11_important_stock" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS value_cents
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier
+        |    JOIN nation ON n_nationkey = s_nationkey
+        |    WHERE n_name = 'NATION_7')
+        |  GROUP BY 1
+        |), t AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS tot FROM v)
+        |SELECT l_partkey AS ps_partkey,
+        |  CAST(value_cents AS DOUBLE) / 100.0 AS value
+        |FROM v, t
+        |WHERE value_cents * 1000 > tot
+        |ORDER BY value DESC, ps_partkey""".stripMargin,
+    "tq20_excess_stock" ->
+      """WITH q AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+        |      AS q_total,
+        |    CAST(SUM(CASE WHEN year(CAST(l_shipdate AS DATE)) = 1995
+        |      THEN CAST(floor(l_quantity) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS q_1995
+        |  FROM lineitem
+        |  WHERE l_partkey IN
+        |    (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |  GROUP BY 1, 2
+        |), ex AS (
+        |  SELECT l_suppkey, COUNT(*) AS n_excess_parts
+        |  FROM q WHERE q_1995 * 2 > q_total
+        |  GROUP BY 1 HAVING COUNT(*) >= 12
+        |)
+        |SELECT s_name, n_name, n_excess_parts
+        |FROM supplier
+        |JOIN ex ON l_suppkey = s_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |ORDER BY s_name""".stripMargin,
     "tq16_supplier_variety" ->
       """SELECT p_brand, p_type, p_size,
         |  count(DISTINCT l_suppkey) AS supplier_cnt
