@@ -960,6 +960,12 @@ object ExtensionQueries {
     "st15_stream_stream_left" -> { (spark, dir) =>
       EventsStream.streamStreamLeftJoin(spark, dir)
     },
+    // Streaming OHLC/VWAP bars — ts11 computed incrementally; min_by/
+    // max_by merge associatively across micro-batches, so the oracle is
+    // the SAME SQL as the batch ts11 (identical output contract).
+    "st23_stream_ohlc" -> { (spark, dir) =>
+      EventsStream.streamOhlcBars(spark, dir)
+    },
     // FULL OUTER stream-stream join — completes the join-mode family
     // (st5 inner, st15 left): both unmatched sides emit null-extended
     // exactly when the watermark seals their fate; the oracle encodes
@@ -2663,6 +2669,23 @@ object ExtensionQueries {
         |  CAST(count_if(purchase_id IS NULL) AS BIGINT) AS n_unmatched,
         |  CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases_matched
         |FROM allrows GROUP BY 1 ORDER BY 1""".stripMargin,
+    // st23 gates against the IDENTICAL SQL as batch ts11 — streaming
+    // bars must be indistinguishable from the batch rollup.
+    "st23_stream_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(date_trunc('second', ts) AS DATE) AS day,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents,
+        |    printf('%020d:%020d', epoch_ns(ts), event_id) AS k
+        |  FROM events
+        |)
+        |SELECT event_type, day,
+        |  arg_min(cents, k) AS open_cents,
+        |  MAX(cents) AS high_cents,
+        |  MIN(cents) AS low_cents,
+        |  arg_max(cents, k) AS close_cents,
+        |  COUNT(*) AS n_trades,
+        |  CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS vwap_cents
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Full-outer emission: unmatched clicks exactly as st15; unmatched
     // purchases once purchase_ts itself passes the global watermark
     // (their candidate clicks all precede them, and sub-watermark

@@ -240,6 +240,39 @@ object EventsStream {
       .orderBy("day", "event_type")
   }
 
+  /** Streaming OHLC/VWAP bars — ts11's rollup computed incrementally:
+    * open/close ride min_by/max_by on the zero-padded (ts, event_id)
+    * total-order key, which are associative-mergeable across
+    * micro-batches (each batch carries its candidate key+value; merge
+    * keeps the extremum), so the streaming bars equal the batch bars
+    * exactly — the oracle IS ts11's SQL. Complete mode over the
+    * watermarked day windows; per-bar state is one row per
+    * (type, day).
+    */
+  def streamOhlcBars(spark: SparkSession, dir: String): DataFrame = {
+    val k = format_string("%020d:%020d", col("ts"), col("event_id"))
+    val bars = eventsStream(spark, dir)
+      .withColumn("cents", floor(col("value") * 100).cast(LongType))
+      .withColumn("k", k)
+      .withWatermark("ts_sec", "1 day")
+      .groupBy(window(col("ts_sec"), "1 day"), col("event_type"))
+      .agg(
+        min_by(col("cents"), col("k")).as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max_by(col("cents"), col("k")).as("close_cents"),
+        count(lit(1)).as("n_trades"),
+        (sum(col("cents")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("vwap_cents"),
+      )
+    runToMemory(bars, spark, "complete", "stream_ohlc")
+      .select(col("event_type"),
+        col("window.start").cast(DateType).as("day"),
+        col("open_cents"), col("high_cents"), col("low_cents"),
+        col("close_cents"), col("n_trades"), col("vwap_cents"))
+      .orderBy("event_type", "day")
+  }
+
   /** Streaming medallion refresh: the same daily aggregate as
     * [[dailyAggregates]], but LANDED — each micro-batch's complete-mode
     * snapshot is written through `AtomicLayer` (snapshot version + commit
