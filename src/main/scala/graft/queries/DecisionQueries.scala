@@ -358,8 +358,10 @@ object DecisionQueries {
         .localCheckpoint(eager = false) // feeds the min + the match
       val minCost = euPs.groupBy(col("l_partkey").as("mk"))
         .agg(min(col("cost_cents")).as("min_cents"))
+      // <= keeps the slice non-empty at every fixture SF (sf0.001 has
+      // no size-15 ECONOMY part at all)
       val slice = broadcast(Tables.part(spark, dir)
-        .where(col("p_type") === "ECONOMY" && col("p_size") === 15)
+        .where(col("p_type") === "ECONOMY" && col("p_size") <= 15)
         .select(col("p_partkey"), col("p_name")))
       euPs
         .join(minCost, col("mk") === col("l_partkey") &&
@@ -380,10 +382,15 @@ object DecisionQueries {
     // filter. Value derives from lineitem for one nation's suppliers
     // (partsupp substitute); the 1-row total broadcasts.
     "tq11_important_stock" -> { (spark, dir) =>
+      // region-scoped rather than Q11's single nation: the sf0.001
+      // fixture has 10 suppliers and may have NONE in a given nation,
+      // while every region is populated at all SFs
       val natSupp = broadcast(Tables.supplier(spark, dir)
-        .join(broadcast(Tables.nation(spark, dir)
-          .where(col("n_name") === "NATION_7")),
+        .join(broadcast(Tables.nation(spark, dir)),
           col("n_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.region(spark, dir)
+          .where(col("r_name") === "EUROPE")),
+          col("r_regionkey") === col("n_regionkey"))
         .select(col("s_suppkey")))
       val value = Tables.lineitem(spark, dir)
         .join(natSupp, col("s_suppkey") === col("l_suppkey"))
@@ -418,14 +425,21 @@ object DecisionQueries {
             floor(col("l_quantity")).cast(LongType)).otherwise(0L))
             .as("q_1995"))
         .where(col("q_1995") * 2 > col("q_total"))
-        // the fixture has only 100 suppliers, so a bare EXISTS saturates
-        // — require a MATERIAL excess-stock position (≥12 front-loaded
-        // red parts) to keep the supplier cut selective
+        // the fixture has few suppliers, so a bare EXISTS saturates —
+        // keep suppliers whose front-loaded-part count is STRICTLY
+        // ABOVE the all-supplier average (exact integer cross-multiply
+        // k·n > Σk), which stays selective and non-empty at every SF
         .groupBy("l_suppkey")
         .agg(count(lit(1)).as("n_excess_parts"))
-        .where(col("n_excess_parts") >= 12)
+        .localCheckpoint(eager = false) // feeds the mean + the cut
+      val stats = broadcast(qty.agg(
+        sum(col("n_excess_parts")).as("tot_k"),
+        count(lit(1)).as("n_supp")))
+      val cut = qty.crossJoin(stats)
+        .where(col("n_excess_parts") * col("n_supp") > col("tot_k"))
+        .select(col("l_suppkey"), col("n_excess_parts"))
       Tables.supplier(spark, dir)
-        .join(qty, col("l_suppkey") === col("s_suppkey"))
+        .join(cut, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(spark, dir)),
           col("n_nationkey") === col("s_nationkey"))
         .select(col("s_name"), col("n_name"), col("n_excess_parts"))
@@ -941,7 +955,7 @@ object DecisionQueries {
         |JOIN mc ON mc.l_partkey = e.l_partkey
         |  AND e.cost_cents = mc.min_cents
         |JOIN part p ON p.p_partkey = e.l_partkey
-        |WHERE p.p_type = 'ECONOMY' AND p.p_size = 15
+        |WHERE p.p_type = 'ECONOMY' AND p.p_size <= 15
         |ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
         |LIMIT 100""".stripMargin,
     "tq11_important_stock" ->
@@ -953,7 +967,8 @@ object DecisionQueries {
         |  WHERE l_suppkey IN (
         |    SELECT s_suppkey FROM supplier
         |    JOIN nation ON n_nationkey = s_nationkey
-        |    WHERE n_name = 'NATION_7')
+        |    JOIN region ON r_regionkey = n_regionkey
+        |    WHERE r_name = 'EUROPE')
         |  GROUP BY 1
         |), t AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS tot FROM v)
         |SELECT l_partkey AS ps_partkey,
@@ -976,12 +991,17 @@ object DecisionQueries {
         |), ex AS (
         |  SELECT l_suppkey, COUNT(*) AS n_excess_parts
         |  FROM q WHERE q_1995 * 2 > q_total
-        |  GROUP BY 1 HAVING COUNT(*) >= 12
+        |  GROUP BY 1
+        |), st AS (
+        |  SELECT CAST(SUM(n_excess_parts) AS BIGINT) AS tot_k,
+        |    COUNT(*) AS n_supp
+        |  FROM ex
         |)
         |SELECT s_name, n_name, n_excess_parts
         |FROM supplier
         |JOIN ex ON l_suppkey = s_suppkey
-        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN nation ON n_nationkey = s_nationkey, st
+        |WHERE n_excess_parts * n_supp > tot_k
         |ORDER BY s_name""".stripMargin,
     "tq16_supplier_variety" ->
       """SELECT p_brand, p_type, p_size,
