@@ -523,6 +523,8 @@ object Similarity {
     * nothing and compacts away).
     */
   def deleteFromIvfPqIndex(ids: DataFrame, root: String): Unit = {
+    require(ids.columns.length == 1,
+      s"delete batch must be a single id column, got: ${ids.columns.mkString(", ")}")
     val spark = ids.sparkSession
     val newTombs = ids.select(ids.columns.head match {
       case "c_vec" => col("c_vec")
