@@ -168,7 +168,11 @@ object EventsStream {
     * is identical to the left join: the range condition bounds both
     * sides to watermark + 1 h of rows.
     */
-  def streamStreamFullJoin(spark: SparkSession, dir: String): DataFrame = {
+  /** The UN-DRAINED full-outer join plan (ExpensivePlanSpec asserts the
+    * bounded-state shape on exactly what the drive runs, as with
+    * [[streamStreamLeftJoined]]).
+    */
+  def streamStreamFullJoined(spark: SparkSession, dir: String): DataFrame = {
     val ev = eventsStream(spark, dir)
     val clicks = ev
       .where(col("event_type") === "click")
@@ -184,13 +188,16 @@ object EventsStream {
         col("event_id").as("purchase_id"),
         col("ts_sec").as("purchase_ts"))
       .withWatermark("purchase_ts", "0 seconds")
-    val joined = clicks.join(
+    clicks.join(
       purchases,
       col("user_id") === col("p_user_id") &&
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
       "fullOuter")
-    StreamRun.toMemorySnapshot(joined, "append",
+  }
+
+  def streamStreamFullJoin(spark: SparkSession, dir: String): DataFrame = {
+    StreamRun.toMemorySnapshot(streamStreamFullJoined(spark, dir), "append",
         s"stream_stream_full_${runId.incrementAndGet()}",
         needsNoDataBatch = true)
       .withColumn("uid", coalesce(col("user_id"), col("p_user_id")))

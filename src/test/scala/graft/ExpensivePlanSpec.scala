@@ -42,7 +42,8 @@ class ExpensivePlanSpec extends SparkSpec {
   private val top10Batch = Seq(
     "ts2_interpolate", "tm2_clean_corpus", "d11_containment_join",
     "tm1_training_funnel", "ts10_daily_percentiles", "ssj1_prefix_jaccard",
-    "d7_dedup_pipeline", "d10_incremental_dedup", "cal1_gate_agreement")
+    "d7_dedup_pipeline", "d10_incremental_dedup", "cal1_gate_agreement",
+    "d6_dedup_clusters")
 
   test("bench top-10: no cartesian, no partition-less window anywhere") {
     for (name <- top10Batch) {
@@ -109,18 +110,21 @@ class ExpensivePlanSpec extends SparkSpec {
     // runs (the production code's own builder): bounded state requires
     // (a) an event-time watermark on each input and (b) a two-sided
     // time-range condition — lose either and state grows without bound.
-    val joined = graft.streaming.EventsStream.streamStreamLeftJoined(spark, sf0001)
-    val analyzed = joined.queryExecution.analyzed
-    val watermarks = analyzed.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => w
+    for (joined <- Seq(
+        graft.streaming.EventsStream.streamStreamLeftJoined(spark, sf0001),
+        graft.streaming.EventsStream.streamStreamFullJoined(spark, sf0001))) {
+      val analyzed = joined.queryExecution.analyzed
+      val watermarks = analyzed.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => w
+      }
+      assert(watermarks.length == 2,
+        s"expected a watermark on each join input, found ${watermarks.length}")
+      val join = analyzed.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.head
+      val cond = join.condition.map(_.toString).getOrElse("")
+      assert(cond.contains(">=") && cond.contains("<="),
+        s"join condition lost its two-sided time-range bound: $cond")
     }
-    assert(watermarks.length == 2,
-      s"expected a watermark on each join input, found ${watermarks.length}")
-    val join = analyzed.collect {
-      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
-    }.head
-    val cond = join.condition.map(_.toString).getOrElse("")
-    assert(cond.contains(">=") && cond.contains("<="),
-      s"join condition lost its two-sided time-range bound: $cond")
   }
 }
