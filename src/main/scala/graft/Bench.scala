@@ -74,12 +74,14 @@ object Bench {
         t
       }
       val drives = graft.streaming.StreamRun.drainedStats()
-      if (drives.nonEmpty)
-        streamSplit(name) =
-          (drives.map(_.drainS).sum, drives.map(_.overheadS).sum)
       val sec =
         if (times.exists(_ < 0)) -1.0
         else times.sorted.apply(reps / 2)
+      // no split for failed queries — a -1 median with a split row would
+      // read as a healthy stream measurement
+      if (drives.nonEmpty && sec >= 0)
+        streamSplit(name) =
+          (drives.map(_.drainS).sum, drives.map(_.overheadS).sum)
       name -> sec
     }
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)

@@ -529,7 +529,9 @@ object Similarity {
     val newTombs = ids.select(ids.columns.head match {
       case "c_vec" => col("c_vec")
       case other => col(other).as("c_vec")
-    }).distinct()
+    })
+    // one distinct over the union dedups batch-internal repeats AND
+    // already-tombstoned ids in the same exchange
     AtomicLayer.write(
       tombstonesOrEmpty(spark, root).unionByName(newTombs).distinct(),
       s"$root/tombstones.parquet", keepVersions = 1): Unit

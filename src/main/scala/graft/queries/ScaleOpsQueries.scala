@@ -401,8 +401,13 @@ object ScaleOpsQueries {
       def roll(df: DataFrame): DataFrame = df
         .groupBy("event_type", "day")
         .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
-      val root =
-        s"/tmp/graft_imv/${new java.io.File(dir).getName}/daily.parquet"
+      // Cache key carries a cheap source fingerprint (events file size +
+      // mtime): a regenerated fixture at the same path, or two fixture
+      // trees sharing a basename, must never merge against a stale base
+      // (metadata stat, not a history rescan — invalidation stays O(1)).
+      val src = new java.io.File(s"$dir/events.parquet")
+      val root = s"/tmp/graft_imv/${src.getParentFile.getName}-" +
+        s"${src.length()}_${src.lastModified()}/daily.parquet"
       if (AtomicLayer.latestCommitted(spark, root).isEmpty) {
         AtomicLayer.write(roll(ev.where(col("day") < split)), root,
           keepVersions = 1)

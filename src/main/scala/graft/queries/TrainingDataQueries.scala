@@ -820,6 +820,11 @@ object TrainingDataQueries {
     // cross-lingual tokenizer-cost metric (a high-fertility language
     // pays more sequence length per word, skewing both training cost
     // and mixture weights). Exact integer sums, one late division.
+    // Caveat shared with t1: Java's \s includes \x0B where RE2's does
+    // not — on a corpus containing vertical tabs the two engines'
+    // subtoken counts would differ. The fixture generator emits none
+    // (hash-exact proves it); a corpus that might should normalize the
+    // class to explicit characters on both sides.
     "tok3_fertility" -> { (spark, dir) =>
       Tables.documents(spark, dir)
         .select(col("lang"),

@@ -103,18 +103,6 @@ object EventsStream {
       .orderBy("user_id")
   }
 
-  /** Stream-stream LEFT OUTER join: clicks keep flowing even when no
-    * purchase follows within the hour — the unmatched side emits
-    * null-extended ONLY when the watermark proves no match can still
-    * arrive (state eviction IS the emission trigger). This is the half
-    * of the bounded-state story the inner join (st5) doesn't show: the
-    * engine holds a click exactly until `click_ts + 1 h` passes the
-    * watermark, then emits it null-extended and frees the state. Needs
-    * the no-data watermark batch (same opt-in as timers). Zero-delay
-    * watermarks make the final emission set deterministic: every click
-    * whose match window closed below max(event_time) has its fate
-    * sealed; later clicks stay pending and are NOT emitted.
-    */
   /** The UN-DRAINED streaming join plan behind [[streamStreamLeftJoin]]
     * — exposed so ExpensivePlanSpec can assert the bounded-state shape
     * (watermark on each input, two-sided time-range condition) on the
@@ -144,6 +132,18 @@ object EventsStream {
       "leftOuter")
   }
 
+  /** Stream-stream LEFT OUTER join: clicks keep flowing even when no
+    * purchase follows within the hour — the unmatched side emits
+    * null-extended ONLY when the watermark proves no match can still
+    * arrive (state eviction IS the emission trigger). This is the half
+    * of the bounded-state story the inner join (st5) doesn't show: the
+    * engine holds a click exactly until `click_ts + 1 h` passes the
+    * watermark, then emits it null-extended and frees the state. Needs
+    * the no-data watermark batch (same opt-in as timers). Zero-delay
+    * watermarks make the final emission set deterministic: every click
+    * whose match window closed below max(event_time) has its fate
+    * sealed; later clicks stay pending and are NOT emitted.
+    */
   def streamStreamLeftJoin(spark: SparkSession, dir: String): DataFrame = {
     StreamRun.toMemorySnapshot(streamStreamLeftJoined(spark, dir), "append",
         s"stream_stream_left_${runId.incrementAndGet()}",
@@ -157,17 +157,6 @@ object EventsStream {
       .orderBy("user_id")
   }
 
-  /** Stream-stream FULL OUTER join — the last member of the join-mode
-    * family (st5 inner, st15 left): BOTH unmatched sides emit
-    * null-extended when the watermark seals their fate. A click with no
-    * purchase in its following hour emits once `click_ts + 1 h` passes
-    * the watermark (exactly st15's rule); an unmatched purchase emits
-    * once `purchase_ts` itself passes it (its candidate clicks all have
-    * `click_ts <= purchase_ts`, and arrivals below the watermark are
-    * dropped — so at that point no future click can match). State cost
-    * is identical to the left join: the range condition bounds both
-    * sides to watermark + 1 h of rows.
-    */
   /** The UN-DRAINED full-outer join plan (ExpensivePlanSpec asserts the
     * bounded-state shape on exactly what the drive runs, as with
     * [[streamStreamLeftJoined]]).
@@ -196,6 +185,17 @@ object EventsStream {
       "fullOuter")
   }
 
+  /** Stream-stream FULL OUTER join — the last member of the join-mode
+    * family (st5 inner, st15 left): BOTH unmatched sides emit
+    * null-extended when the watermark seals their fate. A click with no
+    * purchase in its following hour emits once `click_ts + 1 h` passes
+    * the watermark (exactly st15's rule); an unmatched purchase emits
+    * once `purchase_ts` itself passes it (its candidate clicks all have
+    * `click_ts <= purchase_ts`, and arrivals below the watermark are
+    * dropped — so at that point no future click can match). State cost
+    * is identical to the left join: the range condition bounds both
+    * sides to watermark + 1 h of rows.
+    */
   def streamStreamFullJoin(spark: SparkSession, dir: String): DataFrame = {
     StreamRun.toMemorySnapshot(streamStreamFullJoined(spark, dir), "append",
         s"stream_stream_full_${runId.incrementAndGet()}",

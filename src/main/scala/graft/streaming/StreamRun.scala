@@ -28,12 +28,14 @@ object StreamRun {
 
   /** One drive's lifecycle timing: `drainS` is the data path
     * (processAllAvailable — every micro-batch incl. its planning and
-    * state commits), `overheadS` the fixed harness cost around it
-    * (query start, stop, checkpoint create/delete, conf swap). Collected
-    * so the bench can report engine time separately from the
-    * micro-batch-lifecycle floor (VERDICT r6 #7: a 3× drift in a
-    * streaming query's wall time is unexplainable when the two are
-    * conflated).
+    * state commits; memory-sink drives additionally log their snapshot
+    * materialization as a second `<name>-snapshot` entry so driver-side
+    * collection cost is attributed, not lost), `overheadS` the fixed
+    * harness cost around it (query start, stop, checkpoint
+    * create/delete, conf swap). Collected so the bench can report
+    * engine time separately from the micro-batch-lifecycle floor
+    * (VERDICT r6 #7: a 3× drift in a streaming query's wall time is
+    * unexplainable when the two are conflated).
     */
   final case class DriveStats(name: String, drainS: Double, overheadS: Double)
 
@@ -133,7 +135,9 @@ object StreamRun {
     val spark = df.sparkSession
     runDrained(df, name, needsNoDataBatch)(
       _.outputMode(mode).format("memory").queryName(name))
+    val s0 = System.nanoTime()
     val out = spark.table(name).localCheckpoint()
+    driveLog.add(DriveStats(s"$name-snapshot", (System.nanoTime() - s0) / 1e9, 0.0))
     spark.catalog.dropTempView(name)
     out
   }

@@ -17,13 +17,7 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   */
 class ExpensivePlanSpec extends SparkSpec {
 
-  private def executedString(df: DataFrame): String = {
-    df.count() // let AQE finalize
-    (df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p: SparkPlan => p
-    }).toString
-  }
+  private def executedString(df: DataFrame): String = executed(df).toString
 
   private def executed(df: DataFrame): SparkPlan = {
     df.count()
