@@ -86,6 +86,62 @@ object TrainingDataQueries {
         md5(array_join(col("chunk"), " ")).as("chunk_hash"))
   }
 
+  /** The gq1 Gopher-gate DuckDB replay's CTE chain (through the
+    * per-doc metrics relation `m`) — ONE copy shared by the per-doc
+    * gq1 oracle and the st24 streaming-gate census oracle, so the
+    * gate definition cannot drift between them.
+    */
+  private val gopherOracleCtes: String =
+    """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents
+        |), words AS (
+        |  SELECT doc_id, w[g.i] AS wd
+        |  FROM toks, UNNEST(generate_series(1, len(w))) AS g(i)
+        |), wstats AS (
+        |  SELECT doc_id, COUNT(*) AS n_words,
+        |    CAST(SUM(length(wd)) AS BIGINT) AS word_chars
+        |  FROM words GROUP BY 1
+        |), topw AS (
+        |  SELECT doc_id, c AS top_word_n FROM (
+        |    SELECT doc_id, wd, COUNT(*) AS c,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY COUNT(*) DESC, wd) AS rn
+        |    FROM words GROUP BY doc_id, wd) t WHERE rn = 1
+        |), bg AS (
+        |  SELECT doc_id, w[g.i] || ' ' || w[g.i + 1] AS g2
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS g(i)
+        |  WHERE len(w) >= 2
+        |), topbg AS (
+        |  SELECT doc_id, c AS top_bigram_n FROM (
+        |    SELECT doc_id, g2, COUNT(*) AS c,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY COUNT(*) DESC, g2) AS rn
+        |    FROM bg GROUP BY doc_id, g2) t WHERE rn = 1
+        |), tg AS (
+        |  SELECT doc_id, w[g.i] || ' ' || w[g.i + 1] || ' ' || w[g.i + 2] AS g3
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS g(i)
+        |  WHERE len(w) >= 3
+        |), tgc AS (
+        |  SELECT doc_id, g3, COUNT(*) AS c FROM tg GROUP BY 1, 2
+        |), tri AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_trigrams,
+        |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_trigram_n
+        |  FROM tgc GROUP BY 1
+        |), m AS (
+        |  SELECT d.doc_id,
+        |    CAST(coalesce(ws.n_words, 0) AS BIGINT) AS n_words,
+        |    CAST(coalesce(ws.word_chars, 0) AS BIGINT) AS word_chars,
+        |    CAST(coalesce(tw.top_word_n, 0) AS BIGINT) AS top_word_n,
+        |    CAST(coalesce(tb.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+        |    CAST(coalesce(tr.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+        |    CAST(coalesce(tr.dup_trigram_n, 0) AS BIGINT) AS dup_trigram_n
+        |  FROM documents d
+        |  LEFT JOIN wstats ws USING (doc_id)
+        |  LEFT JOIN topw tw USING (doc_id)
+        |  LEFT JOIN topbg tb USING (doc_id)
+        |  LEFT JOIN tri tr USING (doc_id))""".stripMargin
+
   val queries: Map[String, Q] = Map(
 
     // Sequence packing: documents → fixed-capacity token bins (the rows
@@ -813,6 +869,16 @@ object TrainingDataQueries {
           min(col("doc_id")).as("first_doc"))
         .where(col("n_docs") >= 2)
         .orderBy("chunk_hash")
+    },
+
+    // Streaming ingest quality gate — each arriving micro-batch judged
+    // by the SAME Gopher gate as gq1 inside foreachBatch, per-source
+    // census merged across batches by partial-aggregate summation (the
+    // imv1 merge rule), so N micro-batches produce exactly the batch
+    // census. The ingest-side gating a training pipeline runs
+    // continuously.
+    "st24_stream_quality_gate" -> { (spark, dir) =>
+      graft.streaming.DocsStream.streamQualityGate(spark, dir)
     },
 
     // Tokenizer fertility per language — subtokens emitted per
@@ -1581,56 +1647,30 @@ object TrainingDataQueries {
         |LEFT JOIN stats st USING (doc_id)
         |LEFT JOIN rebuilt r USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // st24 reuses gq1's CTE chain and aggregates the gate per source —
+    // the streaming census must equal the batch one exactly.
+    "st24_stream_quality_gate" ->
+      (gopherOracleCtes +
+        """
+          |SELECT d.source, COUNT(*) AS n_docs,
+          |  CAST(count_if(n_words BETWEEN 5 AND 100000
+          |    AND top_word_n * 8 <= n_words
+          |    AND top_bigram_n * 5 <= n_words - 1
+          |    AND dup_trigram_n * 10 <= n_trigrams * 3
+          |    AND word_chars >= n_words * 2
+          |    AND word_chars <= n_words * 10) AS BIGINT) AS n_pass,
+          |  CAST(SUM(CASE WHEN n_words BETWEEN 5 AND 100000
+          |    AND top_word_n * 8 <= n_words
+          |    AND top_bigram_n * 5 <= n_words - 1
+          |    AND dup_trigram_n * 10 <= n_trigrams * 3
+          |    AND word_chars >= n_words * 2
+          |    AND word_chars <= n_words * 10 THEN n_words ELSE 0 END)
+          |    AS BIGINT) AS pass_words
+          |FROM m JOIN documents d USING (doc_id)
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
     "gq1_gopher_quality" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
-        |  FROM documents
-        |), words AS (
-        |  SELECT doc_id, w[g.i] AS wd
-        |  FROM toks, UNNEST(generate_series(1, len(w))) AS g(i)
-        |), wstats AS (
-        |  SELECT doc_id, COUNT(*) AS n_words,
-        |    CAST(SUM(length(wd)) AS BIGINT) AS word_chars
-        |  FROM words GROUP BY 1
-        |), topw AS (
-        |  SELECT doc_id, c AS top_word_n FROM (
-        |    SELECT doc_id, wd, COUNT(*) AS c,
-        |      row_number() OVER (PARTITION BY doc_id
-        |        ORDER BY COUNT(*) DESC, wd) AS rn
-        |    FROM words GROUP BY doc_id, wd) t WHERE rn = 1
-        |), bg AS (
-        |  SELECT doc_id, w[g.i] || ' ' || w[g.i + 1] AS g2
-        |  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS g(i)
-        |  WHERE len(w) >= 2
-        |), topbg AS (
-        |  SELECT doc_id, c AS top_bigram_n FROM (
-        |    SELECT doc_id, g2, COUNT(*) AS c,
-        |      row_number() OVER (PARTITION BY doc_id
-        |        ORDER BY COUNT(*) DESC, g2) AS rn
-        |    FROM bg GROUP BY doc_id, g2) t WHERE rn = 1
-        |), tg AS (
-        |  SELECT doc_id, w[g.i] || ' ' || w[g.i + 1] || ' ' || w[g.i + 2] AS g3
-        |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS g(i)
-        |  WHERE len(w) >= 3
-        |), tgc AS (
-        |  SELECT doc_id, g3, COUNT(*) AS c FROM tg GROUP BY 1, 2
-        |), tri AS (
-        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_trigrams,
-        |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_trigram_n
-        |  FROM tgc GROUP BY 1
-        |), m AS (
-        |  SELECT d.doc_id,
-        |    CAST(coalesce(ws.n_words, 0) AS BIGINT) AS n_words,
-        |    CAST(coalesce(ws.word_chars, 0) AS BIGINT) AS word_chars,
-        |    CAST(coalesce(tw.top_word_n, 0) AS BIGINT) AS top_word_n,
-        |    CAST(coalesce(tb.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
-        |    CAST(coalesce(tr.n_trigrams, 0) AS BIGINT) AS n_trigrams,
-        |    CAST(coalesce(tr.dup_trigram_n, 0) AS BIGINT) AS dup_trigram_n
-        |  FROM documents d
-        |  LEFT JOIN wstats ws USING (doc_id)
-        |  LEFT JOIN topw tw USING (doc_id)
-        |  LEFT JOIN topbg tb USING (doc_id)
-        |  LEFT JOIN tri tr USING (doc_id))
+      (gopherOracleCtes +
+        """
         |SELECT *,
         |  CAST(top_word_n AS DOUBLE) / nullif(n_words, 0) AS top_word_frac,
         |  CAST(dup_trigram_n AS DOUBLE) / nullif(n_trigrams, 0) AS dup_trigram_frac,
@@ -1640,7 +1680,7 @@ object TrainingDataQueries {
         |   AND dup_trigram_n * 10 <= n_trigrams * 3
         |   AND word_chars >= n_words * 2
         |   AND word_chars <= n_words * 10) AS gopher_pass
-        |FROM m ORDER BY doc_id""".stripMargin,
+        |FROM m ORDER BY doc_id""".stripMargin),
     // tm2: sdr1's span-removal chain rebuilds clean_text per doc, gq1's
     // gopher chain re-judges the CLEANED relation (same CTEs, base
     // swapped from documents to the cleaned survivors), and the census

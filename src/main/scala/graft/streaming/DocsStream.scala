@@ -54,4 +54,47 @@ object DocsStream {
         s"stream_inc_dedup_${runId.incrementAndGet()}")
       .orderBy("content_hash")
   }
+
+  /** Streaming ingest QUALITY GATE: each arriving micro-batch of
+    * documents is judged by the SAME Gopher gate definition as the batch
+    * gq1 (`DataQuality.gopherMetrics` — per-doc windows are legal inside
+    * foreachBatch, where the micro-batch is an ordinary DataFrame), and
+    * the per-source census (docs seen / docs passing / words admitted)
+    * MERGES into an AtomicLayer snapshot by key-wise partial-aggregate
+    * summation — the imv1 pattern, so the census after any number of
+    * micro-batches equals the batch census exactly (counts and sums are
+    * associative). This is the ingest-side gating a training pipeline
+    * runs continuously; the oracle is the batch gate census.
+    */
+  def streamQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.energy.AtomicLayer
+    val schema = StreamRun.cachedSchema(spark, dir, "documents.parquet")
+    val docs = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val root = java.nio.file.Files.createTempDirectory("graft-gate")
+      .toString + "/census.parquet"
+    StreamRun.driveForeachBatch(docs, "append",
+        s"quality_gate_${runId.incrementAndGet()}") { (batch, _) =>
+      val census = graft.operators.DataQuality.gopherMetrics(batch)
+        .join(batch.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("count_if(gopher_pass)").as("n_pass"),
+          sum(when(col("gopher_pass"), col("n_words")).otherwise(0L))
+            .as("pass_words"))
+      val merged =
+        if (AtomicLayer.latestCommitted(spark, root).isDefined)
+          AtomicLayer.read(spark, root).unionByName(census)
+            .groupBy("source")
+            .agg(sum(col("n_docs")).as("n_docs"),
+              sum(col("n_pass")).as("n_pass"),
+              sum(col("pass_words")).as("pass_words"))
+        else census
+      AtomicLayer.write(merged, root, keepVersions = 1)
+      (): Unit
+    }
+    AtomicLayer.read(spark, root).orderBy("source")
+  }
 }
