@@ -223,6 +223,38 @@ object PipelineQueries {
           |FROM events_ts10 GROUP BY 1 ORDER BY day""".stripMargin)
     },
 
+    // Late-data RESTATEMENT diff — when a late batch (event_id % 50 = 0
+    // models the stragglers) lands into already-closed daily rollups,
+    // downstream consumers need to know WHICH (day, type) partitions
+    // changed and by how much, not a full re-export. Two partial
+    // aggregates (on-time, late) merge key-wise; only rows the late
+    // batch actually touched emit, with before/after/delta in exact
+    // cents — the invalidation manifest that drives incremental
+    // downstream refresh. At scale the late batch is tiny: its partial
+    // aggregate is the only new work, and the emitted manifest is
+    // bounded by touched partitions, never the rollup.
+    "rst1_restatement" -> { (spark, dir) =>
+      val ev = Tables.events(spark, dir)
+        .select(col("event_type"), to_date(col("ts_sec")).as("day"),
+          floor(col("value") * 100).cast(LongType).as("cents"),
+          (col("event_id") % 50 === 0).as("late"))
+      val agg = ev.groupBy("event_type", "day")
+        .agg(
+          expr("count_if(NOT late)").as("n_before"),
+          sum(when(!col("late"), col("cents")).otherwise(0L))
+            .as("cents_before"),
+          expr("count_if(late)").as("n_late"),
+          sum(when(col("late"), col("cents")).otherwise(0L)).as("cents_late"))
+      agg.where(col("n_late") > 0)
+        .select(col("event_type"), col("day"),
+          col("n_before"), col("cents_before"),
+          col("n_late"),
+          (col("n_before") + col("n_late")).as("n_after"),
+          (col("cents_before") + col("cents_late")).as("cents_after"),
+          col("cents_late").as("cents_delta"))
+        .orderBy("event_type", "day")
+    },
+
     // OHLC + VWAP bars per (event_type, day) — the time-series rollup
     // every monitoring/market pipeline ships: open/close via min_by/
     // max_by on a zero-padded (ts, event_id) string key (total order —
@@ -641,6 +673,28 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
 
+    "rst1_restatement" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(date_trunc('second', ts) AS DATE) AS day,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents,
+        |    event_id % 50 = 0 AS late
+        |  FROM events
+        |), agg AS (
+        |  SELECT event_type, day,
+        |    CAST(count_if(NOT late) AS BIGINT) AS n_before,
+        |    CAST(SUM(CASE WHEN NOT late THEN cents ELSE 0 END) AS BIGINT)
+        |      AS cents_before,
+        |    CAST(count_if(late) AS BIGINT) AS n_late,
+        |    CAST(SUM(CASE WHEN late THEN cents ELSE 0 END) AS BIGINT)
+        |      AS cents_late
+        |  FROM e GROUP BY 1, 2
+        |)
+        |SELECT event_type, day, n_before, cents_before, n_late,
+        |  n_before + n_late AS n_after,
+        |  cents_before + cents_late AS cents_after,
+        |  cents_late AS cents_delta
+        |FROM agg WHERE n_late > 0
+        |ORDER BY event_type, day""".stripMargin,
     "ts11_ohlc_bars" ->
       """WITH e AS (
         |  SELECT event_type, CAST(date_trunc('second', ts) AS DATE) AS day,
