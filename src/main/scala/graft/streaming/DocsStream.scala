@@ -67,12 +67,21 @@ object DocsStream {
     * runs continuously; the oracle is the batch gate census.
     */
   def streamQualityGate(spark: SparkSession, dir: String): DataFrame = {
-    import graft.energy.AtomicLayer
     val schema = StreamRun.cachedSchema(spark, dir, "documents.parquet")
-    val docs = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    gateDrive(spark,
+      spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir))
+  }
+
+  /** The gate drive itself, over any prepared documents stream —
+    * factored out so the multi-batch merge law is testable: the spec
+    * drives a 3-file source at maxFilesPerTrigger=1 (three real
+    * micro-batches) and asserts the merged census equals the batch one.
+    */
+  private[graft] def gateDrive(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import graft.energy.AtomicLayer
     val root = java.nio.file.Files.createTempDirectory("graft-gate")
       .toString + "/census.parquet"
     StreamRun.driveForeachBatch(docs, "append",
