@@ -67,9 +67,47 @@ object AtomicLayer {
   def committedVersions(spark: SparkSession, root: String): Seq[(Int, String)] =
     versionDirs(spark, root).filter(_._3).map { case (n, p, _) => (n, p.toString) }
 
+  /** Atomically claim version number `n` by creating `v<n>.claim` with
+    * overwrite=false — create-no-overwrite is atomic on the local FS
+    * and HDFS, so exactly ONE of any number of concurrent writers wins
+    * a given number; losers advance and retry. The claim covers the
+    * window before the `v<n>` directory itself becomes visible to
+    * [[versionDirs]]; it is deleted once the directory exists (a
+    * crashed claimant leaves a stale claim, which later writers skip
+    * past and the prune step sweeps).
+    */
+  private def claimVersion(fs: FileSystem, root: Path, from: Int): Int = {
+    var n = from
+    while (true) {
+      val claim = new Path(root, s"v$n.claim")
+      val dir = new Path(root, s"v$n")
+      if (!fs.exists(dir) && tryClaim(fs, claim)) return n
+      n += 1
+    }
+    n // unreachable
+  }
+
+  /** Atomic create-if-absent of the claim file. On HDFS/object stores,
+    * `create(overwrite=false)` is enforced atomically server-side; on
+    * the LOCAL filesystem Hadoop's implementation is a non-atomic
+    * exists-then-create (all racers pass the check), so the file scheme
+    * routes through `java.io.File.createNewFile`, which the JDK
+    * guarantees atomic (O_CREAT|O_EXCL).
+    */
+  private def tryClaim(fs: FileSystem, claim: Path): Boolean =
+    if (fs.getScheme == "file")
+      new java.io.File(claim.toUri.getPath).createNewFile()
+    else
+      try { fs.create(claim, false).close(); true }
+      catch { case _: java.io.IOException => false }
+
   /** Write `df` as the next snapshot version of the table at `root`.
     * The version counter advances past uncommitted (crashed) attempts
-    * rather than reusing their directories. Returns the committed dir.
+    * rather than reusing their directories, and the number itself is
+    * taken via an atomic claim file, so CONCURRENT writers can never
+    * interleave task files inside one version directory — each commit
+    * is some single writer's complete snapshot (last committer's
+    * version is the one readers resolve). Returns the committed dir.
     */
   def write(
       df: DataFrame,
@@ -79,20 +117,48 @@ object AtomicLayer {
   ): String = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val spark = df.sparkSession
+    val (fs, rootPath) = fsFor(spark, root)
+    fs.mkdirs(rootPath)
     val all = versionDirs(spark, root)
-    val next = all.map(_._1).maxOption.getOrElse(-1) + 1
+    val next = claimVersion(fs, rootPath,
+      all.map(_._1).maxOption.getOrElse(-1) + 1)
     val dir = s"$root/v$next"
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(dir)
-    // prune: committed versions beyond the retention window, plus any
-    // uncommitted debris older than the new snapshot (crashed writes)
-    val (fs, _) = fsFor(spark, root)
+    fs.delete(new Path(rootPath, s"v$next.claim"), false)
+    // prune: committed versions beyond the retention window, any
+    // uncommitted debris older than the new snapshot (crashed writes),
+    // and orphaned claim files whose directory is COMMITTED (the owner
+    // definitely finished writing; it crashed between its commit and
+    // its own claim delete). Claims whose dir is absent or still
+    // uncommitted may belong to an in-flight writer and must never be
+    // swept: unseating one would let a later writer re-claim the number
+    // and interleave files — the exact race the claim protocol exists
+    // to prevent.
     val after = versionDirs(spark, root)
     val staleCommitted = after.filter(_._3).dropRight(keepVersions)
-    val crashed = after.filter { case (v, _, committed) => !committed && v < next }
+    // an uncommitted dir WITH a live claim may be a concurrent writer
+    // mid-job (its committer hasn't placed _SUCCESS yet) — only sweep
+    // uncommitted dirs whose claim is gone (genuinely crashed/legacy)
+    val crashed = after.filter { case (v, _, committed) =>
+      !committed && v < next &&
+        !fs.exists(new Path(rootPath, s"v$v.claim"))
+    }
     (staleCommitted ++ crashed).foreach { case (_, p, _) => fs.delete(p, true) }
+    fs.listStatus(rootPath).toSeq
+      .filter(st => !st.isDirectory)
+      .foreach { st =>
+        st.getPath.getName match {
+          case StaleClaim(n) if n.toInt < next &&
+              fs.exists(new Path(rootPath, s"v$n/_SUCCESS")) =>
+            fs.delete(st.getPath, false)
+          case _ => ()
+        }
+      }
     dir
   }
+
+  private val StaleClaim = "v(\\d+)\\.claim".r
 
   /** Read the highest committed snapshot. Falls back to reading `root`
     * directly when no version directories exist (pre-atomic layouts and
