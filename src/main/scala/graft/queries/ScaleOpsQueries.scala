@@ -383,6 +383,38 @@ object ScaleOpsQueries {
         .orderBy("layout", "pred")
     },
 
+    // Schema EVOLUTION read — the lakehouse reality that a long-lived
+    // table's early files lack columns added later: era-1 files carry
+    // (day, event_type, n_events), era-2 files add sum_cents. One
+    // mergeSchema read unifies them (missing columns surface as NULLs,
+    // never errors), and the census proves both the union schema and
+    // the per-era null accounting. The written layout is rebuilt in a
+    // fresh temp dir per call (no cross-run cache to go stale); at
+    // warehouse scale mergeSchema cost is footer-only and bounded by
+    // file count, not rows.
+    "se1_schema_evolution" -> { (spark, dir) =>
+      val split = lit("2024-01-25").cast("date")
+      val ev = Tables.events(spark, dir)
+        .select(col("event_type"), to_date(col("ts_sec")).as("day"),
+          floor(col("value") * 100).cast(LongType).as("cents"))
+      val out = java.nio.file.Files.createTempDirectory("graft-se1")
+        .toString + "/table"
+      ev.where(col("day") < split)
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n_events"))
+        .write.mode("append").parquet(out)
+      ev.where(col("day") >= split)
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+        .write.mode("append").parquet(out)
+      spark.read.option("mergeSchema", "true").parquet(out)
+        .groupBy(col("sum_cents").isNull.as("legacy_era"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_events")).as("n_events_total"),
+          sum(coalesce(col("sum_cents"), lit(0L))).as("cents_total"))
+        .orderBy("legacy_era")
+    },
+
     // Incremental materialized-view maintenance — the core loop of
     // every large-scale rollup pipeline: the daily revenue view is
     // PERSISTED once from history (days before the split), then each
@@ -424,6 +456,26 @@ object ScaleOpsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "se1_schema_evolution" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(date_trunc('second', ts) AS DATE) AS day,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), v1 AS (
+        |  SELECT event_type, day, COUNT(*) AS n
+        |  FROM e WHERE day < DATE '2024-01-25' GROUP BY 1, 2
+        |), v2 AS (
+        |  SELECT event_type, day, COUNT(*) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS sc
+        |  FROM e WHERE day >= DATE '2024-01-25' GROUP BY 1, 2
+        |), merged AS (
+        |  SELECT n, CAST(NULL AS BIGINT) AS sc, TRUE AS legacy_era FROM v1
+        |  UNION ALL SELECT n, sc, FALSE FROM v2
+        |)
+        |SELECT legacy_era, COUNT(*) AS n_rows,
+        |  CAST(SUM(n) AS BIGINT) AS n_events_total,
+        |  CAST(SUM(coalesce(sc, 0)) AS BIGINT) AS cents_total
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     // imv1's oracle is deliberately the FULL recompute — incremental
     // maintenance is only correct if it is indistinguishable from it.
     "imv1_incremental_rollup" ->
