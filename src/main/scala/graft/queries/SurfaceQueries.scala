@@ -362,6 +362,36 @@ object SurfaceQueries {
         .orderBy("day")
     },
 
+    // Dynamic partition OVERWRITE — INSERT OVERWRITE that replaces only
+    // the partitions present in the incoming batch
+    // (partitionOverwriteMode=dynamic), the write-side twin of rst1's
+    // restatement manifest: restating one event_type must not touch the
+    // other types' partitions. Sequence: land all types; overwrite with
+    // a CLICK-only restated batch (cents doubled); the read-back census
+    // shows click restated and every other partition byte-identical
+    // originals — under STATIC mode the second write would have wiped
+    // them, so the non-click rows' survival IS the mode's proof.
+    "pw2_dynamic_overwrite" -> { (spark, dir) =>
+      val out = java.nio.file.Files.createTempDirectory("graft-pw2")
+        .toString + "/t"
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 100).cast(LongType).as("cents"))
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+      val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      try {
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        ev.where(col("event_type") === "click")
+          .withColumn("cents", col("cents") * 2)
+          .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      } finally
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_total"))
+        .orderBy("event_type")
+    },
+
     // ORC sink/source round-trip — the other columnar format a Spark
     // warehouse must read and write. Equality with the parquet-sourced
     // oracle proves type fidelity (dates, doubles, strings) through the
@@ -492,6 +522,15 @@ object SurfaceQueries {
         |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events WHERE event_type = 'click'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // pw2: click cents restated (doubled), every other partition must
+    // survive the dynamic overwrite with its ORIGINAL totals.
+    "pw2_dynamic_overwrite" ->
+      """SELECT event_type, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN event_type = 'click'
+        |    THEN 2 * CAST(floor(value * 100) AS BIGINT)
+        |    ELSE CAST(floor(value * 100) AS BIGINT) END) AS BIGINT)
+        |    AS cents_total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "orc1_roundtrip" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
