@@ -293,6 +293,66 @@ object ExperimentQueries {
         .orderBy("l")
     },
 
+    // Poisson-bootstrap CI for the MEDIAN purchase spend — the robust
+    // twin of bs1, and unlike the mean it stays ALL-INTEGER end to end:
+    // each replicate's statistic is the weighted discrete lower median
+    // (least cents value whose running weight reaches half the
+    // replicate's total, found by cross-multiplied prefix sums — never
+    // a float), so the point estimate and both CI bounds are exact
+    // BIGINTs on any engine. Same no-resampling-shuffle shape as bs1:
+    // weights are pure hash functions, the per-replicate relation is
+    // (replicate × distinct cents), windows partition by replicate.
+    "bs2_bootstrap_median" -> { (spark, dir) =>
+      val b = 64
+      val pu = Tables.events(spark, dir)
+        .where(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(floor(col("value") * 100).cast(LongType)).as("cents"))
+        .localCheckpoint(eager = false) // feeds replicates + point median
+      val h = graft.operators.Dedup.portableHash60(
+        concat_ws(":", lit("bs2"), col("user_id"), col("r")))
+      val w = when(h < 424136118829305344L, 0L)
+        .when(h < 848272237658610688L, 1L)
+        .when(h < 1060340297073263360L, 2L)
+        .when(h < 1131029650211480960L, 3L)
+        .when(h < 1148701988496035200L, 4L)
+        .otherwise(5L)
+      val grouped = pu
+        .select(col("user_id"), col("cents"),
+          explode(sequence(lit(1), lit(b))).as("r"))
+        .withColumn("w", w)
+        .where(col("w") > 0)
+        .groupBy("r", "cents")
+        .agg(sum(col("w")).as("ws"))
+      val wr = Window.partitionBy("r")
+      val wOrd = wr.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // weighted discrete lower median per replicate: least cents with
+      // 2·cumweight >= total (exact integers)
+      val medians = grouped
+        .withColumn("cw", sum(col("ws")).over(wOrd))
+        .withColumn("tot", sum(col("ws")).over(wr))
+        .where(col("cw") * 2 >= col("tot"))
+        .groupBy("r").agg(min(col("cents")).as("med"))
+      val ord = Window.orderBy(col("med"), col("r"))
+      val ranked = medians.withColumn("rk", row_number().over(ord))
+        .localCheckpoint(eager = false) // feeds lo + hi + count
+      val nRep = broadcast(ranked.agg(count(lit(1)).as("nb")))
+      val lo = ranked.crossJoin(nRep)
+        .where(col("rk") === ceil(col("nb") * 0.025).cast(LongType))
+        .select(col("med").as("ci_lo_cents"))
+      val hi = ranked.crossJoin(nRep)
+        .where(col("rk") === ceil(col("nb") * 0.975).cast(LongType))
+        .select(col("med").as("ci_hi_cents"))
+      // full-sample discrete lower median via the shared distributed
+      // prefix-sum selector (same convention: least v with
+      // crank >= (n+1) div 2 ⟺ 2·cw >= n)
+      pu.agg(count(lit(1)).as("n_users"))
+        .crossJoin(broadcast(medianDisc(pu, "cents", "med_cents")))
+        .crossJoin(broadcast(lo))
+        .crossJoin(broadcast(hi))
+    },
+
     // Grouped 5-fold cross-validation assignment — folds split by USER
     // (the grouping unit), never by row, so no user's events straddle a
     // train/validation boundary (the leakage smp6 guards for the 2-way
@@ -375,6 +435,56 @@ object ExperimentQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "bs2_bootstrap_median" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |), reps AS (
+        |  SELECT pu.cents, g.r,
+        |    ('0x' || substr(md5('bs2:' || pu.user_id || ':' || g.r), 1, 15))::BIGINT AS h
+        |  FROM pu, UNNEST(generate_series(1, 64)) AS g(r)
+        |), wts AS (
+        |  SELECT r, cents,
+        |    CASE WHEN h < 424136118829305344 THEN 0
+        |         WHEN h < 848272237658610688 THEN 1
+        |         WHEN h < 1060340297073263360 THEN 2
+        |         WHEN h < 1131029650211480960 THEN 3
+        |         WHEN h < 1148701988496035200 THEN 4
+        |         ELSE 5 END AS w
+        |  FROM reps
+        |), grouped AS (
+        |  SELECT r, cents, CAST(SUM(w) AS BIGINT) AS ws
+        |  FROM wts WHERE w > 0 GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT r, cents,
+        |    CAST(SUM(ws) OVER (PARTITION BY r ORDER BY cents
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+        |    CAST(SUM(ws) OVER (PARTITION BY r) AS BIGINT) AS tot
+        |  FROM grouped
+        |), meds AS (
+        |  SELECT r, MIN(cents) AS med FROM cum
+        |  WHERE cw * 2 >= tot GROUP BY 1
+        |), ranked AS (
+        |  SELECT med,
+        |    row_number() OVER (ORDER BY med, r) AS rk,
+        |    COUNT(*) OVER () AS nb
+        |  FROM meds
+        |), point AS (
+        |  SELECT MIN(cents) AS med_cents FROM (
+        |    SELECT cents,
+        |      SUM(COUNT(*)) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+        |        AS crank,
+        |      SUM(COUNT(*)) OVER () AS n
+        |    FROM pu GROUP BY cents) t
+        |  WHERE crank >= (n + 1) // 2
+        |)
+        |SELECT (SELECT COUNT(*) FROM pu) AS n_users,
+        |  (SELECT med_cents FROM point) AS med_cents,
+        |  (SELECT med FROM ranked
+        |     WHERE rk = CAST(ceil(nb * 0.025) AS BIGINT)) AS ci_lo_cents,
+        |  (SELECT med FROM ranked
+        |     WHERE rk = CAST(ceil(nb * 0.975) AS BIGINT)) AS ci_hi_cents""".stripMargin,
     "pp2_l_diversity" ->
       """WITH cls AS (
         |  SELECT c_nationkey,
