@@ -383,6 +383,41 @@ object ScaleOpsQueries {
         .orderBy("layout", "pred")
     },
 
+    // GDPR user ERASURE with read-back proof — the relational twin of
+    // x30's ANN tombstones: the erasure set (user_id % 97 = 0, ~1% of
+    // users) is excluded from the rewritten per-user rollup, the
+    // snapshot lands via AtomicLayer, and the audit row counts the
+    // purge AND re-reads the COMMITTED artifact to prove zero residual
+    // rows for erased users — the oracle pins n_residual to literal 0,
+    // so any leak (a partition missed, a stale snapshot resolved) is a
+    // hash mismatch, not a silent success. Erasure cost is one rewrite
+    // of the derived table; the audit adds two scans of the (small)
+    // rollup.
+    "gdpr1_user_erasure" -> { (spark, dir) =>
+      import graft.energy.AtomicLayer
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"),
+          floor(col("value") * 100).cast(LongType).as("cents"))
+      val erase = col("user_id") % 97 === 0
+      val out = java.nio.file.Files.createTempDirectory("graft-gdpr")
+        .toString + "/user_rollup.parquet"
+      AtomicLayer.write(
+        ev.where(!erase).groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents")),
+        out, keepVersions = 1)
+      val back = AtomicLayer.read(spark, out)
+        .localCheckpoint(eager = false) // feeds residual + kept stats
+      ev.agg(
+          countDistinct(when(erase, col("user_id"))).as("n_users_erased"),
+          expr("count_if(user_id % 97 = 0)").as("n_rows_purged"),
+          sum(when(erase, col("cents")).otherwise(0L)).as("cents_purged"))
+        .crossJoin(broadcast(back.where(col("user_id") % 97 === 0)
+          .agg(count(lit(1)).as("n_residual"))))
+        .crossJoin(broadcast(back.agg(
+          count(lit(1)).as("n_users_kept"),
+          sum(col("cents")).as("cents_kept"))))
+    },
+
     // Schema EVOLUTION read — the lakehouse reality that a long-lived
     // table's early files lack columns added later: era-1 files carry
     // (day, event_type, n_events), era-2 files add sum_cents. One
@@ -456,6 +491,23 @@ object ScaleOpsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // n_residual is pinned to LITERAL 0: the Spark side reads it back
+    // from the committed artifact, so any erasure leak hash-fails.
+    "gdpr1_user_erasure" ->
+      """SELECT
+        |  CAST(COUNT(DISTINCT CASE WHEN user_id % 97 = 0
+        |    THEN user_id END) AS BIGINT) AS n_users_erased,
+        |  CAST(count_if(user_id % 97 = 0) AS BIGINT) AS n_rows_purged,
+        |  CAST(SUM(CASE WHEN user_id % 97 = 0
+        |    THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |    AS cents_purged,
+        |  CAST(0 AS BIGINT) AS n_residual,
+        |  CAST(COUNT(DISTINCT CASE WHEN user_id % 97 <> 0
+        |    THEN user_id END) AS BIGINT) AS n_users_kept,
+        |  CAST(SUM(CASE WHEN user_id % 97 <> 0
+        |    THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |    AS cents_kept
+        |FROM events""".stripMargin,
     "se1_schema_evolution" ->
       """WITH e AS (
         |  SELECT event_type, CAST(date_trunc('second', ts) AS DATE) AS day,
