@@ -72,9 +72,12 @@ object AtomicLayer {
     * and HDFS, so exactly ONE of any number of concurrent writers wins
     * a given number; losers advance and retry. The claim covers the
     * window before the `v<n>` directory itself becomes visible to
-    * [[versionDirs]]; it is deleted once the directory exists (a
-    * crashed claimant leaves a stale claim, which later writers skip
-    * past and the prune step sweeps).
+    * [[versionDirs]]; it is deleted once the snapshot commits. A
+    * claimant that DIES mid-write leaves its claim (and possibly an
+    * uncommitted dir) in place — later writers skip past it, and the
+    * prune step reclaims it only once the claim file's age exceeds
+    * `claimLeaseMs` (a lease: while it could still belong to a live,
+    * slow writer it is never unseated).
     */
   private def claimVersion(fs: FileSystem, root: Path, from: Int): Int = {
     var n = from
@@ -87,12 +90,19 @@ object AtomicLayer {
     n // unreachable
   }
 
-  /** Atomic create-if-absent of the claim file. On HDFS/object stores,
-    * `create(overwrite=false)` is enforced atomically server-side; on
-    * the LOCAL filesystem Hadoop's implementation is a non-atomic
-    * exists-then-create (all racers pass the check), so the file scheme
-    * routes through `java.io.File.createNewFile`, which the JDK
-    * guarantees atomic (O_CREAT|O_EXCL).
+  /** Atomic create-if-absent of the claim file. The exclusive-create
+    * guarantee holds on the LOCAL filesystem (routed through
+    * `java.io.File.createNewFile` — O_CREAT|O_EXCL — because Hadoop's
+    * local `create(overwrite=false)` is a non-atomic exists-then-create)
+    * and on HDFS (enforced server-side by the NameNode). It does NOT
+    * hold on S3A, whose create(overwrite=false) is an exists-then-PUT:
+    * two racers can both "win" there. So the concurrent-writer
+    * guarantee is scoped to local FS and HDFS; on S3 a deployment
+    * should route claims through a conditional PUT (If-None-Match,
+    * supported by S3 since 2024 but not by this Hadoop client's default
+    * path) or an external lock. Single-writer use — the pipeline's
+    * actual shape — is safe on every store, since the claim only
+    * arbitrates among CONCURRENT writers.
     */
   private def tryClaim(fs: FileSystem, claim: Path): Boolean =
     if (fs.getScheme == "file")
@@ -114,6 +124,7 @@ object AtomicLayer {
       root: String,
       partitionCols: Seq[String] = Nil,
       keepVersions: Int = 2,
+      claimLeaseMs: Long = 60L * 60 * 1000,
   ): String = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val spark = df.sparkSession
@@ -149,9 +160,24 @@ object AtomicLayer {
       .filter(st => !st.isDirectory)
       .foreach { st =>
         st.getPath.getName match {
-          case StaleClaim(n) if n.toInt < next &&
-              fs.exists(new Path(rootPath, s"v$n/_SUCCESS")) =>
-            fs.delete(st.getPath, false)
+          case StaleClaim(n) if n.toInt < next =>
+            val vDir = new Path(rootPath, s"v$n")
+            if (fs.exists(new Path(vDir, "_SUCCESS")))
+              // owner definitely finished (crashed between its commit
+              // and its own claim delete) — the claim is pure debris
+              fs.delete(st.getPath, false)
+            else if (System.currentTimeMillis() - st.getModificationTime > claimLeaseMs) {
+              // LEASE EXPIRY: claim older than the lease with no commit
+              // — the claimant is presumed dead; reclaim its number.
+              // Dir first, claim second: after the dir delete the claim
+              // still blocks re-claimants, and only once the claim is
+              // gone can a later writer take the number against an
+              // empty dir — never interleaving with stale task files.
+              // (A crash between the two deletes leaves just the claim,
+              // which the next write's sweep retries.)
+              if (fs.exists(vDir)) fs.delete(vDir, true)
+              fs.delete(st.getPath, false)
+            }
           case _ => ()
         }
       }

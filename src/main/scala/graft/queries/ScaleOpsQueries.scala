@@ -399,7 +399,7 @@ object ScaleOpsQueries {
         .select(col("user_id"),
           floor(col("value") * 100).cast(LongType).as("cents"))
       val erase = col("user_id") % 97 === 0
-      val out = java.nio.file.Files.createTempDirectory("graft-gdpr")
+      val out = graft.tools.Scratch.dir("graft-gdpr")
         .toString + "/user_rollup.parquet"
       AtomicLayer.write(
         ev.where(!erase).groupBy("user_id")
@@ -432,7 +432,7 @@ object ScaleOpsQueries {
       val ev = Tables.events(spark, dir)
         .select(col("event_type"), to_date(col("ts_sec")).as("day"),
           floor(col("value") * 100).cast(LongType).as("cents"))
-      val out = java.nio.file.Files.createTempDirectory("graft-se1")
+      val out = graft.tools.Scratch.dir("graft-se1")
         .toString + "/table"
       ev.where(col("day") < split)
         .groupBy("event_type", "day")

@@ -372,7 +372,7 @@ object SurfaceQueries {
     // originals — under STATIC mode the second write would have wiped
     // them, so the non-click rows' survival IS the mode's proof.
     "pw2_dynamic_overwrite" -> { (spark, dir) =>
-      val out = java.nio.file.Files.createTempDirectory("graft-pw2")
+      val out = graft.tools.Scratch.dir("graft-pw2")
         .toString + "/t"
       val ev = Tables.events(spark, dir)
         .select(col("event_id"), col("event_type"),

@@ -82,10 +82,33 @@ object DocsStream {
     */
   private[graft] def gateDrive(spark: SparkSession, docs: DataFrame): DataFrame = {
     import graft.energy.AtomicLayer
-    val root = java.nio.file.Files.createTempDirectory("graft-gate")
+    val root = graft.tools.Scratch.dir("graft-gate")
       .toString + "/census.parquet"
     StreamRun.driveForeachBatch(docs, "append",
-        s"quality_gate_${runId.incrementAndGet()}") { (batch, _) =>
+        s"quality_gate_${runId.incrementAndGet()}") { (batch, batchId) =>
+      mergeCensus(spark, root, batch, batchId): Unit
+    }
+    AtomicLayer.read(spark, root)
+      .drop("_merged_batch_id").orderBy("source")
+  }
+
+  /** One micro-batch's census merge, IDEMPOTENT under foreachBatch's
+    * at-least-once retry contract: the committed snapshot carries the
+    * highest batchId already folded in (`_merged_batch_id`, constant
+    * across rows), and a batch at-or-below it is a no-op — a retried
+    * micro-batch must not double-count. The guard read is a 1-row
+    * aggregate of the (per-source, bounded) census, not a data scan.
+    * Returns true when the batch was merged, false when skipped.
+    */
+  private[graft] def mergeCensus(spark: SparkSession, root: String,
+      batch: DataFrame, batchId: Long): Boolean = {
+    import graft.energy.AtomicLayer
+    val exists = AtomicLayer.latestCommitted(spark, root).isDefined
+    val alreadyMerged = exists &&
+      AtomicLayer.read(spark, root)
+        .agg(max(col("_merged_batch_id"))).head.getLong(0) >= batchId
+    if (alreadyMerged) false
+    else {
       val census = graft.operators.DataQuality.gopherMetrics(batch)
         .join(batch.select(col("doc_id"), col("source")), Seq("doc_id"))
         .groupBy("source")
@@ -94,16 +117,17 @@ object DocsStream {
           sum(when(col("gopher_pass"), col("n_words")).otherwise(0L))
             .as("pass_words"))
       val merged =
-        if (AtomicLayer.latestCommitted(spark, root).isDefined)
-          AtomicLayer.read(spark, root).unionByName(census)
+        if (exists)
+          AtomicLayer.read(spark, root).drop("_merged_batch_id")
+            .unionByName(census)
             .groupBy("source")
             .agg(sum(col("n_docs")).as("n_docs"),
               sum(col("n_pass")).as("n_pass"),
               sum(col("pass_words")).as("pass_words"))
         else census
-      AtomicLayer.write(merged, root, keepVersions = 1)
-      (): Unit
+      AtomicLayer.write(merged.withColumn("_merged_batch_id", lit(batchId)),
+        root, keepVersions = 1)
+      true
     }
-    AtomicLayer.read(spark, root).orderBy("source")
   }
 }

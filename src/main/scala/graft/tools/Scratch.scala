@@ -1,0 +1,72 @@
+package graft.tools
+
+import java.nio.file.{Files, Path}
+import java.util.concurrent.ConcurrentLinkedQueue
+
+/** Scratch-directory registry for queries that materialize an artifact
+  * (gdpr1 / se1 / pw2 / the streamed quality gate) and hand back a
+  * DataFrame that reads it LAZILY — the dir cannot be deleted inside the
+  * query function, because the caller has not consumed the result yet.
+  * Test suites route their fixture dirs through here too, so a full
+  * `sbt test` leaves no debris either.
+  *
+  * Every dir created here is deleted recursively by a JVM shutdown hook,
+  * so a full bench + verify run (warmup + reps included) leaves zero new
+  * /tmp entries after exit. Deletion is exit-time, not rotation-time, on
+  * purpose: a latest-only per-tag rotation would delete dir A the moment
+  * a second invocation of the same query creates dir B — unsound
+  * whenever the first result is still lazily unconsumed (two suites, or
+  * a plan-inspection pass that never executes). In-run accumulation is
+  * bounded: one dir per query invocation, a handful of KB each.
+  *
+  * The ONE intentional survivor is the `/tmp/graft_imv` materialized-view
+  * cache (ScaleOpsQueries.imv1): its whole point is cross-run base-table
+  * persistence, it is fingerprinted by source (size, mtime) so staleness
+  * self-invalidates, and its footprint is one rolled-up daily table —
+  * that cache does NOT come through here.
+  */
+object Scratch {
+
+  /** The registry mechanism, as a class so the sweep semantics are
+    * testable against an isolated instance — the GLOBAL registry's sweep
+    * only ever runs in the shutdown hook (a mid-run global sweep would
+    * delete dirs other components are still reading, including the live
+    * test session's warehouse dir).
+    */
+  private[tools] final class Registry {
+    private val registered = new ConcurrentLinkedQueue[Path]()
+
+    def dir(prefix: String): Path = {
+      val p = Files.createTempDirectory(prefix)
+      registered.add(p)
+      p
+    }
+
+    /** Drain the queue, deleting each registered tree. Idempotent. */
+    def sweep(): Unit = {
+      var p = registered.poll()
+      while (p != null) {
+        scala.util.Try(Registry.deleteRecursively(p))
+        p = registered.poll()
+      }
+    }
+  }
+
+  private[tools] object Registry {
+    def deleteRecursively(p: Path): Unit = {
+      val f = p.toFile
+      if (f.isDirectory) f.listFiles().foreach(c => deleteRecursively(c.toPath))
+      f.delete(): Unit
+    }
+  }
+
+  private val global = new Registry
+
+  Runtime.getRuntime.addShutdownHook(
+    new Thread(() => global.sweep(), "graft-scratch-sweep"))
+
+  /** A fresh temp dir under java.io.tmpdir, registered for exit-time
+    * recursive deletion.
+    */
+  def dir(prefix: String): Path = global.dir(prefix)
+}

@@ -134,7 +134,7 @@ class FixtureContractSpec extends SparkSpec {
       case ArrayType(DoubleType, n) => ArrayType(FloatType, n)
       case other => other
     }
-    val twinDir = java.nio.file.Files.createTempDirectory("fixture-twin").toString
+    val twinDir = graft.tools.Scratch.dir("fixture-twin").toString
     try {
       for (table <- contract.keys.toSeq.sorted) {
         val raw = Tables.t(spark, sf0001, table)
@@ -183,8 +183,8 @@ class FixtureContractSpec extends SparkSpec {
 
   test("normalizeEventTs accepts BOTH physical encodings identically") {
     import spark.implicits._
-    val dirM = java.nio.file.Files.createTempDirectory("fixture-micros").toString
-    val dirN = java.nio.file.Files.createTempDirectory("fixture-nanos").toString
+    val dirM = graft.tools.Scratch.dir("fixture-micros").toString
+    val dirN = graft.tools.Scratch.dir("fixture-nanos").toString
     try {
       // the same three instants, written once as TIMESTAMP (micros in
       // parquet) and once as raw long nanos — the two encodings the driver

@@ -95,7 +95,7 @@ class PlanSpec extends SparkSpec {
     // still list all partitions at discovery; bounding listing cost needs
     // a catalog table. The read-set bound is the part that moves bytes.
     import org.apache.spark.sql.functions._
-    val dir = java.nio.file.Files.createTempDirectory("ppart").toString + "/data"
+    val dir = graft.tools.Scratch.dir("ppart").toString + "/data"
     spark.range(1000)
       .select(col("id"), (col("id") % 10).as("day"))
       .write.partitionBy("day").parquet(dir)
@@ -124,7 +124,7 @@ class PlanSpec extends SparkSpec {
     // fact's partition column (reusing the broadcast), and the scan
     // reads only the surviving partitions' files.
     import org.apache.spark.sql.functions._
-    val dir = java.nio.file.Files.createTempDirectory("dpp").toString + "/fact"
+    val dir = graft.tools.Scratch.dir("dpp").toString + "/fact"
     spark.range(1000)
       .select(col("id"), (col("id") % 10).cast("int").as("day"))
       .write.partitionBy("day").parquet(dir)
@@ -378,7 +378,7 @@ class PlanSpec extends SparkSpec {
     // The 100 TB posture: a corpus arriving as many splits must take the
     // no-shuffle branch — the repartition exists only to rescue the
     // single-row-group local fixture.
-    val dir = java.nio.file.Files.createTempDirectory("scanpar").toString
+    val dir = graft.tools.Scratch.dir("scanpar").toString
     spark.range(1000).repartition(4).write.parquet(s"$dir/many")
     spark.range(1000).coalesce(1).write.parquet(s"$dir/one")
 

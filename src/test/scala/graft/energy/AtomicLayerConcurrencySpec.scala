@@ -15,7 +15,7 @@ class AtomicLayerConcurrencySpec extends SparkSpec {
   import spark.implicits._
 
   test("concurrent writers land complete, homogeneous, distinct versions") {
-    val root = java.nio.file.Files.createTempDirectory("alc").toString + "/t"
+    val root = graft.tools.Scratch.dir("alc").toString + "/t"
     val writers = 6
     val rowsPer = 50
     import scala.concurrent.{Await, Future}

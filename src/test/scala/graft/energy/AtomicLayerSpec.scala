@@ -12,7 +12,7 @@ class AtomicLayerSpec extends SparkSpec {
   import spark.implicits._
 
   private def tmpTable(): String =
-    Files.createTempDirectory("atomic_layer").resolve("t").toString
+    graft.tools.Scratch.dir("atomic_layer").resolve("t").toString
 
   private def df(vals: Int*) = vals.toSeq.toDF("x")
 
@@ -63,6 +63,29 @@ class AtomicLayerSpec extends SparkSpec {
     val back = AtomicLayer.read(spark, root)
     assert(back.select("x").as[Int].collect().sorted === Array(1, 2))
     assert(back.columns.toSet === Set("x", "p"))
+  }
+
+  test("expired-lease orphaned claim (crashed mid-write) is reclaimed; live lease is not") {
+    val root = tmpTable()
+    AtomicLayer.write(df(1), root)
+    // simulate a claimant that died mid-write: claim file + uncommitted dir
+    val claim = Paths.get(root, "v1.claim")
+    Files.createFile(claim)
+    val deadDir = Paths.get(root, "v1")
+    Files.createDirectories(deadDir)
+    Files.createFile(deadDir.resolve("part-00000.parquet"))
+
+    // within the lease the claimant might still be alive: never unseated
+    AtomicLayer.write(df(2), root)
+    assert(Files.exists(claim), "live-lease claim must survive the sweep")
+    assert(Files.exists(deadDir), "live-lease dir must survive the sweep")
+
+    // lease expired (claimLeaseMs=0): both the claim and its uncommitted
+    // dir are swept, and the version counter can move past the debris
+    AtomicLayer.write(df(3), root, claimLeaseMs = 0L)
+    assert(!Files.exists(claim), "expired claim should be reclaimed")
+    assert(!Files.exists(deadDir), "expired claimant's dir should be swept")
+    assert(AtomicLayer.read(spark, root).as[Int].collect() === Array(3))
   }
 
   test("read falls back to a plain (pre-atomic) parquet layout") {

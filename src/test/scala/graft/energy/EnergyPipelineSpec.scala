@@ -14,7 +14,7 @@ class EnergyPipelineSpec extends SparkSpec {
   private def epoch(d: LocalDate) = d.toEpochDay * 86400L
 
   test("end-to-end: fixture payloads -> gold matches hand-computed sums") {
-    val tmp = Files.createTempDirectory("energy-e2e").toString
+    val tmp = graft.tools.Scratch.dir("energy-e2e").toString
     val cfg = EnergyConfig.default(tmp).copy(
       backfill = BackfillConfig(day("2025-01-01"), day("2025-01-03"))
     )

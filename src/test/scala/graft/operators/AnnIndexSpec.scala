@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 class AnnIndexSpec extends SparkSpec {
 
   private def tmpRoot(): String =
-    java.nio.file.Files.createTempDirectory("ann-index").toString + "/idx"
+    graft.tools.Scratch.dir("ann-index").toString + "/idx"
 
   test("serve-from-persisted-index equals the inline IVFADC path exactly") {
     val emb = Tables.embeddings(spark, sf0001)

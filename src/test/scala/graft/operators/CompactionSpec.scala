@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 class CompactionSpec extends SparkSpec {
 
-  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+  private def tmp(p: String) = graft.tools.Scratch.dir(p).toString
 
   test("compaction collapses a many-file directory and preserves content") {
     val src = tmp("compact-src") + "/t"

@@ -53,7 +53,7 @@ class ZOrderSpec extends SparkSpec {
     val grid = spark.range(n).select(
       (pmod(xxhash64(col("id")), lit(256))).cast("int").as("x"),
       (pmod(xxhash64(col("id") + 1000000), lit(256))).cast("int").as("y"))
-    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    val base = graft.tools.Scratch.dir("zorder").toString
 
     val linear = grid.repartitionByRange(16, col("x")).sortWithinPartitions("x", "y")
     linear.write.option("maxRecordsPerFile", 2048).parquet(s"$base/linear")

@@ -15,7 +15,7 @@ class FileFormatsSpec extends SparkSpec {
     .limit(500)
 
   private def roundTrip(format: String): Unit = {
-    val dir = Files.createTempDirectory(s"fmt-$format").toString + "/t"
+    val dir = graft.tools.Scratch.dir(s"fmt-$format").toString + "/t"
     base.write.format(format).mode("overwrite").save(dir)
     val back = spark.read.format(format).schema(base.schema).load(dir)
     val a = base.orderBy("l_orderkey", "l_linenumber").collect().map(_.toSeq)
@@ -28,7 +28,7 @@ class FileFormatsSpec extends SparkSpec {
   test("orc round trip preserves rows") { roundTrip("orc") }
 
   test("csv honors header and delimiter options") {
-    val dir = Files.createTempDirectory("fmt-csvopts").toString + "/t"
+    val dir = graft.tools.Scratch.dir("fmt-csvopts").toString + "/t"
     base.limit(10).write.option("header", "true").option("sep", "|")
       .mode("overwrite").csv(dir)
     val back = spark.read.option("header", "true").option("sep", "|")

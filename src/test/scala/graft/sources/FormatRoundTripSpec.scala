@@ -12,7 +12,7 @@ import org.apache.spark.sql.types._
   */
 class FormatRoundTripSpec extends SparkSpec {
 
-  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+  private def tmp(p: String) = graft.tools.Scratch.dir(p).toString
 
   test("JSON round-trip preserves orders exactly (schema-applied read)") {
     val orig = Tables.orders(spark, sf0001)

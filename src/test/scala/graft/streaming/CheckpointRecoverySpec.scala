@@ -15,8 +15,8 @@ class CheckpointRecoverySpec extends SparkSpec {
 
   test("dropDuplicates state survives a query restart from checkpoint") {
     implicit val sqlCtx = spark.sqlContext
-    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
-    val sink = java.nio.file.Files.createTempDirectory("sink").toString
+    val ckpt = graft.tools.Scratch.dir("ckpt").toString
+    val sink = graft.tools.Scratch.dir("sink").toString
 
     def startQuery(input: MemoryStream[(Long, String)]) =
       input.toDF().toDF("id", "payload")

@@ -16,7 +16,7 @@ class StreamFullJoinSpec extends SparkSpec {
     */
   private def runPlanted(rows: Seq[(Long, Long, Long, String)]) = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("st22").toString
+    val dir = graft.tools.Scratch.dir("st22").toString
     // the file-stream source globs for a FILE named events.parquet (the
     // fixture layout) — write to a scratch dir and move the part file
     rows.toDF("event_id", "epoch_s", "user_id", "event_type")

@@ -27,7 +27,7 @@ class StreamQualityGateSpec extends SparkSpec {
 
   test("three micro-batches merge to exactly the batch census") {
     val docs = Tables.documents(spark, sf0001)
-    val dir = java.nio.file.Files.createTempDirectory("gate3").toString
+    val dir = graft.tools.Scratch.dir("gate3").toString
     // three guaranteed files: one explicit single-file write per slice
     // (hash repartition can collide residues into one partition)
     for (r <- 0 until 3) {
@@ -54,5 +54,29 @@ class StreamQualityGateSpec extends SparkSpec {
     assert(streamed == batchCensus(docs),
       "multi-batch merged census diverged from the batch census")
     assert(streamed.nonEmpty)
+  }
+
+  test("a retried micro-batch (same batchId) merges exactly once") {
+    val docs = Tables.documents(spark, sf0001)
+    val root = graft.tools.Scratch.dir("gate-retry")
+      .toString + "/census.parquet"
+    val b0 = docs.where(col("doc_id") % 2 === 0)
+    val b1 = docs.where(col("doc_id") % 2 === 1)
+
+    assert(DocsStream.mergeCensus(spark, root, b0, 0L), "first delivery merges")
+    val after0 = graft.energy.AtomicLayer.read(spark, root)
+      .drop("_merged_batch_id").orderBy("source").collect().toSeq
+    // foreachBatch is at-least-once: the SAME batch redelivered must be a
+    // no-op, not a double-count
+    assert(!DocsStream.mergeCensus(spark, root, b0, 0L), "retry must skip")
+    val afterRetry = graft.energy.AtomicLayer.read(spark, root)
+      .drop("_merged_batch_id").orderBy("source").collect().toSeq
+    assert(afterRetry == after0, "retried batch double-counted")
+
+    assert(DocsStream.mergeCensus(spark, root, b1, 1L), "next batch merges")
+    val merged = graft.energy.AtomicLayer.read(spark, root)
+      .drop("_merged_batch_id").orderBy("source").collect().toSeq
+    assert(merged == batchCensus(docs),
+      "retry-safe merge diverged from the batch census")
   }
 }

@@ -48,7 +48,7 @@ class TimerSessionsSpec extends SparkSpec {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
     import spark.implicits._
-    val tmp = Files.createTempDirectory("timer-boundary")
+    val tmp = graft.tools.Scratch.dir("timer-boundary")
     val stage = tmp.resolve("stage")
     Seq(
       (1L, 0L, 1L),             // expiry 0+10s = 10_000 ms == watermark

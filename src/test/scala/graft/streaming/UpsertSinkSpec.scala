@@ -12,7 +12,7 @@ class UpsertSinkSpec extends SparkSpec {
   import spark.implicits._
 
   private def tmp(prefix: String) =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+    graft.tools.Scratch.dir(prefix).toString
 
   private def stream(mem: MemoryStream[(Long, Long, String, Double)]) =
     mem.toDF()
