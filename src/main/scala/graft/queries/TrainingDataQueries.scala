@@ -817,16 +817,22 @@ object TrainingDataQueries {
     // Vocabulary coverage curve — the tokenizer-budget question "what
     // fraction of corpus tokens do the top-k vocab entries cover?" for
     // k = 10/100/1000. The corpus-wide stage is one word-count
-    // aggregate; the ranking window runs on the VOCAB table (orders of
-    // magnitude smaller than the corpus — the single-partition window
-    // is over ~|V| rows, never facts). Coverage is one late division
-    // of exact BIGINTs. k beyond |V| clamps to the full vocabulary.
+    // aggregate; since only ranks <= 1000 can ever match a k, the vocab
+    // first collapses through a DISTRIBUTED top-1000 (orderBy+limit
+    // plans TakeOrderedAndProject: per-partition heaps, driver merge —
+    // never a global sort), and the ranking window then rides a
+    // relation bounded by the LITERAL 1000 whatever the corpus (a noisy
+    // 100 TB web crawl has billions of distinct tokens; ranking the
+    // full vocab on one task would be the partition-less-window trap).
+    // Coverage is one late division of exact BIGINTs. k beyond |V|
+    // clamps to the full vocabulary.
     "tok2_vocab_coverage" -> { (spark, dir) =>
       val counts = Tables.documentsParallel(spark, dir)
         .select(explode(TextAnalysis.words(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
       val ord = Window.orderBy(col("c").desc, col("w"))
       val ranked = counts
+        .orderBy(col("c").desc, col("w")).limit(1000)
         .withColumn("rk", row_number().over(ord))
         .withColumn("cum", sum(col("c")).over(
           ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -4,16 +4,17 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
-/** Plan-shape regression guard for the BENCH TOP-10 (r6 ranking) — the
+/** Plan-shape regression guard for the BENCH TOP-10 (r7 ranking) — the
   * queries where a silent shape regression costs the most wall time.
   * st15's r6 3.2× drift went unnoticed because only its timing was
   * tracked; these assertions pin the load-bearing physical properties so
   * a shape regression fails the build even when timing noise masks it.
   *
-  * The generic sweep asserts the two failure modes that turn a linear
-  * plan quadratic at 100 TB: a CartesianProduct anywhere, and a
-  * partition-less Window (one task sorts the world). Query-specific
-  * tests add the property that makes THAT query scale.
+  * The top-10 sweep here checks the EXECUTED (post-AQE) plan — the plan
+  * that actually ran; [[RegistryPlanSweepSpec]] applies the same two
+  * generic assertions (no CartesianProduct, no unallowlisted global
+  * Window) to ALL registry queries at the pre-adaptive level.
+  * Query-specific tests add the property that makes THAT query scale.
   */
 class ExpensivePlanSpec extends SparkSpec {
 
@@ -30,14 +31,15 @@ class ExpensivePlanSpec extends SparkSpec {
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, sf0001)
 
-  // The r6 bench top-10 batch members (st15 is streaming — separate
-  // test below). Kept as an explicit list, not derived from a bench
-  // artifact, so the guard is hermetic.
+  // The r7 bench top-10 batch members, BENCH_r07 driver ranking (st22 is
+  // streaming — its join shape is pinned with st15 below). Kept as an
+  // explicit list, not derived from a bench artifact, so the guard is
+  // hermetic.
   private val top10Batch = Seq(
-    "ts2_interpolate", "tm2_clean_corpus", "d11_containment_join",
-    "tm1_training_funnel", "ts10_daily_percentiles", "ssj1_prefix_jaccard",
-    "d7_dedup_pipeline", "d10_incremental_dedup", "cal1_gate_agreement",
-    "d6_dedup_clusters")
+    "d11_containment_join", "ts2_interpolate", "d7_dedup_pipeline",
+    "ssj1_prefix_jaccard", "cal1_gate_agreement", "d6_dedup_clusters",
+    "d10_incremental_dedup", "tm1_training_funnel",
+    "bkt2_partitioned_bucketed", "tm2_clean_corpus")
 
   test("bench top-10: no cartesian, no partition-less window anywhere") {
     for (name <- top10Batch) {
