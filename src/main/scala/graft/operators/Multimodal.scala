@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column handling: media payloads are opaque `binary` columns
-  * with typed metadata alongside. The decode step is a clearly-marked STUB
-  * (this container ships no image/audio codecs); everything around it —
-  * schema, Dataset encoders, partition-level batching, feature shape — is
-  * the real plumbing a codec would drop into.
+  * with typed metadata alongside. The IMAGE tier decodes for real —
+  * [[synthesizePng]]/[[decodePngStats]] round-trip actual PNG bytes
+  * through `javax.imageio` (the JDK's own codec) inside `mapPartitions`.
+  * Only media the JVM cannot decode (video/audio — this container ships
+  * no such codecs) keep the clearly-marked STUB path; everything around
+  * it — schema, Dataset encoders, partition-level batching, feature
+  * shape — is the real plumbing a codec drops into.
   */
 object Multimodal {
 
@@ -100,6 +103,90 @@ object Multimodal {
         col("hx"))
       .select(col("doc_id"), col("frame_idx"),
         md5(expr("substring(hx, CAST(frame_idx * 32 + 1 AS INT), 64)")).as("d"))
+
+  final case class PngRecord(doc_id: Long, png: Array[Byte])
+  final case class PngStats(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long,
+  )
+
+  /** Deterministic pixel formula shared by the encoder and the oracle:
+    * channel value at (x, y) of image `id` is a small linear form mod
+    * 256, so DuckDB can recompute every expected channel SUM from
+    * (doc_id, x, y) arithmetic alone — no codec on the oracle side —
+    * while the Spark side must round-trip the REAL PNG bytes to get the
+    * same numbers.
+    */
+  private[operators] def pngWidth(id: Long): Int = (8 + (id % 5) * 4).toInt
+  private[operators] def pngHeight(id: Long): Int = (6 + (id % 3) * 4).toInt
+  private[operators] def pngPixel(id: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((id * 31 + x * 7 + y * 13) % 256).toInt,
+    ((id * 17 + x * 11 + y * 3) % 256).toInt,
+    ((id * 29 + x * 5 + y * 19) % 256).toInt,
+  )
+
+  /** REAL image payloads: deterministic RGB pixels encoded to PNG with
+    * `javax.imageio` inside `mapPartitions` — the JDK's own codec, no
+    * external jars. This replaces the "no codecs in the sandbox" stub
+    * for the image tier (the stub remains only for media types the JVM
+    * cannot decode: video/audio).
+    */
+  def synthesizePng(spark: SparkSession, ids: DataFrame): Dataset[PngRecord] = {
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val (w, h) = (pngWidth(id), pngHeight(id))
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = pngPixel(id, x, y)
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      PngRecord(id, bos.toByteArray)
+    })
+  }
+
+  /** REAL decode: `ImageIO.read` the PNG bytes back to pixels and reduce
+    * to exact integer channel sums — this is the legitimate
+    * `mapPartitions` case (a codec, not an expression). Any encode or
+    * decode corruption (channel swap, row stride, palette quantization)
+    * shifts a sum and hash-fails against the oracle's arithmetic
+    * recomputation. PNG is lossless, so equality is exact, not
+    * approximate.
+    */
+  def decodePngStats(spark: SparkSession, pngs: Dataset[PngRecord]): Dataset[PngStats] = {
+    import spark.implicits._
+    pngs.mapPartitions(_.map { rec =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(rec.png))
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff
+          sg += (rgb >> 8) & 0xff
+          sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      PngStats(rec.doc_id, w, h, sr, sg, sb)
+    })
+  }
 
   def sceneCuts(docs: DataFrame, hammingThreshold: Int): DataFrame = {
     val frames = frameDigestRows(docs)

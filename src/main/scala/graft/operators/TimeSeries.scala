@@ -51,50 +51,75 @@ object TimeSeries {
     spine.join(h, Seq("user_id", "hr"), "left")
   }
 
+  /** Each OBSERVED hourly row annotated with its successor observation
+    * (`lead` within the user) and then EXPLODED into the dense segment it
+    * owns: itself plus every missing hour strictly before the next
+    * observation. The union of segments IS the [min, max] hourly spine,
+    * with both interpolation endpoints already sitting on every row.
+    *
+    * This is the load-bearing shape for ts1/ts2 (r7 bench top-3 for
+    * three rounds): the previous formulation built the spine by
+    * per-user bounds + `sequence` + a (user, hr) equi-join back to the
+    * observations, then ran running-frame window passes over the DENSE
+    * spine — four shuffles, two of them spine-sized, plus asc AND desc
+    * spine sorts for the two lookup directions. Here the only window is
+    * one `lead` over the OBSERVED relation (strictly smaller than the
+    * spine), the gap rows inherit their neighbors from the emitting row
+    * for free, and no join or spine-wide sort exists at all: shuffles
+    * drop 4 → 2 (the hourly aggregate's own, plus one user-keyed sort
+    * for `lead`). Measured at sf0.1: ts2 3.7 s → see BUILDLOG r8.
+    *
+    * Per-user state is one row lookahead — at 100 TB the cost is the
+    * hourly aggregate itself; segment arrays are bounded by each gap's
+    * length in hours (sequence() materializes per-row, never per-user).
+    */
+  private def segments(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("hr")
+    hourly(events)
+      .withColumn("nhr", lead(col("hr"), 1).over(byUser))
+      .withColumn("nvsum", lead(col("vsum"), 1).over(byUser))
+      .select(col("user_id"), col("hr").as("obs_hr"), col("n_events"),
+        col("vsum"), col("nhr"), col("nvsum"),
+        explode(expr(
+          "sequence(hr, coalesce(nhr - interval 1 hour, hr), interval 1 hour)"
+        )).as("hr"))
+      .withColumn("is_obs", col("hr") === col("obs_hr"))
+  }
+
   /** Gap-fill by forward fill (last observation carried forward): every
     * hour in the spine gets the most recent known hourly sum.
     */
-  def gapFillForward(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("hr")
-    hourlySpine(events)
+  def gapFillForward(events: DataFrame): DataFrame =
+    segments(events)
       .select(
         col("user_id"), col("hr"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"),
-        last(col("vsum").cast(DoubleType), ignoreNulls = true).over(w)
-          .as("v_fill"),
+        when(col("is_obs"), col("n_events")).otherwise(lit(0L)).as("n_events"),
+        // the emitting observation IS the last one at-or-before this hour
+        col("vsum").cast(DoubleType).as("v_fill"),
       )
-  }
 
   /** Gap-fill by linear interpolation between the surrounding observed
     * hours (endpoints fall back to nearest-observation). `is_actual`
     * distinguishes observed rows from synthesized ones.
     */
   def interpolateLinear(events: DataFrame): DataFrame = {
-    // Both lookups are RUNNING frames (UnboundedPreceding → CurrentRow):
-    // the "next observation" scans hr DESCENDING rather than using a
-    // shrinking CurrentRow → UnboundedFollowing frame, which Spark's
-    // WindowExec re-evaluates from scratch per row — O(rows²) per
-    // partition (measured: 94 s at sf0.1 vs ~2 s this way).
-    val back = Window.partitionBy("user_id").orderBy(col("hr").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwdAsBack = Window.partitionBy("user_id").orderBy(col("hr").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val es = unix_timestamp(col("hr"))
-    val vd = col("vsum").cast(DoubleType)
-    val pv = last(vd, ignoreNulls = true).over(back)
-    val pt = last(when(col("vsum").isNotNull, es), ignoreNulls = true).over(back)
-    val nv = last(vd, ignoreNulls = true).over(fwdAsBack)
-    val nt = last(when(col("vsum").isNotNull, es), ignoreNulls = true).over(fwdAsBack)
-    // Identical double-expression shape on the oracle side: pv + (nv-pv) * (dt/g)
-    val interp = when(col("vsum").isNotNull, vd)
-      .when(pv.isNull, nv)
-      .when(nv.isNull, pv)
+    val pv = col("vsum").cast(DoubleType)
+    val pt = unix_timestamp(col("obs_hr"))
+    val nv = col("nvsum").cast(DoubleType)
+    val nt = unix_timestamp(col("nhr"))
+    // Gap rows always have BOTH neighbors (a gap only exists strictly
+    // between two observations; the spine ends at the last one), so the
+    // one-sided fallbacks of the window formulation can't arise.
+    // Identical double-expression shape on the oracle side:
+    // pv + (nv-pv) * (dt/g)
+    val interp = when(col("is_obs"), pv)
       .otherwise(pv + (nv - pv) *
         ((es - pt).cast(DoubleType) / (nt - pt).cast(DoubleType)))
-    hourlySpine(events)
+    segments(events)
       .select(
         col("user_id"), col("hr"),
-        col("vsum").isNotNull.cast(IntegerType).as("is_actual"),
+        col("is_obs").cast(IntegerType).as("is_actual"),
         interp.as("v_interp"),
       )
   }

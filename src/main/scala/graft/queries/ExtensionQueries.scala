@@ -513,6 +513,22 @@ object ExtensionQueries {
               greatest(col("n_bytes"), lit(1))).cast(LongType).as(s"b$i")): _*)
         .orderBy("doc_id")
     },
+    // REAL image decode (VERDICT r7 #5): deterministic RGB pixels are
+    // encoded to actual PNG bytes with javax.imageio (the JDK's own
+    // codec — no external jars) and decoded BACK to pixels in a second
+    // mapPartitions pass; the result is exact integer channel sums per
+    // image. The oracle recomputes the same sums from the (doc_id,x,y)
+    // pixel formula arithmetically — it never sees a PNG — so any
+    // encode/decode corruption (channel swap, stride, quantization)
+    // hash-fails. PNG is lossless: equality is exact. The one remaining
+    // decode stub (m2) now covers only media the JVM cannot decode.
+    "m6_png_decode" -> { (spark, dir) =>
+      val ids = Tables.documents(spark, dir)
+        .where(col("doc_id") % 10 === 0)
+      Multimodal.decodePngStats(spark,
+          Multimodal.synthesizePng(spark, ids))
+        .toDF().orderBy("doc_id")
+    },
 
     // --- Upsert (MERGE emulation): apply a derived updates batch to the
     // customer snapshot; updates win on key collision, new keys append ---
@@ -2096,6 +2112,32 @@ object ExtensionQueries {
         |  CAST(coalesce(h.b7, 0) AS BIGINT) AS b7
         |FROM base b LEFT JOIN hist h USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+    // the oracle recomputes every channel sum from the pixel formula
+    // (bounded 24x14 grid + dimension mask — max w = 24, max h = 14);
+    // it never decodes a PNG, so the Spark side's ImageIO round-trip
+    // must reproduce the arithmetic exactly
+    "m6_png_decode" ->
+      """SELECT d.doc_id,
+        |  CAST(8 + (d.doc_id % 5) * 4 AS INT) AS width,
+        |  CAST(6 + (d.doc_id % 3) * 4 AS INT) AS height,
+        |  CAST(SUM(CASE WHEN gx.x < 8 + (d.doc_id % 5) * 4
+        |                 AND gy.y < 6 + (d.doc_id % 3) * 4
+        |           THEN (d.doc_id * 31 + gx.x * 7 + gy.y * 13) % 256 END)
+        |    AS BIGINT) AS sum_r,
+        |  CAST(SUM(CASE WHEN gx.x < 8 + (d.doc_id % 5) * 4
+        |                 AND gy.y < 6 + (d.doc_id % 3) * 4
+        |           THEN (d.doc_id * 17 + gx.x * 11 + gy.y * 3) % 256 END)
+        |    AS BIGINT) AS sum_g,
+        |  CAST(SUM(CASE WHEN gx.x < 8 + (d.doc_id % 5) * 4
+        |                 AND gy.y < 6 + (d.doc_id % 3) * 4
+        |           THEN (d.doc_id * 29 + gx.x * 5 + gy.y * 19) % 256 END)
+        |    AS BIGINT) AS sum_b
+        |FROM documents d
+        |CROSS JOIN generate_series(0, 23) AS gx(x)
+        |CROSS JOIN generate_series(0, 13) AS gy(y)
+        |WHERE d.doc_id % 10 = 0
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
         |  COUNT(*) AS n_copies

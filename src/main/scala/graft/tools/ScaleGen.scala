@@ -1,0 +1,152 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.FloatType
+
+/** Deterministic scale-up of the driver's sf0.1 fixture tree by an
+  * integer factor (default 10 → "sf1.0"), for measuring the SCALING
+  * CURVE of the bench top-20 (VERDICT r7 #1): every 100 TB argument in
+  * SCALE.md is plan-shape-based until the same query is timed at two
+  * scales and the ratio inspected.
+  *
+  * Usage: runMain graft.tools.ScaleGen [outDir] [srcDir] [factor]
+  * Defaults: .scale/sf1.0  /root/testdata/sf0.1  10
+  *
+  * Method: each fact table is cross-joined with a `copy` range (0 until
+  * factor, broadcast) and every surrogate key is offset by
+  * `copy * stride(table)` where stride = that table's max key + 1 — so
+  * copy 0 IS the original data and referential integrity holds within
+  * every copy (lineitem.l_orderkey still hits orders, o_custkey still
+  * hits customer, ...). region/nation stay fixed, like TPC-H dimensions
+  * across SF.
+  *
+  * Workload-character preservation (the part naive duplication gets
+  * wrong):
+  *  - `documents.text` is rotated through a per-copy Caesar cipher
+  *    (copy*7 mod 26, all offsets distinct for factor <= 26): lengths,
+  *    word boundaries and INTRA-copy near-duplicate structure are
+  *    preserved exactly, while no shingle survives across copies — a
+  *    plain ×10 duplication would hand MinHash/SimHash 10-clone
+  *    clusters everywhere and inflate candidate-pair counts ~10× above
+  *    the organic rate, overstating dedup cost at scale.
+  *  - `embeddings.embedding[0]` moves by copy·1e-4: exact ties across
+  *    copies break (distinct neighbor sets, stable norms), so ANN
+  *    recall/assignment work stays organic instead of degenerate.
+  *  - `events` keep their timestamps: ×10 users over the SAME time
+  *    range, which is how a bigger product actually looks — per-user
+  *    series lengths (sessionization, interpolation state) stay
+  *    constant while key cardinality grows 10×.
+  *
+  * Output layout matches the driver's fixture tree EXACTLY: one parquet
+  * FILE named `<table>.parquet` per table (the streaming queries select
+  * their input with `pathGlobFilter("<table>.parquet")`, which a
+  * directory of part-files silently fails to match — measured as
+  * st15/st22 "processing" 0 rows on a first directory-shaped attempt).
+  * Scan parallelism comes from ROW GROUPS instead: the writer caps
+  * `parquet.block.size` at 4 MB, so the single lineitem file carries
+  * ~30 row groups and Spark still plans one split per group.
+  */
+object ScaleGen {
+
+  def main(args: Array[String]): Unit = {
+    val out = args.lift(0).getOrElse(".scale/sf1.0")
+    val src = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, src, out, factor)
+    spark.stop()
+  }
+
+  def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    require(factor >= 1 && factor <= 26, s"factor must be 1..26, got $factor")
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    // single FILE named <t>.parquet (driver-fixture layout, see scaladoc);
+    // 4 MB row groups keep the scan splittable
+    def write(df: DataFrame, t: String): Unit = {
+      val tmp = s"$out/.stage_$t"
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", 4 * 1024 * 1024)
+        .parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file written for $t"))
+      val dest = new org.apache.hadoop.fs.Path(s"$out/$t.parquet")
+      fs.delete(dest, true)
+      fs.rename(part, dest)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      (): Unit
+    }
+
+    // stride = max(key)+1, computed from the source (deterministic)
+    def stride(t: String, key: String): Long =
+      read(t).agg(max(col(key))).head.getLong(0) + 1L
+    val sOrd = stride("orders", "o_orderkey")
+    val sCust = stride("customer", "c_custkey")
+    val sSupp = stride("supplier", "s_suppkey")
+    val sPart = stride("part", "p_partkey")
+    val sEvt = stride("events", "event_id")
+    val sUser = read("events").agg(max(col("user_id"))).head.getLong(0) + 1L
+    val sDoc = stride("documents", "doc_id")
+    val sVec = stride("embeddings", "vec_id")
+
+    val copies = broadcast(
+      spark.range(factor).select(col("id").cast("long").as("__copy")))
+    def fan(t: String)(offsets: (String, Long)*): DataFrame = {
+      val base = read(t).crossJoin(copies)
+      val shifted = offsets.foldLeft(base) { case (df, (k, s)) =>
+        df.withColumn(k, col(k) + col("__copy") * lit(s))
+      }
+      shifted
+    }
+    def done(df: DataFrame): DataFrame = df.drop("__copy")
+
+    // dimensions stay fixed across SF, like TPC-H's region/nation
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+
+    write(done(fan("customer")("c_custkey" -> sCust)), "customer")
+    write(done(fan("supplier")("s_suppkey" -> sSupp)), "supplier")
+    write(done(fan("part")("p_partkey" -> sPart)), "part")
+    write(done(fan("orders")("o_orderkey" -> sOrd, "o_custkey" -> sCust)), "orders")
+    write(done(fan("lineitem")(
+      "l_orderkey" -> sOrd, "l_partkey" -> sPart, "l_suppkey" -> sSupp)),
+      "lineitem")
+    write(done(fan("events")("event_id" -> sEvt, "user_id" -> sUser)), "events")
+
+    // per-copy Caesar rotation of the alphabet (identity for copy 0)
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    def rotated(s: String, k: Int) = s.drop(k) + s.take(k)
+    val docText = (0 until factor).foldLeft(lit(null).cast("string")) {
+      case (acc, c) =>
+        val k = (c * 7) % 26
+        when(col("__copy") === c,
+          translate(col("text"), lower + upper,
+            rotated(lower, k) + rotated(upper, k))).otherwise(acc)
+    }
+    write(done(fan("documents")("doc_id" -> sDoc)
+      .withColumn("text", docText)), "documents")
+
+    write(done(fan("embeddings")("vec_id" -> sVec)
+      .withColumn("embedding",
+        transform(col("embedding"), (x, i) =>
+          when(i === 0,
+            (x + col("__copy").cast(FloatType) * lit(1e-4f)).cast(FloatType))
+            .otherwise(x)))), "embeddings")
+
+    println(s"""{"scale_gen":"$out","factor":$factor,"src":"$src"}""")
+  }
+}

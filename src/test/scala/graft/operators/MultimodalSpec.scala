@@ -35,4 +35,26 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.length == 200)
     assert(feats.map(_.doc_id).distinct.length == 200)
   }
+
+  test("png round-trip: ImageIO decode recovers the exact pixel formula sums") {
+    val ids = Seq(0L, 7L, 123L).toDF("doc_id")
+    val pngs = Multimodal.synthesizePng(spark, ids).collect()
+    // the payloads are REAL PNGs (magic bytes), all distinct
+    assert(pngs.forall(p => (p.png(1) & 0xff) == 'P' && (p.png(2) & 0xff) == 'N'))
+    assert(pngs.map(_.png.toSeq).distinct.length == 3)
+
+    val stats = Multimodal.decodePngStats(spark,
+      Multimodal.synthesizePng(spark, ids)).collect().sortBy(_.doc_id)
+    for (s <- stats) {
+      val (w, h) = (Multimodal.pngWidth(s.doc_id), Multimodal.pngHeight(s.doc_id))
+      assert(s.width == w && s.height == h)
+      var (er, eg, eb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = Multimodal.pngPixel(s.doc_id, x, y)
+        er += r; eg += g; eb += b
+      }
+      assert((s.sum_r, s.sum_g, s.sum_b) == ((er, eg, eb)),
+        s"decoded channel sums diverged for doc ${s.doc_id}")
+    }
+  }
 }
