@@ -40,6 +40,35 @@ object Similarity {
       .select("q_vec", "rank", "c_vec", "cosine")
   }
 
+  /** FILTERED vector search: exact top-k cosine among corpus vectors
+    * satisfying a metadata predicate (here: same `label` as the query) —
+    * the "find similar items IN this category" shape every retrieval
+    * stack needs. The predicate joins BEFORE ranking (candidates are
+    * label-partitioned), never after: post-filtering an unfiltered
+    * top-k under-fills k whenever the predicate is selective — the
+    * classic filtered-ANN pitfall. At corpus scale the label equi-join
+    * partitions candidate generation by label (selective predicates
+    * touch only their shard); the per-query ranking cost is the
+    * filtered candidate count, not the corpus.
+    */
+  def filteredTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("q_vec"), col("label").as("q_label"),
+      col("embedding").as("q_emb")))
+    val c = corpus.select(
+      col("vec_id").as("c_vec"), col("label").as("c_label"),
+      col("embedding").as("c_emb"))
+    val w = Window.partitionBy(col("q_vec")).orderBy(col("cosine").desc, col("c_vec"))
+    c.join(q, col("c_label") === col("q_label") && col("c_vec") =!= col("q_vec"))
+      .select(
+        col("q_vec"), col("c_vec"),
+        VectorMath.cosineExact(col("q_emb"), col("c_emb")).as("cosine"),
+      )
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_vec", "rank", "c_vec", "cosine")
+  }
+
   /** Deterministic INTEGER hyperplane weight for (plane, dim): an LCG
     * step mapped to [-1000, 1000]. No RNG state and no floating point,
     * so every engine (and every re-run) derives the identical planes —

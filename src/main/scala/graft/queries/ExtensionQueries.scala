@@ -80,6 +80,41 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
     // Exact bigram-Jaccard between consecutive doc pairs (oracle-checked).
+    // Sorted-neighborhood blocking (Hernandez-Stolfo SNM) — the third
+    // candidate-generation family next to hashing (d1) and LSH banding
+    // (d2): records sort by a cheap normalized key INSIDE coarse blocks
+    // (lang × length-bucket) and only a fixed window of sorted
+    // neighbors (w=3 → lead 1..2) is ever compared, so candidate count
+    // is exactly (w-1)·n whatever the corpus — no bucket-degeneracy
+    // risk at all, the property hash blocking needs caps to get.
+    // Verification is exact word-set Jaccard in integer ppm. The sort
+    // partitions by block, never globally; at 100 TB each block sorts
+    // where its data sits.
+    "snm1_sorted_neighborhood" -> { (spark, dir) =>
+      val docs = Tables.documentsParallel(spark, dir)
+      val base = docs.select(
+        col("doc_id"), col("lang"),
+        expr("n_chars div 64").as("szb"),
+        substring(lower(trim(col("text"))), 1, 32).as("skey"),
+        array_distinct(TextAnalysis.words(col("text"))).as("w"))
+      val win = Window.partitionBy("lang", "szb").orderBy("skey", "doc_id")
+      val nb = base
+        .withColumn("n1_id", lead(col("doc_id"), 1).over(win))
+        .withColumn("n1_w", lead(col("w"), 1).over(win))
+        .withColumn("n2_id", lead(col("doc_id"), 2).over(win))
+        .withColumn("n2_w", lead(col("w"), 2).over(win))
+      nb.select(col("doc_id").as("doc_a"), col("w").as("wa"),
+          explode(array(
+            struct(col("n1_id").as("nid"), col("n1_w").as("nw")),
+            struct(col("n2_id").as("nid"), col("n2_w").as("nw")))).as("p"))
+        .where(col("p.nid").isNotNull)
+        .select(col("doc_a"), col("p.nid").as("doc_b"),
+          size(array_intersect(col("wa"), col("p.nw"))).cast(LongType).as("n_shared"),
+          size(array_union(col("wa"), col("p.nw"))).cast(LongType).as("n_union"))
+        .withColumn("jaccard_ppm",
+          expr("n_shared * 1000000 div nullif(n_union, 0)"))
+        .orderBy("doc_a", "doc_b")
+    },
     "d4_ngram_jaccard" -> { (spark, dir) =>
       val docs = Tables.documentsParallel(spark, dir)
       val ws = TextAnalysis.words(col("text"))
@@ -148,6 +183,16 @@ object ExtensionQueries {
     "x1_ann_bruteforce" -> { (spark, dir) =>
       val emb = Tables.embeddings(spark, dir)
       Similarity.bruteForceTopK(emb.where(col("vec_id") < 8), emb, k = 5)
+        .orderBy("q_vec", "rank")
+    },
+    // FILTERED vector search (metadata predicate + similarity): top-5
+    // same-label neighbors per query. The label joins BEFORE ranking —
+    // post-filtering an unfiltered top-k under-fills k under selective
+    // predicates (the classic filtered-ANN pitfall); here k is always
+    // honest and the candidate work is label-sharded at any scale.
+    "x32_filtered_ann" -> { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.filteredTopK(emb.where(col("vec_id") < 8), emb, k = 5)
         .orderBy("q_vec", "rank")
     },
     // LSH-bucketed variant. Oracle-checked end to end: integer
@@ -2222,6 +2267,30 @@ object ExtensionQueries {
         |       ELSE 'new' END AS status
         |FROM flagged f LEFT JOIN near n ON n.doc_id = f.doc_id
         |ORDER BY f.doc_id""".stripMargin,
+    "snm1_sorted_neighborhood" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, n_chars // 64 AS szb,
+        |    substr(lower(trim(text)), 1, 32) AS skey,
+        |    list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents
+        |), nb AS (
+        |  SELECT doc_id, w,
+        |    lead(doc_id, 1) OVER win AS n1_id, lead(w, 1) OVER win AS n1_w,
+        |    lead(doc_id, 2) OVER win AS n2_id, lead(w, 2) OVER win AS n2_w
+        |  FROM toks WINDOW win AS (PARTITION BY lang, szb ORDER BY skey, doc_id)
+        |), pairs AS (
+        |  SELECT doc_id AS doc_a, n1_id AS doc_b, w AS wa, n1_w AS wb
+        |  FROM nb WHERE n1_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, n2_id, w, n2_w FROM nb WHERE n2_id IS NOT NULL
+        |)
+        |SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(wa, wb)) AS BIGINT) AS n_shared,
+        |  CAST(len(list_distinct(list_concat(wa, wb))) AS BIGINT) AS n_union,
+        |  CAST(len(list_intersect(wa, wb)) AS BIGINT) * 1000000
+        |    // nullif(CAST(len(list_distinct(list_concat(wa, wb))) AS BIGINT), 0)
+        |    AS jaccard_ppm
+        |FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
     "d4_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
@@ -2262,6 +2331,34 @@ object ExtensionQueries {
         |pairs AS (
         |  SELECT q.vec_id AS qv, c.vec_id AS cv, q.embedding AS eq, c.embedding AS ec
         |  FROM q, embeddings c WHERE c.vec_id != q.vec_id
+        |), terms AS (
+        |  SELECT qv, cv,
+        |    CAST(floor(CAST(eq[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS x,
+        |    CAST(floor(CAST(ec[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS y
+        |  FROM pairs, UNNEST(generate_series(1, len(eq))) AS g(i)
+        |), agg AS (
+        |  SELECT qv, cv,
+        |    CAST(SUM(x * y) AS DOUBLE) AS dot,
+        |    CAST(SUM(x * x) AS DOUBLE) AS nx,
+        |    CAST(SUM(y * y) AS DOUBLE) AS ny
+        |  FROM terms GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT qv AS q_vec, cv AS c_vec,
+        |    dot / nullif(sqrt(nx) * sqrt(ny), 0) AS cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY qv
+        |      ORDER BY dot / nullif(sqrt(nx) * sqrt(ny), 0) DESC, cv) AS rank
+        |  FROM agg
+        |)
+        |SELECT q_vec, rank, c_vec, cosine FROM scored
+        |WHERE rank <= 5 ORDER BY q_vec, rank""".stripMargin,
+    // x1's oracle with the label predicate joined into candidate
+    // generation — identical quantized-cosine arithmetic
+    "x32_filtered_ann" ->
+      """WITH q AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 8),
+        |pairs AS (
+        |  SELECT q.vec_id AS qv, c.vec_id AS cv, q.embedding AS eq, c.embedding AS ec
+        |  FROM q, embeddings c
+        |  WHERE c.vec_id != q.vec_id AND c.label = q.label
         |), terms AS (
         |  SELECT qv, cv,
         |    CAST(floor(CAST(eq[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS x,
