@@ -26,12 +26,43 @@ import org.apache.spark.sql.types.DoubleType
   *  - the df table is one narrow aggregate over the token relation, and
   *    the per-doc rank window partitions by doc_id (each partition is one
   *    document's token set — bounded, no global sort);
-  *  - verification computes exact intersections for candidates only, via
-  *    a token-keyed join grouped by pair — candidate count bounds the
-  *    verify cost, and the similarity itself is exact BIGINT counts with
-  *    one final double division (bit-identical cross-engine).
+  *  - verification computes exact intersections for candidates only, as
+  *    a per-pair `array_intersect` over the per-doc term arrays (built
+  *    once, derived from the same relation the prefix slices come from).
+  *    Candidate count bounds the verify cost; the r8 stage profile
+  *    showed the former token-keyed join + groupBy verify re-shuffled
+  *    the FULL token relation twice for a few thousand pairs — 14-20 s
+  *    of d11's 35 s at sf1.0 against 5.6 s this way. At cluster scale
+  *    the candidate side is the small one, so the two id-keyed joins
+  *    broadcast-or-shuffle by statistics; the corpus-sized array
+  *    relation moves at most once. The similarity itself stays exact
+  *    BIGINT counts with one final double division (bit-identical
+  *    cross-engine).
   */
 object SetSimilarityJoin {
+
+  /** Per-doc rarest-first term arrays: (doc_id, n_tok, terms), `terms`
+    * sorted by (global df ascending, term) — the ONE relation the
+    * prefix slices, the candidate length filters, and the
+    * array-intersect verify all derive from. Deliberately NOT
+    * checkpointed despite its 3-4 consumers: the consumers are
+    * identical subtrees, so ReuseExchange computes the aggregate once
+    * anyway, while a localCheckpoint here forced a synchronous
+    * materialization job per execution and measured 2.4x SLOWER at
+    * sf0.1 (5.5 s vs 2.3 s end-to-end). A document's token set is
+    * bounded by the document's length, so the per-row array is safe at
+    * any corpus size.
+    */
+  private def docTermArrays(toks: DataFrame): DataFrame = {
+    val df = toks.groupBy("term").agg(count(lit(1)).as("df"))
+    toks
+      .join(df, Seq("term"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("term")))).as("ts"),
+        count(lit(1)).as("n_tok"))
+      .select(col("doc_id"), col("n_tok"),
+        expr("transform(ts, t -> t.term)").as("terms"))
+  }
 
   /** All document pairs (doc_a < doc_b) whose k-shingle sets have Jaccard
     * similarity >= `threshold`, with exact intersection / set sizes.
@@ -45,25 +76,15 @@ object SetSimilarityJoin {
       .distinct()
       .localCheckpoint(eager = false)
 
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
-    val df = toks.groupBy("term").agg(count(lit(1)).as("df"))
-
-    // Rank each doc's tokens rarest-first and keep the prefix — as ONE
-    // per-doc aggregate: collect the (df, term) set, sort it locally,
-    // slice the prefix, re-explode. A document's token set is bounded by
-    // the document's length, so the local sort is safe at any corpus
-    // size; vs the join-sizes + row_number window formulation this saves
-    // one doc-keyed exchange and a sort-based window pass.
+    // Rank each doc's tokens rarest-first ONCE (collect the (df, term)
+    // set, sort it locally); the prefix is a slice of that array,
+    // re-exploded. Vs the join-sizes + row_number window formulation
+    // this saves one doc-keyed exchange and a sort-based window pass.
+    val byDoc = docTermArrays(toks)
     val prefixLen = (col("n_tok") -
       ceil(lit(threshold) * col("n_tok")).cast("long") + 1).cast("int")
-    val prefix = toks
-      .join(df, Seq("term"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("term")))).as("ts"),
-        count(lit(1)).as("n_tok"))
-      .select(col("doc_id"), col("n_tok"),
-        explode(slice(col("ts"), lit(1), prefixLen)).as("t"))
-      .select(col("doc_id"), col("n_tok"), col("t.term").as("term"))
+    val prefix = byDoc.select(col("doc_id"), col("n_tok"),
+      explode(slice(col("terms"), lit(1), prefixLen)).as("term"))
 
     // Candidates: docs sharing any prefix token, RESTRICTED by the
     // AllPairs length filter — Jaccard >= t forces t·|A| <= |B| and
@@ -81,19 +102,20 @@ object SetSimilarityJoin {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    // Exact verification on candidates only: intersection via the token
-    // relation keyed by term, then one double division of exact counts.
-    val inter = cand
-      .join(toks.select(col("doc_id").as("doc_a"), col("term")), Seq("doc_a"))
-      .join(toks.select(col("doc_id").as("doc_b"), col("term")), Seq("doc_b", "term"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_inter"))
-
+    // Exact verification on candidates only: per-pair array_intersect
+    // over the already-built term arrays (two id-keyed joins, no token
+    // re-shuffle, no pair groupBy), then one double division of exact
+    // counts.
     val jac = col("n_inter").cast(DoubleType) /
       (col("n_a") + col("n_b") - col("n_inter")).cast(DoubleType)
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_tok").as("n_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_tok").as("n_b")), Seq("doc_b"))
+    cand
+      .join(byDoc.select(col("doc_id").as("doc_a"),
+        col("terms").as("ta"), col("n_tok").as("n_a")), Seq("doc_a"))
+      .join(byDoc.select(col("doc_id").as("doc_b"),
+        col("terms").as("tb"), col("n_tok").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("n_inter"),
+        col("n_a"), col("n_b"))
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
         jac.as("jaccard"))
       .where(jac >= threshold)
@@ -120,21 +142,17 @@ object SetSimilarityJoin {
       .distinct()
       .localCheckpoint(eager = false)
 
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
-    val df = toks.groupBy("term").agg(count(lit(1)).as("df"))
-
+    val byDoc = docTermArrays(toks)
     val prefixLen = (col("n_tok") -
       ceil(lit(threshold) * col("n_tok")).cast("long") + 1).cast("int")
-    val prefix = toks
-      .join(df, Seq("term"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("term")))).as("ts"),
-        count(lit(1)).as("n_tok"))
-      .select(col("doc_id"), col("n_tok"),
-        explode(slice(col("ts"), lit(1), prefixLen)).as("t"))
-      .select(col("doc_id"), col("n_tok"), col("t.term").as("term"))
+    val prefix = byDoc.select(col("doc_id"), col("n_tok"),
+      explode(slice(col("terms"), lit(1), prefixLen)).as("term"))
 
-    val full = toks.join(sizes, Seq("doc_id"))
+    // the container side needs no prefix (containment is one-sided):
+    // A's prefix probes B's FULL posting rows, with the length bound
+    // n_b >= ceil(t·n_a) (A∩B ⊆ B)
+    val full = byDoc.select(col("doc_id"), col("n_tok"),
+      explode(col("terms")).as("term"))
     val cand = prefix.as("a")
       .join(full.as("b"),
         col("a.term") === col("b.term") && col("a.doc_id") =!= col("b.doc_id") &&
@@ -142,16 +160,15 @@ object SetSimilarityJoin {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    val inter = cand
-      .join(toks.select(col("doc_id").as("doc_a"), col("term")), Seq("doc_a"))
-      .join(toks.select(col("doc_id").as("doc_b"), col("term")), Seq("doc_b", "term"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_inter"))
-
     val cont = col("n_inter").cast(DoubleType) / col("n_a").cast(DoubleType)
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_tok").as("n_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_tok").as("n_b")), Seq("doc_b"))
+    cand
+      .join(byDoc.select(col("doc_id").as("doc_a"),
+        col("terms").as("ta"), col("n_tok").as("n_a")), Seq("doc_a"))
+      .join(byDoc.select(col("doc_id").as("doc_b"),
+        col("terms").as("tb"), col("n_tok").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("n_inter"),
+        col("n_a"), col("n_b"))
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
         cont.as("containment"))
       .where(cont >= threshold)
