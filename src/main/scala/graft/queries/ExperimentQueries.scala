@@ -293,6 +293,38 @@ object ExperimentQueries {
         .orderBy("l")
     },
 
+    // Randomized response (Warner 1965) — the plausible-deniability
+    // survey mechanism, the ancestor of local differential privacy:
+    // each user's sensitive flag (is-purchaser) flips with probability
+    // p = 1/4 before aggregation, and the aggregate debiases with
+    // t̂ = (observed − p·n)/(1 − 2p). Every quantity is deterministic
+    // here: the "coin" is the portable md5 hash of the user id (so the
+    // oracle replays the exact flips), and the debias arithmetic is all
+    // dyadic (p = 1/4, 1−2p = 1/2) — float-EXACT on any engine, no
+    // libm. The true count rides along to exhibit calibration (|est −
+    // truth| small per cohort). One narrow per-user aggregate + one
+    // 8-row rollup; nothing wide at any scale.
+    "rr1_randomized_response" -> { (spark, dir) =>
+      val users = Tables.events(spark, dir)
+        .groupBy("user_id")
+        .agg(max((col("event_type") === "purchase").cast("int")).as("truth"))
+      val flip = graft.operators.Dedup
+        .portableHash60(concat(lit("rr1|"), col("user_id"))) % 4 === 0
+      users
+        .select(col("user_id"), col("truth"),
+          when(flip, lit(1) - col("truth")).otherwise(col("truth")).as("reported"))
+        .groupBy((col("user_id") % 8).as("cohort"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("reported")).cast(LongType).as("n_reported"),
+          sum(col("truth")).cast(LongType).as("true_purchasers"))
+        .withColumn("est_purchasers",
+          (col("n_reported").cast(DoubleType) -
+            lit(0.25) * col("n_users").cast(DoubleType)) / lit(0.5))
+        .select(col("cohort"), col("n_users"), col("n_reported"),
+          col("est_purchasers"), col("true_purchasers"))
+        .orderBy("cohort")
+    },
+
     // Poisson-bootstrap CI for the MEDIAN purchase spend — the robust
     // twin of bs1, and unlike the mean it stays ALL-INTEGER end to end:
     // each replicate's statistic is the weighted discrete lower median
@@ -485,6 +517,24 @@ object ExperimentQueries {
         |     WHERE rk = CAST(ceil(nb * 0.025) AS BIGINT)) AS ci_lo_cents,
         |  (SELECT med FROM ranked
         |     WHERE rk = CAST(ceil(nb * 0.975) AS BIGINT)) AS ci_hi_cents""".stripMargin,
+    "rr1_randomized_response" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS truth
+        |  FROM events GROUP BY 1
+        |), r AS (
+        |  SELECT user_id, truth,
+        |    CASE WHEN ('0x' || substr(md5('rr1|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 4 = 0
+        |         THEN 1 - truth ELSE truth END AS reported
+        |  FROM u
+        |)
+        |SELECT user_id % 8 AS cohort,
+        |  COUNT(*) AS n_users,
+        |  CAST(SUM(reported) AS BIGINT) AS n_reported,
+        |  (CAST(CAST(SUM(reported) AS BIGINT) AS DOUBLE)
+        |    - 0.25 * CAST(COUNT(*) AS DOUBLE)) / 0.5 AS est_purchasers,
+        |  CAST(SUM(truth) AS BIGINT) AS true_purchasers
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "pp2_l_diversity" ->
       """WITH cls AS (
         |  SELECT c_nationkey,

@@ -477,6 +477,42 @@ object TrainingDataQueries {
         .limit(100)
     },
 
+    // Interpolated Kneser-Ney bigram LM (absolute discount D = 3/4 —
+    // dyadic, so the subtraction is float-exact) — the smoothing every
+    // serious n-gram quality scorer uses over t12's raw MLE: mass
+    // discounted from seen bigrams is re-spent proportional to the
+    // CONTINUATION probability (how many distinct contexts a word
+    // follows), which is what demotes "francisco"-style words that are
+    // frequent but only ever follow one context. All five count
+    // relations (c, ctx, distinct-successor n1f, distinct-predecessor
+    // n1b, total bigram types n1all) are exact BIGINTs; p_kn is one
+    // identically-structured double expression on both engines (no
+    // max(): c >= 1 makes c - 0.75 always positive). Shuffles key on
+    // words; the denominators derive from the bigram-type relation —
+    // the corpus is scanned once. Deterministic top-100 via
+    // (c desc, w1, w2) → TakeOrdered.
+    "kn1_kneser_ney" -> { (spark, dir) =>
+      val ws = TextAnalysis.words(col("text"))
+      val bi = Tables.documentsParallel(spark, dir)
+        .select(ws.as("w"))
+        .where(size(col("w")) >= 2)
+        .select(explode(sequence(lit(0), size(col("w")) - 2)).as("i"), col("w"))
+        .select(element_at(col("w"), col("i") + 1).as("w1"),
+          element_at(col("w"), col("i") + 2).as("w2"))
+      val c = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      val ctx = c.groupBy("w1").agg(sum("c").as("ctx"), count(lit(1)).as("n1f"))
+      val n1b = c.groupBy("w2").agg(count(lit(1)).as("n1b"))
+      val n1all = c.agg(count(lit(1)).as("n1all"))
+      val pkn = (col("c").cast(DoubleType) - 0.75) / col("ctx").cast(DoubleType) +
+        ((lit(0.75) * col("n1f").cast(DoubleType)) / col("ctx").cast(DoubleType)) *
+          (col("n1b").cast(DoubleType) / col("n1all").cast(DoubleType))
+      c.join(ctx, Seq("w1")).join(n1b, Seq("w2")).crossJoin(broadcast(n1all))
+        .select(col("w1"), col("w2"), col("c"), col("ctx"), col("n1f"),
+          col("n1b"), col("n1all"), pkn.as("p_kn"))
+        .orderBy(col("c").desc, col("w1"), col("w2"))
+        .limit(100)
+    },
+
     // DSIR-shape importance weights (Xie et al. 2023, "Data Selection
     // for Language Models via Importance Resampling"): score raw
     // documents by how target-like their hashed-bigram distribution is.
@@ -2028,6 +2064,27 @@ object TrainingDataQueries {
         |  CAST(a.n3 AS DOUBLE) / CAST(b.n2 AS DOUBLE) AS cond_p
         |FROM t3 a JOIN t2 b USING (prefix)
         |ORDER BY a.n3 DESC, a.prefix, a.next_tok LIMIT 100""".stripMargin,
+    "kn1_kneser_ney" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+        |), bi AS (
+        |  SELECT w[g.i] AS w1, w[g.i + 1] AS w2
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS g(i)
+        |  WHERE len(w) >= 2
+        |), c AS (
+        |  SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY 1, 2
+        |), ctx AS (
+        |  SELECT w1, CAST(SUM(c) AS BIGINT) AS ctx, COUNT(*) AS n1f
+        |  FROM c GROUP BY 1
+        |), n1b AS (
+        |  SELECT w2, COUNT(*) AS n1b FROM c GROUP BY 1
+        |), n1all AS (SELECT COUNT(*) AS n1all FROM c)
+        |SELECT c.w1, c.w2, c.c, ctx.ctx, ctx.n1f, n1b.n1b, n1all.n1all,
+        |  (CAST(c.c AS DOUBLE) - 0.75) / CAST(ctx.ctx AS DOUBLE)
+        |    + ((0.75 * CAST(ctx.n1f AS DOUBLE)) / CAST(ctx.ctx AS DOUBLE))
+        |      * (CAST(n1b.n1b AS DOUBLE) / CAST(n1all.n1all AS DOUBLE)) AS p_kn
+        |FROM c JOIN ctx USING (w1) JOIN n1b USING (w2) CROSS JOIN n1all
+        |ORDER BY c.c DESC, c.w1, c.w2 LIMIT 100""".stripMargin,
     "dm2_temperature_mix" ->
       """WITH s AS (
         |  SELECT lang,
