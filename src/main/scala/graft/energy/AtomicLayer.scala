@@ -111,6 +111,32 @@ object AtomicLayer {
       try { fs.create(claim, false).close(); true }
       catch { case _: java.io.IOException => false }
 
+  /** Daemon thread refreshing `claim`'s mtime every `leaseMs / 4`
+    * (floored at 50 ms) so a LIVE slow writer never looks
+    * lease-expired to a concurrent writer's sweep — expiry then means
+    * the owner truly died (no process left to heartbeat). Interrupt to
+    * stop; refresh errors are swallowed (the claim may already be
+    * deleted by our own commit path, and a missed beat only matters if
+    * EVERY beat in a whole lease is missed).
+    */
+  private[graft] def startHeartbeat(
+      fs: FileSystem, claim: Path, leaseMs: Long): Thread = {
+    val period = math.max(50L, leaseMs / 4)
+    val t = new Thread(
+      () =>
+        try {
+          while (!Thread.currentThread().isInterrupted) {
+            Thread.sleep(period)
+            try fs.setTimes(claim, System.currentTimeMillis(), -1)
+            catch { case _: java.io.IOException => () }
+          }
+        } catch { case _: InterruptedException => () },
+      s"atomiclayer-heartbeat-${claim.getName}")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
   /** Write `df` as the next snapshot version of the table at `root`.
     * The version counter advances past uncommitted (crashed) attempts
     * rather than reusing their directories, and the number itself is
@@ -118,6 +144,20 @@ object AtomicLayer {
     * interleave task files inside one version directory — each commit
     * is some single writer's complete snapshot (last committer's
     * version is the one readers resolve). Returns the committed dir.
+    *
+    * LEASE CONTRACT: `claimLeaseMs` is how long a claim may sit
+    * uncommitted AND unrefreshed before a concurrent writer's sweep
+    * presumes its owner dead and reclaims the number. A live writer is
+    * protected for arbitrarily long jobs by a daemon HEARTBEAT that
+    * refreshes the claim's mtime every `claimLeaseMs / 4` while the
+    * snapshot write runs, so expiry requires the owner JVM to actually
+    * be gone (or wedged for a full lease with zero heartbeats — e.g. a
+    * stop-the-world pause longer than the lease; size the lease above
+    * any plausible pause, not above the job duration). As a second
+    * fence, the sweep re-reads the claim's mtime and re-checks
+    * `_SUCCESS` absence immediately before the recursive dir delete,
+    * so a heartbeat or commit landing between the listing and the
+    * delete aborts the reclaim.
     */
   def write(
       df: DataFrame,
@@ -134,9 +174,13 @@ object AtomicLayer {
     val next = claimVersion(fs, rootPath,
       all.map(_._1).maxOption.getOrElse(-1) + 1)
     val dir = s"$root/v$next"
-    val w = df.write.mode(SaveMode.Overwrite)
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(dir)
-    fs.delete(new Path(rootPath, s"v$next.claim"), false)
+    val claimPath = new Path(rootPath, s"v$next.claim")
+    val heartbeat = startHeartbeat(fs, claimPath, claimLeaseMs)
+    try {
+      val w = df.write.mode(SaveMode.Overwrite)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(dir)
+    } finally heartbeat.interrupt()
+    fs.delete(claimPath, false)
     // prune: committed versions beyond the retention window, any
     // uncommitted debris older than the new snapshot (crashed writes),
     // and orphaned claim files whose directory is COMMITTED (the owner
@@ -175,8 +219,21 @@ object AtomicLayer {
               // empty dir — never interleaving with stale task files.
               // (A crash between the two deletes leaves just the claim,
               // which the next write's sweep retries.)
-              if (fs.exists(vDir)) fs.delete(vDir, true)
-              fs.delete(st.getPath, false)
+              // SECOND FENCE: re-read the claim's mtime and re-check
+              // _SUCCESS right before the recursive delete — the owner
+              // may have heartbeated or committed since listStatus
+              // snapshotted its age; either aborts the reclaim. (The
+              // listing's mtime can be minutes stale under a long
+              // sweep; a heartbeating live writer always looks fresh
+              // here.)
+              val stillExpired =
+                try System.currentTimeMillis() -
+                  fs.getFileStatus(st.getPath).getModificationTime > claimLeaseMs
+                catch { case _: java.io.FileNotFoundException => false }
+              if (stillExpired && !fs.exists(new Path(vDir, "_SUCCESS"))) {
+                if (fs.exists(vDir)) fs.delete(vDir, true)
+                fs.delete(st.getPath, false)
+              }
             }
           case _ => ()
         }

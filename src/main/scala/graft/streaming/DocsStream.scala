@@ -104,9 +104,13 @@ object DocsStream {
       batch: DataFrame, batchId: Long): Boolean = {
     import graft.energy.AtomicLayer
     val exists = AtomicLayer.latestCommitted(spark, root).isDefined
-    val alreadyMerged = exists &&
-      AtomicLayer.read(spark, root)
-        .agg(max(col("_merged_batch_id"))).head.getLong(0) >= batchId
+    // max() is NULL over a zero-row snapshot (an empty first micro-batch
+    // commits one) — read null-safely, defaulting to "nothing merged yet"
+    val alreadyMerged = exists && {
+      val row = AtomicLayer.read(spark, root)
+        .agg(max(col("_merged_batch_id"))).head
+      !row.isNullAt(0) && row.getLong(0) >= batchId
+    }
     if (alreadyMerged) false
     else {
       val census = graft.operators.DataQuality.gopherMetrics(batch)

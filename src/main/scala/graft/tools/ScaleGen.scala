@@ -98,7 +98,12 @@ object ScaleGen {
     val sSupp = stride("supplier", "s_suppkey")
     val sPart = stride("part", "p_partkey")
     val sEvt = stride("events", "event_id")
-    val sUser = read("events").agg(max(col("user_id"))).head.getLong(0) + 1L
+    // events.user_id points into customer.c_custkey, so it must stride
+    // by the CUSTOMER stride — striding by max(user_id)+1 (1500 in the
+    // fixture, vs sCust 15000) would make every copy's events reference
+    // copy-0's customers, breaking per-copy referential integrity
+    // (dq3_ri_audit) and funneling all event joins through copy-0 keys.
+    val sUser = sCust
     val sDoc = stride("documents", "doc_id")
     val sVec = stride("embeddings", "vec_id")
 

@@ -88,6 +88,36 @@ class AtomicLayerSpec extends SparkSpec {
     assert(AtomicLayer.read(spark, root).as[Int].collect() === Array(3))
   }
 
+  test("heartbeat keeps a live slow writer's claim fresh past the lease") {
+    val root = tmpTable()
+    AtomicLayer.write(df(1), root)
+    // simulate a LIVE writer mid-job: claim + uncommitted dir, with the
+    // heartbeat running (what write() itself does around the parquet job)
+    val claim = Paths.get(root, "v1.claim")
+    Files.createFile(claim)
+    val liveDir = Paths.get(root, "v1")
+    Files.createDirectories(liveDir)
+    Files.createFile(liveDir.resolve("part-00000.parquet"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hb = AtomicLayer.startHeartbeat(fs,
+      new org.apache.hadoop.fs.Path(root, "v1.claim"), leaseMs = 200L)
+    try {
+      Thread.sleep(300) // claim is now OLDER than the lease by wall age,
+      // but the heartbeat has refreshed its mtime at least once
+      AtomicLayer.write(df(2), root, claimLeaseMs = 200L)
+      assert(Files.exists(claim),
+        "heartbeating live writer must not be unseated by lease expiry")
+      assert(Files.exists(liveDir.resolve("part-00000.parquet")),
+        "live writer's in-progress files must survive the sweep")
+    } finally hb.interrupt()
+    // once the writer dies (heartbeat stops), the lease expires normally
+    Thread.sleep(300)
+    AtomicLayer.write(df(3), root, claimLeaseMs = 200L)
+    assert(!Files.exists(claim), "dead claimant reclaimed after lease")
+    assert(AtomicLayer.read(spark, root).as[Int].collect() === Array(3))
+  }
+
   test("read falls back to a plain (pre-atomic) parquet layout") {
     val root = tmpTable()
     df(7, 8).write.parquet(root)

@@ -79,4 +79,22 @@ class StreamQualityGateSpec extends SparkSpec {
     assert(merged == batchCensus(docs),
       "retry-safe merge diverged from the batch census")
   }
+
+  test("an empty first micro-batch commits a 0-row snapshot without poisoning the guard") {
+    val docs = Tables.documents(spark, sf0001)
+    val root = graft.tools.Scratch.dir("gate-empty")
+      .toString + "/census.parquet"
+    val empty = docs.where(lit(false))
+
+    // batch 0 is empty (a real occurrence: trigger fires before any file
+    // lands) — it commits a 0-row census whose max(_merged_batch_id) is
+    // NULL; the NEXT batch's guard must read that null-safely, not NPE
+    assert(DocsStream.mergeCensus(spark, root, empty, 0L), "empty batch commits")
+    assert(DocsStream.mergeCensus(spark, root, docs, 1L),
+      "guard over a 0-row snapshot must not crash and must merge")
+    val merged = graft.energy.AtomicLayer.read(spark, root)
+      .drop("_merged_batch_id").orderBy("source").collect().toSeq
+    assert(merged == batchCensus(docs),
+      "census after an empty leading batch diverged from the batch census")
+  }
 }

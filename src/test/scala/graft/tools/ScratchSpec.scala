@@ -38,9 +38,18 @@ class ScratchSpec extends AnyFunSuite {
       "src/main/scala/graft/streaming/EventsStream.scala", // st13: eager cleanup
       "src/test/scala/graft/tools/ScratchSpec.scala", // this grep itself
     )
-    val leaky = Files.walk(java.nio.file.Paths.get("src")).iterator().asScala
+    // anchor at the repo root explicitly — a bare relative "src" walks
+    // the wrong tree (vacuous pass) or throws when the test JVM's cwd
+    // is not the repo root (forked tests, IDE runners)
+    val repoRoot = java.nio.file.Paths.get(sys.props("user.dir"))
+    assert(Files.exists(repoRoot.resolve("build.sbt")),
+      s"test cwd $repoRoot is not the repo root (no build.sbt) — " +
+        "cannot locate src/ for the temp-dir sweep")
+    val srcRoot = repoRoot.resolve("src")
+    assert(Files.exists(srcRoot), s"missing $srcRoot")
+    val leaky = Files.walk(srcRoot).iterator().asScala
       .filter(p => p.toString.endsWith(".scala"))
-      .filterNot(p => allowed.contains(p.toString))
+      .filterNot(p => allowed.contains(repoRoot.relativize(p).toString))
       .filter(p => new String(Files.readAllBytes(p)).contains("createTempDirectory"))
       .map(_.toString).toSeq
     assert(leaky.isEmpty,
