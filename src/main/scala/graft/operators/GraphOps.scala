@@ -257,6 +257,87 @@ object GraphOps {
     * shuffles only (long, long) pairs. `nodes` = (v), `edges` =
     * (doc_a, doc_b); returns (v, lab).
     */
+  /** Bounded-round k-core PEELING: `rounds` synchronous rounds of
+    * "remove every node whose degree among still-alive nodes is < k",
+    * the standard distributed k-core schedule (Montresor et al.'s
+    * one-round-per-superstep shape). Exactly `rounds` rounds, no
+    * convergence test — on a 100 TB graph the round count is the knob
+    * you budget, and after r rounds the result is exact for every node
+    * whose peel depth is ≤ r (survivors are a SUPERSET of the true
+    * k-core that shrinks toward it; most real graphs settle in a few
+    * rounds). Returns (v, peel_round, in_core): peel_round = the
+    * 1-based round that removed the node, 0 for survivors;
+    * in_core = survived all rounds.
+    *
+    * Scale posture: per round two joins of the (long, long) edge list
+    * against the shrinking alive set and one count aggregate — edges
+    * never rewrite, only membership shuffles; alive sets are
+    * localCheckpoint-pinned so round i doesn't replay rounds 1..i-1.
+    */
+  def kcorePeeling(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val und = edges
+      .select(col("ta").as("src"), col("tb").as("dst"))
+      .unionAll(edges.select(col("tb").as("src"), col("ta").as("dst")))
+      .localCheckpoint(eager = true)
+    var alive = und.select(col("src").as("v")).distinct()
+      .localCheckpoint(eager = true)
+    var peeled: DataFrame = alive.select(col("v"), lit(0).as("peel_round"))
+      .where(lit(false))
+    for (r <- 1 to rounds) {
+      // degree among alive: both endpoints must still be alive
+      val deg = und
+        .join(alive.select(col("v").as("src")), Seq("src"))
+        .join(alive.select(col("v").as("dst")), Seq("dst"))
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+        .select(col("src").as("v"), col("deg"))
+      val survivors = alive.join(deg.where(col("deg") >= k), Seq("v"), "left_semi")
+        .localCheckpoint(eager = true)
+      val removed = alive.join(survivors, Seq("v"), "left_anti")
+        .select(col("v"), lit(r).as("peel_round"))
+      peeled = peeled.unionByName(removed).localCheckpoint(eager = false)
+      alive = survivors
+    }
+    alive.select(col("v"), lit(0).as("peel_round"))
+      .unionByName(peeled)
+      .select(col("v"), col("peel_round").cast("int").as("peel_round"),
+        (col("peel_round") === 0).as("in_core"))
+  }
+
+  /** Katz-style walk centrality with DYADIC attenuation, exact in
+    * BIGINT: w_k(v) = number of length-k walks ending at v (w1 = deg,
+    * w_{k+1}(v) = Σ_{u~v} w_k(u)), combined as
+    * katz_num = 16·w1 + 4·w2 + w3 — i.e. 64·Σ_k (1/4)^k w_k with
+    * β = 1/4 kept as a power of two so the weighted sum stays an exact
+    * integer (no float power iteration to diverge across engines).
+    * Returns (v, w1, w2, w3, katz_num).
+    *
+    * Scale posture: two rounds of (edge ⋈ counts) + sum-groupBy —
+    * the same co-partitioned join schedule as [[pageRank]]; only
+    * (long, long) pairs shuffle; the symmetrized edge list is pinned
+    * once and reused by both rounds.
+    */
+  def katzWalks(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(col("ta").as("src"), col("tb").as("dst"))
+      .unionAll(edges.select(col("tb").as("src"), col("ta").as("dst")))
+      .localCheckpoint(eager = true)
+    val w1 = und.groupBy("dst").agg(count(lit(1)).as("w"))
+      .select(col("dst").as("v"), col("w"))
+      .localCheckpoint(eager = false)
+    def step(w: DataFrame): DataFrame = und
+      .join(w.select(col("v").as("src"), col("w")), Seq("src"))
+      .groupBy("dst").agg(sum(col("w")).as("w"))
+      .select(col("dst").as("v"), col("w"))
+      .localCheckpoint(eager = false)
+    val w2 = step(w1)
+    val w3 = step(w2)
+    w1.select(col("v"), col("w").as("w1"))
+      .join(w2.select(col("v"), col("w").as("w2")), Seq("v"))
+      .join(w3.select(col("v"), col("w").as("w3")), Seq("v"))
+      .select(col("v"), col("w1"), col("w2"), col("w3"),
+        (col("w1") * 16L + col("w2") * 4L + col("w3")).as("katz_num"))
+  }
+
   def minLabelRounds(nodes: DataFrame, edges: DataFrame, k: Int): DataFrame = {
     var labels = nodes.select(col("v"), col("v").as("lab"))
     for (_ <- 1 to k) {

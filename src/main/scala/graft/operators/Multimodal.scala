@@ -188,6 +188,97 @@ object Multimodal {
     })
   }
 
+  final case class WavRecord(doc_id: Long, wav: Array[Byte])
+  final case class WavStats(
+      doc_id: Long,
+      channels: Int,
+      n_frames: Long,
+      sum_samples: Long,
+      sum_abs: Long,
+      peak: Int,
+      energy: Long,
+  )
+
+  /** Deterministic PCM16 sample formula shared by the encoder and the
+    * oracle (the audio twin of [[pngPixel]]): sample i of channel c in
+    * clip `id` is a small linear form mod 4096 shifted to [-2048, 2047],
+    * so DuckDB recomputes every expected statistic from (doc_id, c, i)
+    * arithmetic alone while the Spark side must round-trip REAL WAV
+    * bytes through the JDK's own audio codec to get the same numbers.
+    */
+  private[operators] def wavChannels(id: Long): Int = (1 + id % 2).toInt
+  private[operators] def wavFrames(id: Long): Int = (64 + (id % 7) * 16).toInt
+  private[operators] def wavSample(id: Long, c: Int, i: Int): Int =
+    ((id * 37 + c * 101 + i * 17) % 4096).toInt - 2048
+
+  /** REAL audio payloads: deterministic PCM16 samples encoded to actual
+    * RIFF/WAVE bytes with `javax.sound.sampled.AudioSystem` inside
+    * `mapPartitions` — the JDK's own codec, no external jars. Mono and
+    * stereo alternate by doc_id so the interleaving path is exercised.
+    */
+  def synthesizeWav(spark: SparkSession, ids: DataFrame): Dataset[WavRecord] = {
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val ch = wavChannels(id)
+      val n = wavFrames(id)
+      val pcm = new Array[Byte](n * ch * 2)
+      var i = 0
+      while (i < n) {
+        var c = 0
+        while (c < ch) {
+          val s = wavSample(id, c, i)
+          val off = (i * ch + c) * 2
+          pcm(off) = (s & 0xff).toByte // little-endian int16
+          pcm(off + 1) = ((s >> 8) & 0xff).toByte
+          c += 1
+        }
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        8000f, 16, ch, /*signed=*/ true, /*bigEndian=*/ false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      WavRecord(id, bos.toByteArray)
+    })
+  }
+
+  /** REAL decode: `AudioSystem.getAudioInputStream` parses the WAV
+    * container back to frames, and the samples reduce to exact integer
+    * stats — sum, sum of |s|, peak |s|, and energy Σ s² (all BIGINT, so
+    * order-independent). Any header, interleave, or endianness bug
+    * shifts a statistic and hash-fails against the oracle's arithmetic
+    * recomputation; PCM is lossless, so equality is exact.
+    */
+  def decodeWavStats(spark: SparkSession, wavs: Dataset[WavRecord]): Dataset[WavStats] = {
+    import spark.implicits._
+    wavs.mapPartitions(_.map { rec =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(rec.wav))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"unexpected decoded format: $fmt")
+      val ch = fmt.getChannels
+      val nFrames = ais.getFrameLength
+      val bytes = ais.readAllBytes()
+      var (sum, sumAbs, energy) = (0L, 0L, 0L)
+      var peak = 0
+      var off = 0
+      while (off + 1 < bytes.length) {
+        val s = ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort.toInt
+        sum += s
+        val a = math.abs(s)
+        sumAbs += a
+        if (a > peak) peak = a
+        energy += s.toLong * s
+        off += 2
+      }
+      WavStats(rec.doc_id, ch, nFrames, sum, sumAbs, peak, energy)
+    })
+  }
+
   def sceneCuts(docs: DataFrame, hammingThreshold: Int): DataFrame = {
     val frames = frameDigestRows(docs)
       .select(col("doc_id"), col("frame_idx"),

@@ -293,6 +293,54 @@ object ExperimentQueries {
         .orderBy("l")
     },
 
+    // t-closeness audit (Li et al. 2007) — the distribution-skew check
+    // l-diversity misses: a class can hold l distinct sensitive values
+    // whose DISTRIBUTION still leaks (e.g. 90% of one value vs 10%
+    // globally). Sensitive ordinal = length octile (8 fixed buckets);
+    // classes = (lang, source). For ordered attributes EMD reduces to
+    // the mean |cumulative-distribution gap|; kept INTEGER-EXACT by
+    // cross-multiplying the two cumulative fractions to the common
+    // denominator N_g·N: emd_num = Σ_j |cum_g(j)·N − cum_all(j)·N_g|,
+    // emd_den = N_g·N·(m−1), violation at t = 0.2 via 5·num > den — no
+    // float division anywhere. (At extreme corpus sizes cum·N can
+    // approach 2^63; quantize counts first if N > ~3e9.)
+    // Scale shape: two narrow aggregates over the corpus; the bucket
+    // spine (8 rows), per-class counts (|classes|·8), and global
+    // cumulative table all broadcast — the ≤-joins are against
+    // broadcast sides only, never a corpus-wide non-equi join.
+    "pp3_t_closeness" -> { (spark, dir) =>
+      val d = Tables.documents(spark, dir)
+        .select(col("lang"), col("source"),
+          least(expr("n_chars div 32"), lit(7L)).as("b"))
+        .localCheckpoint(eager = false) // feeds 3 aggregates
+      val nDf = d.agg(count(lit(1)).as("n"))
+      val ng = d.groupBy("lang", "source").agg(count(lit(1)).as("n_rows"))
+      val gb = d.groupBy("b").agg(count(lit(1)).as("gcnt"))
+      val spine = spark.range(0, 8).select(col("id").as("j"))
+      val gcum = spine.join(broadcast(gb), col("b") <= col("j"), "left")
+        .groupBy("j").agg(coalesce(sum(col("gcnt")), lit(0L)).as("gcum"))
+      val cb = d.groupBy("lang", "source", "b").agg(count(lit(1)).as("cnt"))
+        .select(col("lang").as("cl"), col("source").as("cs"),
+          col("b"), col("cnt"))
+      ng.select("lang", "source").crossJoin(broadcast(spine))
+        .join(broadcast(cb),
+          col("lang") === col("cl") && col("source") === col("cs")
+            && col("b") <= col("j"), "left")
+        .groupBy("lang", "source", "j")
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("cum"))
+        .join(broadcast(gcum), Seq("j"))
+        .join(ng, Seq("lang", "source"))
+        .crossJoin(broadcast(nDf))
+        .groupBy("lang", "source", "n_rows", "n")
+        .agg(sum(abs(col("cum") * col("n") - col("gcum") * col("n_rows")))
+          .as("emd_num"))
+        .select(col("lang"), col("source"), col("n_rows"), col("emd_num"),
+          (col("n_rows") * col("n") * 7L).as("emd_den"),
+          (col("emd_num") * 5L > col("n_rows") * col("n") * 7L)
+            .as("t_violation"))
+        .orderBy("lang", "source")
+    },
+
     // Randomized response (Warner 1965) — the plausible-deniability
     // survey mechanism, the ancestor of local differential privacy:
     // each user's sensitive flag (is-purchaser) flips with probability
@@ -546,6 +594,41 @@ object ExperimentQueries {
         |SELECT l, COUNT(*) AS n_classes,
         |  CAST(SUM(n_rows) AS BIGINT) AS n_rows
         |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
+    // EMD over the ordered length octiles, cross-multiplied to the
+    // common denominator N_g*N so every term stays integer
+    "pp3_t_closeness" ->
+      """WITH d AS (
+        |  SELECT lang, source, LEAST(n_chars // 32, 7) AS b FROM documents
+        |), n AS (SELECT COUNT(*) AS n FROM d),
+        |ng AS (
+        |  SELECT lang, source, COUNT(*) AS n_rows FROM d GROUP BY 1, 2
+        |), gb AS (SELECT b, COUNT(*) AS gcnt FROM d GROUP BY 1),
+        |spine AS (SELECT g.j FROM generate_series(0, 7) AS g(j)),
+        |gcum AS (
+        |  SELECT s.j, COALESCE(SUM(gb.gcnt), 0) AS gcum
+        |  FROM spine s LEFT JOIN gb ON gb.b <= s.j GROUP BY 1
+        |), cb AS (
+        |  SELECT lang, source, b, COUNT(*) AS cnt FROM d GROUP BY 1, 2, 3
+        |), grid AS (
+        |  SELECT c.lang, c.source, s.j, COALESCE(SUM(cb.cnt), 0) AS cum
+        |  FROM (SELECT DISTINCT lang, source FROM d) c
+        |  CROSS JOIN spine s
+        |  LEFT JOIN cb ON cb.lang = c.lang AND cb.source = c.source
+        |    AND cb.b <= s.j
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT g.lang, g.source, ng.n_rows,
+        |  CAST(SUM(ABS(g.cum * n.n - gc.gcum * ng.n_rows)) AS BIGINT)
+        |    AS emd_num,
+        |  CAST(ng.n_rows * n.n * 7 AS BIGINT) AS emd_den,
+        |  SUM(ABS(g.cum * n.n - gc.gcum * ng.n_rows)) * 5
+        |    > ng.n_rows * n.n * 7 AS t_violation
+        |FROM grid g
+        |JOIN gcum gc USING (j)
+        |JOIN ng ON ng.lang = g.lang AND ng.source = g.source
+        |CROSS JOIN n
+        |GROUP BY g.lang, g.source, ng.n_rows, n.n
+        |ORDER BY g.lang, g.source""".stripMargin,
     "cv1_fold_assignment" ->
       """WITH pu AS (
         |  SELECT user_id, COUNT(*) AS n_events,

@@ -574,6 +574,23 @@ object ExtensionQueries {
           Multimodal.synthesizePng(spark, ids))
         .toDF().orderBy("doc_id")
     },
+    // REAL audio decode — the WAV twin of m6: deterministic PCM16
+    // samples (mono/stereo alternating by id) are encoded to actual
+    // RIFF/WAVE bytes with javax.sound.sampled (the JDK's own audio
+    // codec) and decoded BACK through AudioSystem.getAudioInputStream;
+    // the result is exact integer sample statistics per clip. The
+    // oracle recomputes sum/|sum|/peak/energy from the (doc_id, c, i)
+    // sample formula arithmetically — it never parses a WAV — so any
+    // header, interleave, or endianness corruption hash-fails. PCM is
+    // lossless: equality is exact. With m6 + m7, the decode stub now
+    // covers only media formats the JVM has no codec for (video).
+    "m7_wav_decode" -> { (spark, dir) =>
+      val ids = Tables.documents(spark, dir)
+        .where(col("doc_id") % 10 === 3)
+      Multimodal.decodeWavStats(spark,
+          Multimodal.synthesizeWav(spark, ids))
+        .toDF().orderBy("doc_id")
+    },
 
     // --- Upsert (MERGE emulation): apply a derived updates batch to the
     // customer snapshot; updates win on key collision, new keys append ---
@@ -950,6 +967,18 @@ object ExtensionQueries {
       val emb = Tables.embeddings(spark, dir)
       graft.operators.EmbeddingOps
         .assignToCentroids(emb, graft.operators.EmbeddingOps.centroids(emb))
+        .orderBy("vec_id")
+    },
+    // Lloyd's algorithm, 2 full assign→update rounds (the TRAINING loop
+    // behind e4's single assignment step): seed centroids from the label
+    // column, assign, recompute centroids from that assignment, assign
+    // again. Per round: one narrow (vec_id, cluster) join to relabel +
+    // the broadcast-centroid scoring of e4 — vectors shuffle once per
+    // round, centroids stay k×dims longs. Exact integer distances
+    // throughout; the oracle unrolls both rounds.
+    "km2_lloyd_fit" -> { (spark, dir) =>
+      graft.operators.EmbeddingOps
+        .kmeansFit(Tables.embeddings(spark, dir), iterations = 2)
         .orderBy("vec_id")
     },
     // Approx quantiles (Greenwald-Khanna sketch) — the 100 TB stand-in
@@ -2183,6 +2212,31 @@ object ExtensionQueries {
         |WHERE d.doc_id % 10 = 0
         |GROUP BY d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // the oracle recomputes every sample statistic from the PCM formula
+    // (bounded 2x160 grid + channel/frame masks — max 2 channels, max
+    // 160 frames); it never parses a WAV, so the Spark side's
+    // javax.sound round-trip must reproduce the arithmetic exactly
+    "m7_wav_decode" ->
+      """WITH s AS (
+        |  SELECT d.doc_id,
+        |    (d.doc_id * 37 + gc.c * 101 + gi.i * 17) % 4096 - 2048 AS v
+        |  FROM documents d
+        |  CROSS JOIN generate_series(0, 1) AS gc(c)
+        |  CROSS JOIN generate_series(0, 159) AS gi(i)
+        |  WHERE d.doc_id % 10 = 3
+        |    AND gc.c < 1 + d.doc_id % 2
+        |    AND gi.i < 64 + (d.doc_id % 7) * 16
+        |)
+        |SELECT doc_id,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(64 + (doc_id % 7) * 16 AS BIGINT) AS n_frames,
+        |  CAST(SUM(v) AS BIGINT) AS sum_samples,
+        |  CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(MAX(abs(v)) AS INT) AS peak,
+        |  CAST(SUM(v * v) AS BIGINT) AS energy
+        |FROM s
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
         |  COUNT(*) AS n_copies
@@ -2736,6 +2790,42 @@ object ExtensionQueries {
         |  FROM dists
         |)
         |SELECT vec_id, label AS cluster, qdist FROM ranked WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
+    // e4's assignment unrolled TWICE, with round-2 centroids recomputed
+    // from round-1's clusters (floor-requantized exactly like the Spark
+    // side's centroids() -> q20 path)
+    "km2_lloyd_fit" ->
+      """WITH vq AS (
+        |  SELECT vec_id, label, g.i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        |), cent1 AS (
+        |  SELECT label, dim,
+        |    CAST(floor(CAST(SUM(qv) AS DOUBLE) / (COUNT(*) * 1048576.0)
+        |      * 1048576.0) AS BIGINT) AS qc
+        |  FROM vq GROUP BY 1, 2
+        |), d1 AS (
+        |  SELECT v.vec_id, c.label,
+        |    CAST(SUM((qv - qc) * (qv - qc)) AS BIGINT) AS qdist
+        |  FROM vq v JOIN cent1 c ON c.dim = v.dim GROUP BY 1, 2
+        |), a1 AS (
+        |  SELECT vec_id, label AS cluster FROM (
+        |    SELECT vec_id, label, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY qdist, label) AS rn FROM d1) WHERE rn = 1
+        |), cent2 AS (
+        |  SELECT a.cluster AS label, v.dim,
+        |    CAST(floor(CAST(SUM(v.qv) AS DOUBLE) / (COUNT(*) * 1048576.0)
+        |      * 1048576.0) AS BIGINT) AS qc
+        |  FROM vq v JOIN a1 a USING (vec_id) GROUP BY 1, 2
+        |), d2 AS (
+        |  SELECT v.vec_id, c.label,
+        |    CAST(SUM((qv - qc) * (qv - qc)) AS BIGINT) AS qdist
+        |  FROM vq v JOIN cent2 c ON c.dim = v.dim GROUP BY 1, 2
+        |), a2 AS (
+        |  SELECT vec_id, label, qdist, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY qdist, label) AS rn FROM d2
+        |)
+        |SELECT vec_id, label AS cluster, qdist FROM a2 WHERE rn = 1
         |ORDER BY vec_id""".stripMargin,
     "e3_int8_quant" ->
       """WITH q AS (

@@ -405,6 +405,30 @@ object PipelineQueries {
         .orderBy("v")
     },
 
+    // Bounded-round k-core peeling (k=3, 4 rounds) over the same term
+    // co-occurrence graph: the degeneracy-ordering primitive behind
+    // dense-subgraph mining and graph sparsification. Fixed round count
+    // (the 100 TB schedule), integer degrees; the oracle unrolls the
+    // same 4 peel rounds as chained CTEs.
+    "kcore1_peeling" -> { (spark, dir) =>
+      GraphOps.kcorePeeling(
+        GraphOps.termCooccurrenceEdges(Tables.documentsParallel(spark, dir),
+          topK = 40, minCo = 5L),
+        k = 3, rounds = 4)
+        .orderBy("v")
+    },
+
+    // Katz walk centrality with dyadic attenuation (β = 1/4 over walk
+    // lengths 1..3): katz_num = 16·w1 + 4·w2 + w3 stays exact BIGINT —
+    // the path-counting centrality next to pr1's power iteration, with
+    // zero floating point anywhere.
+    "katz1_walk_centrality" -> { (spark, dir) =>
+      GraphOps.katzWalks(
+        GraphOps.termCooccurrenceEdges(Tables.documentsParallel(spark, dir),
+          topK = 40, minCo = 5L))
+        .orderBy("v")
+    },
+
     // Explicit bloom-filter semi-join reduction: build a bloom over the
     // filtered dimension's keys (one aggregate → one binary scalar),
     // probe the fact scan with graft_might_contain BEFORE the join, then
@@ -1086,6 +1110,108 @@ object PipelineQueries {
         |  FROM nodes n LEFT JOIN c3 c ON c.dst = n.v
         |)
         |SELECT v, CAST(pr AS BIGINT) AS pr_q FROM p3 ORDER BY v""".stripMargin,
+
+    // 4 unrolled peel rounds (k=3) over the pr1 edge CTEs: d_r = degree
+    // among round-r survivors, p_r = nodes peeled in round r, n_r = the
+    // shrinking alive set; survivors of round 4 report peel_round 0
+    "kcore1_peeling" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, u.term
+        |  FROM documents,
+        |    UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS u(term)
+        |  WHERE u.term <> ''
+        |), top AS MATERIALIZED (
+        |  SELECT term FROM toks GROUP BY 1
+        |  ORDER BY COUNT(*) DESC, term LIMIT 40
+        |), dt AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, term FROM toks
+        |  WHERE term IN (SELECT term FROM top)
+        |), e0 AS MATERIALIZED (
+        |  SELECT a.term AS ta, b.term AS tb
+        |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        |), und AS MATERIALIZED (
+        |  SELECT ta AS src, tb AS dst FROM e0
+        |  UNION ALL SELECT tb AS src, ta AS dst FROM e0
+        |), n0 AS MATERIALIZED (
+        |  SELECT DISTINCT src AS v FROM und
+        |), d1 AS MATERIALIZED (
+        |  SELECT src AS v, COUNT(*) AS c FROM und
+        |  WHERE src IN (SELECT v FROM n0) AND dst IN (SELECT v FROM n0)
+        |  GROUP BY 1
+        |), p1 AS MATERIALIZED (
+        |  SELECT n.v FROM n0 n LEFT JOIN d1 d USING (v)
+        |  WHERE COALESCE(d.c, 0) < 3
+        |), n1 AS MATERIALIZED (SELECT v FROM n0 EXCEPT SELECT v FROM p1),
+        |d2 AS MATERIALIZED (
+        |  SELECT src AS v, COUNT(*) AS c FROM und
+        |  WHERE src IN (SELECT v FROM n1) AND dst IN (SELECT v FROM n1)
+        |  GROUP BY 1
+        |), p2 AS MATERIALIZED (
+        |  SELECT n.v FROM n1 n LEFT JOIN d2 d USING (v)
+        |  WHERE COALESCE(d.c, 0) < 3
+        |), n2 AS MATERIALIZED (SELECT v FROM n1 EXCEPT SELECT v FROM p2),
+        |d3 AS MATERIALIZED (
+        |  SELECT src AS v, COUNT(*) AS c FROM und
+        |  WHERE src IN (SELECT v FROM n2) AND dst IN (SELECT v FROM n2)
+        |  GROUP BY 1
+        |), p3 AS MATERIALIZED (
+        |  SELECT n.v FROM n2 n LEFT JOIN d3 d USING (v)
+        |  WHERE COALESCE(d.c, 0) < 3
+        |), n3 AS MATERIALIZED (SELECT v FROM n2 EXCEPT SELECT v FROM p3),
+        |d4 AS MATERIALIZED (
+        |  SELECT src AS v, COUNT(*) AS c FROM und
+        |  WHERE src IN (SELECT v FROM n3) AND dst IN (SELECT v FROM n3)
+        |  GROUP BY 1
+        |), p4 AS MATERIALIZED (
+        |  SELECT n.v FROM n3 n LEFT JOIN d4 d USING (v)
+        |  WHERE COALESCE(d.c, 0) < 3
+        |), n4 AS MATERIALIZED (SELECT v FROM n3 EXCEPT SELECT v FROM p4),
+        |lab AS (
+        |  SELECT v, 1 AS peel_round FROM p1
+        |  UNION ALL SELECT v, 2 FROM p2
+        |  UNION ALL SELECT v, 3 FROM p3
+        |  UNION ALL SELECT v, 4 FROM p4
+        |  UNION ALL SELECT v, 0 FROM n4
+        |)
+        |SELECT v, CAST(peel_round AS INT) AS peel_round,
+        |  peel_round = 0 AS in_core
+        |FROM lab ORDER BY v""".stripMargin,
+
+    // walk counts w1=deg, w_{k+1}(v)=Σ_{u~v} w_k(u); all-BIGINT dyadic
+    // combination 16·w1 + 4·w2 + w3 (= 64·Σ β^k w_k at β=1/4)
+    "katz1_walk_centrality" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, u.term
+        |  FROM documents,
+        |    UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS u(term)
+        |  WHERE u.term <> ''
+        |), top AS MATERIALIZED (
+        |  SELECT term FROM toks GROUP BY 1
+        |  ORDER BY COUNT(*) DESC, term LIMIT 40
+        |), dt AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, term FROM toks
+        |  WHERE term IN (SELECT term FROM top)
+        |), e0 AS MATERIALIZED (
+        |  SELECT a.term AS ta, b.term AS tb
+        |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        |), und AS MATERIALIZED (
+        |  SELECT ta AS src, tb AS dst FROM e0
+        |  UNION ALL SELECT tb AS src, ta AS dst FROM e0
+        |), w1 AS MATERIALIZED (
+        |  SELECT dst AS v, COUNT(*) AS w FROM und GROUP BY 1
+        |), w2 AS MATERIALIZED (
+        |  SELECT e.dst AS v, CAST(SUM(a.w) AS BIGINT) AS w
+        |  FROM und e JOIN w1 a ON a.v = e.src GROUP BY 1
+        |), w3 AS MATERIALIZED (
+        |  SELECT e.dst AS v, CAST(SUM(b.w) AS BIGINT) AS w
+        |  FROM und e JOIN w2 b ON b.v = e.src GROUP BY 1
+        |)
+        |SELECT a.v, a.w AS w1, b.w AS w2, c.w AS w3,
+        |  CAST(a.w * 16 + b.w * 4 + c.w AS BIGINT) AS katz_num
+        |FROM w1 a JOIN w2 b ON b.v = a.v JOIN w3 c ON c.v = a.v
+        |ORDER BY a.v""".stripMargin,
 
     "x14_bloom_join" ->
       """SELECT o.o_orderpriority, COUNT(*) AS n_orders,

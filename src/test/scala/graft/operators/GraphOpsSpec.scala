@@ -31,6 +31,44 @@ class GraphOpsSpec extends SparkSpec {
     assert(r.getLong(4) === 0L) // clustering 0
   }
 
+  test("kcorePeeling: K4 core survives, pendants peel by depth") {
+    // K4 on {a,b,c,d} is a 3-core; f (deg 1) peels round 1, which drops
+    // e (deg 3 via a,b,f while f is alive) to deg 2 — e peels round 2:
+    // synchronous peeling, cascade depth = round number
+    val g = edges("a" -> "b", "a" -> "c", "a" -> "d",
+      "b" -> "c", "b" -> "d", "c" -> "d",
+      "e" -> "a", "e" -> "b", "f" -> "e")
+    val r = GraphOps.kcorePeeling(g, k = 3, rounds = 4)
+      .collect().map(x => x.getString(0) -> (x.getInt(1), x.getBoolean(2))).toMap
+    assert(Seq("a", "b", "c", "d").forall(v => r(v) == (0, true)))
+    assert(r("f") === ((1, false)))
+    assert(r("e") === ((2, false)))
+  }
+
+  test("kcorePeeling: a path peels from the ends inward, one layer per round") {
+    // path a-b-c-d-e with k=2: ends {a,e} peel round 1, exposing {b,d}
+    // round 2, then c round 3 — the round IS the onion layer
+    val path = edges("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e")
+    val r = GraphOps.kcorePeeling(path, k = 2, rounds = 4)
+      .collect().map(x => x.getString(0) -> x.getInt(1)).toMap
+    assert(r("a") === 1); assert(r("e") === 1)
+    assert(r("b") === 2); assert(r("d") === 2)
+    assert(r("c") === 3)
+  }
+
+  test("katzWalks: star hub and leaves, hand-computed walk counts") {
+    // star hub h, leaves x,y,z: w1(h)=3, w1(leaf)=1; w2(h)=3 (sum of
+    // leaf degrees), w2(leaf)=3 (hub degree); w3(h)=9, w3(leaf)=3
+    val star = edges("h" -> "x", "h" -> "y", "h" -> "z")
+    val r = GraphOps.katzWalks(star)
+      .collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+      .toMap
+    assert(r("h") === ((3L, 3L, 9L, 16L * 3 + 4L * 3 + 9L)))
+    for (l <- Seq("x", "y", "z"))
+      assert(r(l) === ((1L, 3L, 3L, 16L + 12L + 3L)))
+  }
+
   test("pageRank: a d|scale regular graph is an exact fixed point of the iteration") {
     // On a d-regular graph with d dividing scale every node keeps rank
     // == scale exactly: in-mass = d * (scale div d) = scale, and

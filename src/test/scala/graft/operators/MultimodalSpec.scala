@@ -57,4 +57,32 @@ class MultimodalSpec extends SparkSpec {
         s"decoded channel sums diverged for doc ${s.doc_id}")
     }
   }
+
+  test("wav round-trip: AudioSystem decode recovers the exact PCM formula stats") {
+    // 3 -> mono, 4 -> stereo (interleave path), 13 -> mono long clip
+    val ids = Seq(3L, 4L, 13L).toDF("doc_id")
+    val wavs = Multimodal.synthesizeWav(spark, ids).collect()
+    // the payloads are REAL RIFF/WAVE containers, all distinct
+    assert(wavs.forall(w => new String(w.wav.take(4), "US-ASCII") == "RIFF"
+      && new String(w.wav.slice(8, 12), "US-ASCII") == "WAVE"))
+    assert(wavs.map(_.wav.toSeq).distinct.length == 3)
+
+    val stats = Multimodal.decodeWavStats(spark,
+      Multimodal.synthesizeWav(spark, ids)).collect().sortBy(_.doc_id)
+    for (s <- stats) {
+      val ch = Multimodal.wavChannels(s.doc_id)
+      val n = Multimodal.wavFrames(s.doc_id)
+      assert(s.channels == ch && s.n_frames == n.toLong)
+      var (sum, sumAbs, energy) = (0L, 0L, 0L)
+      var peak = 0
+      for (i <- 0 until n; c <- 0 until ch) {
+        val v = Multimodal.wavSample(s.doc_id, c, i)
+        sum += v; sumAbs += math.abs(v); energy += v.toLong * v
+        peak = math.max(peak, math.abs(v))
+      }
+      assert((s.sum_samples, s.sum_abs, s.peak, s.energy)
+        == ((sum, sumAbs, peak, energy)),
+        s"decoded sample stats diverged for doc ${s.doc_id}")
+    }
+  }
 }
