@@ -243,6 +243,67 @@ object AtomicLayer {
 
   private val StaleClaim = "v(\\d+)\\.claim".r
 
+  final case class VacuumStats(
+      prunedCommitted: Int,
+      sweptUncommittedDirs: Int,
+      sweptClaims: Int,
+  )
+
+  /** Standalone maintenance GC (the protocol's VACUUM): prunes committed
+    * snapshots beyond `keepVersions`, sweeps crashed writers' debris —
+    * uncommitted version dirs with no claim (a live writer's claim
+    * always outlives its dir, so claimless uncommitted dirs are
+    * ownerless at ANY version number), committed dirs' leftover claims
+    * (the owner provably finished), and lease-expired claims together
+    * with their uncommitted dirs (same second fence as [[write]]'s
+    * sweep: the claim's mtime is re-read and `_SUCCESS` re-checked
+    * immediately before the recursive delete, so heartbeating live
+    * writers are never unseated). [[write]] runs the same hygiene
+    * incrementally on every commit; vacuum is for read-mostly tables
+    * and scheduled maintenance, like Delta's VACUUM scaled down to the
+    * commit-marker protocol. Returns what was swept.
+    */
+  def vacuum(
+      spark: SparkSession,
+      root: String,
+      keepVersions: Int = 2,
+      claimLeaseMs: Long = 60L * 60 * 1000,
+  ): VacuumStats = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val (fs, rootPath) = fsFor(spark, root)
+    if (!fs.exists(rootPath)) return VacuumStats(0, 0, 0)
+    val all = versionDirs(spark, root)
+    var (pruned, sweptDirs, sweptClaims) = (0, 0, 0)
+    all.filter(_._3).dropRight(keepVersions).foreach { case (_, p, _) =>
+      fs.delete(p, true); pruned += 1
+    }
+    all.filter { case (v, _, committed) =>
+      !committed && !fs.exists(new Path(rootPath, s"v$v.claim"))
+    }.foreach { case (_, p, _) => fs.delete(p, true); sweptDirs += 1 }
+    fs.listStatus(rootPath).toSeq
+      .filter(st => !st.isDirectory)
+      .foreach { st =>
+        st.getPath.getName match {
+          case StaleClaim(n) =>
+            val vDir = new Path(rootPath, s"v$n")
+            if (fs.exists(new Path(vDir, "_SUCCESS"))) {
+              fs.delete(st.getPath, false); sweptClaims += 1
+            } else if (System.currentTimeMillis() - st.getModificationTime > claimLeaseMs) {
+              val stillExpired =
+                try System.currentTimeMillis() -
+                  fs.getFileStatus(st.getPath).getModificationTime > claimLeaseMs
+                catch { case _: java.io.FileNotFoundException => false }
+              if (stillExpired && !fs.exists(new Path(vDir, "_SUCCESS"))) {
+                if (fs.exists(vDir)) { fs.delete(vDir, true); sweptDirs += 1 }
+                fs.delete(st.getPath, false); sweptClaims += 1
+              }
+            }
+          case _ => ()
+        }
+      }
+    VacuumStats(pruned, sweptDirs, sweptClaims)
+  }
+
   /** Read the highest committed snapshot. Falls back to reading `root`
     * directly when no version directories exist (pre-atomic layouts and
     * external tables stay readable).

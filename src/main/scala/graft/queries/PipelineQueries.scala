@@ -471,6 +471,15 @@ object PipelineQueries {
       EventsStream.cdcLatestWins(spark, dir)
     },
 
+    // Streamed SCD-2 dimension maintenance: signup micro-batches merge
+    // into an AtomicLayer-versioned dim via recompute-per-affected-key
+    // (idempotent under foreachBatch retries, event_id-deduped against
+    // cross-batch redelivery); the converged dim must equal x11's
+    // one-shot batch history exactly — the oracle IS x11's SQL.
+    "st25_stream_scd2" -> { (spark, dir) =>
+      EventsStream.scd2StreamedDim(spark, dir)
+    },
+
     // Watermark-bounded streaming dedup (state expires with event time —
     // the unbounded-stream-safe variant of st3).
     "st8_stream_dedup_wm" -> { (spark, dir) =>
@@ -1220,6 +1229,19 @@ object PipelineQueries {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE c.c_mktsegment = 'BUILDING'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical to x11's oracle: the streamed merge must converge to the
+    // one-shot batch history bit-for-bit
+    "st25_stream_scd2" ->
+      """SELECT user_id,
+        |  CAST(ROW_NUMBER() OVER w AS INT) AS version, event_id, value,
+        |  date_trunc('second', ts) AS effective_from,
+        |  date_trunc('second', LEAD(ts, 1) OVER w) AS effective_to,
+        |  CAST(LEAD(ts, 1) OVER w IS NULL AS INT) AS is_current
+        |FROM events WHERE event_type = 'signup'
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY date_trunc('second', ts), event_id)
+        |ORDER BY user_id, version""".stripMargin,
 
     "st19_stream_cdc" ->
       """WITH ranked AS (

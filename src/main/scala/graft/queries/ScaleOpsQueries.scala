@@ -418,6 +418,55 @@ object ScaleOpsQueries {
           sum(col("cents")).as("cents_kept"))))
     },
 
+    // Orphan-file GC with read-back proof — the VACUUM maintenance op:
+    // a versioned table accumulates crashed-writer debris (an
+    // uncommitted dir with its lease-expired claim, a committed
+    // version's leftover claim, a claimless preempted dir), vacuum
+    // sweeps all of it, and the census RE-READS the filesystem to prove
+    // the committed snapshots survived intact and zero debris remains —
+    // the oracle pins every after-count to a literal, so a GC that
+    // deletes live data OR misses debris is a hash mismatch. Same
+    // artifact-proof posture as gdpr1.
+    "vac1_orphan_gc" -> { (spark, dir) =>
+      import graft.energy.AtomicLayer
+      import org.apache.hadoop.fs.Path
+      val root = graft.tools.Scratch.dir("graft-vac1").toString + "/t"
+      val nation = Tables.nation(spark, dir)
+        .select("n_nationkey", "n_name", "n_regionkey")
+      AtomicLayer.write(nation, root) // v0
+      AtomicLayer.write(nation, root) // v1 current, v0 grace window
+      val fs = new Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // crashed mid-write: uncommitted v2 dir + its (expired) claim
+      fs.mkdirs(new Path(root, "v2"))
+      fs.create(new Path(root, "v2/part-00000.parquet"), true).close()
+      fs.create(new Path(root, "v2.claim"), true).close()
+      // crashed between commit and claim delete: v1 is committed
+      fs.create(new Path(root, "v1.claim"), true).close()
+      // preempted attempt: claimless uncommitted dir
+      fs.mkdirs(new Path(root, "v3"))
+      fs.create(new Path(root, "v3/part-00000.parquet"), true).close()
+      Thread.sleep(5) // age the claims past the 0 ms test lease
+      val stats = AtomicLayer.vacuum(spark, root,
+        keepVersions = 2, claimLeaseMs = 0L)
+      // read-back proof straight from the filesystem
+      val back = AtomicLayer.read(spark, root)
+      val nCommitted = AtomicLayer.committedVersions(spark, root).size
+      val entries = fs.listStatus(new Path(root)).toSeq
+      val nUncommitted = entries.count(st => st.isDirectory &&
+        !fs.exists(new Path(st.getPath, "_SUCCESS")))
+      val nClaims = entries.count(st =>
+        !st.isDirectory && st.getPath.getName.endsWith(".claim"))
+      back.agg(count(lit(1)).as("n_rows"),
+          sum(col("n_nationkey")).as("sum_key"))
+        .select(col("n_rows"), col("sum_key"),
+          lit(nCommitted).as("n_committed_after"),
+          lit(nUncommitted).as("n_uncommitted_after"),
+          lit(nClaims).as("n_claims_after"),
+          lit(stats.sweptUncommittedDirs).as("swept_dirs"),
+          lit(stats.sweptClaims).as("swept_claims"))
+    },
+
     // Schema EVOLUTION read — the lakehouse reality that a long-lived
     // table's early files lack columns added later: era-1 files carry
     // (day, event_type, n_events), era-2 files add sum_cents. One
@@ -508,6 +557,18 @@ object ScaleOpsQueries {
         |    THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
         |    AS cents_kept
         |FROM events""".stripMargin,
+    // every after-count and swept-count pinned to a literal: the GC must
+    // sweep exactly the injected debris and nothing else, and the
+    // surviving snapshot must still carry the whole table
+    "vac1_orphan_gc" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+        |  CAST(2 AS INT) AS n_committed_after,
+        |  CAST(0 AS INT) AS n_uncommitted_after,
+        |  CAST(0 AS INT) AS n_claims_after,
+        |  CAST(2 AS INT) AS swept_dirs,
+        |  CAST(2 AS INT) AS swept_claims
+        |FROM nation""".stripMargin,
     "se1_schema_evolution" ->
       """WITH e AS (
         |  SELECT event_type, CAST(date_trunc('second', ts) AS DATE) AS day,

@@ -405,4 +405,87 @@ object EventsStream {
       .where(col("rn") <= 2).drop("rn")
       .orderBy("win_start", "event_type")
   }
+
+  /** Streamed SCD-2 dimension maintenance (the streaming twin of x11):
+    * signup events arrive in micro-batches and the interval-versioned
+    * dimension is kept current in an [[graft.energy.AtomicLayer]]
+    * snapshot by [[mergeScd2]]. The final dimension equals the one-shot
+    * batch `Scd2.buildHistory` over the same events regardless of how
+    * the stream was micro-batched (proved in `StreamScd2Spec`).
+    */
+  def scd2StreamedDim(spark: SparkSession, dir: String): DataFrame =
+    scd2Drive(spark, eventsStream(spark, dir)
+      .where(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id"), col("ts_sec"), col("value")))
+
+  /** Drive any (user_id, event_id, ts_sec, value) change stream through
+    * the SCD-2 merge and return the converged dimension.
+    */
+  private[graft] def scd2Drive(spark: SparkSession, signups: DataFrame): DataFrame = {
+    val root = graft.tools.Scratch.dir("graft-scd2")
+      .toString + "/dim.parquet"
+    StreamRun.driveForeachBatch(signups, "append",
+        s"scd2_dim_${runId.incrementAndGet()}") { (batch, batchId) =>
+      mergeScd2(spark, root, batch, batchId): Unit
+    }
+    graft.energy.AtomicLayer.read(spark, root).drop("_merged_batch_id")
+      .select("user_id", "version", "event_id", "value",
+        "effective_from", "effective_to", "is_current")
+      .orderBy("user_id", "version")
+  }
+
+  /** One micro-batch's SCD-2 merge, idempotent under foreachBatch's
+    * at-least-once retries (same `_merged_batch_id` guard as
+    * `DocsStream.mergeCensus`). The merge is RECOMPUTE-PER-AFFECTED-KEY:
+    * untouched users' version rows pass through verbatim; for users in
+    * the batch, the existing versions are replayed back to their change
+    * events (each version row carries event_id, value, effective_from),
+    * unioned with the batch events, deduplicated by event_id (cross-
+    * batch redelivery safety — the batchId guard only blocks SAME-batch
+    * retries), and re-versioned by `Scd2.buildHistory` — so out-of-order
+    * arrival across batches converges to the same history as the batch
+    * build. Per batch the work is O(dim + batch), with only affected
+    * users' rows re-windowed; at scale the dim would be bucketed by key
+    * so the pass-through side is a partition-pruned dynamic overwrite
+    * (pw2's shape) instead of a full rewrite.
+    */
+  private[graft] def mergeScd2(spark: SparkSession, root: String,
+      batch: DataFrame, batchId: Long): Boolean = {
+    import graft.energy.AtomicLayer
+    val exists = AtomicLayer.latestCommitted(spark, root).isDefined
+    val alreadyMerged = exists && {
+      val row = AtomicLayer.read(spark, root)
+        .agg(max(col("_merged_batch_id"))).head
+      !row.isNullAt(0) && row.getLong(0) >= batchId
+    }
+    if (alreadyMerged) false
+    else {
+      val events = batch
+        .select(col("user_id"), col("event_id"), col("ts_sec"), col("value"))
+      val dimCols = Seq("user_id", "version", "event_id", "value",
+        "effective_from", "effective_to", "is_current")
+      val rebuiltAll =
+        if (exists) {
+          val dim = AtomicLayer.read(spark, root).drop("_merged_batch_id")
+          val affected = events.select("user_id").distinct()
+          val keep = dim.join(affected, Seq("user_id"), "left_anti")
+          val replayed = dim.join(affected, Seq("user_id"), "left_semi")
+            .select(col("user_id"), col("event_id"),
+              col("effective_from").as("ts_sec"), col("value"))
+          val rebuilt = graft.operators.Scd2.buildHistory(
+            replayed.unionByName(events).dropDuplicates("event_id"),
+            col("user_id"), col("ts_sec"), col("event_id"))
+            .select(dimCols.map(col): _*)
+          keep.select(dimCols.map(col): _*).unionByName(rebuilt)
+        } else
+          graft.operators.Scd2.buildHistory(
+            events.dropDuplicates("event_id"),
+            col("user_id"), col("ts_sec"), col("event_id"))
+            .select(dimCols.map(col): _*)
+      AtomicLayer.write(
+        rebuiltAll.withColumn("_merged_batch_id", lit(batchId)),
+        root, keepVersions = 1)
+      true
+    }
+  }
 }

@@ -118,6 +118,40 @@ class AtomicLayerSpec extends SparkSpec {
     assert(AtomicLayer.read(spark, root).as[Int].collect() === Array(3))
   }
 
+  test("vacuum sweeps crashed-writer debris, never live claims or retained snapshots") {
+    val root = tmpTable()
+    AtomicLayer.write(df(1), root) // v0
+    AtomicLayer.write(df(2), root) // v1 (current)
+    // debris: v2 = crashed mid-write (dir + claim, will lease-expire);
+    // v1.claim = crashed between commit and claim delete; v3 = claimless
+    Files.createDirectories(Paths.get(root, "v2"))
+    Files.createFile(Paths.get(root, "v2", "part-00000.parquet"))
+    Files.createFile(Paths.get(root, "v2.claim"))
+    Files.createFile(Paths.get(root, "v1.claim"))
+    Files.createDirectories(Paths.get(root, "v3"))
+    Files.createFile(Paths.get(root, "v3", "part-00000.parquet"))
+    Thread.sleep(300) // expire v2.claim under the 200 ms lease
+    // LIVE concurrent writer: fresh claim + in-progress dir
+    Files.createFile(Paths.get(root, "v4.claim"))
+    Files.createDirectories(Paths.get(root, "v4"))
+    Files.createFile(Paths.get(root, "v4", "part-00000.parquet"))
+
+    val stats = AtomicLayer.vacuum(spark, root,
+      keepVersions = 1, claimLeaseMs = 200L)
+    assert(stats.prunedCommitted === 1, "v0 beyond retention")
+    assert(stats.sweptUncommittedDirs === 2, "v2 (expired) + v3 (claimless)")
+    assert(stats.sweptClaims === 2, "v1.claim (committed) + v2.claim (expired)")
+    assert(!Files.exists(Paths.get(root, "v0")))
+    assert(!Files.exists(Paths.get(root, "v2")))
+    assert(!Files.exists(Paths.get(root, "v2.claim")))
+    assert(!Files.exists(Paths.get(root, "v1.claim")))
+    assert(!Files.exists(Paths.get(root, "v3")))
+    assert(Files.exists(Paths.get(root, "v4.claim")), "live claim survives")
+    assert(Files.exists(Paths.get(root, "v4", "part-00000.parquet")),
+      "live writer's in-progress dir survives")
+    assert(AtomicLayer.read(spark, root).as[Int].collect() === Array(2))
+  }
+
   test("read falls back to a plain (pre-atomic) parquet layout") {
     val root = tmpTable()
     df(7, 8).write.parquet(root)
