@@ -338,6 +338,43 @@ object GraphOps {
         (col("w1") * 16L + col("w2") * 4L + col("w3")).as("katz_num"))
   }
 
+  /** Weisfeiler–Lehman relabeling (`rounds` iterations): the graph-
+    * fingerprinting primitive behind WL graph kernels and GNN
+    * expressiveness bounds. Initial label = md5 of the node DEGREE (so
+    * the fingerprint is isomorphism-invariant — node names never enter
+    * it); each round every node rehashes (own label ‖ ':' ‖ sorted
+    * neighbor labels). Two nodes share a round-r label iff WL cannot
+    * distinguish their r-hop neighborhoods. Returns (v, wl) with the
+    * 16-hex-char label prefix.
+    *
+    * Scale posture: per round one (long, 32-byte) join keyed on the
+    * node id + one sorted-list aggregate whose per-group size is the
+    * node's degree — the same co-partitioned schedule as [[pageRank]];
+    * the md5 relabeling keeps every shuffle row at fixed width no
+    * matter how many rounds run.
+    */
+  def wlFingerprint(edges: DataFrame, rounds: Int): DataFrame = {
+    val und = edges
+      .select(col("ta").as("src"), col("tb").as("dst"))
+      .unionAll(edges.select(col("tb").as("src"), col("ta").as("dst")))
+      .localCheckpoint(eager = true)
+    var labels = und.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("v"), md5(col("deg").cast("string")).as("l"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to rounds) {
+      val sig = und
+        .join(labels.select(col("v").as("dst"), col("l").as("nl")), Seq("dst"))
+        .groupBy("src")
+        .agg(concat_ws(",", array_sort(collect_list(col("nl")))).as("sig"))
+        .select(col("src").as("v"), col("sig"))
+      labels = labels.join(sig, Seq("v"))
+        .select(col("v"),
+          md5(concat(col("l"), lit(":"), col("sig"))).as("l"))
+        .localCheckpoint(eager = false)
+    }
+    labels.select(col("v"), substring(col("l"), 1, 16).as("wl"))
+  }
+
   def minLabelRounds(nodes: DataFrame, edges: DataFrame, k: Int): DataFrame = {
     var labels = nodes.select(col("v"), col("v").as("lab"))
     for (_ <- 1 to k) {

@@ -291,6 +291,27 @@ object ExtensionQueries {
         .select(col("n_exact"), col("n_hit"),
           (col("n_hit").cast(DoubleType) / col("n_exact")).as("recall"))
     },
+    // Reciprocal-rank quality of the LSH index (the MRR ingredient,
+    // recall's order-sensitive sibling): where does each query's TRUE
+    // nearest neighbor land in the approximate top-10? rank 0 = missed.
+    // The reciprocal is kept exact by scaling with 2520 = lcm(1..10) —
+    // 2520 div rank is an integer for every possible rank, so the
+    // relation (and any MRR averaged from it) is float-free.
+    "mrr1_ann_rank_quality" -> { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      val qs = emb.where(col("vec_id") < 8)
+      val truth = Similarity.bruteForceTopK(qs, emb, k = 1)
+        .select(col("q_vec"), col("c_vec").as("true_nn"))
+      val approx = Similarity.lshTopK(qs, emb, k = 10)
+        .select(col("q_vec").as("aq"), col("c_vec"), col("rank"))
+      truth.join(approx,
+          col("q_vec") === col("aq") && col("true_nn") === col("c_vec"),
+          "left")
+        .select(col("q_vec"), col("true_nn"),
+          coalesce(col("rank"), lit(0)).cast("int").as("found_rank"),
+          coalesce(expr("2520 div rank"), lit(0L)).as("rr_scaled"))
+        .orderBy("q_vec")
+    },
     // PQ-ADC search: the corpus is stored as 4 codeword ids per vector
     // and a query scans CODES (lookup-table adds), not floats — the
     // memory tier of billion-vector ANN. Oracle-checked end to end: the
@@ -1504,6 +1525,27 @@ object ExtensionQueries {
          |  CAST(SUM(CASE WHEN l.c_vec IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
          |  CAST(SUM(CASE WHEN l.c_vec IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
          |FROM brute br LEFT JOIN lsh3 l ON l.q_vec = br.q_vec AND l.c_vec = br.c_vec""".stripMargin,
+    // true-NN rank inside the approximate top-10; reciprocal scaled by
+    // 2520 = lcm(1..10) so it stays integer
+    "mrr1_ann_rank_quality" ->
+      s"""WITH $lshOracleCtes, brute1 AS (
+         |  SELECT q_vec, c_vec AS true_nn FROM (
+         |    SELECT a.vec_id AS q_vec, b.vec_id AS c_vec,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        list_dot_product(a.q, b.q) /
+         |          nullif(sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q)), 0)
+         |          DESC, b.vec_id) AS rank
+         |    FROM qe a, qe b WHERE a.vec_id < 8 AND b.vec_id <> a.vec_id) t
+         |  WHERE rank = 1
+         |), l10 AS (
+         |  SELECT q_vec, c_vec, rank FROM lsh_ranked WHERE rank <= 10
+         |)
+         |SELECT b.q_vec, b.true_nn,
+         |  CAST(COALESCE(l.rank, 0) AS INT) AS found_rank,
+         |  CAST(COALESCE(2520 // l.rank, 0) AS BIGINT) AS rr_scaled
+         |FROM brute1 b LEFT JOIN l10 l
+         |  ON l.q_vec = b.q_vec AND l.c_vec = b.true_nn
+         |ORDER BY b.q_vec""".stripMargin,
     "x5_ann_ivf" ->
       """WITH qe AS (
         |  SELECT vec_id,

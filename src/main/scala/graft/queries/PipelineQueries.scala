@@ -418,6 +418,19 @@ object PipelineQueries {
         .orderBy("v")
     },
 
+    // Weisfeiler–Lehman fingerprint, 2 rounds: isomorphism-invariant
+    // node labels (seed = degree hash; each round rehashes own label ‖
+    // sorted neighbor labels). Portable because md5-over-strings is
+    // engine-identical; the oracle replays both rounds with
+    // string_agg(... ORDER BY).
+    "wl1_graph_fingerprint" -> { (spark, dir) =>
+      GraphOps.wlFingerprint(
+        GraphOps.termCooccurrenceEdges(Tables.documentsParallel(spark, dir),
+          topK = 40, minCo = 5L),
+        rounds = 2)
+        .orderBy("v")
+    },
+
     // Katz walk centrality with dyadic attenuation (β = 1/4 over walk
     // lengths 1..3): katz_num = 16·w1 + 4·w2 + w3 stays exact BIGINT —
     // the path-counting centrality next to pr1's power iteration, with
@@ -1186,6 +1199,45 @@ object PipelineQueries {
         |SELECT v, CAST(peel_round AS INT) AS peel_round,
         |  peel_round = 0 AS in_core
         |FROM lab ORDER BY v""".stripMargin,
+
+    // both WL rounds replayed: seed = md5(degree), round hash =
+    // md5(own || ':' || string_agg(sorted neighbor labels))
+    "wl1_graph_fingerprint" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, u.term
+        |  FROM documents,
+        |    UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS u(term)
+        |  WHERE u.term <> ''
+        |), top AS MATERIALIZED (
+        |  SELECT term FROM toks GROUP BY 1
+        |  ORDER BY COUNT(*) DESC, term LIMIT 40
+        |), dt AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, term FROM toks
+        |  WHERE term IN (SELECT term FROM top)
+        |), e0 AS MATERIALIZED (
+        |  SELECT a.term AS ta, b.term AS tb
+        |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        |), und AS MATERIALIZED (
+        |  SELECT ta AS src, tb AS dst FROM e0
+        |  UNION ALL SELECT tb AS src, ta AS dst FROM e0
+        |), l0 AS MATERIALIZED (
+        |  SELECT src AS v, md5(CAST(COUNT(*) AS VARCHAR)) AS l
+        |  FROM und GROUP BY 1
+        |), s1 AS MATERIALIZED (
+        |  SELECT e.src AS v, string_agg(b.l, ',' ORDER BY b.l) AS sig
+        |  FROM und e JOIN l0 b ON b.v = e.dst GROUP BY 1
+        |), l1 AS MATERIALIZED (
+        |  SELECT a.v, md5(a.l || ':' || s.sig) AS l
+        |  FROM l0 a JOIN s1 s USING (v)
+        |), s2 AS MATERIALIZED (
+        |  SELECT e.src AS v, string_agg(b.l, ',' ORDER BY b.l) AS sig
+        |  FROM und e JOIN l1 b ON b.v = e.dst GROUP BY 1
+        |), l2 AS (
+        |  SELECT a.v, md5(a.l || ':' || s.sig) AS l
+        |  FROM l1 a JOIN s2 s USING (v)
+        |)
+        |SELECT v, substr(l, 1, 16) AS wl FROM l2 ORDER BY v""".stripMargin,
 
     // walk counts w1=deg, w_{k+1}(v)=Σ_{u~v} w_k(u); all-BIGINT dyadic
     // combination 16·w1 + 4·w2 + w3 (= 64·Σ β^k w_k at β=1/4)

@@ -69,6 +69,31 @@ class GraphOpsSpec extends SparkSpec {
       assert(r(l) === ((1L, 3L, 3L, 16L + 12L + 3L)))
   }
 
+  test("wlFingerprint: isomorphism-invariant, structure-sensitive") {
+    // two isomorphic paths with disjoint node names -> identical label
+    // MULTISETS (names never enter the fingerprint)
+    val p1 = edges("a" -> "b", "b" -> "c")
+    val p2 = edges("x" -> "y", "y" -> "z")
+    val f1 = GraphOps.wlFingerprint(p1, rounds = 2)
+      .collect().map(_.getString(1)).sorted.toSeq
+    val f2 = GraphOps.wlFingerprint(p2, rounds = 2)
+      .collect().map(_.getString(1)).sorted.toSeq
+    assert(f1 == f2, "isomorphic graphs must fingerprint identically")
+    // a 4-star vs a 4-path: same edge count, different degree structure
+    val star = edges("a" -> "b", "a" -> "c", "a" -> "d")
+    val p4 = edges("a" -> "b", "b" -> "c", "c" -> "d")
+    val fs = GraphOps.wlFingerprint(star, rounds = 2)
+      .collect().map(_.getString(1)).sorted.toSeq
+    val fp4 = GraphOps.wlFingerprint(p4, rounds = 2)
+      .collect().map(_.getString(1)).sorted.toSeq
+    assert(fs != fp4, "path vs star must differ")
+    // within the path: the two ends are WL-equivalent, the middle is not
+    val byNode = GraphOps.wlFingerprint(p1, rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byNode("a") == byNode("c"))
+    assert(byNode("a") != byNode("b"))
+  }
+
   test("pageRank: a d|scale regular graph is an exact fixed point of the iteration") {
     // On a d-regular graph with d dividing scale every node keeps rank
     // == scale exactly: in-mass = d * (scale div d) = scale, and
