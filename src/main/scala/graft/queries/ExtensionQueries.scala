@@ -291,6 +291,29 @@ object ExtensionQueries {
         .select(col("n_exact"), col("n_hit"),
           (col("n_hit").cast(DoubleType) / col("n_exact")).as("recall"))
     },
+    // Mutual-kNN census — the reciprocal-neighbor graph behind SemDeDup
+    // variants and kNN-graph clustering: (a,b) is mutual iff each sits
+    // in the other's top-5. Computed here over a bounded id-slice with
+    // the exact ranking (the semantics oracle); at corpus scale the
+    // same self-join runs over the ANN index's served top-k lists
+    // (x22/x23) instead of brute force — the mutual join itself keys on
+    // (q,c) pairs and shuffles only id pairs either way.
+    "rnn1_mutual_knn" -> { (spark, dir) =>
+      val sub = Tables.embeddings(spark, dir).where(col("vec_id") < 500)
+      val tk = Similarity.bruteForceTopK(sub, sub, k = 5)
+        .select(col("q_vec"), col("c_vec"))
+        .localCheckpoint(eager = false) // feeds both sides of the mutual join
+      val rev = tk.select(col("c_vec").as("q_vec"), col("q_vec").as("c_vec"))
+      val mutual = tk.join(rev, Seq("q_vec", "c_vec"), "left_semi")
+        .groupBy("q_vec")
+        .agg(count(lit(1)).as("cnt"), min(col("c_vec")).as("best"))
+      sub.select(col("vec_id"))
+        .join(mutual, col("vec_id") === col("q_vec"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cnt"), lit(0L)).as("n_mutual"),
+          coalesce(col("best"), lit(-1L)).as("best_mutual"))
+        .orderBy("vec_id")
+    },
     // Reciprocal-rank quality of the LSH index (the MRR ingredient,
     // recall's order-sensitive sibling): where does each query's TRUE
     // nearest neighbor land in the approximate top-10? rank 0 = missed.
@@ -1525,6 +1548,34 @@ object ExtensionQueries {
          |  CAST(SUM(CASE WHEN l.c_vec IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
          |  CAST(SUM(CASE WHEN l.c_vec IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
          |FROM brute br LEFT JOIN lsh3 l ON l.q_vec = br.q_vec AND l.c_vec = br.c_vec""".stripMargin,
+    // mutual pairs = tk semi-joined with its own reversal; every vec in
+    // the slice reports (isolated vecs as 0 / -1)
+    "rnn1_mutual_knn" ->
+      """WITH qe AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, v -> floor(CAST(v AS DOUBLE) * 1048576.0)) AS q
+        |  FROM embeddings WHERE vec_id < 500
+        |), tk AS MATERIALIZED (
+        |  SELECT q_vec, c_vec FROM (
+        |    SELECT a.vec_id AS q_vec, b.vec_id AS c_vec,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        list_dot_product(a.q, b.q) /
+        |          nullif(sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q)), 0)
+        |          DESC, b.vec_id) AS rank
+        |    FROM qe a, qe b WHERE b.vec_id <> a.vec_id) t
+        |  WHERE rank <= 5
+        |), m AS (
+        |  SELECT t.q_vec, t.c_vec FROM tk t
+        |  JOIN tk r ON r.q_vec = t.c_vec AND r.c_vec = t.q_vec
+        |), g AS (
+        |  SELECT q_vec, COUNT(*) AS cnt, MIN(c_vec) AS best FROM m GROUP BY 1
+        |)
+        |SELECT e.vec_id,
+        |  CAST(COALESCE(g.cnt, 0) AS BIGINT) AS n_mutual,
+        |  CAST(COALESCE(g.best, -1) AS BIGINT) AS best_mutual
+        |FROM qe e LEFT JOIN g ON g.q_vec = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
+
     // true-NN rank inside the approximate top-10; reciprocal scaled by
     // 2520 = lcm(1..10) so it stays integer
     "mrr1_ann_rank_quality" ->
