@@ -314,6 +314,25 @@ object ExtensionQueries {
           coalesce(col("best"), lit(-1L)).as("best_mutual"))
         .orderBy("vec_id")
     },
+    // Mutual-kNN CLUSTERS: connected components over the reciprocal-
+    // neighbor edges (rnn1's graph) — the clustering step of
+    // mutual-NN dedup/coreset pipelines. Reuses the pointer-jumping CC
+    // (d6's engine); edges are id pairs only. Oracle: recursive-CTE
+    // reachability min-root, same as d6's.
+    "rnn2_mutual_knn_clusters" -> { (spark, dir) =>
+      val sub = Tables.embeddings(spark, dir).where(col("vec_id") < 500)
+      val tk = Similarity.bruteForceTopK(sub, sub, k = 5)
+        .select(col("q_vec"), col("c_vec"))
+        .localCheckpoint(eager = false)
+      val rev = tk.select(col("c_vec").as("q_vec"), col("q_vec").as("c_vec"))
+      val mutual = tk.join(rev, Seq("q_vec", "c_vec"), "left_semi")
+        .where(col("q_vec") < col("c_vec"))
+        .select(col("q_vec").as("a"), col("c_vec").as("b"))
+      graft.operators.Dedup
+        .connectedComponents(sub.select(col("vec_id").as("id")), mutual)
+        .select(col("doc_id").as("vec_id"), col("cluster_id").as("cluster"))
+        .orderBy("vec_id")
+    },
     // Reciprocal-rank quality of the LSH index (the MRR ingredient,
     // recall's order-sensitive sibling): where does each query's TRUE
     // nearest neighbor land in the approximate top-10? rank 0 = missed.
@@ -1548,6 +1567,35 @@ object ExtensionQueries {
          |  CAST(SUM(CASE WHEN l.c_vec IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
          |  CAST(SUM(CASE WHEN l.c_vec IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
          |FROM brute br LEFT JOIN lsh3 l ON l.q_vec = br.q_vec AND l.c_vec = br.c_vec""".stripMargin,
+    // recursive reachability over the mutual edges, min root = cluster
+    "rnn2_mutual_knn_clusters" ->
+      """WITH RECURSIVE qe AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_transform(embedding, v -> floor(CAST(v AS DOUBLE) * 1048576.0)) AS q
+        |  FROM embeddings WHERE vec_id < 500
+        |), tk AS MATERIALIZED (
+        |  SELECT q_vec, c_vec FROM (
+        |    SELECT a.vec_id AS q_vec, b.vec_id AS c_vec,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        list_dot_product(a.q, b.q) /
+        |          nullif(sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q)), 0)
+        |          DESC, b.vec_id) AS rank
+        |    FROM qe a, qe b WHERE b.vec_id <> a.vec_id) t
+        |  WHERE rank <= 5
+        |), m AS MATERIALIZED (
+        |  SELECT t.q_vec AS a, t.c_vec AS b FROM tk t
+        |  JOIN tk r ON r.q_vec = t.c_vec AND r.c_vec = t.q_vec
+        |  WHERE t.q_vec < t.c_vec
+        |), edges AS (
+        |  SELECT a AS src, b AS dst FROM m
+        |  UNION ALL SELECT b, a FROM m
+        |), reach AS (
+        |  SELECT vec_id AS node, vec_id AS root FROM qe
+        |  UNION
+        |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+        |)
+        |SELECT node AS vec_id, CAST(MIN(root) AS BIGINT) AS cluster
+        |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin,
     // mutual pairs = tk semi-joined with its own reversal; every vec in
     // the slice reports (isolated vecs as 0 / -1)
     "rnn1_mutual_knn" ->

@@ -258,6 +258,35 @@ object TrainingDataQueries {
         .orderBy("lang")
     },
 
+    // Feature hashing (Weinberger et al. 2009, the "hashing trick") —
+    // fixed-width bag-of-words features with zero vocabulary state:
+    // feature index = portable 60-bit hash mod 64, sign = the hash's
+    // next bit, value = signed occurrence sum. The per-doc census
+    // (nnz / l1 / squared norm / index-weighted checksum) pins every
+    // bucket's exact value, all BIGINT. No vocab broadcast, no fit
+    // step — the property that makes the trick the default featurizer
+    // on unbounded streams.
+    "fh1_feature_hashing" -> { (spark, dir) =>
+      val feats = Tables.documentsParallel(spark, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.words(col("text"))).as("w"))
+        .where(col("w") =!= "")
+        .select(col("doc_id"),
+          graft.operators.Dedup.portableHash60(col("w")).as("h"))
+        .select(col("doc_id"),
+          pmod(col("h"), lit(64L)).as("idx"),
+          when(expr("(h div 64) % 2") === 0L, 1L).otherwise(-1L).as("sign"))
+        .groupBy("doc_id", "idx")
+        .agg(sum(col("sign")).as("v"))
+        .where(col("v") =!= 0L)
+      feats.groupBy("doc_id")
+        .agg(count(lit(1)).as("nnz"),
+          sum(abs(col("v"))).as("l1"),
+          sum(col("v") * col("v")).as("sq_norm"),
+          sum(col("idx") * col("v")).as("checksum"))
+        .orderBy("doc_id")
+    },
+
     // Content-defined chunking — the byte-level dedup primitive (rsync/
     // FastCDC shape): a chunk boundary falls wherever the hash of the
     // 16-char window starting there is 0 mod 64, so boundaries survive
@@ -1332,6 +1361,29 @@ object TrainingDataQueries {
         |    AS tokens_per_char
         |FROM dw d JOIN enc e USING (w)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // signed 64-bucket hashing-trick features from the portable 60-bit
+    // hash; per-doc exact-integer census over the non-zero buckets
+    "fh1_feature_hashing" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+        |  FROM w WHERE w <> ''
+        |), f AS (
+        |  SELECT doc_id, h % 64 AS idx,
+        |    CAST(SUM(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END)
+        |      AS BIGINT) AS v
+        |  FROM h GROUP BY 1, 2
+        |)
+        |SELECT doc_id, COUNT(*) AS nnz,
+        |  CAST(SUM(ABS(v)) AS BIGINT) AS l1,
+        |  CAST(SUM(v * v) AS BIGINT) AS sq_norm,
+        |  CAST(SUM(idx * v) AS BIGINT) AS checksum
+        |FROM f WHERE v <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // bpe2: the oracle replays the 3-round merge loop with chained CTEs
     // — same pair counting, same (cnt DESC, pair) selection, same
     // two-sweep replace convention.
