@@ -755,4 +755,71 @@ object Similarity {
       .where(col("rank") <= k)
       .select("q_vec", "rank", "c_vec", "cosine", "n_tables")
   }
+
+  /** Graph-based ANN serve (the NSW/HNSW family member next to the
+    * LSH/IVF/PQ tiers): greedy BEAM SEARCH over a kNN proximity graph.
+    * The "index" is the directed top-`graphK` neighbor graph of the
+    * corpus slice; each query starts at a fixed entry vertex and runs
+    * `rounds` synchronous expand-score-prune steps, keeping the `beam`
+    * best visited vertices per query (ties broken by id — fully
+    * deterministic), and finally reports its top-`k` visited. Exact
+    * integer-quantized cosine everywhere, so the whole traversal is
+    * engine-replayable.
+    *
+    * Scale shape: the expansion is a (q, v) ⟕ edge-list join — per
+    * round each query contributes ≤ beam·graphK candidate rows, so the
+    * frontier relation is #queries × beam·graphK no matter the corpus
+    * size; the graph (corpus × graphK id pairs) is the only corpus-
+    * sized relation and shuffles once at build. This is why NSW-style
+    * serving beats IVF probing when the corpus no longer fits a
+    * broadcast: the per-query work is bounded by beam geometry, not
+    * list length.
+    */
+  def graphAnnBeam(
+      slice: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      beam: Int = 8,
+      rounds: Int = 3,
+      graphK: Int = 5,
+  ): DataFrame = {
+    val edges = bruteForceTopK(slice, slice, graphK)
+      .select(col("q_vec").as("v"), col("c_vec").as("nbr"))
+      .localCheckpoint(eager = true)
+    val corpus = broadcast(
+      slice.select(col("vec_id").as("c_vec"), col("embedding").as("c_emb")))
+    val q = broadcast(
+      queries.select(col("vec_id").as("q_vec"), col("embedding").as("q_emb")))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(q, Seq("q_vec"))
+      .join(corpus, col("v") === col("c_vec"))
+      .select(col("q_vec"), col("v"),
+        VectorMath.cosineExact(col("q_emb"), col("c_emb")).as("cosine"))
+    // entry vertex: the slice's smallest id (1-row bounded scalar,
+    // broadcast). A query that is itself a corpus member may be
+    // TRAVERSED like any vertex — excluding it would disconnect its
+    // neighborhood — it is only dropped from the reported results.
+    val e0 = broadcast(slice.agg(min(col("vec_id")).as("e0")))
+    val start = q.select(col("q_vec")).crossJoin(e0)
+      .select(col("q_vec"), col("e0").as("v"))
+    var visited = score(start).localCheckpoint(eager = false)
+    var frontier = visited.select("q_vec", "v")
+    val w = Window.partitionBy("q_vec").orderBy(col("cosine").desc, col("v"))
+    for (_ <- 1 to rounds) {
+      val cand = frontier.join(edges, Seq("v"))
+        .select(col("q_vec"), col("nbr").as("v")).distinct()
+        .join(visited.select("q_vec", "v"), Seq("q_vec", "v"), "left_anti")
+      visited = visited.unionByName(score(cand))
+        .localCheckpoint(eager = false)
+      frontier = visited
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= beam)
+        .select("q_vec", "v")
+    }
+    visited
+      .where(col("v") =!= col("q_vec"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_vec"), col("rank"), col("v").as("c_vec"), col("cosine"))
+  }
 }

@@ -314,6 +314,19 @@ object ExtensionQueries {
           coalesce(col("best"), lit(-1L)).as("best_mutual"))
         .orderBy("vec_id")
     },
+    // Graph-based ANN (the NSW/HNSW family, completing the index tier
+    // set next to LSH/IVF/PQ): greedy beam search over the corpus
+    // slice's top-5 proximity graph — fixed entry vertex, 3 expand-
+    // score-prune rounds at beam 8, report the top-5 visited. Fully
+    // deterministic (exact quantized cosine, id tiebreaks), so the
+    // oracle replays the whole traversal round by round.
+    "x33_graph_ann_beam" -> { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.graphAnnBeam(
+          emb.where(col("vec_id") < 500), emb.where(col("vec_id") < 8),
+          k = 5, beam = 8, rounds = 3, graphK = 5)
+        .orderBy("q_vec", "rank")
+    },
     // Mutual-kNN CLUSTERS: connected components over the reciprocal-
     // neighbor edges (rnn1's graph) — the clustering step of
     // mutual-NN dedup/coreset pipelines. Reuses the pointer-jumping CC
@@ -1567,6 +1580,76 @@ object ExtensionQueries {
          |  CAST(SUM(CASE WHEN l.c_vec IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
          |  CAST(SUM(CASE WHEN l.c_vec IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
          |FROM brute br LEFT JOIN lsh3 l ON l.q_vec = br.q_vec AND l.c_vec = br.c_vec""".stripMargin,
+    // the full traversal replayed: all query-corpus scores precomputed
+    // into one tiny relation (8 x 499 pairs), then entry -> 3 rounds of
+    // expand / NOT-EXISTS-dedup / union / top-8 beam -> final top-5
+    "x33_graph_ann_beam" ->
+      """WITH qe AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_transform(embedding, v -> floor(CAST(v AS DOUBLE) * 1048576.0)) AS q
+        |  FROM embeddings WHERE vec_id < 500
+        |), tk AS MATERIALIZED (
+        |  SELECT q_vec, c_vec FROM (
+        |    SELECT a.vec_id AS q_vec, b.vec_id AS c_vec,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        list_dot_product(a.q, b.q) /
+        |          nullif(sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q)), 0)
+        |          DESC, b.vec_id) AS rank
+        |    FROM qe a, qe b WHERE b.vec_id <> a.vec_id) t
+        |  WHERE rank <= 5
+        |), edges AS MATERIALIZED (
+        |  SELECT q_vec AS v, c_vec AS nbr FROM tk
+        |), sc AS MATERIALIZED (
+        |  SELECT a.vec_id AS q_vec, b.vec_id AS v,
+        |    list_dot_product(a.q, b.q) /
+        |      nullif(sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q)), 0)
+        |      AS cosine
+        |  FROM qe a, qe b WHERE a.vec_id < 8
+        |), e0 AS (SELECT MIN(vec_id) AS e0 FROM qe),
+        |v0 AS MATERIALIZED (
+        |  SELECT s.q_vec, s.v, s.cosine FROM sc s, e0 WHERE s.v = e0.e0
+        |), c1 AS MATERIALIZED (
+        |  SELECT DISTINCT b.q_vec, e.nbr AS v
+        |  FROM v0 b JOIN edges e ON e.v = b.v
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM v0 x WHERE x.q_vec = b.q_vec AND x.v = e.nbr)
+        |), v1 AS MATERIALIZED (
+        |  SELECT * FROM v0
+        |  UNION ALL
+        |  SELECT c.q_vec, c.v, s.cosine FROM c1 c JOIN sc s USING (q_vec, v)
+        |), b1 AS MATERIALIZED (
+        |  SELECT q_vec, v FROM (
+        |    SELECT q_vec, v, row_number() OVER (PARTITION BY q_vec
+        |      ORDER BY cosine DESC, v) AS rn FROM v1) WHERE rn <= 8
+        |), c2 AS MATERIALIZED (
+        |  SELECT DISTINCT b.q_vec, e.nbr AS v
+        |  FROM b1 b JOIN edges e ON e.v = b.v
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM v1 x WHERE x.q_vec = b.q_vec AND x.v = e.nbr)
+        |), v2 AS MATERIALIZED (
+        |  SELECT * FROM v1
+        |  UNION ALL
+        |  SELECT c.q_vec, c.v, s.cosine FROM c2 c JOIN sc s USING (q_vec, v)
+        |), b2 AS MATERIALIZED (
+        |  SELECT q_vec, v FROM (
+        |    SELECT q_vec, v, row_number() OVER (PARTITION BY q_vec
+        |      ORDER BY cosine DESC, v) AS rn FROM v2) WHERE rn <= 8
+        |), c3 AS MATERIALIZED (
+        |  SELECT DISTINCT b.q_vec, e.nbr AS v
+        |  FROM b2 b JOIN edges e ON e.v = b.v
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM v2 x WHERE x.q_vec = b.q_vec AND x.v = e.nbr)
+        |), v3 AS MATERIALIZED (
+        |  SELECT * FROM v2
+        |  UNION ALL
+        |  SELECT c.q_vec, c.v, s.cosine FROM c3 c JOIN sc s USING (q_vec, v)
+        |)
+        |SELECT q_vec, CAST(rank AS INT) AS rank, v AS c_vec, cosine FROM (
+        |  SELECT q_vec, v, cosine, row_number() OVER (PARTITION BY q_vec
+        |    ORDER BY cosine DESC, v) AS rank FROM v3 WHERE v <> q_vec)
+        |WHERE rank <= 5
+        |ORDER BY q_vec, rank""".stripMargin,
+
     // recursive reachability over the mutual edges, min root = cluster
     "rnn2_mutual_knn_clusters" ->
       """WITH RECURSIVE qe AS MATERIALIZED (

@@ -31,16 +31,16 @@ class ExpensivePlanSpec extends SparkSpec {
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, sf0001)
 
-  // The bench top-10 batch members, r8 full-registry ranking after the
-  // ts2 segment-emission and d11/ssj1 array-verify rewrites dropped the
-  // former leaders (st15/st22 are streaming — their join shape is pinned
-  // below). Kept as an explicit list, not derived from a bench artifact,
-  // so the guard is hermetic.
+  // The bench top-10 batch members, r9 full-registry ranking (cal1
+  // displaced hist1 at #10; st22/st15 are streaming — their join shape
+  // is pinned below). Kept as an explicit list, not derived from a
+  // bench artifact, so the guard is hermetic; the registry-wide sweep
+  // (RegistryPlanSweepSpec) covers everything else.
   private val top10Batch = Seq(
     "tm2_clean_corpus", "tm1_training_funnel", "d11_containment_join",
     "ssj1_prefix_jaccard", "d7_dedup_pipeline", "d6_dedup_clusters",
     "d10_incremental_dedup", "bkt1_bucketed_join",
-    "bkt2_partitioned_bucketed", "hist1_equidepth")
+    "bkt2_partitioned_bucketed", "cal1_gate_agreement")
 
   test("bench top-10: no cartesian, no partition-less window anywhere") {
     for (name <- top10Batch) {

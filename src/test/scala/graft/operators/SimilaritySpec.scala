@@ -184,4 +184,35 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(r.getDouble(0) - 1.0) < 1e-6) // self-cosine = 1
     }
   }
+
+  test("graphAnnBeam: exhaustive beam on a connected graph recovers brute-force top-k") {
+    // unit vectors around the circle: the top-2 proximity graph is the
+    // angular path, connected, so a beam as wide as the slice must walk
+    // from the entry to every query's true neighbors
+    val emb = (0 until 12).map { i =>
+      val th = i * math.Pi / 12
+      (i.toLong, Array(math.cos(th).toFloat, math.sin(th).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qs = emb.where(col("vec_id").isin(5L, 11L))
+    val beamed = Similarity.graphAnnBeam(emb, qs,
+        k = 3, beam = 12, rounds = 12, graphK = 2)
+      .select("q_vec", "rank", "c_vec").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val brute = Similarity.bruteForceTopK(qs, emb, k = 3)
+      .select("q_vec", "rank", "c_vec").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(beamed == brute,
+      "exhaustive beam search must equal exact search on a connected graph")
+  }
+
+  test("graphAnnBeam: narrow beam is deterministic and never reports the query itself") {
+    val emb = Tables.embeddings(spark, sf0001).where(col("vec_id") < 60)
+    val qs = emb.where(col("vec_id") < 4)
+    def run() = Similarity.graphAnnBeam(emb, qs, k = 3, beam = 4, rounds = 2, graphK = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val a = run()
+    assert(a == run(), "beam traversal must be deterministic")
+    assert(a.forall { case (q, _, c) => q != c })
+    assert(a.groupBy(_._1).forall(_._2.length <= 3))
+  }
 }
