@@ -493,6 +493,13 @@ object PipelineQueries {
       EventsStream.scd2StreamedDim(spark, dir)
     },
 
+    // Streamed point-in-time enrichment: purchases join the SCD-2 dim
+    // AS OF event time (interval-versioned stream-static join) — the
+    // leak-free way to attach user attributes to historical events.
+    "st26_stream_pit_enrichment" -> { (spark, dir) =>
+      EventsStream.streamPitEnrichment(spark, dir)
+    },
+
     // Watermark-bounded streaming dedup (state expires with event time —
     // the unbounded-stream-safe variant of st3).
     "st8_stream_dedup_wm" -> { (spark, dir) =>
@@ -1281,6 +1288,26 @@ object PipelineQueries {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE c.c_mktsegment = 'BUILDING'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // purchase x dim-version interval containment; exactly one version
+    // per purchase at/after the user's first signup
+    "st26_stream_pit_enrichment" ->
+      """WITH dim AS (
+        |  SELECT user_id, CAST(ROW_NUMBER() OVER w AS INT) AS version,
+        |    value AS dim_value,
+        |    date_trunc('second', ts) AS ef,
+        |    date_trunc('second', LEAD(ts, 1) OVER w) AS et
+        |  FROM events WHERE event_type = 'signup'
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY date_trunc('second', ts), event_id)
+        |)
+        |SELECT p.event_id, p.user_id, d.version,
+        |  CAST(floor(d.dim_value * 100) AS BIGINT) AS dim_cents
+        |FROM events p JOIN dim d ON d.user_id = p.user_id
+        |  AND date_trunc('second', p.ts) >= d.ef
+        |  AND (d.et IS NULL OR date_trunc('second', p.ts) < d.et)
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
 
     // identical to x11's oracle: the streamed merge must converge to the
     // one-shot batch history bit-for-bit

@@ -287,6 +287,47 @@ object TrainingDataQueries {
         .orderBy("doc_id")
     },
 
+    // WINNOWING (Schleimer et al. 2003, the MOSS fingerprint selector):
+    // from each document's rolling 8-gram hashes, every 4-hash window
+    // contributes its minimum — the guarantee is that any shared
+    // substring of length >= k + w - 1 = 11 yields at least one SHARED
+    // selected fingerprint, at ~1/w the storage of full k-gram sets
+    // (the density/guarantee trade sdr's strided windows don't make).
+    // Hashes fold to 40 bits so the (hash << 20 | position) composite
+    // used for deterministic in-window tie-breaks stays inside a BIGINT
+    // (documents here are < 2^20 chars; shard longer docs first).
+    // Scale shape: per-doc windows only (bounded by doc length); the
+    // census never shuffles text, just 8-byte composites.
+    "win1_winnowing" -> { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val k = 8
+      val docs = Tables.documentsParallel(spark, dir)
+      val grams = docs
+        .where(col("n_chars") >= k)
+        .select(col("doc_id"),
+          explode(sequence(lit(1L), col("n_chars") - (k - 1))).as("p"),
+          col("text"))
+        .select(col("doc_id"), col("p"),
+          (graft.operators.Dedup.portableHash60(
+            expr(s"substring(text, CAST(p AS INT), $k)")) % 1099511627776L)
+            .as("h"))
+      val w4 = Window.partitionBy("doc_id").orderBy("p").rowsBetween(-3, 0)
+      val selected = grams
+        .withColumn("comp", min(col("h") * 1048576L + col("p")).over(w4))
+        .where(col("p") >= 4L) // full windows only
+        .select(col("doc_id"), col("comp")).distinct()
+      val census = selected.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_selected"),
+          sum(expr("comp div 1048576")).as("fp_sum"))
+      docs.select(col("doc_id"),
+          greatest(col("n_chars") - (k - 1), lit(0L)).as("n_grams"))
+        .join(census, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+          coalesce(col("fp_sum"), lit(0L)).as("fp_sum"))
+        .orderBy("doc_id")
+    },
+
     // Content-defined chunking — the byte-level dedup primitive (rsync/
     // FastCDC shape): a chunk boundary falls wherever the hash of the
     // 16-char window starting there is 0 mod 64, so boundaries survive
@@ -1361,6 +1402,32 @@ object TrainingDataQueries {
         |    AS tokens_per_char
         |FROM dw d JOIN enc e USING (w)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // every 4-window min over the 40-bit-folded rolling 8-gram hashes,
+    // (hash << 20 | pos) composite for the deterministic tie-break
+    "win1_winnowing" ->
+      """WITH g AS (
+        |  SELECT doc_id, gs.p AS p,
+        |    (('0x' || substr(md5(substr(text, CAST(gs.p AS INTEGER), 8)), 1, 15))::BIGINT)
+        |      % 1099511627776 AS h
+        |  FROM documents, UNNEST(generate_series(1, n_chars - 7)) AS gs(p)
+        |  WHERE n_chars >= 8
+        |), sel AS (
+        |  SELECT DISTINCT doc_id, comp FROM (
+        |    SELECT doc_id, p,
+        |      MIN(h * 1048576 + p) OVER (PARTITION BY doc_id ORDER BY p
+        |        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS comp
+        |    FROM g) t WHERE p >= 4
+        |), c AS (
+        |  SELECT doc_id, COUNT(*) AS n_selected,
+        |    CAST(SUM(comp // 1048576) AS BIGINT) AS fp_sum
+        |  FROM sel GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  CAST(GREATEST(d.n_chars - 7, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(c.n_selected, 0) AS BIGINT) AS n_selected,
+        |  CAST(COALESCE(c.fp_sum, 0) AS BIGINT) AS fp_sum
+        |FROM documents d LEFT JOIN c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // signed 64-bucket hashing-trick features from the portable 60-bit
     // hash; per-doc exact-integer census over the non-zero buckets
     "fh1_feature_hashing" ->

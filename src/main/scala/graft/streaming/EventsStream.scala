@@ -406,6 +406,40 @@ object EventsStream {
       .orderBy("win_start", "event_type")
   }
 
+  /** Streamed POINT-IN-TIME enrichment: the purchase stream joins the
+    * SCD-2 user dimension AS OF each event's timestamp — the version
+    * whose [effective_from, effective_to) interval contains the event —
+    * never the current version (the classic training-data leak:
+    * enriching historical events with today's attributes). The dim is
+    * the static side of a stream-static inner join, so the stream never
+    * shuffles and the interval predicate evaluates per event against
+    * the (broadcastable) history; at warehouse scale the dim would be
+    * bucketed by user_id and the join co-located. Purchases before a
+    * user's first version drop (inner semantics), exactly one version
+    * matches otherwise — the intervals partition time.
+    */
+  def streamPitEnrichment(spark: SparkSession, dir: String): DataFrame = {
+    val dim = graft.operators.Scd2.buildHistory(
+      graft.Tables.events(spark, dir)
+        .where(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id"), col("ts_sec"), col("value")),
+      col("user_id"), col("ts_sec"), col("event_id"))
+      .select(col("user_id").as("d_user"), col("version"),
+        col("value").as("dim_value"),
+        col("effective_from"), col("effective_to"))
+    val purchases = eventsStream(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_sec"))
+    val joined = purchases.join(dim,
+      col("user_id") === col("d_user") &&
+        col("ts_sec") >= col("effective_from") &&
+        (col("effective_to").isNull || col("ts_sec") < col("effective_to")))
+    runToMemory(joined, spark, "append", "stream_pit")
+      .select(col("event_id"), col("user_id"), col("version"),
+        floor(col("dim_value") * 100).cast(LongType).as("dim_cents"))
+      .orderBy("event_id")
+  }
+
   /** Streamed SCD-2 dimension maintenance (the streaming twin of x11):
     * signup events arrive in micro-batches and the interval-versioned
     * dimension is kept current in an [[graft.energy.AtomicLayer]]
