@@ -96,6 +96,42 @@ object ExperimentQueries {
             (col("n").cast(DoubleType) + 1.0) / col("n").cast(DoubleType)).as("gini"))
     },
 
+    // Permutation test — the nonparametric significance workhorse when
+    // no distributional assumption holds (ab1's z-test assumes one):
+    // the observed statistic is |Σ spendA − Σ spendB| over the even/odd
+    // user split; 64 label permutations reassign each user by the
+    // portable md5 coin (so the oracle replays the exact permutations,
+    // rr1's trick), and the report counts permutations at least as
+    // extreme. EVERYTHING is exact BIGINT cents — the p-value is the
+    // ratio of two reported integers, never a float on either engine.
+    // Scale shape: one per-user aggregate, then a 64-way explode of
+    // (user, cents) pairs → one 64-group sum; the explode carries 16
+    // bytes per row and the permutation axis parallelizes freely.
+    "perm1_permutation_test" -> { (spark, dir) =>
+      val pu = Tables.events(spark, dir)
+        .where(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(floor(col("value") * 100).cast(LongType)).as("cents"))
+        .localCheckpoint(eager = false) // feeds observed + 64 permutations
+      val obs = pu
+        .agg(abs(sum(when(col("user_id") % 2 === 0, col("cents"))
+          .otherwise(-col("cents")))).as("obs_cents"))
+      val perms = pu
+        .select(col("user_id"), col("cents"),
+          explode(sequence(lit(1), lit(64))).as("r"))
+        .select(col("r"), col("cents"),
+          (graft.operators.Dedup.portableHash60(
+            concat(lit("perm1:"), col("user_id"), lit(":"), col("r"))) % 2)
+            .as("p"))
+        .groupBy("r")
+        .agg(abs(sum(when(col("p") === 0, col("cents"))
+          .otherwise(-col("cents")))).as("stat"))
+      obs.crossJoin(broadcast(perms.agg(count(lit(1)).as("n_perms"))))
+        .crossJoin(broadcast(
+          perms.crossJoin(broadcast(obs))
+            .agg(expr("count_if(stat >= obs_cents)").as("n_extreme"))))
+    },
+
     // Two-proportion z-test: did variant A (even user ids) convert
     // better than variant B? Per-user conversion first (event counts
     // would double-count loyal users). The conversion predicate is
@@ -717,6 +753,30 @@ object ExperimentQueries {
         |    / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
         |    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
         |FROM s""".stripMargin,
+    // the md5-coin permutations replayed verbatim; p-value = the exact
+    // integer ratio n_extreme / n_perms
+    "perm1_permutation_test" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |), obs AS (
+        |  SELECT CAST(ABS(SUM(CASE WHEN user_id % 2 = 0
+        |    THEN cents ELSE -cents END)) AS BIGINT) AS obs_cents
+        |  FROM pu
+        |), perms AS (
+        |  SELECT g.r,
+        |    CAST(ABS(SUM(CASE WHEN
+        |      ('0x' || substr(md5('perm1:' || user_id || ':' || g.r), 1, 15))::BIGINT % 2 = 0
+        |      THEN cents ELSE -cents END)) AS BIGINT) AS stat
+        |  FROM pu, UNNEST(generate_series(1, 64)) AS g(r)
+        |  GROUP BY 1
+        |)
+        |SELECT obs.obs_cents,
+        |  CAST((SELECT COUNT(*) FROM perms) AS BIGINT) AS n_perms,
+        |  CAST((SELECT count_if(stat >= obs.obs_cents) FROM perms) AS BIGINT)
+        |    AS n_extreme
+        |FROM obs""".stripMargin,
     "ab1_conversion_ztest" ->
       """WITH u AS (
         |  SELECT user_id % 2 = 0 AS variant_a,
