@@ -100,20 +100,23 @@ class AtomicLayerSpec extends SparkSpec {
     Files.createFile(liveDir.resolve("part-00000.parquet"))
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // lease 800 ms -> heartbeat every 200 ms: a scheduling hiccup must
+    // stall ALL of several beats for a spurious expiry (keeps the test
+    // honest under GC pauses on a loaded box)
     val hb = AtomicLayer.startHeartbeat(fs,
-      new org.apache.hadoop.fs.Path(root, "v1.claim"), leaseMs = 200L)
+      new org.apache.hadoop.fs.Path(root, "v1.claim"), leaseMs = 800L)
     try {
-      Thread.sleep(300) // claim is now OLDER than the lease by wall age,
-      // but the heartbeat has refreshed its mtime at least once
-      AtomicLayer.write(df(2), root, claimLeaseMs = 200L)
+      Thread.sleep(1200) // claim is now OLDER than the lease by wall age,
+      // but the heartbeat has refreshed its mtime several times
+      AtomicLayer.write(df(2), root, claimLeaseMs = 800L)
       assert(Files.exists(claim),
         "heartbeating live writer must not be unseated by lease expiry")
       assert(Files.exists(liveDir.resolve("part-00000.parquet")),
         "live writer's in-progress files must survive the sweep")
     } finally hb.interrupt()
     // once the writer dies (heartbeat stops), the lease expires normally
-    Thread.sleep(300)
-    AtomicLayer.write(df(3), root, claimLeaseMs = 200L)
+    Thread.sleep(1000)
+    AtomicLayer.write(df(3), root, claimLeaseMs = 800L)
     assert(!Files.exists(claim), "dead claimant reclaimed after lease")
     assert(AtomicLayer.read(spark, root).as[Int].collect() === Array(3))
   }
