@@ -46,6 +46,37 @@ object Contamination {
         md5(expr(s"substring(text, CAST(p AS INT), $WindowChars)")).as("h"): _*)
   }
 
+  /** WINNOWED fingerprints (Schleimer et al. 2003): per document, the
+    * distinct minima of every `w`-window over the rolling `k`-gram
+    * hashes (40-bit-folded; (hash << 20 | pos) composite breaks
+    * in-window ties deterministically). Guarantee: any substring of
+    * length >= k + w - 1 shared by two documents yields at least one
+    * SHARED selected fingerprint — the property [[report]]'s fixed
+    * stride does not have (a stride-aligned leak can slip between
+    * sample points; winnowing cannot miss one) at ~1/w the fingerprint
+    * count of the full k-gram set. Returns (doc_id, fp) with
+    * fp = the selected 40-bit gram hash. Positions stay bounded by doc
+    * length (documents must be < 2^20 chars; shard longer docs first).
+    */
+  def winnowedFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .where(col("n_chars") >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1L), col("n_chars") - (k - 1))).as("p"),
+        col("text"))
+      .select(col("doc_id"), col("p"),
+        (Dedup.portableHash60(
+          expr(s"substring(text, CAST(p AS INT), $k)")) % 1099511627776L)
+          .as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(-(w - 1), 0)
+    grams
+      .withColumn("comp", min(col("h") * 1048576L + col("p")).over(win))
+      .where(col("p") >= w.toLong) // full windows only
+      .select(col("doc_id"), expr("comp div 1048576").as("fp")).distinct()
+  }
+
   /** Per-train-document contamination report against the eval split
     * selected by `isEval` (a predicate over the docs columns):
     * (doc_id, n_windows, n_contaminated, contaminated). EVERY train

@@ -299,32 +299,44 @@ object TrainingDataQueries {
     // Scale shape: per-doc windows only (bounded by doc length); the
     // census never shuffles text, just 8-byte composites.
     "win1_winnowing" -> { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val k = 8
       val docs = Tables.documentsParallel(spark, dir)
-      val grams = docs
-        .where(col("n_chars") >= k)
-        .select(col("doc_id"),
-          explode(sequence(lit(1L), col("n_chars") - (k - 1))).as("p"),
-          col("text"))
-        .select(col("doc_id"), col("p"),
-          (graft.operators.Dedup.portableHash60(
-            expr(s"substring(text, CAST(p AS INT), $k)")) % 1099511627776L)
-            .as("h"))
-      val w4 = Window.partitionBy("doc_id").orderBy("p").rowsBetween(-3, 0)
-      val selected = grams
-        .withColumn("comp", min(col("h") * 1048576L + col("p")).over(w4))
-        .where(col("p") >= 4L) // full windows only
-        .select(col("doc_id"), col("comp")).distinct()
-      val census = selected.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_selected"),
-          sum(expr("comp div 1048576")).as("fp_sum"))
+      val census = graft.operators.Contamination.winnowedFingerprints(docs)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_selected"), sum(col("fp")).as("fp_sum"))
       docs.select(col("doc_id"),
-          greatest(col("n_chars") - (k - 1), lit(0L)).as("n_grams"))
+          greatest(col("n_chars") - 7L, lit(0L)).as("n_grams"))
         .join(census, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_grams"),
           coalesce(col("n_selected"), lit(0L)).as("n_selected"),
           coalesce(col("fp_sum"), lit(0L)).as("fp_sum"))
+        .orderBy("doc_id")
+    },
+
+    // Winnowing-based cross-corpus CONTAMINATION (the guarantee-backed
+    // variant of cont1's strided spans): a train/eval leak of >= 11
+    // chars CANNOT slip between sample points — winnowing selects at
+    // least one shared fingerprint for it, where a fixed stride can
+    // alias past a short leak. The eval fingerprint set broadcasts
+    // (benchmarks are small; corpora are not); the train side never
+    // shuffles text.
+    "wcont1_winnowed_contamination" -> { (spark, dir) =>
+      val docs = Tables.documentsParallel(spark, dir)
+      val isEval = col("doc_id") % 10 === 7
+      val evalFps = graft.operators.Contamination
+        .winnowedFingerprints(docs.where(isEval))
+        .select(col("fp")).distinct().withColumn("__hit", lit(1L))
+      val perDoc = graft.operators.Contamination
+        .winnowedFingerprints(docs.where(!isEval))
+        .join(broadcast(evalFps), Seq("fp"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fps"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_shared"))
+      docs.where(!isEval).select("doc_id")
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_fps"), lit(0L)).as("n_fps"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+        .withColumn("contaminated", col("n_shared") > 0)
         .orderBy("doc_id")
     },
 
@@ -1412,14 +1424,14 @@ object TrainingDataQueries {
         |  FROM documents, UNNEST(generate_series(1, n_chars - 7)) AS gs(p)
         |  WHERE n_chars >= 8
         |), sel AS (
-        |  SELECT DISTINCT doc_id, comp FROM (
+        |  SELECT DISTINCT doc_id, comp // 1048576 AS fp FROM (
         |    SELECT doc_id, p,
         |      MIN(h * 1048576 + p) OVER (PARTITION BY doc_id ORDER BY p
         |        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS comp
         |    FROM g) t WHERE p >= 4
         |), c AS (
         |  SELECT doc_id, COUNT(*) AS n_selected,
-        |    CAST(SUM(comp // 1048576) AS BIGINT) AS fp_sum
+        |    CAST(SUM(fp) AS BIGINT) AS fp_sum
         |  FROM sel GROUP BY 1
         |)
         |SELECT d.doc_id,
@@ -1427,6 +1439,37 @@ object TrainingDataQueries {
         |  CAST(COALESCE(c.n_selected, 0) AS BIGINT) AS n_selected,
         |  CAST(COALESCE(c.fp_sum, 0) AS BIGINT) AS fp_sum
         |FROM documents d LEFT JOIN c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // same winnowed fingerprint sets on both splits; eval fps joined to
+    // train fps, per-train-doc shared-count census
+    "wcont1_winnowed_contamination" ->
+      """WITH g AS (
+        |  SELECT doc_id, gs.p AS p,
+        |    (('0x' || substr(md5(substr(text, CAST(gs.p AS INTEGER), 8)), 1, 15))::BIGINT)
+        |      % 1099511627776 AS h
+        |  FROM documents, UNNEST(generate_series(1, n_chars - 7)) AS gs(p)
+        |  WHERE n_chars >= 8
+        |), sel AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, comp // 1048576 AS fp FROM (
+        |    SELECT doc_id, p,
+        |      MIN(h * 1048576 + p) OVER (PARTITION BY doc_id ORDER BY p
+        |        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS comp
+        |    FROM g) t WHERE p >= 4
+        |), ev AS (
+        |  SELECT DISTINCT fp FROM sel WHERE doc_id % 10 = 7
+        |), tr AS (
+        |  SELECT s.doc_id, COUNT(*) AS n_fps,
+        |    CAST(count_if(e.fp IS NOT NULL) AS BIGINT) AS n_shared
+        |  FROM sel s LEFT JOIN ev e ON e.fp = s.fp
+        |  WHERE s.doc_id % 10 <> 7
+        |  GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(t.n_fps, 0) AS BIGINT) AS n_fps,
+        |  CAST(COALESCE(t.n_shared, 0) AS BIGINT) AS n_shared,
+        |  COALESCE(t.n_shared, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN tr t USING (doc_id)
+        |WHERE d.doc_id % 10 <> 7
         |ORDER BY d.doc_id""".stripMargin,
     // signed 64-bucket hashing-trick features from the portable 60-bit
     // hash; per-doc exact-integer census over the non-zero buckets

@@ -56,4 +56,37 @@ class ContaminationSpec extends SparkSpec {
     }.toMap
     assert(counts === expect)
   }
+
+  test("winnowing guarantee: any shared substring of length >= k + w - 1 shares a fingerprint") {
+    // the strided detector can alias past a short, unaligned leak; the
+    // winnowed one cannot — verify the guarantee on deliberately
+    // MISALIGNED 11-char leaks at several offsets
+    val leak = "SECRETLEAKX" // exactly k + w - 1 = 11 chars
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789abcdefghijklmnop"
+    val pairs = (0 until 5).map { off =>
+      val train = base.substring(0, 13 + off) + leak + base.substring(13 + off)
+      (100L + off, train)
+    }
+    val docsDf = (pairs :+ (1L, "prefix " + leak + " suffix padding"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val fps = Contamination.winnowedFingerprints(docsDf)
+    val evalFps = fps.where(col("doc_id") === 1L).select("fp").distinct()
+    val hits = fps.where(col("doc_id") >= 100L)
+      .join(evalFps, Seq("fp"), "left_semi")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(hits == pairs.map(_._1).toSet,
+      s"every train doc carries the 11-char leak and must share a fingerprint; got $hits")
+  }
+
+  test("winnowedFingerprints: deterministic and position-independent for identical text") {
+    val d = Seq((1L, "the same text appears twice here"), (2L, "the same text appears twice here"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val fps = Contamination.winnowedFingerprints(d)
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getLong(1)).sorted.toSeq }
+    assert(fps(1L) == fps(2L), "identical docs must select identical fingerprint sets")
+    assert(fps(1L).nonEmpty)
+  }
 }
