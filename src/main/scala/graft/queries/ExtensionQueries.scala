@@ -846,6 +846,53 @@ object ExtensionQueries {
     // engine-specific, so the gate is the sketch CONTRACT (like x10):
     // the merged per-day sketches must land within the HLL error bound
     // of the exact global distinct (lgConfigK=12 ⇒ σ≈1.6%; bound 15%).
+    // KMV (k-minimum-values / theta) distinct sketch — the mergeable
+    // distinct-count tier whose ESTIMATE is engine-exact, unlike x13's
+    // HLL (whose sketch value is implementation-specific and gated by
+    // bound only): keep the k=64 smallest portable hashes per group;
+    // est = (k−1)·2^40 div (kth div 2^20) ≈ (k−1)·2^60/kth, all shifts
+    // integer so both engines compute the identical number. The merge
+    // law is IN the relation: the ALL_merged row re-sketches from the
+    // per-type sketches' union (what a 1000-executor combine does) and
+    // the ALL_direct row sketches the raw stream — the oracle pins both
+    // to the same arithmetic. True distincts ride along for
+    // calibration.
+    "kmv1_theta_distinct" -> { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val k = 64
+      val hv = Tables.events(spark, dir)
+        .select(col("event_type"),
+          graft.operators.Dedup.portableHash60(
+            concat(lit("kmv:"), col("user_id"))).as("h"),
+          col("user_id"))
+        .localCheckpoint(eager = false) // feeds sketches + true counts
+      val perTypeH = hv.select("event_type", "h").distinct()
+      val wT = Window.partitionBy("event_type").orderBy("h")
+      val sk = perTypeH.withColumn("rn", row_number().over(wT))
+        .where(col("rn") <= k)
+        .localCheckpoint(eager = false) // feeds per-type kth + the merge
+      // strictly INTEGER division both steps (a float division + floor
+      // can round across an integer boundary and diverge from div)
+      val estExpr = expr(
+        s"CAST(${(k - 1).toLong * 1099511627776L} div (kth div 1048576) AS BIGINT)")
+      val perType = sk.groupBy("event_type")
+        .agg(max(col("h")).as("kth"), count(lit(1)).as("n_kept"))
+        .join(hv.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_true")), Seq("event_type"))
+      val direct = hv.select("h").distinct().orderBy("h").limit(k)
+        .agg(max(col("h")).as("kth"), count(lit(1)).as("n_kept"))
+        .crossJoin(broadcast(hv.agg(countDistinct(col("user_id")).as("n_true"))))
+        .select(lit("ALL_direct").as("event_type"), col("kth"), col("n_kept"), col("n_true"))
+      val merged = sk.select("h").distinct().orderBy("h").limit(k)
+        .agg(max(col("h")).as("kth"), count(lit(1)).as("n_kept"))
+        .crossJoin(broadcast(hv.agg(countDistinct(col("user_id")).as("n_true"))))
+        .select(lit("ALL_merged").as("event_type"), col("kth"), col("n_kept"), col("n_true"))
+      perType.select(col("event_type"), col("kth"), col("n_kept"), col("n_true"))
+        .unionByName(direct).unionByName(merged)
+        .select(col("event_type"), col("n_true"), col("n_kept"),
+          col("kth"), estExpr.as("est"))
+        .orderBy("event_type")
+    },
     "x13_hll_sketch" -> { (spark, dir) =>
       val ev = Tables.events(spark, dir)
         .select(to_date(col("ts_sec")).as("day"), col("user_id"))
@@ -1413,6 +1460,45 @@ object ExtensionQueries {
         |UNION ALL SELECT 4, c, rel, score FROM sel4
         |UNION ALL SELECT 5, c, rel, score FROM sel5
         |ORDER BY rank""".stripMargin,
+    // same k-smallest selection, same all-integer estimator; the
+    // ALL_merged row proves sketch-union == direct-sketch arithmetic
+    "kmv1_theta_distinct" ->
+      """WITH hv AS MATERIALIZED (
+        |  SELECT event_type, user_id,
+        |    ('0x' || substr(md5('kmv:' || user_id), 1, 15))::BIGINT AS h
+        |  FROM events
+        |), pt AS MATERIALIZED (
+        |  SELECT DISTINCT event_type, h FROM hv
+        |), sk AS MATERIALIZED (
+        |  SELECT event_type, h FROM (
+        |    SELECT event_type, h,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |    FROM pt) t WHERE rn <= 64
+        |), per AS (
+        |  SELECT event_type, MAX(h) AS kth, COUNT(*) AS n_kept
+        |  FROM sk GROUP BY 1
+        |), tru AS (
+        |  SELECT event_type, COUNT(DISTINCT user_id) AS n_true
+        |  FROM hv GROUP BY 1
+        |), dkth AS (
+        |  SELECT MAX(h) AS kth, COUNT(*) AS n_kept FROM (
+        |    SELECT DISTINCT h FROM hv ORDER BY h LIMIT 64) t
+        |), mkth AS (
+        |  SELECT MAX(h) AS kth, COUNT(*) AS n_kept FROM (
+        |    SELECT DISTINCT h FROM sk ORDER BY h LIMIT 64) t
+        |), allt AS (SELECT COUNT(DISTINCT user_id) AS n_true FROM hv),
+        |u AS (
+        |  SELECT p.event_type, t.n_true, p.n_kept, p.kth
+        |  FROM per p JOIN tru t USING (event_type)
+        |  UNION ALL SELECT 'ALL_direct', allt.n_true, d.n_kept, d.kth
+        |  FROM dkth d, allt
+        |  UNION ALL SELECT 'ALL_merged', allt.n_true, m.n_kept, m.kth
+        |  FROM mkth m, allt
+        |)
+        |SELECT event_type, CAST(n_true AS BIGINT) AS n_true,
+        |  CAST(n_kept AS BIGINT) AS n_kept, kth,
+        |  CAST(69269232549888 // (kth // 1048576) AS BIGINT) AS est
+        |FROM u ORDER BY event_type""".stripMargin,
     "x13_hll_sketch" ->
       """SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact,
         |  TRUE AS merged_within_bound
