@@ -720,6 +720,31 @@ object ExtensionQueries {
 
     // --- Interval-overlap join: promo windows x maintenance windows
     // (bucketized on both sides; oracle is the naive inequality join) ---
+    // Interval ANTI-join — the coverage-gap mode the overlap joins
+    // (x8/x12) can't express: events covered by NO promo window. Same
+    // bucketed candidate generation as the range join (an event only
+    // probes the buckets its timestamp falls in — never all intervals),
+    // then a left-anti on the verified containment; reported as a
+    // per-day census of uncovered activity, the shape an SLA/coverage
+    // audit consumes.
+    "j11_interval_anti" -> { (spark, dir) =>
+      val base = 1704067200L
+      val points = Tables.events(spark, dir)
+        .select(col("event_id"), col("ts_sec"),
+          expr("ts div 1000000000").as("t"))
+      val intervals = spark.range(20).select(
+        col("id").as("interval_id"),
+        (lit(base) + col("id") * 129600L).as("start"),
+        (lit(base) + col("id") * 129600L + 43200L).as("end"))
+      val covered = graft.operators.RangeJoin
+        .rangeJoin(points, intervals, "t", "start", "end",
+          bucketWidth = 43200L)
+        .select("event_id")
+      points.join(covered, Seq("event_id"), "left_anti")
+        .groupBy(to_date(col("ts_sec")).as("day"))
+        .agg(count(lit(1)).as("n_uncovered"))
+        .orderBy("day")
+    },
     "x12_interval_overlap" -> { (spark, dir) =>
       val base = 1704067200L
       val promos = spark.range(40).select(
@@ -2870,6 +2895,22 @@ object ExtensionQueries {
         |WINDOW w AS (PARTITION BY user_id
         |  ORDER BY date_trunc('second', ts), event_id)
         |ORDER BY user_id, version""".stripMargin,
+    // NOT EXISTS over the same interval containment x8 joins on
+    "j11_interval_anti" ->
+      """WITH iv AS (
+        |  SELECT range AS interval_id,
+        |    1704067200 + range * 129600 AS s,
+        |    1704067200 + range * 129600 + 43200 AS e
+        |  FROM range(20)
+        |)
+        |SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  COUNT(*) AS n_uncovered
+        |FROM events ev
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM iv
+        |  WHERE epoch_ns(ev.ts) // 1000000000 >= iv.s
+        |    AND epoch_ns(ev.ts) // 1000000000 < iv.e)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x8_range_join" ->
       """WITH iv AS (
         |  SELECT range AS interval_id,
