@@ -84,6 +84,32 @@ object AnalyticsQueries {
         )
         .orderBy("l_returnflag")
     },
+    // WEIGHTED median — the survey-reweighting / cost-weighted
+    // percentile a8/a12's unweighted ranks can't express: per return
+    // flag, the smallest price whose cumulative QUANTITY weight reaches
+    // half the group's total. All-integer: prices in cents, weights as
+    // exact integral quantities, the half-total test cross-multiplied
+    // (2·cumw ≥ totw) so no division anywhere. One grouped aggregate +
+    // a per-flag window over the (flag, price) value axis — the window
+    // relation is distinct prices per group, not rows.
+    "a23_weighted_median" -> { (spark, dir) =>
+      val g = Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100).cast(LongType).as("cents"),
+          col("l_quantity").cast(LongType).as("qty"))
+        .groupBy("l_returnflag", "cents")
+        .agg(sum(col("qty")).as("w"))
+      val wf = Window.partitionBy("l_returnflag").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("cumw", sum(col("w")).over(wf))
+        .withColumn("totw",
+          sum(col("w")).over(Window.partitionBy("l_returnflag")))
+        .where(col("cumw") * 2 >= col("totw"))
+        .groupBy("l_returnflag")
+        .agg(min(col("cents")).as("wmed_cents"),
+          max(col("totw")).as("total_qty"))
+        .orderBy("l_returnflag")
+    },
     // median() (interpolated, parity with DuckDB median on doubles) +
     // deterministic mode via a collision-free argmax ordering key
     // (most-frequent wins, smallest value breaks ties; quantities are
@@ -679,6 +705,26 @@ object AnalyticsQueries {
         |  bool_and(l_quantity > 0) AS all_qty_pos,
         |  bool_or(l_discount > 0.06) AS any_high_disc
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same cross-multiplied half-total rank over the grouped value axis
+    "a23_weighted_median" ->
+      """WITH g AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2
+        |), c AS (
+        |  SELECT l_returnflag, cents,
+        |    CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cumw,
+        |    CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS totw
+        |  FROM g
+        |)
+        |SELECT l_returnflag,
+        |  CAST(MIN(cents) AS BIGINT) AS wmed_cents,
+        |  CAST(MAX(totw) AS BIGINT) AS total_qty
+        |FROM c WHERE cumw * 2 >= totw
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "a16_median_mode" ->
       """WITH cnts AS (
         |  SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS qty,
