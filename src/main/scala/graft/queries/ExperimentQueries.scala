@@ -132,6 +132,118 @@ object ExperimentQueries {
             .agg(expr("count_if(stat >= obs_cents)").as("n_extreme"))))
     },
 
+    // Mann–Whitney U (Wilcoxon rank-sum) with exact tie handling — the
+    // distribution-free location-shift companion to ks1's sup-distance
+    // drift test: U counts ALL cross-sample pairs, so a small uniform
+    // shift that KS under-weights still moves it. Tied blocks carry
+    // their average rank kept EXACT by doubling: for a block of c
+    // values after cumBefore smaller ones, 2·avgrank = 2·cumBefore +
+    // c + 1, so 2U_A = Σ ca·rank2 − na(na+1) is pure BIGINT and the
+    // identity u2_a + u2_b = 2·na·nb holds bit-exactly on both engines.
+    // Scale shape: grouped value axis + the distributed two-pass prefix
+    // sum (Packing.prefixSum) — never a global per-row rank; the
+    // shuffled relation is |distinct lengths|, not |docs|. (Products
+    // are n² — the dec casts keep the sum exact past 3e9 rows.)
+    "mwu1_mann_whitney" -> { (spark, dir) =>
+      val g = Tables.documents(spark, dir)
+        .groupBy(col("n_chars").as("v"))
+        .agg(
+          expr("count_if(source = 'src0')").as("ca"),
+          expr("count_if(source <> 'src0')").as("cb"))
+        .withColumn("c", col("ca") + col("cb"))
+      val cum = Packing.prefixSum(g, Seq(col("v")), col("c"), "cumc")
+      cum
+        .select(col("ca"), col("cb"),
+          (lit(2L) * (col("cumc") - col("c")) + col("c") + 1L).as("rank2"))
+        .agg(
+          sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+          sum(col("ca").cast(dec) * col("rank2").cast(dec)).as("r2a"))
+        .select(col("na"), col("nb"),
+          (col("r2a") - col("na").cast(dec) * (col("na").cast(dec) + 1))
+            .cast(LongType).as("u2_a"),
+          (lit(2).cast(dec) * col("na").cast(dec) * col("nb").cast(dec) -
+            (col("r2a") - col("na").cast(dec) * (col("na").cast(dec) + 1)))
+            .cast(LongType).as("u2_b"))
+    },
+
+    // Pettitt change-point test — "WHEN did this series shift?" where
+    // ts8's CUSUM asks "did the mean drift?": K_t = Σ_{i≤t,j>t}
+    // sign(x_j − x_i) is rank-based, so one outlier day cannot fake a
+    // change-point the way it drags a mean-based statistic. Computed
+    // via the exact recurrence K_t = K_{t−1} + Σ_{j≠t} sign(x_j − x_t),
+    // whose sign-sum is (#days above x_t) − (#days below) from two
+    // RANGE-frame counts over the per-type value axis — no day-pair
+    // join, O(n log n) per series instead of O(n²). Everything BIGINT;
+    // the argmax day breaks ties on the earliest day. Scale shape:
+    // every window partitions by event_type over the DAILY rollup —
+    // bounded by the calendar, never by raw event rows.
+    "cp1_pettitt" -> { (spark, dir) =>
+      val daily = Tables.events(spark, dir)
+        .groupBy(col("event_type"), to_date(col("ts_sec")).as("day"))
+        .agg(sum(floor(col("value") * 100).cast(LongType)).as("x"))
+      val byVal = Window.partitionBy("event_type").orderBy(col("x"))
+      val nAbove = count(lit(1))
+        .over(byVal.rangeBetween(1L, Window.unboundedFollowing))
+      val nBelow = count(lit(1))
+        .over(byVal.rangeBetween(Window.unboundedPreceding, -1L))
+      val byDay = Window.partitionBy("event_type").orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val k = daily
+        .withColumn("s", nAbove - nBelow)
+        .withColumn("abs_k", abs(sum(col("s")).over(byDay)))
+      val mx = k.groupBy(col("event_type"))
+        .agg(max(col("abs_k")).as("k_abs"), count(lit(1)).as("n_days"))
+      k.join(mx, Seq("event_type"))
+        .where(col("abs_k") === col("k_abs"))
+        .groupBy(col("event_type"), col("k_abs"), col("n_days"))
+        .agg(min(col("day")).as("cp_day"))
+        .select(col("event_type"), col("n_days"), col("cp_day"),
+          col("k_abs"))
+        .orderBy("event_type")
+    },
+
+    // Isotonic (PAV) calibration — the monotone fit every score
+    // calibrator ships: best least-squares NON-DECREASING fulfillment
+    // rate as a function of the order-value bucket, via the exact
+    // minimax identity fit_i = max_{j≤i} min_{k≥i} avg(pos_{j..k} /
+    // n_{j..k}) — equivalent to pool-adjacent-violators but closed-form
+    // over a BOUNDED bucket axis (16 buckets → 136 (j,k) pools), so it
+    // is joins over broadcast-tiny relations instead of a sequential
+    // pooling loop. Pool averages divide exact integer sums once, with
+    // the identical expression tree in the oracle; min/max over those
+    // doubles is order-only, so the quantized fit is deterministic.
+    // Scale shape: ONE map-side-partial aggregate over orders collapses
+    // the corpus to 16 rows; everything after is O(buckets³) driver-free
+    // broadcast work.
+    "iso1_isotonic_calibration" -> { (spark, dir) =>
+      val b = Tables.orders(spark, dir)
+        .select(
+          least(floor(col("o_totalprice") / 20000.0), lit(15.0))
+            .cast(LongType).as("b"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("pos"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("npos"))
+        .localCheckpoint(eager = false) // tiny; feeds pools + output join
+      // each bucket row b joins every (j,k) pool slice containing it, so
+      // groupBy(j,k) sums n/npos over exactly the buckets j..k
+      val pools = b.select(col("b"), col("n"), col("npos"))
+        .join(broadcast(b.select(col("b").as("j"))
+          .crossJoin(broadcast(b.select(col("b").as("k"))))
+          .where(col("j") <= col("k"))),
+          col("b") >= col("j") && col("b") <= col("k"))
+        .groupBy("j", "k")
+        .agg((sum(col("npos")).cast(DoubleType) /
+          sum(col("n")).cast(DoubleType)).as("pavg"))
+      val minOverK = pools.join(broadcast(b.select(col("b").as("i"))),
+          col("j") <= col("i") && col("i") <= col("k"))
+        .groupBy("i", "j").agg(min(col("pavg")).as("mn"))
+      val fit = minOverK.groupBy("i").agg(max(col("mn")).as("fit"))
+      b.join(fit, col("b") === col("i"))
+        .select(col("b").as("bucket"), col("n"), col("npos"),
+          floor(col("fit") * 1048576.0).cast(LongType).as("fit_q"))
+        .orderBy("bucket")
+    },
+
     // Two-proportion z-test: did variant A (even user ids) convert
     // better than variant B? Per-user conversion first (event counts
     // would double-count loyal users). The conversion predicate is
@@ -777,6 +889,82 @@ object ExperimentQueries {
         |  CAST((SELECT count_if(stat >= obs.obs_cents) FROM perms) AS BIGINT)
         |    AS n_extreme
         |FROM obs""".stripMargin,
+    // same doubled-average-rank construction over the grouped value axis
+    "mwu1_mann_whitney" ->
+      """WITH g AS (
+        |  SELECT n_chars AS v,
+        |    count(*) FILTER (WHERE source = 'src0') AS ca,
+        |    count(*) FILTER (WHERE source <> 'src0') AS cb
+        |  FROM documents GROUP BY 1),
+        |c AS (
+        |  SELECT ca, cb,
+        |    2 * (sum(ca + cb) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        - (ca + cb)) + (ca + cb) + 1 AS rank2
+        |  FROM g),
+        |s AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb,
+        |    CAST(sum(ca * rank2) AS BIGINT) AS r2a
+        |  FROM c)
+        |SELECT na, nb,
+        |  CAST(r2a - na * (na + 1) AS BIGINT) AS u2_a,
+        |  CAST(2 * na * nb - (r2a - na * (na + 1)) AS BIGINT) AS u2_b
+        |FROM s""".stripMargin,
+    // same recurrence K_t = K_{t-1} + (#above - #below) via RANGE frames
+    "cp1_pettitt" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('second', ts) AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), s AS (
+        |  SELECT event_type, day,
+        |    COUNT(*) OVER (PARTITION BY event_type ORDER BY x
+        |      RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) -
+        |    COUNT(*) OVER (PARTITION BY event_type ORDER BY x
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s
+        |  FROM daily
+        |), k AS (
+        |  SELECT event_type, day,
+        |    abs(SUM(s) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING)) AS abs_k
+        |  FROM s
+        |), m AS (
+        |  SELECT event_type, day, abs_k,
+        |    MAX(abs_k) OVER (PARTITION BY event_type) AS k_abs,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n_days
+        |  FROM k
+        |)
+        |SELECT event_type, CAST(MAX(n_days) AS BIGINT) AS n_days,
+        |  MIN(day) AS cp_day, CAST(MAX(k_abs) AS BIGINT) AS k_abs
+        |FROM m WHERE abs_k = k_abs
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same closed-form minimax PAV over the bounded bucket axis
+    "iso1_isotonic_calibration" ->
+      """WITH b AS (
+        |  SELECT CAST(least(floor(o_totalprice / 20000.0), 15.0) AS BIGINT)
+        |      AS b,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS npos
+        |  FROM orders GROUP BY 1
+        |), pools AS (
+        |  SELECT j.b AS j, k.b AS k,
+        |    CAST(SUM(x.npos) AS DOUBLE) / CAST(SUM(x.n) AS DOUBLE) AS pavg
+        |  FROM b j, b k, b x
+        |  WHERE j.b <= k.b AND x.b BETWEEN j.b AND k.b
+        |  GROUP BY 1, 2
+        |), mn AS (
+        |  SELECT i.b AS i, p.j, MIN(p.pavg) AS mn
+        |  FROM pools p, b i WHERE p.j <= i.b AND i.b <= p.k
+        |  GROUP BY 1, 2
+        |), fit AS (
+        |  SELECT i, MAX(mn) AS fit FROM mn GROUP BY 1
+        |)
+        |SELECT b.b AS bucket, CAST(b.n AS BIGINT) AS n, b.npos,
+        |  CAST(floor(fit.fit * 1048576.0) AS BIGINT) AS fit_q
+        |FROM b JOIN fit ON fit.i = b.b
+        |ORDER BY 1""".stripMargin,
     "ab1_conversion_ztest" ->
       """WITH u AS (
         |  SELECT user_id % 2 = 0 AS variant_a,
