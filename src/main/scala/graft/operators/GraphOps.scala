@@ -66,6 +66,41 @@ object GraphOps {
             .cast("long")).as("clustering_q"))
   }
 
+  /** Common-neighbor link prediction over an ordered edge list (ta <
+    * tb): for every NON-adjacent node pair sharing ≥1 neighbor, the
+    * classic integer predictors — common-neighbor count `cn`, the
+    * neighborhood-union size |Γa ∪ Γb| = deg_a + deg_b − cn (so the
+    * Jaccard score is the exact ratio of two reported integers), and
+    * preferential attachment deg_a·deg_b. Top-`k` by (cn desc, pair) —
+    * a total order, so the cut is deterministic.
+    *
+    * Scale posture: candidate pairs come from the wedge join (Σ_v
+    * deg(v)² rows) — on open-ended graphs compose with a hub cap (drop
+    * v above a degree ceiling) exactly like the shared-frame digest
+    * index; nothing here is ever all-pairs. The degree joins shuffle on
+    * the node id only; the final cut is TakeOrderedAndProject.
+    */
+  def linkPrediction(edges: DataFrame, k: Int): DataFrame = {
+    val e = edges.select(col("ta"), col("tb")).localCheckpoint(eager = false)
+    val und = e.select(col("ta").as("src"), col("tb").as("dst"))
+      .unionAll(e.select(col("tb").as("src"), col("ta").as("dst")))
+    val deg = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    val cand = und.as("w1")
+      .join(und.as("w2"),
+        col("w1.src") === col("w2.src") && col("w1.dst") < col("w2.dst"))
+      .groupBy(col("w1.dst").as("a"), col("w2.dst").as("b"))
+      .agg(count(lit(1)).as("cn"))
+      .join(e, col("a") === col("ta") && col("b") === col("tb"), "left_anti")
+    cand
+      .join(deg.select(col("v").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .select(col("a"), col("b"), col("cn"), col("deg_a"), col("deg_b"),
+        (col("deg_a") + col("deg_b") - col("cn")).as("union_sz"),
+        (col("deg_a") * col("deg_b")).as("pa"))
+      .orderBy(col("cn").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** Integer-exact PageRank over an undirected edge list (ta, tb),
     * unrolled for a fixed iteration count with damping 0.85.
     *

@@ -442,6 +442,53 @@ object PipelineQueries {
         .orderBy("v")
     },
 
+    // Common-neighbor link prediction over the co-occurrence graph at a
+    // STRICTER edge threshold (minCo=20 — at tri1's 5 the top-40 graph
+    // is near-complete and no non-adjacent pair survives): the "which
+    // terms SHOULD co-occur but don't yet" census — top-20 non-adjacent
+    // pairs by shared-neighbor count, with the exact Jaccard
+    // numerator/denominator and preferential attachment as companion
+    // integer predictors.
+    "cn1_link_prediction" -> { (spark, dir) =>
+      GraphOps.linkPrediction(
+        GraphOps.termCooccurrenceEdges(Tables.documentsParallel(spark, dir),
+          topK = 40, minCo = 20L),
+        k = 20)
+    },
+
+    // Benford first-digit audit over order totals — the classic
+    // fabricated-numbers screen a data-quality layer runs on any
+    // money-valued feed. The first digit comes from the decimal string
+    // of the exact integer cents (never log10 of a double), expected
+    // mass uses hard-coded Benford constants (identical literals on
+    // both engines), and the chi-square contribution is quantized
+    // after one double formula. One map-side-partial aggregate
+    // collapses the corpus to ≤9 rows.
+    "bl1_benford_audit" -> { (spark, dir) =>
+      val benford = typedLit(Map(
+        1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+        3 -> 0.12493873660829993, 4 -> 0.09691001300805642,
+        5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+        7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+        9 -> 0.04575749056067514))
+      val d = Tables.orders(spark, dir)
+        .select(substring(
+          floor(col("o_totalprice") * 100).cast(LongType).cast("string"),
+          1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      val tot = broadcast(d.agg(sum(col("n_obs")).as("n")))
+      d.crossJoin(tot)
+        .select(col("digit"), col("n_obs"),
+          (col("n").cast(DoubleType) *
+            element_at(benford, col("digit"))).as("exp"))
+        .select(col("digit"), col("n_obs"),
+          floor(col("exp") * 1048576.0).cast(LongType).as("exp_q"),
+          floor((col("n_obs").cast(DoubleType) - col("exp")) *
+            (col("n_obs").cast(DoubleType) - col("exp")) / col("exp") *
+            1048576.0).cast(LongType).as("chi_q"))
+        .orderBy("digit")
+    },
+
     // Explicit bloom-filter semi-join reduction: build a bloom over the
     // filtered dimension's keys (one aggregate → one binary scalar),
     // probe the fact scan with graft_might_contain BEFORE the join, then
@@ -1001,6 +1048,68 @@ object PipelineQueries {
         |    CAST(floor(3.0 * n_triangles / n_wedges * 1048576.0) AS BIGINT)
         |  END AS clustering_q
         |FROM census""".stripMargin,
+
+    "cn1_link_prediction" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.term
+        |  FROM documents,
+        |    UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS u(term)
+        |  WHERE u.term <> ''
+        |), top AS (
+        |  SELECT term FROM toks GROUP BY 1
+        |  ORDER BY COUNT(*) DESC, term LIMIT 40
+        |), dt AS (
+        |  SELECT DISTINCT doc_id, term FROM toks
+        |  WHERE term IN (SELECT term FROM top)
+        |), edges AS (
+        |  SELECT a.term AS ta, b.term AS tb
+        |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 20
+        |), und AS (
+        |  SELECT ta AS src, tb AS dst FROM edges
+        |  UNION ALL SELECT tb, ta FROM edges
+        |), deg AS (
+        |  SELECT src AS v, COUNT(*) AS deg FROM und GROUP BY 1
+        |), cand AS (
+        |  SELECT w1.dst AS a, w2.dst AS b, COUNT(*) AS cn
+        |  FROM und w1 JOIN und w2
+        |    ON w2.src = w1.src AND w1.dst < w2.dst
+        |  GROUP BY 1, 2
+        |), nonadj AS (
+        |  SELECT * FROM cand c
+        |  WHERE NOT EXISTS (SELECT 1 FROM edges e
+        |                    WHERE e.ta = c.a AND e.tb = c.b)
+        |)
+        |SELECT a, b, CAST(cn AS BIGINT) AS cn,
+        |  CAST(da.deg AS BIGINT) AS deg_a, CAST(db.deg AS BIGINT) AS deg_b,
+        |  CAST(da.deg + db.deg - cn AS BIGINT) AS union_sz,
+        |  CAST(da.deg * db.deg AS BIGINT) AS pa
+        |FROM nonadj JOIN deg da ON da.v = a JOIN deg db ON db.v = b
+        |ORDER BY cn DESC, a, b LIMIT 20""".stripMargin,
+
+    "bl1_benford_audit" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    COUNT(*) AS n_obs
+        |  FROM orders GROUP BY 1
+        |), t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM d),
+        |e AS (
+        |  SELECT digit, n_obs,
+        |    CAST(n AS DOUBLE) * (CASE digit
+        |      WHEN 1 THEN 0.3010299956639812 WHEN 2 THEN 0.17609125905568124
+        |      WHEN 3 THEN 0.12493873660829993 WHEN 4 THEN 0.09691001300805642
+        |      WHEN 5 THEN 0.07918124604762482 WHEN 6 THEN 0.06694678963061322
+        |      WHEN 7 THEN 0.05799194697768673 WHEN 8 THEN 0.05115252244738129
+        |      WHEN 9 THEN 0.04575749056067514 END) AS exp
+        |  FROM d, t
+        |)
+        |SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+        |  CAST(floor(exp * 1048576.0) AS BIGINT) AS exp_q,
+        |  CAST(floor((CAST(n_obs AS DOUBLE) - exp) *
+        |    (CAST(n_obs AS DOUBLE) - exp) / exp * 1048576.0) AS BIGINT)
+        |    AS chi_q
+        |FROM e ORDER BY digit""".stripMargin,
 
     "bm1_bm25_topk" ->
       """WITH toks AS (
