@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{EventAnalytics, GraphOps, SetSimilarityJoin, TextAnalysis}
+import graft.operators.{Dedup, EventAnalytics, GraphOps, SetSimilarityJoin, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -749,6 +749,44 @@ object WorkloadQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Dedup-recall census: the measured answer to "what does MinHash-LSH
+    // actually MISS?" — ground truth is the LOSSLESS prefix-filtered
+    // Jaccard join (every pair ≥ 0.7), candidates are the portable
+    // banded-LSH pairs (d2's 16-hash × 4-band family), and the report
+    // counts true pairs vs detected pairs per exact Jaccard ventile.
+    // The bucket key floor(20·inter/union) is pure integer division, so
+    // the census is BIGINT end-to-end; recall per bucket is the ratio
+    // of its two reported integers. This is the eval harness that
+    // justifies (or indicts) an LSH parameter choice before a 100 TB
+    // run: both sides scale (prefix join is candidate-bounded, banding
+    // is bucket-capped), and the final join is pair-id keyed.
+    "dr1_dedup_recall" -> { (spark, dir) =>
+      val docs = Tables.documentsParallel(spark, dir)
+      val truth = SetSimilarityJoin.prefixJaccardJoin(
+        docs, shingleK = 3, threshold = 0.7)
+        .select(col("doc_a"), col("doc_b"),
+          expr("(20 * n_inter) div (n_a + n_b - n_inter)").as("jb"))
+      val sigs = Dedup.minHashPortable(docs, 3, 16)
+      val bands = Dedup.portableBandKeys(sigs, 4)
+        .localCheckpoint(eager = false) // self-joined below
+      val sized = bands.groupBy("band_idx", "band_key")
+        .agg(count(lit(1)).as("__n"))
+        .where(col("__n").between(2, 64))
+        .drop("__n")
+      val cand = bands.join(sized, Seq("band_idx", "band_key"))
+        .select(col("band_idx"), col("band_key"), col("doc_id").as("doc_a"))
+        .join(bands.select(col("band_idx"), col("band_key"),
+          col("doc_id").as("doc_b")), Seq("band_idx", "band_key"))
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+        .withColumn("hit", lit(1L))
+      truth.join(cand, Seq("doc_a", "doc_b"), "left")
+        .groupBy("jb")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_detected"))
+        .orderBy("jb")
+    },
+
     // Asymmetric containment dedup (doc_a mostly inside doc_b): the
     // near-dup class Jaccard misses — wholesale quoting / boilerplate
     // wrapping. Probe-side lossless prefix filter, candidate-bounded
@@ -1445,6 +1483,82 @@ object WorkloadQueries {
         |WHERE CAST(i.n_inter AS DOUBLE)
         |    / CAST(sa.n_tok + sb.n_tok - i.n_inter AS DOUBLE) >= 0.7
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // truth = ssj1's lossless prefix join; candidates = d2's portable
+    // banded LSH; census per integer Jaccard ventile
+    "dr1_dedup_recall" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents
+        |), toks AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    generate_series(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS term
+        |  FROM w0 WHERE len(w) >= 3
+        |), sz AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY 1),
+        |df AS (SELECT term, COUNT(*) AS df FROM toks GROUP BY 1),
+        |ranked AS (
+        |  SELECT t.doc_id, t.term,
+        |    row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.term)
+        |      AS rk,
+        |    s.n_tok
+        |  FROM toks t JOIN df d ON t.term = d.term
+        |    JOIN sz s ON t.doc_id = s.doc_id
+        |), prefix AS (
+        |  SELECT doc_id, term FROM ranked
+        |  WHERE rk <= n_tok - CAST(ceil(0.7 * n_tok) AS BIGINT) + 1
+        |), cand0 AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM prefix a JOIN prefix b
+        |    ON a.term = b.term AND a.doc_id < b.doc_id
+        |), inter AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        |  FROM cand0 c JOIN toks ta ON ta.doc_id = c.doc_a
+        |    JOIN toks tb ON tb.doc_id = c.doc_b AND tb.term = ta.term
+        |  GROUP BY 1, 2
+        |), truth AS (
+        |  SELECT i.doc_a, i.doc_b,
+        |    CAST((20 * i.n_inter) // (sa.n_tok + sb.n_tok - i.n_inter)
+        |      AS BIGINT) AS jb
+        |  FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
+        |    JOIN sz sb ON sb.doc_id = i.doc_b
+        |  WHERE CAST(i.n_inter AS DOUBLE)
+        |    / CAST(sa.n_tok + sb.n_tok - i.n_inter AS DOUBLE) >= 0.7
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+        |  FROM w0 WHERE len(w) >= 3
+        |), hs AS (
+        |  SELECT doc_id, CAST(g.i AS INTEGER) AS h_idx,
+        |    ((g.i * 2 + 1) * 1103515245 % 2147483647
+        |      * (('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)
+        |      + g.i) % 2147483647 AS h
+        |  FROM sh, UNNEST(generate_series(0, 15)) AS g(i)
+        |), sigs AS (
+        |  SELECT doc_id, h_idx, min(h) AS min_hash FROM hs GROUP BY 1, 2
+        |), bands AS (
+        |  SELECT doc_id, CAST(h_idx // 4 AS INTEGER) AS band_idx,
+        |    ('0x' || substr(md5(
+        |      string_agg(min_hash::VARCHAR, ',' ORDER BY h_idx)), 1, 15))
+        |      ::BIGINT AS band_key
+        |  FROM sigs GROUP BY doc_id, h_idx // 4
+        |), sized AS (
+        |  SELECT band_idx, band_key FROM bands GROUP BY 1, 2
+        |  HAVING count(*) BETWEEN 2 AND 64
+        |), lsh AS (
+        |  SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+        |  FROM bands b1
+        |  JOIN sized s ON s.band_idx = b1.band_idx AND s.band_key = b1.band_key
+        |  JOIN bands b2 ON b2.band_idx = b1.band_idx
+        |    AND b2.band_key = b1.band_key AND b1.doc_id < b2.doc_id
+        |)
+        |SELECT t.jb, COUNT(*) AS n_true,
+        |  CAST(SUM(CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_detected
+        |FROM truth t LEFT JOIN lsh l
+        |  ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "d11_containment_join" ->
       """WITH w0 AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
