@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Packing
+import graft.operators.{Packing, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -660,6 +660,110 @@ object ExperimentQueries {
         .crossJoin(broadcast(lo))
         .crossJoin(broadcast(hi))
     },
+
+    // Kendall tau-b rank correlation between daily revenue and daily
+    // quantity per return flag — the monotone-association check that is
+    // robust where Pearson (a19) is dragged by heavy days. Every pair is
+    // classified with exact integer comparisons (revenue in cents,
+    // quantity in units), so nc/nd/tie counts are BIGINT; tau-b is ONE
+    // trailing double formula over those five integers. Scale shape:
+    // the pair self-join runs on the DAILY rollup, so its size is
+    // calendar-bounded (~2.5k days/flag → ~3M pairs) no matter how many
+    // raw lineitem rows feed the rollup — the O(n²) is over n = days,
+    // never n = rows.
+    "kt1_kendall_tau" -> { (spark, dir) =>
+      val daily = Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag").as("flag"),
+          to_date(col("l_shipdate")).as("day"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast(LongType)).as("x"),
+          sum(col("l_quantity").cast(LongType)).as("y"))
+        .localCheckpoint(eager = false) // feeds pair join twice + n_days
+      val a = daily.select(col("flag"), col("day").as("da"),
+        col("x").as("xa"), col("y").as("ya"))
+      val b = daily.select(col("flag"), col("day").as("db"),
+        col("x").as("xb"), col("y").as("yb"))
+      val pairs = a.join(b, Seq("flag")).where(col("da") < col("db"))
+        .groupBy("flag")
+        .agg(
+          expr("count_if((xa < xb AND ya < yb) OR (xa > xb AND ya > yb))")
+            .as("nc"),
+          expr("count_if((xa < xb AND ya > yb) OR (xa > xb AND ya < yb))")
+            .as("nd"),
+          expr("count_if(xa = xb)").as("n1"),
+          expr("count_if(ya = yb)").as("n2"))
+      val n = daily.groupBy("flag").agg(count(lit(1)).as("n_days"))
+      pairs.join(broadcast(n), Seq("flag"))
+        .select(col("flag"), col("n_days"), col("nc"), col("nd"),
+          col("n1"), col("n2"),
+          ((col("nc") - col("nd")).cast(DoubleType) /
+            sqrt((expr("n_days * (n_days - 1) div 2") - col("n1"))
+                .cast(DoubleType) *
+              (expr("n_days * (n_days - 1) div 2") - col("n2"))
+                .cast(DoubleType))).as("tau_b"))
+        .orderBy("flag")
+    },
+
+    // Chao1 vocabulary-richness estimator per source — "how many unique
+    // tokens would this source show with unbounded sampling?", the
+    // coverage question a corpus curator asks before deciding a source
+    // is exhausted. Uses the bias-corrected form D + f1(f1−1)/(2(f2+1))
+    // (defined even when no doubletons exist). D / f1 / f2 are exact
+    // integers off one (source, term) count; the estimator is ONE
+    // trailing double formula. Scale shape: two map-side-combinable
+    // aggregates — tokens → (source, term) counts → per-source counts of
+    // counts; nothing wider than the vocabulary ever shuffles.
+    "chao1_vocab_richness" -> { (spark, dir) =>
+      val cnt = Tables.documentsParallel(spark, dir)
+        .select(col("source"),
+          explode(TextAnalysis.words(col("text"))).as("term"))
+        .where(col("term") =!= "")
+        .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      cnt.groupBy("source")
+        .agg(count(lit(1)).as("d"),
+          expr("count_if(c = 1)").as("f1"),
+          expr("count_if(c = 2)").as("f2"))
+        .select(col("source"), col("d"), col("f1"), col("f2"),
+          (col("d").cast(DoubleType) +
+            (col("f1") * (col("f1") - 1)).cast(DoubleType) /
+              (lit(2.0) * (col("f2") + 1).cast(DoubleType))).as("chao1"))
+        .orderBy("source")
+    },
+
+    // Total-variation distance between each source's token distribution
+    // and the whole corpus — the drift census run on every ingest batch
+    // ("which source stopped looking like the mix?"). Exact-integer
+    // core: TV = Σ_t |p_s − p| / 2 cross-multiplies to
+    // (Σ_{t∈s} |c_s·N − c·N_s| + N_s·(N − Σ_{t∈s} c)) / (2·N_s·N), so
+    // the numerator is a BIGINT and only ONE trailing division is
+    // double. The missing-term mass is folded in closed form (N − cov),
+    // so each source only ever joins ITS OWN terms to the global counts
+    // — the shuffled relation is Σ|vocab_s|, never |sources|×|vocab|.
+    // (Products are c·N ≤ N_s·N ≈ 1e13 at sf1 — upgrade the numerator
+    // to DECIMAL(38,0) past ~3e9 tokens.)
+    "tv1_distribution_shift" -> { (spark, dir) =>
+      val toks = Tables.documentsParallel(spark, dir)
+        .select(col("source"),
+          explode(TextAnalysis.words(col("text"))).as("term"))
+        .where(col("term") =!= "")
+        .localCheckpoint(eager = false) // feeds per-source + global counts
+      val sc = toks.groupBy("source", "term").agg(count(lit(1)).as("cs"))
+      val g = toks.groupBy("term").agg(count(lit(1)).as("c"))
+      val ns = toks.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val tot = toks.agg(count(lit(1)).as("n"))
+      sc.join(broadcast(ns), Seq("source"))
+        .crossJoin(broadcast(tot))
+        .join(g, Seq("term"))
+        .groupBy(col("source"), col("n_s"), col("n"))
+        .agg(sum(abs(col("cs") * col("n") - col("c") * col("n_s"))).as("s1"),
+          sum(col("c")).as("cov"))
+        .withColumn("tv_num",
+          col("s1") + col("n_s") * (col("n") - col("cov")))
+        .select(col("source"), col("n_s").as("n_tokens"), col("tv_num"),
+          (col("tv_num").cast(DoubleType) /
+            (lit(2.0) * col("n_s").cast(DoubleType) * col("n").cast(DoubleType)))
+            .as("tv"))
+        .orderBy("source")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -1106,5 +1210,72 @@ object ExperimentQueries {
         |  CAST(sum(mon) AS DOUBLE) / 100.0 AS total_monetary
         |FROM u, med
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "kt1_kendall_tau" ->
+      """WITH daily AS (
+        |  SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT a.flag,
+        |    COUNT(*) FILTER (WHERE (a.x < b.x AND a.y < b.y)
+        |      OR (a.x > b.x AND a.y > b.y)) AS nc,
+        |    COUNT(*) FILTER (WHERE (a.x < b.x AND a.y > b.y)
+        |      OR (a.x > b.x AND a.y < b.y)) AS nd,
+        |    COUNT(*) FILTER (WHERE a.x = b.x) AS n1,
+        |    COUNT(*) FILTER (WHERE a.y = b.y) AS n2
+        |  FROM daily a JOIN daily b ON a.flag = b.flag AND a.day < b.day
+        |  GROUP BY 1
+        |), nn AS (SELECT flag, COUNT(*) AS n_days FROM daily GROUP BY 1)
+        |SELECT p.flag, n.n_days, p.nc, p.nd, p.n1, p.n2,
+        |  CAST(p.nc - p.nd AS DOUBLE) /
+        |    sqrt(CAST(n.n_days * (n.n_days - 1) // 2 - p.n1 AS DOUBLE) *
+        |         CAST(n.n_days * (n.n_days - 1) // 2 - p.n2 AS DOUBLE))
+        |    AS tau_b
+        |FROM pairs p JOIN nn n ON p.flag = n.flag
+        |ORDER BY p.flag""".stripMargin,
+
+    "chao1_vocab_richness" ->
+      """WITH toks AS (
+        |  SELECT source, u.term FROM documents,
+        |    UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS u(term)
+        |  WHERE u.term <> ''
+        |), cnt AS (
+        |  SELECT source, term, COUNT(*) AS c FROM toks GROUP BY 1, 2
+        |)
+        |SELECT source, COUNT(*) AS d,
+        |  COUNT(*) FILTER (WHERE c = 1) AS f1,
+        |  COUNT(*) FILTER (WHERE c = 2) AS f2,
+        |  CAST(COUNT(*) AS DOUBLE) +
+        |    CAST(COUNT(*) FILTER (WHERE c = 1)
+        |      * (COUNT(*) FILTER (WHERE c = 1) - 1) AS DOUBLE)
+        |    / (2.0 * CAST(COUNT(*) FILTER (WHERE c = 2) + 1 AS DOUBLE))
+        |    AS chao1
+        |FROM cnt GROUP BY source ORDER BY source""".stripMargin,
+
+    "tv1_distribution_shift" ->
+      """WITH toks AS (
+        |  SELECT source, u.term FROM documents,
+        |    UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS u(term)
+        |  WHERE u.term <> ''
+        |), sc AS (SELECT source, term, COUNT(*) AS cs FROM toks GROUP BY 1, 2),
+        |g AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
+        |ns AS (SELECT source, COUNT(*) AS n_s FROM toks GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n FROM toks),
+        |agg AS (
+        |  SELECT sc.source, ns.n_s, tot.n,
+        |    CAST(SUM(abs(sc.cs * tot.n - g.c * ns.n_s)) AS BIGINT) AS s1,
+        |    CAST(SUM(g.c) AS BIGINT) AS cov
+        |  FROM sc JOIN ns ON sc.source = ns.source CROSS JOIN tot
+        |    JOIN g ON sc.term = g.term
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT source, n_s AS n_tokens,
+        |  CAST(s1 + n_s * (n - cov) AS BIGINT) AS tv_num,
+        |  CAST(s1 + n_s * (n - cov) AS DOUBLE) /
+        |    (2.0 * CAST(n_s AS DOUBLE) * CAST(n AS DOUBLE)) AS tv
+        |FROM agg ORDER BY source""".stripMargin,
   )
 }
