@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{DataQuality, GraphOps, Relevance, TextAnalysis, TimeSeries}
+import graft.operators.{DataQuality, GraphOps, Relevance, Similarity, TextAnalysis, TimeSeries}
 import graft.streaming.EventsStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -304,6 +304,38 @@ object PipelineQueries {
     "bm1_bm25_topk" -> { (spark, dir) =>
       Relevance.bm25TopK(Tables.documentsParallel(spark, dir),
         Seq("spark", "join", "vector", "stream"), k = 20)
+    },
+
+    // Reciprocal-rank fusion — the hybrid-retrieval merge every RAG /
+    // corpus-slicing stack runs: the lexical (BM25, bm1's scorer) top-50
+    // and the vector (exact quantized cosine, x1's scorer; embeddings
+    // share the documents id space) top-50 fuse by Σ 1/(60+rank), rank
+    // being the only thing that crosses modalities — no score-scale
+    // calibration needed, which is RRF's whole point. Each side's rank
+    // is deterministic (score desc, id); the fused score is a fixed
+    // two-term double sum of exact reciprocals, so ordering is
+    // bit-identical across engines. Scale shape: both legs end in
+    // TakeOrderedAndProject(k); the partition-less rank windows run on
+    // ≤k-row relations (bounded by the legs' top-k, never data-sized),
+    // and the fuse join is k-vs-k.
+    "rrf1_rank_fusion" -> { (spark, dir) =>
+      val lex = Relevance.bm25TopK(Tables.documentsParallel(spark, dir),
+          Seq("spark", "join", "vector", "stream"), k = 50)
+        .withColumn("rank_lex",
+          row_number().over(Window.orderBy(col("score_q").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank_lex"))
+      val emb = Tables.embeddings(spark, dir)
+      val vec = Similarity
+        .bruteForceTopK(emb.where(col("vec_id") === 0), emb, k = 50)
+        .select(col("c_vec").as("doc_id"), col("rank").as("rank_vec"))
+      lex.join(vec, Seq("doc_id"), "full")
+        .select(col("doc_id"), col("rank_lex"), col("rank_vec"),
+          (coalesce(lit(1.0) / (lit(60) + col("rank_lex")).cast(DoubleType),
+              lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rank_vec")).cast(DoubleType),
+              lit(0.0))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
     },
 
     // Schema-evolution union: two sources with overlapping-but-different
@@ -1141,6 +1173,70 @@ object PipelineQueries {
         |  CAST(SUM(score_term_q) AS BIGINT) AS score_q
         |FROM scored GROUP BY 1
         |ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin,
+
+    // bm1's BM25 CTEs (top-50) + x1's quantized-cosine CTEs (query
+    // vec_id 0, top-50), fused by 1/(60+rank)
+    "rrf1_rank_fusion" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.term
+        |  FROM documents,
+        |    UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS u(term)
+        |  WHERE u.term <> ''
+        |), dl AS (
+        |  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+        |), corpus AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |    CAST(SUM(dl) AS DOUBLE) AS sum_dl FROM dl
+        |), qtf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |  WHERE term IN ('spark', 'join', 'vector', 'stream') GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM qtf GROUP BY 1
+        |), scored AS (
+        |  SELECT qtf.doc_id,
+        |    CAST(floor(
+        |      ((corpus.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |      ((CAST(qtf.tf AS DOUBLE) * 2.2) /
+        |       (CAST(qtf.tf AS DOUBLE) + 1.2 *
+        |        (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) * corpus.n_docs / corpus.sum_dl))))
+        |      * 1048576.0) AS BIGINT) AS score_term_q
+        |  FROM qtf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
+        |), lex AS (
+        |  SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rank_lex
+        |  FROM (
+        |    SELECT doc_id, CAST(SUM(score_term_q) AS BIGINT) AS score_q
+        |    FROM scored GROUP BY 1
+        |    ORDER BY score_q DESC, doc_id LIMIT 50)
+        |), q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0),
+        |pairs AS (
+        |  SELECT q.vec_id AS qv, c.vec_id AS cv,
+        |    q.embedding AS eq, c.embedding AS ec
+        |  FROM q, embeddings c WHERE c.vec_id != q.vec_id
+        |), vterms AS (
+        |  SELECT qv, cv,
+        |    CAST(floor(CAST(eq[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS x,
+        |    CAST(floor(CAST(ec[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS y
+        |  FROM pairs, UNNEST(generate_series(1, len(eq))) AS g(i)
+        |), vagg AS (
+        |  SELECT qv, cv,
+        |    CAST(SUM(x * y) AS DOUBLE) AS dot,
+        |    CAST(SUM(x * x) AS DOUBLE) AS nx,
+        |    CAST(SUM(y * y) AS DOUBLE) AS ny
+        |  FROM vterms GROUP BY 1, 2
+        |), vec AS (
+        |  SELECT cv AS doc_id, rank_vec FROM (
+        |    SELECT cv,
+        |      ROW_NUMBER() OVER (ORDER BY dot / nullif(sqrt(nx) * sqrt(ny), 0)
+        |        DESC, cv) AS rank_vec
+        |    FROM vagg)
+        |  WHERE rank_vec <= 50
+        |)
+        |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.rank_lex, v.rank_vec,
+        |  COALESCE(1.0 / (60 + l.rank_lex), 0.0) +
+        |    COALESCE(1.0 / (60 + v.rank_vec), 0.0) AS rrf
+        |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
     "u4_union_by_name" ->
       """SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal,
