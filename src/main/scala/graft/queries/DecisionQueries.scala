@@ -201,6 +201,54 @@ object DecisionQueries {
         .orderBy("channel")
     },
 
+    // EXACT Shapley-value attribution — the game-theoretic credit split
+    // at1's positional models approximate. Channels are the four
+    // non-purchase event types; a user's "journey" is the SET of
+    // channels touched before their first purchase; the coalition value
+    // v(S) = #converters whose journey ⊆ S. With k=4 the Shapley sum is
+    // closed-form over 16 subsets, and every weight |S|!·(3−|S|)! is an
+    // integer once scaled by 4!=24 — so phi24 is BIGINT-exact and phi is
+    // ONE trailing division. Scale shape: one user-keyed aggregate
+    // collapses the event stream to ≤16 journey-mask counts; the subset
+    // lattice, v(S) table, and the marginal-contribution join are all
+    // ≤16-row broadcast relations — O(2^k) never touches data size.
+    "shap1_shapley_attribution" -> { (spark, dir) =>
+      val ev = Tables.events(spark, dir)
+      val fp = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min(col("ts_sec")).as("conv_ts"))
+      val bit = when(col("event_type") === "click", 1L)
+        .when(col("event_type") === "view", 2L)
+        .when(col("event_type") === "signup", 4L)
+        .when(col("event_type") === "error", 8L).otherwise(0L)
+      val bits = ev.join(fp, Seq("user_id"))
+        .where(col("ts_sec") < col("conv_ts"))
+        .select(col("user_id"), bit.as("b"))
+        .groupBy("user_id").agg(expr("bit_or(b)").as("m"))
+      val masks = fp.join(bits, Seq("user_id"), "left")
+        .select(coalesce(col("m"), lit(0L)).as("m"))
+        .groupBy("m").agg(count(lit(1)).as("cu"))
+      val subs = spark.range(16).select(col("id").as("s"))
+      val v = subs.join(broadcast(masks),
+          col("m").bitwiseAND(col("s")) === col("m"), "left")
+        .groupBy("s").agg(coalesce(sum(col("cu")), lit(0L)).as("v"))
+        .localCheckpoint(eager = false) // 16 rows; joined twice below
+      val ch = spark.sql(
+        """SELECT * FROM VALUES ('click', 1L), ('view', 2L),
+          |  ('signup', 4L), ('error', 8L) AS t(channel, bit)""".stripMargin)
+      val pc = expr("(s & 1) + ((s div 2) & 1) + ((s div 4) & 1) + ((s div 8) & 1)")
+      val w = when(pc === 0 || pc === 3, lit(6L)).otherwise(lit(2L))
+      ch.join(subs, col("s").bitwiseAND(col("bit")) === 0)
+        .join(v.select(col("s").as("s0"), col("v").as("v0")),
+          col("s0") === col("s"))
+        .join(v.select(col("s").as("s1"), col("v").as("v1")),
+          col("s1") === col("s") + col("bit"))
+        .groupBy("channel")
+        .agg(sum(w * (col("v1") - col("v0"))).as("phi24"))
+        .select(col("channel"), col("phi24"),
+          (col("phi24").cast(DoubleType) / lit(24.0)).as("phi"))
+        .orderBy("channel")
+    },
+
     // Q4 shape: order-priority checking — orders with at least one LATE
     // line (shipped >90 days after the order date), counted per
     // priority. The EXISTS decorrelates to a left-semi join keyed on
@@ -842,6 +890,46 @@ object DecisionQueries {
         |  CAST(SUM(mc // n + CASE WHEN rk <= mc % n THEN 1 ELSE 0 END)
         |    AS BIGINT) AS linear_mc
         |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
+    // journeys as 4-bit channel masks; v(S) over the 16-subset lattice;
+    // Shapley weights scaled by 4!=24 so phi24 is integer-exact
+    "shap1_shapley_attribution" ->
+      """WITH fp AS (
+        |  SELECT user_id, MIN(date_trunc('second', ts)) AS conv_ts
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |), bits AS (
+        |  SELECT e.user_id,
+        |    CAST(bit_or(CASE e.event_type WHEN 'click' THEN 1
+        |      WHEN 'view' THEN 2 WHEN 'signup' THEN 4
+        |      WHEN 'error' THEN 8 ELSE 0 END) AS BIGINT) AS m
+        |  FROM events e JOIN fp ON e.user_id = fp.user_id
+        |    AND date_trunc('second', e.ts) < fp.conv_ts
+        |  GROUP BY 1
+        |), masks AS (
+        |  SELECT COALESCE(b.m, 0) AS m, COUNT(*) AS cu
+        |  FROM fp LEFT JOIN bits b ON fp.user_id = b.user_id GROUP BY 1
+        |), subs AS (
+        |  SELECT CAST(g.s AS BIGINT) AS s
+        |  FROM UNNEST(generate_series(0, 15)) AS g(s)
+        |), v AS (
+        |  SELECT subs.s, CAST(COALESCE(SUM(m.cu), 0) AS BIGINT) AS v
+        |  FROM subs LEFT JOIN masks m ON (m.m & subs.s) = m.m GROUP BY 1
+        |), ch AS (
+        |  SELECT channel, CAST(bit AS BIGINT) AS bit FROM (VALUES
+        |    ('click', 1), ('view', 2), ('signup', 4), ('error', 8))
+        |    AS t(channel, bit)
+        |), marg AS (
+        |  SELECT ch.channel,
+        |    CASE WHEN (subs.s & 1) + ((subs.s // 2) & 1)
+        |        + ((subs.s // 4) & 1) + ((subs.s // 8) & 1) IN (0, 3)
+        |      THEN 6 ELSE 2 END AS w,
+        |    v1.v - v0.v AS d
+        |  FROM ch JOIN subs ON (subs.s & ch.bit) = 0
+        |  JOIN v v0 ON v0.s = subs.s
+        |  JOIN v v1 ON v1.s = subs.s + ch.bit
+        |)
+        |SELECT channel, CAST(SUM(w * d) AS BIGINT) AS phi24,
+        |  CAST(CAST(SUM(w * d) AS BIGINT) AS DOUBLE) / 24.0 AS phi
+        |FROM marg GROUP BY 1 ORDER BY 1""".stripMargin,
     "tq4_priority_check" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders
         |FROM orders o

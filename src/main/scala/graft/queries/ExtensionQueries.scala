@@ -918,6 +918,49 @@ object ExtensionQueries {
           col("kth"), estExpr.as("est"))
         .orderBy("event_type")
     },
+    // AMS (tug-of-war) second-moment sketch — the mergeable F2/skew
+    // estimator that answers "how heavy-tailed is this key?" in one
+    // pass without materializing per-key counts. The textbook
+    // median-of-means layout: 80 independent ±1 sign estimators in 5
+    // groups of 16 — averaging 16 halves the relative error to
+    // sqrt(2/16)≈35% per group, the median over 5 groups supplies the
+    // δ guarantee. Signs come from the portable 60-bit hash's parity,
+    // so every estimator sum is an exact BIGINT both engines compute
+    // identically; the group value is the integer SUM of its 16
+    // squares (the ÷16 mean is deferred to one final integer div, so
+    // the median is an integer order statistic — no float anywhere).
+    // True F2 rides along for calibration. Scale shape: the sketch is
+    // a sum — map-side partial, mergeable across executors/days exactly
+    // like kmv1; the ×80 replication happens on the GROUPED term
+    // relation (|vocab| rows), never the raw token stream.
+    "ams1_f2_sketch" -> { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val cnt = Tables.documentsParallel(spark, dir)
+        .select(explode(TextAnalysis.words(col("text"))).as("term"))
+        .where(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = false) // feeds true F2 + the 80 estimators
+      val trueF2 = cnt.agg(sum(col("c") * col("c")).as("f2_true"))
+      val sign = lit(1L) - lit(2L) * (graft.operators.Dedup.portableHash60(
+        concat_ws(":", lit("ams"), col("j"), col("term"))) % 2L)
+      val groups = cnt
+        .select(col("term"), col("c"),
+          explode(sequence(lit(0), lit(79))).as("j"))
+        .select(col("j"), (sign * col("c")).as("t"))
+        .groupBy("j").agg(sum(col("t")).as("s"))
+        .select(expr("j div 16").as("g"), (col("s") * col("s")).as("sq"))
+        .groupBy("g").agg(sum(col("sq")).as("gsum"))
+      val med = groups
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("gsum"), col("g"))))
+        .where(col("rk") === 3) // 5-row relation: bounded
+        .select(expr("gsum div 16").as("f2_est"))
+      trueF2.crossJoin(broadcast(med))
+        .select(col("f2_true"), col("f2_est"),
+          (col("f2_est").cast(DoubleType) / col("f2_true").cast(DoubleType))
+            .as("ratio"))
+    },
+
     "x13_hll_sketch" -> { (spark, dir) =>
       val ev = Tables.events(spark, dir)
         .select(to_date(col("ts_sec")).as("day"), col("user_id"))
@@ -1524,6 +1567,32 @@ object ExtensionQueries {
         |  CAST(n_kept AS BIGINT) AS n_kept, kth,
         |  CAST(69269232549888 // (kth // 1048576) AS BIGINT) AS est
         |FROM u ORDER BY event_type""".stripMargin,
+    // ±1 signs from the portable hash's parity; 5 groups × 16
+    // estimators; integer median-of-group-sums, one trailing div 16
+    "ams1_f2_sketch" ->
+      """WITH toks AS (
+        |  SELECT u.term FROM documents,
+        |    UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS u(term)
+        |  WHERE u.term <> ''
+        |), cnt AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
+        |tf AS (SELECT CAST(SUM(c * c) AS BIGINT) AS f2_true FROM cnt),
+        |est AS (
+        |  SELECT g.j, CAST(SUM(
+        |    (1 - 2 * (('0x' || substr(md5('ams:' || g.j || ':' || term), 1, 15))
+        |      ::BIGINT % 2)) * c) AS BIGINT) AS s
+        |  FROM cnt, UNNEST(generate_series(0, 79)) AS g(j)
+        |  GROUP BY 1
+        |), grp AS (
+        |  SELECT j // 16 AS g, CAST(SUM(s * s) AS BIGINT) AS gsum
+        |  FROM est GROUP BY 1
+        |), med AS (
+        |  SELECT gsum // 16 AS f2_est FROM (
+        |    SELECT gsum, ROW_NUMBER() OVER (ORDER BY gsum, g) AS rk FROM grp)
+        |  WHERE rk = 3
+        |)
+        |SELECT f2_true, f2_est,
+        |  CAST(f2_est AS DOUBLE) / CAST(f2_true AS DOUBLE) AS ratio
+        |FROM tf, med""".stripMargin,
     "x13_hll_sketch" ->
       """SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact,
         |  TRUE AS merged_within_bound
