@@ -316,6 +316,49 @@ object AnalyticsQueries {
           min(col("v")).as("min_doc"), max(col("v")).as("max_doc"))
         .orderBy("lab")
     },
+
+    // EXACT Newman modularity of lp1's communities — the quality score
+    // that says whether a partition is better than chance, the metric
+    // every community-detection loop optimizes. The float definition
+    // Q = Σ_c (e_c/m − (d_c/2m)²) cross-multiplies to the integer
+    // Q·4m² = Σ_c (4m·e_c − d_c²), so the whole score is ONE BIGINT
+    // plus one trailing division — a modularity both engines agree on
+    // bit for bit, which float-summed per-community terms never would.
+    // Scale shape: one degree aggregate + one both-endpoints label join
+    // over the edge list; the per-community relation is |communities|
+    // rows. (4m·e_c ≤ 4m² — upgrade to DECIMAL(38,0) past ~10^9 edges.)
+    "mod1_community_modularity" -> { (spark, dir) =>
+      val docs = Tables.documentsParallel(spark, dir)
+      val edges = Dedup.consecutiveBigramEdges(docs, minJaccard = 0.05)
+        .localCheckpoint(eager = true) // reused by 4 LP rounds + e_c + deg
+      val labels = GraphOps
+        .minLabelRounds(docs.select(col("doc_id").as("v")), edges, k = 4)
+        .localCheckpoint(eager = false) // joined three times below
+      val mrel = edges.agg(count(lit(1)).as("m"))
+      val deg = edges.select(col("doc_a").as("v"))
+        .unionAll(edges.select(col("doc_b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val dc = labels.join(deg, Seq("v"), "left")
+        .groupBy("lab").agg(sum(coalesce(col("deg"), lit(0L))).as("d_c"))
+      val ec = edges
+        .join(labels.select(col("v").as("doc_a"), col("lab").as("la")),
+          Seq("doc_a"))
+        .join(labels.select(col("v").as("doc_b"), col("lab").as("lb")),
+          Seq("doc_b"))
+        .where(col("la") === col("lb"))
+        .select(col("la").as("lab"))
+        .groupBy("lab").agg(count(lit(1)).as("e_c"))
+      dc.join(ec, Seq("lab"), "left")
+        .select(col("d_c"), coalesce(col("e_c"), lit(0L)).as("e_c"))
+        .crossJoin(broadcast(mrel))
+        .agg(count(lit(1)).as("n_communities"), max(col("m")).as("m"),
+          sum(lit(4L) * col("m") * col("e_c") - col("d_c") * col("d_c"))
+            .as("q_num"))
+        .select(col("n_communities"), col("m"), col("q_num"),
+          (col("q_num").cast(DoubleType) /
+            (lit(4.0) * col("m").cast(DoubleType) * col("m").cast(DoubleType)))
+            .as("modularity"))
+    },
     // Sweep-line interval census — "how many orders are OPEN on each
     // day" without expanding order×day (an order spans years; row-per-
     // day explodes 1000×): each order contributes +1 at open and −1
@@ -867,6 +910,64 @@ object AnalyticsQueries {
         |SELECT lab, COUNT(*) AS n_members,
         |  MIN(v) AS min_doc, MAX(v) AS max_doc
         |FROM l4 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // lp1's unrolled 4-round CTEs, then Q·4m² = Σ_c (4m·e_c − d_c²)
+    "mod1_community_modularity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1])) AS bg
+        |  FROM toks WHERE len(w) >= 2
+        |), edges AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+        |  WHERE CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.bg, b.bg))) >= 0.05
+        |), l0 AS (SELECT doc_id AS v, doc_id AS lab FROM documents),
+        |l1 AS (SELECT v, MIN(lab) AS lab FROM (
+        |  SELECT v, lab FROM l0
+        |  UNION ALL SELECT e.doc_a AS v, l.lab FROM edges e JOIN l0 l ON l.v = e.doc_b
+        |  UNION ALL SELECT e.doc_b AS v, l.lab FROM edges e JOIN l0 l ON l.v = e.doc_a
+        |) GROUP BY v),
+        |l2 AS (SELECT v, MIN(lab) AS lab FROM (
+        |  SELECT v, lab FROM l1
+        |  UNION ALL SELECT e.doc_a AS v, l.lab FROM edges e JOIN l1 l ON l.v = e.doc_b
+        |  UNION ALL SELECT e.doc_b AS v, l.lab FROM edges e JOIN l1 l ON l.v = e.doc_a
+        |) GROUP BY v),
+        |l3 AS (SELECT v, MIN(lab) AS lab FROM (
+        |  SELECT v, lab FROM l2
+        |  UNION ALL SELECT e.doc_a AS v, l.lab FROM edges e JOIN l2 l ON l.v = e.doc_b
+        |  UNION ALL SELECT e.doc_b AS v, l.lab FROM edges e JOIN l2 l ON l.v = e.doc_a
+        |) GROUP BY v),
+        |l4 AS (SELECT v, MIN(lab) AS lab FROM (
+        |  SELECT v, lab FROM l3
+        |  UNION ALL SELECT e.doc_a AS v, l.lab FROM edges e JOIN l3 l ON l.v = e.doc_b
+        |  UNION ALL SELECT e.doc_b AS v, l.lab FROM edges e JOIN l3 l ON l.v = e.doc_a
+        |) GROUP BY v),
+        |mrel AS (SELECT COUNT(*) AS m FROM edges),
+        |deg AS (
+        |  SELECT v, COUNT(*) AS deg FROM (
+        |    SELECT doc_a AS v FROM edges UNION ALL SELECT doc_b FROM edges
+        |  ) GROUP BY 1
+        |), dc AS (
+        |  SELECT l.lab, CAST(SUM(COALESCE(d.deg, 0)) AS BIGINT) AS d_c
+        |  FROM l4 l LEFT JOIN deg d ON d.v = l.v GROUP BY 1
+        |), ec AS (
+        |  SELECT la.lab, COUNT(*) AS e_c
+        |  FROM edges e JOIN l4 la ON la.v = e.doc_a
+        |    JOIN l4 lb ON lb.v = e.doc_b AND lb.lab = la.lab
+        |  GROUP BY 1
+        |), per AS (
+        |  SELECT dc.d_c, COALESCE(ec.e_c, 0) AS e_c, mrel.m
+        |  FROM dc LEFT JOIN ec ON ec.lab = dc.lab CROSS JOIN mrel
+        |)
+        |SELECT COUNT(*) AS n_communities, MAX(m) AS m,
+        |  CAST(SUM(4 * m * e_c - d_c * d_c) AS BIGINT) AS q_num,
+        |  CAST(CAST(SUM(4 * m * e_c - d_c * d_c) AS BIGINT) AS DOUBLE)
+        |    / (4.0 * CAST(MAX(m) AS DOUBLE) * CAST(MAX(m) AS DOUBLE))
+        |    AS modularity
+        |FROM per""".stripMargin,
     "iv1_open_orders_census" ->
       """WITH spans AS (
         |  SELECT o.o_orderkey,

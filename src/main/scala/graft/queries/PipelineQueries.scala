@@ -300,6 +300,68 @@ object PipelineQueries {
           topK = 40, minCo = 5L))
     },
 
+    // Degree assortativity of the co-occurrence graph — "do hubs link
+    // to hubs?", the mixing census next to tri1's clustering census.
+    // Over the 2m directed edge ends the x- and y-degree marginals are
+    // IDENTICAL, so Newman's r collapses to a sqrt-free rational:
+    // r = (M·Σdadb − (Σda)²) / (M·Σda² − (Σda)²) with M = 2m — every
+    // moment an exact BIGINT off one degree join, ONE trailing double
+    // division. Scale shape: the degree table is |top-K nodes| rows
+    // (broadcast); the only data-sized pass is the edge build itself.
+    // (Moments are M·deg² — upgrade to DECIMAL(38,0) past ~10^9 edges.)
+    "ast1_degree_assortativity" -> { (spark, dir) =>
+      val e = GraphOps.termCooccurrenceEdges(
+        Tables.documentsParallel(spark, dir), topK = 40, minCo = 20L)
+        .localCheckpoint(eager = false) // feeds degrees + both orientations
+      val deg = e.select(col("ta").as("v"))
+        .unionAll(e.select(col("tb").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val ends = e.select(col("ta").as("a"), col("tb").as("b"))
+        .unionAll(e.select(col("tb").as("a"), col("ta").as("b")))
+      ends
+        .join(broadcast(deg.select(col("v").as("a"), col("deg").as("da"))),
+          Seq("a"))
+        .join(broadcast(deg.select(col("v").as("b"), col("deg").as("db"))),
+          Seq("b"))
+        .agg(count(lit(1)).as("m2"),
+          sum(col("da")).as("sx"),
+          sum(col("da") * col("db")).as("sxy"),
+          sum(col("da") * col("da")).as("sxx"))
+        .select(col("m2"),
+          (col("m2") * col("sxy") - col("sx") * col("sx")).as("num"),
+          (col("m2") * col("sxx") - col("sx") * col("sx")).as("den"))
+        .withColumn("assortativity",
+          col("num").cast(DoubleType) / col("den").cast(DoubleType))
+    },
+
+    // Burstiness of behavioral inter-arrival gaps per event type —
+    // B = (σ−μ)/(σ+μ) (Goh & Barabási): −1 = metronome, 0 = Poisson,
+    // →1 = bursty. Gaps are whole MINUTES (integer div of the
+    // second-precision timestamps — the deliberate quantization that
+    // keeps n·Σg² inside BIGINT and the √ operand under 2^53 through
+    // sf10, so the one double conversion is EXACT). Cross-multiplying
+    // by n gives B = (√(n·Σg²−(Σg)²) − Σg)/(√(n·Σg²−(Σg)²) + Σg): three
+    // exact integer moments, one sqrt, one division — identical tree on
+    // both engines. Scale shape: the lag window partitions by
+    // (user, type) — per-user sequences, never a global sort.
+    "burst1_burstiness" -> { (spark, dir) =>
+      val gaps = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts div 1000000000").as("tsec"))
+        .withColumn("g",
+          expr("(tsec - lag(tsec, 1) OVER (PARTITION BY user_id, event_type " +
+            "ORDER BY tsec, event_id)) div 60"))
+        .where(col("g").isNotNull)
+      val rad = (col("n") * col("sq") - col("s") * col("s")).cast(DoubleType)
+      gaps.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("g")).as("s"),
+          sum(col("g") * col("g")).as("sq"))
+        .select(col("event_type"), col("n"), col("s"), col("sq"),
+          ((sqrt(rad) - col("s").cast(DoubleType)) /
+            (sqrt(rad) + col("s").cast(DoubleType))).as("burstiness"))
+        .orderBy("event_type")
+    },
+
     // BM25-style relevance top-20 for a fixed query term set.
     "bm1_bm25_topk" -> { (spark, dir) =>
       Relevance.bm25TopK(Tables.documentsParallel(spark, dir),
@@ -1173,6 +1235,63 @@ object PipelineQueries {
         |  CAST(SUM(score_term_q) AS BIGINT) AS score_q
         |FROM scored GROUP BY 1
         |ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin,
+
+    // tri1's edge CTEs; sqrt-free Newman r over both edge orientations
+    "ast1_degree_assortativity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.term
+        |  FROM documents,
+        |    UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS u(term)
+        |  WHERE u.term <> ''
+        |), top AS (
+        |  SELECT term FROM toks GROUP BY 1
+        |  ORDER BY COUNT(*) DESC, term LIMIT 40
+        |), dt AS (
+        |  SELECT DISTINCT doc_id, term FROM toks
+        |  WHERE term IN (SELECT term FROM top)
+        |), edges AS (
+        |  SELECT a.term AS ta, b.term AS tb
+        |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 20
+        |), deg AS (
+        |  SELECT v, COUNT(*) AS deg FROM (
+        |    SELECT ta AS v FROM edges UNION ALL SELECT tb AS v FROM edges
+        |  ) GROUP BY 1
+        |), ends AS (
+        |  SELECT ta AS a, tb AS b FROM edges
+        |  UNION ALL SELECT tb AS a, ta AS b FROM edges
+        |), s AS (
+        |  SELECT COUNT(*) AS m2,
+        |    CAST(SUM(d1.deg) AS BIGINT) AS sx,
+        |    CAST(SUM(d1.deg * d2.deg) AS BIGINT) AS sxy,
+        |    CAST(SUM(d1.deg * d1.deg) AS BIGINT) AS sxx
+        |  FROM ends JOIN deg d1 ON d1.v = ends.a JOIN deg d2 ON d2.v = ends.b
+        |)
+        |SELECT m2, m2 * sxy - sx * sx AS num, m2 * sxx - sx * sx AS den,
+        |  CAST(m2 * sxy - sx * sx AS DOUBLE)
+        |    / CAST(m2 * sxx - sx * sx AS DOUBLE) AS assortativity
+        |FROM s""".stripMargin,
+
+    // whole-minute gaps; three exact moments; one sqrt, one division
+    "burst1_burstiness" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    (epoch_ns(ts) // 1000000000
+        |      - lag(epoch_ns(ts) // 1000000000) OVER (
+        |          PARTITION BY user_id, event_type
+        |          ORDER BY epoch_ns(ts) // 1000000000, event_id)) // 60 AS g
+        |  FROM events
+        |), mo AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(g) AS BIGINT) AS s,
+        |    CAST(SUM(g * g) AS BIGINT) AS sq
+        |  FROM g WHERE g IS NOT NULL GROUP BY 1
+        |)
+        |SELECT event_type, n, s, sq,
+        |  (sqrt(CAST(n * sq - s * s AS DOUBLE)) - CAST(s AS DOUBLE))
+        |    / (sqrt(CAST(n * sq - s * s AS DOUBLE)) + CAST(s AS DOUBLE))
+        |    AS burstiness
+        |FROM mo ORDER BY event_type""".stripMargin,
 
     // bm1's BM25 CTEs (top-50) + x1's quantized-cosine CTEs (query
     // vec_id 0, top-50), fused by 1/(60+rank)
