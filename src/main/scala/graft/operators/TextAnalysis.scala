@@ -198,4 +198,35 @@ object TextAnalysis {
           (col("n_tokens").cast(DoubleType) * col("n_tokens").cast(DoubleType)))
           .as("simpson"))
   }
+
+  /** Total-variation distance of each source's token distribution from
+    * the whole corpus, from a (source, term, cs) count relation — the
+    * shared tail of the batch drift census (tv1) and its streaming twin
+    * (st27), so the two can never diverge in definition. TV = Σ|p_s−p|/2
+    * cross-multiplies to (Σ_{t∈s} |cs·N − c·N_s| + N_s·(N − cov)) /
+    * (2·N_s·N): the missing-term mass folds in closed form, so each
+    * source only joins ITS OWN vocabulary to the global counts; the
+    * numerator is a BIGINT, and ONE trailing division is double.
+    * `counts` must be per-(source, term) EXACT counts — the relation a
+    * mergeable ingest accumulates by key-wise summation.
+    */
+  def totalVariationBySource(counts: DataFrame): DataFrame = {
+    val sc = counts.select(col("source"), col("term"), col("cs"))
+      .localCheckpoint(eager = false) // feeds global/source totals + join
+    val g = sc.groupBy("term").agg(sum(col("cs")).as("c"))
+    val ns = sc.groupBy("source").agg(sum(col("cs")).as("n_s"))
+    val tot = sc.agg(sum(col("cs")).as("n"))
+    sc.join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .join(g, Seq("term"))
+      .groupBy(col("source"), col("n_s"), col("n"))
+      .agg(sum(abs(col("cs") * col("n") - col("c") * col("n_s"))).as("s1"),
+        sum(col("c")).as("cov"))
+      .withColumn("tv_num",
+        col("s1") + col("n_s") * (col("n") - col("cov")))
+      .select(col("source"), col("n_s").as("n_tokens"), col("tv_num"),
+        (col("tv_num").cast(DoubleType) /
+          (lit(2.0) * col("n_s").cast(DoubleType) * col("n").cast(DoubleType)))
+          .as("tv"))
+  }
 }

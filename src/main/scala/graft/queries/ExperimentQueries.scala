@@ -741,28 +741,12 @@ object ExperimentQueries {
     // (Products are c·N ≤ N_s·N ≈ 1e13 at sf1 — upgrade the numerator
     // to DECIMAL(38,0) past ~3e9 tokens.)
     "tv1_distribution_shift" -> { (spark, dir) =>
-      val toks = Tables.documentsParallel(spark, dir)
+      val counts = Tables.documentsParallel(spark, dir)
         .select(col("source"),
           explode(TextAnalysis.words(col("text"))).as("term"))
         .where(col("term") =!= "")
-        .localCheckpoint(eager = false) // feeds per-source + global counts
-      val sc = toks.groupBy("source", "term").agg(count(lit(1)).as("cs"))
-      val g = toks.groupBy("term").agg(count(lit(1)).as("c"))
-      val ns = toks.groupBy("source").agg(count(lit(1)).as("n_s"))
-      val tot = toks.agg(count(lit(1)).as("n"))
-      sc.join(broadcast(ns), Seq("source"))
-        .crossJoin(broadcast(tot))
-        .join(g, Seq("term"))
-        .groupBy(col("source"), col("n_s"), col("n"))
-        .agg(sum(abs(col("cs") * col("n") - col("c") * col("n_s"))).as("s1"),
-          sum(col("c")).as("cov"))
-        .withColumn("tv_num",
-          col("s1") + col("n_s") * (col("n") - col("cov")))
-        .select(col("source"), col("n_s").as("n_tokens"), col("tv_num"),
-          (col("tv_num").cast(DoubleType) /
-            (lit(2.0) * col("n_s").cast(DoubleType) * col("n").cast(DoubleType)))
-            .as("tv"))
-        .orderBy("source")
+        .groupBy("source", "term").agg(count(lit(1)).as("cs"))
+      TextAnalysis.totalVariationBySource(counts).orderBy("source")
     },
   )
 

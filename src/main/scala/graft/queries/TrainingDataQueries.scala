@@ -1005,6 +1005,17 @@ object TrainingDataQueries {
       graft.streaming.DocsStream.streamQualityGate(spark, dir)
     },
 
+    // Streamed distribution-drift gate — tv1's total-variation census
+    // maintained incrementally: each micro-batch's (source, term)
+    // counts merge by key-wise summation (associative, retry-idempotent
+    // via the batchId guard), the read side applies the SAME shared
+    // closed-form TV tail. N micro-batches converge to the batch census
+    // exactly; the oracle IS tv1's SQL. The streamed state is bounded
+    // by vocabulary, never the token stream.
+    "st27_stream_drift_gate" -> { (spark, dir) =>
+      graft.streaming.DocsStream.streamDriftCensus(spark, dir)
+    },
+
     // Tokenizer fertility per language — subtokens emitted per
     // whitespace word under the t1 BPE-ish pre-tokenizer regex: THE
     // cross-lingual tokenizer-cost metric (a high-fertility language
@@ -1872,6 +1883,30 @@ object TrainingDataQueries {
           |    AS BIGINT) AS pass_words
           |FROM m JOIN documents d USING (doc_id)
           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    // the streamed census converges to the batch one — the oracle IS
+    // tv1's SQL
+    "st27_stream_drift_gate" ->
+      """WITH toks AS (
+        |  SELECT source, u.term FROM documents,
+        |    UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS u(term)
+        |  WHERE u.term <> ''
+        |), sc AS (SELECT source, term, COUNT(*) AS cs FROM toks GROUP BY 1, 2),
+        |g AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
+        |ns AS (SELECT source, COUNT(*) AS n_s FROM toks GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n FROM toks),
+        |agg AS (
+        |  SELECT sc.source, ns.n_s, tot.n,
+        |    CAST(SUM(abs(sc.cs * tot.n - g.c * ns.n_s)) AS BIGINT) AS s1,
+        |    CAST(SUM(g.c) AS BIGINT) AS cov
+        |  FROM sc JOIN ns ON sc.source = ns.source CROSS JOIN tot
+        |    JOIN g ON sc.term = g.term
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT source, n_s AS n_tokens,
+        |  CAST(s1 + n_s * (n - cov) AS BIGINT) AS tv_num,
+        |  CAST(s1 + n_s * (n - cov) AS DOUBLE) /
+        |    (2.0 * CAST(n_s AS DOUBLE) * CAST(n AS DOUBLE)) AS tv
+        |FROM agg ORDER BY source""".stripMargin,
     "gq1_gopher_quality" ->
       (gopherOracleCtes +
         """

@@ -92,6 +92,76 @@ object DocsStream {
       .drop("_merged_batch_id").orderBy("source")
   }
 
+  /** Streaming DRIFT gate: every arriving micro-batch's per-(source,
+    * term) token counts merge into an AtomicLayer state relation by
+    * key-wise summation (counts are associative — the imv1 merge rule,
+    * idempotent under foreachBatch retries), and the read side computes
+    * the SAME closed-form total-variation census as the batch tv1
+    * (`TextAnalysis.totalVariationBySource` — one shared definition).
+    * After any number of micro-batches the result equals the batch
+    * census exactly. Scale posture: the streamed state is the grouped
+    * (source, term) relation — bounded by Σ|vocab_s|, never by the
+    * token stream; each micro-batch shuffles only its own vocabulary.
+    */
+  def streamDriftCensus(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StreamRun.cachedSchema(spark, dir, "documents.parquet")
+    driftDrive(spark,
+      spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir))
+  }
+
+  /** The drift drive over any prepared documents stream — factored out
+    * so the multi-batch merge law is testable the same way as
+    * [[gateDrive]]'s.
+    */
+  private[graft] def driftDrive(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import graft.energy.AtomicLayer
+    val root = graft.tools.Scratch.dir("graft-drift")
+      .toString + "/term_counts.parquet"
+    StreamRun.driveForeachBatch(docs, "append",
+        s"drift_census_${runId.incrementAndGet()}") { (batch, batchId) =>
+      mergeTermCounts(spark, root, batch, batchId): Unit
+    }
+    graft.operators.TextAnalysis.totalVariationBySource(
+        AtomicLayer.read(spark, root).drop("_merged_batch_id"))
+      .orderBy("source")
+  }
+
+  /** One micro-batch's (source, term) count merge — same idempotence
+    * contract as [[mergeCensus]] (batchId guard, null-safe over an
+    * empty first snapshot). Returns true when merged, false on a retry.
+    */
+  private[graft] def mergeTermCounts(spark: SparkSession, root: String,
+      batch: DataFrame, batchId: Long): Boolean = {
+    import graft.energy.AtomicLayer
+    val exists = AtomicLayer.latestCommitted(spark, root).isDefined
+    val alreadyMerged = exists && {
+      val row = AtomicLayer.read(spark, root)
+        .agg(max(col("_merged_batch_id"))).head
+      !row.isNullAt(0) && row.getLong(0) >= batchId
+    }
+    if (alreadyMerged) false
+    else {
+      val counts = batch
+        .select(col("source"),
+          explode(graft.operators.TextAnalysis.words(col("text"))).as("term"))
+        .where(col("term") =!= "")
+        .groupBy("source", "term").agg(count(lit(1)).as("cs"))
+      val merged =
+        if (exists)
+          AtomicLayer.read(spark, root).drop("_merged_batch_id")
+            .unionByName(counts)
+            .groupBy("source", "term")
+            .agg(sum(col("cs")).as("cs"))
+        else counts
+      AtomicLayer.write(merged.withColumn("_merged_batch_id", lit(batchId)),
+        root, keepVersions = 1)
+      true
+    }
+  }
+
   /** One micro-batch's census merge, IDEMPOTENT under foreachBatch's
     * at-least-once retry contract: the committed snapshot carries the
     * highest batchId already folded in (`_merged_batch_id`, constant
