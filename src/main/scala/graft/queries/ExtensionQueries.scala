@@ -745,6 +745,39 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_uncovered"))
         .orderBy("day")
     },
+    // Numeric BAND self-join — order pairs within the same priority
+    // whose totals differ by ≤ $1: the near-duplicate-amount screen
+    // (split invoices, double charges) that is a cross join done
+    // naively. Bucketize cents div 100 (width ≥ the band, so a match
+    // can only live in the same or an adjacent bucket): the probe side
+    // explodes each row to its 3 candidate bucket keys, the equi-join
+    // runs on (priority, bucket), and the band verifies exactly —
+    // every qualifying pair is produced EXACTLY once (the build side's
+    // bucket is unique per pair; orientation fixed by okey_a < okey_b).
+    // The oracle is the naive inequality join. Scale shape: candidate
+    // volume is pairs-per-$2-window, never n² — the same
+    // candidate-bounding as the time-interval joins, on a value axis.
+    "j12_band_join" -> { (spark, dir) =>
+      val o = Tables.orders(spark, dir).select(
+        col("o_orderkey").as("okey"), col("o_orderpriority").as("prio"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+      val probe = o.select(col("okey").as("okey_a"), col("prio"),
+          col("cents").as("cents_a"),
+          explode(array(expr("cents div 100 - 1"), expr("cents div 100"),
+            expr("cents div 100 + 1"))).as("b"))
+      val build = o.select(col("okey").as("okey_b"), col("prio"),
+        col("cents").as("cents_b"), expr("cents div 100").as("b"))
+      probe.join(build, Seq("prio", "b"))
+        .where(col("okey_a") < col("okey_b") &&
+          abs(col("cents_a") - col("cents_b")) <= 100L)
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("count_if(cents_a = cents_b)").as("n_exact"),
+          min(abs(col("cents_a") - col("cents_b"))).as("min_diff"),
+          sum(abs(col("cents_a") - col("cents_b"))).as("diff_mass"))
+        .orderBy("prio")
+    },
+
     "x12_interval_overlap" -> { (spark, dir) =>
       val base = 1704067200L
       val promos = spark.range(40).select(
@@ -1181,6 +1214,47 @@ object ExtensionQueries {
     // the sketch is hash-gated without hashing sketch internals. Rank
     // verification is one broadcast of the 9 (flag, q, v) rows against a
     // single lineitem pass: scale-safe at any corpus size.
+    // Bottom-k hash-sample quantile sketch — the quantile tier whose
+    // VALUE is engine-exact, next to x10's GK (whose sketch is
+    // implementation-specific and bound-gated): the k=256 smallest
+    // portable hashes of the order key select a uniform sample any
+    // engine reproduces bit for bit; estimates are exact order
+    // statistics of the sampled cents. Bottom-k sets obey the kmv1
+    // merge law — bottom-k(∪ shards) = bottom-k(∪ per-shard bottom-k)
+    // — proven IN the relation: the 'merged' row re-sketches from the
+    // per-priority bottom-k's union (what a 1000-executor combine
+    // does) and must equal the 'direct' row exactly. Scale shape:
+    // bottom-k is TakeOrdered (per-partition heaps), never a sort.
+    "qsk1_sample_quantiles" -> { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val k = 256
+      val o = Tables.orders(spark, dir).select(
+          col("o_orderpriority").as("prio"),
+          round(col("o_totalprice") * 100).cast(LongType).as("cents"),
+          Dedup.portableHash60(concat(lit("qsk:"), col("o_orderkey"))).as("h"))
+        .localCheckpoint(eager = false) // feeds the direct + merged paths
+      val perPrio = o.withColumn("rn",
+          row_number().over(Window.partitionBy("prio")
+            .orderBy(col("h"), col("cents"))))
+        .where(col("rn") <= k).drop("rn", "prio")
+      def sketch(src: DataFrame, path: String): DataFrame = {
+        val sample = src.orderBy(col("h"), col("cents")).limit(k)
+        val ranked = sample.withColumn("rk",
+          row_number().over(Window.orderBy(col("cents"), col("h")))) // ≤k rows
+        def os(q: Double, name: String) =
+          max(when(col("rk") ===
+            ceil(col("kk") * lit(q)).cast(LongType), col("cents"))).as(name)
+        ranked.crossJoin(broadcast(ranked.agg(count(lit(1)).as("kk"))))
+          .agg(max(col("kk")).as("k_sample"), os(0.25, "p25_est"),
+            os(0.5, "p50_est"), os(0.75, "p75_est"), os(0.9, "p90_est"))
+          .select(lit(path).as("path"), col("k_sample"), col("p25_est"),
+            col("p50_est"), col("p75_est"), col("p90_est"))
+      }
+      sketch(o.drop("prio"), "direct")
+        .unionByName(sketch(perPrio, "merged"))
+        .orderBy("path")
+    },
+
     "x10_approx_quantile" -> { (spark, dir) =>
       val acc = 10000
       val li = Tables.lineitem(spark, dir)
@@ -2992,6 +3066,57 @@ object ExtensionQueries {
         |  ON epoch_ns(ev.ts) // 1000000000 >= iv.s
         | AND epoch_ns(ev.ts) // 1000000000 < iv.e
         |ORDER BY ev.event_id, iv.interval_id""".stripMargin,
+    // naive inequality join — the bucketed candidates must reproduce it
+    "j12_band_join" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS okey, o_orderpriority AS prio,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |)
+        |SELECT a.prio, COUNT(*) AS n_pairs,
+        |  COUNT(*) FILTER (WHERE a.cents = b.cents) AS n_exact,
+        |  CAST(MIN(abs(a.cents - b.cents)) AS BIGINT) AS min_diff,
+        |  CAST(SUM(abs(a.cents - b.cents)) AS BIGINT) AS diff_mass
+        |FROM o a JOIN o b ON a.prio = b.prio AND a.okey < b.okey
+        |  AND abs(a.cents - b.cents) <= 100
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // portable bottom-k sample; order statistics; merged row re-sketches
+    // from the per-priority bottom-k union — must equal direct exactly
+    "qsk1_sample_quantiles" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    ('0x' || substr(md5('qsk:' || o_orderkey), 1, 15))::BIGINT AS h
+        |  FROM orders
+        |), direct AS (SELECT cents, h FROM o ORDER BY h, cents LIMIT 256),
+        |per AS (
+        |  SELECT cents, h FROM (
+        |    SELECT cents, h,
+        |      ROW_NUMBER() OVER (PARTITION BY prio ORDER BY h, cents) AS rn
+        |    FROM o)
+        |  WHERE rn <= 256
+        |), merged AS (SELECT cents, h FROM per ORDER BY h, cents LIMIT 256),
+        |dr AS (
+        |  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, h) AS rk,
+        |    COUNT(*) OVER () AS kk FROM direct
+        |), mr AS (
+        |  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, h) AS rk,
+        |    COUNT(*) OVER () AS kk FROM merged
+        |)
+        |SELECT 'direct' AS path, MAX(kk) AS k_sample,
+        |  MAX(CASE WHEN rk = CAST(ceil(kk * 0.25) AS BIGINT) THEN cents END) AS p25_est,
+        |  MAX(CASE WHEN rk = CAST(ceil(kk * 0.5) AS BIGINT) THEN cents END) AS p50_est,
+        |  MAX(CASE WHEN rk = CAST(ceil(kk * 0.75) AS BIGINT) THEN cents END) AS p75_est,
+        |  MAX(CASE WHEN rk = CAST(ceil(kk * 0.9) AS BIGINT) THEN cents END) AS p90_est
+        |FROM dr
+        |UNION ALL
+        |SELECT 'merged' AS path, MAX(kk) AS k_sample,
+        |  MAX(CASE WHEN rk = CAST(ceil(kk * 0.25) AS BIGINT) THEN cents END) AS p25_est,
+        |  MAX(CASE WHEN rk = CAST(ceil(kk * 0.5) AS BIGINT) THEN cents END) AS p50_est,
+        |  MAX(CASE WHEN rk = CAST(ceil(kk * 0.75) AS BIGINT) THEN cents END) AS p75_est,
+        |  MAX(CASE WHEN rk = CAST(ceil(kk * 0.9) AS BIGINT) THEN cents END) AS p90_est
+        |FROM mr
+        |ORDER BY path""".stripMargin,
     "x12_interval_overlap" ->
       """WITH promos AS (
         |  SELECT range AS promo_id,

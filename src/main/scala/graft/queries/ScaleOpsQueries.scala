@@ -537,6 +537,51 @@ object ScaleOpsQueries {
           sum(col("sum_cents")).as("sum_cents"))
         .orderBy("event_type", "day")
     },
+
+    // Incremental JOIN-view maintenance — the other half of the IVM
+    // algebra imv1's rollup doesn't exercise. For V = γ(O ⋈ L) the
+    // delta rule is ΔV = γ(ΔO⋈L₀) ⊕ γ(O₀⋈ΔL) ⊕ γ(ΔO⋈ΔL): the three
+    // terms are DISJOINT (each fixes which side is new), each joins a
+    // base relation only against the small opposite delta, and γ's
+    // partials merge by key-wise summation — so a refresh never
+    // re-joins the base-base bulk. The base census persists once
+    // (imv1's fingerprint-keyed AtomicLayer cache); the refreshed view
+    // must equal the plain full-join census bit for bit — the oracle
+    // IS that plain join. The two delta predicates cut ACROSS each
+    // other (order-keyed vs line-numbered) so every term is non-empty.
+    "imv2_incremental_join" -> { (spark, dir) =>
+      import graft.energy.AtomicLayer
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          (col("o_orderkey") % 5 === 4).as("d"))
+        .localCheckpoint(eager = false) // base + delta slices both read
+      val l = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * 100).cast(LongType).as("cents"),
+          (col("l_linenumber") % 3 === 0).as("d"))
+        .localCheckpoint(eager = false)
+      def census(a: DataFrame, b: DataFrame): DataFrame = a
+        .join(b, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("revenue_cents"))
+      val o0 = o.where(!col("d")); val dO = o.where(col("d"))
+      val l0 = l.where(!col("d")); val dL = l.where(col("d"))
+      val src = new java.io.File(s"$dir/lineitem.parquet")
+      val root = s"/tmp/graft_imv2/${src.getParentFile.getName}-" +
+        s"${src.length()}_${src.lastModified()}/join_census.parquet"
+      if (AtomicLayer.latestCommitted(spark, root).isEmpty) {
+        AtomicLayer.write(census(o0, l0), root, keepVersions = 1)
+        (): Unit
+      }
+      AtomicLayer.read(spark, root)
+        .unionByName(census(dO, l0))
+        .unionByName(census(o0, dL))
+        .unionByName(census(dO, dL))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("n_lines")).as("n_lines"),
+          sum(col("revenue_cents")).as("revenue_cents"))
+        .orderBy("o_orderpriority")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -598,6 +643,14 @@ object ScaleOpsQueries {
         |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
         |    AS sum_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the oracle is the PLAIN full join — the four-term delta algebra
+    // must converge to it exactly
+    "imv2_incremental_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "tt1_time_travel" ->
       """SELECT 'v_latest' AS snapshot, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)

@@ -49,6 +49,12 @@ class RegistryPlanSweepSpec extends SparkSpec {
       "global pass over per-bucket Pareto fronts only (skyline is mergeable; local pass keeps O(log n)/bucket)",
     "tok2_vocab_coverage" ->
       "rank over TakeOrderedAndProject limit-1000 relation: bound is the literal 1000",
+    "ams1_f2_sketch" ->
+      "median rank over the 5 estimator-group sums: bound is the literal 5",
+    "rrf1_rank_fusion" ->
+      "rank over the BM25 leg's TakeOrderedAndProject limit-50 relation: bound is the literal 50",
+    "qsk1_sample_quantiles" ->
+      "order statistics over the bottom-k hash samples: bound is the literal k=256 (both paths limit first)",
   )
 
   test("every registry query: no CartesianProduct; global windows bounded + allowlisted") {
