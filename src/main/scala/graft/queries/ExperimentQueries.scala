@@ -661,6 +661,53 @@ object ExperimentQueries {
         .crossJoin(broadcast(hi))
     },
 
+    // Matthews correlation coefficient for a binary screen — THE
+    // single-number classifier summary that stays honest under class
+    // imbalance (unlike accuracy or F1): here the "does a >$150k order
+    // finish as F?" rule. The confusion matrix is four exact integer
+    // counts from one map-side aggregate; MCC is one trailing double
+    // formula over them (products stay inside the double mantissa up
+    // to ~10^13 rows per cell pair — exact at any realistic audit).
+    "ml4_mcc" -> { (spark, dir) =>
+      val o = Tables.orders(spark, dir).select(
+        (round(col("o_totalprice") * 100).cast(LongType) > 15000000L)
+          .as("pred"),
+        (col("o_orderstatus") === "F").as("pos"))
+      o.agg(
+          expr("count_if(pred AND pos)").as("tp"),
+          expr("count_if(pred AND NOT pos)").as("fp"),
+          expr("count_if(NOT pred AND pos)").as("fn"),
+          expr("count_if(NOT pred AND NOT pos)").as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          ((col("tp") * col("tn") - col("fp") * col("fn")).cast(DoubleType) /
+            sqrt((col("tp") + col("fp")).cast(DoubleType) *
+              (col("tp") + col("fn")).cast(DoubleType) *
+              (col("tn") + col("fp")).cast(DoubleType) *
+              (col("tn") + col("fn")).cast(DoubleType))).as("mcc"))
+    },
+
+    // Jackknife source influence — "which source drags the corpus
+    // metric": the leave-one-source-out mean in closed form from four
+    // exact totals, mean_wo = (S − s_g)/(N − n_g), so the whole
+    // influence table costs ONE per-source aggregate + a broadcast
+    // 1-row total (never |sources| recomputation passes). The signed
+    // influence is what a curation loop ranks by before dropping or
+    // down-weighting a source.
+    "jk1_source_influence" -> { (spark, dir) =>
+      val d = Tables.documents(spark, dir).select(col("source"), col("n_chars"))
+      val per = d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("s_chars"))
+      val tot = d.agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
+      val meanWo = (col("s") - col("s_chars")).cast(DoubleType) /
+        (col("n") - col("n_docs")).cast(DoubleType)
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("s_chars"),
+          meanWo.as("mean_without"),
+          (meanWo - col("s").cast(DoubleType) / col("n").cast(DoubleType))
+            .as("influence"))
+        .orderBy("source")
+    },
+
     // Kendall tau-b rank correlation between daily revenue and daily
     // quantity per return flag — the monotone-association check that is
     // robust where Pearson (a19) is dragged by heavy days. Every pair is
@@ -1194,6 +1241,42 @@ object ExperimentQueries {
         |  CAST(sum(mon) AS DOUBLE) / 100.0 AS total_monetary
         |FROM u, med
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ml4_mcc" ->
+      """WITH o AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) > 15000000
+        |      AS pred,
+        |    o_orderstatus = 'F' AS pos
+        |  FROM orders
+        |), cm AS (
+        |  SELECT
+        |    CAST(count_if(pred AND pos) AS BIGINT) AS tp,
+        |    CAST(count_if(pred AND NOT pos) AS BIGINT) AS fp,
+        |    CAST(count_if(NOT pred AND pos) AS BIGINT) AS fn,
+        |    CAST(count_if(NOT pred AND NOT pos) AS BIGINT) AS tn
+        |  FROM o
+        |)
+        |SELECT tp, fp, fn, tn,
+        |  CAST(tp * tn - fp * fn AS DOUBLE) /
+        |    sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+        |      * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)) AS mcc
+        |FROM cm""".stripMargin,
+
+    "jk1_source_influence" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS s_chars
+        |  FROM documents GROUP BY 1
+        |), tot AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS s
+        |  FROM documents
+        |)
+        |SELECT source, n_docs, s_chars,
+        |  CAST(s - s_chars AS DOUBLE) / CAST(n - n_docs AS DOUBLE)
+        |    AS mean_without,
+        |  CAST(s - s_chars AS DOUBLE) / CAST(n - n_docs AS DOUBLE)
+        |    - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS influence
+        |FROM per, tot ORDER BY source""".stripMargin,
 
     "kt1_kendall_tau" ->
       """WITH daily AS (

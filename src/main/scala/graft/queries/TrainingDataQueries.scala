@@ -1005,6 +1005,33 @@ object TrainingDataQueries {
       graft.streaming.DocsStream.streamQualityGate(spark, dir)
     },
 
+    // C4-style page-filter census — the OTHER canonical web-corpus gate
+    // next to gq1's Gopher rules (C4/T5, Raffel et al.): terminal
+    // punctuation, no code braces, no 'lorem ipsum' placeholder, a
+    // minimum word count. Reported per source as pass/fail-per-rule
+    // counts — the diagnosis table a curation run reads before
+    // deciding which rule is doing the cutting. Doc-level predicates
+    // only (the line-level variants need a line axis — same rules,
+    // applied after an explode(split(text, '\n'))); all counts exact,
+    // one map-side-combinable aggregate.
+    "c4g1_c4_gate" -> { (spark, dir) =>
+      val txt = col("text")
+      val endsPunct = substring(rtrim(txt), -1, 1).isin(".", "!", "?")
+      val noBrace = !txt.contains("{")
+      val noLorem = !lower(txt).contains("lorem ipsum")
+      val minWords = size(TextAnalysis.words(txt)) >= 5
+      Tables.documents(spark, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(endsPunct, 1L).otherwise(0L)).as("n_ends_punct"),
+          sum(when(noBrace, 0L).otherwise(1L)).as("n_brace_fail"),
+          sum(when(noLorem, 0L).otherwise(1L)).as("n_lorem_fail"),
+          sum(when(minWords, 0L).otherwise(1L)).as("n_short_fail"),
+          sum(when(endsPunct && noBrace && noLorem && minWords, 1L)
+            .otherwise(0L)).as("n_pass"))
+        .orderBy("source")
+    },
+
     // Streamed distribution-drift gate — tv1's total-variation census
     // maintained incrementally: each micro-batch's (source, term)
     // counts merge by key-wise summation (associative, retry-idempotent
@@ -1883,6 +1910,21 @@ object TrainingDataQueries {
           |    AS BIGINT) AS pass_words
           |FROM m JOIN documents d USING (doc_id)
           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "c4g1_c4_gate" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(count_if(right(rtrim(text), 1) IN ('.', '!', '?'))
+        |    AS BIGINT) AS n_ends_punct,
+        |  CAST(count_if(contains(text, '{')) AS BIGINT) AS n_brace_fail,
+        |  CAST(count_if(contains(lower(text), 'lorem ipsum'))
+        |    AS BIGINT) AS n_lorem_fail,
+        |  CAST(count_if(len(string_split_regex(lower(trim(text)), '\s+')) < 5)
+        |    AS BIGINT) AS n_short_fail,
+        |  CAST(count_if(right(rtrim(text), 1) IN ('.', '!', '?')
+        |    AND NOT contains(text, '{')
+        |    AND NOT contains(lower(text), 'lorem ipsum')
+        |    AND len(string_split_regex(lower(trim(text)), '\s+')) >= 5)
+        |    AS BIGINT) AS n_pass
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // the streamed census converges to the batch one — the oracle IS
     // tv1's SQL
     "st27_stream_drift_gate" ->
