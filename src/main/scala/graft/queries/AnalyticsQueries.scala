@@ -333,7 +333,7 @@ object AnalyticsQueries {
         .localCheckpoint(eager = true) // reused by 4 LP rounds + e_c + deg
       val labels = GraphOps
         .minLabelRounds(docs.select(col("doc_id").as("v")), edges, k = 4)
-        .localCheckpoint(eager = false) // joined three times below
+        .localCheckpoint(eager = true) // tiny (|docs| rows); three join consumers scan a ready RDD
       val mrel = edges.agg(count(lit(1)).as("m"))
       val deg = edges.select(col("doc_a").as("v"))
         .unionAll(edges.select(col("doc_b").as("v")))
