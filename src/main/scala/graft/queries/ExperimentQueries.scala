@@ -661,6 +661,98 @@ object ExperimentQueries {
         .crossJoin(broadcast(hi))
     },
 
+    // Hellinger drift census — tv1's companion divergence with the
+    // OPPOSITE sensitivity profile (geometric-mean coupling punishes
+    // disjoint support; TV's L1 treats all mass moves alike). The
+    // Bhattacharyya coefficient Σ√(p_s·p) quantizes per-term with the
+    // bm1/ppl1 trick: √(cs·c) is ONE IEEE op on exact integers,
+    // floor(·2^20) makes each term a BIGINT, the cross-term sum is
+    // order-independent, and the single trailing division by
+    // 2^20·√(N_s·N) is the only unquantized float. Terms absent from
+    // the source contribute exactly 0 (√0), so — like tv1 — each
+    // source only joins ITS OWN vocabulary. hell2 = 1 − BC ∈ [0,1].
+    "hell1_hellinger_drift" -> { (spark, dir) =>
+      val counts = Tables.documentsParallel(spark, dir)
+        .select(col("source"),
+          explode(TextAnalysis.words(col("text"))).as("term"))
+        .where(col("term") =!= "")
+        .groupBy("source", "term").agg(count(lit(1)).as("cs"))
+        .localCheckpoint(eager = false) // feeds totals + the join
+      val g = counts.groupBy("term").agg(sum(col("cs")).as("c"))
+      val ns = counts.groupBy("source").agg(sum(col("cs")).as("n_s"))
+      val tot = counts.agg(sum(col("cs")).as("n"))
+      counts.join(g, Seq("term"))
+        .select(col("source"),
+          floor(sqrt((col("cs") * col("c")).cast(DoubleType)) *
+            lit(1048576.0)).cast(LongType).as("bq"))
+        .groupBy("source").agg(sum(col("bq")).as("bc_q"))
+        .join(broadcast(ns), Seq("source"))
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("n_s").as("n_tokens"), col("bc_q"),
+          (lit(1.0) - col("bc_q").cast(DoubleType) /
+            (lit(1048576.0) *
+              sqrt(col("n_s").cast(DoubleType) * col("n").cast(DoubleType))))
+            .as("hell2"))
+        .orderBy("source")
+    },
+
+    // Source-profile cosine — the third drift lens (angle between the
+    // raw term-FREQUENCY vectors; length-invariant where tv1/hell1
+    // compare normalized distributions): Σcs·c / (√Σcs²·√Σc²). Every
+    // moment is an exact BIGINT; the two sqrts and one division are
+    // the single trailing double formula — no quantization needed at
+    // all. Same own-vocabulary join shape as tv1.
+    "csim1_source_profile_cosine" -> { (spark, dir) =>
+      val counts = Tables.documentsParallel(spark, dir)
+        .select(col("source"),
+          explode(TextAnalysis.words(col("text"))).as("term"))
+        .where(col("term") =!= "")
+        .groupBy("source", "term").agg(count(lit(1)).as("cs"))
+        .localCheckpoint(eager = false) // feeds norms + the dot join
+      val g = counts.groupBy("term").agg(sum(col("cs")).as("c"))
+        .localCheckpoint(eager = false) // joined + norm-summed
+      val gn = g.agg(sum(col("c") * col("c")).as("nn"))
+      counts.join(g, Seq("term"))
+        .groupBy("source")
+        .agg(sum(col("cs") * col("c")).as("dot"),
+          sum(col("cs") * col("cs")).as("ns2"),
+          count(lit(1)).as("vocab_s"))
+        .crossJoin(broadcast(gn))
+        .select(col("source"), col("vocab_s"), col("dot"),
+          (col("dot").cast(DoubleType) /
+            (sqrt(col("ns2").cast(DoubleType)) *
+              sqrt(col("nn").cast(DoubleType)))).as("cosine"))
+        .orderBy("source")
+    },
+
+    // N-gram novelty — what fraction of a source's trigram TYPES appear
+    // in no other source: the uniqueness/redundancy call a mixture
+    // designer makes before paying for more of a source. Exact set
+    // algebra: per-trigram distinct-source counts, a type is novel iff
+    // its source count is 1. One (trigram → n_sources) aggregate; the
+    // per-source rollup joins each source's own types only.
+    "nov1_ngram_novelty" -> { (spark, dir) =>
+      val ws = TextAnalysis.words(col("text"))
+      val tri = Tables.documentsParallel(spark, dir)
+        .select(col("source"), ws.as("w"))
+        .where(size(col("w")) >= 3)
+        .select(col("source"),
+          explode(expr("transform(sequence(0, size(w) - 3), " +
+            "i -> concat_ws(' ', slice(w, i + 1, 3)))")).as("tri"))
+        .distinct() // trigram TYPES per source
+        .localCheckpoint(eager = false) // feeds spread + per-source join
+      val spread = tri.groupBy("tri")
+        .agg(count(lit(1)).as("n_sources"))
+      tri.join(spread, Seq("tri"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_types"),
+          expr("count_if(n_sources = 1)").as("n_novel"))
+        .select(col("source"), col("n_types"), col("n_novel"),
+          (col("n_novel").cast(DoubleType) / col("n_types").cast(DoubleType))
+            .as("novelty"))
+        .orderBy("source")
+    },
+
     // Matthews correlation coefficient for a binary screen — THE
     // single-number classifier summary that stays honest under class
     // imbalance (unlike accuracy or F1): here the "does a >$150k order
@@ -1240,6 +1332,68 @@ object ExperimentQueries {
         |  count(*) AS n_users,
         |  CAST(sum(mon) AS DOUBLE) / 100.0 AS total_monetary
         |FROM u, med
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // per-term floor(sqrt(cs·c)·2^20) BIGINTs; one trailing division
+    "hell1_hellinger_drift" ->
+      """WITH toks AS (
+        |  SELECT source, u.term FROM documents,
+        |    UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS u(term)
+        |  WHERE u.term <> ''
+        |), sc AS (SELECT source, term, COUNT(*) AS cs FROM toks GROUP BY 1, 2),
+        |g AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
+        |ns AS (SELECT source, COUNT(*) AS n_s FROM toks GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n FROM toks),
+        |bc AS (
+        |  SELECT sc.source,
+        |    CAST(SUM(CAST(floor(sqrt(CAST(sc.cs * g.c AS DOUBLE))
+        |      * 1048576.0) AS BIGINT)) AS BIGINT) AS bc_q
+        |  FROM sc JOIN g ON sc.term = g.term GROUP BY 1
+        |)
+        |SELECT bc.source, ns.n_s AS n_tokens, bc.bc_q,
+        |  1.0 - CAST(bc.bc_q AS DOUBLE) /
+        |    (1048576.0 * sqrt(CAST(ns.n_s AS DOUBLE) * CAST(tot.n AS DOUBLE)))
+        |    AS hell2
+        |FROM bc JOIN ns ON bc.source = ns.source CROSS JOIN tot
+        |ORDER BY bc.source""".stripMargin,
+
+    "csim1_source_profile_cosine" ->
+      """WITH toks AS (
+        |  SELECT source, u.term FROM documents,
+        |    UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS u(term)
+        |  WHERE u.term <> ''
+        |), sc AS (SELECT source, term, COUNT(*) AS cs FROM toks GROUP BY 1, 2),
+        |g AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
+        |gn AS (SELECT CAST(SUM(c * c) AS BIGINT) AS nn FROM g),
+        |per AS (
+        |  SELECT sc.source,
+        |    CAST(SUM(sc.cs * g.c) AS BIGINT) AS dot,
+        |    CAST(SUM(sc.cs * sc.cs) AS BIGINT) AS ns2,
+        |    COUNT(*) AS vocab_s
+        |  FROM sc JOIN g ON sc.term = g.term GROUP BY 1
+        |)
+        |SELECT source, vocab_s, dot,
+        |  CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(ns2 AS DOUBLE)) * sqrt(CAST(nn AS DOUBLE))) AS cosine
+        |FROM per, gn ORDER BY source""".stripMargin,
+
+    "nov1_ngram_novelty" ->
+      """WITH w0 AS (
+        |  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents
+        |), tri AS (
+        |  SELECT DISTINCT source, unnest(list_transform(
+        |    generate_series(1, len(w) - 2),
+        |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS tri
+        |  FROM w0 WHERE len(w) >= 3
+        |), spread AS (
+        |  SELECT tri, COUNT(*) AS n_sources FROM tri GROUP BY 1
+        |)
+        |SELECT t.source, COUNT(*) AS n_types,
+        |  CAST(count_if(s.n_sources = 1) AS BIGINT) AS n_novel,
+        |  CAST(count_if(s.n_sources = 1) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS novelty
+        |FROM tri t JOIN spread s ON t.tri = s.tri
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ml4_mcc" ->

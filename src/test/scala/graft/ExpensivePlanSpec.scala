@@ -36,11 +36,15 @@ class ExpensivePlanSpec extends SparkSpec {
   // is pinned below). Kept as an explicit list, not derived from a
   // bench artifact, so the guard is hermetic; the registry-wide sweep
   // (RegistryPlanSweepSpec) covers everything else.
+  // r9-continuation re-rank: dr1 and mod1 entered at #4/#9; bkt1/cal1
+  // slid to #11/#12 but stay pinned — former members whose shapes
+  // still matter.
   private val top10Batch = Seq(
     "tm2_clean_corpus", "tm1_training_funnel", "d11_containment_join",
     "ssj1_prefix_jaccard", "d7_dedup_pipeline", "d6_dedup_clusters",
     "d10_incremental_dedup", "bkt1_bucketed_join",
-    "bkt2_partitioned_bucketed", "cal1_gate_agreement")
+    "bkt2_partitioned_bucketed", "cal1_gate_agreement",
+    "dr1_dedup_recall", "mod1_community_modularity")
 
   test("bench top-10: no cartesian, no partition-less window anywhere") {
     for (name <- top10Batch) {
