@@ -778,6 +778,32 @@ object ExperimentQueries {
               (col("tn") + col("fn")).cast(DoubleType))).as("mcc"))
     },
 
+    // Reliability diagram (calibration bins) — the eval artifact
+    // behind every ECE claim, and iso1's diagnostic twin: per
+    // predicted-probability decile, observed positive rate vs mean
+    // predicted probability. Per-row probabilities quantize to 2^20
+    // BIGINTs (the bm1/ppl1 trick) so the per-bin confidence sum is
+    // order-independent; acc/conf/gap are per-ROW trailing doubles —
+    // the cross-bin ECE float sum is deliberately NOT emitted
+    // (summation order is engine-dependent; any consumer can fold the
+    // 10 exact rows itself). One map-side aggregate over the corpus.
+    "ece1_reliability_bins" -> { (spark, dir) =>
+      val p = least(col("o_totalprice") / lit(600000.0), lit(1.0))
+      val o = Tables.orders(spark, dir).select(
+        least(floor(p * lit(10.0)), lit(9.0)).cast(LongType).as("bin"),
+        floor(p * lit(1048576.0)).cast(LongType).as("p_q"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("pos"))
+      o.groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+          sum(col("p_q")).as("conf_q"))
+        .withColumn("acc",
+          col("n_pos").cast(DoubleType) / col("n").cast(DoubleType))
+        .withColumn("conf", col("conf_q").cast(DoubleType) /
+          (col("n").cast(DoubleType) * lit(1048576.0)))
+        .withColumn("gap", abs(col("acc") - col("conf")))
+        .orderBy("bin")
+    },
+
     // Jackknife source influence — "which source drags the corpus
     // metric": the leave-one-source-out mean in closed form from four
     // exact totals, mean_wo = (S − s_g)/(N − n_g), so the whole
@@ -1415,6 +1441,29 @@ object ExperimentQueries {
         |    sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
         |      * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)) AS mcc
         |FROM cm""".stripMargin,
+
+    "ece1_reliability_bins" ->
+      """WITH o AS (
+        |  SELECT LEAST(o_totalprice / 600000.0, 1.0) AS p,
+        |    o_orderstatus = 'F' AS pos
+        |  FROM orders
+        |), b AS (
+        |  SELECT CAST(LEAST(floor(p * 10.0), 9.0) AS BIGINT) AS bin,
+        |    CAST(floor(p * 1048576.0) AS BIGINT) AS p_q,
+        |    CASE WHEN pos THEN 1 ELSE 0 END AS posn
+        |  FROM o
+        |), g AS (
+        |  SELECT bin, COUNT(*) AS n, CAST(SUM(posn) AS BIGINT) AS n_pos,
+        |    CAST(SUM(p_q) AS BIGINT) AS conf_q
+        |  FROM b GROUP BY 1
+        |)
+        |SELECT bin, n, n_pos, conf_q,
+        |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+        |  CAST(conf_q AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) AS conf,
+        |  abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - CAST(conf_q AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0))
+        |    AS gap
+        |FROM g ORDER BY bin""".stripMargin,
 
     "jk1_source_influence" ->
       """WITH per AS (

@@ -1043,6 +1043,15 @@ object TrainingDataQueries {
       graft.streaming.DocsStream.streamDriftCensus(spark, dir)
     },
 
+    // Streamed bottom-k quantile sketch — qsk1's streaming twin: the
+    // persisted state is 256 (cents, hash) rows re-taken as the min-k
+    // of each micro-batch's union (associative AND idempotent), so the
+    // monitor converges to the batch sketch exactly; the oracle is
+    // qsk1's direct-path arithmetic over events.
+    "st28_stream_quantile_sketch" -> { (spark, dir) =>
+      graft.streaming.EventsStream.streamQuantileSketch(spark, dir)
+    },
+
     // Tokenizer fertility per language — subtokens emitted per
     // whitespace word under the t1 BPE-ish pre-tokenizer regex: THE
     // cross-lingual tokenizer-cost metric (a high-fertility language
@@ -1949,6 +1958,24 @@ object TrainingDataQueries {
         |  CAST(s1 + n_s * (n - cov) AS DOUBLE) /
         |    (2.0 * CAST(n_s AS DOUBLE) * CAST(n AS DOUBLE)) AS tv
         |FROM agg ORDER BY source""".stripMargin,
+    // the streamed min-k state converges to the batch bottom-256 —
+    // qsk1's direct-path arithmetic over events
+    "st28_stream_quantile_sketch" ->
+      """WITH e AS (
+        |  SELECT CAST(floor(value * 100) AS BIGINT) AS cents,
+        |    ('0x' || substr(md5('qsk2:' || event_id), 1, 15))::BIGINT AS h
+        |  FROM events
+        |), direct AS (SELECT cents, h FROM e ORDER BY h, cents LIMIT 256),
+        |dr AS (
+        |  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, h) AS rk,
+        |    COUNT(*) OVER () AS kk FROM direct
+        |)
+        |SELECT MAX(kk) AS k_sample,
+        |  MAX(CASE WHEN rk = CAST(ceil(kk * 0.25) AS BIGINT) THEN cents END) AS p25_est,
+        |  MAX(CASE WHEN rk = CAST(ceil(kk * 0.5) AS BIGINT) THEN cents END) AS p50_est,
+        |  MAX(CASE WHEN rk = CAST(ceil(kk * 0.75) AS BIGINT) THEN cents END) AS p75_est,
+        |  MAX(CASE WHEN rk = CAST(ceil(kk * 0.9) AS BIGINT) THEN cents END) AS p90_est
+        |FROM dr""".stripMargin,
     "gq1_gopher_quality" ->
       (gopherOracleCtes +
         """

@@ -522,4 +522,69 @@ object EventsStream {
       true
     }
   }
+
+  /** Streamed bottom-k quantile sketch — qsk1's streaming twin: each
+    * micro-batch contributes its bottom-256 (cents, portable-hash)
+    * pairs and the persisted sketch re-takes the bottom-256 of the
+    * union. Min-k merge is associative AND idempotent (re-merging the
+    * same elements is a no-op), so the batchId guard is
+    * belt-and-braces here rather than load-bearing; after any number
+    * of micro-batches the sketch equals the batch bottom-256 exactly
+    * and the reported order statistics match qsk1's arithmetic. The
+    * streamed STATE is 256 rows — the bounded-state story a
+    * quantile monitor needs at any stream volume.
+    */
+  def streamQuantileSketch(spark: SparkSession, dir: String): DataFrame =
+    sketchDrive(spark, eventsStream(spark, dir))
+
+  private[graft] def sketchDrive(spark: SparkSession, ev: DataFrame): DataFrame = {
+    import graft.energy.AtomicLayer
+    import org.apache.spark.sql.expressions.Window
+    val root = graft.tools.Scratch.dir("graft-qsketch")
+      .toString + "/sketch.parquet"
+    StreamRun.driveForeachBatch(ev, "append",
+        s"quantile_sketch_${runId.incrementAndGet()}") { (batch, batchId) =>
+      mergeSketch(spark, root, batch, batchId): Unit
+    }
+    val s = AtomicLayer.read(spark, root).drop("_merged_batch_id")
+    val ranked = s.withColumn("rk",
+      row_number().over(Window.orderBy(col("cents"), col("h")))) // ≤256 rows
+    def os(q: Double, name: String) =
+      max(when(col("rk") ===
+        ceil(col("kk") * lit(q)).cast("long"), col("cents"))).as(name)
+    ranked.crossJoin(broadcast(ranked.agg(count(lit(1)).as("kk"))))
+      .agg(max(col("kk")).as("k_sample"), os(0.25, "p25_est"),
+        os(0.5, "p50_est"), os(0.75, "p75_est"), os(0.9, "p90_est"))
+  }
+
+  /** One micro-batch's bottom-k merge — same guard contract as the
+    * other foreachBatch merges; returns true when merged.
+    */
+  private[graft] def mergeSketch(spark: SparkSession, root: String,
+      batch: DataFrame, batchId: Long): Boolean = {
+    import graft.energy.AtomicLayer
+    val exists = AtomicLayer.latestCommitted(spark, root).isDefined
+    val alreadyMerged = exists && {
+      val row = AtomicLayer.read(spark, root)
+        .agg(max(col("_merged_batch_id"))).head
+      !row.isNullAt(0) && row.getLong(0) >= batchId
+    }
+    if (alreadyMerged) false
+    else {
+      val b = batch.select(
+          floor(col("value") * 100).cast("long").as("cents"),
+          graft.operators.Dedup.portableHash60(
+            concat(lit("qsk2:"), col("event_id"))).as("h"))
+        .orderBy(col("h"), col("cents")).limit(256)
+      val merged =
+        if (exists)
+          AtomicLayer.read(spark, root).drop("_merged_batch_id")
+            .unionByName(b)
+            .orderBy(col("h"), col("cents")).limit(256)
+        else b
+      AtomicLayer.write(merged.withColumn("_merged_batch_id", lit(batchId)),
+        root, keepVersions = 1)
+      true
+    }
+  }
 }

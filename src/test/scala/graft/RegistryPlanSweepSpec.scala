@@ -55,6 +55,8 @@ class RegistryPlanSweepSpec extends SparkSpec {
       "rank over the BM25 leg's TakeOrderedAndProject limit-50 relation: bound is the literal 50",
     "qsk1_sample_quantiles" ->
       "order statistics over the bottom-k hash samples: bound is the literal k=256 (both paths limit first)",
+    "st28_stream_quantile_sketch" ->
+      "order statistics over the persisted min-k sketch state: bound is the literal k=256",
   )
 
   test("every registry query: no CartesianProduct; global windows bounded + allowlisted") {
