@@ -894,6 +894,54 @@ object ExperimentQueries {
         .orderBy("source")
     },
 
+    // Heaps'-law vocabulary-growth curve — distinct types seen within
+    // the first N tokens of the corpus, for a cap ladder: the measured
+    // "will more data keep buying new vocabulary?" curve next to
+    // chao1's point estimate. Global token positions come from the
+    // DISTRIBUTED two-pass prefix sum over per-doc lengths
+    // (Packing.prefixSum — never a partition-less window over docs);
+    // each term reduces to its min position (one aggregate), and the
+    // cap ladder explodes over the |vocab|-sized relation only.
+    "heaps1_vocab_growth" -> { (spark, dir) =>
+      val ws = TextAnalysis.words(col("text"))
+      val docToks = Tables.documentsParallel(spark, dir)
+        .select(col("doc_id"), ws.as("w0"))
+        .select(col("doc_id"), expr("filter(w0, t -> t <> '')").as("w"))
+        .localCheckpoint(eager = false) // feeds lengths + positions
+      val lens = docToks.select(col("doc_id"),
+        size(col("w")).cast(LongType).as("len"))
+      val offs = Packing.prefixSum(lens, Seq(col("doc_id")), col("len"), "cum")
+        .select(col("doc_id"), (col("cum") - col("len")).as("off"))
+      val firstPos = docToks.join(offs, Seq("doc_id"))
+        .select(col("off"), posexplode(col("w")).as(Seq("i", "term")))
+        .select(col("term"), (col("off") + col("i") + 1).as("gpos"))
+        .groupBy("term").agg(min(col("gpos")).as("first_pos"))
+      firstPos.select(col("first_pos"),
+          explode(array(Seq(1000L, 2000L, 4000L, 8000L, 16000L, 32000L)
+            .map(lit): _*)).as("cap"))
+        .groupBy("cap")
+        .agg(expr("count_if(first_pos <= cap)").as("n_types"))
+        .orderBy("cap")
+    },
+
+    // Zipf rank-frequency diagnostic — the top-40 terms with their
+    // rank·frequency product (constant under a perfect Zipf fit, the
+    // log-free way to eyeball the exponent). TakeOrdered top-40, rank
+    // window over the 40-row relation only; all integers.
+    "zipf1_rank_frequency" -> { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val top = Tables.documentsParallel(spark, dir)
+        .select(explode(TextAnalysis.words(col("text"))).as("term"))
+        .where(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("term")).limit(40)
+      top.withColumn("rank",
+          row_number().over(Window.orderBy(col("c").desc, col("term"))))
+        .select(col("rank"), col("term"), col("c"),
+          (col("rank") * col("c")).as("rank_x_freq"))
+        .orderBy("rank")
+    },
+
     // Total-variation distance between each source's token distribution
     // and the whole corpus — the drift census run on every ingest batch
     // ("which source stopped looking like the mix?"). Exact-integer
@@ -1524,6 +1572,44 @@ object ExperimentQueries {
         |    / (2.0 * CAST(COUNT(*) FILTER (WHERE c = 2) + 1 AS DOUBLE))
         |    AS chao1
         |FROM cnt GROUP BY source ORDER BY source""".stripMargin,
+
+    // prefix-sum offsets replayed as one ordered window over doc lengths
+    "heaps1_vocab_growth" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS w
+        |  FROM documents
+        |), offs AS (
+        |  SELECT doc_id,
+        |    SUM(len(w)) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - len(w) AS off
+        |  FROM w0
+        |), pos AS (
+        |  SELECT w0.w[g.i] AS term, o.off + g.i AS gpos
+        |  FROM w0 JOIN offs o USING (doc_id),
+        |    UNNEST(generate_series(1, len(w0.w))) AS g(i)
+        |), fp AS (
+        |  SELECT term, CAST(MIN(gpos) AS BIGINT) AS first_pos
+        |  FROM pos GROUP BY 1
+        |)
+        |SELECT CAST(g.cap AS BIGINT) AS cap,
+        |  CAST(count_if(first_pos <= g.cap) AS BIGINT) AS n_types
+        |FROM fp, (VALUES (1000), (2000), (4000), (8000), (16000), (32000))
+        |  AS g(cap)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "zipf1_rank_frequency" ->
+      """WITH toks AS (
+        |  SELECT u.term FROM documents,
+        |    UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS u(term)
+        |  WHERE u.term <> ''
+        |), cnt AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
+        |top AS (SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT 40)
+        |SELECT ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rank, term, c,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY c DESC, term) * c AS BIGINT)
+        |    AS rank_x_freq
+        |FROM top ORDER BY rank""".stripMargin,
 
     "tv1_distribution_shift" ->
       """WITH toks AS (

@@ -1025,6 +1025,31 @@ object ExtensionQueries {
       )
     },
 
+    // Per-dimension variance census over the embedding corpus — the
+    // feature diagnostic consulted before a Matryoshka truncation (e7)
+    // or PQ codebook split (x20): which dimensions carry signal.
+    // Components quantize to 2^20 BIGINTs (the established embedding
+    // discipline), the three moments are exact integer sums per
+    // dimension (one map-side aggregate, |dims| output rows), and the
+    // variance is ONE trailing double formula de-scaled by 2^40.
+    "dimv1_dimension_variance" -> { (spark, dir) =>
+      val q = Tables.embeddings(spark, dir)
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim"),
+          floor(col("v").cast(DoubleType) * lit(1048576.0))
+            .cast(LongType).as("q"))
+      q.groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+          sum(col("q") * col("q")).as("sq"))
+        .select(col("dim"), col("n"), col("s"), col("sq"),
+          ((col("sq").cast(DoubleType) -
+            col("s").cast(DoubleType) * col("s").cast(DoubleType) /
+              col("n").cast(DoubleType)) /
+            (col("n").cast(DoubleType) * lit(1099511627776.0)))
+            .as("variance"))
+        .orderBy("dim")
+    },
+
     // Matryoshka truncation audit — how much retrieval survives keeping
     // only the first 16 of 64 dims (the MRL memory/latency dial:
     // truncated vectors are 4× cheaper to store AND score). Per query:
@@ -3117,6 +3142,23 @@ object ExtensionQueries {
         |  MAX(CASE WHEN rk = CAST(ceil(kk * 0.9) AS BIGINT) THEN cents END) AS p90_est
         |FROM mr
         |ORDER BY path""".stripMargin,
+    "dimv1_dimension_variance" ->
+      """WITH t AS (
+        |  SELECT g.i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1048576.0)
+        |      AS BIGINT) AS q
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        |), m AS (
+        |  SELECT dim, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS s,
+        |    CAST(SUM(q * q) AS BIGINT) AS sq
+        |  FROM t GROUP BY 1
+        |)
+        |SELECT dim, n, s, sq,
+        |  (CAST(sq AS DOUBLE)
+        |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * 1099511627776.0) AS variance
+        |FROM m ORDER BY dim""".stripMargin,
+
     "x12_interval_overlap" ->
       """WITH promos AS (
         |  SELECT range AS promo_id,

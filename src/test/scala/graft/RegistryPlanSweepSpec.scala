@@ -57,6 +57,8 @@ class RegistryPlanSweepSpec extends SparkSpec {
       "order statistics over the bottom-k hash samples: bound is the literal k=256 (both paths limit first)",
     "st28_stream_quantile_sketch" ->
       "order statistics over the persisted min-k sketch state: bound is the literal k=256",
+    "zipf1_rank_frequency" ->
+      "rank over the TakeOrderedAndProject limit-40 relation: bound is the literal 40",
   )
 
   test("every registry query: no CartesianProduct; global windows bounded + allowlisted") {
