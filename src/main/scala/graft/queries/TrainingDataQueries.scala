@@ -1005,6 +1005,36 @@ object TrainingDataQueries {
       graft.streaming.DocsStream.streamQualityGate(spark, dir)
     },
 
+    // The per-source DRIFT SCORECARD — qf2's data-card extended with
+    // every round-9 lens, composed from the REGISTERED definitions
+    // (the Spark side calls the same query functions, the oracle
+    // splices the same oracle SQL as CTEs), so the scorecard can never
+    // disagree with its standalone columns: token mass + TV (tv1),
+    // Hellinger (hell1), profile cosine (csim1), trigram novelty
+    // (nov1), vocabulary + Chao1 (chao1), jackknife influence (jk1),
+    // and the C4 pass rate (c4g1) — one row per source, the table a
+    // curation round actually reads. Scale shape: each lens is its own
+    // already-pinned plan; the final join is |sources| rows.
+    "card2_drift_scorecard" -> { (spark, dir) =>
+      def ex(n: String) = ExperimentQueries.queries(n)(spark, dir)
+      val tv = ex("tv1_distribution_shift")
+        .select(col("source"), col("n_tokens"), col("tv"))
+      val he = ex("hell1_hellinger_drift").select(col("source"), col("hell2"))
+      val cs = ex("csim1_source_profile_cosine")
+        .select(col("source"), col("cosine"))
+      val nv = ex("nov1_ngram_novelty").select(col("source"), col("novelty"))
+      val ch = ex("chao1_vocab_richness")
+        .select(col("source"), col("d").as("vocab"), col("chao1"))
+      val jk = ex("jk1_source_influence")
+        .select(col("source"), col("n_docs"), col("influence"))
+      val c4 = queries("c4g1_c4_gate")(spark, dir)
+        .select(col("source"), (col("n_pass").cast(DoubleType) /
+          col("n_docs").cast(DoubleType)).as("c4_pass_rate"))
+      tv.join(he, "source").join(cs, "source").join(nv, "source")
+        .join(ch, "source").join(jk, "source").join(c4, "source")
+        .orderBy("source")
+    },
+
     // C4-style page-filter census — the OTHER canonical web-corpus gate
     // next to gq1's Gopher rules (C4/T5, Raffel et al.): terminal
     // punctuation, no code braces, no 'lorem ipsum' placeholder, a
@@ -1147,6 +1177,25 @@ object TrainingDataQueries {
         .orderBy("source", "category")
     },
   )
+
+  /** c4g1's oracle SQL — a named val so card2 can splice it as a CTE
+    * without a self-reference into the `oracles` map mid-construction.
+    */
+  private val c4GateSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(count_if(right(rtrim(text), 1) IN ('.', '!', '?'))
+      |    AS BIGINT) AS n_ends_punct,
+      |  CAST(count_if(contains(text, '{')) AS BIGINT) AS n_brace_fail,
+      |  CAST(count_if(contains(lower(text), 'lorem ipsum'))
+      |    AS BIGINT) AS n_lorem_fail,
+      |  CAST(count_if(len(string_split_regex(lower(trim(text)), '\s+')) < 5)
+      |    AS BIGINT) AS n_short_fail,
+      |  CAST(count_if(right(rtrim(text), 1) IN ('.', '!', '?')
+      |    AND NOT contains(text, '{')
+      |    AND NOT contains(lower(text), 'lorem ipsum')
+      |    AND len(string_split_regex(lower(trim(text)), '\s+')) >= 5)
+      |    AS BIGINT) AS n_pass
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "mlm1_masking_plan" ->
@@ -1919,21 +1968,25 @@ object TrainingDataQueries {
           |    AS BIGINT) AS pass_words
           |FROM m JOIN documents d USING (doc_id)
           |GROUP BY 1 ORDER BY 1""".stripMargin),
-    "c4g1_c4_gate" ->
-      """SELECT source, COUNT(*) AS n_docs,
-        |  CAST(count_if(right(rtrim(text), 1) IN ('.', '!', '?'))
-        |    AS BIGINT) AS n_ends_punct,
-        |  CAST(count_if(contains(text, '{')) AS BIGINT) AS n_brace_fail,
-        |  CAST(count_if(contains(lower(text), 'lorem ipsum'))
-        |    AS BIGINT) AS n_lorem_fail,
-        |  CAST(count_if(len(string_split_regex(lower(trim(text)), '\s+')) < 5)
-        |    AS BIGINT) AS n_short_fail,
-        |  CAST(count_if(right(rtrim(text), 1) IN ('.', '!', '?')
-        |    AND NOT contains(text, '{')
-        |    AND NOT contains(lower(text), 'lorem ipsum')
-        |    AND len(string_split_regex(lower(trim(text)), '\s+')) >= 5)
-        |    AS BIGINT) AS n_pass
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c4g1_c4_gate" -> c4GateSql,
+    // card2 splices the REGISTERED oracle SQL of every lens as CTEs —
+    // one definition per lens, composition can't drift
+    "card2_drift_scorecard" ->
+      s"""WITH tv AS (${ExperimentQueries.oracles("tv1_distribution_shift")}),
+         |he AS (${ExperimentQueries.oracles("hell1_hellinger_drift")}),
+         |cs AS (${ExperimentQueries.oracles("csim1_source_profile_cosine")}),
+         |nv AS (${ExperimentQueries.oracles("nov1_ngram_novelty")}),
+         |ch AS (${ExperimentQueries.oracles("chao1_vocab_richness")}),
+         |jk AS (${ExperimentQueries.oracles("jk1_source_influence")}),
+         |c4 AS ($c4GateSql)
+         |SELECT tv.source, tv.n_tokens, tv.tv, he.hell2, cs.cosine,
+         |  nv.novelty, ch.d AS vocab, ch.chao1, jk.n_docs, jk.influence,
+         |  CAST(c4.n_pass AS DOUBLE) / CAST(c4.n_docs AS DOUBLE)
+         |    AS c4_pass_rate
+         |FROM tv JOIN he USING (source) JOIN cs USING (source)
+         |  JOIN nv USING (source) JOIN ch USING (source)
+         |  JOIN jk USING (source) JOIN c4 USING (source)
+         |ORDER BY tv.source""".stripMargin,
     // the streamed census converges to the batch one — the oracle IS
     // tv1's SQL
     "st27_stream_drift_gate" ->
