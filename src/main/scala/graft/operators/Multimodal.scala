@@ -188,6 +188,52 @@ object Multimodal {
     })
   }
 
+  final case class PngHash(doc_id: Long, width: Int, height: Int, ahash: Long)
+
+  /** Perceptual block-average hash (aHash) computed from the DECODED
+    * PNG pixels — the image-dedup fingerprint, stacked on the real
+    * codec path (`ImageIO.read`, same as [[decodePngStats]]). A 4×4
+    * grid partitions the image by integer division (cell = (x·4) div w),
+    * cell/total luminance sums stay exact integers (gray = r+g+b, no
+    * division), and bit k sets iff cellSum·n > totalSum·cellCnt — the
+    * cross-multiplied "cell brighter than average" test, so the 16-bit
+    * hash is bit-identical to the oracle's arithmetic replay of the
+    * pixel formula. Any codec corruption flips a cell mean and
+    * hash-fails.
+    */
+  def decodePngAHash(spark: SparkSession, pngs: Dataset[PngRecord]): Dataset[PngHash] = {
+    import spark.implicits._
+    pngs.mapPartitions(_.map { rec =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(rec.png))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val cellSum = new Array[Long](16)
+      val cellCnt = new Array[Long](16)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val gray = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          val k = (y * 4 / h) * 4 + (x * 4 / w)
+          cellSum(k) += gray
+          cellCnt(k) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val tsum = cellSum.sum
+      val n = w.toLong * h
+      var ahash = 0L
+      var k = 0
+      while (k < 16) {
+        if (cellSum(k) * n > tsum * cellCnt(k)) ahash |= 1L << k
+        k += 1
+      }
+      PngHash(rec.doc_id, w, h, ahash)
+    })
+  }
+
   final case class WavRecord(doc_id: Long, wav: Array[Byte])
   final case class WavStats(
       doc_id: Long,

@@ -650,6 +650,21 @@ object ExtensionQueries {
           Multimodal.synthesizePng(spark, ids))
         .toDF().orderBy("doc_id")
     },
+    // Perceptual image fingerprint on the REAL codec path — the
+    // image-dedup primitive stacked on m6's round-trip: block-average
+    // hash (aHash) from the DECODED pixels, 4×4 integer-division grid,
+    // cross-multiplied brighter-than-average bits, 16-bit BIGINT
+    // fingerprint. The oracle replays the hash arithmetically from the
+    // pixel formula without ever parsing a PNG — the multimodal twin
+    // of the text fingerprints (t4/win1).
+    "m8_image_ahash" -> { (spark, dir) =>
+      val ids = Tables.documents(spark, dir)
+        .where(col("doc_id") % 10 === 0)
+      Multimodal.decodePngAHash(spark,
+          Multimodal.synthesizePng(spark, ids))
+        .toDF().orderBy("doc_id")
+    },
+
     // REAL audio decode — the WAV twin of m6: deterministic PCM16
     // samples (mono/stereo alternating by id) are encoded to actual
     // RIFF/WAVE bytes with javax.sound.sampled (the JDK's own audio
@@ -2693,6 +2708,38 @@ object ExtensionQueries {
     // (bounded 24x14 grid + dimension mask — max w = 24, max h = 14);
     // it never decodes a PNG, so the Spark side's ImageIO round-trip
     // must reproduce the arithmetic exactly
+    // arithmetic replay of the pixel formula: 4x4 integer-division
+    // grid, cross-multiplied cell-vs-total luminance bits
+    "m8_image_ahash" ->
+      """WITH ids AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 10 = 0
+        |), px AS (
+        |  SELECT i.doc_id,
+        |    CAST(8 + (i.doc_id % 5) * 4 AS BIGINT) AS w,
+        |    CAST(6 + (i.doc_id % 3) * 4 AS BIGINT) AS h,
+        |    gx.x, gy.y,
+        |    ((i.doc_id * 31 + gx.x * 7 + gy.y * 13) % 256
+        |     + (i.doc_id * 17 + gx.x * 11 + gy.y * 3) % 256
+        |     + (i.doc_id * 29 + gx.x * 5 + gy.y * 19) % 256) AS gray
+        |  FROM ids i, UNNEST(generate_series(0, 27)) AS gx(x),
+        |    UNNEST(generate_series(0, 13)) AS gy(y)
+        |  WHERE gx.x < 8 + (i.doc_id % 5) * 4
+        |    AND gy.y < 6 + (i.doc_id % 3) * 4
+        |), cells AS (
+        |  SELECT doc_id, w, h, (y * 4) // h * 4 + (x * 4) // w AS k,
+        |    CAST(SUM(gray) AS BIGINT) AS csum, COUNT(*) AS ccnt
+        |  FROM px GROUP BY 1, 2, 3, 4
+        |), tot AS (
+        |  SELECT doc_id, CAST(SUM(csum) AS BIGINT) AS tsum,
+        |    CAST(SUM(ccnt) AS BIGINT) AS n
+        |  FROM cells GROUP BY 1
+        |)
+        |SELECT c.doc_id, CAST(c.w AS INT) AS width, CAST(c.h AS INT) AS height,
+        |  CAST(SUM(CASE WHEN c.csum * t.n > t.tsum * c.ccnt
+        |    THEN CAST(1 AS BIGINT) << CAST(c.k AS INT) ELSE 0 END)
+        |    AS BIGINT) AS ahash
+        |FROM cells c JOIN tot t USING (doc_id)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "m6_png_decode" ->
       """SELECT d.doc_id,
         |  CAST(8 + (d.doc_id % 5) * 4 AS INT) AS width,
