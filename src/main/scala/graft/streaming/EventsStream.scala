@@ -576,10 +576,16 @@ object EventsStream {
           graft.operators.Dedup.portableHash60(
             concat(lit("qsk2:"), col("event_id"))).as("h"))
         .orderBy(col("h"), col("cents")).limit(256)
+      // SET union, not multiset: h derives injectively from event_id,
+      // so dropDuplicates(h) is dedup-by-event-identity — without it a
+      // redelivered batch re-inserts rows already in the state and the
+      // duplicates crowd genuinely distinct elements out of the 256
+      // (the idempotence the spec's forced re-merge pins).
       val merged =
         if (exists)
           AtomicLayer.read(spark, root).drop("_merged_batch_id")
             .unionByName(b)
+            .dropDuplicates("h", "cents")
             .orderBy(col("h"), col("cents")).limit(256)
         else b
       AtomicLayer.write(merged.withColumn("_merged_batch_id", lit(batchId)),
