@@ -164,6 +164,36 @@ object ExtensionQueries {
         .orderBy("doc_id")
     },
 
+    // QUALITY-canonical dedup — the keep rule real curation uses where
+    // d6 keeps the lowest id: within each near-dup cluster, the member
+    // with the MOST words survives (ties → lowest id; rank window is
+    // per-cluster). The census carries kept/total word masses, so the
+    // cost of the keep decision is visible. Same CC engine as d6 —
+    // one definition, two keep policies.
+    "d12_quality_canonical" -> { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documentsParallel(spark, dir)
+      val edges = Dedup.consecutiveBigramEdges(docs, minJaccard = 0.05)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val clusters = Dedup.connectedComponents(
+        docs.select(col("doc_id").as("id")), edges)
+      val nw = docs.select(col("doc_id"),
+        size(expr("filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"))
+          .cast(LongType).as("n_words"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("n_words").desc, col("doc_id"))
+      clusters.join(nw, Seq("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("rk") === 1, col("doc_id"))).as("kept_doc"),
+          max(when(col("rk") === 1, col("n_words"))).as("kept_n_words"),
+          sum(col("n_words")).as("cluster_words"))
+        .withColumn("words_dropped",
+          col("cluster_words") - col("kept_n_words"))
+        .orderBy("cluster_id")
+    },
+
     // Incremental (batch-vs-corpus) dedup: docs with doc_id % 4 == 0
     // arrive as the new batch; the rest are the existing corpus. Exact
     // tier = sha256 anti-join; near tier = portable-MinHash bands vs the
@@ -3340,6 +3370,47 @@ object ExtensionQueries {
         |SELECT node AS doc_id, MIN(root) AS cluster_id,
         |  CAST(node = MIN(root) AS INT) AS is_kept
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // d6's CC chain + per-cluster quality rank (most words, then id)
+    "d12_quality_canonical" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1])) AS bg
+        |  FROM toks WHERE len(w) >= 2
+        |), e0 AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+        |  WHERE CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.bg, b.bg))) >= 0.05
+        |), edges AS (
+        |  SELECT a AS src, b AS dst FROM e0
+        |  UNION ALL SELECT b, a FROM e0
+        |), reach AS (
+        |  SELECT doc_id AS node, doc_id AS root FROM documents
+        |  UNION
+        |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+        |), cl AS (
+        |  SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node
+        |), nw AS (
+        |  SELECT doc_id, CAST(len(list_filter(w, t -> t <> '')) AS BIGINT)
+        |    AS n_words
+        |  FROM toks
+        |), rk AS (
+        |  SELECT cl.cluster_id, cl.doc_id, nw.n_words,
+        |    ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+        |      ORDER BY nw.n_words DESC, cl.doc_id) AS rk
+        |  FROM cl JOIN nw USING (doc_id)
+        |)
+        |SELECT cluster_id, COUNT(*) AS n_members,
+        |  CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS kept_doc,
+        |  CAST(MAX(CASE WHEN rk = 1 THEN n_words END) AS BIGINT)
+        |    AS kept_n_words,
+        |  CAST(SUM(n_words) AS BIGINT) AS cluster_words,
+        |  CAST(SUM(n_words) - MAX(CASE WHEN rk = 1 THEN n_words END)
+        |    AS BIGINT) AS words_dropped
+        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
     "t6_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, u.w FROM (
