@@ -36,15 +36,17 @@ class ExpensivePlanSpec extends SparkSpec {
   // is pinned below). Kept as an explicit list, not derived from a
   // bench artifact, so the guard is hermetic; the registry-wide sweep
   // (RegistryPlanSweepSpec) covers everything else.
-  // r9-continuation re-rank: dr1 and mod1 entered at #4/#9; bkt1/cal1
-  // slid to #11/#12 but stay pinned — former members whose shapes
-  // still matter.
+  // r9-continuation final re-rank (402-query bench): card2/rnn2/d12
+  // entered the top-10 alongside dr1; mod1/bkt1/cal1/d6 slid out but
+  // stay pinned — former members whose shapes still matter.
   private val top10Batch = Seq(
     "tm2_clean_corpus", "tm1_training_funnel", "d11_containment_join",
     "ssj1_prefix_jaccard", "d7_dedup_pipeline", "d6_dedup_clusters",
     "d10_incremental_dedup", "bkt1_bucketed_join",
     "bkt2_partitioned_bucketed", "cal1_gate_agreement",
-    "dr1_dedup_recall", "mod1_community_modularity")
+    "dr1_dedup_recall", "mod1_community_modularity",
+    "card2_drift_scorecard", "rnn2_mutual_knn_clusters",
+    "d12_quality_canonical")
 
   test("bench top-10: no cartesian, no partition-less window anywhere") {
     for (name <- top10Batch) {
