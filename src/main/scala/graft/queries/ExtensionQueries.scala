@@ -790,6 +790,58 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_uncovered"))
         .orderBy("day")
     },
+    // Relational DIVISION — "which suppliers supply ALL size-50 parts",
+    // the universal-quantifier join (⊇ a set) the other join modes
+    // can't express. Computed in the scalable counting form: the
+    // target set broadcasts, the deduplicated (supplier, part)
+    // relation semi-joins it, and coverage counts compare to the
+    // 1-row target cardinality — equivalent to the classic
+    // double-anti-join (no target part left unsupplied) but emitting
+    // the full coverage census instead of only the survivors. The
+    // fact table shuffles once (the distinct); nothing is
+    // suppliers×parts.
+    "j14_relational_division" -> { (spark, dir) =>
+      val target = Tables.part(spark, dir).where(col("p_size") === 50)
+        .select(col("p_partkey"))
+      val nT = target.agg(count(lit(1)).as("n_target"))
+      val cov = Tables.lineitem(spark, dir)
+        .select(col("l_suppkey"), col("l_partkey")).distinct()
+        .join(broadcast(target), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey").agg(count(lit(1)).as("n_covered"))
+      Tables.supplier(spark, dir).select(col("s_suppkey"))
+        .join(cov.withColumnRenamed("l_suppkey", "s_suppkey"),
+          Seq("s_suppkey"), "left")
+        .crossJoin(broadcast(nT))
+        .select(col("s_suppkey"),
+          coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+          col("n_target"),
+          (coalesce(col("n_covered"), lit(0L)) === col("n_target"))
+            .as("full_coverage"))
+        .orderBy("s_suppkey")
+    },
+
+    // Functional-dependency profiling — the metanome-style "does A
+    // determine B?" audit a schema-inference layer runs before trusting
+    // a column as a key or a dimension attribute. Each candidate is
+    // one grouped count-distinct (map-side partials); violations are
+    // lhs groups with >1 distinct rhs. Exact counts; the verdict is a
+    // boolean, not a score.
+    "fd1_functional_dependencies" -> { (spark, dir) =>
+      def fd(df: DataFrame, lhs: String, rhs: String): DataFrame =
+        df.groupBy(lhs).agg(countDistinct(col(rhs)).as("k"))
+          .agg(count(lit(1)).as("n_lhs"),
+            expr("count_if(k > 1)").as("n_violating"))
+          .select(lit(s"$lhs->$rhs").as("fd"), col("n_lhs"),
+            col("n_violating"), (col("n_violating") === 0L).as("holds"))
+      val o = Tables.orders(spark, dir)
+      val l = Tables.lineitem(spark, dir)
+      fd(o, "o_orderkey", "o_custkey")
+        .unionByName(fd(o, "o_custkey", "o_orderpriority"))
+        .unionByName(fd(l, "l_orderkey", "l_returnflag"))
+        .unionByName(fd(l, "l_partkey", "l_suppkey"))
+        .orderBy("fd")
+    },
+
     // Numeric BAND self-join — order pairs within the same priority
     // whose totals differ by ≤ $1: the near-duplicate-amount screen
     // (split invoices, double charges) that is a cross join done
@@ -3168,6 +3220,50 @@ object ExtensionQueries {
         |  ON epoch_ns(ev.ts) // 1000000000 >= iv.s
         | AND epoch_ns(ev.ts) // 1000000000 < iv.e
         |ORDER BY ev.event_id, iv.interval_id""".stripMargin,
+    "j14_relational_division" ->
+      """WITH target AS (
+        |  SELECT p_partkey FROM part WHERE p_size = 50
+        |), nt AS (SELECT COUNT(*) AS n_target FROM target),
+        |cov AS (
+        |  SELECT l_suppkey AS s_suppkey, COUNT(*) AS n_covered FROM (
+        |    SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+        |  ) sp JOIN target t ON sp.l_partkey = t.p_partkey
+        |  GROUP BY 1
+        |)
+        |SELECT s.s_suppkey,
+        |  CAST(COALESCE(cov.n_covered, 0) AS BIGINT) AS n_covered,
+        |  nt.n_target,
+        |  COALESCE(cov.n_covered, 0) = nt.n_target AS full_coverage
+        |FROM supplier s LEFT JOIN cov ON cov.s_suppkey = s.s_suppkey
+        |CROSS JOIN nt
+        |ORDER BY s.s_suppkey""".stripMargin,
+    "fd1_functional_dependencies" ->
+      """WITH f1 AS (
+        |  SELECT 'o_orderkey->o_custkey' AS fd, COUNT(*) AS n_lhs,
+        |    CAST(count_if(k > 1) AS BIGINT) AS n_violating
+        |  FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS k
+        |        FROM orders GROUP BY 1)
+        |), f2 AS (
+        |  SELECT 'o_custkey->o_orderpriority' AS fd, COUNT(*) AS n_lhs,
+        |    CAST(count_if(k > 1) AS BIGINT) AS n_violating
+        |  FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS k
+        |        FROM orders GROUP BY 1)
+        |), f3 AS (
+        |  SELECT 'l_orderkey->l_returnflag' AS fd, COUNT(*) AS n_lhs,
+        |    CAST(count_if(k > 1) AS BIGINT) AS n_violating
+        |  FROM (SELECT l_orderkey, COUNT(DISTINCT l_returnflag) AS k
+        |        FROM lineitem GROUP BY 1)
+        |), f4 AS (
+        |  SELECT 'l_partkey->l_suppkey' AS fd, COUNT(*) AS n_lhs,
+        |    CAST(count_if(k > 1) AS BIGINT) AS n_violating
+        |  FROM (SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS k
+        |        FROM lineitem GROUP BY 1)
+        |), u AS (
+        |  SELECT * FROM f1 UNION ALL SELECT * FROM f2
+        |  UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4
+        |)
+        |SELECT fd, n_lhs, n_violating, n_violating = 0 AS holds
+        |FROM u ORDER BY fd""".stripMargin,
     // naive inequality join — the bucketed candidates must reproduce it
     "j12_band_join" ->
       """WITH o AS (
