@@ -747,6 +747,39 @@ object ExtensionQueries {
         .orderBy("user_id", "version")
     },
 
+    // SCD-2 history INTEGRITY audit — the invariant st26's
+    // point-in-time join silently relies on: per key the versions must
+    // PARTITION time (adjacent intervals touch exactly: from_{v+1} =
+    // to_v; no overlaps, no gaps) and exactly one open-ended current
+    // row exists. Violations are exact per-key window comparisons over
+    // the history relation (partitioned by key, never global); the
+    // census pins every count — a correct history hashes to literal
+    // zeros, so ANY builder regression (dup versions, wrong lead
+    // frame, tie mishandling) is a hash fail.
+    "scd3_history_integrity" -> { (spark, dir) =>
+      val signups = Tables.events(spark, dir)
+        .where(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id"), col("ts_sec"))
+      val hist = graft.operators.Scd2
+        .buildHistory(signups, col("user_id"), col("ts_sec"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy("version")
+      hist
+        .withColumn("prev_to", lag(col("effective_to"), 1).over(w))
+        .agg(
+          countDistinct(col("user_id")).as("n_keys"),
+          count(lit(1)).as("n_versions"),
+          expr("count_if(version > 1 AND effective_from <> prev_to)")
+            .as("n_seam_breaks"),
+          expr("count_if(effective_to IS NOT NULL " +
+            "AND effective_to <= effective_from)").as("n_inverted"),
+          expr("count_if(is_current = 1 AND effective_to IS NOT NULL)")
+            .as("n_closed_current"),
+          expr("count_if(effective_to IS NULL)").as("n_open_ended"))
+        .select(col("n_keys"), col("n_versions"), col("n_seam_breaks"),
+          col("n_inverted"), col("n_closed_current"),
+          (col("n_open_ended") === col("n_keys")).as("one_current_per_key"))
+    },
+
     // --- Range join: events inside deterministic 12h promo windows
     // (bucketed interval join; oracle uses the naive BETWEEN join) ---
     "x8_range_join" -> { (spark, dir) =>
@@ -3192,6 +3225,34 @@ object ExtensionQueries {
         |WINDOW w AS (PARTITION BY user_id
         |  ORDER BY date_trunc('second', ts), event_id)
         |ORDER BY user_id, version""".stripMargin,
+    // x11's history rebuilt, then the partition-of-time audit; a
+    // correct history pins every violation count to a literal zero
+    "scd3_history_integrity" ->
+      """WITH hist AS (
+        |  SELECT user_id,
+        |    CAST(ROW_NUMBER() OVER w AS INT) AS version,
+        |    date_trunc('second', ts) AS effective_from,
+        |    date_trunc('second', LEAD(ts, 1) OVER w) AS effective_to,
+        |    CAST(LEAD(ts, 1) OVER w IS NULL AS INT) AS is_current
+        |  FROM events WHERE event_type = 'signup'
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY date_trunc('second', ts), event_id)
+        |), lagged AS (
+        |  SELECT *, LAG(effective_to, 1) OVER (PARTITION BY user_id
+        |    ORDER BY version) AS prev_to
+        |  FROM hist
+        |)
+        |SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+        |  COUNT(*) AS n_versions,
+        |  CAST(count_if(version > 1 AND effective_from <> prev_to)
+        |    AS BIGINT) AS n_seam_breaks,
+        |  CAST(count_if(effective_to IS NOT NULL
+        |    AND effective_to <= effective_from) AS BIGINT) AS n_inverted,
+        |  CAST(count_if(is_current = 1 AND effective_to IS NOT NULL)
+        |    AS BIGINT) AS n_closed_current,
+        |  count_if(effective_to IS NULL) = COUNT(DISTINCT user_id)
+        |    AS one_current_per_key
+        |FROM lagged""".stripMargin,
     // NOT EXISTS over the same interval containment x8 joins on
     "j11_interval_anti" ->
       """WITH iv AS (
