@@ -4,7 +4,7 @@ import graft.Tables
 import graft.functions.VectorMath
 import graft.operators.{Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
@@ -1205,6 +1205,47 @@ object ExtensionQueries {
           .where(col("rn") <= 5).select(col("q_vec"), col("cv"))
       }
       val counts = top5("cf").intersect(top5("ct"))
+        .groupBy("q_vec")
+        .agg(count(lit(1)).as("n"))
+      q.select(col("q_vec")).join(counts, Seq("q_vec"), "left")
+        .select(col("q_vec"), coalesce(col("n"), lit(0L)).as("overlap_at_5"))
+        .orderBy("q_vec")
+    },
+
+    // Int8-quantization recall audit — the scalar-quantization column
+    // of the compression→retrieval matrix (truncation = e7, PQ = x20r,
+    // LSH = x2r): per anchor, top-5 by full-precision exact cosine vs
+    // top-5 by cosine over e3's int8 mapping (clamp(floor(v·127))) —
+    // the overlap says what the 4× memory saving costs retrieval.
+    // Int8 dots are exact BIGINTs; same broadcast-anchor posture as
+    // e7, the corpus never shuffles.
+    "e8_int8_recall" -> { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      val q = broadcast(emb.where(col("vec_id") < 4)
+        .select(col("vec_id").as("q_vec"), col("embedding").as("qe")))
+      def q8(c: Column) = transform(c, v =>
+        greatest(lit(-127L),
+          least(lit(127L), floor(v.cast(DoubleType) * 127.0).cast(LongType))))
+      def dotL(a: Column, b: Column) =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L),
+          (acc, v) => acc + v)
+      val scored = emb.crossJoin(q)
+        .where(col("vec_id") =!= col("q_vec"))
+        .withColumn("qa", q8(col("qe")))
+        .withColumn("qb", q8(col("embedding")))
+        .select(col("q_vec"), col("vec_id").as("cv"),
+          VectorMath.cosineExact(col("qe"), col("embedding")).as("cf"),
+          (dotL(col("qa"), col("qb")).cast(DoubleType) /
+            (sqrt(dotL(col("qa"), col("qa")).cast(DoubleType)) *
+              sqrt(dotL(col("qb"), col("qb")).cast(DoubleType)))).as("c8"))
+        .localCheckpoint(eager = false) // feeds both rankings
+      def top5(score: String) = {
+        val w = Window.partitionBy("q_vec")
+          .orderBy(col(score).desc, col("cv"))
+        scored.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 5).select(col("q_vec"), col("cv"))
+      }
+      val counts = top5("cf").intersect(top5("c8"))
         .groupBy("q_vec")
         .agg(count(lit(1)).as("n"))
       q.select(col("q_vec")).join(counts, Seq("q_vec"), "left")
@@ -3215,6 +3256,50 @@ object ExtensionQueries {
         |  coalesce(u.c_acctbal, c.c_acctbal) AS c_acctbal
         |FROM current c FULL OUTER JOIN updates u ON c.c_custkey = u.c_custkey
         |ORDER BY c_custkey""".stripMargin,
+    // x1's quantized-cosine CTEs with the e3 int8 mapping alongside;
+    // per-anchor top-5 overlap, absent anchors emit 0
+    "e8_int8_recall" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4
+        |), pairs AS (
+        |  SELECT q.vec_id AS qv, c.vec_id AS cv,
+        |    q.embedding AS eq, c.embedding AS ec
+        |  FROM q, embeddings c WHERE c.vec_id != q.vec_id
+        |), terms AS (
+        |  SELECT qv, cv,
+        |    CAST(floor(CAST(eq[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS xf,
+        |    CAST(floor(CAST(ec[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS yf,
+        |    GREATEST(-127, LEAST(127,
+        |      CAST(floor(CAST(eq[g.i] AS DOUBLE) * 127.0) AS BIGINT))) AS x8,
+        |    GREATEST(-127, LEAST(127,
+        |      CAST(floor(CAST(ec[g.i] AS DOUBLE) * 127.0) AS BIGINT))) AS y8
+        |  FROM pairs, UNNEST(generate_series(1, len(eq))) AS g(i)
+        |), agg AS (
+        |  SELECT qv, cv,
+        |    CAST(SUM(xf * yf) AS DOUBLE) AS dotf,
+        |    CAST(SUM(xf * xf) AS DOUBLE) AS nxf,
+        |    CAST(SUM(yf * yf) AS DOUBLE) AS nyf,
+        |    CAST(SUM(x8 * y8) AS DOUBLE) AS dot8,
+        |    CAST(SUM(x8 * x8) AS DOUBLE) AS nx8,
+        |    CAST(SUM(y8 * y8) AS DOUBLE) AS ny8
+        |  FROM terms GROUP BY 1, 2
+        |), rf AS (
+        |  SELECT qv, cv, ROW_NUMBER() OVER (PARTITION BY qv
+        |    ORDER BY dotf / nullif(sqrt(nxf) * sqrt(nyf), 0) DESC, cv) AS r
+        |  FROM agg
+        |), r8 AS (
+        |  SELECT qv, cv, ROW_NUMBER() OVER (PARTITION BY qv
+        |    ORDER BY dot8 / (sqrt(nx8) * sqrt(ny8)) DESC, cv) AS r
+        |  FROM agg
+        |), ov AS (
+        |  SELECT f.qv, COUNT(*) AS n
+        |  FROM rf f JOIN r8 e ON e.qv = f.qv AND e.cv = f.cv AND e.r <= 5
+        |  WHERE f.r <= 5 GROUP BY 1
+        |)
+        |SELECT q.vec_id AS q_vec, CAST(COALESCE(ov.n, 0) AS BIGINT)
+        |  AS overlap_at_5
+        |FROM q LEFT JOIN ov ON ov.qv = q.vec_id
+        |ORDER BY q_vec""".stripMargin,
     "x11_scd2" ->
       """SELECT user_id,
         |  CAST(ROW_NUMBER() OVER w AS INT) AS version, event_id, value,
