@@ -298,6 +298,32 @@ object AnalyticsQueries {
           |)
           |SELECT doc_id, cluster_root FROM r ORDER BY doc_id""".stripMargin)
     },
+    // WEIGHTED transitive closure — the bill-of-materials explosion r1's
+    // unweighted reachability can't express: effective quantity of every
+    // part in root 1's subtree is the PRODUCT of edge quantities along
+    // the path. The part-key halving tree (child → child div 2, qty =
+    // child mod 3 + 1) is a deterministic DAG both engines derive from
+    // the same table; the recursion carries exact integer products
+    // (≤ 3^depth · Σ — inside BIGINT beyond 10^7 parts), and the census
+    // rolls up per depth. Both engines run the recursion natively; the
+    // loop-invariant edge set checkpoints once, as in r1.
+    "r2_bom_explosion" -> { (spark, dir) =>
+      Tables.part(spark, dir).where(col("p_partkey") >= 2)
+        .select(col("p_partkey").as("child"),
+          expr("p_partkey div 2").as("parent"),
+          (col("p_partkey") % 3 + 1).as("qty"))
+        .localCheckpoint(eager = true)
+        .createOrReplaceTempView("bom_edges_r2")
+      spark.sql(
+        """WITH RECURSIVE bom(node, eff_qty, depth) AS (
+          |  SELECT child, qty, 1 FROM bom_edges_r2 WHERE parent = 1
+          |  UNION ALL
+          |  SELECT e.child, b.eff_qty * e.qty, b.depth + 1
+          |  FROM bom b JOIN bom_edges_r2 e ON e.parent = b.node
+          |)
+          |SELECT depth, COUNT(*) AS n_nodes, SUM(eff_qty) AS sum_eff_qty
+          |FROM bom GROUP BY depth ORDER BY depth""".stripMargin)
+    },
 
     // Bounded-round synchronous label propagation — the OTHER community
     // primitive next to d6's run-to-convergence pointer jumping: every
@@ -852,6 +878,20 @@ object AnalyticsQueries {
          |    / $P60
          |  < least(CAST(n_chars AS DOUBLE) / 600.0, 1.0)
          |ORDER BY doc_id""".stripMargin,
+    "r2_bom_explosion" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT p_partkey AS child, p_partkey // 2 AS parent,
+        |    CAST(p_partkey % 3 + 1 AS BIGINT) AS qty
+        |  FROM part WHERE p_partkey >= 2
+        |), bom(node, eff_qty, depth) AS (
+        |  SELECT child, qty, 1 FROM e WHERE parent = 1
+        |  UNION ALL
+        |  SELECT e.child, bom.eff_qty * e.qty, bom.depth + 1
+        |  FROM bom JOIN e ON e.parent = bom.node
+        |)
+        |SELECT depth, COUNT(*) AS n_nodes,
+        |  CAST(SUM(eff_qty) AS BIGINT) AS sum_eff_qty
+        |FROM bom GROUP BY depth ORDER BY depth""".stripMargin,
     "r1_recursive_closure" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
