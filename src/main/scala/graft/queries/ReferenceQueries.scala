@@ -622,6 +622,37 @@ object ReferenceQueries {
         .orderBy("o_orderkey")
     },
 
+    // BUSINESS-day arithmetic — the SLA calendar every ops dashboard
+    // needs and no engine ships as a builtin: weekdays between order
+    // date and the order's last shipment, in closed form. W(d) =
+    // 5·(d div 7) + C(d mod 7) counts weekdays in [epoch, d) (day 0 =
+    // Thu 1970-01-01; C is the 7-case cumulative written as the SAME
+    // CASE on both engines), so bd = W(ship) − W(order) is pure
+    // integer arithmetic — no per-day explode, no calendar table.
+    // Census per priority: exact day mass + one trailing mean.
+    "f14_business_days" -> { (spark, dir) =>
+      val lastShip = Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(max(to_date(col("l_shipdate"))).as("ship"))
+      val caseC = "CASE %s %% 7 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 " +
+        "WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3 ELSE 4 END"
+      Tables.orders(spark, dir)
+        .join(lastShip, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("prio"),
+          datediff(col("ship"), to_date(lit("1970-01-01"))).as("es"),
+          datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+            .as("eo"))
+        .withColumn("bd", expr(
+          s"CAST((5 * (es div 7) + ${caseC.format("es")}) - " +
+            s"(5 * (eo div 7) + ${caseC.format("eo")}) AS BIGINT)"))
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n_orders"), sum(col("bd")).as("bd_sum"),
+          max(col("bd")).as("bd_max"))
+        .withColumn("bd_mean",
+          col("bd_sum").cast(DoubleType) / col("n_orders").cast(DoubleType))
+        .orderBy("prio")
+    },
+
     // W3: running + sliding frame aggregates per customer. The running
     // sum is decimal-exact; the moving average divides two exact values.
     // Window ordering is (o_orderdate, o_orderkey) — unique, so RANGE
@@ -951,6 +982,33 @@ object ReferenceQueries {
         |    AS month_start,
         |  last_day(CAST(o_orderdate AS DATE)) AS month_end
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // weekday-count closed form W(d) = 5·(d div 7) + C(d mod 7),
+    // epoch day 0 = Thu 1970-01-01
+    "f14_business_days" ->
+      """WITH ls AS (
+        |  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS ship
+        |  FROM lineitem GROUP BY 1
+        |), d AS (
+        |  SELECT o.o_orderpriority AS prio,
+        |    date_diff('day', DATE '1970-01-01', ls.ship) AS es,
+        |    date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+        |      AS eo
+        |  FROM orders o JOIN ls ON ls.l_orderkey = o.o_orderkey
+        |), b AS (
+        |  SELECT prio, CAST(
+        |    (5 * (es // 7) + CASE es % 7 WHEN 0 THEN 0 WHEN 1 THEN 1
+        |      WHEN 2 THEN 2 WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3
+        |      ELSE 4 END)
+        |    - (5 * (eo // 7) + CASE eo % 7 WHEN 0 THEN 0 WHEN 1 THEN 1
+        |      WHEN 2 THEN 2 WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3
+        |      ELSE 4 END) AS BIGINT) AS bd
+        |  FROM d
+        |)
+        |SELECT prio, COUNT(*) AS n_orders,
+        |  CAST(SUM(bd) AS BIGINT) AS bd_sum, CAST(MAX(bd) AS BIGINT) AS bd_max,
+        |  CAST(CAST(SUM(bd) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS bd_mean
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "w3_running_window" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
         |  o_totalprice,
