@@ -26,6 +26,64 @@ object ExperimentQueries {
 
   private val dec = DecimalType(38, 0)
 
+  /** The (source, term, cs) count spine shared by the drift-lens family
+    * (tv1/hell1/csim1/chao1) — factored so card2 can compute every lens
+    * from ONE tokenize pass while each standalone query keeps the same
+    * definition (the tails below are the single source of truth).
+    */
+  private[queries] def sourceTermCounts(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        explode(TextAnalysis.words(col("text"))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("source", "term").agg(count(lit(1)).as("cs"))
+
+  /** hell1's tail over a prebuilt count spine (scaladoc at the query). */
+  private[queries] def hellingerFromCounts(counts: DataFrame): DataFrame = {
+    val g = counts.groupBy("term").agg(sum(col("cs")).as("c"))
+    val ns = counts.groupBy("source").agg(sum(col("cs")).as("n_s"))
+    val tot = counts.agg(sum(col("cs")).as("n"))
+    counts.join(g, Seq("term"))
+      .select(col("source"),
+        floor(sqrt((col("cs") * col("c")).cast(DoubleType)) *
+          lit(1048576.0)).cast(LongType).as("bq"))
+      .groupBy("source").agg(sum(col("bq")).as("bc_q"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_s").as("n_tokens"), col("bc_q"),
+        (lit(1.0) - col("bc_q").cast(DoubleType) /
+          (lit(1048576.0) *
+            sqrt(col("n_s").cast(DoubleType) * col("n").cast(DoubleType))))
+          .as("hell2"))
+  }
+
+  /** csim1's tail over a prebuilt count spine. */
+  private[queries] def cosineFromCounts(counts: DataFrame): DataFrame = {
+    val g = counts.groupBy("term").agg(sum(col("cs")).as("c"))
+      .localCheckpoint(eager = false) // joined + norm-summed
+    val gn = g.agg(sum(col("c") * col("c")).as("nn"))
+    counts.join(g, Seq("term"))
+      .groupBy("source")
+      .agg(sum(col("cs") * col("c")).as("dot"),
+        sum(col("cs") * col("cs")).as("ns2"),
+        count(lit(1)).as("vocab_s"))
+      .crossJoin(broadcast(gn))
+      .select(col("source"), col("vocab_s"), col("dot"),
+        (col("dot").cast(DoubleType) /
+          (sqrt(col("ns2").cast(DoubleType)) *
+            sqrt(col("nn").cast(DoubleType)))).as("cosine"))
+  }
+
+  /** chao1's tail over a prebuilt count spine. */
+  private[queries] def chao1FromCounts(counts: DataFrame): DataFrame =
+    counts.groupBy("source")
+      .agg(count(lit(1)).as("d"),
+        expr("count_if(cs = 1)").as("f1"),
+        expr("count_if(cs = 2)").as("f2"))
+      .select(col("source"), col("d"), col("f1"), col("f2"),
+        (col("d").cast(DoubleType) +
+          (col("f1") * (col("f1") - 1)).cast(DoubleType) /
+            (lit(2.0) * (col("f2") + 1).cast(DoubleType))).as("chao1"))
+
   /** Exact discrete median of `valueCol` (the a12 rank-selection rule,
     * position ceil(n/2)) computed on the grouped-by-value relation via
     * the distributed prefix sum. Returns a 1-row frame `(outCol)`.
@@ -672,27 +730,9 @@ object ExperimentQueries {
     // the source contribute exactly 0 (√0), so — like tv1 — each
     // source only joins ITS OWN vocabulary. hell2 = 1 − BC ∈ [0,1].
     "hell1_hellinger_drift" -> { (spark, dir) =>
-      val counts = Tables.documentsParallel(spark, dir)
-        .select(col("source"),
-          explode(TextAnalysis.words(col("text"))).as("term"))
-        .where(col("term") =!= "")
-        .groupBy("source", "term").agg(count(lit(1)).as("cs"))
-        .localCheckpoint(eager = false) // feeds totals + the join
-      val g = counts.groupBy("term").agg(sum(col("cs")).as("c"))
-      val ns = counts.groupBy("source").agg(sum(col("cs")).as("n_s"))
-      val tot = counts.agg(sum(col("cs")).as("n"))
-      counts.join(g, Seq("term"))
-        .select(col("source"),
-          floor(sqrt((col("cs") * col("c")).cast(DoubleType)) *
-            lit(1048576.0)).cast(LongType).as("bq"))
-        .groupBy("source").agg(sum(col("bq")).as("bc_q"))
-        .join(broadcast(ns), Seq("source"))
-        .crossJoin(broadcast(tot))
-        .select(col("source"), col("n_s").as("n_tokens"), col("bc_q"),
-          (lit(1.0) - col("bc_q").cast(DoubleType) /
-            (lit(1048576.0) *
-              sqrt(col("n_s").cast(DoubleType) * col("n").cast(DoubleType))))
-            .as("hell2"))
+      hellingerFromCounts(
+          sourceTermCounts(Tables.documentsParallel(spark, dir))
+            .localCheckpoint(eager = false)) // feeds totals + the join
         .orderBy("source")
     },
 
@@ -703,25 +743,9 @@ object ExperimentQueries {
     // the single trailing double formula — no quantization needed at
     // all. Same own-vocabulary join shape as tv1.
     "csim1_source_profile_cosine" -> { (spark, dir) =>
-      val counts = Tables.documentsParallel(spark, dir)
-        .select(col("source"),
-          explode(TextAnalysis.words(col("text"))).as("term"))
-        .where(col("term") =!= "")
-        .groupBy("source", "term").agg(count(lit(1)).as("cs"))
-        .localCheckpoint(eager = false) // feeds norms + the dot join
-      val g = counts.groupBy("term").agg(sum(col("cs")).as("c"))
-        .localCheckpoint(eager = false) // joined + norm-summed
-      val gn = g.agg(sum(col("c") * col("c")).as("nn"))
-      counts.join(g, Seq("term"))
-        .groupBy("source")
-        .agg(sum(col("cs") * col("c")).as("dot"),
-          sum(col("cs") * col("cs")).as("ns2"),
-          count(lit(1)).as("vocab_s"))
-        .crossJoin(broadcast(gn))
-        .select(col("source"), col("vocab_s"), col("dot"),
-          (col("dot").cast(DoubleType) /
-            (sqrt(col("ns2").cast(DoubleType)) *
-              sqrt(col("nn").cast(DoubleType)))).as("cosine"))
+      cosineFromCounts(
+          sourceTermCounts(Tables.documentsParallel(spark, dir))
+            .localCheckpoint(eager = false)) // feeds norms + the dot join
         .orderBy("source")
     },
 
@@ -878,19 +902,7 @@ object ExperimentQueries {
     // aggregates — tokens → (source, term) counts → per-source counts of
     // counts; nothing wider than the vocabulary ever shuffles.
     "chao1_vocab_richness" -> { (spark, dir) =>
-      val cnt = Tables.documentsParallel(spark, dir)
-        .select(col("source"),
-          explode(TextAnalysis.words(col("text"))).as("term"))
-        .where(col("term") =!= "")
-        .groupBy("source", "term").agg(count(lit(1)).as("c"))
-      cnt.groupBy("source")
-        .agg(count(lit(1)).as("d"),
-          expr("count_if(c = 1)").as("f1"),
-          expr("count_if(c = 2)").as("f2"))
-        .select(col("source"), col("d"), col("f1"), col("f2"),
-          (col("d").cast(DoubleType) +
-            (col("f1") * (col("f1") - 1)).cast(DoubleType) /
-              (lit(2.0) * (col("f2") + 1).cast(DoubleType))).as("chao1"))
+      chao1FromCounts(sourceTermCounts(Tables.documentsParallel(spark, dir)))
         .orderBy("source")
     },
 
@@ -954,12 +966,9 @@ object ExperimentQueries {
     // (Products are c·N ≤ N_s·N ≈ 1e13 at sf1 — upgrade the numerator
     // to DECIMAL(38,0) past ~3e9 tokens.)
     "tv1_distribution_shift" -> { (spark, dir) =>
-      val counts = Tables.documentsParallel(spark, dir)
-        .select(col("source"),
-          explode(TextAnalysis.words(col("text"))).as("term"))
-        .where(col("term") =!= "")
-        .groupBy("source", "term").agg(count(lit(1)).as("cs"))
-      TextAnalysis.totalVariationBySource(counts).orderBy("source")
+      TextAnalysis.totalVariationBySource(
+          sourceTermCounts(Tables.documentsParallel(spark, dir)))
+        .orderBy("source")
     },
   )
 

@@ -1017,14 +1017,22 @@ object TrainingDataQueries {
     // already-pinned plan; the final join is |sources| rows.
     "card2_drift_scorecard" -> { (spark, dir) =>
       def ex(n: String) = ExperimentQueries.queries(n)(spark, dir)
-      val tv = ex("tv1_distribution_shift")
+      // the four (source, term)-spine lenses compute from ONE tokenize
+      // pass (the shared-tail definitions each standalone query also
+      // runs — composition still can't drift); the other three lenses
+      // have different spines and run as their registered functions
+      val counts = ExperimentQueries
+        .sourceTermCounts(Tables.documentsParallel(spark, dir))
+        .localCheckpoint(eager = true) // four lens consumers
+      val tv = graft.operators.TextAnalysis.totalVariationBySource(counts)
         .select(col("source"), col("n_tokens"), col("tv"))
-      val he = ex("hell1_hellinger_drift").select(col("source"), col("hell2"))
-      val cs = ex("csim1_source_profile_cosine")
+      val he = ExperimentQueries.hellingerFromCounts(counts)
+        .select(col("source"), col("hell2"))
+      val cs = ExperimentQueries.cosineFromCounts(counts)
         .select(col("source"), col("cosine"))
-      val nv = ex("nov1_ngram_novelty").select(col("source"), col("novelty"))
-      val ch = ex("chao1_vocab_richness")
+      val ch = ExperimentQueries.chao1FromCounts(counts)
         .select(col("source"), col("d").as("vocab"), col("chao1"))
+      val nv = ex("nov1_ngram_novelty").select(col("source"), col("novelty"))
       val jk = ex("jk1_source_influence")
         .select(col("source"), col("n_docs"), col("influence"))
       val c4 = queries("c4g1_c4_gate")(spark, dir)
