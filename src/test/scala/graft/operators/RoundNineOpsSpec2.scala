@@ -6,10 +6,11 @@ import graft.{SparkEntry, SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 
 /** Invariant laws for the second wave of round-9 additions — the
-  * properties the DuckDB oracle hash can't articulate. Replays use
-  * sf0.01 where the fixture graph/band structure is non-degenerate at
-  * the query's thresholds (sf0.001's 50 docs clear neither minCo=20
-  * nor the chain-edge Jaccard often enough).
+  * properties the DuckDB oracle hash can't articulate. The two graph
+  * replays (ast1/mod1) run at sf0.01, where the fixture graph is
+  * non-degenerate at the queries' thresholds (sf0.001's 50 docs clear
+  * neither minCo=20 nor the chain-edge Jaccard often enough); the
+  * rest replay at sf0.001.
   */
 class RoundNineOpsSpec2 extends SparkSpec {
 
