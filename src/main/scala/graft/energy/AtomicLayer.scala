@@ -127,8 +127,12 @@ object AtomicLayer {
         try {
           while (!Thread.currentThread().isInterrupted) {
             Thread.sleep(period)
+            // swallow ANY non-fatal failure, not just IOException: a
+            // connector whose setTimes throws UnsupportedOperation/
+            // RuntimeException would otherwise kill the daemon on the
+            // first beat and silently remove lease protection mid-write
             try fs.setTimes(claim, System.currentTimeMillis(), -1)
-            catch { case _: java.io.IOException => () }
+            catch { case scala.util.control.NonFatal(_) => () }
           }
         } catch { case _: InterruptedException => () },
       s"atomiclayer-heartbeat-${claim.getName}")
@@ -199,7 +203,15 @@ object AtomicLayer {
       !committed && v < next &&
         !fs.exists(new Path(rootPath, s"v$v.claim"))
     }
-    (staleCommitted ++ crashed).foreach { case (_, p, _) => fs.delete(p, true) }
+    staleCommitted.foreach { case (_, p, _) => fs.delete(p, true) }
+    // second fence (same as the lease path): the `committed` flag above
+    // is a stale listing — a concurrent writer may have committed and
+    // dropped its claim between the listing and here. Re-check _SUCCESS
+    // immediately before the recursive delete so a freshly committed
+    // snapshot is never destroyed.
+    crashed.foreach { case (_, p, _) =>
+      if (!fs.exists(new Path(p, "_SUCCESS"))) fs.delete(p, true): Unit
+    }
     fs.listStatus(rootPath).toSeq
       .filter(st => !st.isDirectory)
       .foreach { st =>
@@ -253,7 +265,10 @@ object AtomicLayer {
     * snapshots beyond `keepVersions`, sweeps crashed writers' debris —
     * uncommitted version dirs with no claim (a live writer's claim
     * always outlives its dir, so claimless uncommitted dirs are
-    * ownerless at ANY version number), committed dirs' leftover claims
+    * ownerless at ANY version number — with `_SUCCESS` re-checked
+    * immediately before the recursive delete, because the listing's
+    * committed flag is stale and the owner may have committed since),
+    * committed dirs' leftover claims
     * (the owner provably finished), and lease-expired claims together
     * with their uncommitted dirs (same second fence as [[write]]'s
     * sweep: the claim's mtime is re-read and `_SUCCESS` re-checked
@@ -279,7 +294,14 @@ object AtomicLayer {
     }
     all.filter { case (v, _, committed) =>
       !committed && !fs.exists(new Path(rootPath, s"v$v.claim"))
-    }.foreach { case (_, p, _) => fs.delete(p, true); sweptDirs += 1 }
+    }.foreach { case (_, p, _) =>
+      // second fence: the listing's committed flag is stale — the owner
+      // may have committed (and dropped its claim) since. Re-check
+      // _SUCCESS immediately before the recursive delete.
+      if (!fs.exists(new Path(p, "_SUCCESS"))) {
+        fs.delete(p, true); sweptDirs += 1
+      }
+    }
     fs.listStatus(rootPath).toSeq
       .filter(st => !st.isDirectory)
       .foreach { st =>
@@ -312,5 +334,21 @@ object AtomicLayer {
     latestCommitted(spark, root) match {
       case Some(dir) => spark.read.parquet(dir)
       case None => spark.read.parquet(root)
+    }
+
+  /** Highest `_merged_batch_id` folded into the committed snapshot at
+    * `root`, or -1 when no snapshot exists or it is empty (an empty
+    * first micro-batch commits a 0-row snapshot whose max is NULL) —
+    * THE foreachBatch retry guard shared by every streaming merge: a
+    * batch at-or-below this value must be a no-op. One definition, so
+    * a guard fix can never be applied to three of four copies.
+    */
+  def lastMergedBatch(spark: SparkSession, root: String): Long =
+    if (latestCommitted(spark, root).isEmpty) -1L
+    else {
+      val row = read(spark, root)
+        .agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col("_merged_batch_id"))).head
+      if (row.isNullAt(0)) -1L else row.getLong(0)
     }
 }

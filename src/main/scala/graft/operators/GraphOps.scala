@@ -283,15 +283,6 @@ object GraphOps {
     dist
   }
 
-  /** Bounded-round synchronous min-label propagation: every round each
-    * node takes the MIN label over itself and its neighbors (undirected
-    * edges), for exactly `k` rounds — fixed cost per round (2 edge
-    * joins + 1 min-groupBy, labels localCheckpoint-pinned between
-    * rounds), no convergence test, which is how LPA is actually
-    * scheduled on a 100 TB graph. Labels are node ids, so each round
-    * shuffles only (long, long) pairs. `nodes` = (v), `edges` =
-    * (doc_a, doc_b); returns (v, lab).
-    */
   /** Bounded-round k-core PEELING: `rounds` synchronous rounds of
     * "remove every node whose degree among still-alive nodes is < k",
     * the standard distributed k-core schedule (Montresor et al.'s
@@ -410,6 +401,15 @@ object GraphOps {
     labels.select(col("v"), substring(col("l"), 1, 16).as("wl"))
   }
 
+  /** Bounded-round synchronous min-label propagation: every round each
+    * node takes the MIN label over itself and its neighbors (undirected
+    * edges), for exactly `k` rounds — fixed cost per round (2 edge
+    * joins + 1 min-groupBy, labels localCheckpoint-pinned between
+    * rounds), no convergence test, which is how LPA is actually
+    * scheduled on a 100 TB graph. Labels are node ids, so each round
+    * shuffles only (long, long) pairs. `nodes` = (v), `edges` =
+    * (doc_a, doc_b); returns (v, lab).
+    */
   def minLabelRounds(nodes: DataFrame, edges: DataFrame, k: Int): DataFrame = {
     var labels = nodes.select(col("v"), col("v").as("lab"))
     for (_ <- 1 to k) {

@@ -66,4 +66,25 @@ object Sampling {
     }.otherwise(keep(defaultSixteenths))
     df.where(gate)
   }
+
+  /** Exact order statistics over a bottom-k hash sample — the shared
+    * tail of qsk1 (both batch paths) and st28 (the streamed min-k
+    * state), factored to ONE definition so the streaming/batch
+    * equivalence the specs pin cannot drift. `sample` carries
+    * (cents, h) with ≤ k rows (callers limit first); estimates are the
+    * rank-ceil(kk·q) order statistics with (cents, h) tie-breaks. The
+    * partition-less rank window is bounded by the sample size, never
+    * data — allowlisted per query in RegistryPlanSweepSpec.
+    */
+  def bottomKQuantiles(sample: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = sample.withColumn("rk",
+      row_number().over(Window.orderBy(col("cents"), col("h"))))
+    def os(q: Double, name: String) =
+      max(when(col("rk") ===
+        ceil(col("kk") * lit(q)).cast("long"), col("cents"))).as(name)
+    ranked.crossJoin(broadcast(ranked.agg(count(lit(1)).as("kk"))))
+      .agg(max(col("kk")).as("k_sample"), os(0.25, "p25_est"),
+        os(0.5, "p50_est"), os(0.75, "p75_est"), os(0.9, "p90_est"))
+  }
 }

@@ -1433,19 +1433,13 @@ object ExtensionQueries {
           row_number().over(Window.partitionBy("prio")
             .orderBy(col("h"), col("cents"))))
         .where(col("rn") <= k).drop("rn", "prio")
-      def sketch(src: DataFrame, path: String): DataFrame = {
-        val sample = src.orderBy(col("h"), col("cents")).limit(k)
-        val ranked = sample.withColumn("rk",
-          row_number().over(Window.orderBy(col("cents"), col("h")))) // ≤k rows
-        def os(q: Double, name: String) =
-          max(when(col("rk") ===
-            ceil(col("kk") * lit(q)).cast(LongType), col("cents"))).as(name)
-        ranked.crossJoin(broadcast(ranked.agg(count(lit(1)).as("kk"))))
-          .agg(max(col("kk")).as("k_sample"), os(0.25, "p25_est"),
-            os(0.5, "p50_est"), os(0.75, "p75_est"), os(0.9, "p90_est"))
+      // order statistics via the shared tail (Sampling.bottomKQuantiles
+      // — the same definition st28's streamed state reads through)
+      def sketch(src: DataFrame, path: String): DataFrame =
+        graft.operators.Sampling
+          .bottomKQuantiles(src.orderBy(col("h"), col("cents")).limit(k))
           .select(lit(path).as("path"), col("k_sample"), col("p25_est"),
             col("p50_est"), col("p75_est"), col("p90_est"))
-      }
       sketch(o.drop("prio"), "direct")
         .unionByName(sketch(perPrio, "merged"))
         .orderBy("path")

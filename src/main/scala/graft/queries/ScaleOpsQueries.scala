@@ -566,9 +566,14 @@ object ScaleOpsQueries {
         .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("revenue_cents"))
       val o0 = o.where(!col("d")); val dO = o.where(col("d"))
       val l0 = l.where(!col("d")); val dL = l.where(col("d"))
-      val src = new java.io.File(s"$dir/lineitem.parquet")
-      val root = s"/tmp/graft_imv2/${src.getParentFile.getName}-" +
-        s"${src.length()}_${src.lastModified()}/join_census.parquet"
+      // the cached base census depends on BOTH source tables — the key
+      // must fingerprint both, or a regenerated orders.parquet under an
+      // unchanged lineitem.parquet would silently reuse a stale base
+      val srcL = new java.io.File(s"$dir/lineitem.parquet")
+      val srcO = new java.io.File(s"$dir/orders.parquet")
+      val root = s"/tmp/graft_imv2/${srcL.getParentFile.getName}-" +
+        s"${srcL.length()}_${srcL.lastModified()}-" +
+        s"${srcO.length()}_${srcO.lastModified()}/join_census.parquet"
       if (AtomicLayer.latestCommitted(spark, root).isEmpty) {
         AtomicLayer.write(census(o0, l0), root, keepVersions = 1)
         (): Unit

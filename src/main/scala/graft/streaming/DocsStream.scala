@@ -137,12 +137,7 @@ object DocsStream {
       batch: DataFrame, batchId: Long): Boolean = {
     import graft.energy.AtomicLayer
     val exists = AtomicLayer.latestCommitted(spark, root).isDefined
-    val alreadyMerged = exists && {
-      val row = AtomicLayer.read(spark, root)
-        .agg(max(col("_merged_batch_id"))).head
-      !row.isNullAt(0) && row.getLong(0) >= batchId
-    }
-    if (alreadyMerged) false
+    if (AtomicLayer.lastMergedBatch(spark, root) >= batchId) false
     else {
       val counts = batch
         .select(col("source"),
@@ -174,14 +169,7 @@ object DocsStream {
       batch: DataFrame, batchId: Long): Boolean = {
     import graft.energy.AtomicLayer
     val exists = AtomicLayer.latestCommitted(spark, root).isDefined
-    // max() is NULL over a zero-row snapshot (an empty first micro-batch
-    // commits one) — read null-safely, defaulting to "nothing merged yet"
-    val alreadyMerged = exists && {
-      val row = AtomicLayer.read(spark, root)
-        .agg(max(col("_merged_batch_id"))).head
-      !row.isNullAt(0) && row.getLong(0) >= batchId
-    }
-    if (alreadyMerged) false
+    if (AtomicLayer.lastMergedBatch(spark, root) >= batchId) false
     else {
       val census = graft.operators.DataQuality.gopherMetrics(batch)
         .join(batch.select(col("doc_id"), col("source")), Seq("doc_id"))

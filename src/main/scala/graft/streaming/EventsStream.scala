@@ -487,12 +487,7 @@ object EventsStream {
       batch: DataFrame, batchId: Long): Boolean = {
     import graft.energy.AtomicLayer
     val exists = AtomicLayer.latestCommitted(spark, root).isDefined
-    val alreadyMerged = exists && {
-      val row = AtomicLayer.read(spark, root)
-        .agg(max(col("_merged_batch_id"))).head
-      !row.isNullAt(0) && row.getLong(0) >= batchId
-    }
-    if (alreadyMerged) false
+    if (AtomicLayer.lastMergedBatch(spark, root) >= batchId) false
     else {
       val events = batch
         .select(col("user_id"), col("event_id"), col("ts_sec"), col("value"))
@@ -539,22 +534,16 @@ object EventsStream {
 
   private[graft] def sketchDrive(spark: SparkSession, ev: DataFrame): DataFrame = {
     import graft.energy.AtomicLayer
-    import org.apache.spark.sql.expressions.Window
     val root = graft.tools.Scratch.dir("graft-qsketch")
       .toString + "/sketch.parquet"
     StreamRun.driveForeachBatch(ev, "append",
         s"quantile_sketch_${runId.incrementAndGet()}") { (batch, batchId) =>
       mergeSketch(spark, root, batch, batchId): Unit
     }
-    val s = AtomicLayer.read(spark, root).drop("_merged_batch_id")
-    val ranked = s.withColumn("rk",
-      row_number().over(Window.orderBy(col("cents"), col("h")))) // ≤256 rows
-    def os(q: Double, name: String) =
-      max(when(col("rk") ===
-        ceil(col("kk") * lit(q)).cast("long"), col("cents"))).as(name)
-    ranked.crossJoin(broadcast(ranked.agg(count(lit(1)).as("kk"))))
-      .agg(max(col("kk")).as("k_sample"), os(0.25, "p25_est"),
-        os(0.5, "p50_est"), os(0.75, "p75_est"), os(0.9, "p90_est"))
+    // the SAME order-statistics tail as qsk1 (Sampling.bottomKQuantiles)
+    // over the ≤256-row persisted state
+    graft.operators.Sampling.bottomKQuantiles(
+      AtomicLayer.read(spark, root).drop("_merged_batch_id"))
   }
 
   /** One micro-batch's bottom-k merge — same guard contract as the
@@ -564,12 +553,7 @@ object EventsStream {
       batch: DataFrame, batchId: Long): Boolean = {
     import graft.energy.AtomicLayer
     val exists = AtomicLayer.latestCommitted(spark, root).isDefined
-    val alreadyMerged = exists && {
-      val row = AtomicLayer.read(spark, root)
-        .agg(max(col("_merged_batch_id"))).head
-      !row.isNullAt(0) && row.getLong(0) >= batchId
-    }
-    if (alreadyMerged) false
+    if (AtomicLayer.lastMergedBatch(spark, root) >= batchId) false
     else {
       val b = batch.select(
           floor(col("value") * 100).cast("long").as("cents"),

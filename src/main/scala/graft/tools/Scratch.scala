@@ -19,11 +19,12 @@ import java.util.concurrent.ConcurrentLinkedQueue
   * a plan-inspection pass that never executes). In-run accumulation is
   * bounded: one dir per query invocation, a handful of KB each.
   *
-  * The ONE intentional survivor is the `/tmp/graft_imv` materialized-view
-  * cache (ScaleOpsQueries.imv1): its whole point is cross-run base-table
-  * persistence, it is fingerprinted by source (size, mtime) so staleness
-  * self-invalidates, and its footprint is one rolled-up daily table —
-  * that cache does NOT come through here.
+  * The TWO intentional survivors are the fingerprint-keyed
+  * materialized-view caches `/tmp/graft_imv` (ScaleOpsQueries.imv1) and
+  * `/tmp/graft_imv2` (imv2): their whole point is cross-run base-table
+  * persistence, both keys carry source (size, mtime) fingerprints so
+  * staleness self-invalidates, and each footprint is one rolled-up
+  * census table — those caches do NOT come through here.
   */
 object Scratch {
 
