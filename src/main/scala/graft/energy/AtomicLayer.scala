@@ -117,11 +117,17 @@ object AtomicLayer {
     * the owner truly died (no process left to heartbeat). Interrupt to
     * stop; refresh errors are swallowed (the claim may already be
     * deleted by our own commit path, and a missed beat only matters if
-    * EVERY beat in a whole lease is missed).
+    * EVERY beat in a whole lease is missed) — but the FIRST failure is
+    * logged once: on a FileSystem where setTimes is unsupported or
+    * persistently failing (some object-store connectors), silence
+    * would mean lease protection degraded to nothing with zero signal,
+    * and a live long-running writer would become reclaimable as dead
+    * after `leaseMs`.
     */
   private[graft] def startHeartbeat(
       fs: FileSystem, claim: Path, leaseMs: Long): Thread = {
     val period = math.max(50L, leaseMs / 4)
+    val warned = new java.util.concurrent.atomic.AtomicBoolean(false)
     val t = new Thread(
       () =>
         try {
@@ -132,7 +138,15 @@ object AtomicLayer {
             // RuntimeException would otherwise kill the daemon on the
             // first beat and silently remove lease protection mid-write
             try fs.setTimes(claim, System.currentTimeMillis(), -1)
-            catch { case scala.util.control.NonFatal(_) => () }
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                if (warned.compareAndSet(false, true))
+                  System.err.println(
+                    s"[AtomicLayer] heartbeat setTimes failed on $claim " +
+                      s"(${e.getClass.getSimpleName}: ${e.getMessage}); if this " +
+                      "persists the lease contract is NOT in effect and a " +
+                      s"concurrent sweep may reclaim this claim after ${leaseMs}ms")
+            }
           }
         } catch { case _: InterruptedException => () },
       s"atomiclayer-heartbeat-${claim.getName}")
@@ -162,6 +176,14 @@ object AtomicLayer {
     * `_SUCCESS` absence immediately before the recursive dir delete,
     * so a heartbeat or commit landing between the listing and the
     * delete aborts the reclaim.
+    *
+    * SAME-LEASE REQUIREMENT: every writer AND every [[vacuum]] touching
+    * one table root must use the same `claimLeaseMs`. The heartbeat
+    * period is the OWNER's lease / 4, so a sweeper configured with a
+    * smaller lease than the owner's could observe a heartbeating live
+    * writer as expired (beats land every ownerLease/4 > sweeperLease)
+    * and reclaim it. Treat the lease as a per-table constant, not a
+    * per-call tunable.
     */
   def write(
       df: DataFrame,
@@ -276,7 +298,10 @@ object AtomicLayer {
     * writers are never unseated). [[write]] runs the same hygiene
     * incrementally on every commit; vacuum is for read-mostly tables
     * and scheduled maintenance, like Delta's VACUUM scaled down to the
-    * commit-marker protocol. Returns what was swept.
+    * commit-marker protocol. Returns what was swept. `claimLeaseMs`
+    * must equal the writers' (see [[write]]'s SAME-LEASE REQUIREMENT):
+    * a vacuum run with a smaller lease than the writers' heartbeat
+    * period would reclaim live claims.
     */
   def vacuum(
       spark: SparkSession,

@@ -48,18 +48,24 @@ object Contamination {
 
   /** WINNOWED fingerprints (Schleimer et al. 2003): per document, the
     * distinct minima of every `w`-window over the rolling `k`-gram
-    * hashes (40-bit-folded; (hash << 20 | pos) composite breaks
-    * in-window ties deterministically). Guarantee: any substring of
-    * length >= k + w - 1 shared by two documents yields at least one
-    * SHARED selected fingerprint — the property [[report]]'s fixed
-    * stride does not have (a stride-aligned leak can slip between
-    * sample points; winnowing cannot miss one) at ~1/w the fingerprint
-    * count of the full k-gram set. Returns (doc_id, fp) with
-    * fp = the selected 40-bit gram hash. Positions stay bounded by doc
-    * length (documents must be < 2^20 chars; shard longer docs first).
+    * hashes (40-bit-folded; in-window ties break deterministically by
+    * position via a lexicographic (hash, pos) struct-min). Guarantee:
+    * any substring of length >= k + w - 1 shared by two documents
+    * yields at least one SHARED selected fingerprint — the property
+    * [[report]]'s fixed stride does not have (a stride-aligned leak can
+    * slip between sample points; winnowing cannot miss one) at ~1/w the
+    * fingerprint count of the full k-gram set. Returns (doc_id, fp)
+    * with fp = the selected 40-bit gram hash. No doc-length CORRECTNESS
+    * bound: the struct tie-break is exact at any position (an earlier
+    * (hash << 20 | pos) packing silently corrupted minima past 2^20
+    * chars — the SQL oracles replay that packing, which is equivalent
+    * below the bound; `ContaminationSpec` pins the >2^20 selection).
+    * COST note: `substring(text, p, k)` re-scans from the string head
+    * per gram (UTF-8 char offsets), so per-doc extraction is O(len²)
+    * bytes — shard multi-megabyte docs before fingerprinting for cost,
+    * not correctness.
     */
   def winnowedFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val grams = docs
       .where(col("n_chars") >= k)
       .select(col("doc_id"),
@@ -69,12 +75,23 @@ object Contamination {
         (Dedup.portableHash60(
           expr(s"substring(text, CAST(p AS INT), $k)")) % 1099511627776L)
           .as("h"))
+    winnowSelect(grams, w)
+  }
+
+  /** The winnowing SELECTION over a (doc_id, p, h) rolling-hash
+    * relation: per doc, the distinct minima of every `w`-window in
+    * position order, ties by position. Factored out so the tie-break is
+    * testable at positions past 2^20 without materializing a
+    * multi-megabyte document through the gram extractor.
+    */
+  private[graft] def winnowSelect(grams: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy("doc_id").orderBy("p")
       .rowsBetween(-(w - 1), 0)
     grams
-      .withColumn("comp", min(col("h") * 1048576L + col("p")).over(win))
+      .withColumn("comp", min(struct(col("h"), col("p"))).over(win))
       .where(col("p") >= w.toLong) // full windows only
-      .select(col("doc_id"), expr("comp div 1048576").as("fp")).distinct()
+      .select(col("doc_id"), col("comp.h").as("fp")).distinct()
   }
 
   /** Per-train-document contamination report against the eval split

@@ -501,8 +501,16 @@ object EventsStream {
           val replayed = dim.join(affected, Seq("user_id"), "left_semi")
             .select(col("user_id"), col("event_id"),
               col("effective_from").as("ts_sec"), col("value"))
+          // Cross-batch redelivery: the STATE row wins deterministically.
+          // anti-joining the batch against replayed event_ids (instead of
+          // dropDuplicates over the union, which keeps an arbitrary row)
+          // makes the rebuilt history independent of whether a redelivered
+          // event arrives with a mutated value; within-batch duplicates
+          // still dedup by event_id (exact replays, the source contract).
+          val fresh = events.dropDuplicates("event_id")
+            .join(replayed.select("event_id"), Seq("event_id"), "left_anti")
           val rebuilt = graft.operators.Scd2.buildHistory(
-            replayed.unionByName(events).dropDuplicates("event_id"),
+            replayed.unionByName(fresh),
             col("user_id"), col("ts_sec"), col("event_id"))
             .select(dimCols.map(col): _*)
           keep.select(dimCols.map(col): _*).unionByName(rebuilt)

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's environment-drift defenses (VERDICT r9 #1), unit-tested
+  * on the exact round-9 incident: the driver's box degraded for one
+  * contiguous stretch of the sorted sweep and published
+  * d11_containment_join = 34.0 s against a committed 2.8 s — a 12x
+  * phantom that survived median-of-3 because all reps sat inside the
+  * bad window. The suspect rule must flag it, the retry must replace
+  * it, and a genuine regression must NOT be masked.
+  */
+class BenchGuardSpec extends AnyFunSuite {
+
+  test("the r9 d11 phantom is flagged as a suspect") {
+    assert(Bench.isSuspect(median = 34.0, baseline = Some(2.8)))
+  }
+
+  test("a retry at the committed level replaces the phantom reading") {
+    // mid-run slowdown: first pass 34.0 s, post-sweep retry 4.0 s (the
+    // box recovered) — the published value is the retry, and both
+    // numbers are recorded by Bench under `suspects`.
+    assert(Bench.adjudicate(median = 34.0, retry = 4.0) === 4.0)
+  }
+
+  test("a genuine regression re-measures slow and keeps its slow reading") {
+    assert(Bench.adjudicate(median = 34.0, retry = 35.1) === 34.0)
+    // still flagged (suspect record carries both numbers), but the
+    // published value does not pretend the regression away
+    assert(Bench.isSuspect(median = 34.0, baseline = Some(2.8)))
+  }
+
+  test("a failed retry never overwrites the first reading") {
+    assert(Bench.adjudicate(median = 34.0, retry = -1.0) === 34.0)
+  }
+
+  test("no baseline (new query) and sub-floor jitter are not suspects") {
+    assert(!Bench.isSuspect(median = 34.0, baseline = None))
+    assert(!Bench.isSuspect(median = 0.2, baseline = Some(0.05))) // 4x but tiny
+    assert(!Bench.isSuspect(median = 2.9, baseline = Some(2.8)))
+    assert(!Bench.isSuspect(median = -1.0, baseline = Some(2.8))) // failed: reported, not retried
+  }
+
+  test("parseDetailQueries reads the committed artifact format") {
+    val detail =
+      """{"metric":"detail","value":323.201,"unit":"sec","queries":{"a1_groupby_sum":0.521,"d11_containment_join":3.350,"zz_last":-1.000},"stream":{"st1_x":{"data_s":1.0,"overhead_s":2.0}},"sf":"/root/testdata/sf0.1"}"""
+    val m = Bench.parseDetailQueries(detail)
+    assert(m === Map(
+      "a1_groupby_sum" -> 0.521,
+      "d11_containment_join" -> 3.35,
+      "zz_last" -> -1.0))
+  }
+
+  test("parseDetailQueries is total on malformed input") {
+    assert(Bench.parseDetailQueries("") === Map.empty)
+    assert(Bench.parseDetailQueries("{\"queries\":{") === Map.empty)
+    assert(Bench.parseDetailQueries("not json at all") === Map.empty)
+  }
+
+  test("the committed bench_detail.json parses and contains the canary") {
+    // the suspect rule is only as good as the baseline file it reads —
+    // lock that the repo's committed artifact stays parseable and that
+    // the canary query both exists in the registry and was measured
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("bench_detail.json")), "UTF-8")
+    val m = Bench.parseDetailQueries(txt)
+    assert(m.size > 100, s"baseline artifact holds ${m.size} queries — expected the full registry")
+    assert(SparkEntry.queries.contains(Bench.CanaryName))
+    assert(m.contains(Bench.CanaryName))
+  }
+}

@@ -31,6 +31,29 @@ class RegistrySpec extends AnyFunSuite {
     assert(all.length == SparkEntry.queries.size)
   }
 
+  test("SURVEY.md §2.14 names every registry query, row by row") {
+    // The count lock below didn't stop 36 §2.14 rows from silently
+    // dropping mid-round-9 (BUILDLOG r9) — the total stayed consistent
+    // while individual rows vanished. Lock the PER-ROW inventory:
+    // every backticked token in §2.14 shaped like a query name (first
+    // segment contains a digit — `d2_dedup_minhash`, `c4g1_c4_gate` —
+    // which no cited builtin like `from_json`/`session_window` has)
+    // must be a registry key, and every registry key must appear.
+    val survey = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+      "UTF-8")
+    val section = """(?s)### 2\.14.*?(?=\n## |\z)""".r.findFirstIn(survey)
+    assert(section.isDefined, "SURVEY.md no longer contains §2.14")
+    val namePat = """^[a-z](?=[a-z0-9]*\d)[a-z0-9]*(?:_[a-z0-9]+)+$""".r
+    val documented = """`([^`]+)`""".r.findAllMatchIn(section.get)
+      .map(_.group(1)).filter(t => namePat.findFirstIn(t).isDefined).toSet
+    val keys = SparkEntry.queries.keySet
+    assert((documented -- keys).isEmpty,
+      s"§2.14 cites queries the registry no longer has: ${(documented -- keys).toSeq.sorted}")
+    assert((keys -- documented).isEmpty,
+      s"registry queries missing from §2.14's inventory: ${(keys -- documented).toSeq.sorted}")
+  }
+
   test("SURVEY.md documents the actual registry size") {
     // The §2.14 preamble went stale twice (said 311 while the registry
     // held 320) — assert the documented count so the doc can't drift.

@@ -79,6 +79,32 @@ class ContaminationSpec extends SparkSpec {
       s"every train doc carries the 11-char leak and must share a fingerprint; got $hits")
   }
 
+  test("winnowing selection is exact at positions past 2^20") {
+    // Regression: an earlier (hash << 20 | pos) tie-break composite let
+    // positions past 2^20 bleed into the hash bits, corrupting window
+    // minima. Feed synthetic grams straight into the selection (the
+    // extractor's substring cost is O(len²) — no need to pay it here):
+    // a hash h0 planted at p = 2^20 + 2 among larger neighbors must be
+    // the selected minimum of every window containing it. Under the old
+    // packing, h * 2^20 + p with p > 2^20 carried into h's bits and a
+    // smaller-hash gram could lose to a larger-hash one.
+    val base = (1 << 20).toLong
+    // positions base-1 .. base+6, hashes all 1000 except 5 at base+2;
+    // under the packing bug, 5 * 2^20 + (base + 2) = 5*2^20 + 2^20 + 2
+    // reads as hash 6 — LOSING to a 1000-hash gram only when that also
+    // overflows; the decisive corruption is the fp value itself:
+    // comp div 2^20 = 6, not 5.
+    val grams = (0 until 8).map { i =>
+      val p = base - 1 + i
+      val h = if (i == 3) 5L else 1000L
+      (1L, p, h)
+    }.toDF("doc_id", "p", "h")
+    val fps = Contamination.winnowSelect(grams, w = 4)
+      .select("fp").as[Long].collect().toSet
+    assert(fps.contains(5L), s"the planted minimum hash must be selected verbatim; got $fps")
+    assert(!fps.contains(6L), s"no packing carry may corrupt a selected fp; got $fps")
+  }
+
   test("winnowedFingerprints: deterministic and position-independent for identical text") {
     val d = Seq((1L, "the same text appears twice here"), (2L, "the same text appears twice here"))
       .toDF("doc_id", "text")
