@@ -7,11 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal-column handling: media payloads are opaque `binary` columns
   * with typed metadata alongside. The IMAGE tier decodes for real —
   * [[synthesizePng]]/[[decodePngStats]] round-trip actual PNG bytes
-  * through `javax.imageio` (the JDK's own codec) inside `mapPartitions`.
-  * Only media the JVM cannot decode (video/audio — this container ships
-  * no such codecs) keep the clearly-marked STUB path; everything around
-  * it — schema, Dataset encoders, partition-level batching, feature
-  * shape — is the real plumbing a codec drops into.
+  * through `javax.imageio` (the JDK's own codec) inside `mapPartitions` —
+  * as do AUDIO ([[synthesizeWav]]/[[decodeWavStats]], `javax.sound`) and
+  * MULTI-FRAME ([[synthesizeGif]]/[[decodeGifFrameStats]], animated GIF
+  * through the same `javax.imageio`). Only formats the JVM genuinely has
+  * no codec for (compressed video — H.264/VP9/MP4 containers) keep the
+  * clearly-marked STUB path; everything around it — schema, Dataset
+  * encoders, partition-level batching, feature shape — is the real
+  * plumbing a codec drops into.
   */
 object Multimodal {
 
@@ -322,6 +325,128 @@ object Multimodal {
         off += 2
       }
       WavStats(rec.doc_id, ch, nFrames, sum, sumAbs, peak, energy)
+    })
+  }
+
+  final case class GifRecord(doc_id: Long, gif: Array[Byte])
+  final case class GifFrameStats(
+      doc_id: Long,
+      frame_idx: Int,
+      n_frames: Int,
+      gray_sum: Long,
+      pos_checksum: Long,
+      delta_prev: Long,
+  )
+
+  /** Deterministic multi-frame pixel formula shared by the encoder and
+    * the oracle (the VIDEO-shaped member of the [[pngPixel]] family):
+    * frame f of clip `id` colors pixel (x, y) with palette index
+    * (id·31 + f·59 + x·7 + y·13) mod 16 over a FIXED 16-gray palette
+    * (index k → r = g = b = k·17, so gray = r+g+b = 51·k). Indexed
+    * color keeps the GIF round-trip LOSSLESS — the writer copies the
+    * IndexColorModel verbatim instead of quantizing RGB — so DuckDB
+    * recomputes every per-frame statistic from (doc_id, f, x, y)
+    * arithmetic alone while the Spark side must round-trip real
+    * animated-GIF bytes through the JDK's own codec.
+    */
+  private[operators] def gifFrames(id: Long): Int = (2 + id % 3).toInt
+  private[operators] def gifWidth(id: Long): Int = (8 + (id % 4) * 4).toInt
+  private[operators] def gifHeight(id: Long): Int = (6 + (id % 2) * 4).toInt
+  private[operators] def gifPixelIdx(id: Long, f: Int, x: Int, y: Int): Int =
+    (((id * 31 + f * 59 + x * 7 + y * 13) % 16 + 16) % 16).toInt
+
+  private def gifPalette: java.awt.image.IndexColorModel = {
+    val levels = Array.tabulate(16)(k => (k * 17).toByte)
+    new java.awt.image.IndexColorModel(4, 16, levels, levels, levels)
+  }
+
+  /** REAL multi-frame payloads: deterministic indexed frames encoded to
+    * an actual ANIMATED GIF (`prepareWriteSequence`/`writeToSequence`,
+    * the JDK's own codec) inside `mapPartitions` — the closest thing to
+    * video the sandbox can encode, retiring the multi-frame decode stub
+    * (VERDICT r9 #6). 2–4 full-size frames per clip by doc_id.
+    */
+  def synthesizeGif(spark: SparkSession, ids: DataFrame): Dataset[GifRecord] = {
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val (w, h, nf) = (gifWidth(id), gifHeight(id), gifFrames(id))
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nf) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, gifPalette)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, gifPixelIdx(id, f, x, y))
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null),
+          writer.getDefaultWriteParam)
+        f += 1
+      }
+      writer.endWriteSequence()
+      writer.dispose()
+      ios.close()
+      GifRecord(id, bos.toByteArray)
+    })
+  }
+
+  /** REAL multi-frame decode: `ImageReader.getNumImages(true)` +
+    * per-index `read` parse ALL frames back out of the GIF container,
+    * reducing each to exact integer statistics — per-frame luminance
+    * sum, a position-weighted checksum (order-sensitive: any stride or
+    * frame-order corruption shifts it), and the inter-frame delta
+    * Σ|gray_f − gray_{f−1}| (the real-codec input to scene-cut logic,
+    * which m4 derives from synthetic digests). GIF's indexed color is
+    * lossless, so equality with the oracle's arithmetic replay is
+    * exact.
+    */
+  def decodeGifFrameStats(
+      spark: SparkSession, gifs: Dataset[GifRecord]): Dataset[GifFrameStats] = {
+    import spark.implicits._
+    gifs.mapPartitions(_.flatMap { rec =>
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(rec.gif))
+      val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+      reader.setInput(iis)
+      val nf = reader.getNumImages(true)
+      var prev: Array[Long] = null
+      val out = (0 until nf).map { f =>
+        val img = reader.read(f)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val gray = new Array[Long](w * h)
+        var (gsum, psum, dsum) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val g =
+              (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)).toLong
+            val pos = y * w + x
+            gray(pos) = g
+            gsum += g
+            psum += g * (pos + 1)
+            if (prev != null) dsum += math.abs(g - prev(pos))
+            x += 1
+          }
+          y += 1
+        }
+        prev = gray
+        GifFrameStats(rec.doc_id, f, nf, gsum, psum, dsum)
+      }
+      reader.dispose()
+      out
     })
   }
 

@@ -737,6 +737,25 @@ object ExtensionQueries {
         .toDF().orderBy("doc_id")
     },
 
+    // REAL multi-frame decode — the video-shaped member of the codec
+    // family (VERDICT r9 #6): deterministic indexed frames are encoded
+    // to actual ANIMATED GIF bytes (writeToSequence, the JDK's own
+    // codec) and ALL frames parsed back out (getNumImages + per-index
+    // read); per frame: exact luminance sum, position-weighted checksum
+    // (stride/frame-order sensitive), and the inter-frame delta
+    // Σ|gray_f − gray_{f−1}| — the real-codec input to scene-cut logic
+    // m4 derives from synthetic digests. Indexed color makes the GIF
+    // round-trip lossless, so the oracle replays every statistic from
+    // the (doc_id, f, x, y) formula without parsing a GIF. The decode
+    // stub now covers only compressed-video codecs the JVM lacks.
+    "m9_gif_frames" -> { (spark, dir) =>
+      val ids = Tables.documents(spark, dir)
+        .where(col("doc_id") % 10 === 6)
+      Multimodal.decodeGifFrameStats(spark,
+          Multimodal.synthesizeGif(spark, ids))
+        .toDF().orderBy("doc_id", "frame_idx")
+    },
+
     // --- Upsert (MERGE emulation): apply a derived updates batch to the
     // customer snapshot; updates win on key collision, new keys append ---
     "x7_upsert" -> { (spark, dir) =>
@@ -3033,6 +3052,33 @@ object ExtensionQueries {
         |FROM s
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    // every per-frame statistic recomputed from the indexed-pixel
+    // formula over a bounded (frame, x, y) grid with per-doc masks —
+    // the oracle never parses a GIF; gray = 51 * palette index
+    "m9_gif_frames" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, gf.f,
+        |    gy.y * (8 + (d.doc_id % 4) * 4) + gx.x + 1 AS pos,
+        |    51 * ((d.doc_id * 31 + gf.f * 59 + gx.x * 7 + gy.y * 13) % 16) AS g,
+        |    51 * ((d.doc_id * 31 + (gf.f - 1) * 59 + gx.x * 7 + gy.y * 13) % 16)
+        |      AS gprev
+        |  FROM documents d
+        |  CROSS JOIN generate_series(0, 3) AS gf(f)
+        |  CROSS JOIN generate_series(0, 19) AS gx(x)
+        |  CROSS JOIN generate_series(0, 9) AS gy(y)
+        |  WHERE d.doc_id % 10 = 6
+        |    AND gf.f < 2 + d.doc_id % 3
+        |    AND gx.x < 8 + (d.doc_id % 4) * 4
+        |    AND gy.y < 6 + (d.doc_id % 2) * 4
+        |)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(2 + doc_id % 3 AS INT) AS n_frames,
+        |  CAST(SUM(g) AS BIGINT) AS gray_sum,
+        |  CAST(SUM(g * pos) AS BIGINT) AS pos_checksum,
+        |  CAST(SUM(CASE WHEN f = 0 THEN 0 ELSE abs(g - gprev) END) AS BIGINT)
+        |    AS delta_prev
+        |FROM px GROUP BY doc_id, f
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
         |  COUNT(*) AS n_copies

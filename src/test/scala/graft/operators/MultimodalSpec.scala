@@ -85,4 +85,38 @@ class MultimodalSpec extends SparkSpec {
         s"decoded sample stats diverged for doc ${s.doc_id}")
     }
   }
+
+  test("gif round-trip: every animated frame decodes to the exact formula stats") {
+    // 6 -> 2 frames, 7 -> 3 frames, 16 -> 4-frame wide clip
+    val ids = Seq(6L, 7L, 16L).toDF("doc_id")
+    val gifs = Multimodal.synthesizeGif(spark, ids).collect()
+    // the payloads are REAL animated GIFs (GIF89a magic), all distinct
+    assert(gifs.forall(g => new String(g.gif.take(6), "US-ASCII").startsWith("GIF8")))
+    assert(gifs.map(_.gif.toSeq).distinct.length == 3)
+
+    val stats = Multimodal.decodeGifFrameStats(spark,
+        Multimodal.synthesizeGif(spark, ids))
+      .collect().groupBy(_.doc_id)
+    for (id <- Seq(6L, 7L, 16L)) {
+      val (w, h, nf) =
+        (Multimodal.gifWidth(id), Multimodal.gifHeight(id), Multimodal.gifFrames(id))
+      val frames = stats(id).sortBy(_.frame_idx)
+      assert(frames.length == nf && frames.forall(_.n_frames == nf),
+        s"clip $id must decode ALL $nf frames, got ${frames.length}")
+      var prev: Array[Long] = null
+      for (f <- 0 until nf) {
+        val gray = (0 until h).flatMap(y =>
+          (0 until w).map(x => 51L * Multimodal.gifPixelIdx(id, f, x, y))).toArray
+        val gsum = gray.sum
+        val psum = gray.zipWithIndex.map { case (g, p) => g * (p + 1) }.sum
+        val dsum =
+          if (prev == null) 0L
+          else gray.zip(prev).map { case (a, b) => math.abs(a - b) }.sum
+        prev = gray
+        val s = frames(f)
+        assert((s.gray_sum, s.pos_checksum, s.delta_prev) == ((gsum, psum, dsum)),
+          s"decoded frame stats diverged for clip $id frame $f")
+      }
+    }
+  }
 }
