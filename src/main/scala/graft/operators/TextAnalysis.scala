@@ -79,6 +79,68 @@ object TextAnalysis {
       )
   }
 
+  /** TRAINED language ID: hashed character-n-gram profile voting — the
+    * fastText/Cavnar-Trenkle shape (hashed features → weight table →
+    * argmax) next to the stopword heuristic above, derived from the
+    * corpus itself instead of a hand list. TRAIN (rows where `isEval`
+    * is false): every lowercase char `nGram` hashes into one of
+    * `buckets` portable-md5 buckets; the weight of (bucket, lang) is
+    * the exact-integer vote share cl·2^20 div cb (cl = that lang's
+    * count in the bucket, cb = the bucket total). CLASSIFY (eval
+    * rows): each gram votes its bucket's per-lang weights; the doc's
+    * prediction is the top vote sum (ties by lang code — fully
+    * deterministic, so a SQL oracle replays train + classify end to
+    * end). Docs with no scored gram (shorter than the gram, or all
+    * buckets unseen in training) predict 'und', never vanish.
+    *
+    * Returns one row per eval doc: (doc_id, pred_lang, score).
+    *
+    * Scale shape: training is one groupBy (bucket, lang) over the gram
+    * stream — map-side combinable, result ≤ buckets × |langs| rows,
+    * BROADCAST to the scorer; classification shuffles only (doc, lang,
+    * partial-sum) aggregates and the per-doc argmax plans as the
+    * bounded-heap top-1. The corpus text never shuffles.
+    */
+  def languageIdTrained(
+      docs: DataFrame,
+      isEval: Column,
+      nGram: Int = 3,
+      buckets: Int = 4096,
+  ): DataFrame = {
+    import Dedup.portableHash60
+    val grams = docs
+      .withColumn("__eval", isEval)
+      .where(col("n_chars") >= nGram)
+      .select(col("doc_id"), col("lang"), col("__eval"),
+        explode(sequence(lit(1L), col("n_chars") - (nGram - 1))).as("p"),
+        col("text"))
+      .select(col("doc_id"), col("lang"), col("__eval"),
+        pmod(portableHash60(expr(s"substring(lower(text), CAST(p AS INT), $nGram)")),
+          lit(buckets.toLong)).as("b"))
+      .localCheckpoint(eager = false) // train counts + eval scoring share the pass
+    val langCounts = grams.where(!col("__eval"))
+      .groupBy("b", "lang").agg(count(lit(1)).as("cl"))
+    val bucketTotals = langCounts.groupBy("b").agg(sum(col("cl")).as("cb"))
+    val weights = langCounts.join(bucketTotals, Seq("b"))
+      .select(col("b"), col("lang").as("cand_lang"),
+        expr("(cl * 1048576L) div cb").as("w"))
+    val votes = grams.where(col("__eval")).select("doc_id", "b")
+      .join(broadcast(weights), Seq("b"))
+      .groupBy("doc_id", "cand_lang")
+      .agg(sum(col("w")).as("score"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("cand_lang"))
+    val pred = votes
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("score"))
+    docs.where(isEval).select(col("doc_id"))
+      .join(pred, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+
   /** Term statistics (TF / DF / corpus size) — the relational core of
     * TF-IDF. The score stays rational (tf * (N+1) / (df+1), no log) so it
     * is bit-exact across engines; callers wanting the classic log-scaled

@@ -723,6 +723,31 @@ object TrainingDataQueries {
         .orderBy("doc_id")
     },
 
+    // TRAINED language ID (VERDICT r9 #7) — the real pipeline derives
+    // the lang column the mixture/fertility/drift operators consume:
+    // hashed char-3-gram profile voting (fastText/Cavnar-Trenkle
+    // shape), trained on the 80% split, judged on the 20% eval split
+    // as a per-source CONFUSION census against the fixture's true lang
+    // labels. All-integer weights (cl·2^20 div cb) and deterministic
+    // argmax, so the oracle replays train + classify end to end. On
+    // THIS fixture the text is statistically lang-uniform by
+    // construction, so accuracy is near-chance — the gated artifact is
+    // the classifier harness and its exact confusion counts, not the
+    // (unlearnable) labels.
+    "lid1_language_id" -> { (spark, dir) =>
+      val docs = Tables.documentsParallel(spark, dir)
+      // eval split on % 7 (coprime with the 20-source id stride, so the
+      // census covers EVERY source; % 5 hit only 4 of them)
+      val isEval = col("doc_id") % 7 === 3
+      val pred = TextAnalysis.languageIdTrained(docs, isEval)
+      docs.where(isEval)
+        .select(col("doc_id"), col("source"), col("lang").as("true_lang"))
+        .join(pred.select("doc_id", "pred_lang"), Seq("doc_id"))
+        .groupBy("source", "true_lang", "pred_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "true_lang", "pred_lang")
+    },
+
     "dsir1_importance_weights" -> { (spark, dir) =>
       import graft.operators.Dedup.portableHash60
       val B = 4096
@@ -2319,6 +2344,40 @@ object TrainingDataQueries {
         |  coalesce(sc.score, 0) > 0 AS quality_pass
         |FROM documents d LEFT JOIN sc USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // the full classifier replayed: hashed char-3-gram buckets, train
+    // split's exact-integer vote-share weights, eval votes, argmax with
+    // lang tiebreak, per-source confusion counts
+    "lid1_language_id" ->
+      """WITH g AS (
+        |  SELECT d.doc_id, d.lang, (d.doc_id % 7 = 3) AS ev,
+        |    ('0x' || substr(md5(substr(lower(d.text), CAST(gs.p AS INTEGER), 3)),
+        |      1, 15))::BIGINT % 4096 AS b
+        |  FROM documents d, UNNEST(generate_series(1, d.n_chars - 2)) AS gs(p)
+        |  WHERE d.n_chars >= 3
+        |), lc AS (
+        |  SELECT b, lang, COUNT(*) AS cl FROM g WHERE NOT ev GROUP BY 1, 2
+        |), bc AS (
+        |  SELECT b, SUM(cl) AS cb FROM lc GROUP BY 1
+        |), wt AS (
+        |  SELECT lc.b, lc.lang AS cand_lang, (lc.cl * 1048576) // bc.cb AS w
+        |  FROM lc JOIN bc USING (b)
+        |), votes AS (
+        |  SELECT g.doc_id, wt.cand_lang, SUM(wt.w) AS score
+        |  FROM g JOIN wt USING (b) WHERE g.ev
+        |  GROUP BY 1, 2
+        |), pred AS (
+        |  SELECT doc_id, cand_lang AS pred_lang FROM (
+        |    SELECT doc_id, cand_lang, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, cand_lang) AS rn
+        |    FROM votes) t WHERE rn = 1
+        |)
+        |SELECT d.source, d.lang AS true_lang,
+        |  COALESCE(p.pred_lang, 'und') AS pred_lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents d LEFT JOIN pred p USING (doc_id)
+        |WHERE d.doc_id % 7 = 3
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
     "dsir1_importance_weights" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS w

@@ -34,6 +34,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.map(_.getAs[String]("lang_predicted")).toSeq == Seq("en", "de", "fr"))
   }
 
+  test("languageIdTrained: learns real char-gram signal and recovers held-out labels") {
+    // The fixture corpus is lang-uniform by construction (lid1's census
+    // documents that honestly); HERE the languages have genuinely
+    // distinct character distributions, and the classifier must learn
+    // them: 40 train + 10 eval docs per lang, built from disjoint
+    // per-lang word pools.
+    val pools = Map(
+      "aa" -> Seq("zork", "blix", "quzz", "vrek", "xutt"),
+      "bb" -> Seq("mano", "pelo", "rati", "sole", "luna"),
+      "cc" -> Seq("grun", "heft", "wald", "korb", "dmpf"),
+    )
+    val docs = (for {
+      (lang, words) <- pools.toSeq
+      i <- 0 until 50
+    } yield {
+      val text = (0 until 12).map(j => words((i * 7 + j * 3) % words.length)).mkString(" ")
+      val id = lang.hashCode.toLong.abs % 1000 * 1000 + i
+      (id, text, lang, "srcX")
+    }).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val isEval = col("doc_id") % 5 === 4 // 10 of each lang's 50
+    val pred = TextAnalysis.languageIdTrained(docs, isEval)
+    val joined = docs.where(isEval).select(col("doc_id"), col("lang"))
+      .join(pred, Seq("doc_id"))
+      .select(col("lang"), col("pred_lang")).collect()
+    assert(joined.length == 30)
+    val correct = joined.count(r => r.getString(0) == r.getString(1))
+    assert(correct == 30,
+      s"disjoint char pools must classify perfectly, got $correct/30")
+  }
+
+  test("languageIdTrained: gram-less docs predict 'und' instead of vanishing") {
+    val docs = Seq(
+      (1L, "normal training text here", "en", "s"),
+      (2L, "more training text body", "en", "s"),
+      (5L, "ab", "en", "s"), // < 3 chars: no grams
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = TextAnalysis.languageIdTrained(docs, col("doc_id") === 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((5L, "und", 0L)))
+  }
+
   test("fingerprint: deterministic, order-sensitive") {
     val fp1 = TextAnalysis.fingerprints(d).orderBy("doc_id").collect()
     val fp2 = TextAnalysis.fingerprints(d).orderBy("doc_id").collect()
