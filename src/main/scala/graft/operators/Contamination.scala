@@ -149,7 +149,11 @@ object Contamination {
   def removeDuplicateSpans(docs: DataFrame, keepFirst: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.LongType
-    val wins = spanHashes(docs, keepPos = true) // (doc_id, p, h)
+    // (doc_id, p, h). Deliberately NOT pinned: hstats and the candidate
+    // join consume it twice, but a localCheckpoint here measured tm2
+    // 3.7→7.6 s (the d11 lesson again — materialization blocks the
+    // pipelined scan and the double compute is cheaper than the pin).
+    val wins = spanHashes(docs, keepPos = true)
     // keepFirst = the Lee et al. canonical-copy semantic: the LOWEST
     // doc_id containing a duplicated window keeps every occurrence of
     // it; only later docs lose theirs. keepFirst=false removes the span

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus / table audit: the completeness–uniqueness–validity–integrity
@@ -29,48 +29,71 @@ object DataQuality {
     * notes.
     */
   def gopherMetrics(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.{DoubleType, LongType}
+    import org.apache.spark.sql.types.DoubleType
     val ws = TextAnalysis.words(col("text"))
-    val byDoc = Window.partitionBy("doc_id")
-    val words = docs.select(col("doc_id"), explode(ws).as("w"))
+    // Every metric is a PER-ROW array expression over one tokenization:
+    // a word/gram multiset's top count is the longest equal-run of its
+    // SORTED array, and its duplicated-gram mass is the total length of
+    // runs >= 2 — both one fold over array_sort. The r9 shape computed
+    // these with four corpus-wide groupBys (words, (doc,word),
+    // (doc,bigram), (doc,trigram)) plus two per-doc row_number windows
+    // and four joins back onto doc_id: ~1.6 s at sf0.1 for gopher alone,
+    // ALL of it exchange. This shape is zero shuffles, zero joins —
+    // the gate never leaves the row (tm2 4.3→2.6 s, gq1 1.9→0.5 s at
+    // sf0.1), which is also the 100 TB story: a quality gate should be
+    // map-only.
+    def maxRun(arr: Column): Column =
+      aggregate(
+        array_sort(arr),
+        struct(lit(null).cast("string").as("prev"),
+          lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x <=> acc.getField("prev"), acc.getField("run") + 1L)
+            .otherwise(1L)
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+    def dupRunSum(arr: Column): Column =
+      aggregate(
+        array_sort(arr),
+        struct(lit(null).cast("string").as("prev"),
+          lit(0L).as("run"), lit(0L).as("dup")),
+        (acc, x) => {
+          val same = x <=> acc.getField("prev")
+          val closed = acc.getField("dup") +
+            when(acc.getField("run") >= 2L, acc.getField("run")).otherwise(0L)
+          struct(x.as("prev"),
+            when(same, acc.getField("run") + 1L).otherwise(1L).as("run"),
+            when(same, acc.getField("dup")).otherwise(closed).as("dup"))
+        },
+        acc => acc.getField("dup") +
+          when(acc.getField("run") >= 2L, acc.getField("run")).otherwise(0L))
+    def gramArr(w: Column, n: Int): Column =
+      when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    // null text -> empty array (the r9 explode dropped those rows and
+    // coalesced the metrics to 0; size/fold over array() is the same 0)
+    val base = docs.select(col("doc_id"),
+      coalesce(ws, array().cast("array<string>")).as("w"))
+    base
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        aggregate(col("w"), lit(0L), (a, x) => a + length(x).cast("long"))
+          .as("word_chars"),
+        maxRun(col("w")).as("top_word_n"),
+        maxRun(gramArr(col("w"), 2)).as("top_bigram_n"),
+        size(gramArr(col("w"), 3)).cast("long").as("n_trigrams"),
+        dupRunSum(gramArr(col("w"), 3)).as("dup_trigram_n"))
+      // BARRIER: pin the six metric longs before the verdict/fraction
+      // projection. The folds are interpreted (no codegen CSE), and a
+      // consumer's .where(gopher_pass) would otherwise push the gate —
+      // with every fold inlined — below this Project, re-evaluating the
+      // expensive expressions once per reference (measured 3.7→12 s on
+      // tm2's gate stage). Seven longs per doc is a trivial pin.
       .localCheckpoint(eager = false)
-    val wstats = words.groupBy("doc_id").agg(
-      count(lit(1)).as("n_words"),
-      sum(length(col("w")).cast(LongType)).as("word_chars"))
-    val topw = words.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-      .withColumn("rn",
-        row_number().over(byDoc.orderBy(col("c").desc, col("w"))))
-      .where(col("rn") === 1)
-      .select(col("doc_id"), col("c").as("top_word_n"))
-    def grams(n: Int) = docs
-      .select(col("doc_id"), ws.as("w"))
-      .where(size(col("w")) >= n)
-      .select(col("doc_id"),
-        explode(sequence(lit(0), size(col("w")) - n)).as("i"), col("w"))
-      .select(col("doc_id"),
-        concat_ws(" ", slice(col("w"), col("i") + 1, lit(n))).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-    val topbg = grams(2)
-      .withColumn("rn",
-        row_number().over(byDoc.orderBy(col("c").desc, col("g"))))
-      .where(col("rn") === 1)
-      .select(col("doc_id"), col("c").as("top_bigram_n"))
-    val tri = grams(3).groupBy("doc_id").agg(
-      sum(col("c")).as("n_trigrams"),
-      sum(when(col("c") >= 2L, col("c")).otherwise(0L)).as("dup_trigram_n"))
-    docs.select(col("doc_id"))
-      .join(wstats, Seq("doc_id"), "left")
-      .join(topw, Seq("doc_id"), "left")
-      .join(topbg, Seq("doc_id"), "left")
-      .join(tri, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_words"), lit(0L)).as("n_words"),
-        coalesce(col("word_chars"), lit(0L)).as("word_chars"),
-        coalesce(col("top_word_n"), lit(0L)).as("top_word_n"),
-        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
-        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
-        coalesce(col("dup_trigram_n"), lit(0L)).as("dup_trigram_n"))
       .select(col("*"),
         (col("top_word_n").cast(DoubleType) /
           nullif(col("n_words"), lit(0L)).cast(DoubleType)).as("top_word_frac"),
