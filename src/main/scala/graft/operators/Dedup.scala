@@ -622,4 +622,63 @@ object Dedup {
       .select(col("vec_id"), col("cluster"),
         coalesce(col("__dup"), lit(false)).unary_!.as("is_kept"))
   }
+
+  /** SemDeDup with a BOUNDED-bucket cluster key — the scale path next
+    * to [[semanticDedup]]'s exact-within-cluster reference. The label
+    * clusters come from a FIXED centroid set, so their sizes grow
+    * linearly with the corpus and the within-cluster pair join grows
+    * quadratically (measured 7.1× sf0.1→sf1.0, the worst ratio in the
+    * r10 full-registry curve). Sub-bucketing each cluster by
+    * `nTables` independent `nPlanes`-hyperplane LSH tables (x2's
+    * OR-construction) caps expected candidate work per cluster at
+    * nTables·(cluster/2^nPlanes)² — corpus-linear for fixed dials —
+    * and a pair is examined when it shares a bucket in ANY table.
+    *
+    * RECALL IS THRESHOLD-DEPENDENT (the honest LSH trade): collision
+    * probability per table is (1 − θ/π)^nPlanes. At SemDeDup's
+    * production bars (cosine ≥ 0.95, θ ≈ 0.32) that is ≈ 0.65/table →
+    * ≈ 0.985 with 4 tables; at this fixture's deliberately LOW 0.3 bar
+    * (θ ≈ 1.27 — the synthetic corpus has no true near-dups, the same
+    * reason d6 runs Jaccard at 0.05) it is ≈ 0.13/table → measured
+    * 0.54 of sd2's drops at ~1/16 the per-table pair work. The dials
+    * (nPlanes, nTables) tune recall exactly like x2's.
+    */
+  def semanticDedupBucketed(
+      embeddings: DataFrame,
+      minCosine: Double = 0.3,
+      nPlanes: Int = 4,
+      nTables: Int = 4,
+  ): DataFrame = {
+    import graft.functions.QuantizedCosine.{quantizedCosine => cosine}
+    val assigned = EmbeddingOps
+      .assignToCentroids(embeddings, EmbeddingOps.centroids(embeddings))
+      .select(col("vec_id"), col("cluster"))
+    val clustered = assigned
+      .join(embeddings.select(col("vec_id"), col("embedding")), "vec_id")
+    val bucketed = clustered.select(col("cluster"),
+      col("vec_id"), col("embedding"),
+      posexplode(
+        graft.functions.LshBuckets.buckets(col("embedding"), nPlanes, nTables))
+        .as(Seq("t", "b")))
+    // embeddings CARRIED through the bucket join and the cosine
+    // evaluated inline (x2/lshTopK's shape): a pair colliding in
+    // several tables is scored up to nTables times, which measured
+    // cheaper than the dedup-then-refetch alternative (pair distinct +
+    // two id-keyed embedding joins) — scoring is a fused map-side
+    // expression, the refetch was two extra exchanges
+    val a = bucketed.select(col("cluster"), col("t"), col("b"),
+      col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val bb = bucketed.select(col("cluster"), col("t"), col("b"),
+      col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    val dups = a.join(bb, Seq("cluster", "t", "b"))
+      .where(col("vec_a") < col("vec_b") &&
+        cosine(col("emb_a"), col("emb_b")) >= minCosine)
+      .select(col("vec_b").as("vec_id"))
+      .distinct()
+    embeddings.select(col("vec_id"))
+      .join(assigned, Seq("vec_id"), "left")
+      .join(dups.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("__dup"), lit(false)).unary_!.as("is_kept"))
+  }
 }

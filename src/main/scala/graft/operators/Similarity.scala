@@ -786,6 +786,24 @@ object Similarity {
     val edges = bruteForceTopK(slice, slice, graphK)
       .select(col("q_vec").as("v"), col("c_vec").as("nbr"))
       .localCheckpoint(eager = true)
+    graphAnnBeamServe(edges, slice, queries, k, beam, rounds)
+  }
+
+  /** The SERVE tier alone, over a caller-supplied proximity graph
+    * `edges` (v, nbr) — the production pairing feeds this from
+    * [[nnDescent]]'s node-linear build (x35) instead of the exact
+    * brute-force graph [[graphAnnBeam]] demos with; traversal semantics
+    * and the scale shape (frontier bounded by queries × beam·graphK,
+    * candidates broadcast, corpus streams) are identical.
+    */
+  def graphAnnBeamServe(
+      edges: DataFrame,
+      slice: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      beam: Int = 8,
+      rounds: Int = 3,
+  ): DataFrame = {
     val corpus =
       slice.select(col("vec_id").as("c_vec"), col("embedding").as("c_emb"))
     val q = broadcast(

@@ -142,6 +142,30 @@ object ExtensionQueries {
     "d5_cosine_neardup" -> { (spark, dir) =>
       Dedup.cosineNearDupPairs(Tables.embeddings(spark, dir)).orderBy("vec_a")
     },
+    // SEMANTIC decontamination census — the embedding-space sibling of
+    // the n-gram contamination report (cont1): for every EVAL vector,
+    // its nearest TRAIN vector by exact quantized cosine and whether
+    // that exceeds the contamination bar (an eval item semantically
+    // duplicated in training data corrupts the benchmark even when no
+    // n-gram is shared — the Phi/LLM-report decontamination step).
+    // Exact form here is the semantics oracle; at corpus scale the
+    // same census serves from the ANN index (x22's IVFADC shortlist,
+    // exact-refined) instead of the brute scan — rnn1's posture.
+    "scont1_semantic_contamination" -> { (spark, dir) =>
+      // Eval side BOUNDED (id < 2500 ∧ %5): eval benchmarks are fixed-
+      // size while the train corpus grows, so the census is x1's shape —
+      // tiny eval broadcast, train corpus streams, linear in corpus. An
+      // unbounded %5 eval side measured 62.7 s at sf1.0 (n² in the
+      // corpus) before the bound; at sf0.01/sf0.1-census scales the
+      // bound is vacuous so the oracle rows are unchanged there.
+      val emb = Tables.embeddings(spark, dir)
+      val evalSet = emb.where(col("vec_id") % 5 === 0 && col("vec_id") < 2500)
+      val trainSet = emb.where(col("vec_id") % 5 =!= 0)
+      Similarity.bruteForceTopK(evalSet, trainSet, k = 1)
+        .select(col("q_vec").as("vec_id"), col("c_vec").as("nn_train"),
+          col("cosine"), (col("cosine") >= 0.9).as("contaminated"))
+        .orderBy("vec_id")
+    },
     // End-to-end dedup pipeline: LSH candidates -> exact-Jaccard verify
     // -> clusters -> keep decision, on the PORTABLE hash family. The
     // DuckDB oracle replays the entire pipeline — signatures, band
@@ -381,6 +405,23 @@ object ExtensionQueries {
         .select(col("v").as("vec_id"), col("n_true"), col("n_recovered"))
         .orderBy("vec_id")
     },
+    // The PRODUCTION graph-ANN pairing (x33's serve fed by x34's
+    // build): beam search over the NN-DESCENT top-5 graph instead of
+    // the brute-force graph — both tiers now node-linear, completing
+    // VERDICT r9 #2. Same deterministic traversal; the oracle composes
+    // the full NN-descent replay with the round-by-round beam replay.
+    "x35_graph_ann_nnd" -> { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      val sub = emb.where(col("vec_id") < 500)
+      val edges = Similarity
+        .nnDescent(sub, graphK = 15, rounds = 3, seedBucketSize = 32)
+        .where(col("rank") <= 5)
+        .select(col("v"), col("nbr"))
+        .localCheckpoint(eager = true)
+      Similarity.graphAnnBeamServe(edges, sub, emb.where(col("vec_id") < 8),
+          k = 5, beam = 8, rounds = 3)
+        .orderBy("q_vec", "rank")
+    },
     // Mutual-kNN CLUSTERS: connected components over the reciprocal-
     // neighbor edges (rnn1's graph) — the clustering step of
     // mutual-NN dedup/coreset pipelines. Reuses the pointer-jumping CC
@@ -598,6 +639,21 @@ object ExtensionQueries {
       Dedup.semanticDedup(Tables.embeddings(spark, dir), minCosine = 0.3)
         .orderBy("vec_id")
     },
+    // SemDeDup SCALE PATH: sd2's label clusters come from a fixed
+    // centroid set, so cluster sizes grow with the corpus and the
+    // within-cluster pair join grows quadratically (7.1× on the r10
+    // sf0.1→sf1.0 curve — the worst ratio in the registry). sd3
+    // sub-buckets each cluster by 4 independent 4-plane LSH tables
+    // (x2's OR-construction): candidate work per cluster is
+    // nTables*(cluster/16)^2 — corpus-linear for fixed dials. Recall
+    // is threshold-dependent: ~0.985 at SemDeDup's production 0.95
+    // bar, 0.54 of sd2's drops at this fixture's deliberately-low 0.3
+    // bar (see the operator scaladoc for the (1 - theta/pi)^nPlanes
+    // arithmetic).
+    "sd3_semantic_dedup_lsh" -> { (spark, dir) =>
+      Dedup.semanticDedupBucketed(Tables.embeddings(spark, dir), minCosine = 0.3)
+        .orderBy("vec_id")
+    },
 
     // --- Text analysis ---
     "t1_token_counts" -> { (spark, dir) =>
@@ -717,6 +773,23 @@ object ExtensionQueries {
       Multimodal.decodePngAHash(spark,
           Multimodal.synthesizePng(spark, ids))
         .toDF().orderBy("doc_id")
+    },
+    // Perceptual IMAGE dedup — d1's exact-dedup shape applied to the
+    // decoded-image fingerprint: cluster by (width, height, aHash) on
+    // the REAL codec path (synthesize → ImageIO decode → block-average
+    // hash), min doc_id keeps each cluster. The multimodal member of
+    // the dedup family: near-identical renders (re-encodes, metadata
+    // churn) collapse to one perceptual key even when bytes differ.
+    // Scale shape: the only exchange keys on 16-bit hashes + dims.
+    "mdd1_image_dedup" -> { (spark, dir) =>
+      val ids = Tables.documents(spark, dir)
+        .where(col("doc_id") % 10 === 0)
+      Multimodal.decodePngAHash(spark,
+          Multimodal.synthesizePng(spark, ids))
+        .toDF()
+        .groupBy("width", "height", "ahash")
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
+        .orderBy("width", "height", "ahash")
     },
 
     // REAL audio decode — the WAV twin of m6: deterministic PCM16
@@ -1720,6 +1793,106 @@ object ExtensionQueries {
     * division of exact integers), so DuckDB reproduces the Spark
     * pipeline bit for bit.
     */
+  /** aHash replay shared by m8/mdd1: the perceptual fingerprint
+    * recomputed arithmetically from the pixel formula (never parsing a
+    * PNG), ending in `ah` = (doc_id, width, height, ahash).
+    */
+  private val ahashOracleCtes: String =
+    """ids AS (
+      |  SELECT doc_id FROM documents WHERE doc_id % 10 = 0
+      |), px AS (
+      |  SELECT i.doc_id,
+      |    CAST(8 + (i.doc_id % 5) * 4 AS BIGINT) AS w,
+      |    CAST(6 + (i.doc_id % 3) * 4 AS BIGINT) AS h,
+      |    gx.x, gy.y,
+      |    ((i.doc_id * 31 + gx.x * 7 + gy.y * 13) % 256
+      |     + (i.doc_id * 17 + gx.x * 11 + gy.y * 3) % 256
+      |     + (i.doc_id * 29 + gx.x * 5 + gy.y * 19) % 256) AS gray
+      |  FROM ids i, UNNEST(generate_series(0, 27)) AS gx(x),
+      |    UNNEST(generate_series(0, 13)) AS gy(y)
+      |  WHERE gx.x < 8 + (i.doc_id % 5) * 4
+      |    AND gy.y < 6 + (i.doc_id % 3) * 4
+      |), cells AS (
+      |  SELECT doc_id, w, h, (y * 4) // h * 4 + (x * 4) // w AS k,
+      |    CAST(SUM(gray) AS BIGINT) AS csum, COUNT(*) AS ccnt
+      |  FROM px GROUP BY 1, 2, 3, 4
+      |), tot AS (
+      |  SELECT doc_id, CAST(SUM(csum) AS BIGINT) AS tsum,
+      |    CAST(SUM(ccnt) AS BIGINT) AS n
+      |  FROM cells GROUP BY 1
+      |), ah AS (
+      |  SELECT c.doc_id, CAST(c.w AS INT) AS width, CAST(c.h AS INT) AS height,
+      |    CAST(SUM(CASE WHEN c.csum * t.n > t.tsum * c.ccnt
+      |      THEN CAST(1 AS BIGINT) << CAST(c.k AS INT) ELSE 0 END)
+      |      AS BIGINT) AS ahash
+      |  FROM cells c JOIN tot t USING (doc_id)
+      |  GROUP BY 1, 2, 3
+      |)""".stripMargin
+
+  /** Quantized-cosine SQL fragment shared by the graph-tier oracles. */
+  private def qcosSql(a: String, b: String): String =
+    s"list_dot_product($a.q, $b.q) / nullif(sqrt(list_dot_product($a.q, $a.q)) * sqrt(list_dot_product($b.q, $b.q)), 0)"
+
+  /** NN-descent replay shared by x34/x35: CTE chain from the quantized
+    * slice (`qe`, vec_id < 500) through `nnd` — the built graph's top-5
+    * edges per node. md5 hash-bucket seeding (2 families, expected-32
+    * buckets, [2,64] size gate), build-K=15 prune, 3 rounds of
+    * undirected neighbor-of-neighbor expansion / NOT-EXISTS dedup /
+    * rescore / re-prune.
+    */
+  private val nndOracleCtes: String = {
+    val rounds = (1 to 3).map { r =>
+      val prev = s"g${r - 1}"
+      s"""und$r AS (SELECT v, u FROM $prev UNION SELECT u AS v, v AS u FROM $prev),
+         |c$r AS (
+         |  SELECT DISTINCT a.v, b.u FROM und$r a JOIN und$r b ON a.u = b.v
+         |  WHERE a.v <> b.u AND NOT EXISTS (
+         |    SELECT 1 FROM $prev g WHERE g.v = a.v AND g.u = b.u)
+         |), s$r AS (
+         |  SELECT c.v, c.u, ${qcosSql("a", "b")} AS cosine
+         |  FROM c$r c JOIN qe a ON a.vec_id = c.v JOIN qe b ON b.vec_id = c.u
+         |), g$r AS MATERIALIZED (
+         |  SELECT v, u, cosine FROM (
+         |    SELECT v, u, cosine, row_number() OVER (PARTITION BY v
+         |      ORDER BY cosine DESC, u) AS rn
+         |    FROM (SELECT * FROM $prev UNION ALL SELECT * FROM s$r) t0) t
+         |  WHERE rn <= 15
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""qe AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, v -> floor(CAST(v AS DOUBLE) * 1048576.0)) AS q
+       |  FROM embeddings WHERE vec_id < 500
+       |), nbk AS (SELECT GREATEST(1, COUNT(*) // 32) AS nb FROM qe),
+       |bkt AS MATERIALIZED (
+       |  SELECT vec_id, fam.f AS fam,
+       |    ('0x' || substr(md5('nnd' || CAST(fam.f AS VARCHAR) || ':' ||
+       |      CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % nbk.nb AS b
+       |  FROM qe, nbk, (SELECT UNNEST(generate_series(0, 1)) AS f) AS fam
+       |), sized AS (
+       |  SELECT fam, b FROM bkt GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 64
+       |), seedp AS (
+       |  SELECT DISTINCT l.vec_id AS v, r.vec_id AS u
+       |  FROM bkt l
+       |  JOIN sized s ON s.fam = l.fam AND s.b = l.b
+       |  JOIN bkt r ON r.fam = l.fam AND r.b = l.b
+       |  WHERE l.vec_id <> r.vec_id
+       |), sc0 AS (
+       |  SELECT p.v, p.u, ${qcosSql("a", "b")} AS cosine
+       |  FROM seedp p JOIN qe a ON a.vec_id = p.v JOIN qe b ON b.vec_id = p.u
+       |), g0 AS MATERIALIZED (
+       |  SELECT v, u, cosine FROM (
+       |    SELECT v, u, cosine, row_number() OVER (PARTITION BY v
+       |      ORDER BY cosine DESC, u) AS rn FROM sc0) t
+       |  WHERE rn <= 15
+       |), $rounds, nnd AS MATERIALIZED (
+       |  SELECT v, u FROM (
+       |    SELECT v, u, row_number() OVER (PARTITION BY v
+       |      ORDER BY cosine DESC, u) AS rn FROM g3) t
+       |  WHERE rn <= 5
+       |)""".stripMargin
+  }
+
   private val lshOracleCtes: String =
     """qe AS (
       |  SELECT vec_id,
@@ -2142,63 +2315,12 @@ object ExtensionQueries {
     // build-K=15 prune, then 3 rounds of undirected neighbor-of-neighbor
     // expansion / NOT-EXISTS dedup / rescore / re-prune; final top-5
     // edges judged against the brute-force top-5 graph per node.
-    "x34_nn_descent" -> {
-      def cos(a: String, b: String): String =
-        s"list_dot_product($a.q, $b.q) / nullif(sqrt(list_dot_product($a.q, $a.q)) * sqrt(list_dot_product($b.q, $b.q)), 0)"
-      val rounds = (1 to 3).map { r =>
-        val prev = s"g${r - 1}"
-        s"""und$r AS (SELECT v, u FROM $prev UNION SELECT u AS v, v AS u FROM $prev),
-           |c$r AS (
-           |  SELECT DISTINCT a.v, b.u FROM und$r a JOIN und$r b ON a.u = b.v
-           |  WHERE a.v <> b.u AND NOT EXISTS (
-           |    SELECT 1 FROM $prev g WHERE g.v = a.v AND g.u = b.u)
-           |), s$r AS (
-           |  SELECT c.v, c.u, ${cos("a", "b")} AS cosine
-           |  FROM c$r c JOIN qe a ON a.vec_id = c.v JOIN qe b ON b.vec_id = c.u
-           |), g$r AS MATERIALIZED (
-           |  SELECT v, u, cosine FROM (
-           |    SELECT v, u, cosine, row_number() OVER (PARTITION BY v
-           |      ORDER BY cosine DESC, u) AS rn
-           |    FROM (SELECT * FROM $prev UNION ALL SELECT * FROM s$r) t0) t
-           |  WHERE rn <= 15
-           |)""".stripMargin
-      }.mkString(", ")
-      s"""WITH qe AS MATERIALIZED (
-         |  SELECT vec_id,
-         |    list_transform(embedding, v -> floor(CAST(v AS DOUBLE) * 1048576.0)) AS q
-         |  FROM embeddings WHERE vec_id < 500
-         |), nbk AS (SELECT GREATEST(1, COUNT(*) // 32) AS nb FROM qe),
-         |bkt AS MATERIALIZED (
-         |  SELECT vec_id, fam.f AS fam,
-         |    ('0x' || substr(md5('nnd' || CAST(fam.f AS VARCHAR) || ':' ||
-         |      CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % nbk.nb AS b
-         |  FROM qe, nbk, (SELECT UNNEST(generate_series(0, 1)) AS f) AS fam
-         |), sized AS (
-         |  SELECT fam, b FROM bkt GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 64
-         |), seedp AS (
-         |  SELECT DISTINCT l.vec_id AS v, r.vec_id AS u
-         |  FROM bkt l
-         |  JOIN sized s ON s.fam = l.fam AND s.b = l.b
-         |  JOIN bkt r ON r.fam = l.fam AND r.b = l.b
-         |  WHERE l.vec_id <> r.vec_id
-         |), sc0 AS (
-         |  SELECT p.v, p.u, ${cos("a", "b")} AS cosine
-         |  FROM seedp p JOIN qe a ON a.vec_id = p.v JOIN qe b ON b.vec_id = p.u
-         |), g0 AS MATERIALIZED (
-         |  SELECT v, u, cosine FROM (
-         |    SELECT v, u, cosine, row_number() OVER (PARTITION BY v
-         |      ORDER BY cosine DESC, u) AS rn FROM sc0) t
-         |  WHERE rn <= 15
-         |), $rounds, nnd AS (
-         |  SELECT v, u FROM (
-         |    SELECT v, u, row_number() OVER (PARTITION BY v
-         |      ORDER BY cosine DESC, u) AS rn FROM g3) t
-         |  WHERE rn <= 5
-         |), tk AS (
+    "x34_nn_descent" ->
+      s"""WITH $nndOracleCtes, tk AS (
          |  SELECT q_vec AS v, c_vec AS u FROM (
          |    SELECT a.vec_id AS q_vec, b.vec_id AS c_vec,
          |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
-         |        ${cos("a", "b")} DESC, b.vec_id) AS rank
+         |        ${qcosSql("a", "b")} DESC, b.vec_id) AS rank
          |    FROM qe a, qe b WHERE b.vec_id <> a.vec_id) t
          |  WHERE rank <= 5
          |)
@@ -2206,8 +2328,60 @@ object ExtensionQueries {
          |  CAST(SUM(CASE WHEN n.u IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_recovered
          |FROM tk t LEFT JOIN nnd n ON n.v = t.v AND n.u = t.u
-         |GROUP BY t.v ORDER BY vec_id""".stripMargin
-    },
+         |GROUP BY t.v ORDER BY vec_id""".stripMargin,
+
+    // x34's build replay composed with x33's beam replay: the served
+    // traversal walks the NN-DESCENT graph's top-5 edges
+    "x35_graph_ann_nnd" ->
+      s"""WITH $nndOracleCtes, edges AS (
+         |  SELECT v, u AS nbr FROM nnd
+         |), sc AS MATERIALIZED (
+         |  SELECT a.vec_id AS q_vec, b.vec_id AS v, ${qcosSql("a", "b")} AS cosine
+         |  FROM qe a, qe b WHERE a.vec_id < 8
+         |), e0 AS (SELECT MIN(vec_id) AS e0 FROM qe),
+         |v0 AS MATERIALIZED (
+         |  SELECT s.q_vec, s.v, s.cosine FROM sc s, e0 WHERE s.v = e0.e0
+         |), bc1 AS MATERIALIZED (
+         |  SELECT DISTINCT b.q_vec, e.nbr AS v
+         |  FROM v0 b JOIN edges e ON e.v = b.v
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM v0 x WHERE x.q_vec = b.q_vec AND x.v = e.nbr)
+         |), bv1 AS MATERIALIZED (
+         |  SELECT * FROM v0
+         |  UNION ALL
+         |  SELECT c.q_vec, c.v, s.cosine FROM bc1 c JOIN sc s USING (q_vec, v)
+         |), bb1 AS MATERIALIZED (
+         |  SELECT q_vec, v FROM (
+         |    SELECT q_vec, v, row_number() OVER (PARTITION BY q_vec
+         |      ORDER BY cosine DESC, v) AS rn FROM bv1) WHERE rn <= 8
+         |), bc2 AS MATERIALIZED (
+         |  SELECT DISTINCT b.q_vec, e.nbr AS v
+         |  FROM bb1 b JOIN edges e ON e.v = b.v
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM bv1 x WHERE x.q_vec = b.q_vec AND x.v = e.nbr)
+         |), bv2 AS MATERIALIZED (
+         |  SELECT * FROM bv1
+         |  UNION ALL
+         |  SELECT c.q_vec, c.v, s.cosine FROM bc2 c JOIN sc s USING (q_vec, v)
+         |), bb2 AS MATERIALIZED (
+         |  SELECT q_vec, v FROM (
+         |    SELECT q_vec, v, row_number() OVER (PARTITION BY q_vec
+         |      ORDER BY cosine DESC, v) AS rn FROM bv2) WHERE rn <= 8
+         |), bc3 AS MATERIALIZED (
+         |  SELECT DISTINCT b.q_vec, e.nbr AS v
+         |  FROM bb2 b JOIN edges e ON e.v = b.v
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM bv2 x WHERE x.q_vec = b.q_vec AND x.v = e.nbr)
+         |), bv3 AS MATERIALIZED (
+         |  SELECT * FROM bv2
+         |  UNION ALL
+         |  SELECT c.q_vec, c.v, s.cosine FROM bc3 c JOIN sc s USING (q_vec, v)
+         |)
+         |SELECT q_vec, CAST(rank AS INT) AS rank, v AS c_vec, cosine FROM (
+         |  SELECT q_vec, v, cosine, row_number() OVER (PARTITION BY q_vec
+         |    ORDER BY cosine DESC, v) AS rank FROM bv3 WHERE v <> q_vec)
+         |WHERE rank <= 5
+         |ORDER BY q_vec, rank""".stripMargin,
 
     // recursive reachability over the mutual edges, min root = cluster
     "rnn2_mutual_knn_clusters" ->
@@ -2892,6 +3066,67 @@ object ExtensionQueries {
         |LEFT JOIN assign a ON a.vec_id = e.vec_id
         |LEFT JOIN dups d ON d.vb = e.vec_id
         |ORDER BY e.vec_id""".stripMargin,
+    // sd2's replay with candidate pairs gated by a shared bucket in
+    // ANY of the 4 LSH tables (x2's 16-plane family, t = p // 4)
+    "sd3_semantic_dedup_lsh" ->
+      """WITH terms AS (
+        |  SELECT label, g.i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        |), cent AS (
+        |  SELECT label, dim,
+        |    CAST(floor(CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1048576.0)
+        |      * 1048576.0) AS BIGINT) AS qc
+        |  FROM terms GROUP BY 1, 2
+        |), vq AS (
+        |  SELECT vec_id, g.i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS qv
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        |), dists AS (
+        |  SELECT v.vec_id, c.label,
+        |    CAST(SUM((qv - qc) * (qv - qc)) AS BIGINT) AS qdist
+        |  FROM vq v JOIN cent c ON c.dim = v.dim GROUP BY 1, 2
+        |), assign AS (
+        |  SELECT vec_id, label AS cluster FROM (
+        |    SELECT vec_id, label, qdist,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY qdist, label) AS rn
+        |    FROM dists) t WHERE rn = 1
+        |), pw AS (
+        |  SELECT p.p, d.d,
+        |    ((CAST(1103515245 AS BIGINT) * (p.p * 64 + d.d) + 12345) % 2001 + 2001) % 2001 - 1000 AS w
+        |  FROM UNNEST(generate_series(0, 15)) AS p(p), UNNEST(generate_series(0, 63)) AS d(d)
+        |), bkts AS (
+        |  SELECT vec_id, CAST(p // 4 AS INTEGER) AS t,
+        |    CAST(SUM(CASE WHEN dot > 0 THEN (1 << (p % 4)) ELSE 0 END) AS BIGINT) AS b
+        |  FROM (
+        |    SELECT vq.vec_id, pw.p, SUM(vq.qv * pw.w) AS dot
+        |    FROM vq JOIN pw ON pw.d = vq.dim
+        |    GROUP BY 1, 2) t0
+        |  GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT DISTINCT pa.vec_id AS va, pb.vec_id AS vb
+        |  FROM assign pa
+        |  JOIN bkts ka ON ka.vec_id = pa.vec_id
+        |  JOIN assign pb ON pa.cluster = pb.cluster AND pa.vec_id < pb.vec_id
+        |  JOIN bkts kb ON kb.vec_id = pb.vec_id AND kb.t = ka.t AND kb.b = ka.b
+        |), scored AS (
+        |  SELECT c.va, c.vb,
+        |    CAST(SUM(a.qv * b.qv) AS DOUBLE) AS dot,
+        |    CAST(SUM(a.qv * a.qv) AS DOUBLE) AS nx,
+        |    CAST(SUM(b.qv * b.qv) AS DOUBLE) AS ny
+        |  FROM cand c
+        |  JOIN vq a ON a.vec_id = c.va
+        |  JOIN vq b ON b.vec_id = c.vb AND b.dim = a.dim
+        |  GROUP BY 1, 2
+        |), dups AS (
+        |  SELECT DISTINCT vb FROM scored
+        |  WHERE dot / nullif(sqrt(nx) * sqrt(ny), 0) >= 0.3
+        |)
+        |SELECT e.vec_id, a.cluster, (d.vb IS NULL) AS is_kept
+        |FROM embeddings e
+        |LEFT JOIN assign a ON a.vec_id = e.vec_id
+        |LEFT JOIN dups d ON d.vb = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
     "d3_dedup_simhash" -> d3OracleSql,
     "d2_dedup_minhash" ->
       """WITH toks AS (
@@ -2976,35 +3211,17 @@ object ExtensionQueries {
     // arithmetic replay of the pixel formula: 4x4 integer-division
     // grid, cross-multiplied cell-vs-total luminance bits
     "m8_image_ahash" ->
-      """WITH ids AS (
-        |  SELECT doc_id FROM documents WHERE doc_id % 10 = 0
-        |), px AS (
-        |  SELECT i.doc_id,
-        |    CAST(8 + (i.doc_id % 5) * 4 AS BIGINT) AS w,
-        |    CAST(6 + (i.doc_id % 3) * 4 AS BIGINT) AS h,
-        |    gx.x, gy.y,
-        |    ((i.doc_id * 31 + gx.x * 7 + gy.y * 13) % 256
-        |     + (i.doc_id * 17 + gx.x * 11 + gy.y * 3) % 256
-        |     + (i.doc_id * 29 + gx.x * 5 + gy.y * 19) % 256) AS gray
-        |  FROM ids i, UNNEST(generate_series(0, 27)) AS gx(x),
-        |    UNNEST(generate_series(0, 13)) AS gy(y)
-        |  WHERE gx.x < 8 + (i.doc_id % 5) * 4
-        |    AND gy.y < 6 + (i.doc_id % 3) * 4
-        |), cells AS (
-        |  SELECT doc_id, w, h, (y * 4) // h * 4 + (x * 4) // w AS k,
-        |    CAST(SUM(gray) AS BIGINT) AS csum, COUNT(*) AS ccnt
-        |  FROM px GROUP BY 1, 2, 3, 4
-        |), tot AS (
-        |  SELECT doc_id, CAST(SUM(csum) AS BIGINT) AS tsum,
-        |    CAST(SUM(ccnt) AS BIGINT) AS n
-        |  FROM cells GROUP BY 1
-        |)
-        |SELECT c.doc_id, CAST(c.w AS INT) AS width, CAST(c.h AS INT) AS height,
-        |  CAST(SUM(CASE WHEN c.csum * t.n > t.tsum * c.ccnt
-        |    THEN CAST(1 AS BIGINT) << CAST(c.k AS INT) ELSE 0 END)
-        |    AS BIGINT) AS ahash
-        |FROM cells c JOIN tot t USING (doc_id)
-        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+      s"""WITH $ahashOracleCtes
+         |SELECT doc_id, width, height, ahash FROM ah ORDER BY doc_id""".stripMargin,
+    // perceptual dedup = d1's exact-dedup shape on the DECODED-image
+    // fingerprint: group by (width, height, ahash), min doc_id keeps
+    "mdd1_image_dedup" ->
+      s"""WITH $ahashOracleCtes
+         |SELECT width, height, ahash,
+         |  CAST(COUNT(*) AS BIGINT) AS n_copies,
+         |  MIN(doc_id) AS keep_doc_id
+         |FROM ah GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin,
     "m6_png_decode" ->
       """SELECT d.doc_id,
         |  CAST(8 + (d.doc_id % 5) * 4 AS INT) AS width,
@@ -3202,6 +3419,21 @@ object ExtensionQueries {
         |    / len(list_distinct(list_concat(a.bg, b.bg))) AS jaccard
         |FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_a""".stripMargin,
+    // eval x train exact-quantized-cosine argmax, replayed like x1
+    "scont1_semantic_contamination" ->
+      s"""WITH qe AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(embedding, v -> floor(CAST(v AS DOUBLE) * 1048576.0)) AS q
+         |  FROM embeddings
+         |)
+         |SELECT vec_id, nn_train, cosine, cosine >= 0.9 AS contaminated FROM (
+         |  SELECT a.vec_id, b.vec_id AS nn_train, ${qcosSql("a", "b")} AS cosine,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${qcosSql("a", "b")} DESC, b.vec_id) AS rn
+         |  FROM qe a, qe b
+         |  WHERE a.vec_id % 5 = 0 AND a.vec_id < 2500 AND b.vec_id % 5 <> 0) t
+         |WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
     // Cosine terms are quantized to integers by an exact 2^20 scale on both
     // sides, so the accumulations are integer-exact and engine-portable.
     "d5_cosine_neardup" ->

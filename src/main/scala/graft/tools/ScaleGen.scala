@@ -53,6 +53,7 @@ object ScaleGen {
     val out = args.lift(0).getOrElse(".scale/sf1.0")
     val src = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val zipf = args.lift(3).contains("zipf")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -64,11 +65,25 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, src, out, factor)
+    generate(spark, src, out, factor, zipf)
     spark.stop()
   }
 
-  def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+  /** `zipfVocab = true` plants a Zipf-heavy SHARED vocabulary on top of
+    * the Caesar-rotated tree (VERDICT r9 #4): 10% of all documents —
+    * uniformly across copies — get one of 8 hot phrases appended AFTER
+    * rotation, so phrase shingles are shared CROSS-copy and their
+    * posting lists grow linearly with the corpus ("hotshared alpha
+    * bravo" lands in ~10% of all docs; the zq<h> middle token splits
+    * the tail into 8 families). The organic rotation keeps posting
+    * lists at constant width, so the in-bucket pair blowup the
+    * dedup/similarity degeneracy caps exist for was spec-only until
+    * this mode; `n_chars` is re-derived so the length-dependent
+    * operators stay consistent.
+    */
+  def generate(
+      spark: SparkSession, src: String, out: String, factor: Int,
+      zipfVocab: Boolean = false): Unit = {
     require(factor >= 1 && factor <= 26, s"factor must be 1..26, got $factor")
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     // single FILE named <t>.parquet (driver-fixture layout, see scaladoc);
@@ -142,8 +157,19 @@ object ScaleGen {
           translate(col("text"), lower + upper,
             rotated(lower, k) + rotated(upper, k))).otherwise(acc)
     }
-    write(done(fan("documents")("doc_id" -> sDoc)
-      .withColumn("text", docText)), "documents")
+    val rotatedDocs = fan("documents")("doc_id" -> sDoc)
+      .withColumn("text", docText)
+    val finalDocs =
+      if (!zipfVocab) rotatedDocs
+      else rotatedDocs
+        .withColumn("text",
+          when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit(" hotshared alpha bravo zq"),
+              expr("(doc_id div 10) % 8").cast("string"),
+              lit(" charlie hotshared delta")))
+            .otherwise(col("text")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    write(done(finalDocs), "documents")
 
     write(done(fan("embeddings")("vec_id" -> sVec)
       .withColumn("embedding",

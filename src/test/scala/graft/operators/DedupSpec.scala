@@ -187,4 +187,21 @@ class DedupSpec extends SparkSpec {
       assert(kept == !hasSeniorTwin, s"vec $id: kept=$kept but seniorTwin=$hasSeniorTwin")
     }
   }
+
+  test("semanticDedupBucketed drops a strict subset of semanticDedup's drops") {
+    import org.apache.spark.sql.functions.col
+    // the LSH OR-construction only ever PRUNES candidate pairs from
+    // sd2's within-cluster set, so every sd3 drop must be an sd2 drop
+    // (and at production-bar thresholds most sd2 drops survive the
+    // pruning — at this fixture's low 0.3 bar recall is ~0.54, see the
+    // operator scaladoc); cluster assignment is shared verbatim
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    def drops(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.where(!col("is_kept")).select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = drops(Dedup.semanticDedup(emb, minCosine = 0.3))
+    val bucketed = drops(Dedup.semanticDedupBucketed(emb, minCosine = 0.3))
+    assert(bucketed.subsetOf(exact),
+      s"bucketed dropped non-sd2 ids: ${(bucketed -- exact).toSeq.sorted.take(5)}")
+    assert(bucketed.nonEmpty, "the OR-construction must retain some recall here")
+  }
 }
