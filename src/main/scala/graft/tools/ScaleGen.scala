@@ -159,14 +159,28 @@ object ScaleGen {
     }
     val rotatedDocs = fan("documents")("doc_id" -> sDoc)
       .withColumn("text", docText)
+    // Two skew families: (a) HOT VOCABULARY — 10% of docs get one of 8
+    // hot phrases appended (cross-copy shared shingles, corpus-linear
+    // posting lists; stresses the prefix-join family's rarest-first
+    // ordering); (b) BOILERPLATE — 1% of docs are REPLACED by a near-
+    // identical 60-word page (cookie-banner/error-page reality) whose
+    // MinHash signatures all collide, so band buckets of ~n/700 docs
+    // form and the [2,64] degeneracy caps must engage or the pair join
+    // goes quadratic.
+    val boiler = (0 until 6).flatMap(_ => Seq(
+      "hotshared alpha bravo charlie delta echo foxtrot golf",
+      "cookie consent banner please accept all tracking today")).mkString(" ")
     val finalDocs =
       if (!zipfVocab) rotatedDocs
       else rotatedDocs
         .withColumn("text",
-          when(col("doc_id") % 10 === 0,
-            concat(col("text"), lit(" hotshared alpha bravo zq"),
-              expr("(doc_id div 10) % 8").cast("string"),
-              lit(" charlie hotshared delta")))
+          when(col("doc_id") % 100 === 50,
+            concat(lit(boiler), lit(" tail"),
+              (col("doc_id") % 7).cast("string")))
+            .when(col("doc_id") % 10 === 0,
+              concat(col("text"), lit(" hotshared alpha bravo zq"),
+                expr("(doc_id div 10) % 8").cast("string"),
+                lit(" charlie hotshared delta")))
             .otherwise(col("text")))
         .withColumn("n_chars", length(col("text")).cast("long"))
     write(done(finalDocs), "documents")
