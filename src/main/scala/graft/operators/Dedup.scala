@@ -85,6 +85,24 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
   }
 
+  /** URL canonicalization for crawl dedup (the CommonCrawl first-pass
+    * key): lowercase scheme+host(+path — the synthetic corpus has no
+    * case-significant paths), strip the fragment, strip utm_* tracking
+    * parameters, repair a dangling "?&", strip one trailing slash.
+    * Patterns stay inside the Java-regex ∩ RE2 dialect (the Pii rule)
+    * so the same canonicalization runs on any engine — the d13 oracle
+    * replays it in DuckDB with the 'g' flag matching Spark's
+    * replace-all default.
+    */
+  def canonicalUrl(url: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(url), "#.*$", ""),
+          "[?&]utm_[a-z]+=[^&#]*", ""),
+        "\\?&", "?"),
+      "/$", "")
+
   /** Engine-portable 60-bit hash: the top 15 hex digits of md5, read as an
     * integer. Unlike xxhash64 this is reproducible by any engine with an
     * md5 function (DuckDB: `('0x' || substr(md5(s), 1, 15))::BIGINT`), so

@@ -142,6 +142,32 @@ object ExtensionQueries {
     "d5_cosine_neardup" -> { (spark, dir) =>
       Dedup.cosineNearDupPairs(Tables.embeddings(spark, dir)).orderBy("vec_a")
     },
+    // URL-canonicalization dedup — the crawl pipeline's FIRST dedup
+    // tier (cheaper than any content hash: no page fetch needed).
+    // Synthetic crawl URLs dress every 4 consecutive doc_ids as one
+    // logical page in different clothes (scheme/host case, trailing
+    // slash, utm_* tracking params, fragment); Dedup.canonicalUrl
+    // collapses the variants and min doc_id keeps. Scale shape: one
+    // narrow projection + a groupBy on the canonical string — the
+    // exchange carries URLs, never documents.
+    "d13_url_dedup" -> { (spark, dir) =>
+      val raw = concat(
+        when(col("doc_id") % 4 === 1, lit("HTTPS://WWW.Example.ORG"))
+          .otherwise(lit("https://www.example.org")),
+        lit("/docs/"), expr("doc_id div 4"),
+        when(col("doc_id") % 4 === 1, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 2, lit("?utm_source=feed&utm_medium=rss"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 3, lit("#section-2")).otherwise(lit("")))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), raw.as("url"),
+          Dedup.canonicalUrl(raw).as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_variants"),
+          countDistinct(col("url")).as("n_distinct_raw"),
+          min(col("doc_id")).as("keep_doc_id"))
+        .orderBy("canonical_url")
+    },
     // SEMANTIC decontamination census — the embedding-space sibling of
     // the n-gram contamination report (cont1): for every EVAL vector,
     // its nearest TRAIN vector by exact quantized cosine and whether
@@ -3419,6 +3445,33 @@ object ExtensionQueries {
         |    / len(list_distinct(list_concat(a.bg, b.bg))) AS jaccard
         |FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_a""".stripMargin,
+    // the same variant synthesis + canonicalization chain; DuckDB's
+    // regexp_replace needs the explicit 'g' flag to match Spark's
+    // replace-all default
+    "d13_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 4 = 1 THEN 'HTTPS://WWW.Example.ORG'
+        |          ELSE 'https://www.example.org' END)
+        |    || '/docs/' || CAST(doc_id // 4 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 4 = 2 THEN '?utm_source=feed&utm_medium=rss' ELSE '' END)
+        |    || (CASE WHEN doc_id % 4 = 3 THEN '#section-2' ELSE '' END) AS url
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(url),
+        |      '#.*$', '', 'g'),
+        |      '[?&]utm_[a-z]+=[^&#]*', '', 'g'),
+        |      '\?&', '?', 'g'),
+        |      '/$', '', 'g') AS canonical_url
+        |  FROM u
+        |)
+        |SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_variants,
+        |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct_raw,
+        |  MIN(doc_id) AS keep_doc_id
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // eval x train exact-quantized-cosine argmax, replayed like x1
     "scont1_semantic_contamination" ->
       s"""WITH qe AS MATERIALIZED (

@@ -706,6 +706,46 @@ object TrainingDataQueries {
         .orderBy("source")
     },
 
+    // TRAINING MANIFEST — the last mile the whole pipeline feeds:
+    // "what exactly does training step k consume?" Exact dedup (d1's
+    // keep rule) → Gopher gate (the registered definition) →
+    // deterministic corpus shuffle (shuf1's hash order) → 2048-token
+    // cumulative-offset packing IN SHUFFLE ORDER (pack1's engine) →
+    // the first 20 steps' census: docs, token mass, id bounds, exact
+    // content digest. Every stage is the SAME definition its
+    // standalone oracle gates, composed; the result is a pure function
+    // of the corpus — rerun, repartition, and engine all reproduce the
+    // byte-identical manifest, which is what makes a training run
+    // auditable. Scale shape: gates are map-only / hash-grouped, the
+    // shuffle key is a 60-bit hash, and the packing prefix sum is the
+    // distributed two-pass form — no global window anywhere.
+    "tm3_training_manifest" -> { (spark, dir) =>
+      val dq = graft.operators.DataQuality
+      val docs = Tables.documentsParallel(spark, dir)
+        .select(col("doc_id"), col("text"))
+      val keep = docs
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val s1 = docs.join(keep, Seq("doc_id"))
+      val s2 = s1.join(
+        dq.gopherMetrics(s1).where(col("gopher_pass")).select("doc_id"),
+        Seq("doc_id"))
+      val toks = s2.select(col("doc_id"),
+        size(TextAnalysis.words(col("text"))).cast(LongType).as("n_tok"),
+        graft.operators.Dedup.portableHash60(
+          concat(col("doc_id").cast("string"), lit(":shuf42"))).as("h"))
+      Packing.packBins(toks, Seq(col("h"), col("doc_id")), col("n_tok"), 2048L)
+        .where(col("bin_id") < 20)
+        .groupBy("bin_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("step_tokens"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"),
+          sum(col("doc_id") * col("n_tok")).as("content_digest"))
+        .orderBy("bin_id")
+    },
+
     // Gopher/MassiveText repetition-quality rules (Rae et al. 2021,
     // appendix A): the pre-LM heuristic gate every corpus pipeline runs
     // before perplexity/classifier scoring. Per document: top-word and
@@ -2075,6 +2115,39 @@ object TrainingDataQueries {
         |   AND word_chars >= n_words * 2
         |   AND word_chars <= n_words * 10) AS gopher_pass
         |FROM m ORDER BY doc_id""".stripMargin),
+    // tm3: dedup keep + gopher gate (the shared CTE chain's relation m,
+    // metrics are per-doc so filtering survivors afterwards is exact) +
+    // md5 shuffle order + cumulative-offset packing, first 20 steps
+    "tm3_training_manifest" ->
+      (gopherOracleCtes + """,
+        |keep AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+        |), surv AS (
+        |  SELECT m.doc_id, m.n_words AS n_tok
+        |  FROM m JOIN keep k ON k.doc_id = m.doc_id
+        |  WHERE m.n_words BETWEEN 5 AND 100000
+        |    AND m.top_word_n * 8 <= m.n_words
+        |    AND m.top_bigram_n * 5 <= m.n_words - 1
+        |    AND m.dup_trigram_n * 10 <= m.n_trigrams * 3
+        |    AND m.word_chars >= m.n_words * 2
+        |    AND m.word_chars <= m.n_words * 10
+        |), ordered AS (
+        |  SELECT doc_id, n_tok,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf42'), 1, 15))::BIGINT AS h
+        |  FROM surv
+        |), cum AS (
+        |  SELECT doc_id, n_tok,
+        |    SUM(n_tok) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM ordered
+        |), binned AS (
+        |  SELECT doc_id, n_tok, (c - n_tok) // 2048 AS bin_id FROM cum
+        |)
+        |SELECT CAST(bin_id AS BIGINT) AS bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS step_tokens,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+        |  CAST(SUM(doc_id * n_tok) AS BIGINT) AS content_digest
+        |FROM binned WHERE bin_id < 20
+        |GROUP BY bin_id ORDER BY bin_id""".stripMargin),
     // tm2: sdr1's span-removal chain rebuilds clean_text per doc, gq1's
     // gopher chain re-judges the CLEANED relation (same CTEs, base
     // swapped from documents to the cleaned survivors), and the census
