@@ -448,6 +448,33 @@ object ExtensionQueries {
           k = 5, beam = 8, rounds = 3)
         .orderBy("q_vec", "rank")
     },
+    // INCREMENTAL graph upsert — the lifecycle's third tier (x34 BUILD,
+    // x35 SERVE, x36 UPSERT — the graph analogue of the IVFADC x23–x30
+    // path): 100 new vectors join the 400-slice's prebuilt NN-descent
+    // graph without a rebuild. Beam search over the existing graph
+    // locates each new node (the standard NSW insertion), located
+    // edges reverse-link into the old nodes, the batch seeds its own
+    // new×new candidates, and one bounded re-prune merges everything.
+    // Census: true top-5 edges (brute force over all 500) recovered by
+    // the upserted graph — covering BOTH the new nodes' placement and
+    // the old nodes' edge improvements via reverse links.
+    "x36_nnd_upsert" -> { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      val old = emb.where(col("vec_id") < 400)
+      val nw = emb.where(col("vec_id") >= 400 && col("vec_id") < 500)
+      val upserted = Similarity.nnDescentUpsert(old, nw)
+        .where(col("rank") <= 5)
+        .select(col("v"), col("nbr"), lit(1L).as("__hit"))
+      val all = emb.where(col("vec_id") < 500)
+      Similarity.bruteForceTopK(all, all, k = 5)
+        .select(col("q_vec").as("v"), col("c_vec").as("nbr"))
+        .join(upserted, Seq("v", "nbr"), "left")
+        .groupBy("v")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_recovered"))
+        .select(col("v").as("vec_id"), col("n_true"), col("n_recovered"))
+        .orderBy("vec_id")
+    },
     // Mutual-kNN CLUSTERS: connected components over the reciprocal-
     // neighbor edges (rnn1's graph) — the clustering step of
     // mutual-NN dedup/coreset pipelines. Reuses the pointer-jumping CC
@@ -1866,7 +1893,7 @@ object ExtensionQueries {
     * undirected neighbor-of-neighbor expansion / NOT-EXISTS dedup /
     * rescore / re-prune.
     */
-  private val nndOracleCtes: String = {
+  private def nndOracleCtes(bound: Int = 500): String = {
     val rounds = (1 to 3).map { r =>
       val prev = s"g${r - 1}"
       s"""und$r AS (SELECT v, u FROM $prev UNION SELECT u AS v, v AS u FROM $prev),
@@ -1888,7 +1915,7 @@ object ExtensionQueries {
     s"""qe AS MATERIALIZED (
        |  SELECT vec_id,
        |    list_transform(embedding, v -> floor(CAST(v AS DOUBLE) * 1048576.0)) AS q
-       |  FROM embeddings WHERE vec_id < 500
+       |  FROM embeddings WHERE vec_id < $bound
        |), nbk AS (SELECT GREATEST(1, COUNT(*) // 32) AS nb FROM qe),
        |bkt AS MATERIALIZED (
        |  SELECT vec_id, fam.f AS fam,
@@ -2342,7 +2369,7 @@ object ExtensionQueries {
     // expansion / NOT-EXISTS dedup / rescore / re-prune; final top-5
     // edges judged against the brute-force top-5 graph per node.
     "x34_nn_descent" ->
-      s"""WITH $nndOracleCtes, tk AS (
+      s"""WITH ${nndOracleCtes()}, tk AS (
          |  SELECT q_vec AS v, c_vec AS u FROM (
          |    SELECT a.vec_id AS q_vec, b.vec_id AS c_vec,
          |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
@@ -2359,7 +2386,7 @@ object ExtensionQueries {
     // x34's build replay composed with x33's beam replay: the served
     // traversal walks the NN-DESCENT graph's top-5 edges
     "x35_graph_ann_nnd" ->
-      s"""WITH $nndOracleCtes, edges AS (
+      s"""WITH ${nndOracleCtes()}, edges AS (
          |  SELECT v, u AS nbr FROM nnd
          |), sc AS MATERIALIZED (
          |  SELECT a.vec_id AS q_vec, b.vec_id AS v, ${qcosSql("a", "b")} AS cosine
@@ -2408,6 +2435,128 @@ object ExtensionQueries {
          |    ORDER BY cosine DESC, v) AS rank FROM bv3 WHERE v <> q_vec)
          |WHERE rank <= 5
          |ORDER BY q_vec, rank""".stripMargin,
+
+    // the lifecycle composed: build replay over the 400-slice (qe/g3),
+    // beam-locate the 100 new vectors over g3's edges, reverse-link,
+    // batch hash-seed pairs, merged re-prune, census vs brute-500 truth
+    "x36_nnd_upsert" ->
+      s"""WITH ${nndOracleCtes(400)}, qa AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(embedding, v -> floor(CAST(v AS DOUBLE) * 1048576.0)) AS q
+         |  FROM embeddings WHERE vec_id < 500
+         |), edges AS (
+         |  SELECT v, u AS nbr FROM g3
+         |), sc AS MATERIALIZED (
+         |  SELECT a.vec_id AS q_vec, b.vec_id AS v, ${qcosSql("a", "b")} AS cosine
+         |  FROM qa a, qa b WHERE a.vec_id >= 400 AND b.vec_id < 400
+         |), e0 AS (SELECT MIN(vec_id) AS e0 FROM qe),
+         |v0 AS MATERIALIZED (
+         |  SELECT s.q_vec, s.v, s.cosine FROM sc s, e0 WHERE s.v = e0.e0
+         |), bc1 AS MATERIALIZED (
+         |  SELECT DISTINCT b.q_vec, e.nbr AS v
+         |  FROM v0 b JOIN edges e ON e.v = b.v
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM v0 x WHERE x.q_vec = b.q_vec AND x.v = e.nbr)
+         |), bv1 AS MATERIALIZED (
+         |  SELECT * FROM v0
+         |  UNION ALL
+         |  SELECT c.q_vec, c.v, s.cosine FROM bc1 c JOIN sc s USING (q_vec, v)
+         |), bb1 AS MATERIALIZED (
+         |  SELECT q_vec, v FROM (
+         |    SELECT q_vec, v, row_number() OVER (PARTITION BY q_vec
+         |      ORDER BY cosine DESC, v) AS rn FROM bv1) WHERE rn <= 8
+         |), bc2 AS MATERIALIZED (
+         |  SELECT DISTINCT b.q_vec, e.nbr AS v
+         |  FROM bb1 b JOIN edges e ON e.v = b.v
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM bv1 x WHERE x.q_vec = b.q_vec AND x.v = e.nbr)
+         |), bv2 AS MATERIALIZED (
+         |  SELECT * FROM bv1
+         |  UNION ALL
+         |  SELECT c.q_vec, c.v, s.cosine FROM bc2 c JOIN sc s USING (q_vec, v)
+         |), bb2 AS MATERIALIZED (
+         |  SELECT q_vec, v FROM (
+         |    SELECT q_vec, v, row_number() OVER (PARTITION BY q_vec
+         |      ORDER BY cosine DESC, v) AS rn FROM bv2) WHERE rn <= 8
+         |), bc3 AS MATERIALIZED (
+         |  SELECT DISTINCT b.q_vec, e.nbr AS v
+         |  FROM bb2 b JOIN edges e ON e.v = b.v
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM bv2 x WHERE x.q_vec = b.q_vec AND x.v = e.nbr)
+         |), bv3 AS MATERIALIZED (
+         |  SELECT * FROM bv2
+         |  UNION ALL
+         |  SELECT c.q_vec, c.v, s.cosine FROM bc3 c JOIN sc s USING (q_vec, v)
+         |), newe AS MATERIALIZED (
+         |  SELECT q_vec AS v, v AS u, cosine FROM (
+         |    SELECT q_vec, v, cosine, row_number() OVER (PARTITION BY q_vec
+         |      ORDER BY cosine DESC, v) AS rn FROM bv3) t
+         |  WHERE rn <= 15
+         |), rev AS (
+         |  SELECT u AS v, v AS u, cosine FROM newe
+         |), nb2 AS (
+         |  SELECT GREATEST(1, COUNT(*) // 32) AS nb FROM qa WHERE vec_id >= 400
+         |), bkt2 AS (
+         |  SELECT vec_id, fam.f AS fam,
+         |    ('0x' || substr(md5('nnd' || CAST(fam.f AS VARCHAR) || ':' ||
+         |      CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % nb2.nb AS b
+         |  FROM qa, nb2, (SELECT UNNEST(generate_series(0, 1)) AS f) AS fam
+         |  WHERE qa.vec_id >= 400
+         |), sized2 AS (
+         |  SELECT fam, b FROM bkt2 GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 64
+         |), bp AS (
+         |  SELECT DISTINCT l.vec_id AS v, r.vec_id AS u
+         |  FROM bkt2 l
+         |  JOIN sized2 s ON s.fam = l.fam AND s.b = l.b
+         |  JOIN bkt2 r ON r.fam = l.fam AND r.b = l.b
+         |  WHERE l.vec_id <> r.vec_id
+         |), bps AS (
+         |  SELECT p.v, p.u, ${qcosSql("a", "b")} AS cosine
+         |  FROM bp p JOIN qa a ON a.vec_id = p.v JOIN qa b ON b.vec_id = p.u
+         |), merged AS (
+         |  SELECT DISTINCT v, u, cosine FROM (
+         |    SELECT v, u, cosine FROM g3
+         |    UNION ALL SELECT v, u, cosine FROM newe
+         |    UNION ALL SELECT v, u, cosine FROM rev
+         |    UNION ALL SELECT v, u, cosine FROM bps) t0
+         |), mg0 AS MATERIALIZED (
+         |  SELECT v, u, cosine FROM (
+         |    SELECT v, u, cosine, row_number() OVER (PARTITION BY v
+         |      ORDER BY cosine DESC, u) AS rn FROM merged) t
+         |  WHERE rn <= 15
+         |), undr AS (
+         |  SELECT v, u FROM mg0 UNION SELECT u AS v, v AS u FROM mg0
+         |), candr AS (
+         |  SELECT DISTINCT a.v, b.u FROM undr a JOIN undr b ON a.u = b.v
+         |  WHERE a.v <> b.u AND NOT EXISTS (
+         |    SELECT 1 FROM mg0 g WHERE g.v = a.v AND g.u = b.u)
+         |), srd AS (
+         |  SELECT c.v, c.u, ${qcosSql("a", "b")} AS cosine
+         |  FROM candr c JOIN qa a ON a.vec_id = c.v JOIN qa b ON b.vec_id = c.u
+         |), g4 AS MATERIALIZED (
+         |  SELECT v, u, cosine FROM (
+         |    SELECT v, u, cosine, row_number() OVER (PARTITION BY v
+         |      ORDER BY cosine DESC, u) AS rn
+         |    FROM (SELECT * FROM mg0 UNION ALL SELECT * FROM srd) t0) t
+         |  WHERE rn <= 15
+         |), up AS (
+         |  SELECT v, u FROM (
+         |    SELECT v, u, row_number() OVER (PARTITION BY v
+         |      ORDER BY cosine DESC, u) AS rn FROM g4) t
+         |  WHERE rn <= 5
+         |), tk AS (
+         |  SELECT q_vec AS v, c_vec AS u FROM (
+         |    SELECT a.vec_id AS q_vec, b.vec_id AS c_vec,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        ${qcosSql("a", "b")} DESC, b.vec_id) AS rank
+         |    FROM qa a, qa b WHERE b.vec_id <> a.vec_id) t
+         |  WHERE rank <= 5
+         |)
+         |SELECT t.v AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_true,
+         |  CAST(SUM(CASE WHEN n.u IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_recovered
+         |FROM tk t LEFT JOIN up n ON n.v = t.v AND n.u = t.u
+         |GROUP BY t.v ORDER BY vec_id""".stripMargin,
 
     // recursive reachability over the mutual edges, min root = cluster
     "rnn2_mutual_knn_clusters" ->

@@ -228,6 +228,31 @@ class SimilaritySpec extends SparkSpec {
       "nearly every node must carry edges after seeding + 2 rounds")
   }
 
+  test("nnDescentUpsert: bounded degree, deterministic, and old edges only improve") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val old = emb.where(col("vec_id") < 96)
+    val nw = emb.where(col("vec_id") >= 96 && col("vec_id") < 120)
+    def run() = Similarity.nnDescentUpsert(old, nw, graphK = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val a = run()
+    assert(a == run(), "the upsert must be rerun-deterministic")
+    assert(a.forall { case (v, _, u) => v != u }, "no self-edges")
+    assert(a.groupBy(_._1).forall(_._2.length <= 8), "degree bounded by graphK")
+    val nodes = a.map(_._1).toSet
+    assert((96L until 120L).forall(nodes.contains),
+      "every new vector must land in the upserted graph")
+    // the merge can only ADD candidates for old nodes: per old node,
+    // the upserted kth-best cosine is >= the build's kth-best
+    val built = Similarity.nnDescent(old, graphK = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).groupBy(_._1)
+      .view.mapValues(_.length).toMap
+    val after = a.filter(_._1 < 96).groupBy(_._1).view.mapValues(_.length).toMap
+    built.foreach { case (v, n) =>
+      assert(after.getOrElse(v, 0) >= n,
+        s"old node $v lost edges in the upsert ($n -> ${after.getOrElse(v, 0)})")
+    }
+  }
+
   test("nnDescent: x34's build parameters clear a 0.9 recall floor vs brute force") {
     // the quality number that justifies replacing the all-pairs build:
     // K=15 build, 3 rounds, seed-32 recovers >= 90% of the true top-5
