@@ -46,7 +46,10 @@ class ExpensivePlanSpec extends SparkSpec {
     "bkt2_partitioned_bucketed", "cal1_gate_agreement",
     "dr1_dedup_recall", "mod1_community_modularity",
     "card2_drift_scorecard", "rnn2_mutual_knn_clusters",
-    "d12_quality_canonical")
+    "d12_quality_canonical",
+    // r10 top-10 entrants: the graph-ANN lifecycle (x36 8.2 s is the
+    // new #1 — build + beam + refinement composed)
+    "x34_nn_descent", "x35_graph_ann_nnd", "x36_nnd_upsert")
 
   test("bench top-10: no cartesian, no partition-less window anywhere") {
     for (name <- top10Batch) {
