@@ -23,7 +23,8 @@ import org.apache.spark.sql.SparkSession
   *     array localizes any time-window degradation for the reader.
   *   - SUSPECT RETRY: after the sweep, any query whose median exceeds
   *     3x its reading in the PREVIOUS committed bench_detail.json
-  *     (parsed before this run overwrites it) is re-measured ONCE. The
+  *     (parsed before this run overwrites it) gets ONE extra
+  *     measurement pass (a fresh median over the usual reps). The
   *     published per-query value is min(median, retry): with warmup +
   *     median-of-reps, environment noise only ever INFLATES a reading,
   *     so the smaller observation is the steady-state estimate — a

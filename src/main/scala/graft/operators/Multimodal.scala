@@ -446,6 +446,7 @@ object Multimodal {
         GifFrameStats(rec.doc_id, f, nf, gsum, psum, dsum)
       }
       reader.dispose()
+      iis.close()
       out
     })
   }
