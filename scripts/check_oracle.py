@@ -64,7 +64,21 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    # FRESH-OUTDIR GUARD: Verify writes query_names.json listing the dumps
+    # it owns; any other directory is debris from an earlier run (renamed
+    # or removed queries) and must not pollute the sweep.
+    qn_path = f"{out_dir}/query_names.json"
     n_pass = n_fail = n_rowsonly = 0
+    if os.path.exists(qn_path):
+        owned = set(json.load(open(qn_path)))
+        for n in [n for n in names if n not in owned]:
+            print(f"STALE {n}: not in this run's query_names.json — skipped "
+                  f"(delete the dir or re-run Verify unfiltered)")
+        names = [n for n in names if n in owned]
+        for n in sorted(owned - set(names)):
+            print(f"FAIL {n}: listed in query_names.json but no dump "
+                  f"directory (query failed in Verify?)")
+            n_fail += 1
     for name in names:
         spark_tbl = pq.read_table(f"{out_dir}/{name}")
         if name not in oracle:

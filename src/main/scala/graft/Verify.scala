@@ -24,6 +24,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // FRESH-OUTDIR GUARD: an UNFILTERED run owns the whole directory —
+    // remove subdirectories for queries that no longer exist (renames /
+    // removals), so a later sweep never compares against stale debris
+    // from an earlier registry. Filtered dev runs leave siblings alone.
+    if (nameFilter.isEmpty) {
+      val live = SparkEntry.queries.keySet
+      Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && !live.contains(f.getName))
+        .foreach { stale =>
+          System.err.println(s"[verify] removing stale dump: ${stale.getName}")
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(): Unit
+          }
+          rm(stale)
+        }
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name)) {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -48,6 +65,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // The names THIS run was responsible for — check_oracle.py uses it to
+    // ignore (and flag) any other directory as stale debris.
+    Files.writeString(Paths.get(s"$outDir/query_names.json"),
+      SparkEntry.queries.keys.toSeq.sorted.filter(selected)
+        .map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -27,8 +27,19 @@ object DataQuality {
     * top bigram <= 1/5, duplicated trigrams <= 3/10, 5 <= n_words <=
     * 100000, mean word length in [2, 10]). See gq1 for the full scale
     * notes.
+    *
+    * `barrier` (default true) pins the six metric longs with a lazy
+    * localCheckpoint so a batch consumer's `.where(gopher_pass)` cannot
+    * push the gate — with every interpreted fold inlined — below this
+    * Project and re-evaluate the folds once per reference (measured
+    * 3.7→12 s on tm2's gate stage). STREAMING callers pass false
+    * (ADVICE r10): inside foreachBatch each batch's checkpoint pins an
+    * RDD whose release waits on ContextCleaner GC, so a long-running
+    * stream accumulates pinned blocks — and the micro-batch consumer
+    * aggregates immediately (no Filter to push), so the barrier buys
+    * nothing there.
     */
-  def gopherMetrics(docs: DataFrame): DataFrame = {
+  def gopherMetrics(docs: DataFrame, barrier: Boolean = true): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
     val ws = TextAnalysis.words(col("text"))
     // Every metric is a PER-ROW array expression over one tokenization:
@@ -78,7 +89,7 @@ object DataQuality {
     // coalesced the metrics to 0; size/fold over array() is the same 0)
     val base = docs.select(col("doc_id"),
       coalesce(ws, array().cast("array<string>")).as("w"))
-    base
+    val metrics = base
       .select(col("doc_id"),
         size(col("w")).cast("long").as("n_words"),
         aggregate(col("w"), lit(0L), (a, x) => a + length(x).cast("long"))
@@ -87,13 +98,10 @@ object DataQuality {
         maxRun(gramArr(col("w"), 2)).as("top_bigram_n"),
         size(gramArr(col("w"), 3)).cast("long").as("n_trigrams"),
         dupRunSum(gramArr(col("w"), 3)).as("dup_trigram_n"))
-      // BARRIER: pin the six metric longs before the verdict/fraction
-      // projection. The folds are interpreted (no codegen CSE), and a
-      // consumer's .where(gopher_pass) would otherwise push the gate —
-      // with every fold inlined — below this Project, re-evaluating the
-      // expensive expressions once per reference (measured 3.7→12 s on
-      // tm2's gate stage). Seven longs per doc is a trivial pin.
-      .localCheckpoint(eager = false)
+    // BARRIER (see scaladoc): pin the six metric longs before the
+    // verdict/fraction projection — seven longs per doc is a trivial pin.
+    val pinned = if (barrier) metrics.localCheckpoint(eager = false) else metrics
+    pinned
       .select(col("*"),
         (col("top_word_n").cast(DoubleType) /
           nullif(col("n_words"), lit(0L)).cast(DoubleType)).as("top_word_frac"),

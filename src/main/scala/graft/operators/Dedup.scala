@@ -88,19 +88,25 @@ object Dedup {
   /** URL canonicalization for crawl dedup (the CommonCrawl first-pass
     * key): lowercase scheme+host(+path — the synthetic corpus has no
     * case-significant paths), strip the fragment, strip utm_* tracking
-    * parameters, repair a dangling "?&", strip one trailing slash.
-    * Patterns stay inside the Java-regex ∩ RE2 dialect (the Pii rule)
-    * so the same canonicalization runs on any engine — the d13 oracle
-    * replays it in DuckDB with the 'g' flag matching Spark's
-    * replace-all default.
+    * parameters, repair the separator damage, strip one trailing slash.
+    * TWO repairs are needed after the utm strip: "?&x" (the '?' survived
+    * a later-param deletion) and the dangling "&x" with no '?' at all —
+    * stripping a FIRST param '?utm_a=1&x=2' deletes the '?' with it,
+    * leaving the malformed '/p&x=2' that would never merge with '/p?x=2'
+    * (ADVICE r10). Patterns stay inside the Java-regex ∩ RE2 dialect
+    * (the Pii rule) so the same canonicalization runs on any engine —
+    * the d13 oracle replays it in DuckDB with the 'g' flag matching
+    * Spark's replace-all default.
     */
   def canonicalUrl(url: Column): Column =
     regexp_replace(
       regexp_replace(
         regexp_replace(
-          regexp_replace(lower(url), "#.*$", ""),
-          "[?&]utm_[a-z]+=[^&#]*", ""),
-        "\\?&", "?"),
+          regexp_replace(
+            regexp_replace(lower(url), "#.*$", ""),
+            "[?&]utm_[a-z]+=[^&#]*", ""),
+          "\\?&", "?"),
+        "^([^?]*)&", "$1?"),
       "/$", "")
 
   /** Engine-portable 60-bit hash: the top 15 hex digits of md5, read as an

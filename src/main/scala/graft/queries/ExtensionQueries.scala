@@ -3609,11 +3609,12 @@ object ExtensionQueries {
         |  FROM documents
         |), c AS (
         |  SELECT doc_id, url,
-        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         |      lower(url),
         |      '#.*$', '', 'g'),
         |      '[?&]utm_[a-z]+=[^&#]*', '', 'g'),
         |      '\?&', '?', 'g'),
+        |      '^([^?]*)&', '\1?', 'g'),
         |      '/$', '', 'g') AS canonical_url
         |  FROM u
         |)

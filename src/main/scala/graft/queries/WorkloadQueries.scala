@@ -767,8 +767,12 @@ object WorkloadQueries {
         .select(col("doc_a"), col("doc_b"),
           expr("(20 * n_inter) div (n_a + n_b - n_inter)").as("jb"))
       val sigs = Dedup.minHashPortable(docs, 3, 16)
+      // EAGER: three join consumers (sized + both sides of the candidate
+      // self-join) re-materialize a LAZY checkpoint once per branch — the
+      // mod1 lesson (9.1→2.9 s there), and the most plausible cause of
+      // dr1's load-sensitivity in the r10 driver window (VERDICT r10 #2).
       val bands = Dedup.portableBandKeys(sigs, 4)
-        .localCheckpoint(eager = false) // self-joined below
+        .localCheckpoint(eager = true)
       val sized = bands.groupBy("band_idx", "band_key")
         .agg(count(lit(1)).as("__n"))
         .where(col("__n").between(2, 64))

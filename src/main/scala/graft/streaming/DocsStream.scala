@@ -171,7 +171,10 @@ object DocsStream {
     val exists = AtomicLayer.latestCommitted(spark, root).isDefined
     if (AtomicLayer.lastMergedBatch(spark, root) >= batchId) false
     else {
-      val census = graft.operators.DataQuality.gopherMetrics(batch)
+      // barrier = false: the checkpoint pin is for batch filter-pushdown
+      // only; per-micro-batch checkpoints would accumulate pinned blocks
+      // between ContextCleaner GC cycles on a long stream (ADVICE r10)
+      val census = graft.operators.DataQuality.gopherMetrics(batch, barrier = false)
         .join(batch.select(col("doc_id"), col("source")), Seq("doc_id"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),

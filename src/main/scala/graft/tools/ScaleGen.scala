@@ -159,14 +159,19 @@ object ScaleGen {
     }
     val rotatedDocs = fan("documents")("doc_id" -> sDoc)
       .withColumn("text", docText)
-    // Two skew families: (a) HOT VOCABULARY — 10% of docs get one of 8
-    // hot phrases appended (cross-copy shared shingles, corpus-linear
-    // posting lists; stresses the prefix-join family's rarest-first
-    // ordering); (b) BOILERPLATE — 1% of docs are REPLACED by a near-
-    // identical 60-word page (cookie-banner/error-page reality) whose
-    // MinHash signatures all collide, so band buckets of ~n/700 docs
-    // form and the [2,64] degeneracy caps must engage or the pair join
-    // goes quadratic.
+    // Two skew families (ADVICE r10 — exact populations: the boilerplate
+    // condition doc_id % 100 == 50 is a SUBSET of doc_id % 10 == 0, so
+    // it diverts 1% out of the hot-phrase family):
+    //  (a) HOT VOCABULARY — 9% of docs (doc_id % 10 == 0 minus the
+    //      boilerplate 1%) get one of 8 hot phrases appended (cross-copy
+    //      shared shingles, corpus-linear posting lists; stresses the
+    //      prefix-join family's rarest-first ordering);
+    //  (b) BOILERPLATE — 1% of docs (doc_id % 100 == 50) are REPLACED by
+    //      a near-identical 97-word page (96 boilerplate words + the
+    //      per-doc tail token; cookie-banner/error-page reality) whose
+    //      MinHash signatures all collide, so band buckets of ~n/700
+    //      docs form and the [2,64] degeneracy caps must engage or the
+    //      pair join goes quadratic.
     val boiler = (0 until 6).flatMap(_ => Seq(
       "hotshared alpha bravo charlie delta echo foxtrot golf",
       "cookie consent banner please accept all tracking today")).mkString(" ")

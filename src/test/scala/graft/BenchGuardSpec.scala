@@ -17,21 +17,51 @@ class BenchGuardSpec extends AnyFunSuite {
   }
 
   test("a retry at the committed level replaces the phantom reading") {
-    // mid-run slowdown: first pass 34.0 s, post-sweep retry 4.0 s (the
-    // box recovered) — the published value is the retry, and both
-    // numbers are recorded by Bench under `suspects`.
-    assert(Bench.adjudicate(median = 34.0, retry = 4.0) === 4.0)
+    // mid-run slowdown: first pass 34.0 s, post-sweep retry 4.0 s — the
+    // retry CONFIRMS the 2.8 s baseline (within ConfirmRatio), so the
+    // published value is the retry, and both numbers are recorded by
+    // Bench under `suspects`.
+    assert(Bench.adjudicate(median = 34.0, retry = 4.0, baseline = Some(2.8)) === 4.0)
   }
 
   test("a genuine regression re-measures slow and keeps its slow reading") {
-    assert(Bench.adjudicate(median = 34.0, retry = 35.1) === 34.0)
+    assert(Bench.adjudicate(median = 34.0, retry = 35.1, baseline = Some(2.8)) === 34.0)
     // still flagged (suspect record carries both numbers), but the
     // published value does not pretend the regression away
     assert(Bench.isSuspect(median = 34.0, baseline = Some(2.8)))
   }
 
   test("a failed retry never overwrites the first reading") {
-    assert(Bench.adjudicate(median = 34.0, retry = -1.0) === 34.0)
+    assert(Bench.adjudicate(median = 34.0, retry = -1.0, baseline = Some(2.8)) === 34.0)
+  }
+
+  test("the r10 dr1 incident: a persistent window is labeled, not laundered") {
+    // r10's driver run: dr1 committed 2.92 s, first pass 14.37 s, and
+    // the post-sweep retry ALSO read 14.4 s — the degradation window
+    // outlived the sweep. The old min() rule published 14.37 as a clean
+    // reading. Now: the retry does NOT confirm the baseline, so the
+    // FIRST reading publishes (retry stays diagnostic)...
+    assert(!Bench.retryConfirms(retry = 14.4, baseline = Some(2.92)))
+    assert(Bench.adjudicate(median = 14.37, retry = 14.4, baseline = Some(2.92)) === 14.37)
+    // ...and the canary probed right after the retry (elevated with the
+    // box: say 1.9 s against a 0.5 s pre-sweep reference) marks the
+    // reading window_degraded — the artifact self-labels it.
+    assert(Bench.isWindowDegraded(canaryS = 1.9, refS = 0.5))
+    // a healthy canary after a non-confirming retry means the elevated
+    // reading is NOT box-wide: a genuine regression, not a window
+    assert(!Bench.isWindowDegraded(canaryS = 0.55, refS = 0.5))
+    // an unmeasurable canary reference must never label readings
+    assert(!Bench.isWindowDegraded(canaryS = 1.9, refS = -1.0))
+  }
+
+  test("an intermittent regression that retries fast is not understated past the baseline") {
+    // ADVICE r10: a bimodal genuine regression (committed 2.8, now
+    // flapping 34 / 9) must not publish at 9 just because 9 < 34 — 9 is
+    // still 3.2x the baseline, so nothing is confirmed and the first
+    // reading stands.
+    assert(Bench.adjudicate(median = 34.0, retry = 9.0, baseline = Some(2.8)) === 34.0)
+    // but a retry inside ConfirmRatio x baseline IS a confirmation
+    assert(Bench.retryConfirms(retry = 3.9, baseline = Some(2.8)))
   }
 
   test("no baseline (new query) and sub-floor jitter are not suspects") {
