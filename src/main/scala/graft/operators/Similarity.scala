@@ -804,6 +804,30 @@ object Similarity {
       beam: Int = 8,
       rounds: Int = 3,
   ): DataFrame = {
+    // entry vertex: the slice's smallest id (1-row bounded scalar,
+    // broadcast). A query that is itself a corpus member may be
+    // TRAVERSED like any vertex — excluding it would disconnect its
+    // neighborhood — it is only dropped from the reported results.
+    val e0 = broadcast(slice.agg(min(col("vec_id")).as("e0")))
+    beamServe(edges, slice, queries, e0, k, beam, rounds)
+  }
+
+  /** The traversal loop shared by [[graphAnnBeamServe]] (entry = slice
+    * min id) and [[graphAnnServeFromIndex]] (entry = smallest surviving
+    * node of the persisted, tombstone-filtered edge relation) — one
+    * definition so the two serve paths can never drift on expand,
+    * score, prune, or report semantics. `entry` is a 1-row (e0)
+    * relation, already broadcast.
+    */
+  private def beamServe(
+      edges: DataFrame,
+      slice: DataFrame,
+      queries: DataFrame,
+      entry: DataFrame,
+      k: Int,
+      beam: Int,
+      rounds: Int,
+  ): DataFrame = {
     val corpus =
       slice.select(col("vec_id").as("c_vec"), col("embedding").as("c_emb"))
     val q = broadcast(
@@ -818,12 +842,7 @@ object Similarity {
       .join(q, Seq("q_vec"))
       .select(col("q_vec"), col("v"),
         VectorMath.cosineExact(col("q_emb"), col("c_emb")).as("cosine"))
-    // entry vertex: the slice's smallest id (1-row bounded scalar,
-    // broadcast). A query that is itself a corpus member may be
-    // TRAVERSED like any vertex — excluding it would disconnect its
-    // neighborhood — it is only dropped from the reported results.
-    val e0 = broadcast(slice.agg(min(col("vec_id")).as("e0")))
-    val start = q.select(col("q_vec")).crossJoin(e0)
+    val start = q.select(col("q_vec")).crossJoin(entry)
       .select(col("q_vec"), col("e0").as("v"))
     var visited = score(start).localCheckpoint(eager = false)
     var frontier = visited.select("q_vec", "v")
@@ -953,6 +972,13 @@ object Similarity {
     prune(graph).select(col("v"), col("rank"), col("u").as("nbr"), col("cosine"))
   }
 
+  /** Diagnostic build counter: every [[nnDescent]] construction bumps it,
+    * so the no-build-in-serve guard ([[graphAnnServeFromIndex]]'s
+    * contract, GraphIndexSpec) can assert the serve path never
+    * constructs a graph.
+    */
+  private[graft] val nndBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def nnDescent(
       corpus: DataFrame,
       graphK: Int = 5,
@@ -961,6 +987,7 @@ object Similarity {
       seedFamilies: Int = 2,
       bucketCap: Int = 64,
   ): DataFrame = {
+    nndBuilds.incrementAndGet()
     val c = corpus.select(col("vec_id"), col("embedding"))
     val seedPairs = hashSeedPairs(c, seedBucketSize, seedFamilies, bucketCap)
     descentRounds(c, scorePairs(c, seedPairs), graphK, rounds)
@@ -1005,11 +1032,32 @@ object Similarity {
       rounds: Int = 3,
       seedBucketSize: Int = 32,
   ): DataFrame = {
-    val allEmb = oldCorpus.select(col("vec_id"), col("embedding"))
-      .unionByName(newVecs.select(col("vec_id"), col("embedding")))
     val g = nnDescent(oldCorpus, graphK, rounds, seedBucketSize)
       .select(col("v"), col("nbr").as("u"), col("cosine"))
       .localCheckpoint(eager = true)
+    nnDescentUpsertWithGraph(g, oldCorpus, newVecs, graphK, beam, rounds,
+      seedBucketSize)
+  }
+
+  /** The upsert MERGE alone, over an already-built graph `g`
+    * (v, u, cosine) — steps 1–5 of [[nnDescentUpsert]]'s scaladoc with
+    * the inline rebuild removed. This is what a real deployment runs:
+    * the graph comes off a persisted artifact (x36, [[appendToNndGraphIndex]])
+    * and the upsert pays only the O(|new|) locate + merge + one
+    * reconciling round. `oldCorpus` must cover every node of `g` (the
+    * embedding point-lookup store).
+    */
+  def nnDescentUpsertWithGraph(
+      g: DataFrame,
+      oldCorpus: DataFrame,
+      newVecs: DataFrame,
+      graphK: Int = 15,
+      beam: Int = 8,
+      rounds: Int = 3,
+      seedBucketSize: Int = 32,
+  ): DataFrame = {
+    val allEmb = oldCorpus.select(col("vec_id"), col("embedding"))
+      .unionByName(newVecs.select(col("vec_id"), col("embedding")))
     val beamed = graphAnnBeamServe(
         g.select(col("v"), col("u").as("nbr")), oldCorpus, newVecs,
         k = graphK, beam = beam, rounds = rounds)
@@ -1021,5 +1069,154 @@ object Similarity {
     val merged = g.unionByName(beamed).unionByName(rev).unionByName(batchPairs)
       .distinct()
     descentRounds(allEmb, merged, graphK, rounds = 1)
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted NN-descent graph index (VERDICT r10 #1): the graph
+  // analogue of the IVFADC x23–x30 artifact lifecycle. The index is ONE
+  // parquet relation `edges.parquet` (v, rank, nbr, cosine) under
+  // AtomicLayer commit-marker snapshots, plus the shared
+  // `tombstones.parquet` delete side-table. Build once / serve many:
+  // serving reads the artifact and pays only the beam traversal —
+  // never a graph construction (GraphIndexSpec pins that with the
+  // nndBuilds counter).
+  // ------------------------------------------------------------------
+
+  /** Deterministic on-disk root for the persisted graph-index artifacts
+    * of the corpus at `dir` — like [[indexRoot]], the layout is part of
+    * the serving contract (the x37/x38 oracles replay the beam search
+    * from these literal parquet paths in DuckDB).
+    */
+  def graphIndexRoot(dir: String): String =
+    s"/tmp/graft_graph_index/${new java.io.File(dir).getName}"
+
+  /** Build + PERSIST the NN-descent kNN graph as an index artifact.
+    * Skips when a committed snapshot exists (build once, serve many),
+    * unless `force`. keepVersions = 1 so the oracle's `v*` glob
+    * resolves exactly one version.
+    */
+  def buildNndGraphIndex(
+      corpus: DataFrame,
+      root: String,
+      graphK: Int = 15,
+      rounds: Int = 3,
+      seedBucketSize: Int = 32,
+      force: Boolean = false,
+  ): Unit = {
+    val spark = corpus.sparkSession
+    val path = s"$root/edges.parquet"
+    if (force || AtomicLayer.latestCommitted(spark, path).isEmpty) {
+      AtomicLayer.write(
+        nnDescent(corpus, graphK, rounds, seedBucketSize)
+          .select(col("v"), col("rank"), col("nbr"), col("cosine")),
+        path, keepVersions = 1): Unit
+    }
+  }
+
+  /** Answer queries by beam search over the PERSISTED graph at `root` —
+    * the serve tier: edges come off disk filtered to the top-`degree`
+    * per node, the pending tombstone set is anti-joined off BOTH edge
+    * endpoints (a deleted node must leave the traversal entirely — as a
+    * hop source and as a reachable neighbor), and the entry vertex is
+    * the smallest surviving node id, recomputed from the filtered edge
+    * relation so a deleted entry can never seed a walk. `corpus` is the
+    * embedding point-lookup store (only visited vertices' vectors are
+    * fetched, the pqRefineTopK posture). No graph construction happens
+    * here — the contract GraphIndexSpec pins via [[nndBuilds]].
+    */
+  def graphAnnServeFromIndex(
+      queries: DataFrame,
+      corpus: DataFrame,
+      root: String,
+      k: Int = 5,
+      beam: Int = 8,
+      rounds: Int = 3,
+      degree: Int = 5,
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    val tombs = tombstonesOrEmpty(spark, root)
+    val edges = AtomicLayer.read(spark, s"$root/edges.parquet")
+      .where(col("rank") <= degree)
+      .select(col("v"), col("nbr"))
+      .join(broadcast(tombs.select(col("c_vec").as("v"))), Seq("v"), "left_anti")
+      .join(broadcast(tombs.select(col("c_vec").as("nbr"))), Seq("nbr"), "left_anti")
+    val entry = broadcast(edges.agg(min(col("v")).as("e0")))
+    beamServe(edges, corpus, queries, entry, k, beam, rounds)
+  }
+
+  /** Incremental graph maintenance against the PERSISTED index — the
+    * graph analogue of [[appendToIvfPqIndex]]: the batch's tombstones
+    * clear first (re-adding a deleted id RESURRECTS it — the add is the
+    * later operation, latest wins), then genuinely NEW ids (id-keyed
+    * anti-join, so re-running the append is a no-op — idempotent under
+    * redelivery) run the O(|new|) upsert merge of
+    * [[nnDescentUpsertWithGraph]] over the stored graph, and the merged
+    * edge relation lands as the next snapshot. `corpus` = the existing
+    * embedding store covering every indexed node.
+    */
+  def appendToNndGraphIndex(
+      corpus: DataFrame,
+      newVecs: DataFrame,
+      root: String,
+      graphK: Int = 15,
+      beam: Int = 8,
+      rounds: Int = 3,
+      seedBucketSize: Int = 32,
+  ): Unit = {
+    val spark = newVecs.sparkSession
+    val path = s"$root/edges.parquet"
+    val tombs = tombstonesOrEmpty(spark, root)
+    if (!tombs.isEmpty) {
+      AtomicLayer.write(
+        tombs.join(newVecs.select(col("vec_id").as("c_vec")), Seq("c_vec"), "left_anti"),
+        s"$root/tombstones.parquet", keepVersions = 1)
+      (): Unit
+    }
+    val g = AtomicLayer.read(spark, path)
+      .select(col("v"), col("nbr").as("u"), col("cosine"))
+    val fresh = newVecs
+      .join(g.select(col("v").as("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+      .localCheckpoint() // consumed by the emptiness probe AND the merge
+    if (!fresh.isEmpty) {
+      AtomicLayer.write(
+        nnDescentUpsertWithGraph(g, corpus, fresh, graphK, beam, rounds,
+            seedBucketSize)
+          .select(col("v"), col("rank"), col("nbr"), col("cosine")),
+        path, keepVersions = 1): Unit
+    }
+  }
+
+  /** DELETE ids from the persisted graph index — the identical tombstone
+    * side-table contract (and implementation) as [[deleteFromIvfPqIndex]]:
+    * O(batch) at any graph size, idempotent, unknown ids harmless.
+    */
+  def deleteFromGraphIndex(ids: DataFrame, root: String): Unit =
+    deleteFromIvfPqIndex(ids, root)
+
+  /** Fold pending tombstones into the edge relation: drop every edge
+    * touching a dead node on EITHER endpoint, then RE-RANK each
+    * surviving node's neighbors — dropped dead neighbors would
+    * otherwise leave rank gaps that starve a degree-filtered serve
+    * below its intended out-degree. Ends with an empty tombstone
+    * snapshot; between compactions serving stays correct via the
+    * anti-join.
+    */
+  def compactGraphIndex(spark: SparkSession, root: String): Unit = {
+    val tombs = tombstonesOrEmpty(spark, root)
+    if (!tombs.isEmpty) {
+      val path = s"$root/edges.parquet"
+      val alive = AtomicLayer.read(spark, path)
+        .join(broadcast(tombs.select(col("c_vec").as("v"))), Seq("v"), "left_anti")
+        .join(broadcast(tombs.select(col("c_vec").as("nbr"))), Seq("nbr"), "left_anti")
+      val w = Window.partitionBy("v").orderBy(col("cosine").desc, col("nbr"))
+      AtomicLayer.write(
+        alive.select(col("v"), col("nbr"), col("cosine"))
+          .withColumn("rank", row_number().over(w))
+          .select(col("v"), col("rank"), col("nbr"), col("cosine")),
+        path, keepVersions = 1)
+      AtomicLayer.write(tombs.limit(0),
+        s"$root/tombstones.parquet", keepVersions = 1)
+      (): Unit
+    }
   }
 }
