@@ -1193,6 +1193,69 @@ object Similarity {
   def deleteFromGraphIndex(ids: DataFrame, root: String): Unit =
     deleteFromIvfPqIndex(ids, root)
 
+  /** One micro-batch's BATCHING-INVARIANT NSW insertion into the
+    * persisted graph (the st29 streaming-ingest primitive). Unlike
+    * [[appendToNndGraphIndex]] — whose beam walks the EVOLVING graph and
+    * whose reconciling descent round couples batches — every stream
+    * batch locates its nodes over the IMMUTABLE `base_edges.parquet`
+    * snapshot frozen at stream start, and the merge is
+    * prune_K(current ∪ located ∪ reverse-links). Per-node top-K under a
+    * deterministic total order (cosine DESC, u) is a monoid —
+    * prune(prune(A ∪ B1) ∪ B2) = prune(A ∪ B1 ∪ B2) — and each batch's
+    * contribution depends only on (base, batch), so the final artifact
+    * is identical however the stream was micro-batched, and identical
+    * to one big batch (GraphIndexSpec pins both). The documented trade:
+    * cross-batch new×new neighborhoods are NOT linked until the next
+    * offline reconciliation ([[appendToNndGraphIndex]]'s descent round
+    * or a rebuild) — the standard serving-insert vs. repair split.
+    * Idempotent under foreachBatch redelivery via the id-keyed
+    * anti-join; `corpus` = the embedding store of the BASE nodes.
+    */
+  def streamInsertIntoGraphIndex(
+      corpus: DataFrame,
+      batch: DataFrame,
+      root: String,
+      graphK: Int = 15,
+      beam: Int = 8,
+      rounds: Int = 3,
+  ): Unit = {
+    val spark = batch.sparkSession
+    val base = AtomicLayer.read(spark, s"$root/base_edges.parquet")
+    val current = AtomicLayer.read(spark, s"$root/edges.parquet")
+    val fresh = batch.select(col("vec_id"), col("embedding"))
+      .join(current.select(col("v").as("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+      .localCheckpoint() // consumed by the emptiness probe AND the merge
+    if (!fresh.isEmpty) {
+      val beamed = graphAnnBeamServe(base, corpus, fresh,
+          k = graphK, beam = beam, rounds = rounds)
+        .select(col("q_vec").as("v"), col("c_vec").as("u"), col("cosine"))
+      val rev = beamed.select(col("u").as("v"), col("v").as("u"), col("cosine"))
+      val w = Window.partitionBy("v").orderBy(col("cosine").desc, col("u"))
+      AtomicLayer.write(
+        current.select(col("v"), col("nbr").as("u"), col("cosine"))
+          .unionByName(beamed).unionByName(rev).distinct()
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= graphK)
+          .select(col("v"), col("rank"), col("u").as("nbr"), col("cosine")),
+        s"$root/edges.parquet", keepVersions = 1): Unit
+    }
+  }
+
+  /** Freeze the current edge relation as the immutable locate graph for
+    * [[streamInsertIntoGraphIndex]] — run once at stream start (skips
+    * when already frozen, so a restarted stream keeps ITS base).
+    */
+  def freezeGraphIndexBase(spark: SparkSession, root: String): Unit = {
+    val path = s"$root/base_edges.parquet"
+    if (AtomicLayer.latestCommitted(spark, path).isEmpty) {
+      AtomicLayer.write(
+        AtomicLayer.read(spark, s"$root/edges.parquet")
+          .select(col("v"), col("nbr")),
+        path, keepVersions = 1): Unit
+    }
+  }
+
   /** Fold pending tombstones into the edge relation: drop every edge
     * touching a dead node on EITHER endpoint, then RE-RANK each
     * surviving node's neighbors — dropped dead neighbors would

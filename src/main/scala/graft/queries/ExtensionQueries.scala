@@ -478,6 +478,16 @@ object ExtensionQueries {
     // BOTH edge endpoints; the oracle replays the beam from the same
     // persisted edges + tombstones. Compaction is pinned in
     // GraphIndexSpec (the x30/AnnIndexSpec division of labor).
+    // STREAMED graph-index ingest (the graph twin of st21): micro-batches
+    // of vectors NSW-insert into the persisted edge artifact via
+    // foreachBatch — beam-locate over the frozen base graph, reverse-
+    // link, monoid top-K re-prune — so the final artifact is identical
+    // however the stream was batched (GraphIndexSpec pins the law).
+    // Queries serve from the stream-built index; the oracle replays the
+    // beam from the same persisted edges (x37's pattern).
+    "st29_stream_graph_append" -> { (spark, dir) =>
+      graft.streaming.VectorStream.streamGraphAppend(spark, dir)
+    },
     "x38_graph_index_delete" -> { (spark, dir) =>
       val emb = Tables.embeddings(spark, dir)
       val root = Similarity.graphIndexRoot(dir) + "_gd"
@@ -2523,6 +2533,24 @@ object ExtensionQueries {
          |), edges AS MATERIALIZED (
          |  SELECT v, nbr
          |  FROM read_parquet('/tmp/graft_graph_index/sf0.01/edges.parquet/v*/*.parquet')
+         |  WHERE rank <= 5
+         |), sc AS MATERIALIZED (
+         |  SELECT a.vec_id AS q_vec, b.vec_id AS v, ${qcosSql("a", "b")} AS cosine
+         |  FROM qe a, qe b WHERE a.vec_id < 8
+         |), e0 AS (SELECT MIN(v) AS e0 FROM edges),
+         |$beamReplayCtes
+         |${beamReportSql(5)}""".stripMargin,
+
+    // the serve replayed from the STREAM-BUILT artifact — x37's replay
+    // pointed at the _stream root (no tombstones in this lifecycle leg)
+    "st29_stream_graph_append" ->
+      s"""WITH qe AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(embedding, v -> floor(CAST(v AS DOUBLE) * 1048576.0)) AS q
+         |  FROM embeddings WHERE vec_id < 500
+         |), edges AS MATERIALIZED (
+         |  SELECT v, nbr
+         |  FROM read_parquet('/tmp/graft_graph_index/sf0.01_stream/edges.parquet/v*/*.parquet')
          |  WHERE rank <= 5
          |), sc AS MATERIALIZED (
          |  SELECT a.vec_id AS q_vec, b.vec_id AS v, ${qcosSql("a", "b")} AS cosine

@@ -128,4 +128,39 @@ object VectorStream {
     Similarity.ivfPqTopKFromIndex(emb.where(col("vec_id") < 8), emb, root, k = 3)
       .orderBy("q_vec", "rank")
   }
+
+  /** Continuous GRAPH-index maintenance — st21's division of labor
+    * applied to the NN-descent tier (VERDICT r10 #4): the base graph
+    * builds + freezes once; each arriving micro-batch of vectors
+    * NSW-inserts into the persisted edge artifact via
+    * [[graft.operators.Similarity.streamInsertIntoGraphIndex]]
+    * (beam-locate over the IMMUTABLE frozen base, reverse-link, one
+    * monoid top-K re-prune — id-keyed idempotent, AtomicLayer
+    * snapshots), so the final graph is identical however the stream was
+    * micro-batched and identical to one big batch (GraphIndexSpec pins
+    * the law). Queries are then served from the stream-built artifact;
+    * the oracle replays the beam search FROM the same persisted edges.
+    */
+  def streamGraphAppend(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = graft.Tables.embeddings(spark, dir)
+    val root = Similarity.graphIndexRoot(dir) + "_stream"
+    val old = emb.where(col("vec_id") < 400)
+    Similarity.buildNndGraphIndex(old, root)
+    Similarity.freezeGraphIndexBase(spark, root)
+    val schema = StreamRun.cachedSchema(spark, dir, "embeddings.parquet")
+    val feed = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+      .where(col("vec_id") >= 400 && col("vec_id") < 500)
+    StreamRun.driveForeachBatch(feed, "append",
+        s"st29_graph_append_${runId.incrementAndGet()}") { (batch, _) =>
+      if (!batch.isEmpty) Similarity.streamInsertIntoGraphIndex(old, batch, root)
+    }
+    Similarity.graphAnnServeFromIndex(
+        emb.where(col("vec_id") < 8), emb.where(col("vec_id") < 500), root,
+        k = 5, beam = 8, rounds = 3, degree = 5)
+      .orderBy("q_vec", "rank")
+  }
 }

@@ -89,6 +89,41 @@ class GraphIndexSpec extends SparkSpec {
       "appended nodes must be reachable in results")
   }
 
+  test("stream insert is BATCHING-INVARIANT: n micro-batches = one big batch") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val old = emb.where(col("vec_id") < 100)
+    val nw = emb.where(col("vec_id") >= 100 && col("vec_id") < 130)
+
+    def streamBuilt(batches: Seq[org.apache.spark.sql.DataFrame]): Seq[org.apache.spark.sql.Row] = {
+      val root = tmpRoot()
+      Similarity.buildNndGraphIndex(old, root)
+      Similarity.freezeGraphIndexBase(spark, root)
+      batches.foreach(b => Similarity.streamInsertIntoGraphIndex(old, b, root))
+      AtomicLayer.read(spark, s"$root/edges.parquet")
+        .orderBy("v", "rank").collect().toSeq
+    }
+
+    val oneShot = streamBuilt(Seq(nw))
+    val threeBatches = streamBuilt(Seq(
+      emb.where(col("vec_id") >= 100 && col("vec_id") < 111),
+      emb.where(col("vec_id") >= 111 && col("vec_id") < 122),
+      emb.where(col("vec_id") >= 122 && col("vec_id") < 130)))
+    assert(threeBatches == oneShot,
+      "the final edge artifact must be independent of micro-batching")
+    // redelivery: replaying a batch into the finished index is a no-op
+    val root2 = tmpRoot()
+    Similarity.buildNndGraphIndex(old, root2)
+    Similarity.freezeGraphIndexBase(spark, root2)
+    Similarity.streamInsertIntoGraphIndex(old, nw, root2)
+    val snap = AtomicLayer.read(spark, s"$root2/edges.parquet")
+      .orderBy("v", "rank").collect().toSeq
+    Similarity.streamInsertIntoGraphIndex(old,
+      emb.where(col("vec_id") >= 100 && col("vec_id") < 111), root2)
+    assert(AtomicLayer.read(spark, s"$root2/edges.parquet")
+      .orderBy("v", "rank").collect().toSeq == snap,
+      "redelivered batches must not change the artifact")
+  }
+
   test("delete makes nodes unreachable on BOTH endpoints; re-add resurrects; compact folds") {
     val emb = Tables.embeddings(spark, sf0001)
     val sub = emb.where(col("vec_id") < 120)
