@@ -666,6 +666,22 @@ object Dedup {
     * reason d6 runs Jaccard at 0.05) it is ≈ 0.13/table → measured
     * 0.54 of sd2's drops at ~1/16 the per-table pair work. The dials
     * (nPlanes, nTables) tune recall exactly like x2's.
+    *
+    * DUPLICATE-MASS DEGENERACY (VERDICT r10 #3): LSH cannot subdivide a
+    * blob of near-identical vectors — they MUST share every bucket
+    * (that is LSH working), so a blob of size m costs m² pairs however
+    * the dials are set (measured on the clustered ScaleGen tree:
+    * sub-buckets of 2050, scored pairs 7.4M → 35.9M organic→clustered
+    * at sf1.0). The EXEMPLAR PRE-FILTER below makes that case linear
+    * WITHOUT changing the result set: within each bucket, every member
+    * is first checked against the bucket's minimum-id member (the
+    * exemplar — senior to everyone, so a hit is a definitive drop; one
+    * linear pass), and only exemplar-SURVIVORS enter the pairwise
+    * senior scan. A degenerate blob drops wholesale in phase 1
+    * (survivors ≈ 0 ⇒ phase-2 ≈ 0 pairs); an organic bucket keeps its
+    * previous cost. Exact because a phase-1 drop is a true senior twin
+    * and a phase-2 candidate is still compared against every senior
+    * bucket member except the already-checked exemplar.
     */
   def semanticDedupBucketed(
       embeddings: DataFrame,
@@ -674,31 +690,59 @@ object Dedup {
       nTables: Int = 4,
   ): DataFrame = {
     import graft.functions.QuantizedCosine.{quantizedCosine => cosine}
+    import org.apache.spark.sql.expressions.Window
     val assigned = EmbeddingOps
       .assignToCentroids(embeddings, EmbeddingOps.centroids(embeddings))
       .select(col("vec_id"), col("cluster"))
+    // EAGER pin: the centroid-assignment fold is the expensive upstream
+    // and now feeds FOUR branches (phase-1 exemplar scan, both phase-2
+    // join sides, the final left join) — lazy lineage would re-run it
+    // per branch (measured 2x on the organic sf1.0 tree when phase 1
+    // first landed without the pin). One corpus-width relation of
+    // (vec_id, cluster, embedding) is the natural checkpoint.
     val clustered = assigned
       .join(embeddings.select(col("vec_id"), col("embedding")), "vec_id")
+      .localCheckpoint(eager = true)
     val bucketed = clustered.select(col("cluster"),
       col("vec_id"), col("embedding"),
       posexplode(
         graft.functions.LshBuckets.buckets(col("embedding"), nPlanes, nTables))
         .as(Seq("t", "b")))
+    // PHASE 1 — exemplar pre-filter (see scaladoc): each bucket's
+    // minimum-id member reaches every row via a WINDOW struct-min over
+    // the bucket key (vec_id leads the struct, so the embedding never
+    // decides the min; the window's partitioning is the same key the
+    // phase-2 self-join shuffles on), and every junior member scores
+    // against it once — a hit is a definitive drop, the exemplar is
+    // senior to everyone in the bucket.
+    val withEx = bucketed.withColumn("__m",
+      min(struct(col("vec_id"), col("embedding")))
+        .over(Window.partitionBy("cluster", "t", "b")))
+    val p1dups = withEx
+      .where(col("vec_id") > col("__m.vec_id") &&
+        cosine(col("embedding"), col("__m.embedding")) >= minCosine)
+      .select(col("vec_id"))
+      .distinct()
+      .localCheckpoint(eager = true) // consumed by the survivor anti-join AND the union
+    // PHASE 2 — pairwise senior scan for exemplar-SURVIVORS only.
     // embeddings CARRIED through the bucket join and the cosine
     // evaluated inline (x2/lshTopK's shape): a pair colliding in
     // several tables is scored up to nTables times, which measured
     // cheaper than the dedup-then-refetch alternative (pair distinct +
     // two id-keyed embedding joins) — scoring is a fused map-side
-    // expression, the refetch was two extra exchanges
+    // expression, the refetch was two extra exchanges. The exemplar
+    // column is skipped on the senior side (phase 1 already scored it).
     val a = bucketed.select(col("cluster"), col("t"), col("b"),
       col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val bb = bucketed.select(col("cluster"), col("t"), col("b"),
-      col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-    val dups = a.join(bb, Seq("cluster", "t", "b"))
-      .where(col("vec_a") < col("vec_b") &&
+    val bb = withEx
+      .join(p1dups, Seq("vec_id"), "left_anti")
+      .select(col("cluster"), col("t"), col("b"), col("__m.vec_id").as("m_id"),
+        col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    val p2dups = a.join(bb, Seq("cluster", "t", "b"))
+      .where(col("vec_a") < col("vec_b") && col("vec_a") =!= col("m_id") &&
         cosine(col("emb_a"), col("emb_b")) >= minCosine)
       .select(col("vec_b").as("vec_id"))
-      .distinct()
+    val dups = p1dups.unionByName(p2dups).distinct()
     embeddings.select(col("vec_id"))
       .join(assigned, Seq("vec_id"), "left")
       .join(dups.withColumn("__dup", lit(true)), Seq("vec_id"), "left")

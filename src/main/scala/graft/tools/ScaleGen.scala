@@ -54,6 +54,7 @@ object ScaleGen {
     val src = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val zipf = args.lift(3).contains("zipf")
+    val clustered = args.lift(3).contains("clustered")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -65,7 +66,7 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, src, out, factor, zipf)
+    generate(spark, src, out, factor, zipf, clustered)
     spark.stop()
   }
 
@@ -81,9 +82,23 @@ object ScaleGen {
     * this mode; `n_chars` is re-derived so the length-dependent
     * operators stay consistent.
     */
+  /** `clusteredEmb = true` plants CLUSTER skew in the EMBEDDING space
+    * (VERDICT r10 #3 — the vector-side analogue of the zipf text mode):
+    * 30% of vectors (vec_id % 10 < 3) are REPLACED by one of 3 synthetic
+    * centroids (c = vec_id % 3) plus a per-vector dim-0 jitter of
+    * vec_id·1e-6, so each centroid owns ~10% of the corpus as a blob of
+    * near-identical vectors. ScaleGen's default perturbation keeps IVF
+    * lists, LSH buckets, and semantic clusters BALANCED by construction;
+    * this mode makes probe lists imbalanced, collapses the blobs into
+    * single LSH buckets (LSH doing its job — near-identical vectors MUST
+    * collide), and hands SemDeDup a near-dup mass that is genuinely
+    * quadratic in the blob — the stress the sd3 exemplar pre-filter and
+    * the IVF probe accounting exist for. NN-descent's seed buckets hash
+    * the ID space and are immune by construction (the census states it).
+    */
   def generate(
       spark: SparkSession, src: String, out: String, factor: Int,
-      zipfVocab: Boolean = false): Unit = {
+      zipfVocab: Boolean = false, clusteredEmb: Boolean = false): Unit = {
     require(factor >= 1 && factor <= 26, s"factor must be 1..26, got $factor")
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     // single FILE named <t>.parquet (driver-fixture layout, see scaladoc);
@@ -190,12 +205,30 @@ object ScaleGen {
         .withColumn("n_chars", length(col("text")).cast("long"))
     write(done(finalDocs), "documents")
 
-    write(done(fan("embeddings")("vec_id" -> sVec)
+    val fannedEmb = fan("embeddings")("vec_id" -> sVec)
       .withColumn("embedding",
         transform(col("embedding"), (x, i) =>
           when(i === 0,
             (x + col("__copy").cast(FloatType) * lit(1e-4f)).cast(FloatType))
-            .otherwise(x)))), "embeddings")
+            .otherwise(x)))
+    // Cluster skew (see scaladoc): centroid value for (c, dim) is the
+    // deterministic lattice ((c+1)*7 + dim*13) % 19 - 9) / 9 ∈ [-1, 1];
+    // the dim-0 jitter keeps every vector distinct (no exact ties) while
+    // cosines inside a blob stay ≈ 0.9999.
+    val clusteredDocs =
+      if (!clusteredEmb) fannedEmb
+      else fannedEmb.withColumn("embedding",
+        when(col("vec_id") % 10 < 3,
+          transform(col("embedding"), (_, i) => {
+            val c = col("vec_id") % 3
+            val base = (((c + 1) * 7 + i * 13) % 19 - 9).cast(FloatType) / lit(9.0f)
+            when(i === 0,
+              (base + (col("vec_id") % 1000).cast(FloatType) * lit(1e-6f))
+                .cast(FloatType))
+              .otherwise(base.cast(FloatType))
+          }))
+          .otherwise(col("embedding")))
+    write(done(clusteredDocs), "embeddings")
 
     println(s"""{"scale_gen":"$out","factor":$factor,"src":"$src"}""")
   }
