@@ -171,11 +171,24 @@ object DocsStream {
     val exists = AtomicLayer.latestCommitted(spark, root).isDefined
     if (AtomicLayer.lastMergedBatch(spark, root) >= batchId) false
     else {
+      // Parallelism restore FIRST (r11 st24 profile): a micro-batch read
+      // from one small parquet file is ONE split, so the compute-heavy
+      // interpreted gopher folds would run on a single core inside
+      // foreachBatch — measured 14.6 s of the 15.2 s sf1.0 drain (batch
+      // gq1 over the same corpus: 2.8 s on 32 cores via the same
+      // repartition). A real deployment's micro-batches arrive as many
+      // splits and take the no-shuffle branch (withScanParallelism only
+      // repartitions when the planned split count is degenerate).
+      // (no checkpoint on `spread`: its two consumers share the identical
+      // repartition subtree, which ReuseExchange dedups — measured 2.4x
+      // cheaper than a checkpoint for this shape — and a per-batch pin
+      // would reintroduce the pinned-block accumulation ADVICE r10 fixed)
+      val spread = graft.Tables.withScanParallelism(spark, batch)
       // barrier = false: the checkpoint pin is for batch filter-pushdown
       // only; per-micro-batch checkpoints would accumulate pinned blocks
       // between ContextCleaner GC cycles on a long stream (ADVICE r10)
-      val census = graft.operators.DataQuality.gopherMetrics(batch, barrier = false)
-        .join(batch.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val census = graft.operators.DataQuality.gopherMetrics(spread, barrier = false)
+        .join(spread.select(col("doc_id"), col("source")), Seq("doc_id"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           expr("count_if(gopher_pass)").as("n_pass"),
