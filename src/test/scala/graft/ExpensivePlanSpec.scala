@@ -49,7 +49,12 @@ class ExpensivePlanSpec extends SparkSpec {
     "d12_quality_canonical",
     // r10 top-10 entrants: the graph-ANN lifecycle (x36 8.2 s is the
     // new #1 — build + beam + refinement composed)
-    "x34_nn_descent", "x35_graph_ann_nnd", "x36_nnd_upsert")
+    "x34_nn_descent", "x35_graph_ann_nnd", "x36_nnd_upsert",
+    // r11 entrants (VERDICT r10 #6: the adjudicated r10 expensive set —
+    // dr1/hist1/hits1 — plus the new persisted-graph lifecycle tier)
+    "hist1_equidepth", "hits1_hubs_authorities",
+    "x37_graph_index_persisted", "x38_graph_index_delete",
+    "sd3_semantic_dedup_lsh")
 
   test("bench top-10: no cartesian, no partition-less window anywhere") {
     for (name <- top10Batch) {
