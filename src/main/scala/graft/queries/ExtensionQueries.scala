@@ -192,6 +192,27 @@ object ExtensionQueries {
           col("cosine"), (col("cosine") >= 0.9).as("contaminated"))
         .orderBy("vec_id")
     },
+    // Semantic decontamination SCALE PATH (the sd2→sd3 pattern applied
+    // to scont1): the same eval-vs-train nearest-neighbor census served
+    // through IVF probing instead of the full brute scan — each eval
+    // vector scores only its nProbe=2 of nCentroids=16 inverted lists,
+    // an 8× cut in pair work that grows with nCentroids at a real
+    // deployment (where the train-side index is built once at write
+    // time — x23's artifacts). Approximate by construction (a true NN
+    // outside the probed lists is missed — rnn1's posture), but fully
+    // deterministic: the oracle replays assignment, probing, and the
+    // rank-1 census exactly. scont1 stays as the exact-semantics
+    // oracle; RoundElevenOpsSpec pins the dominance laws (an IVF cosine
+    // can never beat the exact one; contaminated ⇒ scont1-contaminated).
+    "scont2_semantic_contamination_ivf" -> { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      val evalSet = emb.where(col("vec_id") % 5 === 0 && col("vec_id") < 2500)
+      val trainSet = emb.where(col("vec_id") % 5 =!= 0)
+      Similarity.ivfTopK(evalSet, trainSet, k = 1, nCentroids = 16, nProbe = 2)
+        .select(col("q_vec").as("vec_id"), col("c_vec").as("nn_train"),
+          col("cosine"), (col("cosine") >= 0.9).as("contaminated"))
+        .orderBy("vec_id")
+    },
     // End-to-end dedup pipeline: LSH candidates -> exact-Jaccard verify
     // -> clusters -> keep decision, on the PORTABLE hash family. The
     // DuckDB oracle replays the entire pipeline — signatures, band
@@ -3734,6 +3755,52 @@ object ExtensionQueries {
         |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct_raw,
         |  MIN(doc_id) AS keep_doc_id
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x5's IVF replay restricted to the eval/train split: centroids =
+    // first 16 TRAIN vectors, corpus assignment over train, eval probes
+    // its 2 nearest lists, rank-1 census + contamination flag
+    "scont2_semantic_contamination_ivf" ->
+      """WITH qe AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_transform(embedding, v -> floor(CAST(v AS DOUBLE) * 1048576.0)) AS q
+        |  FROM embeddings
+        |), cent AS (
+        |  SELECT vec_id AS centroid_id, q AS cq FROM qe
+        |  WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 16
+        |), corpus_assign AS (
+        |  SELECT c_vec, centroid_id AS list_id FROM (
+        |    SELECT e.vec_id AS c_vec, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.q, c.cq) /
+        |          nullif(sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(c.cq, c.cq)), 0)
+        |          DESC, c.centroid_id) AS rk
+        |    FROM qe e, cent c WHERE e.vec_id % 5 <> 0) t WHERE rk = 1
+        |), query_assign AS (
+        |  SELECT q_vec, centroid_id AS list_id FROM (
+        |    SELECT e.vec_id AS q_vec, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.q, c.cq) /
+        |          nullif(sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(c.cq, c.cq)), 0)
+        |          DESC, c.centroid_id) AS rk
+        |    FROM qe e, cent c
+        |    WHERE e.vec_id % 5 = 0 AND e.vec_id < 2500) t WHERE rk <= 2
+        |), scored AS (
+        |  SELECT qa.q_vec, ca.c_vec,
+        |    list_dot_product(eq.q, ec.q) /
+        |      nullif(sqrt(list_dot_product(eq.q, eq.q)) * sqrt(list_dot_product(ec.q, ec.q)), 0)
+        |      AS cosine
+        |  FROM query_assign qa
+        |  JOIN corpus_assign ca USING (list_id)
+        |  JOIN qe eq ON eq.vec_id = qa.q_vec
+        |  JOIN qe ec ON ec.vec_id = ca.c_vec
+        |  WHERE ca.c_vec <> qa.q_vec
+        |)
+        |SELECT q_vec AS vec_id, c_vec AS nn_train, cosine,
+        |  cosine >= 0.9 AS contaminated
+        |FROM (
+        |  SELECT q_vec, c_vec, cosine,
+        |    row_number() OVER (PARTITION BY q_vec ORDER BY cosine DESC, c_vec) AS rank
+        |  FROM scored) t
+        |WHERE rank = 1 ORDER BY vec_id""".stripMargin,
     // eval x train exact-quantized-cosine argmax, replayed like x1
     "scont1_semantic_contamination" ->
       s"""WITH qe AS MATERIALIZED (

@@ -47,6 +47,62 @@ class RoundElevenOpsSpec extends SparkSpec {
     urls.toDF("url").select(Dedup.canonicalUrl(col("url"))).as[String].collect().toSeq
   }
 
+  test("scont2 dominance laws vs the exact scont1 census") {
+    val q = graft.SparkEntry.queries
+    val exact = q("scont1_semantic_contamination")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    val ivf = q("scont2_semantic_contamination_ivf")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(ivf.nonEmpty)
+    var nnHits = 0
+    val exactNn = q("scont1_semantic_contamination")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, (nn, cos, cont)) <- ivf) {
+      val (exCos, exCont) = exact(id)
+      // the probed search can never find a BETTER neighbor than the
+      // exact scan (same metric, subset of candidates)
+      assert(cos <= exCos + 1e-12, s"vec $id: IVF cosine $cos beats exact $exCos")
+      // a contamination verdict from the probe is always confirmed by
+      // the exact census (no false alarms — the approximation can only
+      // MISS contamination, the documented LSH/IVF trade)
+      if (cont) assert(exCont, s"vec $id: IVF flags contamination the exact census denies")
+      if (exactNn(id) == nn) nnHits += 1
+    }
+    // Honest generic-NN recovery floor: the fixture's near-uniform
+    // vectors are the ADVERSARIAL case for IVF (little cluster
+    // structure for the lists to exploit) — measured 34/100 at
+    // nProbe=2/16. Pin a conservative floor so a dial/assignment
+    // regression still surfaces; the property that matters for a
+    // DECONTAMINATION census (contaminated twins are found) is pinned
+    // separately below.
+    assert(nnHits >= ivf.length / 4,
+      s"IVF census recovered only $nnHits/${ivf.length} exact nearest neighbors")
+  }
+
+  test("scont2's probe finds CONTAMINATED twins: near-identical vectors co-assign") {
+    // The decontamination guarantee: an eval item that semantically
+    // duplicates a train item (cosine >= 0.9) sits so close that both
+    // assign to the same inverted list, so the probe cannot miss it —
+    // generic NN recall (34% on near-uniform vectors above) is the
+    // wrong lens for the census's actual job. Inject twins and assert
+    // every one is flagged at rank 1.
+    val train = Tables.embeddings(spark, sf0001).where(col("vec_id") < 400)
+    val twinIds = Seq(3L, 7L, 11L, 42L, 137L)
+    val evalSet = train
+      .where(col("vec_id").isin(twinIds: _*))
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(1e-5f)).otherwise(x)).as("embedding"))
+    val got = Similarity.ivfTopK(evalSet, train, k = 1, nCentroids = 16, nProbe = 2)
+      .select(col("q_vec"), col("c_vec"), col("cosine"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    for (id <- twinIds) {
+      val (nn, cos) = got(id + 10000L)
+      assert(nn == id, s"twin of $id recovered $nn instead")
+      assert(cos >= 0.9, s"twin cosine $cos below the contamination bar")
+    }
+  }
+
   test("canonicalUrl: a stripped FIRST utm param leaves no dangling '&' (ADVICE r10)") {
     // the bug class: '?utm_a=1&x=2' loses its '?' with the utm strip
     assert(canon("https://h/p?utm_a=1&x=2") === Seq("https://h/p?x=2"))
