@@ -617,16 +617,42 @@ object Similarity {
       nSub: Int = 8,
       refine: Int = 32,
   ): DataFrame = {
-    val spark = queries.sparkSession
-    val centroids = AtomicLayer.read(spark, s"$root/centroids.parquet")
-    val sample = AtomicLayer.read(spark, s"$root/codebook.parquet")
-    // Serve-time delete filter: anti-join the pending tombstone set
-    // (broadcast — its size is bounded by the compaction cadence, not
-    // the corpus) so a deleted id can never reach a shortlist.
-    val index = AtomicLayer.read(spark, s"$root/index.parquet")
-      .join(broadcast(tombstonesOrEmpty(spark, root)), Seq("c_vec"), "left_anti")
+    val (index, centroids, sample) = loadIvfPqArtifacts(queries.sparkSession, root)
     ivfPqSearch(index, centroids, sample, queries, corpus, k, nProbe, nSub, refine)
   }
+
+  /** The persisted artifacts as relations, tombstone filter applied —
+    * for callers that run SEVERAL searches against one index (x31's
+    * probe sweep) and should pay the artifact/tombstone resolution
+    * once. Serve-time delete filter: anti-join the pending tombstone
+    * set (broadcast — its size is bounded by the compaction cadence,
+    * not the corpus) so a deleted id can never reach a shortlist.
+    */
+  def loadIvfPqArtifacts(
+      spark: SparkSession, root: String): (DataFrame, DataFrame, DataFrame) = {
+    val centroids = AtomicLayer.read(spark, s"$root/centroids.parquet")
+    val sample = AtomicLayer.read(spark, s"$root/codebook.parquet")
+    val index = AtomicLayer.read(spark, s"$root/index.parquet")
+      .join(broadcast(tombstonesOrEmpty(spark, root)), Seq("c_vec"), "left_anti")
+    (index, centroids, sample)
+  }
+
+  /** Search over preloaded artifact relations (from
+    * [[loadIvfPqArtifacts]]) — [[ivfPqSearch]] semantics, identical to
+    * [[ivfPqTopKFromIndex]] by construction.
+    */
+  def ivfPqTopKFromArtifacts(
+      index: DataFrame,
+      centroids: DataFrame,
+      sample: DataFrame,
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nProbe: Int = 2,
+      nSub: Int = 8,
+      refine: Int = 32,
+  ): DataFrame =
+    ivfPqSearch(index, centroids, sample, queries, corpus, k, nProbe, nSub, refine)
 
   /** Exact quantized squared-L2 between two embedding columns (the 2^20
     * integer contract; null elements contribute 0, matching SQL SUM).

@@ -700,8 +700,20 @@ object ExtensionQueries {
       val exact = Similarity.bruteForceL2TopK(qs, emb, k = 3)
         .select(col("q_vec"), col("c_vec"))
         .localCheckpoint(eager = false)
+      // r11: the three probe levels search the PERSISTED x23 artifacts
+      // (build-once, shared with x23 — the inline form re-derived
+      // centroids + codebook + the full corpus encode once PER PROBE
+      // LEVEL, tripling the only corpus-sized work in the query; the
+      // sweep's point is that widening nProbe costs ~nProbe/nLists of a
+      // scan, which only holds when the index is a fixed artifact).
+      // Index content is identical to the inline derivation, so the
+      // oracle's inline replay stays valid.
+      val root = Similarity.indexRoot(dir)
+      Similarity.buildIvfPqIndex(emb, root)
+      val (index, cents, sample) = Similarity.loadIvfPqArtifacts(spark, root)
       Seq(1, 2, 4).map { p =>
-        val approx = Similarity.ivfPqTopK(qs, emb, k = 3, nProbe = p)
+        val approx = Similarity
+          .ivfPqTopKFromArtifacts(index, cents, sample, qs, emb, k = 3, nProbe = p)
           .select(col("q_vec"), col("c_vec"), lit(1L).as("__hit"))
         exact.join(approx, Seq("q_vec", "c_vec"), "left")
           .agg(count(lit(1)).as("n_exact"),
