@@ -18,6 +18,17 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default cache backs every encode/decode stream with a
+  // TEMP FILE — executor threads doing in-memory byte-array codec work
+  // serialize on /tmp file create/delete churn, and the cost GROWS as
+  // the directory fills (measured r11: identical m6 stage runs at
+  // 1.6 → 2.1 → 2.6 s within one JVM; the whole tier at sf1.0 dropped
+  // m6 6.5→0.7 s / m9 3.5→0.8 s once disabled — an st24-style
+  // parallelism restore was tried first and bought NOTHING beyond this,
+  // so the single-split scan stays shuffle-free). All payloads are
+  // ByteArray streams; the memory-backed cache is strictly right.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
   final case class MediaFeatures(
       doc_id: Long,
