@@ -231,8 +231,11 @@ object Bench {
     // A retry that is STILL elevated (does not confirm the baseline)
     // probes the canary right away: an elevated canary proves the
     // degradation window outlived the sweep, and the artifact labels the
-    // reading instead of publishing it as clean (VERDICT r10 #2).
-    val canaryRef = canary.head._2
+    // reading instead of publishing it as clean (VERDICT r10 #2). The
+    // clean reference is the BEST canary reading of this run — the
+    // first reading alone would under-flag when the box was already
+    // degraded at sweep start.
+    val canaryRef = canary.map(_._2).filter(_ > 0).minOption.getOrElse(-1.0)
     val suspects = firstPass.filter { case (name, sec) =>
       isSuspect(sec, baselines.get(name))
     }.map { case (name, firstS) =>
