@@ -284,11 +284,14 @@ object Bench {
     // per-query line overflowed that window and lost its opening brace; r04
     // re-broke it by appending ALL failed names — 57 failures ≈ 2.5 kB).
     // So the FINAL line is compact and BOUNDED whatever happens: total, the
-    // failure count, the suspect-retry count, at most 10 failed names, and
-    // the 20 slowest queries. The complete failed list lives in
+    // failure count, the suspect-retry count, the count of readings taken
+    // under a proven-persistent degradation window (so the acceptance
+    // artifact self-labels even in the 2000-char view), at most 10 failed
+    // names, and the 20 slowest queries. The complete failed list lives in
     // bench_detail.json (-1 markers).
     val (failed, succeeded) = results.partition(_._2 < 0)
     val slowest = (failed.take(10) ++ succeeded.sortBy(-_._2).take(20)).sortBy(_._1)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":${failed.size},"suspects":${suspects.size},"queries":${jsonMap(slowest)},"sf":"$sfDir"}""")
+    val degradedN = suspects.count(_._2._3)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":${failed.size},"suspects":${suspects.size},"window_degraded":$degradedN,"queries":${jsonMap(slowest)},"sf":"$sfDir"}""")
   }
 }
