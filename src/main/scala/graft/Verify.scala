@@ -28,17 +28,30 @@ object Verify {
     // remove subdirectories for queries that no longer exist (renames /
     // removals), so a later sweep never compares against stale debris
     // from an earlier registry. Filtered dev runs leave siblings alone.
+    // Only directories that are recognizably OUR dumps are touched
+    // (ADVICE r11: a mispointed outDir must not destroy unrelated
+    // trees): a dump Verify wrote has a `_SUCCESS` marker or
+    // `part-*.parquet` files at its top level.
     if (nameFilter.isEmpty) {
       val live = SparkEntry.queries.keySet
+      def isDump(d: java.io.File): Boolean =
+        Option(d.listFiles()).getOrElse(Array.empty).exists(f =>
+          f.getName == "_SUCCESS" ||
+            (f.getName.startsWith("part-") && f.getName.contains(".parquet")))
       Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && !live.contains(f.getName))
         .foreach { stale =>
-          System.err.println(s"[verify] removing stale dump: ${stale.getName}")
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-            f.delete(): Unit
+          if (isDump(stale)) {
+            System.err.println(s"[verify] removing stale dump: ${stale.getName}")
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+              f.delete(): Unit
+            }
+            rm(stale)
+          } else {
+            System.err.println(
+              s"[verify] leaving non-dump directory alone: ${stale.getName}")
           }
-          rm(stale)
         }
     }
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -66,10 +79,14 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // The names THIS run was responsible for — check_oracle.py uses it to
-    // ignore (and flag) any other directory as stale debris.
-    Files.writeString(Paths.get(s"$outDir/query_names.json"),
-      SparkEntry.queries.keys.toSeq.sorted.filter(selected)
-        .map(q).mkString("[", ",", "]"))
+    // ignore (and flag) any other directory as stale debris. Written on
+    // UNFILTERED runs only (matching the stale-purge guard, ADVICE r11):
+    // a filtered dev run rewriting the manifest would shrink a later
+    // full-directory sweep to the filtered subset while still passing.
+    if (nameFilter.isEmpty)
+      Files.writeString(Paths.get(s"$outDir/query_names.json"),
+        SparkEntry.queries.keys.toSeq.sorted
+          .map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -93,7 +93,14 @@ object Dedup {
     * a later-param deletion) and the dangling "&x" with no '?' at all —
     * stripping a FIRST param '?utm_a=1&x=2' deletes the '?' with it,
     * leaving the malformed '/p&x=2' that would never merge with '/p?x=2'
-    * (ADVICE r10). Patterns stay inside the Java-regex ∩ RE2 dialect
+    * (ADVICE r10). The dangling repair anchors on the FIRST separator
+    * (`[^?&]*`, ADVICE r11) — the greedy `[^?]*` converted the LAST '&'
+    * before any '?', turning '/p&x=2&y=3' into '/p&x=2?y=3' instead of
+    * '/p?x=2&y=3'. Known residual: a literal unencoded '&' in a PATH
+    * ('/a&b', already malformed per RFC 3986) is indistinguishable from
+    * separator damage and gets repaired to '/a?b'; distinguishing the
+    * two would need strip-time state, not a post-hoc regex.
+    * Patterns stay inside the Java-regex ∩ RE2 dialect
     * (the Pii rule) so the same canonicalization runs on any engine —
     * the d13 oracle replays it in DuckDB with the 'g' flag matching
     * Spark's replace-all default.
@@ -106,7 +113,7 @@ object Dedup {
             regexp_replace(lower(url), "#.*$", ""),
             "[?&]utm_[a-z]+=[^&#]*", ""),
           "\\?&", "?"),
-        "^([^?]*)&", "$1?"),
+        "^([^?&]*)&", "$1?"),
       "/$", "")
 
   /** Engine-portable 60-bit hash: the top 15 hex digits of md5, read as an

@@ -461,7 +461,11 @@ object ExperimentQueries {
         .select(col("user_id"),
           datediff(col("d0"), col("last_day")).cast(LongType).as("rec"),
           col("freq"), col("mon"))
-        .localCheckpoint(eager = false) // feeds three medians + the join
+        // eager: FOUR independent consumers (three medians + the final
+        // join) each re-derive a lazy checkpoint when their stages run
+        // in parallel (the dr1/mod1 lesson); eager materializes the
+        // small per-user relation exactly once
+        .localCheckpoint(eager = true)
       val th = broadcast(
         medianDisc(perUser, "rec", "rmed")
           .crossJoin(medianDisc(perUser, "freq", "fmed"))

@@ -3759,7 +3759,7 @@ object ExtensionQueries {
         |      '#.*$', '', 'g'),
         |      '[?&]utm_[a-z]+=[^&#]*', '', 'g'),
         |      '\?&', '?', 'g'),
-        |      '^([^?]*)&', '\1?', 'g'),
+        |      '^([^?&]*)&', '\1?', 'g'),
         |      '/$', '', 'g') AS canonical_url
         |  FROM u
         |)

@@ -800,7 +800,10 @@ object TrainingDataQueries {
         .select(col("doc_id"), col("lang"),
           pmod(portableHash60(concat_ws(" ", slice(col("w"), col("i") + 1, lit(2)))),
             lit(B.toLong)).as("b"))
-        .localCheckpoint(eager = false) // counts + scoring share one pass
+        // eager: the LM-count agg and the scoring join are independent
+        // stages; lazy re-materializes the exploded bigram relation per
+        // branch when they schedule in parallel (dr1/mod1 lesson)
+        .localCheckpoint(eager = true)
       val counts = feats.groupBy("b").agg(
         expr("count_if(lang = 'en')").as("pc"),
         count(lit(1)).as("qc"))

@@ -85,8 +85,10 @@ object ScaleGen {
   /** `clusteredEmb = true` plants CLUSTER skew in the EMBEDDING space
     * (VERDICT r10 #3 — the vector-side analogue of the zipf text mode):
     * 30% of vectors (vec_id % 10 < 3) are REPLACED by one of 3 synthetic
-    * centroids (c = vec_id % 3) plus a per-vector dim-0 jitter of
-    * vec_id·1e-6, so each centroid owns ~10% of the corpus as a blob of
+    * centroids (c = vec_id % 3) plus a collision-free per-vector dim-0
+    * jitter of (vec_id div 3)·2e-7 (distinct within a blob since
+    * same-blob ids share vec_id % 3; the step exceeds float32 ulp, see
+    * the inline note), so each centroid owns ~10% of the corpus as a blob of
     * near-identical vectors. ScaleGen's default perturbation keeps IVF
     * lists, LSH buckets, and semantic clusters BALANCED by construction;
     * this mode makes probe lists imbalanced, collapses the blobs into
@@ -214,7 +216,14 @@ object ScaleGen {
     // Cluster skew (see scaladoc): centroid value for (c, dim) is the
     // deterministic lattice ((c+1)*7 + dim*13) % 19 - 9) / 9 ∈ [-1, 1];
     // the dim-0 jitter keeps every vector distinct (no exact ties) while
-    // cosines inside a blob stay ≈ 0.9999.
+    // cosines inside a blob stay ≈ 0.9999. Collision-free by
+    // construction (ADVICE r11 — the earlier `vec_id % 1000` wrapped,
+    // creating bit-identical twins every 3000 ids inside a blob):
+    // same-blob vectors share vec_id % 3, so `vec_id div 3` is distinct
+    // within a blob, and the 2e-7 step exceeds float32 ulp at |x| < 2
+    // (1.19e-7), so no two jittered dim-0 values round to the same
+    // float. At sf1.0 (20k vectors) the max jitter is ~1.3e-3 — the
+    // near-identical premise holds.
     val clusteredDocs =
       if (!clusteredEmb) fannedEmb
       else fannedEmb.withColumn("embedding",
@@ -223,7 +232,7 @@ object ScaleGen {
             val c = col("vec_id") % 3
             val base = (((c + 1) * 7 + i * 13) % 19 - 9).cast(FloatType) / lit(9.0f)
             when(i === 0,
-              (base + (col("vec_id") % 1000).cast(FloatType) * lit(1e-6f))
+              (base + expr("vec_id div 3").cast(FloatType) * lit(2e-7f))
                 .cast(FloatType))
               .otherwise(base.cast(FloatType))
           }))

@@ -117,4 +117,17 @@ class RoundElevenOpsSpec extends SparkSpec {
     // no-op on clean URLs
     assert(canon("https://h/p?x=2&y=3") === Seq("https://h/p?x=2&y=3"))
   }
+
+  test("canonicalUrl: the dangling-'&' repair anchors on the FIRST separator (ADVICE r11)") {
+    // multi-param survivor set: the greedy [^?]* converted the LAST '&'
+    // ('h/p&x=2?y=3'); the fixed [^?&]* restores the real query string
+    assert(canon("https://h/p?utm_a=1&x=2&y=3") === Seq("https://h/p?x=2&y=3"))
+    // and it must merge with the never-tracked variant
+    assert(canon("https://h/p?utm_a=1&x=2&y=3", "https://h/p?x=2&y=3").distinct.size === 1)
+    // three survivors
+    assert(canon("https://h/p?utm_a=1&a=1&b=2&c=3") === Seq("https://h/p?a=1&b=2&c=3"))
+    // repair must not fire past an intact '?': only the first segment
+    // before any separator is a repair candidate
+    assert(canon("https://h/p?a=1&b=2") === Seq("https://h/p?a=1&b=2"))
+  }
 }
