@@ -1232,8 +1232,10 @@ object Similarity {
     * is identical however the stream was micro-batched, and identical
     * to one big batch (GraphIndexSpec pins both). The documented trade:
     * cross-batch new×new neighborhoods are NOT linked until the next
-    * offline reconciliation ([[appendToNndGraphIndex]]'s descent round
-    * or a rebuild) — the standard serving-insert vs. repair split.
+    * offline reconciliation — [[reconcileGraphIndex]], the repair half
+    * of the standard serving-insert vs. repair split (measured on the
+    * sf0.01 stream-built index: new-node recall@5 recovers to the
+    * one-shot-append level, see GraphIndexSpec).
     * Idempotent under foreachBatch redelivery via the id-keyed
     * anti-join; `corpus` = the embedding store of the BASE nodes.
     */
@@ -1307,5 +1309,43 @@ object Similarity {
         s"$root/tombstones.parquet", keepVersions = 1)
       (): Unit
     }
+  }
+
+  /** OFFLINE RECONCILIATION of the persisted graph index (VERDICT r11
+    * #2) — the repair half of [[streamInsertIntoGraphIndex]]'s
+    * serving-insert vs. repair split: ONE synchronous NN-descent
+    * refinement round over the stored edge relation, then the refined
+    * graph lands as the next snapshot. Stream inserts locate every new
+    * node over the frozen base (batching-invariant by construction),
+    * which leaves cross-batch new×new neighborhoods unlinked; the
+    * descent round routes exactly those through shared neighbors
+    * (neighbor-of-neighbor candidates over the UNDIRECTED merged
+    * graph — two new nodes that both linked to the same base node are
+    * each other's candidates).
+    *
+    * Invariants (GraphIndexSpec): per-(v, rank) neighbor cosine is
+    * MONOTONE non-decreasing — [[descentRounds]] re-prunes the union of
+    * the current edges with the new candidates, so an existing link is
+    * only ever displaced by a strictly better one; reconcile never
+    * constructs a graph ([[nndBuilds]] stays put — cost is one
+    * candidate round, O(n·K²), not a rebuild); and a second reconcile
+    * is a further refinement round (each call = one maintenance round,
+    * converging toward the exact kNN graph — run it on the repair
+    * cadence, not per query). `corpus` = the embedding point-lookup
+    * store covering every indexed node.
+    */
+  def reconcileGraphIndex(
+      corpus: DataFrame,
+      root: String,
+      graphK: Int = 15,
+  ): Unit = {
+    val spark = corpus.sparkSession
+    val path = s"$root/edges.parquet"
+    val g = AtomicLayer.read(spark, path)
+      .select(col("v"), col("nbr").as("u"), col("cosine"))
+    AtomicLayer.write(
+      descentRounds(corpus.select(col("vec_id"), col("embedding")), g,
+        graphK, rounds = 1),
+      path, keepVersions = 1): Unit
   }
 }

@@ -509,6 +509,16 @@ object ExtensionQueries {
     "st29_stream_graph_append" -> { (spark, dir) =>
       graft.streaming.VectorStream.streamGraphAppend(spark, dir)
     },
+    // st29 + the OFFLINE RECONCILIATION pass (VERDICT r11 #2): after
+    // the batching-invariant stream inserts, ONE reconcileGraphIndex
+    // NN-descent round links the cross-batch new×new neighborhoods the
+    // inserts leave for repair (marker-guarded so the query is
+    // run-once deterministic); serve from the reconciled artifact and
+    // replay the beam from the same persisted edges (x37's pattern).
+    // GraphIndexSpec pins the monotone-improvement law + recall census.
+    "st30_graph_reconcile" -> { (spark, dir) =>
+      graft.streaming.VectorStream.streamGraphReconcile(spark, dir)
+    },
     "x38_graph_index_delete" -> { (spark, dir) =>
       val emb = Tables.embeddings(spark, dir)
       val root = Similarity.graphIndexRoot(dir) + "_gd"
@@ -2584,6 +2594,26 @@ object ExtensionQueries {
          |), edges AS MATERIALIZED (
          |  SELECT v, nbr
          |  FROM read_parquet('/tmp/graft_graph_index/sf0.01_stream/edges.parquet/v*/*.parquet')
+         |  WHERE rank <= 5
+         |), sc AS MATERIALIZED (
+         |  SELECT a.vec_id AS q_vec, b.vec_id AS v, ${qcosSql("a", "b")} AS cosine
+         |  FROM qe a, qe b WHERE a.vec_id < 8
+         |), e0 AS (SELECT MIN(v) AS e0 FROM edges),
+         |$beamReplayCtes
+         |${beamReportSql(5)}""".stripMargin,
+
+    // the serve replayed from the RECONCILED stream-built artifact —
+    // st29's replay pointed at the _rec root: the persisted edges
+    // already carry the offline NN-descent repair round, so the same
+    // beam replay gates insert + reconcile + layout end to end.
+    "st30_graph_reconcile" ->
+      s"""WITH qe AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(embedding, v -> floor(CAST(v AS DOUBLE) * 1048576.0)) AS q
+         |  FROM embeddings WHERE vec_id < 500
+         |), edges AS MATERIALIZED (
+         |  SELECT v, nbr
+         |  FROM read_parquet('/tmp/graft_graph_index/sf0.01_rec/edges.parquet/v*/*.parquet')
          |  WHERE rank <= 5
          |), sc AS MATERIALIZED (
          |  SELECT a.vec_id AS q_vec, b.vec_id AS v, ${qcosSql("a", "b")} AS cosine

@@ -163,4 +163,46 @@ object VectorStream {
         k = 5, beam = 8, rounds = 3, degree = 5)
       .orderBy("q_vec", "rank")
   }
+
+  /** st29 + the OFFLINE RECONCILIATION pass (VERDICT r11 #2): the same
+    * stream-built index on its own root, then ONE
+    * [[graft.operators.Similarity.reconcileGraphIndex]] NN-descent
+    * round links the cross-batch new×new neighborhoods the
+    * batching-invariant inserts deliberately leave for repair, and
+    * queries serve from the reconciled artifact (the oracle replays the
+    * beam from the same persisted edges — x37's pattern). The reconcile
+    * is guarded by a committed marker so the QUERY is run-once
+    * deterministic like the build (each unguarded reconcile call is one
+    * further refinement round by design — the maintenance cadence, not
+    * query-time work).
+    */
+  def streamGraphReconcile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    import graft.energy.AtomicLayer
+    val emb = graft.Tables.embeddings(spark, dir)
+    val root = Similarity.graphIndexRoot(dir) + "_rec"
+    val old = emb.where(col("vec_id") < 400)
+    Similarity.buildNndGraphIndex(old, root)
+    Similarity.freezeGraphIndexBase(spark, root)
+    val schema = StreamRun.cachedSchema(spark, dir, "embeddings.parquet")
+    val feed = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+      .where(col("vec_id") >= 400 && col("vec_id") < 500)
+    StreamRun.driveForeachBatch(feed, "append",
+        s"st30_graph_reconcile_${runId.incrementAndGet()}") { (batch, _) =>
+      if (!batch.isEmpty) Similarity.streamInsertIntoGraphIndex(old, batch, root)
+    }
+    val marker = s"$root/reconciled.parquet"
+    if (AtomicLayer.latestCommitted(spark, marker).isEmpty) {
+      Similarity.reconcileGraphIndex(emb.where(col("vec_id") < 500), root)
+      AtomicLayer.write(spark.range(1).toDF("done"), marker, keepVersions = 1)
+      (): Unit
+    }
+    Similarity.graphAnnServeFromIndex(
+        emb.where(col("vec_id") < 8), emb.where(col("vec_id") < 500), root,
+        k = 5, beam = 8, rounds = 3, degree = 5)
+      .orderBy("q_vec", "rank")
+  }
 }

@@ -187,4 +187,63 @@ class GraphIndexSpec extends SparkSpec {
     assert(compacted == inline,
       "compacted-artifact serve must equal the in-memory beam over the same edges")
   }
+
+  test("reconcile repairs cross-batch new×new gaps: monotone per-rank cosine, no build, recall recovers") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val old = emb.where(col("vec_id") < 100)
+    val all = emb.where(col("vec_id") < 130)
+    val root = tmpRoot()
+    Similarity.buildNndGraphIndex(old, root)
+    Similarity.freezeGraphIndexBase(spark, root)
+    // three micro-batches — cross-batch new×new neighborhoods are
+    // unlinked BY DESIGN (each batch locates over the frozen base only)
+    Seq((100, 111), (111, 122), (122, 130)).foreach { case (a, b) =>
+      Similarity.streamInsertIntoGraphIndex(old,
+        emb.where(col("vec_id") >= a && col("vec_id") < b), root)
+    }
+    val truth = Similarity.bruteForceTopK(all, all, k = 5)
+      .select(col("q_vec").as("v"), col("c_vec").as("nbr"))
+      .localCheckpoint(eager = true)
+    def recall(edges: org.apache.spark.sql.DataFrame, newOnly: Boolean): Double = {
+      val t = if (newOnly) truth.where(col("v") >= 100) else truth
+      val hits = t.join(edges.where(col("rank") <= 5).select("v", "nbr"),
+        Seq("v", "nbr"), "left_semi").count()
+      hits.toDouble / t.count()
+    }
+    val before = AtomicLayer.read(spark, s"$root/edges.parquet")
+      .localCheckpoint(eager = true)
+    val (beforeAll, beforeNew) = (recall(before, false), recall(before, true))
+
+    val buildsBefore = Similarity.nndBuilds.get()
+    Similarity.reconcileGraphIndex(all, root)
+    assert(Similarity.nndBuilds.get() == buildsBefore,
+      "reconcile is one refinement round, never an NN-descent rebuild")
+    val after = AtomicLayer.read(spark, s"$root/edges.parquet")
+      .localCheckpoint(eager = true)
+
+    // MONOTONE-IMPROVEMENT LAW: descentRounds re-prunes the union of the
+    // CURRENT edges with the new candidates, so for every (v, rank) the
+    // post-reconcile neighbor cosine is >= the pre-reconcile one — an
+    // existing link is only ever displaced by a strictly better one.
+    val regressed = before.alias("b")
+      .join(after.alias("a"), Seq("v", "rank"))
+      .where(col("a.cosine") < col("b.cosine"))
+      .count()
+    assert(regressed == 0,
+      s"reconcile regressed $regressed (v, rank) slots — must be monotone")
+    assert(after.select("v").distinct().count() ==
+      before.select("v").distinct().count(),
+      "reconcile must keep every indexed node")
+
+    // RECALL CENSUS (the st29 trade, measured): the stream-built index
+    // under-links new×new; one reconcile round must recover recall — at
+    // minimum never lose any, and strictly improve the new-node share
+    // this fixture's 3-batch split starves.
+    val (afterAll, afterNew) = (recall(after, false), recall(after, true))
+    assert(afterAll >= beforeAll && afterNew >= beforeNew,
+      s"recall dropped: all $beforeAll->$afterAll new $beforeNew->$afterNew")
+    assert(afterNew > beforeNew,
+      s"expected strict new-node recall recovery, got $beforeNew -> $afterNew " +
+        "(if the fixture's batches stopped starving new×new links, tighten the split)")
+  }
 }
