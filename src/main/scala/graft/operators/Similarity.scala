@@ -174,27 +174,115 @@ object Similarity {
       nCentroids: Int = 16,
       nProbe: Int = 2,
   ): DataFrame = {
+    val centroids = sampleCentroids(corpus, nCentroids)
+    ivfSearch(ivfListsDf(corpus, centroids), centroids, queries, k, nProbe)
+  }
+
+  /** The flat-IVF inverted-list relation (c_vec, list_id, c_emb):
+    * assignment = the zero-exchange broadcast-centroid argmax fold,
+    * embeddings carried IN-LIST so serving reads only probed lists and
+    * never joins back to the corpus. This is the write-time artifact
+    * [[buildIvfIndex]] persists and [[ivfTopK]] materializes inline.
+    */
+  private def ivfListsDf(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus
+      .select(col("vec_id").as("c_vec"), col("embedding").as("c_emb"))
+      .crossJoin(centroidArr(centroids))
+      .withColumn("list_id", nearestListCol(col("c_emb")))
+      .drop("__cents")
+
+  /** The search half shared by [[ivfTopK]] (inline lists) and
+    * [[ivfTopKFromIndex]] (persisted artifacts) — ONE definition so the
+    * two paths can never drift on probe, score, or rank semantics
+    * (the ivfPqSearch discipline). `lists` = (c_vec, list_id, c_emb);
+    * `centroids` = (centroid_id, c_emb).
+    */
+  private def ivfSearch(
+      lists: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int,
+  ): DataFrame = {
     // Quantized (integer-exact) cosine throughout — what lets the x5
     // oracle recompute the full IVF pipeline in DuckDB (float cosine
     // sums are order-dependent near ties; quantized ones are not).
     import graft.functions.QuantizedCosine.{quantizedCosine => cosine}
-    val centroids = sampleCentroids(corpus, nCentroids)
-    val c = corpus
-      .select(col("vec_id").as("c_vec"), col("embedding").as("c_emb2"))
-      .crossJoin(centroidArr(centroids))
-      .withColumn("list_id", nearestListCol(col("c_emb2")))
-      .drop("__cents")
     val q = probeLists(queries, centroids, nProbe)
     val w = Window.partitionBy(col("q_vec")).orderBy(col("cosine").desc, col("c_vec"))
-    c.join(broadcast(q), Seq("list_id"))
+    lists.join(broadcast(q), Seq("list_id"))
       .where(col("c_vec") =!= col("q_vec"))
       .select(
         col("q_vec"), col("c_vec"), col("list_id"),
-        cosine(col("q_emb"), col("c_emb2")).as("cosine"),
+        cosine(col("q_emb"), col("c_emb")).as("cosine"),
       )
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("q_vec", "rank", "c_vec", "cosine", "list_id")
+  }
+
+  /** Diagnostic build counter for the flat-IVF artifact tier (the
+    * [[nndBuilds]] twin): bumps only when [[buildIvfIndex]] actually
+    * assigns the corpus, so AnnIndexSpec can pin that serving never
+    * re-clusters.
+    */
+  private[graft] val ivfBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Build + PERSIST the flat (centroids-only) IVF index — the
+    * write-time half of the scont2 decontamination scale path (VERDICT
+    * r11 #3), the un-quantized little sibling of [[buildIvfPqIndex]]
+    * for corpora served with exact in-list cosine. Two parquet tables
+    * land under `root` via [[AtomicLayer]] snapshots:
+    *
+    *  - `centroids.parquet` (centroid_id, c_emb) — the coarse quantizer;
+    *  - `lists.parquet`     (c_vec, c_emb) PARTITIONED BY list_id — the
+    *    corpus physically clustered into inverted lists, so a probe
+    *    reads only its lists' files (Hive-style partition pruning;
+    *    Spark's dynamic partition pruning fires on the broadcast probe
+    *    join) — the on-disk layout IS the 1/nLists read cut IVF promises.
+    *
+    * Skips when both artifacts have a committed snapshot (build once,
+    * serve many), unless `force`.
+    */
+  def buildIvfIndex(
+      corpus: DataFrame,
+      root: String,
+      nLists: Int = 16,
+      force: Boolean = false,
+  ): Unit = {
+    val spark = corpus.sparkSession
+    val arts = Seq("centroids.parquet", "lists.parquet")
+    if (force ||
+        !arts.forall(a => AtomicLayer.latestCommitted(spark, s"$root/$a").isDefined)) {
+      ivfBuilds.incrementAndGet()
+      val centroids = sampleCentroids(corpus, nLists)
+      AtomicLayer.write(centroids, s"$root/centroids.parquet", keepVersions = 1)
+      AtomicLayer.write(ivfListsDf(corpus, centroids),
+        s"$root/lists.parquet", partitionCols = Seq("list_id"), keepVersions = 1)
+      (): Unit
+    }
+  }
+
+  /** Answer queries from the PERSISTED flat-IVF index at `root` — the
+    * serving path of [[buildIvfIndex]]: centroids and clustered lists
+    * come off disk (no corpus re-assignment — AnnIndexSpec pins it via
+    * [[ivfBuilds]]); query time pays only the probe assignment and the
+    * probed-list exact-cosine scan. Search semantics are [[ivfSearch]]
+    * — identical to the inline [[ivfTopK]] by construction.
+    */
+  def ivfTopKFromIndex(
+      queries: DataFrame,
+      root: String,
+      k: Int,
+      nProbe: Int = 2,
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = AtomicLayer.read(spark, s"$root/centroids.parquet")
+    // partition-column type inference narrows list_id to int — restore
+    // the long the inline path carries so the two paths stay identical
+    val lists = AtomicLayer.read(spark, s"$root/lists.parquet")
+      .withColumn("list_id", col("list_id").cast(LongType))
+    ivfSearch(lists, centroids, queries, k, nProbe)
   }
 
   /** Product-quantization top-k via asymmetric distance computation

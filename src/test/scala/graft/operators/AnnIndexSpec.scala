@@ -33,6 +33,47 @@ class AnnIndexSpec extends SparkSpec {
       s"persisted-index search diverged from inline:\n$served\nvs\n$inline")
   }
 
+  test("flat-IVF index: build-once, NO-CLUSTER-IN-SERVE, serve equals inline, lists partition-pruned") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val train = emb.where(col("vec_id") % 5 =!= 0)
+    val qs = emb.where(col("vec_id") % 5 === 0 && col("vec_id") < 40)
+    val root = tmpRoot()
+    Similarity.buildIvfIndex(train, root, nLists = 8)
+    for (a <- Seq("centroids.parquet", "lists.parquet")) {
+      val committed = AtomicLayer.latestCommitted(spark, s"$root/$a")
+      assert(committed.isDefined && committed.get.endsWith("/v0"),
+        s"$a should commit v0 on first build")
+    }
+    // the artifact layout IS the inverted-list clustering: one
+    // hive partition directory per list
+    val v0 = new java.io.File(
+      AtomicLayer.latestCommitted(spark, s"$root/lists.parquet").get
+        .stripPrefix("file:"))
+    val partDirs = v0.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("list_id="))
+    assert(partDirs.nonEmpty && partDirs.length <= 8,
+      s"expected <=8 list_id= partition dirs, got ${partDirs.length}")
+
+    // build-once: a second build writes nothing
+    Similarity.buildIvfIndex(train, root, nLists = 8)
+    assert(AtomicLayer.latestCommitted(spark, s"$root/lists.parquet").get
+      .endsWith("/v0"), "re-build without force must not write")
+
+    // NO-CLUSTER-IN-SERVE: a full serve never re-assigns the corpus
+    val buildsBefore = Similarity.ivfBuilds.get()
+    val served = Similarity.ivfTopKFromIndex(qs, root, k = 1, nProbe = 2)
+      .orderBy("q_vec", "rank").collect().toSeq
+    assert(Similarity.ivfBuilds.get() == buildsBefore,
+      "ivfTopKFromIndex must never re-cluster the corpus")
+    assert(served.nonEmpty)
+
+    // serve-from-disk ≡ the inline path (same centroid seeding)
+    val inline = Similarity.ivfTopK(qs, train, k = 1, nCentroids = 8, nProbe = 2)
+      .orderBy("q_vec", "rank").collect().toSeq
+    assert(served == inline,
+      s"persisted flat-IVF serve diverged from inline:\n$served\nvs\n$inline")
+  }
+
   test("build is idempotent without force; force writes a fresh snapshot") {
     val emb = Tables.embeddings(spark, sf0001)
     val root = tmpRoot()
