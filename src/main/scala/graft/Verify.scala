@@ -20,6 +20,9 @@ object Verify {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // one codegen'd fragment set per registry query — see Bench.scala's
+      // codegen-cache note (the 100-entry default thrashes at 423 queries)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -105,7 +105,7 @@ object Contamination {
     // Both splits need the hashed windows; pin the shared intermediate so
     // the scan + substring + md5 pipeline executes once, not twice.
     val wins = spanHashes(docs.withColumn("__eval", isEval), Seq("__eval"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val evalHashes = wins.where(col("__eval")).select("h").distinct()
       .withColumn("__hit", lit(1L))
     val perDoc = wins.where(!col("__eval"))
@@ -182,7 +182,7 @@ object Contamination {
         sum(col("brk")).over(byStart.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("doc_id", "island")
       .agg(min("s").as("s"), max("e").as("e"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val stats = merged.groupBy("doc_id").agg(
       count(lit(1)).as("n_spans_removed"),
       sum(col("e") - col("s") + 1L).as("removed_chars"),
@@ -230,7 +230,7 @@ object Contamination {
   def spanRuns(docs: DataFrame, isEval: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wins = spanHashes(docs.withColumn("__eval", isEval), Seq("__eval"),
-      keepPos = true).localCheckpoint(eager = false)
+      keepPos = true).localCheckpoint(eager = true)
     val evalHashes = wins.where(col("__eval")).select("h").distinct()
     val hit = wins.where(!col("__eval"))
       .join(broadcast(evalHashes), Seq("h"), "left_semi")

@@ -100,6 +100,10 @@ object DataQuality {
         dupRunSum(gramArr(col("w"), 3)).as("dup_trigram_n"))
     // BARRIER (see scaladoc): pin the six metric longs before the
     // verdict/fraction projection — seven longs per doc is a trivial pin.
+    // HOF filter-pushdown BARRIER (the legitimate lazy class): single
+    // consumer per gate chain — the pin only stops pushdown from
+    // re-evaluating the interpreted fold below the Project (3.7->12 s on
+    // tm2 without it); the consuming action materializes it in place
     val pinned = if (barrier) metrics.localCheckpoint(eager = false) else metrics
     pinned
       .select(col("*"),

@@ -118,7 +118,7 @@ object EventAnalytics {
     val basket = events
       .select(col("user_id"), to_date(col("ts_sec")).as("day"), col("event_type"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val nBaskets = basket.select("user_id", "day").distinct()
       .agg(count(lit(1)).as("n_baskets"))
     val typeCounts = basket.groupBy("event_type").agg(count(lit(1)).as("n_t"))

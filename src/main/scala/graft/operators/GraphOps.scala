@@ -47,7 +47,7 @@ object GraphOps {
     * coefficient 3·triangles/wedges.
     */
   def triangleCensus(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("ta").as("a"), col("tb").as("b")).localCheckpoint(eager = false)
+    val e = edges.select(col("ta").as("a"), col("tb").as("b")).localCheckpoint(eager = true)
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     val nodes = deg.agg(
@@ -81,7 +81,7 @@ object GraphOps {
     * the node id only; the final cut is TakeOrderedAndProject.
     */
   def linkPrediction(edges: DataFrame, k: Int): DataFrame = {
-    val e = edges.select(col("ta"), col("tb")).localCheckpoint(eager = false)
+    val e = edges.select(col("ta"), col("tb")).localCheckpoint(eager = true)
     val und = e.select(col("ta").as("src"), col("tb").as("dst"))
       .unionAll(e.select(col("tb").as("src"), col("ta").as("dst")))
     val deg = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
@@ -278,6 +278,9 @@ object GraphOps {
         .select(col("doc_a").as("v"), (col("d") + col("w")).as("d"))
       dist = dist.unionByName(viaA).unionByName(viaB)
         .groupBy("v").agg(min(col("d")).as("d"))
+        // loop-carried (lineage flattening): each round's relation is
+        // consumed once, by the next round — lazy materializes it inside
+        // the one action; eager would add a blocking job per round
         .localCheckpoint(eager = false)
     }
     dist
@@ -320,6 +323,7 @@ object GraphOps {
         .localCheckpoint(eager = true)
       val removed = alive.join(survivors, Seq("v"), "left_anti")
         .select(col("v"), lit(r).as("peel_round"))
+      // loop-carried lineage pin (consumed by the next round only)
       peeled = peeled.unionByName(removed).localCheckpoint(eager = false)
       alive = survivors
     }
@@ -349,12 +353,12 @@ object GraphOps {
       .localCheckpoint(eager = true)
     val w1 = und.groupBy("dst").agg(count(lit(1)).as("w"))
       .select(col("dst").as("v"), col("w"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true) // feeds step(w1) + the final join
     def step(w: DataFrame): DataFrame = und
       .join(w.select(col("v").as("src"), col("w")), Seq("src"))
       .groupBy("dst").agg(sum(col("w")).as("w"))
       .select(col("dst").as("v"), col("w"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true) // each step feeds the next + the final join
     val w2 = step(w1)
     val w3 = step(w2)
     w1.select(col("v"), col("w").as("w1"))
@@ -386,6 +390,10 @@ object GraphOps {
       .localCheckpoint(eager = true)
     var labels = und.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("v"), md5(col("deg").cast("string")).as("l"))
+      // loop-carried lineage pins (here and per round below): consumed
+      // within the single action round by round; kept lazy — wl1/lp1/d6
+      // sit at committed bench levels, and eager would add one blocking
+      // job per round (the A/B that must precede flipping loop interiors)
       .localCheckpoint(eager = false)
     for (_ <- 1 to rounds) {
       val sig = und

@@ -40,9 +40,9 @@ object Relevance {
     val toks = docs
       .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("term"))
       .where(col("term") =!= "")
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val corpus = dl.agg(
       count(lit(1)).cast(DoubleType).as("n_docs"),
       sum(col("dl")).cast(DoubleType).as("sum_dl"))

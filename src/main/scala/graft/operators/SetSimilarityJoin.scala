@@ -74,7 +74,7 @@ object SetSimilarityJoin {
     val toks = Dedup.shingleRows(docs, shingleK)
       .select(col("doc_id"), col("shingle").as("term"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
 
     // Rank each doc's tokens rarest-first ONCE (collect the (df, term)
     // set, sort it locally); the prefix is a slice of that array,
@@ -140,7 +140,7 @@ object SetSimilarityJoin {
     val toks = Dedup.shingleRows(docs, shingleK)
       .select(col("doc_id"), col("shingle").as("term"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
 
     val byDoc = docTermArrays(toks)
     val prefixLen = (col("n_tok") -

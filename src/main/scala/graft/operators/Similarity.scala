@@ -958,6 +958,9 @@ object Similarity {
         VectorMath.cosineExact(col("q_emb"), col("c_emb")).as("cosine"))
     val start = q.select(col("q_vec")).crossJoin(entry)
       .select(col("q_vec"), col("e0").as("v"))
+    // loop-carried lineage pins (visited/graph below): consumed round by
+    // round inside the one traversal action — lazy by design; eager would
+    // add a blocking job per beam round
     var visited = score(start).localCheckpoint(eager = false)
     var frontier = visited.select("q_vec", "v")
     val w = Window.partitionBy("q_vec").orderBy(col("cosine").desc, col("v"))

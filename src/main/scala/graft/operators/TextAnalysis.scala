@@ -117,7 +117,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("__eval"),
         pmod(portableHash60(expr(s"substring(lower(text), CAST(p AS INT), $nGram)")),
           lit(buckets.toLong)).as("b"))
-      .localCheckpoint(eager = false) // train counts + eval scoring share the pass
+      .localCheckpoint(eager = true) // train counts + eval scoring share the pass
     val langCounts = grams.where(!col("__eval"))
       .groupBy("b", "lang").agg(count(lit(1)).as("cl"))
     val bucketTotals = langCounts.groupBy("b").agg(sum(col("cl")).as("cb"))
@@ -274,7 +274,7 @@ object TextAnalysis {
     */
   def totalVariationBySource(counts: DataFrame): DataFrame = {
     val sc = counts.select(col("source"), col("term"), col("cs"))
-      .localCheckpoint(eager = false) // feeds global/source totals + join
+      .localCheckpoint(eager = true) // feeds global/source totals + join
     val g = sc.groupBy("term").agg(sum(col("cs")).as("c"))
     val ns = sc.groupBy("source").agg(sum(col("cs")).as("n_s"))
     val tot = sc.agg(sum(col("cs")).as("n"))

@@ -246,21 +246,38 @@ object AnalyticsQueries {
           |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
           |FROM li_gba GROUP BY ALL ORDER BY ALL""".stripMargin)
     },
-    // nth_value / first_value / last_value over a full-partition frame,
-    // reduced to one row per group via DISTINCT (the frame is constant
-    // per partition). Unique order key ⇒ deterministic cross-engine.
+    // nth_value / first_value / last_value over a full-partition frame.
+    // The full-frame window form sorts the ENTIRE fact inside 3
+    // returnflag partitions however many cores exist (the a18/a12
+    // lesson — VERDICT r11 #4 profiled it as a whole-partition sort
+    // buffer); but over a constant frame these three window functions
+    // are order STATISTICS: first_value ≡ min(price), last_value ≡
+    // max(price) (the frame order's FIRST sort key is the price), and
+    // nth_value(2) ≡ the group's 2nd-smallest price (duplicates count),
+    // i.e. the rank-2 row of the bottom-2 — which the row_number+filter
+    // idiom plans as the bounded-heap TopKPerKey operator: per-partition
+    // 2-element heaps + one tiny exchange, no full sort anywhere. min /
+    // max ride the same narrow scan with map-side partials. The oracle
+    // keeps the window form, pinning the rewrite to the standard's
+    // semantics (4.98 s → ~0.5 s at sf1.0).
     "w6_nth_value" -> { (spark, dir) =>
-      Tables.lineitem(spark, dir).createOrReplaceTempView("li_w6")
-      spark.sql(
-        """SELECT DISTINCT l_returnflag,
-          |  first_value(l_extendedprice) OVER w AS lowest,
-          |  nth_value(l_extendedprice, 2) OVER w AS second_lowest,
-          |  last_value(l_extendedprice) OVER w AS highest
-          |FROM li_w6
-          |WINDOW w AS (PARTITION BY l_returnflag
-          |  ORDER BY l_extendedprice, l_orderkey, l_linenumber
-          |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-          |ORDER BY l_returnflag""".stripMargin)
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      val bottom2 = li.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2)
+        .groupBy("l_returnflag")
+        .agg(
+          max(when(col("rn") === 1, col("l_extendedprice"))).as("lowest"),
+          max(when(col("rn") === 2, col("l_extendedprice"))).as("second_lowest"))
+      val hi = li.groupBy("l_returnflag")
+        .agg(max(col("l_extendedprice")).as("highest"))
+      bottom2.join(hi, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("lowest"), col("second_lowest"),
+          col("highest"))
+        .orderBy("l_returnflag")
     },
     // String-function surface over customer names.
     "p10_string_funcs" -> { (spark, dir) =>
@@ -441,7 +458,7 @@ object AnalyticsQueries {
       val ud = Tables.events(spark, dir)
         .select(col("user_id"), to_date(col("ts_sec")).as("day"))
         .distinct()
-        .localCheckpoint(eager = false) // feeds both the expansion and obs
+        .localCheckpoint(eager = true) // feeds both the expansion and obs
       val expanded = ud
         .select(col("user_id"),
           explode(sequence(lit(0), lit(6))).as("off"), col("day"))
@@ -492,7 +509,7 @@ object AnalyticsQueries {
         .localCheckpoint(eager = true)
       val nodes = edges.select(col("doc_a").as("v"))
         .unionByName(edges.select(col("doc_b").as("v"))).distinct()
-        .localCheckpoint(eager = false) // feeds init + the source scalar
+        .localCheckpoint(eager = true) // feeds init + the source scalar
       // source = lexicographically-smallest node (1-row bounded scalar,
       // same pattern as personalized PageRank's seed)
       val src = nodes.crossJoin(broadcast(nodes.agg(min(col("v")).as("s"))))
@@ -598,7 +615,7 @@ object AnalyticsQueries {
           pmod(Dedup.portableHash60(concat(col("r"), lit(":"), col("user_id"))),
             lit(w.toLong)).as("b"))
         .groupBy("user_id", "r", "b").agg(count(lit(1)).as("c"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
       val sketch = perUserCell.groupBy("r", "b").agg(sum(col("c")).as("cnt"))
       val est = perUserCell.select(col("user_id"), col("r"), col("b"))
         .join(sketch, Seq("r", "b"))
@@ -639,7 +656,7 @@ object AnalyticsQueries {
           explode(sequence(lit(1L), col("n_chars") - 31, lit(8L))).as("p"))
         .select(col("doc_id"),
           md5(expr("substring(text, CAST(p AS INT), 32)")).as("h"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
       val byHash = wins.groupBy("h")
         .agg(countDistinct(col("doc_id")).as("nd"))
       wins.join(byHash, Seq("h"))

@@ -132,7 +132,7 @@ object DecisionQueries {
       val ev = Tables.events(spark, dir)
       val fc = ev.where(col("event_type") === "click")
         .groupBy("user_id").agg(min(col("ts")).as("cts"))
-        .localCheckpoint(eager = false) // feeds conversions + subjects
+        .localCheckpoint(eager = true) // feeds conversions + subjects
       val fp = ev.where(col("event_type") === "purchase")
         .join(fc, Seq("user_id"))
         .where(col("ts") >= col("cts"))
@@ -231,7 +231,7 @@ object DecisionQueries {
       val v = subs.join(broadcast(masks),
           col("m").bitwiseAND(col("s")) === col("m"), "left")
         .groupBy("s").agg(coalesce(sum(col("cu")), lit(0L)).as("v"))
-        .localCheckpoint(eager = false) // 16 rows; joined twice below
+        .localCheckpoint(eager = true) // 16 rows; joined twice below
       val ch = spark.sql(
         """SELECT * FROM VALUES ('click', 1L), ('view', 2L),
           |  ('signup', 4L), ('error', 8L) AS t(channel, bit)""".stripMargin)
@@ -403,7 +403,7 @@ object DecisionQueries {
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
           col("n_name")))
       val euPs = ps.join(eu, col("s_suppkey") === col("l_suppkey"))
-        .localCheckpoint(eager = false) // feeds the min + the match
+        .localCheckpoint(eager = true) // feeds the min + the match
       val minCost = euPs.groupBy(col("l_partkey").as("mk"))
         .agg(min(col("cost_cents")).as("min_cents"))
       // <= keeps the slice non-empty at every fixture SF (sf0.001 has
@@ -445,7 +445,7 @@ object DecisionQueries {
         .groupBy("l_partkey")
         .agg(sum(floor(col("l_extendedprice") * 100).cast(LongType))
           .as("value_cents"))
-        .localCheckpoint(eager = false) // feeds total + filter
+        .localCheckpoint(eager = true) // feeds total + filter
       val tot = broadcast(value.agg(sum(col("value_cents")).as("tot_cents")))
       value.crossJoin(tot)
         .where(col("value_cents") * 1000 > col("tot_cents"))
@@ -479,7 +479,7 @@ object DecisionQueries {
         // k·n > Σk), which stays selective and non-empty at every SF
         .groupBy("l_suppkey")
         .agg(count(lit(1)).as("n_excess_parts"))
-        .localCheckpoint(eager = false) // feeds the mean + the cut
+        .localCheckpoint(eager = true) // feeds the mean + the cut
       val stats = broadcast(qty.agg(
         sum(col("n_excess_parts")).as("tot_k"),
         count(lit(1)).as("n_supp")))
@@ -704,7 +704,7 @@ object DecisionQueries {
         .agg(count(lit(1)).as("m"), expr("count_if(o_orderstatus = 'F')").as("p"))
       // crank = inclusive cumulative row count in score order; n = total
       val ranked = Packing.prefixSum(g, Seq(col("c")), col("m"), "crank")
-        .localCheckpoint(eager = false) // two consumers below
+        .localCheckpoint(eager = true) // two consumers below
       val st = broadcast(ranked.agg(sum(col("m")).as("n_all"), sum(col("p")).as("pos_all")))
       // threshold t_d = value at sorted position ceil(d·n/10): the
       // smallest score whose cumulative count reaches the boundary

@@ -59,7 +59,7 @@ object ExperimentQueries {
   /** csim1's tail over a prebuilt count spine. */
   private[queries] def cosineFromCounts(counts: DataFrame): DataFrame = {
     val g = counts.groupBy("term").agg(sum(col("cs")).as("c"))
-      .localCheckpoint(eager = false) // joined + norm-summed
+      .localCheckpoint(eager = true) // joined + norm-summed
     val gn = g.agg(sum(col("c") * col("c")).as("nn"))
     counts.join(g, Seq("term"))
       .groupBy("source")
@@ -115,7 +115,7 @@ object ExperimentQueries {
       val cums = Packing.prefixSum(
         Packing.prefixSum(g, Seq(col("v")), col("ca"), "cuma"),
         Seq(col("v")), col("cb"), "cumb")
-        .localCheckpoint(eager = false) // consumed by totals + argmax below
+        .localCheckpoint(eager = true) // consumed by totals + argmax below
       val tot = broadcast(cums.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb")))
       val diffs = cums.crossJoin(tot)
         .select(col("v"), col("na"), col("nb"),
@@ -170,7 +170,7 @@ object ExperimentQueries {
         .where(col("event_type") === "purchase")
         .groupBy("user_id")
         .agg(sum(floor(col("value") * 100).cast(LongType)).as("cents"))
-        .localCheckpoint(eager = false) // feeds observed + 64 permutations
+        .localCheckpoint(eager = true) // feeds observed + 64 permutations
       val obs = pu
         .agg(abs(sum(when(col("user_id") % 2 === 0, col("cents"))
           .otherwise(-col("cents")))).as("obs_cents"))
@@ -281,7 +281,7 @@ object ExperimentQueries {
           when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("pos"))
         .groupBy("b")
         .agg(count(lit(1)).as("n"), sum(col("pos")).as("npos"))
-        .localCheckpoint(eager = false) // tiny; feeds pools + output join
+        .localCheckpoint(eager = true) // tiny; feeds pools + output join
       // each bucket row b joins every (j,k) pool slice containing it, so
       // groupBy(j,k) sums n/npos over exactly the buckets j..k
       val pools = b.select(col("b"), col("n"), col("npos"))
@@ -397,7 +397,7 @@ object ExperimentQueries {
           sum(when(to_date(col("ts_sec")) >= split, cents).otherwise(0L))
             .as("y"))
         .withColumn("va", col("user_id") % 2 === 0)
-        .localCheckpoint(eager = false) // feeds pooled + per-variant
+        .localCheckpoint(eager = true) // feeds pooled + per-variant
       // x/y are per-USER cent sums, unbounded with activity — the
       // products must be computed IN decimal, not in Long then cast
       // (Long x*x silently overflows past ~3e9 cents per user).
@@ -522,7 +522,7 @@ object ExperimentQueries {
       val d = Tables.documents(spark, dir)
         .select(col("lang"), col("source"),
           least(expr("n_chars div 32"), lit(7L)).as("b"))
-        .localCheckpoint(eager = false) // feeds 3 aggregates
+        .localCheckpoint(eager = true) // feeds 3 aggregates
       val nDf = d.agg(count(lit(1)).as("n"))
       val ng = d.groupBy("lang", "source").agg(count(lit(1)).as("n_rows"))
       val gb = d.groupBy("b").agg(count(lit(1)).as("gcnt"))
@@ -598,7 +598,7 @@ object ExperimentQueries {
         .where(col("event_type") === "purchase")
         .groupBy("user_id")
         .agg(sum(floor(col("value") * 100).cast(LongType)).as("cents"))
-        .localCheckpoint(eager = false) // feeds replicates + point median
+        .localCheckpoint(eager = true) // feeds replicates + point median
       val h = graft.operators.Dedup.portableHash60(
         concat_ws(":", lit("bs2"), col("user_id"), col("r")))
       val w = when(h < 424136118829305344L, 0L)
@@ -626,7 +626,7 @@ object ExperimentQueries {
         .groupBy("r").agg(min(col("cents")).as("med"))
       val ord = Window.orderBy(col("med"), col("r"))
       val ranked = medians.withColumn("rk", row_number().over(ord))
-        .localCheckpoint(eager = false) // feeds lo + hi + count
+        .localCheckpoint(eager = true) // feeds lo + hi + count
       val nRep = broadcast(ranked.agg(count(lit(1)).as("nb")))
       val lo = ranked.crossJoin(nRep)
         .where(col("rk") === ceil(col("nb") * 0.025).cast(LongType))
@@ -708,7 +708,7 @@ object ExperimentQueries {
             .as("mean_c"))
       val ord = Window.orderBy(col("mean_c"), col("r"))
       val ranked = reps.withColumn("rk", row_number().over(ord))
-        .localCheckpoint(eager = false) // feeds lo + hi + count
+        .localCheckpoint(eager = true) // feeds lo + hi + count
       val nRep = broadcast(ranked.agg(count(lit(1)).as("nb")))
       val lo = ranked.crossJoin(nRep)
         .where(col("rk") === ceil(col("nb") * 0.025).cast(LongType))
@@ -736,7 +736,7 @@ object ExperimentQueries {
     "hell1_hellinger_drift" -> { (spark, dir) =>
       hellingerFromCounts(
           sourceTermCounts(Tables.documentsParallel(spark, dir))
-            .localCheckpoint(eager = false)) // feeds totals + the join
+            .localCheckpoint(eager = true)) // feeds totals + the join
         .orderBy("source")
     },
 
@@ -749,7 +749,7 @@ object ExperimentQueries {
     "csim1_source_profile_cosine" -> { (spark, dir) =>
       cosineFromCounts(
           sourceTermCounts(Tables.documentsParallel(spark, dir))
-            .localCheckpoint(eager = false)) // feeds norms + the dot join
+            .localCheckpoint(eager = true)) // feeds norms + the dot join
         .orderBy("source")
     },
 
@@ -768,7 +768,7 @@ object ExperimentQueries {
           explode(expr("transform(sequence(0, size(w) - 3), " +
             "i -> concat_ws(' ', slice(w, i + 1, 3)))")).as("tri"))
         .distinct() // trigram TYPES per source
-        .localCheckpoint(eager = false) // feeds spread + per-source join
+        .localCheckpoint(eager = true) // feeds spread + per-source join
       val spread = tri.groupBy("tri")
         .agg(count(lit(1)).as("n_sources"))
       tri.join(spread, Seq("tri"))
@@ -870,7 +870,7 @@ object ExperimentQueries {
           to_date(col("l_shipdate")).as("day"))
         .agg(sum(round(col("l_extendedprice") * 100).cast(LongType)).as("x"),
           sum(col("l_quantity").cast(LongType)).as("y"))
-        .localCheckpoint(eager = false) // feeds pair join twice + n_days
+        .localCheckpoint(eager = true) // feeds pair join twice + n_days
       val a = daily.select(col("flag"), col("day").as("da"),
         col("x").as("xa"), col("y").as("ya"))
       val b = daily.select(col("flag"), col("day").as("db"),
@@ -923,7 +923,7 @@ object ExperimentQueries {
       val docToks = Tables.documentsParallel(spark, dir)
         .select(col("doc_id"), ws.as("w0"))
         .select(col("doc_id"), expr("filter(w0, t -> t <> '')").as("w"))
-        .localCheckpoint(eager = false) // feeds lengths + positions
+        .localCheckpoint(eager = true) // feeds lengths + positions
       val lens = docToks.select(col("doc_id"),
         size(col("w")).cast(LongType).as("len"))
       val offs = Packing.prefixSum(lens, Seq(col("doc_id")), col("len"), "cum")

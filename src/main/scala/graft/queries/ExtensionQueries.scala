@@ -36,8 +36,8 @@ object ExtensionQueries {
       // summary ×1); pin both relations so the 16-hashes-per-shingle scan
       // runs once — at scale these are the persisted index tables.
       val sigs = Dedup.minHashPortable(docs, 3, 16) // (doc_id, h_idx, min_hash)
-        .localCheckpoint(eager = false)
-      val bands = Dedup.portableBandKeys(sigs, 4).localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
+      val bands = Dedup.portableBandKeys(sigs, 4).localCheckpoint(eager = true)
       val sized = bands.groupBy("band_idx", "band_key")
         .agg(count(lit(1)).as("__n"))
         .where(col("__n").between(2, 64))
@@ -411,7 +411,7 @@ object ExtensionQueries {
       val sub = Tables.embeddings(spark, dir).where(col("vec_id") < 500)
       val tk = Similarity.bruteForceTopK(sub, sub, k = 5)
         .select(col("q_vec"), col("c_vec"))
-        .localCheckpoint(eager = false) // feeds both sides of the mutual join
+        .localCheckpoint(eager = true) // feeds both sides of the mutual join
       val rev = tk.select(col("c_vec").as("q_vec"), col("q_vec").as("c_vec"))
       val mutual = tk.join(rev, Seq("q_vec", "c_vec"), "left_semi")
         .groupBy("q_vec")
@@ -587,7 +587,7 @@ object ExtensionQueries {
       val sub = Tables.embeddings(spark, dir).where(col("vec_id") < 500)
       val tk = Similarity.bruteForceTopK(sub, sub, k = 5)
         .select(col("q_vec"), col("c_vec"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
       val rev = tk.select(col("c_vec").as("q_vec"), col("q_vec").as("c_vec"))
       val mutual = tk.join(rev, Seq("q_vec", "c_vec"), "left_semi")
         .where(col("q_vec") < col("c_vec"))
@@ -717,7 +717,7 @@ object ExtensionQueries {
       val qs = emb.where(col("vec_id") < 8)
       val exact = Similarity.bruteForceL2TopK(qs, emb, k = 3)
         .select(col("q_vec"), col("c_vec"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
       // r11: the three probe levels search the PERSISTED x23 artifacts
       // (build-once, shared with x23 — the inline form re-derived
       // centroids + codebook + the full corpus encode once PER PROBE
@@ -1337,12 +1337,12 @@ object ExtensionQueries {
           graft.operators.Dedup.portableHash60(
             concat(lit("kmv:"), col("user_id"))).as("h"),
           col("user_id"))
-        .localCheckpoint(eager = false) // feeds sketches + true counts
+        .localCheckpoint(eager = true) // feeds sketches + true counts
       val perTypeH = hv.select("event_type", "h").distinct()
       val wT = Window.partitionBy("event_type").orderBy("h")
       val sk = perTypeH.withColumn("rn", row_number().over(wT))
         .where(col("rn") <= k)
-        .localCheckpoint(eager = false) // feeds per-type kth + the merge
+        .localCheckpoint(eager = true) // feeds per-type kth + the merge
       // strictly INTEGER division both steps (a float division + floor
       // can round across an integer boundary and diverge from div)
       val estExpr = expr(
@@ -1386,7 +1386,7 @@ object ExtensionQueries {
         .select(explode(TextAnalysis.words(col("text"))).as("term"))
         .where(col("term") =!= "")
         .groupBy("term").agg(count(lit(1)).as("c"))
-        .localCheckpoint(eager = false) // feeds true F2 + the 80 estimators
+        .localCheckpoint(eager = true) // feeds true F2 + the 80 estimators
       val trueF2 = cnt.agg(sum(col("c") * col("c")).as("f2_true"))
       val sign = lit(1L) - lit(2L) * (graft.operators.Dedup.portableHash60(
         concat_ws(":", lit("ams"), col("j"), col("term"))) % 2L)
@@ -1481,7 +1481,7 @@ object ExtensionQueries {
           VectorMath.cosineExact(col("qe"), col("embedding")).as("cf"),
           VectorMath.cosineExact(slice(col("qe"), 1, 16),
             slice(col("embedding"), 1, 16)).as("ct"))
-        .localCheckpoint(eager = false) // feeds both rankings
+        .localCheckpoint(eager = true) // feeds both rankings
       def top5(score: String) = {
         val w = Window.partitionBy("q_vec")
           .orderBy(col(score).desc, col("cv"))
@@ -1522,7 +1522,7 @@ object ExtensionQueries {
           (dotL(col("qa"), col("qb")).cast(DoubleType) /
             (sqrt(dotL(col("qa"), col("qa")).cast(DoubleType)) *
               sqrt(dotL(col("qb"), col("qb")).cast(DoubleType)))).as("c8"))
-        .localCheckpoint(eager = false) // feeds both rankings
+        .localCheckpoint(eager = true) // feeds both rankings
       def top5(score: String) = {
         val w = Window.partitionBy("q_vec")
           .orderBy(col(score).desc, col("cv"))
@@ -1712,7 +1712,7 @@ object ExtensionQueries {
           col("o_orderpriority").as("prio"),
           round(col("o_totalprice") * 100).cast(LongType).as("cents"),
           Dedup.portableHash60(concat(lit("qsk:"), col("o_orderkey"))).as("h"))
-        .localCheckpoint(eager = false) // feeds the direct + merged paths
+        .localCheckpoint(eager = true) // feeds the direct + merged paths
       val perPrio = o.withColumn("rn",
           row_number().over(Window.partitionBy("prio")
             .orderBy(col("h"), col("cents"))))

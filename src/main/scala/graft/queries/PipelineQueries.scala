@@ -312,7 +312,7 @@ object PipelineQueries {
     "ast1_degree_assortativity" -> { (spark, dir) =>
       val e = GraphOps.termCooccurrenceEdges(
         Tables.documentsParallel(spark, dir), topK = 40, minCo = 20L)
-        .localCheckpoint(eager = false) // feeds degrees + both orientations
+        .localCheckpoint(eager = true) // feeds degrees + both orientations
       val deg = e.select(col("ta").as("v"))
         .unionAll(e.select(col("tb").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))

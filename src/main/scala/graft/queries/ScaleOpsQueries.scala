@@ -137,7 +137,7 @@ object ScaleOpsQueries {
         .groupBy(round(col("l_extendedprice") * 100).cast(LongType).as("c"))
         .agg(count(lit(1)).as("m"))
       val ranked = Packing.prefixSum(g, Seq(col("c")), col("m"), "crank")
-        .localCheckpoint(eager = false) // thresholds + assignment share it
+        .localCheckpoint(eager = true) // thresholds + assignment share it
       val st = broadcast(ranked.agg(sum(col("m")).as("n_all")))
       val th = ranked.crossJoin(st)
         .select(col("c"), col("crank"),
@@ -185,8 +185,8 @@ object ScaleOpsQueries {
         .withColumn("o_totalprice",
           when(col("o_orderkey") % 101 === 0, col("o_totalprice") + 1.0)
             .otherwise(col("o_totalprice")))
-      val la = leaves(a).localCheckpoint(eager = false)
-      val lb = leaves(b).localCheckpoint(eager = false)
+      val la = leaves(a).localCheckpoint(eager = true)
+      val lb = leaves(b).localCheckpoint(eager = true)
       def parents(l: DataFrame): DataFrame = l
         .groupBy(expr("leaf div 16").as("parent"))
         .agg(md5(array_join(transform(
@@ -406,7 +406,7 @@ object ScaleOpsQueries {
           .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents")),
         out, keepVersions = 1)
       val back = AtomicLayer.read(spark, out)
-        .localCheckpoint(eager = false) // feeds residual + kept stats
+        .localCheckpoint(eager = true) // feeds residual + kept stats
       ev.agg(
           countDistinct(when(erase, col("user_id"))).as("n_users_erased"),
           expr("count_if(user_id % 97 = 0)").as("n_rows_purged"),
@@ -554,12 +554,12 @@ object ScaleOpsQueries {
       val o = Tables.orders(spark, dir)
         .select(col("o_orderkey"), col("o_orderpriority"),
           (col("o_orderkey") % 5 === 4).as("d"))
-        .localCheckpoint(eager = false) // base + delta slices both read
+        .localCheckpoint(eager = true) // base + delta slices both read
       val l = Tables.lineitem(spark, dir)
         .select(col("l_orderkey"),
           round(col("l_extendedprice") * 100).cast(LongType).as("cents"),
           (col("l_linenumber") % 3 === 0).as("d"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
       def census(a: DataFrame, b: DataFrame): DataFrame = a
         .join(b, col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderpriority")

@@ -234,7 +234,7 @@ object TrainingDataQueries {
       val words = Tables.documentsParallel(spark, dir)
         .select(col("doc_id"), col("lang"),
           explode(TextAnalysis.words(col("text"))).as("w"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
       val wc = words.groupBy("w").agg(count(lit(1)).as("n"))
         .select(
           col("w"),
@@ -638,18 +638,18 @@ object TrainingDataQueries {
       val dq = graft.operators.DataQuality
       val docs = Tables.documentsParallel(spark, dir)
         .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
       val keepExact = docs
         .groupBy(sha2(col("text"), 256).as("h"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
-      val s1 = docs.join(keepExact, Seq("doc_id")).localCheckpoint(eager = false)
+      val s1 = docs.join(keepExact, Seq("doc_id")).localCheckpoint(eager = true)
       val s2 = s1.join(
         dq.gopherMetrics(s1).where(col("gopher_pass")).select("doc_id"),
-        Seq("doc_id")).localCheckpoint(eager = false)
+        Seq("doc_id")).localCheckpoint(eager = true)
       val s3 = s2.join(
         dq.linearQualityScores(s2).where(col("quality_pass")).select("doc_id"),
-        Seq("doc_id")).localCheckpoint(eager = false)
+        Seq("doc_id")).localCheckpoint(eager = true)
       val s4 = s3.where(col("lang").isin("en", "de", "fr", "es"))
       val stages = Seq(
         (1L, "input", docs), (2L, "exact_dedup", s1), (3L, "gopher_gate", s2),
@@ -678,9 +678,9 @@ object TrainingDataQueries {
         .select(col("doc_id"), col("clean_text").as("text"))
         .join(docsRaw.select(col("doc_id"), col("source"),
           col("n_chars").as("n_chars_input")), Seq("doc_id"))
-        .localCheckpoint(eager = false) // feeds census + gate chain
+        .localCheckpoint(eager = true) // feeds census + gate chain
       val ne = cleaned.where(length(col("text")) >= 32)
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
       val fin = ne.join(
         dq.gopherMetrics(ne.select(col("doc_id"), col("text")))
           .where(col("gopher_pass")).select("doc_id"),
@@ -844,7 +844,7 @@ object TrainingDataQueries {
         .select(col("doc_id"),
           concat_ws(" ", slice(col("w"), col("i") + 1, lit(2))).as("prefix"),
           element_at(col("w"), col("i") + 3).as("next_tok"))
-        .localCheckpoint(eager = false) // LM build + scoring share one pass
+        .localCheckpoint(eager = true) // LM build + scoring share one pass
       val n3 = tri.groupBy("prefix", "next_tok").agg(count(lit(1)).as("n3"))
       val n2 = n3.groupBy("prefix").agg(sum("n3").as("n2"))
       val lm = n3.join(n2, Seq("prefix"))
@@ -978,7 +978,7 @@ object TrainingDataQueries {
     "cal1_gate_agreement" -> { (spark, dir) =>
       val dq = graft.operators.DataQuality
       val docs = Tables.documentsParallel(spark, dir)
-        .localCheckpoint(eager = false) // feeds both gate chains
+        .localCheckpoint(eager = true) // feeds both gate chains
       val q = dq.linearQualityScores(docs)
         .select(col("doc_id"), col("score"), col("quality_pass"))
       val g = dq.gopherMetrics(docs).select(col("doc_id"), col("gopher_pass"))

@@ -399,7 +399,7 @@ object WorkloadQueries {
       val fd = graft.operators.Multimodal.frameDigestRows(
         Tables.documentsParallel(spark, dir))
         .select("doc_id", "d").distinct()
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
       val ok = fd.join(
         fd.groupBy("d").agg(count(lit(1)).as("c"))
           .where(col("c").between(2, 50)).select("d"),
@@ -479,7 +479,7 @@ object WorkloadQueries {
       val pos = Tables.documentsParallel(spark, dir)
         .select(col("doc_id"),
           posexplode(TextAnalysis.words(col("text"))).as(Seq("p", "term")))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
       pos.as("a")
         .join(pos.as("b"),
           col("b.doc_id") === col("a.doc_id") && col("b.p") === col("a.p") + 1)
@@ -566,7 +566,7 @@ object WorkloadQueries {
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy("label", "dim")
         .agg(sum(floor(col("v").cast(DoubleType) * 1048576.0).cast(LongType)).as("sq"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
       val dec = DecimalType(20, 0)
       val self = comp.groupBy("label")
         .agg(sum(col("sq").cast(dec) * col("sq").cast(dec)).as("aa"))

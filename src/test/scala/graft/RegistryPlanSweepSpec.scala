@@ -31,6 +31,8 @@ class RegistryPlanSweepSpec extends SparkSpec {
   private val globalWindowAllowlist: Map[String, String] = Map(
     "a18_trimmed_mean" ->
       "window over groupBy(l_returnflag) offsets: |distinct returnflag| = 3 rows",
+    "a12_percentile_disc" ->
+      "window over groupBy(l_returnflag) offsets: |distinct returnflag| = 3 rows (a18's shape)",
     "cd1_cum_users" ->
       "running sum over per-day new-user counts: bounded by calendar days",
     "dm1_mixture_weights" ->
