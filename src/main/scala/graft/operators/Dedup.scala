@@ -633,11 +633,14 @@ object Dedup {
     */
   def semanticDedup(embeddings: DataFrame, minCosine: Double = 0.3): DataFrame = {
     import graft.functions.QuantizedCosine.{quantizedCosine => cosine}
-    val assigned = EmbeddingOps
-      .assignToCentroids(embeddings, EmbeddingOps.centroids(embeddings))
-      .select(col("vec_id"), col("cluster"))
-    val clustered = assigned
-      .join(embeddings.select(col("vec_id"), col("embedding")), "vec_id")
+    // The assignment CARRIES the embedding (map-only fold, see
+    // assignToCentroids) — no relabel join; eager pin because the fold
+    // feeds three branches (both pair sides + the final left join).
+    val clustered = EmbeddingOps
+      .assignToCentroids(
+        embeddings, EmbeddingOps.centroids(embeddings), carry = Seq("embedding"))
+      .localCheckpoint(eager = true)
+    val assigned = clustered.select(col("vec_id"), col("cluster"))
     val a = clustered.select(
       col("cluster"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = clustered.select(
@@ -698,18 +701,19 @@ object Dedup {
   ): DataFrame = {
     import graft.functions.QuantizedCosine.{quantizedCosine => cosine}
     import org.apache.spark.sql.expressions.Window
-    val assigned = EmbeddingOps
-      .assignToCentroids(embeddings, EmbeddingOps.centroids(embeddings))
-      .select(col("vec_id"), col("cluster"))
     // EAGER pin: the centroid-assignment fold is the expensive upstream
-    // and now feeds FOUR branches (phase-1 exemplar scan, both phase-2
+    // and feeds FOUR branches (phase-1 exemplar scan, both phase-2
     // join sides, the final left join) — lazy lineage would re-run it
     // per branch (measured 2x on the organic sf1.0 tree when phase 1
-    // first landed without the pin). One corpus-width relation of
-    // (vec_id, cluster, embedding) is the natural checkpoint.
-    val clustered = assigned
-      .join(embeddings.select(col("vec_id"), col("embedding")), "vec_id")
+    // first landed without the pin). The assignment CARRIES the
+    // embedding (map-only fold, see assignToCentroids), so the one
+    // corpus-width relation of (vec_id, cluster, embedding) comes
+    // straight off the scan — no relabel join before the checkpoint.
+    val clustered = EmbeddingOps
+      .assignToCentroids(
+        embeddings, EmbeddingOps.centroids(embeddings), carry = Seq("embedding"))
       .localCheckpoint(eager = true)
+    val assigned = clustered.select(col("vec_id"), col("cluster"))
     val bucketed = clustered.select(col("cluster"),
       col("vec_id"), col("embedding"),
       posexplode(

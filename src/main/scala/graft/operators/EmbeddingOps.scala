@@ -70,19 +70,30 @@ object EmbeddingOps {
     * The centroid table (long format, from [[centroids]]) is re-quantized
     * to exact integers, folded into one array per cluster
     * (`array_sort(collect_list(struct(dim, qc)))` — collect order is
-    * partition-dependent, the sort restores determinism), and BROADCAST:
-    * k × dims longs, trivially broadcastable for any sane k. The corpus
-    * side never shuffles for the distance computation — per row it is a
-    * fused `zip_with` + fold per centroid. The final argmin is
-    * `min(struct(qdist, label))`: struct ordering makes ties break on the
-    * lower label deterministically, and the aggregation combines
-    * map-side, so the exchange carries one candidate per (task, vec).
+    * partition-dependent, the sort restores determinism), then the k
+    * cluster rows collapse into ONE broadcast row holding every centroid.
+    * The argmin is an `array_min(transform(...))` fold over that array
+    * per input row — the whole assignment is MAP-ONLY: no corpus-
+    * cardinality exchange at all (the previous shape crossJoined k rows
+    * per vector and re-aggregated them by vec_id, paying an N-row
+    * shuffle per assignment even though every candidate already lived in
+    * the vector's own partition). Struct ordering inside `array_min`
+    * makes ties break on the lower label, bit-identical to the old
+    * `min(struct(qdist, label))`.
     *
     * All distance arithmetic is exact integer (qdiff² < 2^44, × dims
     * safely inside a long), so assignments are engine-portable —
     * this is the per-iteration cost shape of Lloyd's algorithm at 100 TB.
+    *
+    * `carry` names input columns to pass through unchanged (so a caller
+    * iterating assign→update, [[kmeansFit]], can keep the embedding next
+    * to its cluster without a corpus-wide relabel join).
     */
-  def assignToCentroids(embeddings: DataFrame, centroidsLong: DataFrame): DataFrame = {
+  def assignToCentroids(
+      embeddings: DataFrame,
+      centroidsLong: DataFrame,
+      carry: Seq[String] = Nil,
+  ): DataFrame = {
     val cent = centroidsLong
       .select(col("label"), col("dim"), q20(col("centroid")).as("qc"))
       .groupBy("label")
@@ -90,39 +101,55 @@ object EmbeddingOps {
         transform(
           array_sort(collect_list(struct(col("dim"), col("qc")))),
           s => s.getField("qc")).as("qcs"))
+    val centArr = cent.agg(
+      array_sort(collect_list(struct(col("label"), col("qcs")))).as("__cents"))
     // Empty/NULL embeddings drop — same UNNEST semantics as the oracle
     // (and as norms()); without the guard they would score qdist 0
     // against every centroid and land in the lowest label.
-    val vecs = embeddings
-      .where(size(col("embedding")) > 0)
+    // Scan parallelism restored (guarded — no-op on a real many-split
+    // corpus): map-only means the fold inherits the SCAN's task count,
+    // and the single-row-group local fixture would otherwise run the
+    // whole k×dims scoring on one core (the old crossJoin shape got
+    // reduce-side parallelism from its argmin exchange by accident).
+    val vecs = graft.Tables.withScanParallelism(
+      embeddings.sparkSession,
+      embeddings
+        .where(size(col("embedding")) > 0)
+        .select(
+          col("vec_id") +:
+            transform(col("embedding"), v => q20(v)).as("qv") +:
+            carry.map(col): _*))
+    vecs
+      .crossJoin(broadcast(centArr))
+      // an empty centroid table must yield an empty assignment (the old
+      // crossJoin-with-k-rows semantics), not null clusters
+      .where(size(col("__cents")) > 0)
+      .withColumn("__best",
+        array_min(transform(col("__cents"), c =>
+          struct(
+            aggregate(
+              zip_with(col("qv"), c.getField("qcs"),
+                (a, b) => coalesce((a - b) * (a - b), lit(0L))),
+              lit(0L),
+              (acc, d) => acc + d).as("qdist"),
+            c.getField("label").as("label")))))
       .select(
-        col("vec_id"),
-        transform(col("embedding"), v => q20(v)).as("qv"))
-    val scored = vecs
-      .crossJoin(broadcast(cent))
-      .select(
-        col("vec_id"),
-        col("label"),
-        aggregate(
-          zip_with(col("qv"), col("qcs"), (a, b) => coalesce((a - b) * (a - b), lit(0L))),
-          lit(0L),
-          (acc, d) => acc + d).as("qdist"))
-    scored
-      .groupBy("vec_id")
-      .agg(min(struct(col("qdist"), col("label"))).as("best"))
-      .select(
-        col("vec_id"),
-        col("best.label").as("cluster"),
-        col("best.qdist").as("qdist"))
+        col("vec_id") +:
+          col("__best.label").as("cluster") +:
+          col("__best.qdist").as("qdist") +:
+          carry.map(col): _*)
   }
 
   /** K-means TRAINING loop (Lloyd's algorithm) built from the assignment
     * step: seed centroids from the existing label column (or any initial
     * assignment), then alternate assign → recompute for `iterations`
-    * rounds. Per round the corpus is joined ONCE with the previous
-    * (vec_id, cluster) assignment to recompute centroids; scoring itself
-    * is broadcast-side (see [[assignToCentroids]]) and adds no vector
-    * shuffle. `localCheckpoint` between rounds keeps lineage flat (same
+    * rounds. Each assignment carries the embedding through to its
+    * checkpoint, so the next round's centroid recompute is a straight
+    * scan of the previous round's output — no per-round relabel join —
+    * and scoring itself is a map-only broadcast fold (see
+    * [[assignToCentroids]]). A Lloyd round therefore shuffles only the
+    * (label, dim)-keyed centroid partials, never the corpus.
+    * `localCheckpoint` between rounds keeps lineage flat (same
     * discipline as [[Dedup.connectedComponents]]).
     *
     * Returns the final assignment (vec_id, cluster, qdist). With real
@@ -135,21 +162,27 @@ object EmbeddingOps {
     */
   def kmeansFit(embeddings: DataFrame, iterations: Int = 3): DataFrame = {
     require(iterations >= 1, "at least one assign round")
-    var assigned = assignToCentroids(embeddings, centroids(embeddings))
+    // Carry the raw embedding through every non-final assignment so the
+    // next round's centroid recompute reads (embedding, cluster) straight
+    // off the checkpoint — the per-round corpus relabel JOIN (which
+    // shuffled both the vectors and the labels) disappears; with the
+    // map-only assign above, a Lloyd round costs one corpus scan plus the
+    // tiny (label, dim) centroid aggregation, and nothing else.
+    def carryAt(round: Int): Seq[String] =
+      if (round < iterations - 1) Seq("embedding") else Nil
+    var assigned = assignToCentroids(
+        embeddings, centroids(embeddings), carry = carryAt(0))
       .localCheckpoint()
-    for (_ <- 1 until iterations) {
-      val relabeled = embeddings
-        .join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
-        .select(col("vec_id"), col("embedding"), col("cluster").as("label"))
-      // scoring side is the raw corpus: assignToCentroids only reads
-      // (vec_id, embedding) there, so joining the labels in would just
-      // shuffle the vectors a second time for nothing
-      val next = assignToCentroids(embeddings, centroids(relabeled))
+    for (i <- 1 until iterations) {
+      val relabeled = assigned
+        .select(col("embedding"), col("cluster").as("label"))
+      val next = assignToCentroids(
+          embeddings, centroids(relabeled), carry = carryAt(i))
         .localCheckpoint()
       assigned.unpersist()
       assigned = next
     }
-    assigned
+    assigned.select("vec_id", "cluster", "qdist")
   }
 
   /** Product-quantization code assignment: split each embedding into

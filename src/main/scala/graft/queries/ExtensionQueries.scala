@@ -1676,10 +1676,11 @@ object ExtensionQueries {
     // Lloyd's algorithm, 2 full assign→update rounds (the TRAINING loop
     // behind e4's single assignment step): seed centroids from the label
     // column, assign, recompute centroids from that assignment, assign
-    // again. Per round: one narrow (vec_id, cluster) join to relabel +
-    // the broadcast-centroid scoring of e4 — vectors shuffle once per
-    // round, centroids stay k×dims longs. Exact integer distances
-    // throughout; the oracle unrolls both rounds.
+    // again. Per round: a map-only broadcast-fold assignment (carrying
+    // the embedding to its checkpoint) + the tiny (label, dim) centroid
+    // aggregation — the corpus never shuffles, centroids stay k×dims
+    // longs. Exact integer distances throughout; the oracle unrolls both
+    // rounds.
     "km2_lloyd_fit" -> { (spark, dir) =>
       graft.operators.EmbeddingOps
         .kmeansFit(Tables.embeddings(spark, dir), iterations = 2)
