@@ -150,7 +150,8 @@ object Bench {
       // (pass totals 614.5 / 703.7 / 706.4 s at sf1.0 before the fix).
       // The per-query warmup hides it from single-sweep medians; a
       // serving deployment with a wide query mix hits it constantly.
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -110,18 +110,20 @@ class EmbeddingOpsSpec extends SparkSpec {
       s"clusters failed to separate: $g0 vs $g1")
   }
 
-  test("kmeans assignment plan: centroids broadcast, corpus not shuffled for scoring") {
+  test("kmeans assignment plan: map-only — centroids broadcast, corpus never shuffled") {
     val df = EmbeddingOps.assignToCentroids(emb, EmbeddingOps.centroids(emb))
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       plan.take(500))
-    // corpus side must stay unshuffled until the final vec_id argmin: the
-    // only shuffle Exchanges allowed are the centroid build's two tiny
-    // aggregations ((label, dim) averaging + per-label array fold) and
-    // the argmin aggregation — scoring itself adds none (broadcast
-    // exchanges excluded from the count)
+    // The corpus contributes ZERO exchanges: the argmin is a per-row fold
+    // over the one broadcast centroid row, so the only shuffles left are
+    // the centroid build's tiny aggregations ((label, dim) averaging,
+    // per-label array fold, single-row collect). The old shape's
+    // corpus-cardinality argmin aggregate keyed on vec_id must stay gone.
     val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
     assert(shuffles <= 3, s"scoring introduced a shuffle:\n${plan.take(800)}")
+    assert(!plan.contains("keys=[vec_id"),
+      s"assignment re-grew a vec_id-keyed aggregate (corpus-cardinality shuffle):\n${plan.take(800)}")
   }
 
   test("norms/int8 are narrow (no shuffle); centroids shuffle once") {
