@@ -54,7 +54,13 @@ class ExpensivePlanSpec extends SparkSpec {
     // dr1/hist1/hits1 — plus the new persisted-graph lifecycle tier)
     "hist1_equidepth", "hits1_hubs_authorities",
     "x37_graph_index_persisted", "x38_graph_index_delete",
-    "sd3_semantic_dedup_lsh")
+    "sd3_semantic_dedup_lsh",
+    // r12 entrants: the refreshed sf1.0 top-10 residents that were not
+    // yet pinned (scont1 is the declared exact quadratic census — its
+    // scale path scont2 serves from the persisted IVF artifact; win1/
+    // wcont1 are the winnowing fingerprint tier; ppl1 the LM scorer)
+    "scont1_semantic_contamination", "wcont1_winnowed_contamination",
+    "win1_winnowing", "ppl1_lm_doc_score")
 
   test("bench top-10: no cartesian, no partition-less window anywhere") {
     for (name <- top10Batch) {
