@@ -462,6 +462,120 @@ object Multimodal {
     })
   }
 
+  final case class JpegRecord(doc_id: Long, jpeg: Array[Byte])
+  final case class JpegStats(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      n_blocks: Int,
+      sum_census: Long,
+      pos_checksum: Long,
+  )
+
+  /** Deterministic block formula shared by the JPEG encoder and the
+    * oracle — the LOSSY member of the codec family. JPEG quantizes, so
+    * a per-pixel gate would be codec-version-dependent; instead each
+    * image is constant-valued 8×8 blocks ALIGNED to the JPEG block grid
+    * (dimensions are multiples of 8, grayscale so no chroma
+    * subsampling), at gray levels 16k+8 — bin CENTERS of a 16-wide
+    * integer census. The gate is the census ((blockMean+8) div 16 =
+    * k+1), tolerance-free as long as the decoded block mean is within
+    * ±7 of the encoded level; measured error with the JDK codec at
+    * quality 0.95 is 0.0 (DC-only blocks survive exactly), so the
+    * census has the full ±7.5 headroom against codec-version drift.
+    */
+  private[operators] def jpegBlocksW(id: Long): Int = (2 + id % 3).toInt
+  private[operators] def jpegBlocksH(id: Long): Int = (2 + id % 2).toInt
+  private[operators] def jpegLevel(id: Long, bx: Int, by: Int): Int =
+    16 * ((id * 5 + bx * 3 + by * 7) % 16).toInt + 8
+
+  /** REAL lossy-image payloads: constant-block grayscale pixels encoded
+    * to actual JPEG bytes with `javax.imageio` at explicit quality 0.95
+    * inside `mapPartitions` — the JDK's own codec, no external jars.
+    * With PNG (m6), WAV (m7), GIF (m9) and JPEG here, the decode stub
+    * covers only compressed-video codecs the JVM lacks.
+    */
+  def synthesizeJpeg(spark: SparkSession, ids: DataFrame): Dataset[JpegRecord] = {
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val out = it.map { id =>
+        val (bw, bh) = (jpegBlocksW(id), jpegBlocksH(id))
+        val (w, h) = (bw * 8, bh * 8)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var by = 0
+        while (by < bh) {
+          var bx = 0
+          while (bx < bw) {
+            val level = jpegLevel(id, bx, by)
+            var y = by * 8
+            while (y < by * 8 + 8) {
+              var x = bx * 8
+              while (x < bx * 8 + 8) { raster.setSample(x, y, 0, level); x += 1 }
+              y += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        val p = writer.getDefaultWriteParam
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(0.95f)
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+        ios.close()
+        JpegRecord(id, bos.toByteArray)
+      }.toVector // materialize before disposing the shared writer
+      writer.dispose()
+      out.iterator
+    }
+  }
+
+  /** REAL lossy decode: `ImageIO.read` the JPEG bytes, reduce each 8×8
+    * block to its integer census ((mean+8) div 16) and roll up to exact
+    * integer statistics — Σ census and the position-weighted checksum
+    * Σ census·(by·bw+bx+1), which is stride/block-order sensitive. The
+    * oracle replays both from the block formula (census = k+1) without
+    * ever parsing a JPEG, so a channel/stride/quantization bug that
+    * moves any block mean by ≥8 hash-fails, while legitimate lossy
+    * wobble (<8, measured 0) cannot.
+    */
+  def decodeJpegBlockStats(
+      spark: SparkSession, jpegs: Dataset[JpegRecord]): Dataset[JpegStats] = {
+    import spark.implicits._
+    jpegs.mapPartitions(_.map { rec =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(rec.jpeg))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      val bw = w / 8
+      var (sumCensus, posChecksum) = (0L, 0L)
+      var by = 0
+      while (by < h / 8) {
+        var bx = 0
+        while (bx < bw) {
+          var s = 0L
+          var y = by * 8
+          while (y < by * 8 + 8) {
+            var x = bx * 8
+            while (x < bx * 8 + 8) { s += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          val census = (s / 64 + 8) / 16
+          sumCensus += census
+          posChecksum += census * (by * bw + bx + 1)
+          bx += 1
+        }
+        by += 1
+      }
+      JpegStats(rec.doc_id, w, h, (w / 8) * (h / 8), sumCensus, posChecksum)
+    })
+  }
+
   def sceneCuts(docs: DataFrame, hammingThreshold: Int): DataFrame = {
     val frames = frameDigestRows(docs)
       .select(col("doc_id"), col("frame_idx"),

@@ -119,4 +119,30 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("jpeg round-trip: block census survives the lossy codec exactly") {
+    // 9 -> 2x3 blocks, 19 -> 3x2, 29 -> 4x3 (the m10 doc_id%10==9 slice
+    // hits all (bw,bh) combinations via %3/%2)
+    val ids = Seq(9L, 19L, 29L, 39L, 49L, 59L).toDF("doc_id")
+    val jpegs = Multimodal.synthesizeJpeg(spark, ids).collect()
+    // payloads are REAL JPEGs (SOI marker FF D8), all distinct
+    assert(jpegs.forall(j => (j.jpeg(0) & 0xff) == 0xff && (j.jpeg(1) & 0xff) == 0xd8))
+    assert(jpegs.map(_.jpeg.toSeq).distinct.length == 6)
+
+    val stats = Multimodal.decodeJpegBlockStats(spark,
+        Multimodal.synthesizeJpeg(spark, ids))
+      .collect().map(s => s.doc_id -> s).toMap
+    for (id <- Seq(9L, 19L, 29L, 39L, 49L, 59L)) {
+      val (bw, bh) = (Multimodal.jpegBlocksW(id), Multimodal.jpegBlocksH(id))
+      val census = for (by <- 0 until bh; bx <- 0 until bw)
+        yield (bx, by, (Multimodal.jpegLevel(id, bx, by) + 8L) / 16L)
+      val s = stats(id)
+      assert(s.width == bw * 8 && s.height == bh * 8 && s.n_blocks == bw * bh)
+      assert(s.sum_census == census.map(_._3).sum,
+        s"lossy wobble exceeded the +-7 census headroom for image $id")
+      assert(s.pos_checksum ==
+        census.map { case (bx, by, c) => c * (by * bw + bx + 1) }.sum,
+        s"block order / stride diverged for image $id")
+    }
+  }
 }

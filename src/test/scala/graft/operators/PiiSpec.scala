@@ -46,6 +46,36 @@ class PiiSpec extends SparkSpec {
       "mixed: [EMAIL] from [IP] said call [PHONE]")
   }
 
+  test("synthesized PII text: regex redaction agrees with the formula replay") {
+    // the pii1 oracle replays counts + the redacted string from the
+    // doc_id formula without running a regex — this spec closes the
+    // loop on the Spark side: the REAL regex pipeline over the
+    // synthesized text must land exactly on the formula's answer,
+    // including ids where each PII class is absent and the digit bait
+    // ("ref 12345 code A1B2") stays untouched
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ids = (0L to 60L).toDF("doc_id")
+    val out = Pii.redactPii(Pii.synthesizePiiText(ids))
+      .orderBy("doc_id").collect()
+    for (r <- out) {
+      val d = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_emails") == d % 3, s"doc $d emails")
+      assert(r.getAs[Long]("n_ips") == d % 2, s"doc $d ips")
+      assert(r.getAs[Long]("n_phones") == (if (d % 5 != 0) 1L else 0L), s"doc $d phones")
+      val expected = Seq(
+        Some("Doc"), Some(d.toString), Some("contact"),
+        if (d % 3 >= 1) Some("[EMAIL]") else None,
+        if (d % 3 == 2) Some("[EMAIL]") else None,
+        Some("at"),
+        if (d % 2 == 1) Some("[IP]") else None,
+        Some("call"),
+        if (d % 5 != 0) Some("[PHONE]") else None,
+        Some("ref 12345 code A1B2")).flatten.mkString(" ")
+      assert(r.getAs[String]("redacted") == expected, s"doc $d redacted")
+    }
+  }
+
   test("the shipped corpus is PII-free and passes through verbatim") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf0001)
