@@ -17,9 +17,16 @@ sf01_path = sys.argv[2] if len(sys.argv) > 2 else "bench_detail.json"
 
 sf1 = json.load(open(sf1_path))
 sf01 = json.load(open(sf01_path))
+for name, art in (("sf1", sf1), ("sf01", sf01)):
+    if not isinstance(art.get("queries"), dict) or "value" not in art:
+        sys.exit(f"{name} artifact lacks the Bench schema "
+                 f"(queries dict + value): {sf1_path if name == 'sf1' else sf01_path}")
 q1, q01 = sf1["queries"], sf01["queries"]
 
 common = [k for k in q1 if k in q01 and q1[k] > 0 and q01[k] > 0]
+if not common:
+    sys.exit("no common positive queries between the two artifacts — "
+             "were both produced by graft.Bench on overlapping registries?")
 ratios = {k: q1[k] / q01[k] for k in common}
 med = statistics.median(ratios.values())
 print(f"queries sf1.0={len(q1)} sf0.1={len(q01)} common={len(common)}")

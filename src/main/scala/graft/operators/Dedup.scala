@@ -650,11 +650,21 @@ object Dedup {
         cosine(col("emb_a"), col("emb_b")) >= minCosine)
       .select(col("vec_b").as("vec_id"))
       .distinct()
-    embeddings.select(col("vec_id"))
+    val result = embeddings.select(col("vec_id"))
       .join(assigned, Seq("vec_id"), "left")
       .join(dups.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"),
         coalesce(col("__dup"), lit(false)).unary_!.as("is_kept"))
+      // Eager-checkpoint the NARROW decision set (vec_id, cluster,
+      // is_kept — no embedding) so the embedding-width pin above can be
+      // dropped NOW instead of lingering until GC + ContextCleaner in a
+      // long-lived serving session (ADVICE r12, same discipline as
+      // kmeansFit's per-round unpersist). The result is materialized
+      // here anyway by every caller; what a session keeps resident is
+      // now 3 scalar columns, not the corpus' vectors.
+      .localCheckpoint(eager = true)
+    clustered.unpersist()
+    result
   }
 
   /** SemDeDup with a BOUNDED-bucket cluster key — the scale path next

@@ -93,6 +93,7 @@ object EmbeddingOps {
       embeddings: DataFrame,
       centroidsLong: DataFrame,
       carry: Seq[String] = Nil,
+      restoreScanParallelism: Boolean = true,
   ): DataFrame = {
     val cent = centroidsLong
       .select(col("label"), col("dim"), q20(col("centroid")).as("qc"))
@@ -111,14 +112,23 @@ object EmbeddingOps {
     // and the single-row-group local fixture would otherwise run the
     // whole k×dims scoring on one core (the old crossJoin shape got
     // reduce-side parallelism from its argmin exchange by accident).
-    val vecs = graft.Tables.withScanParallelism(
-      embeddings.sparkSession,
-      embeddings
-        .where(size(col("embedding")) > 0)
-        .select(
-          col("vec_id") +:
-            transform(col("embedding"), v => q20(v)).as("qv") +:
-            carry.map(col): _*))
+    // NOTE (ADVICE r12): this guard IS a conditional corpus repartition
+    // — it fires exactly when the input plans fewer splits than
+    // defaultParallelism/2, so the "corpus contributes ZERO exchanges"
+    // invariant holds on the no-op branch, which a many-split corpus
+    // always takes. `restoreScanParallelism = false` pins that branch
+    // deterministically (the plan spec uses it; callers with their own
+    // partitioning control may too).
+    val narrowed = embeddings
+      .where(size(col("embedding")) > 0)
+      .select(
+        col("vec_id") +:
+          transform(col("embedding"), v => q20(v)).as("qv") +:
+          carry.map(col): _*)
+    val vecs =
+      if (restoreScanParallelism)
+        graft.Tables.withScanParallelism(embeddings.sparkSession, narrowed)
+      else narrowed
     vecs
       .crossJoin(broadcast(centArr))
       // an empty centroid table must yield an empty assignment (the old

@@ -71,6 +71,26 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!Bench.isSuspect(median = -1.0, baseline = Some(2.8))) // failed: reported, not retried
   }
 
+  test("the r12 escapees are flagged at the widened 2x threshold") {
+    // VERDICT r12: x18 0.52->2.08 (4.0x) and card2 2.75->7.84 (2.9x)
+    // escaped the old 3x-strict rule in that sweep; >=2x vs the
+    // committed baseline must always earn one retry.
+    assert(Bench.isSuspect(median = 2.08, baseline = Some(0.52)))
+    assert(Bench.isSuspect(median = 7.84, baseline = Some(2.75)))
+    // exactly 2x is flagged (>=, not >) ...
+    assert(Bench.isSuspect(median = 5.6, baseline = Some(2.8)))
+    // ... but 1.9x stays ordinary run-to-run drift
+    assert(!Bench.isSuspect(median = 5.3, baseline = Some(2.8)))
+  }
+
+  test("baseline is SF-gated: a detail artifact from another scale never becomes the reference") {
+    val detail =
+      """{"metric":"detail","value":1.0,"unit":"sec","queries":{"q1":0.5},"sf":"/root/testdata/sf0.01"}"""
+    assert(Bench.baselineFromDetail(detail, "/root/testdata/sf0.01") == Map("q1" -> 0.5))
+    assert(Bench.baselineFromDetail(detail, "/root/testdata/sf0.1").isEmpty,
+      "an sf0.01 dev artifact must not baseline an sf0.1 sweep")
+  }
+
   test("parseDetailQueries reads the committed artifact format") {
     val detail =
       """{"metric":"detail","value":323.201,"unit":"sec","queries":{"a1_groupby_sum":0.521,"d11_containment_join":3.350,"zz_last":-1.000},"stream":{"st1_x":{"data_s":1.0,"overhead_s":2.0}},"sf":"/root/testdata/sf0.1"}"""

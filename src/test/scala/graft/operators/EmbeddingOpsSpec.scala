@@ -111,7 +111,16 @@ class EmbeddingOpsSpec extends SparkSpec {
   }
 
   test("kmeans assignment plan: map-only — centroids broadcast, corpus never shuffled") {
-    val df = EmbeddingOps.assignToCentroids(emb, EmbeddingOps.centroids(emb))
+    // restoreScanParallelism=false pins the MANY-SPLIT branch (the one a
+    // real corpus takes) deterministically: with the default, the guard
+    // in withScanParallelism may insert a round-robin repartition when
+    // the local fixture plans fewer splits than defaultParallelism/2 —
+    // that conditional shuffle is the fixture-parallelism restore, not
+    // the scoring, and must not be what this invariant measures
+    // (ADVICE r12: the default-path pass depended on the 3-row fixture
+    // happening to plan >= local[4]/2 partitions).
+    val df = EmbeddingOps.assignToCentroids(
+      emb, EmbeddingOps.centroids(emb), restoreScanParallelism = false)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       plan.take(500))
@@ -124,6 +133,10 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(shuffles <= 3, s"scoring introduced a shuffle:\n${plan.take(800)}")
     assert(!plan.contains("keys=[vec_id"),
       s"assignment re-grew a vec_id-keyed aggregate (corpus-cardinality shuffle):\n${plan.take(800)}")
+    // And no RoundRobinPartitioning anywhere on this branch: the scoring
+    // itself must never repartition the corpus.
+    assert(!plan.contains("RoundRobinPartitioning"),
+      s"no-restore branch still repartitions the corpus:\n${plan.take(800)}")
   }
 
   test("norms/int8 are narrow (no shuffle); centroids shuffle once") {
