@@ -26,16 +26,54 @@ object ExperimentQueries {
 
   private val dec = DecimalType(38, 0)
 
+  /** The tokenize pass itself — (source, words-array) rows — factored
+    * out so card2 can run it ONCE and feed BOTH the unigram count spine
+    * below and nov1's trigram-type spine (VERDICT r12 #6: nov1 used to
+    * re-tokenize the whole corpus inside card2). Standalone queries
+    * compose the same functions, so the definitions cannot drift.
+    */
+  private[queries] def wordRows(docs: DataFrame): DataFrame =
+    docs.select(col("source"), TextAnalysis.words(col("text")).as("w"))
+
   /** The (source, term, cs) count spine shared by the drift-lens family
     * (tv1/hell1/csim1/chao1) — factored so card2 can compute every lens
     * from ONE tokenize pass while each standalone query keeps the same
     * definition (the tails below are the single source of truth).
     */
   private[queries] def sourceTermCounts(docs: DataFrame): DataFrame =
-    docs.select(col("source"),
-        explode(TextAnalysis.words(col("text"))).as("term"))
+    termCountsFromWords(wordRows(docs))
+
+  /** Count-spine tail over prebuilt (source, w) word rows. */
+  private[queries] def termCountsFromWords(rows: DataFrame): DataFrame =
+    rows.select(col("source"), explode(col("w")).as("term"))
       .where(col("term") =!= "")
       .groupBy("source", "term").agg(count(lit(1)).as("cs"))
+
+  /** nov1's tail over prebuilt (source, w) word rows: per-source
+    * distinct trigram TYPES, spread across sources, novelty = share of
+    * types seen in exactly one source. The internal eager checkpoint is
+    * load-bearing — the spine feeds both the spread rollup and the
+    * per-source join.
+    */
+  private[queries] def noveltyFromWords(rows: DataFrame): DataFrame = {
+    val tri = rows
+      .where(size(col("w")) >= 3)
+      .select(col("source"),
+        explode(expr("transform(sequence(0, size(w) - 3), " +
+          "i -> concat_ws(' ', slice(w, i + 1, 3)))")).as("tri"))
+      .distinct() // trigram TYPES per source
+      .localCheckpoint(eager = true) // feeds spread + per-source join
+    val spread = tri.groupBy("tri")
+      .agg(count(lit(1)).as("n_sources"))
+    tri.join(spread, Seq("tri"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"),
+        expr("count_if(n_sources = 1)").as("n_novel"))
+      .select(col("source"), col("n_types"), col("n_novel"),
+        (col("n_novel").cast(DoubleType) / col("n_types").cast(DoubleType))
+          .as("novelty"))
+      .orderBy("source")
+  }
 
   /** hell1's tail over a prebuilt count spine (scaladoc at the query). */
   private[queries] def hellingerFromCounts(counts: DataFrame): DataFrame = {
@@ -760,25 +798,7 @@ object ExperimentQueries {
     // its source count is 1. One (trigram → n_sources) aggregate; the
     // per-source rollup joins each source's own types only.
     "nov1_ngram_novelty" -> { (spark, dir) =>
-      val ws = TextAnalysis.words(col("text"))
-      val tri = Tables.documentsParallel(spark, dir)
-        .select(col("source"), ws.as("w"))
-        .where(size(col("w")) >= 3)
-        .select(col("source"),
-          explode(expr("transform(sequence(0, size(w) - 3), " +
-            "i -> concat_ws(' ', slice(w, i + 1, 3)))")).as("tri"))
-        .distinct() // trigram TYPES per source
-        .localCheckpoint(eager = true) // feeds spread + per-source join
-      val spread = tri.groupBy("tri")
-        .agg(count(lit(1)).as("n_sources"))
-      tri.join(spread, Seq("tri"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_types"),
-          expr("count_if(n_sources = 1)").as("n_novel"))
-        .select(col("source"), col("n_types"), col("n_novel"),
-          (col("n_novel").cast(DoubleType) / col("n_types").cast(DoubleType))
-            .as("novelty"))
-        .orderBy("source")
+      noveltyFromWords(wordRows(Tables.documentsParallel(spark, dir)))
     },
 
     // Matthews correlation coefficient for a binary screen — THE

@@ -1085,13 +1085,23 @@ object TrainingDataQueries {
     // already-pinned plan; the final join is |sources| rows.
     "card2_drift_scorecard" -> { (spark, dir) =>
       def ex(n: String) = ExperimentQueries.queries(n)(spark, dir)
-      // the four (source, term)-spine lenses compute from ONE tokenize
-      // pass (the shared-tail definitions each standalone query also
-      // runs — composition still can't drift); the other three lenses
-      // have different spines and run as their registered functions
-      val counts = ExperimentQueries
-        .sourceTermCounts(Tables.documentsParallel(spark, dir))
+      // FIVE lenses now compute from ONE tokenize pass (VERDICT r12 #6):
+      // the (source, words) rows are checkpointed once and feed both the
+      // unigram count spine (tv/hell/cosine/chao tails) and nov1's
+      // trigram-type spine — nov1 used to re-tokenize the corpus inside
+      // card2. Composition still can't drift: the standalone queries run
+      // the SAME shared-tail definitions. jk1 (n_chars scan) and c4g1
+      // (predicate census) have different spines and stay registered
+      // functions. Both downstream spines checkpoint eagerly, so the
+      // corpus-width words pin is dropped before the scorecard returns.
+      val words = ExperimentQueries
+        .wordRows(Tables.documentsParallel(spark, dir))
+        .localCheckpoint(eager = true) // tokenize once: counts + trigrams
+      val counts = ExperimentQueries.termCountsFromWords(words)
         .localCheckpoint(eager = true) // four lens consumers
+      val nv = ExperimentQueries.noveltyFromWords(words)
+        .select(col("source"), col("novelty"))
+      words.unpersist() // counts + nov's tri spine are materialized above
       val tv = graft.operators.TextAnalysis.totalVariationBySource(counts)
         .select(col("source"), col("n_tokens"), col("tv"))
       val he = ExperimentQueries.hellingerFromCounts(counts)
@@ -1100,7 +1110,6 @@ object TrainingDataQueries {
         .select(col("source"), col("cosine"))
       val ch = ExperimentQueries.chao1FromCounts(counts)
         .select(col("source"), col("d").as("vocab"), col("chao1"))
-      val nv = ex("nov1_ngram_novelty").select(col("source"), col("novelty"))
       val jk = ex("jk1_source_influence")
         .select(col("source"), col("n_docs"), col("influence"))
       val c4 = queries("c4g1_c4_gate")(spark, dir)
