@@ -78,27 +78,36 @@ object SetSimilarityJoin {
 
     // Rank each doc's tokens rarest-first ONCE (collect the (df, term)
     // set, sort it locally); the prefix is a slice of that array,
-    // re-exploded. Vs the join-sizes + row_number window formulation
-    // this saves one doc-keyed exchange and a sort-based window pass.
+    // re-exploded WITH POSITIONS. Vs the join-sizes + row_number window
+    // formulation this saves one doc-keyed exchange and a sort-based
+    // window pass.
     val byDoc = docTermArrays(toks)
     val prefixLen = (col("n_tok") -
       ceil(lit(threshold) * col("n_tok")).cast("long") + 1).cast("int")
     val prefix = byDoc.select(col("doc_id"), col("n_tok"),
-      explode(slice(col("terms"), lit(1), prefixLen)).as("term"))
+      posexplode(slice(col("terms"), lit(1), prefixLen)).as(Seq("pos", "term")))
 
     // Candidates: docs sharing any prefix token, RESTRICTED by the
     // AllPairs length filter — Jaccard >= t forces t·|A| <= |B| and
-    // t·|B| <= |A|, so size-mismatched pairs are dropped inside the
-    // join before the distinct. Prefix tokens are the rarest per doc,
-    // so this join's per-key fanout is the smallest possible for a
-    // lossless filter; the length bound then prunes what token
-    // frequency alone cannot (on low-entropy corpora the prefix sets
-    // collide far more than true near-duplicates exist).
+    // t·|B| <= |A| — AND PPJoin's positional filter: both term arrays
+    // share one total order (df asc, term), so at the pair's EARLIEST
+    // shared token every earlier token on both sides is unshared and
+    // overlap <= 1 + min(|A|-i-1, |B|-j-1); a qualifying pair needs
+    // overlap >= ceil(t/(1+t)·(|A|+|B|)), so a match failing the bound
+    // prunes. Keeping pairs where ANY match passes is a superset of
+    // "earliest match passes" — still lossless. This is the filter
+    // that bounds the super-linear axis (the candidate join's output
+    // on shared-token posting lists, r13 sf3 curve): size-compatible
+    // pairs colliding on a LATE prefix token no longer reach distinct.
+    val minOverlap = ceil(
+      lit(threshold / (1.0 + threshold)) * (col("a.n_tok") + col("b.n_tok")))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id") &&
           col("b.n_tok") >= ceil(lit(threshold) * col("a.n_tok")) &&
-          col("a.n_tok") >= ceil(lit(threshold) * col("b.n_tok")))
+          col("a.n_tok") >= ceil(lit(threshold) * col("b.n_tok")) &&
+          (lit(1) + least(col("a.n_tok") - col("a.pos") - 1,
+            col("b.n_tok") - col("b.pos") - 1)) >= minOverlap)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
@@ -146,17 +155,23 @@ object SetSimilarityJoin {
     val prefixLen = (col("n_tok") -
       ceil(lit(threshold) * col("n_tok")).cast("long") + 1).cast("int")
     val prefix = byDoc.select(col("doc_id"), col("n_tok"),
-      explode(slice(col("terms"), lit(1), prefixLen)).as("term"))
+      posexplode(slice(col("terms"), lit(1), prefixLen)).as(Seq("pos", "term")))
 
     // the container side needs no prefix (containment is one-sided):
     // A's prefix probes B's FULL posting rows, with the length bound
-    // n_b >= ceil(t·n_a) (A∩B ⊆ B)
+    // n_b >= ceil(t·n_a) (A∩B ⊆ B) and the same positional bound as
+    // prefixJaccardJoin (shared total order ⇒ at the earliest shared
+    // token overlap <= 1 + min of the two remainders; containment
+    // needs overlap >= ceil(t·n_a)) — lossless, ANY-match semantics
     val full = byDoc.select(col("doc_id"), col("n_tok"),
-      explode(col("terms")).as("term"))
+      posexplode(col("terms")).as(Seq("pos", "term")))
     val cand = prefix.as("a")
       .join(full.as("b"),
         col("a.term") === col("b.term") && col("a.doc_id") =!= col("b.doc_id") &&
-          col("b.n_tok") >= ceil(lit(threshold) * col("a.n_tok")))
+          col("b.n_tok") >= ceil(lit(threshold) * col("a.n_tok")) &&
+          (lit(1) + least(col("a.n_tok") - col("a.pos") - 1,
+            col("b.n_tok") - col("b.pos") - 1)) >=
+            ceil(lit(threshold) * col("a.n_tok")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
