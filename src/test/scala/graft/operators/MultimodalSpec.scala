@@ -145,4 +145,16 @@ class MultimodalSpec extends SparkSpec {
         s"block order / stride diverged for image $id")
     }
   }
+
+  test("m10 plan shape: codec mapPartitions chain, zero Exchange") {
+    // synthesize -> encode -> decode is per-row codec work; like m6/m7,
+    // the whole chain must stay in the scan stage (a shuffle of encoded
+    // payloads would move the corpus for nothing)
+    val ids = graft.Tables.documents(spark, sf0001)
+      .where(org.apache.spark.sql.functions.col("doc_id") % 10 === 9)
+    val plan = Multimodal.decodeJpegBlockStats(spark,
+        Multimodal.synthesizeJpeg(spark, ids))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"m10 plan grew a shuffle:\n${plan.take(500)}")
+  }
 }

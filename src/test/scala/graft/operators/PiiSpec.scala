@@ -76,6 +76,15 @@ class PiiSpec extends SparkSpec {
     }
   }
 
+  test("pii1 plan shape: pure per-row expressions in the scan stage — zero Exchange") {
+    // redaction is the scan-stage scrub of a 100 TB release pipeline;
+    // a shuffle here would be a regression in kind, not just degree
+    val plan = Pii.redactPii(Pii.synthesizePiiText(
+        graft.Tables.documents(spark, sf0001).select("doc_id")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"pii1 plan grew a shuffle:\n${plan.take(500)}")
+  }
+
   test("the shipped corpus is PII-free and passes through verbatim") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf0001)
