@@ -55,6 +55,7 @@ object ScaleGen {
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val zipf = args.lift(3).contains("zipf")
     val clustered = args.lift(3).contains("clustered")
+    val suffix = args.lift(3).contains("suffix")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -66,7 +67,7 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, src, out, factor, zipf, clustered)
+    generate(spark, src, out, factor, zipf, clustered, suffix)
     spark.stop()
   }
 
@@ -100,8 +101,10 @@ object ScaleGen {
     */
   def generate(
       spark: SparkSession, src: String, out: String, factor: Int,
-      zipfVocab: Boolean = false, clusteredEmb: Boolean = false): Unit = {
-    require(factor >= 1 && factor <= 26, s"factor must be 1..26, got $factor")
+      zipfVocab: Boolean = false, clusteredEmb: Boolean = false,
+      suffixMode: Boolean = false): Unit = {
+    require(factor >= 1 && (suffixMode || factor <= 26),
+      s"factor must be 1..26 for rotation (got $factor); use suffix mode beyond")
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     // single FILE named <t>.parquet (driver-fixture layout, see scaladoc);
     // 4 MB row groups keep the scan splittable
@@ -163,19 +166,40 @@ object ScaleGen {
       "lineitem")
     write(done(fan("events")("event_id" -> sEvt, "user_id" -> sUser)), "events")
 
-    // per-copy Caesar rotation of the alphabet (identity for copy 0)
+    // per-copy Caesar rotation of the alphabet (identity for copy 0).
+    // COMPOSITION CAVEAT (r13): rotations compose additively mod 26, so
+    // generating a tree FROM an already-rotated tree collides offsets
+    // (copy (r, c) and (r', c') coincide when r+c = r'+c' — measured at
+    // a composed sf10: clusters of up to 10 EXACT-duplicate docs that
+    // quadratically inflate true near-dup mass and overstate the dedup
+    // family's scaling). For composed generation pass `suffix` as the
+    // 4th arg: every word gains a per-copy letter tag instead —
+    // collision-free under any number of compositions, same disjoint
+    // cross-copy shingle property, word boundaries/counts preserved
+    // (lengths grow ~3 chars/word; n_chars is re-derived).
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
     def rotated(s: String, k: Int) = s.drop(k) + s.take(k)
-    val docText = (0 until factor).foldLeft(lit(null).cast("string")) {
-      case (acc, c) =>
-        val k = (c * 7) % 26
-        when(col("__copy") === c,
-          translate(col("text"), lower + upper,
-            rotated(lower, k) + rotated(upper, k))).otherwise(acc)
-    }
+    val docText =
+      if (suffixMode) {
+        // arithmetic per-copy tag (no per-copy plan branch, so any
+        // factor compiles): copy c tags every word with x<letter><letter>
+        val tag = concat(lit("$1x"),
+          expr("char(97 + __copy % 26)"), expr("char(97 + (__copy div 26) % 26)"))
+        when(col("__copy") === 0, col("text")) // copy 0 pristine, like rotation 0
+          .otherwise(regexp_replace(col("text"), lit("([A-Za-z]+)"), tag))
+      }
+      else
+        (0 until factor).foldLeft(lit(null).cast("string")) {
+          case (acc, c) =>
+            val k = (c * 7) % 26
+            when(col("__copy") === c,
+              translate(col("text"), lower + upper,
+                rotated(lower, k) + rotated(upper, k))).otherwise(acc)
+        }
     val rotatedDocs = fan("documents")("doc_id" -> sDoc)
       .withColumn("text", docText)
+      .withColumn("n_chars", length(col("text")).cast("long"))
     // Two skew families (ADVICE r10 — exact populations: the boilerplate
     // condition doc_id % 100 == 50 is a SUBSET of doc_id % 10 == 0, so
     // it diverts 1% out of the hot-phrase family):
