@@ -56,7 +56,9 @@ object SetSimilarityJoin {
   private def docTermArrays(toks: DataFrame): DataFrame = {
     val df = toks.groupBy("term").agg(count(lit(1)).as("df"))
     toks
-      .join(df, Seq("term"))
+      // vocab-width relation: shuffle-hash, never broadcast (the term
+      // shuffle is already paid by the groupBy; ReuseExchange shares it)
+      .join(df.hint("shuffle_hash"), Seq("term"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("term")))).as("ts"),
         count(lit(1)).as("n_tok"))
@@ -80,11 +82,16 @@ object SetSimilarityJoin {
   private def screenThenVerify(
       cand: DataFrame, byDoc: DataFrame, required: org.apache.spark.sql.Column,
   ): DataFrame =
+    // The byDoc relation is CORPUS-WIDTH with array columns whose sizes
+    // Catalyst cannot estimate — left to AQE it gets broadcast on bad
+    // stats and the driver OOMs building a multi-GiB broadcast (found
+    // at sf10, r13). Sort-merge is the scale-safe strategy on both
+    // id-keyed joins: spillable, never materializes a side in memory.
     cand
       .join(byDoc.select(col("doc_id").as("doc_a"), col("hterms").as("ha"),
-        col("terms").as("ta"), col("n_tok").as("n_a")), Seq("doc_a"))
+        col("terms").as("ta"), col("n_tok").as("n_a")).hint("merge"), Seq("doc_a"))
       .join(byDoc.select(col("doc_id").as("doc_b"), col("hterms").as("hb"),
-        col("terms").as("tb"), col("n_tok").as("n_b")), Seq("doc_b"))
+        col("terms").as("tb"), col("n_tok").as("n_b")).hint("merge"), Seq("doc_b"))
       .where(size(array_intersect(col("ha"), col("hb"))) >= required)
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("ta"), col("tb"))).cast("long").as("n_inter"),
@@ -128,7 +135,9 @@ object SetSimilarityJoin {
     val minOverlap = ceil(
       lit(threshold / (1.0 + threshold)) * (col("a.n_tok") + col("b.n_tok")))
     val cand = prefix.as("a")
-      .join(prefix.as("b"),
+      // posting rows are corpus-width on both sides: sort-merge, never
+      // broadcast (same AQE bad-stats hazard as the verify joins)
+      .join(prefix.as("b").hint("merge"),
         col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id") &&
           col("b.n_tok") >= ceil(lit(threshold) * col("a.n_tok")) &&
           col("a.n_tok") >= ceil(lit(threshold) * col("b.n_tok")) &&
@@ -187,7 +196,9 @@ object SetSimilarityJoin {
     val full = byDoc.select(col("doc_id"), col("n_tok"),
       posexplode(col("terms")).as(Seq("pos", "term")))
     val cand = prefix.as("a")
-      .join(full.as("b"),
+      // container-side postings are corpus-width: sort-merge, never
+      // broadcast (same AQE bad-stats hazard as the verify joins)
+      .join(full.as("b").hint("merge"),
         col("a.term") === col("b.term") && col("a.doc_id") =!= col("b.doc_id") &&
           col("b.n_tok") >= ceil(lit(threshold) * col("a.n_tok")) &&
           (lit(1) + least(col("a.n_tok") - col("a.pos") - 1,
