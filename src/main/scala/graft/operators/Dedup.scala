@@ -390,7 +390,7 @@ object Dedup {
     val sym = pinned.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pinned.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
-    pinned.unpersist() // sym is pinned eagerly above; the pre-union blocks can go
+    Checkpoints.release(pinned) // sym is pinned eagerly above; the pre-union blocks can go
     var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
     var iter = 0
     var converged = false
@@ -414,7 +414,7 @@ object Dedup {
         .join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .where(col("label") < col("old"))
         .isEmpty
-      labels.unpersist()
+      Checkpoints.release(labels)
       labels = next
       iter += 1
     }
@@ -424,7 +424,7 @@ object Dedup {
     // The result is the final checkpoint — its lineage no longer touches
     // sym, so the edge blocks are dead weight in a long-lived session
     // (the bench runs every query twice); free them before returning.
-    sym.unpersist()
+    Checkpoints.release(sym)
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -663,7 +663,7 @@ object Dedup {
       // here anyway by every caller; what a session keeps resident is
       // now 3 scalar columns, not the corpus' vectors.
       .localCheckpoint(eager = true)
-    clustered.unpersist()
+    Checkpoints.release(clustered)
     result
   }
 

@@ -189,7 +189,7 @@ object EmbeddingOps {
       val next = assignToCentroids(
           embeddings, centroids(relabeled), carry = carryAt(i))
         .localCheckpoint()
-      assigned.unpersist()
+      Checkpoints.release(assigned)
       assigned = next
     }
     assigned.select("vec_id", "cluster", "qdist")

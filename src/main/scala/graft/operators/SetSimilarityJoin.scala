@@ -68,16 +68,25 @@ object SetSimilarityJoin {
         // intersects are ~2x cheaper than string intersects, and the
         // exact string pass then runs only on screen survivors
         expr("transform(ts, t -> xxhash64(t.term))").as("hterms"))
+      // within-doc hash-collision count (n_tok minus distinct hashes;
+      // ~always 0): the screen's losslessness slack, see below
+      .withColumn("n_hdup", col("n_tok") - size(array_distinct(col("hterms"))))
   }
 
-  /** Lossless verify screen: |A∩B| computed on the 64-bit token hashes
-    * is an UPPER bound on the true intersection (collisions only
-    * inflate), so `hash-intersect >= required` is a necessary condition
-    * — pairs failing it cannot qualify and skip the exact string
-    * intersect entirely. Exactness is untouched: survivors (measured
-    * ~2% of candidates at sf3) still get the exact string verify, which
-    * also disposes of any collision-inflated survivor. The hashes are
-    * engine-internal (never output, never replayed by the oracle).
+  /** Lossless verify screen: with T = |A∩B| on the true (string) sets
+    * and H = size(array_intersect(ha, hb)) on the 64-bit token hashes,
+    * T <= H + min(dupA, dupB) where dupX = n_x − |distinct hashes of X|.
+    * (array_intersect DEDUPES, so a hash collision between two shared
+    * terms of the SAME pair deflates H below T — ADVICE r13; but every
+    * collision inside A∩B is a collision inside A AND inside B, so the
+    * deflation is bounded by min(dupA, dupB), precomputed per doc in
+    * [[docTermArrays]] and ~always 0.) `H + least(dup_a, dup_b) >=
+    * required` is therefore a NECESSARY condition — pairs failing it
+    * cannot qualify and skip the exact string intersect entirely.
+    * Exactness is untouched: survivors (measured ~2% of candidates at
+    * sf3) still get the exact string verify, which also disposes of any
+    * collision-inflated survivor. The hashes are engine-internal (never
+    * output, never replayed by the oracle).
     */
   private def screenThenVerify(
       cand: DataFrame, byDoc: DataFrame, required: org.apache.spark.sql.Column,
@@ -89,10 +98,13 @@ object SetSimilarityJoin {
     // id-keyed joins: spillable, never materializes a side in memory.
     cand
       .join(byDoc.select(col("doc_id").as("doc_a"), col("hterms").as("ha"),
-        col("terms").as("ta"), col("n_tok").as("n_a")).hint("merge"), Seq("doc_a"))
+        col("terms").as("ta"), col("n_tok").as("n_a"),
+        col("n_hdup").as("dup_a")).hint("merge"), Seq("doc_a"))
       .join(byDoc.select(col("doc_id").as("doc_b"), col("hterms").as("hb"),
-        col("terms").as("tb"), col("n_tok").as("n_b")).hint("merge"), Seq("doc_b"))
-      .where(size(array_intersect(col("ha"), col("hb"))) >= required)
+        col("terms").as("tb"), col("n_tok").as("n_b"),
+        col("n_hdup").as("dup_b")).hint("merge"), Seq("doc_b"))
+      .where(size(array_intersect(col("ha"), col("hb"))) +
+        least(col("dup_a"), col("dup_b")) >= required)
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("ta"), col("tb"))).cast("long").as("n_inter"),
         col("n_a"), col("n_b"))

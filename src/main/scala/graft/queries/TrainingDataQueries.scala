@@ -1101,7 +1101,8 @@ object TrainingDataQueries {
         .localCheckpoint(eager = true) // four lens consumers
       val nv = ExperimentQueries.noveltyFromWords(words)
         .select(col("source"), col("novelty"))
-      words.unpersist() // counts + nov's tri spine are materialized above
+      // RDD-level release (Dataset.unpersist is a no-op on checkpoints)
+      graft.operators.Checkpoints.release(words)
       val tv = graft.operators.TextAnalysis.totalVariationBySource(counts)
         .select(col("source"), col("n_tokens"), col("tv"))
       val he = ExperimentQueries.hellingerFromCounts(counts)

@@ -103,8 +103,9 @@ object ScaleGen {
       spark: SparkSession, src: String, out: String, factor: Int,
       zipfVocab: Boolean = false, clusteredEmb: Boolean = false,
       suffixMode: Boolean = false): Unit = {
-    require(factor >= 1 && (suffixMode || factor <= 26),
-      s"factor must be 1..26 for rotation (got $factor); use suffix mode beyond")
+    require(factor >= 1 && (if (suffixMode) factor <= 676 else factor <= 26),
+      s"factor must be 1..26 for rotation / 1..676 for suffix " +
+        s"(two-letter tag alphabet) — got $factor")
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     // single FILE named <t>.parquet (driver-fixture layout, see scaladoc);
     // 4 MB row groups keep the scan splittable
@@ -173,10 +174,14 @@ object ScaleGen {
     // a composed sf10: clusters of up to 10 EXACT-duplicate docs that
     // quadratically inflate true near-dup mass and overstate the dedup
     // family's scaling). For composed generation pass `suffix` as the
-    // 4th arg: every word gains a per-copy letter tag instead —
-    // collision-free under any number of compositions, same disjoint
-    // cross-copy shingle property, word boundaries/counts preserved
-    // (lengths grow ~3 chars/word; n_chars is re-derived).
+    // 4th arg: EVERY copy (including 0 — a pristine copy 0 would make
+    // composed copies (0,c) and (c,0) byte-identical, ADVICE r13) tags
+    // every word with a fixed-width 3-char per-copy suffix. Fixed width
+    // makes tag concatenation injective, so any composition depth stays
+    // collision-free; same disjoint cross-copy shingle property, word
+    // boundaries/counts preserved (lengths grow ~3 chars/word per
+    // generation; n_chars is re-derived). Factor capped at 676 = 26^2
+    // by the two-letter tag alphabet (require above).
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
     def rotated(s: String, k: Int) = s.drop(k) + s.take(k)
@@ -186,8 +191,7 @@ object ScaleGen {
         // factor compiles): copy c tags every word with x<letter><letter>
         val tag = concat(lit("$1x"),
           expr("char(97 + __copy % 26)"), expr("char(97 + (__copy div 26) % 26)"))
-        when(col("__copy") === 0, col("text")) // copy 0 pristine, like rotation 0
-          .otherwise(regexp_replace(col("text"), lit("([A-Za-z]+)"), tag))
+        regexp_replace(col("text"), lit("([A-Za-z]+)"), tag)
       }
       else
         (0 until factor).foldLeft(lit(null).cast("string")) {
