@@ -10,8 +10,12 @@ import org.apache.spark.sql.types._
   * through `javax.imageio` (the JDK's own codec) inside `mapPartitions` —
   * as do AUDIO ([[synthesizeWav]]/[[decodeWavStats]], `javax.sound`) and
   * MULTI-FRAME ([[synthesizeGif]]/[[decodeGifFrameStats]], animated GIF
-  * through the same `javax.imageio`). Only formats the JVM genuinely has
-  * no codec for (compressed video — H.264/VP9/MP4 containers) keep the
+  * through the same `javax.imageio`), LOSSY imagery
+  * ([[synthesizeJpeg]]/[[decodeJpegBlockStats]], JPEG at quality 0.95),
+  * and VIDEO ([[synthesizeAvi]]/[[decodeAviFrameStats]], MJPEG frames in
+  * a hand-assembled spec-complete RIFF-AVI container — the one video
+  * codec the JVM can genuinely decode). Only INTER-FRAME-compressed
+  * codecs the JVM has no decoder for (H.264/VP9 in MP4/WebM) keep the
   * clearly-marked STUB path; everything around it — schema, Dataset
   * encoders, partition-level batching, feature shape — is the real
   * plumbing a codec drops into.
@@ -57,10 +61,13 @@ object Multimodal {
       md5(col("payload")).as("digest"),
     )
 
-  /** STUB decoder: where a real implementation would hand the batch to an
-    * image/audio library, this derives deterministic fake dimensions and an
-    * 8-bin byte histogram as the "feature vector". The partition-level
-    * batching (`grouped(batchSize)`) is the real shape a vectorized decode
+  /** STUB decoder — now covering ONLY inter-frame video codecs the JVM
+    * has no decoder for (H.264/VP9; PNG, WAV, animated GIF, JPEG, and
+    * MJPEG-AVI all round-trip through real JDK codecs above/below):
+    * where a real implementation would hand the batch to such a codec,
+    * this derives deterministic fake dimensions and an 8-bin byte
+    * histogram as the "feature vector". The partition-level batching
+    * (`grouped(batchSize)`) is the real shape a vectorized decode
     * wants — swap the body, keep the plumbing.
     */
   private def decodeBatchStub(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
@@ -573,6 +580,280 @@ object Multimodal {
         by += 1
       }
       JpegStats(rec.doc_id, w, h, (w / 8) * (h / 8), sumCensus, posChecksum)
+    })
+  }
+
+  final case class AviRecord(doc_id: Long, avi: Array[Byte])
+  final case class AviFrameStats(
+      doc_id: Long,
+      frame_idx: Int,
+      n_frames: Int,
+      width: Int,
+      height: Int,
+      sum_census: Long,
+      pos_checksum: Long,
+      delta_census: Long,
+  )
+
+  /** Deterministic per-frame block formula shared by the MJPEG-AVI
+    * encoder and the oracle — the VIDEO member of the codec family,
+    * composing the RIFF container discipline (m7's WAV is RIFF too)
+    * with the JDK JPEG codec (m10): frame f of clip `id` is
+    * constant-valued 8×8 grayscale blocks at level 16k+8 with
+    * k = (id·5 + f·11 + bx·3 + by·7) mod 16, so the per-block census
+    * ((mean+8) div 16 = k+1) is tolerance-free under JPEG's lossy
+    * wobble exactly as in m10. 2–4 frames per clip by doc_id.
+    */
+  private[operators] def aviFrames(id: Long): Int = (2 + id % 3).toInt
+  private[operators] def aviBlocksW(id: Long): Int = (2 + id % 3).toInt
+  private[operators] def aviBlocksH(id: Long): Int = (2 + id % 2).toInt
+  private[operators] def aviCensus(id: Long, f: Int, bx: Int, by: Int): Int =
+    ((id * 5 + f * 11 + bx * 3 + by * 7) % 16).toInt + 1
+
+  private def writeLe32(w: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    w.write(v & 0xff); w.write((v >> 8) & 0xff)
+    w.write((v >> 16) & 0xff); w.write((v >>> 24) & 0xff)
+  }
+  private def writeLe16(w: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    w.write(v & 0xff); w.write((v >> 8) & 0xff)
+  }
+  /** One RIFF chunk: fourcc + le32 size + data, padded to even length
+    * (the WORD-alignment rule every RIFF reader assumes).
+    */
+  private def riffChunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val w = new java.io.ByteArrayOutputStream()
+    w.write(id.getBytes("US-ASCII"))
+    writeLe32(w, data.length)
+    w.write(data)
+    if (data.length % 2 == 1) w.write(0)
+    w.toByteArray
+  }
+  private def riffList(listType: String, payload: Array[Byte]): Array[Byte] = {
+    val w = new java.io.ByteArrayOutputStream()
+    w.write("LIST".getBytes("US-ASCII"))
+    writeLe32(w, payload.length + 4)
+    w.write(listType.getBytes("US-ASCII"))
+    w.write(payload)
+    w.toByteArray
+  }
+
+  /** REAL video payloads: per-frame JPEGs (JDK codec, quality 0.95 —
+    * the m10 path) wrapped in a spec-complete RIFF-AVI MJPEG container
+    * assembled by hand — `avih` main header, `strl` stream list
+    * (fccHandler `MJPG`, BITMAPINFOHEADER `biCompression` MJPG), `movi`
+    * frame list of `00dc` chunks, and an `idx1` keyframe index. MJPEG
+    * is how real capture pipelines ship video before inter-frame
+    * compression, and it is the one video codec the JVM can genuinely
+    * decode — retiring the video decode stub (VERDICT r13 #1); the m2
+    * stub now documents only inter-frame codecs (H.264/VP9) the JVM
+    * has no decoder for.
+    */
+  def synthesizeAvi(spark: SparkSession, ids: DataFrame): Dataset[AviRecord] = {
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val out = it.map { id =>
+        val (bw, bh, nf) = (aviBlocksW(id), aviBlocksH(id), aviFrames(id))
+        val (w, h) = (bw * 8, bh * 8)
+        val jpegs = (0 until nf).map { f =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var by = 0
+          while (by < bh) {
+            var bx = 0
+            while (bx < bw) {
+              val level = 16 * (aviCensus(id, f, bx, by) - 1) + 8
+              var y = by * 8
+              while (y < by * 8 + 8) {
+                var x = bx * 8
+                while (x < bx * 8 + 8) { raster.setSample(x, y, 0, level); x += 1 }
+                y += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          val p = writer.getDefaultWriteParam
+          p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+          p.setCompressionQuality(0.95f)
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+          ios.close()
+          bos.toByteArray
+        }
+        val maxFrame = jpegs.map(_.length).max
+
+        val avih = new java.io.ByteArrayOutputStream() // MainAVIHeader, 56 B
+        writeLe32(avih, 100000) // dwMicroSecPerFrame (10 fps)
+        writeLe32(avih, maxFrame * 10) // dwMaxBytesPerSec
+        writeLe32(avih, 0) // dwPaddingGranularity
+        writeLe32(avih, 0x10) // dwFlags: AVIF_HASINDEX
+        writeLe32(avih, nf) // dwTotalFrames
+        writeLe32(avih, 0) // dwInitialFrames
+        writeLe32(avih, 1) // dwStreams
+        writeLe32(avih, maxFrame) // dwSuggestedBufferSize
+        writeLe32(avih, w)
+        writeLe32(avih, h)
+        (0 until 4).foreach(_ => writeLe32(avih, 0)) // dwReserved
+
+        val strh = new java.io.ByteArrayOutputStream() // AVIStreamHeader, 56 B
+        strh.write("vids".getBytes("US-ASCII"))
+        strh.write("MJPG".getBytes("US-ASCII"))
+        writeLe32(strh, 0) // dwFlags
+        writeLe16(strh, 0); writeLe16(strh, 0) // wPriority, wLanguage
+        writeLe32(strh, 0) // dwInitialFrames
+        writeLe32(strh, 1) // dwScale
+        writeLe32(strh, 10) // dwRate (10 fps)
+        writeLe32(strh, 0) // dwStart
+        writeLe32(strh, nf) // dwLength (frames)
+        writeLe32(strh, maxFrame) // dwSuggestedBufferSize
+        writeLe32(strh, -1) // dwQuality (default)
+        writeLe32(strh, 0) // dwSampleSize (0: one sample per chunk)
+        writeLe16(strh, 0); writeLe16(strh, 0) // rcFrame left, top
+        writeLe16(strh, w); writeLe16(strh, h) // rcFrame right, bottom
+
+        val strf = new java.io.ByteArrayOutputStream() // BITMAPINFOHEADER, 40 B
+        writeLe32(strf, 40) // biSize
+        writeLe32(strf, w)
+        writeLe32(strf, h)
+        writeLe16(strf, 1) // biPlanes
+        writeLe16(strf, 24) // biBitCount
+        strf.write("MJPG".getBytes("US-ASCII")) // biCompression
+        writeLe32(strf, w * h * 3) // biSizeImage
+        writeLe32(strf, 0); writeLe32(strf, 0) // biXPels, biYPels
+        writeLe32(strf, 0); writeLe32(strf, 0) // biClrUsed, biClrImportant
+
+        val hdrl = riffList("hdrl",
+          riffChunk("avih", avih.toByteArray) ++
+            riffList("strl",
+              riffChunk("strh", strh.toByteArray) ++
+                riffChunk("strf", strf.toByteArray)))
+
+        val moviPayload = new java.io.ByteArrayOutputStream()
+        val idx1 = new java.io.ByteArrayOutputStream()
+        jpegs.foreach { j =>
+          // idx1 offsets are relative to the 'movi' fourcc: first
+          // chunk id lands 4 bytes after it
+          idx1.write("00dc".getBytes("US-ASCII"))
+          writeLe32(idx1, 0x10) // AVIIF_KEYFRAME (every MJPEG frame is)
+          writeLe32(idx1, 4 + moviPayload.size())
+          writeLe32(idx1, j.length)
+          moviPayload.write(riffChunk("00dc", j))
+        }
+        val movi = riffList("movi", moviPayload.toByteArray)
+
+        val riff = new java.io.ByteArrayOutputStream()
+        riff.write("RIFF".getBytes("US-ASCII"))
+        val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi ++
+          riffChunk("idx1", idx1.toByteArray)
+        writeLe32(riff, body.length)
+        riff.write(body)
+        AviRecord(id, riff.toByteArray)
+      }.toVector // materialize before disposing the shared writer
+      writer.dispose()
+      out.iterator
+    }
+  }
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def fcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** REAL video decode: walk the RIFF-AVI structure (header fourcc +
+    * le32 sizes + WORD padding), cross-check the `avih` main header
+    * and the `MJPG` stream handler, pull every `00dc` frame chunk out
+    * of the `movi` list, decode each through the JDK JPEG codec, and
+    * reduce to exact integer per-frame statistics — the m10 block
+    * census, its position-weighted checksum, and the inter-frame
+    * census delta Σ|c_f − c_{f−1}| (the m9 scene-delta shape on the
+    * lossy codec). The decoder REQUIREs container coherence: declared
+    * frame count, dimensions, and handler must match the decoded
+    * stream, so a torn container fails loudly rather than skewing a
+    * statistic. The oracle replays everything from the block formula —
+    * it never parses an AVI.
+    */
+  def decodeAviFrameStats(
+      spark: SparkSession, avis: Dataset[AviRecord]): Dataset[AviFrameStats] = {
+    import spark.implicits._
+    avis.mapPartitions(_.flatMap { rec =>
+      val b = rec.avi
+      require(fcc(b, 0) == "RIFF" && fcc(b, 8) == "AVI ",
+        s"doc ${rec.doc_id}: not a RIFF-AVI payload")
+      val riffEnd = 8 + le32(b, 4)
+      var declaredFrames = -1
+      var declaredW = -1
+      var declaredH = -1
+      var handler = ""
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def walk(from: Int, to: Int): Unit = {
+        var off = from
+        while (off + 8 <= to) {
+          val id = fcc(b, off)
+          val sz = le32(b, off + 4)
+          if (id == "LIST") {
+            val lt = fcc(b, off + 8)
+            if (lt == "hdrl" || lt == "strl" || lt == "movi")
+              walk(off + 12, off + 8 + sz)
+          } else if (id == "avih") {
+            declaredFrames = le32(b, off + 8 + 16)
+            declaredW = le32(b, off + 8 + 32)
+            declaredH = le32(b, off + 8 + 36)
+          } else if (id == "strh") {
+            if (fcc(b, off + 8) == "vids") handler = fcc(b, off + 12)
+          } else if (id == "00dc") {
+            frames += java.util.Arrays.copyOfRange(b, off + 8, off + 8 + sz)
+          }
+          off += 8 + sz + (sz & 1) // chunks pad to even
+        }
+      }
+      walk(12, riffEnd)
+      require(handler == "MJPG",
+        s"doc ${rec.doc_id}: stream handler '$handler', expected MJPG")
+      require(declaredFrames == frames.length,
+        s"doc ${rec.doc_id}: avih declares $declaredFrames frames, " +
+          s"movi carries ${frames.length}")
+      var prev: Array[Long] = null
+      frames.zipWithIndex.map { case (jpeg, f) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(jpeg))
+        val (w, h) = (img.getWidth, img.getHeight)
+        require(w == declaredW && h == declaredH,
+          s"doc ${rec.doc_id} frame $f: ${w}x$h vs declared " +
+            s"${declaredW}x$declaredH")
+        val raster = img.getRaster
+        val bw = w / 8
+        val census = new Array[Long](bw * (h / 8))
+        var (sumCensus, posChecksum, delta) = (0L, 0L, 0L)
+        var by = 0
+        while (by < h / 8) {
+          var bx = 0
+          while (bx < bw) {
+            var s = 0L
+            var y = by * 8
+            while (y < by * 8 + 8) {
+              var x = bx * 8
+              while (x < bx * 8 + 8) { s += raster.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            val c = (s / 64 + 8) / 16
+            val k = by * bw + bx
+            census(k) = c
+            sumCensus += c
+            posChecksum += c * (k + 1)
+            if (prev != null) delta += math.abs(c - prev(k))
+            bx += 1
+          }
+          by += 1
+        }
+        prev = census
+        AviFrameStats(rec.doc_id, f, frames.length, w, h,
+          sumCensus, posChecksum, delta)
+      }
     })
   }
 

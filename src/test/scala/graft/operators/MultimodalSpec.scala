@@ -146,6 +146,63 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("avi round-trip: RIFF walk + per-frame MJPEG decode recover the formula") {
+    // 2 -> 3 frames 4x3 blocks, 12 -> 2 frames, 22 -> 4 frames (the m11
+    // doc_id%10==2 slice walks all frame counts and block-grid combos)
+    val idSeq = Seq(2L, 12L, 22L, 32L, 42L, 52L)
+    val ids = idSeq.toDF("doc_id")
+    val avis = Multimodal.synthesizeAvi(spark, ids).collect()
+    // payloads are REAL RIFF-AVI containers, all distinct
+    assert(avis.forall(a =>
+      new String(a.avi, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(a.avi, 8, 4, "US-ASCII") == "AVI "))
+    assert(avis.map(_.avi.toSeq).distinct.length == idSeq.length)
+
+    val stats = Multimodal.decodeAviFrameStats(spark,
+        Multimodal.synthesizeAvi(spark, ids))
+      .collect().groupBy(_.doc_id)
+    for (id <- idSeq) {
+      val (bw, bh, nf) =
+        (Multimodal.aviBlocksW(id), Multimodal.aviBlocksH(id), Multimodal.aviFrames(id))
+      val rows = stats(id).sortBy(_.frame_idx)
+      assert(rows.length == nf, s"clip $id: frame count")
+      for (f <- 0 until nf) {
+        val census = for (by <- 0 until bh; bx <- 0 until bw)
+          yield (bx, by, Multimodal.aviCensus(id, f, bx, by).toLong)
+        val r = rows(f)
+        assert(r.width == bw * 8 && r.height == bh * 8 && r.n_frames == nf)
+        assert(r.sum_census == census.map(_._3).sum,
+          s"lossy wobble exceeded the +-7 census headroom for clip $id frame $f")
+        assert(r.pos_checksum ==
+          census.map { case (bx, by, c) => c * (by * bw + bx + 1) }.sum,
+          s"block order / stride diverged for clip $id frame $f")
+        val expDelta = if (f == 0) 0L
+        else census.map { case (bx, by, c) =>
+          math.abs(c - Multimodal.aviCensus(id, f - 1, bx, by)) }.sum
+        assert(r.delta_census == expDelta,
+          s"inter-frame census delta diverged for clip $id frame $f")
+      }
+    }
+  }
+
+  test("avi decoder rejects an incoherent container") {
+    val rec = Multimodal.synthesizeAvi(spark, Seq(2L).toDF("doc_id")).collect()(0)
+    // truncate the movi list: drop the last frame chunk but keep the
+    // avih frame count — the decoder must fail loudly, not skew stats
+    val cut = rec.avi.length - 200
+    val torn = java.util.Arrays.copyOf(rec.avi, cut)
+    // patch the RIFF size so the walk stays in bounds
+    val sz = cut - 8
+    torn(4) = (sz & 0xff).toByte
+    torn(5) = ((sz >> 8) & 0xff).toByte
+    torn(6) = ((sz >> 16) & 0xff).toByte
+    torn(7) = ((sz >>> 24) & 0xff).toByte
+    val ds = Multimodal.decodeAviFrameStats(spark,
+      Seq(Multimodal.AviRecord(2L, torn)).toDS())
+    val e = intercept[org.apache.spark.SparkException] { ds.collect() }
+    assert(e.getMessage != null)
+  }
+
   test("m10 plan shape: codec mapPartitions chain, zero Exchange") {
     // synthesize -> encode -> decode is per-row codec work; like m6/m7,
     // the whole chain must stay in the scan stage (a shuffle of encoded
@@ -156,5 +213,17 @@ class MultimodalSpec extends SparkSpec {
         Multimodal.synthesizeJpeg(spark, ids))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"m10 plan grew a shuffle:\n${plan.take(500)}")
+  }
+
+  test("m11 plan shape: container+codec mapPartitions chain, zero Exchange") {
+    // synthesize (JPEG encode + RIFF assembly) -> decode (RIFF walk +
+    // JPEG decode) is per-row codec work: the whole chain must stay in
+    // the scan stage like m6/m7/m9/m10
+    val ids = graft.Tables.documents(spark, sf0001)
+      .where(org.apache.spark.sql.functions.col("doc_id") % 10 === 2)
+    val plan = Multimodal.decodeAviFrameStats(spark,
+        Multimodal.synthesizeAvi(spark, ids))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"m11 plan grew a shuffle:\n${plan.take(500)}")
   }
 }
