@@ -346,6 +346,62 @@ object Multimodal {
     })
   }
 
+  final case class WavFingerprint(
+      doc_id: Long, channels: Int, n_frames: Long, afp: Long)
+
+  /** Perceptual AUDIO fingerprint on the REAL codec path — the audio
+    * twin of [[decodePngAHash]]'s image aHash, completing the
+    * image/audio symmetry of the perceptual-dedup story: decode the WAV
+    * (same `javax.sound` path as [[decodeWavStats]]), reduce each frame
+    * to its magnitude m_i = Σ_channels |s| (exact integers, no
+    * division), split the clip into 16 integer-division windows
+    * (window = i·16 div n), and set bit w iff
+    * winSum(w)·n > total·winCnt(w) — the cross-multiplied
+    * "louder than the clip average" test, so the 16-bit fingerprint is
+    * bit-identical to the oracle's arithmetic replay of the PCM
+    * formula. Re-encodes and container churn preserve it; any decode
+    * corruption flips a window mean and hash-fails.
+    */
+  def decodeWavFingerprint(
+      spark: SparkSession, wavs: Dataset[WavRecord]): Dataset[WavFingerprint] = {
+    import spark.implicits._
+    wavs.mapPartitions(_.map { rec =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(rec.wav))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"unexpected decoded format: $fmt")
+      val ch = fmt.getChannels
+      val n = ais.getFrameLength.toInt
+      val bytes = ais.readAllBytes()
+      val winSum = new Array[Long](16)
+      val winCnt = new Array[Long](16)
+      var i = 0
+      while (i < n) {
+        var m = 0L
+        var c = 0
+        while (c < ch) {
+          val off = (i * ch + c) * 2
+          val s = ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort.toInt
+          m += math.abs(s)
+          c += 1
+        }
+        val w = i * 16 / n
+        winSum(w) += m
+        winCnt(w) += 1
+        i += 1
+      }
+      val total = winSum.sum
+      var fp = 0L
+      var k = 0
+      while (k < 16) {
+        if (winSum(k) * n > total * winCnt(k)) fp |= 1L << k
+        k += 1
+      }
+      WavFingerprint(rec.doc_id, ch, n.toLong, fp)
+    })
+  }
+
   final case class GifRecord(doc_id: Long, gif: Array[Byte])
   final case class GifFrameStats(
       doc_id: Long,

@@ -977,6 +977,35 @@ object ExtensionQueries {
           Multimodal.synthesizeWav(spark, ids))
         .toDF().orderBy("doc_id")
     },
+    // Perceptual AUDIO fingerprint on the REAL codec path — the audio
+    // twin of m8's image aHash (VERDICT r13 #5): decoded PCM reduces to
+    // per-frame magnitudes, 16 integer-division windows, and a
+    // cross-multiplied louder-than-average bit per window — exact
+    // integers throughout, so the 16-bit fingerprint is bit-identical
+    // to the oracle's arithmetic replay of the PCM formula (it never
+    // parses a WAV).
+    "m12_wav_fingerprint" -> { (spark, dir) =>
+      val ids = Tables.documents(spark, dir)
+        .where(col("doc_id") % 10 === 5)
+      Multimodal.decodeWavFingerprint(spark,
+          Multimodal.synthesizeWav(spark, ids))
+        .toDF().orderBy("doc_id")
+    },
+    // Perceptual AUDIO dedup — mdd1's shape on the audio fingerprint:
+    // cluster by (channels, n_frames, afp) on the real codec path,
+    // min doc_id keeps each cluster. Completes the image/audio symmetry
+    // of the multimodal dedup family; the only exchange keys on 16-bit
+    // fingerprints + two small ints.
+    "mdd2_audio_dedup" -> { (spark, dir) =>
+      val ids = Tables.documents(spark, dir)
+        .where(col("doc_id") % 10 === 5)
+      Multimodal.decodeWavFingerprint(spark,
+          Multimodal.synthesizeWav(spark, ids))
+        .toDF()
+        .groupBy("channels", "n_frames", "afp")
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
+        .orderBy("channels", "n_frames", "afp")
+    },
 
     // REAL multi-frame decode — the video-shaped member of the codec
     // family (VERDICT r9 #6): deterministic indexed frames are encoded
@@ -2051,6 +2080,42 @@ object ExtensionQueries {
       |      AS BIGINT) AS ahash
       |  FROM cells c JOIN tot t USING (doc_id)
       |  GROUP BY 1, 2, 3
+      |)""".stripMargin
+
+  /** Audio-fingerprint CTEs shared by the m12/mdd2 oracles: replay the
+    * PCM formula (never parse a WAV), reduce frames to magnitudes,
+    * window 16-ways by integer division, set the cross-multiplied
+    * louder-than-average bit per window — all exact integers.
+    */
+  private val wavFpOracleCtes: String =
+    """ids AS (
+      |  SELECT doc_id FROM documents WHERE doc_id % 10 = 5
+      |), fr AS (
+      |  SELECT i.doc_id,
+      |    CAST(64 + (i.doc_id % 7) * 16 AS BIGINT) AS n,
+      |    gi.i AS fi,
+      |    SUM(abs((i.doc_id * 37 + gc.c * 101 + gi.i * 17) % 4096 - 2048))
+      |      AS m
+      |  FROM ids i, UNNEST(generate_series(0, 1)) AS gc(c),
+      |    UNNEST(generate_series(0, 159)) AS gi(i)
+      |  WHERE gc.c < 1 + i.doc_id % 2
+      |    AND gi.i < 64 + (i.doc_id % 7) * 16
+      |  GROUP BY 1, 2, 3
+      |), win AS (
+      |  SELECT doc_id, n, (fi * 16) // n AS w,
+      |    CAST(SUM(m) AS BIGINT) AS ws, COUNT(*) AS wc
+      |  FROM fr GROUP BY 1, 2, 3
+      |), tot AS (
+      |  SELECT doc_id, CAST(SUM(ws) AS BIGINT) AS total FROM win GROUP BY 1
+      |), fp AS (
+      |  SELECT w1.doc_id,
+      |    CAST(1 + w1.doc_id % 2 AS INT) AS channels,
+      |    CAST(MAX(w1.n) AS BIGINT) AS n_frames,
+      |    CAST(SUM(CASE WHEN w1.ws * w1.n > t.total * w1.wc
+      |      THEN CAST(1 AS BIGINT) << CAST(w1.w AS INT) ELSE 0 END)
+      |      AS BIGINT) AS afp
+      |  FROM win w1 JOIN tot t USING (doc_id)
+      |  GROUP BY 1, 2
       |)""".stripMargin
 
   /** Quantized-cosine SQL fragment shared by the graph-tier oracles. */
@@ -3683,6 +3748,21 @@ object ExtensionQueries {
         |FROM s
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    // arithmetic replay of the PCM formula: per-frame magnitudes,
+    // 16 integer-division windows, cross-multiplied window bits
+    "m12_wav_fingerprint" ->
+      s"""WITH $wavFpOracleCtes
+         |SELECT doc_id, channels, n_frames, afp FROM fp
+         |ORDER BY doc_id""".stripMargin,
+    // perceptual audio dedup = mdd1's shape on the audio fingerprint:
+    // group by (channels, n_frames, afp), min doc_id keeps
+    "mdd2_audio_dedup" ->
+      s"""WITH $wavFpOracleCtes
+         |SELECT channels, n_frames, afp,
+         |  CAST(COUNT(*) AS BIGINT) AS n_copies,
+         |  MIN(doc_id) AS keep_doc_id
+         |FROM fp GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin,
     // every per-frame statistic recomputed from the indexed-pixel
     // formula over a bounded (frame, x, y) grid with per-doc masks —
     // the oracle never parses a GIF; gray = 51 * palette index

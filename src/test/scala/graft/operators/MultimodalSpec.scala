@@ -146,6 +146,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("wav fingerprint: decoded windows reproduce the formula's loudness bits") {
+    // 5 -> stereo, 15 -> mono, spanning several frame lengths
+    val idSeq = Seq(5L, 15L, 25L, 35L, 45L, 55L)
+    val fps = Multimodal.decodeWavFingerprint(spark,
+        Multimodal.synthesizeWav(spark, idSeq.toDF("doc_id")))
+      .collect().map(f => f.doc_id -> f).toMap
+    for (id <- idSeq) {
+      val ch = Multimodal.wavChannels(id)
+      val n = Multimodal.wavFrames(id)
+      val mags = (0 until n).map(i =>
+        (0 until ch).map(c => math.abs(Multimodal.wavSample(id, c, i)).toLong).sum)
+      val winSum = new Array[Long](16)
+      val winCnt = new Array[Long](16)
+      for (i <- 0 until n) { winSum(i * 16 / n) += mags(i); winCnt(i * 16 / n) += 1 }
+      val total = winSum.sum
+      val expected = (0 until 16)
+        .filter(k => winSum(k) * n > total * winCnt(k))
+        .map(1L << _).sum
+      val f = fps(id)
+      assert(f.channels == ch && f.n_frames == n)
+      assert(f.afp == expected, s"fingerprint diverged for clip $id")
+    }
+  }
+
   test("avi round-trip: RIFF walk + per-frame MJPEG decode recover the formula") {
     // 2 -> 3 frames 4x3 blocks, 12 -> 2 frames, 22 -> 4 frames (the m11
     // doc_id%10==2 slice walks all frame counts and block-grid combos)
