@@ -83,6 +83,36 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!Bench.isSuspect(median = 5.3, baseline = Some(2.8)))
   }
 
+  test("canary normalization absorbs a box-wide window without loosening the ratio") {
+    // VERDICT r13 #7: 14-18 all-environmental suspects per driver sweep,
+    // each a query measured inside a box-slowdown window the interleaved
+    // canary also shows. A 2.2x reading with the nearest canary itself
+    // at 2.2x of the run's best normalizes to ~1x — not a suspect:
+    val f = Bench.canaryFactor(nearestS = 0.22, bestS = 0.10)
+    assert(f > 2.1 && f < 2.3)
+    assert(!Bench.isSuspect(median = 6.2 / f, baseline = Some(2.8)))
+    // the SAME 2.2x reading with a FLAT canary stays a suspect — the
+    // ratio itself is not loosened:
+    assert(Bench.canaryFactor(nearestS = 0.10, bestS = 0.10) == 1.0)
+    assert(Bench.isSuspect(median = 6.2, baseline = Some(2.8)))
+  }
+
+  test("canary normalization is clamped: no inflation, bounded amnesty") {
+    // a canary FASTER than the run's best (impossible by construction,
+    // defensive) must never inflate a median into suspicion
+    assert(Bench.canaryFactor(nearestS = 0.05, bestS = 0.10) == 1.0)
+    // the factor caps at CanaryDegradedRatio: a true 8x regression is
+    // still a suspect even measured inside a 5x-degraded window
+    assert(Bench.canaryFactor(nearestS = 0.50, bestS = 0.10)
+      == Bench.CanaryDegradedRatio)
+    assert(Bench.isSuspect(
+      median = 22.4 / Bench.canaryFactor(nearestS = 0.50, bestS = 0.10),
+      baseline = Some(2.8)))
+    // unmeasurable references never normalize
+    assert(Bench.canaryFactor(nearestS = -1.0, bestS = 0.10) == 1.0)
+    assert(Bench.canaryFactor(nearestS = 0.2, bestS = -1.0) == 1.0)
+  }
+
   test("baseline is SF-gated: a detail artifact from another scale never becomes the reference") {
     val detail =
       """{"metric":"detail","value":1.0,"unit":"sec","queries":{"q1":0.5},"sf":"/root/testdata/sf0.01"}"""
