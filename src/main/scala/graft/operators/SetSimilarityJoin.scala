@@ -26,32 +26,48 @@ import org.apache.spark.sql.types.DoubleType
   *  - the df table is one narrow aggregate over the token relation, and
   *    the per-doc rank window partitions by doc_id (each partition is one
   *    document's token set — bounded, no global sort);
-  *  - verification computes exact intersections for candidates only, as
-  *    a per-pair `array_intersect` over the per-doc term arrays (built
-  *    once, derived from the same relation the prefix slices come from).
-  *    Candidate count bounds the verify cost; the r8 stage profile
-  *    showed the former token-keyed join + groupBy verify re-shuffled
-  *    the FULL token relation twice for a few thousand pairs — 14-20 s
-  *    of d11's 35 s at sf1.0 against 5.6 s this way. At cluster scale
-  *    the candidate side is the small one, so the two id-keyed joins
-  *    broadcast-or-shuffle by statistics; the corpus-sized array
-  *    relation moves at most once. The similarity itself stays exact
-  *    BIGINT counts with one final double division (bit-identical
-  *    cross-engine).
+  *  - every heavy relation moves 8-BYTE TOKEN HASHES, never strings
+  *    (r14): posting rows, candidate keys, and the screen's per-doc
+  *    arrays are all xxhash64 values — lossless for candidates (a
+  *    collision only ADDS a pair) and lossless for the screen (the
+  *    per-doc duplicate-hash slack bounds deflation, see
+  *    screenThenVerify);
+  *  - verification is candidate-bounded and two-staged: the hash
+  *    screen intersects cheap long arrays for all candidates, and the
+  *    exact STRING verify runs as a token join over the ~2% survivors
+  *    only — no string arrays are ever built or shuffled. (The r13
+  *    shape shipped hash+string arrays with every candidate; at sf10
+  *    that was ~35 GB of shuffle for 17.4 M candidates and the time
+  *    curve went e≈2.3 from spill thrash while every row count stayed
+  *    exactly linear — the bytes, not the work, were the axis.) The
+  *    similarity itself stays exact BIGINT counts with one final
+  *    double division (bit-identical cross-engine).
   */
 object SetSimilarityJoin {
 
-  /** Per-doc rarest-first term arrays: (doc_id, n_tok, terms), `terms`
-    * sorted by (global df ascending, term) — the ONE relation the
-    * prefix slices, the candidate length filters, and the
-    * array-intersect verify all derive from. Deliberately NOT
-    * checkpointed despite its 3-4 consumers: the consumers are
-    * identical subtrees, so ReuseExchange computes the aggregate once
-    * anyway, while a localCheckpoint here forced a synchronous
-    * materialization job per execution and measured 2.4x SLOWER at
-    * sf0.1 (5.5 s vs 2.3 s end-to-end). A document's token set is
-    * bounded by the document's length, so the per-row array is safe at
-    * any corpus size.
+  /** Per-doc rarest-first HASHED term arrays: (doc_id, n_tok, hterms,
+    * n_hdup), `hterms` = xxhash64 of each token, ordered by (global df
+    * ascending, term) — the ONE relation the prefix slices, the
+    * candidate length filters, and the hash screen all derive from.
+    * STRING token arrays are deliberately NOT built (r14, found by the
+    * sf10 stage profile): carrying them made every candidate pair ship
+    * KB-scale string arrays through the verify exchanges — ~35 GB of
+    * shuffle at sf10 for 17.4 M candidates, and the d11 curve went
+    * e≈2.3 from spill thrash at fixed local parallelism while every
+    * ROW COUNT stayed exactly linear. All heavy relations now move
+    * 8-byte hashes; the exact STRING verify runs as a skinny token
+    * join on the ~2% screen survivors (see [[screenThenVerify]]).
+    * Hash-keyed candidates stay lossless — a collision can only ADD a
+    * candidate, and the exact verify disposes of it. Not checkpointed:
+    * the plan census shows the aggregate computed once per consumer
+    * (4×) either way — exchange reuse does not fire across the
+    * differently-pruned consumers — and the A/B measured the eager
+    * materialization as a net LOSS at sf0.1 (d11 3.7→4.9 s, the fixed
+    * checkpoint job) for no gain at sf3 (12.5 vs 12.1 s): the 4
+    * recomputes start from the pinned shingle checkpoint and the
+    * hash-only aggregate is cheap. A document's token set is bounded
+    * by the document's length, so the per-row array is safe at any
+    * corpus size.
     */
   private def docTermArrays(toks: DataFrame): DataFrame = {
     val df = toks.groupBy("term").agg(count(lit(1)).as("df"))
@@ -63,10 +79,6 @@ object SetSimilarityJoin {
       .agg(sort_array(collect_list(struct(col("df"), col("term")))).as("ts"),
         count(lit(1)).as("n_tok"))
       .select(col("doc_id"), col("n_tok"),
-        expr("transform(ts, t -> t.term)").as("terms"),
-        // 64-bit token hashes for the verify SCREEN (below): long
-        // intersects are ~2x cheaper than string intersects, and the
-        // exact string pass then runs only on screen survivors
         expr("transform(ts, t -> xxhash64(t.term))").as("hterms"))
       // within-doc hash-collision count (n_tok minus distinct hashes;
       // ~always 0): the screen's losslessness slack, see below
@@ -89,31 +101,58 @@ object SetSimilarityJoin {
     * output, never replayed by the oracle).
     */
   private def screenThenVerify(
-      cand: DataFrame, byDoc: DataFrame, required: org.apache.spark.sql.Column,
-  ): DataFrame =
+      cand: DataFrame, byDoc: DataFrame, toks: DataFrame,
+      required: org.apache.spark.sql.Column,
+  ): DataFrame = {
     // The byDoc relation is CORPUS-WIDTH with array columns whose sizes
     // Catalyst cannot estimate — left to AQE it gets broadcast on bad
     // stats and the driver OOMs building a multi-GiB broadcast (found
-    // at sf10, r13). Sort-merge is the scale-safe strategy on both
-    // id-keyed joins: spillable, never materializes a side in memory.
-    cand
+    // at sf10, r13). Sort-merge is the scale-safe strategy on the
+    // id-keyed array joins: spillable, never materializes a side in
+    // memory. The screen ships ONLY the 8-byte hash arrays with the
+    // candidate pairs (r14 — string arrays used to ride along and the
+    // shuffle bytes, not the row counts, were the sf10 scale-killer).
+    val screened = cand
       .join(byDoc.select(col("doc_id").as("doc_a"), col("hterms").as("ha"),
-        col("terms").as("ta"), col("n_tok").as("n_a"),
-        col("n_hdup").as("dup_a")).hint("merge"), Seq("doc_a"))
+        col("n_tok").as("n_a"), col("n_hdup").as("dup_a")).hint("merge"),
+        Seq("doc_a"))
       .join(byDoc.select(col("doc_id").as("doc_b"), col("hterms").as("hb"),
-        col("terms").as("tb"), col("n_tok").as("n_b"),
-        col("n_hdup").as("dup_b")).hint("merge"), Seq("doc_b"))
+        col("n_tok").as("n_b"), col("n_hdup").as("dup_b")).hint("merge"),
+        Seq("doc_b"))
       .where(size(array_intersect(col("ha"), col("hb"))) +
         least(col("dup_a"), col("dup_b")) >= required)
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("ta"), col("tb"))).cast("long").as("n_inter"),
-        col("n_a"), col("n_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+    // Exact STRING verify as a token join — no arrays move at all: the
+    // survivors (~2% of candidates) explode to (pair, term) rows
+    // against the pinned token relation, and the per-pair match count
+    // IS |A∩B| exactly (toks is distinct (doc_id, term)). The token
+    // relation moves once more as skinny rows; survivor-token rows are
+    // survivor-bounded. `screened` is consumed ONCE — n_a/n_b ride the
+    // group key instead of joining back (a second consumer would
+    // duplicate the entire upstream pipeline: plan census showed 8
+    // collect_list aggregations vs 4). INNER token-join semantics are
+    // exact here: a survivor with zero true intersection (its whole
+    // hash overlap was collisions) drops out, and with threshold > 0
+    // (required by both callers) such a pair can never qualify anyway.
+    // The survivor relation BROADCASTS (bounded at ~2% of candidates,
+    // a few longs per row — 51 k rows / ~2 MB at sf10), so the token
+    // relation is probed in its scan stage for the doc_a attach and
+    // pays exactly ONE (doc, term)-keyed exchange for the doc_b match.
+    broadcast(screened)
+      .join(toks.select(col("doc_id").as("doc_a"), col("term")), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("term"))
+        .hint("shuffle_hash"), Seq("doc_b", "term"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_inter"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"))
+  }
 
   /** All document pairs (doc_a < doc_b) whose k-shingle sets have Jaccard
     * similarity >= `threshold`, with exact intersection / set sizes.
     * Output: (doc_a, doc_b, n_inter, n_a, n_b, jaccard), exact.
     */
   def prefixJaccardJoin(docs: DataFrame, shingleK: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0, 1], got $threshold")
     // Distinct (doc_id, term) over k-word shingles: the SET the Jaccard
     // is defined on.
     val toks = Dedup.shingleRows(docs, shingleK)
@@ -129,8 +168,11 @@ object SetSimilarityJoin {
     val byDoc = docTermArrays(toks)
     val prefixLen = (col("n_tok") -
       ceil(lit(threshold) * col("n_tok")).cast("long") + 1).cast("int")
+    // prefix rows carry the HASHED token (8 bytes) as the join key —
+    // lossless: a collision can only add a candidate, and every true
+    // shared prefix token hashes equal on both sides
     val prefix = byDoc.select(col("doc_id"), col("n_tok"),
-      posexplode(slice(col("terms"), lit(1), prefixLen)).as(Seq("pos", "term")))
+      posexplode(slice(col("hterms"), lit(1), prefixLen)).as(Seq("pos", "term")))
 
     // Candidates: docs sharing any prefix token, RESTRICTED by the
     // AllPairs length filter — Jaccard >= t forces t·|A| <= |B| and
@@ -160,12 +202,11 @@ object SetSimilarityJoin {
 
     // Exact verification on candidates only: hash screen first (the
     // Jaccard bound i >= ceil(t/(1+t)·(|A|+|B|)) on cheap long arrays),
-    // then the exact string intersect for survivors (two id-keyed
-    // joins, no token re-shuffle, no pair groupBy), one double division
-    // of exact counts.
+    // then the exact string verify as a survivor-bounded token join,
+    // one double division of exact counts.
     val jac = col("n_inter").cast(DoubleType) /
       (col("n_a") + col("n_b") - col("n_inter")).cast(DoubleType)
-    screenThenVerify(cand, byDoc,
+    screenThenVerify(cand, byDoc, toks,
         ceil(lit(threshold / (1.0 + threshold)) * (col("n_a") + col("n_b"))))
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
         jac.as("jaccard"))
@@ -188,6 +229,7 @@ object SetSimilarityJoin {
     * candidate-bounded and exact, as in [[prefixJaccardJoin]].
     */
   def containmentJoin(docs: DataFrame, shingleK: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0, 1], got $threshold")
     val toks = Dedup.shingleRows(docs, shingleK)
       .select(col("doc_id"), col("shingle").as("term"))
       .distinct()
@@ -196,8 +238,9 @@ object SetSimilarityJoin {
     val byDoc = docTermArrays(toks)
     val prefixLen = (col("n_tok") -
       ceil(lit(threshold) * col("n_tok")).cast("long") + 1).cast("int")
+    // hashed-token prefix rows, as in prefixJaccardJoin (lossless)
     val prefix = byDoc.select(col("doc_id"), col("n_tok"),
-      posexplode(slice(col("terms"), lit(1), prefixLen)).as(Seq("pos", "term")))
+      posexplode(slice(col("hterms"), lit(1), prefixLen)).as(Seq("pos", "term")))
 
     // the container side needs no prefix (containment is one-sided):
     // A's prefix probes B's FULL posting rows, with the length bound
@@ -206,7 +249,7 @@ object SetSimilarityJoin {
     // token overlap <= 1 + min of the two remainders; containment
     // needs overlap >= ceil(t·n_a)) — lossless, ANY-match semantics
     val full = byDoc.select(col("doc_id"), col("n_tok"),
-      posexplode(col("terms")).as(Seq("pos", "term")))
+      posexplode(col("hterms")).as(Seq("pos", "term")))
     val cand = prefix.as("a")
       // container-side postings are corpus-width: sort-merge, never
       // broadcast (same AQE bad-stats hazard as the verify joins)
@@ -220,7 +263,7 @@ object SetSimilarityJoin {
       .distinct()
 
     val cont = col("n_inter").cast(DoubleType) / col("n_a").cast(DoubleType)
-    screenThenVerify(cand, byDoc, ceil(lit(threshold) * col("n_a")))
+    screenThenVerify(cand, byDoc, toks, ceil(lit(threshold) * col("n_a")))
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
         cont.as("containment"))
       .where(cont >= threshold)
