@@ -372,7 +372,15 @@ object Multimodal {
       require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
         s"unexpected decoded format: $fmt")
       val ch = fmt.getChannels
-      val n = ais.getFrameLength.toInt
+      // getFrameLength is a Long; the in-memory decode bounds it via the
+      // byte-array size, so a clip whose PCM exceeds a JVM array fails
+      // LOUDLY here instead of truncating to a wrong fingerprint
+      // (ADVICE r14: .toInt silently truncated, and i*16 overflowed Int
+      // past ~134 M frames — ~47 min at 48 kHz).
+      val nL = ais.getFrameLength
+      require(nL > 0 && nL * ch * 2 <= Int.MaxValue,
+        s"clip too large for in-memory fingerprint: $nL frames x $ch ch")
+      val n = nL.toInt
       val bytes = ais.readAllBytes()
       val winSum = new Array[Long](16)
       val winCnt = new Array[Long](16)
@@ -386,7 +394,8 @@ object Multimodal {
           m += math.abs(s)
           c += 1
         }
-        val w = i * 16 / n
+        // Long window index: i*16 overflows Int for n > Int.MaxValue/16
+        val w = (i.toLong * 16 / n).toInt
         winSum(w) += m
         winCnt(w) += 1
         i += 1
@@ -395,7 +404,10 @@ object Multimodal {
       var fp = 0L
       var k = 0
       while (k < 16) {
-        if (winSum(k) * n > total * winCnt(k)) fp |= 1L << k
+        // exact wide product: winSum*n can exceed Long for long clips
+        // (sum of |s| grows with n, then x n again); BigInt keeps the
+        // cross-multiplied mean test exact at any admissible length
+        if (BigInt(winSum(k)) * n > BigInt(total) * winCnt(k)) fp |= 1L << k
         k += 1
       }
       WavFingerprint(rec.doc_id, ch, n.toLong, fp)
@@ -851,7 +863,17 @@ object Multimodal {
         while (off + 8 <= to) {
           val id = fcc(b, off)
           val sz = le32(b, off + 4)
+          // A torn/corrupt container must fail LOUDLY (the documented
+          // contract), not stall: a negative le32 size would walk the
+          // offset backwards (infinite loop in an executor) and an
+          // oversized one would silently zero-pad the frame copy via
+          // copyOfRange (ADVICE r14). Validate before advancing.
+          require(sz >= 0 && off + 8 + sz <= to,
+            s"doc ${rec.doc_id}: RIFF chunk '$id' at offset $off declares " +
+              s"$sz bytes, exceeding its enclosing span ($from, $to)")
           if (id == "LIST") {
+            require(sz >= 4,
+              s"doc ${rec.doc_id}: LIST chunk at offset $off too short ($sz B)")
             val lt = fcc(b, off + 8)
             if (lt == "hdrl" || lt == "strl" || lt == "movi")
               walk(off + 12, off + 8 + sz)

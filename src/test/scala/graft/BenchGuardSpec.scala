@@ -113,6 +113,24 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.canaryFactor(nearestS = 0.2, bestS = -1.0) == 1.0)
   }
 
+  test("canary amnesty is logged, never silent (the r14 d2 incident)") {
+    // r14 driver sweep: d2_dedup_minhash read 3.43 s against a 1.48 s
+    // committed baseline (raw 2.31x — a suspect) while the nearest
+    // canary sat ~1.27x above the run's best; normalized 1.82x escaped
+    // retry. Legitimate amnesty — but it must publish in the
+    // `amnestied` list so it costs one quiet-box A/B, not archaeology.
+    assert(Bench.isAmnestied(median = 3.43, factor = 1.27, baseline = Some(1.48)))
+    // a reading that is a suspect even after normalization is NOT
+    // amnestied — it goes through the retry/adjudication pass
+    assert(!Bench.isAmnestied(median = 6.2, factor = 1.27, baseline = Some(1.48)))
+    // a reading under the raw bar was never a suspect — nothing to log
+    assert(!Bench.isAmnestied(median = 2.0, factor = 1.27, baseline = Some(1.48)))
+    // no baseline (new query) → never a suspect → never amnestied
+    assert(!Bench.isAmnestied(median = 3.43, factor = 1.27, baseline = None))
+    // flat canary (factor 1) can never amnesty anything
+    assert(!Bench.isAmnestied(median = 3.43, factor = 1.0, baseline = Some(1.48)))
+  }
+
   test("baseline is SF-gated: a detail artifact from another scale never becomes the reference") {
     val detail =
       """{"metric":"detail","value":1.0,"unit":"sec","queries":{"q1":0.5},"sf":"/root/testdata/sf0.01"}"""
