@@ -258,6 +258,36 @@ object TrainingDataQueries {
         .orderBy("lang")
     },
 
+    // Unigram-LM tokenizer training (the SentencePiece shape — the
+    // OTHER production subword tokenizer, next to merge-based BPE):
+    // seed a capped piece vocabulary from frequent substrings, then
+    // two hard-EM rounds — Viterbi-segment every word under the
+    // current piece probabilities, recount, requantize. Probabilities
+    // are dyadic-quantized integers (q = 1 + (cnt*256) div total —
+    // pure BIGINT division, no IEEE op in the chain) and the Viterbi
+    // compares exact 128-bit-safe integer products, so the oracle
+    // replays ALL rounds bit-exactly (recursive-CTE path enumeration
+    // with the same (score DESC, segmentation) tie-break). Output
+    // exposes the seed count and EVERY round's recount. Scale: EM
+    // runs on the word-frequency table (vocabulary-sized, the bpe2
+    // discipline); the capped model collects bounded (V + alphabet
+    // rows), never a corpus relation (see UnigramLm's scaladoc).
+    "usp1_unigram_lm" -> { (spark, dir) =>
+      val wc = Tables.documentsParallel(spark, dir)
+        .select(explode(TextAnalysis.words(col("text"))).as("w"))
+        .where(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("n"))
+      val pieces = graft.operators.UnigramLm.train(spark, wc, 100, 2)
+      pieces
+        // bounded post-model window: one row per vocab piece (<= 126)
+        .withColumn("total_r2", sum("cnt_r2").over(Window.partitionBy()))
+        .select(col("piece"), col("cnt_seed"), col("cnt_r1"), col("cnt_r2"),
+          (col("cnt_r2").cast(DoubleType) / col("total_r2").cast(DoubleType))
+            .as("prob_r2"))
+        .orderBy(col("cnt_r2").desc, col("piece"))
+        .limit(50)
+    },
+
     // Feature hashing (Weinberger et al. 2009, the "hashing trick") —
     // fixed-width bag-of-words features with zero vocabulary state:
     // feature index = portable 60-bit hash mod 64, sign = the hash's
@@ -1722,6 +1752,114 @@ object TrainingDataQueries {
         |UNION ALL SELECT 2, pair, cnt FROM r2
         |UNION ALL SELECT 3, pair, cnt FROM r3
         |ORDER BY merge_idx""".stripMargin,
+    // usp1: the oracle replays the FULL unigram-LM EM chain — seed
+    // substring counts, capped vocab, dyadic quantization (pure BIGINT
+    // division), and BOTH Viterbi E-steps as recursive-CTE path
+    // enumeration over HUGEINT products with the identical
+    // (score DESC, segmentation ASC) tie-break. Words past the 15-char
+    // 128-bit DP bound take the same char-wise fallback branch the
+    // engine defines (dead on this corpus, present for parity).
+    "usp1_unigram_lm" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents
+        |), wc AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM words
+        |  WHERE length(w) > 0 GROUP BY 1
+        |), cand AS (
+        |  SELECT substr(w, CAST(g.i AS INTEGER), CAST(l.j AS INTEGER)) AS piece,
+        |    CAST(SUM(n) AS BIGINT) AS cnt_seed
+        |  FROM wc,
+        |       UNNEST(generate_series(1, 3)) AS l(j),
+        |       UNNEST(generate_series(1, length(w))) AS g(i)
+        |  WHERE g.i + l.j - 1 <= length(w)
+        |  GROUP BY 1
+        |), vocab AS (
+        |  -- top-100 by (cnt DESC, piece) OR single char, as one rank
+        |  -- filter: under WITH RECURSIVE, DuckDB does not apply
+        |  -- UNION's dedup inside a non-recursive CTE (observed on
+        |  -- 1.0.0 - a top-100-UNION-chars form kept 23 duplicate char
+        |  -- rows and inflated t0), so the dedup-free formulation is
+        |  -- the portable one
+        |  SELECT piece, cnt_seed FROM (
+        |    SELECT piece, cnt_seed,
+        |      row_number() OVER (ORDER BY cnt_seed DESC, piece) AS rk
+        |    FROM cand) rc
+        |  WHERE rk <= 100 OR length(piece) = 1
+        |), t0 AS (SELECT CAST(SUM(cnt_seed) AS BIGINT) AS t FROM vocab
+        |), v0 AS (
+        |  SELECT piece, CAST(1 + (cnt_seed * 256) // t0.t AS HUGEINT)
+        |    * CASE length(piece) WHEN 1 THEN 1 WHEN 2 THEN 256
+        |        ELSE 65536 END AS f
+        |  FROM vocab, t0
+        |), seg1 AS (
+        |  SELECT w, n, 0 AS pos, '' AS seg, CAST(1 AS HUGEINT) AS score
+        |  FROM wc WHERE length(w) <= 15
+        |  UNION ALL
+        |  SELECT s.w, s.n, s.pos + length(v.piece),
+        |    CASE WHEN s.seg = '' THEN v.piece
+        |         ELSE s.seg || ' ' || v.piece END,
+        |    s.score * v.f
+        |  FROM seg1 s JOIN v0 v
+        |    ON v.piece = substr(s.w, s.pos + 1, length(v.piece))
+        |  WHERE s.pos < length(s.w)
+        |), best1 AS (
+        |  SELECT w, n, seg FROM (
+        |    SELECT w, n, seg,
+        |      row_number() OVER (PARTITION BY w
+        |        ORDER BY score DESC, seg) AS rn
+        |    FROM seg1 WHERE pos = length(w)) b1 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT w, n, trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS seg
+        |  FROM wc WHERE length(w) > 15
+        |), cnt1 AS (
+        |  SELECT piece, CAST(SUM(n) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(seg, ' ')) AS piece, n
+        |        FROM best1) u1
+        |  GROUP BY 1
+        |), r1 AS (
+        |  SELECT v.piece, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt_r1
+        |  FROM vocab v LEFT JOIN cnt1 c USING (piece)
+        |), t1 AS (SELECT CAST(SUM(cnt_r1) AS BIGINT) AS t FROM r1
+        |), v1 AS (
+        |  SELECT piece, CAST(1 + (cnt_r1 * 256) // t1.t AS HUGEINT)
+        |    * CASE length(piece) WHEN 1 THEN 1 WHEN 2 THEN 256
+        |        ELSE 65536 END AS f
+        |  FROM r1, t1
+        |), seg2 AS (
+        |  SELECT w, n, 0 AS pos, '' AS seg, CAST(1 AS HUGEINT) AS score
+        |  FROM wc WHERE length(w) <= 15
+        |  UNION ALL
+        |  SELECT s.w, s.n, s.pos + length(v.piece),
+        |    CASE WHEN s.seg = '' THEN v.piece
+        |         ELSE s.seg || ' ' || v.piece END,
+        |    s.score * v.f
+        |  FROM seg2 s JOIN v1 v
+        |    ON v.piece = substr(s.w, s.pos + 1, length(v.piece))
+        |  WHERE s.pos < length(s.w)
+        |), best2 AS (
+        |  SELECT w, n, seg FROM (
+        |    SELECT w, n, seg,
+        |      row_number() OVER (PARTITION BY w
+        |        ORDER BY score DESC, seg) AS rn
+        |    FROM seg2 WHERE pos = length(w)) b2 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT w, n, trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS seg
+        |  FROM wc WHERE length(w) > 15
+        |), cnt2 AS (
+        |  SELECT piece, CAST(SUM(n) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(seg, ' ')) AS piece, n
+        |        FROM best2) u2
+        |  GROUP BY 1
+        |), r2 AS (
+        |  SELECT v.piece, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt_r2
+        |  FROM vocab v LEFT JOIN cnt2 c USING (piece)
+        |), t2 AS (SELECT CAST(SUM(cnt_r2) AS BIGINT) AS t FROM r2)
+        |SELECT v.piece, v.cnt_seed, r1.cnt_r1, r2.cnt_r2,
+        |  CAST(r2.cnt_r2 AS DOUBLE) / CAST(t2.t AS DOUBLE) AS prob_r2
+        |FROM vocab v
+        |JOIN r1 USING (piece) JOIN r2 USING (piece), t2
+        |ORDER BY r2.cnt_r2 DESC, v.piece LIMIT 50""".stripMargin,
     "bpe1_pair_counts" ->
       """WITH toks AS (
         |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w

@@ -61,6 +61,8 @@ class RegistryPlanSweepSpec extends SparkSpec {
       "order statistics over the persisted min-k sketch state: bound is the literal k=256",
     "zipf1_rank_frequency" ->
       "rank over the TakeOrderedAndProject limit-40 relation: bound is the literal 40",
+    "usp1_unigram_lm" ->
+      "total over the trained piece table: bound is the vocab cap (100 + alphabet rows)",
   )
 
   test("every registry query: no CartesianProduct; global windows bounded + allowlisted") {
