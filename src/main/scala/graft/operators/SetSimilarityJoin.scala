@@ -45,16 +45,6 @@ import org.apache.spark.sql.types.DoubleType
   */
 object SetSimilarityJoin {
 
-  /** Survivor-relation broadcast gate (ADVICE r14): the exact-verify
-    * join broadcasts the screen survivors only when their MEASURED
-    * count is at or under this bound (~32 B of longs per row → tens of
-    * MB hashed on the driver at the bound; observed 51 k rows at sf10
-    * t=0.7/0.8). Above it — a dup-heavy corpus or a caller-chosen low
-    * threshold — the join falls back to spillable sort-merge instead
-    * of OOMing the driver building a multi-GiB broadcast.
-    */
-  val BroadcastSurvivorRows: Long = 1000000L
-
   /** Per-doc rarest-first HASHED term arrays: (doc_id, n_tok, hterms,
     * n_hdup), `hterms` = xxhash64 of each token, ordered by (global df
     * ascending, term) — the ONE relation the prefix slices, the
@@ -144,24 +134,22 @@ object SetSimilarityJoin {
     // exact here: a survivor with zero true intersection (its whole
     // hash overlap was collisions) drops out, and with threshold > 0
     // (required by both callers) such a pair can never qualify anyway.
-    // The survivor relation usually BROADCASTS (~2% of candidates, a
-    // few longs per row — 51 k rows / ~2 MB at sf10), so the token
-    // relation is probed in its scan stage for the doc_a attach and
-    // pays exactly ONE (doc, term)-keyed exchange for the doc_b match.
-    // But the survivor count is DATA-dependent (grows with qualifying
-    // near-dup pairs, shrinks with threshold, which callers only
-    // require > 0), so the hint is GATED on a measured count, not
-    // assumed (ADVICE r14): materialize the survivors once via
-    // localCheckpoint (same work either way — the relation is consumed
-    // exactly once downstream), count the pinned blocks for free, and
-    // fall back to spillable merge joins when a dup-heavy corpus or a
-    // low threshold pushes the survivors past what a driver should
-    // hold as a broadcast.
-    val surv = screened.localCheckpoint(eager = true)
-    val left =
-      if (surv.count() <= SetSimilarityJoin.BroadcastSurvivorRows) broadcast(surv)
-      else surv.hint("merge")
-    left
+    // The survivor relation is SKINNY (4 longs/row, ~2% of candidates
+    // — 51 k rows / ~2 MB at sf10) and usually broadcast-sized, but
+    // its count is DATA-dependent (grows with qualifying near-dup
+    // pairs, shrinks with threshold, which callers only require > 0),
+    // so it carries NO forced broadcast hint (ADVICE r14): AQE picks
+    // the strategy from its ACCURATE post-shuffle size — broadcast
+    // when small, spillable sort-merge when a dup-heavy corpus or a
+    // low threshold inflates the survivors. This is safe where the
+    // r13 byDoc incident was not: that relation was CORPUS-width with
+    // array columns whose STATIC estimate misled the planner; here
+    // the survivor relation sits behind an exchange, so the decision
+    // uses measured bytes, never an estimate. (An eager-checkpoint +
+    // counted-gate variant was A/B'd and REJECTED: the forced
+    // materialization read 52 s vs 24 s on d11 at suf3 — the fixed
+    // checkpoint job costs more than the adaptivity buys.)
+    screened
       .join(toks.select(col("doc_id").as("doc_a"), col("term")), Seq("doc_a"))
       .join(toks.select(col("doc_id").as("doc_b"), col("term"))
         .hint("shuffle_hash"), Seq("doc_b", "term"))
