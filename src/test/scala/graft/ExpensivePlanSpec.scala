@@ -60,7 +60,11 @@ class ExpensivePlanSpec extends SparkSpec {
     // scale path scont2 serves from the persisted IVF artifact; win1/
     // wcont1 are the winnowing fingerprint tier; ppl1 the LM scorer)
     "scont1_semantic_contamination", "wcont1_winnowed_contamination",
-    "win1_winnowing", "ppl1_lm_doc_score")
+    "win1_winnowing", "ppl1_lm_doc_score",
+    // r15 entrant: nov1 joined the sf1.0 top-10 (flat vs r13 itself —
+    // 4.95→5.27 s — it rose by others getting faster; ppl1, the other
+    // new resident, was already pinned above)
+    "nov1_ngram_novelty")
 
   test("bench top-10: no cartesian, no partition-less window anywhere") {
     for (name <- top10Batch) {
