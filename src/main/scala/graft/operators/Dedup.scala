@@ -399,23 +399,27 @@ object Dedup {
         .join(sym, col("id") === col("src"))
         .groupBy(col("dst"))
         .agg(min(col("label")).as("nbr_label"))
+      // `old` (the round's starting label) rides along to the checkpoint:
+      // the convergence test is then a filter over the already-pinned
+      // blocks instead of a per-round shuffle join of `next` back against
+      // `labels` (one whole Exchange+join per round removed; labels only
+      // ever DECREASE, so `label < old` is exactly the old join's test).
       val propagated = labels
         .join(incoming, col("id") === col("dst"), "left")
-        .select(col("id"), least(col("label"), col("nbr_label")).as("label"))
+        .select(col("id"), least(col("label"), col("nbr_label")).as("label"),
+          col("label").as("old"))
       // Pointer jump: label := label(label). Labels are node ids, so the
       // self-join resolves each label one more hop toward the root.
       val roots = propagated
         .select(col("id").as("r_id"), col("label").as("r_label"))
       val next = propagated
         .join(roots, col("label") === col("r_id"), "left")
-        .select(col("id"), least(col("label"), col("r_label")).as("label"))
+        .select(col("id"), least(col("label"), col("r_label")).as("label"),
+          col("old"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .where(col("label") < col("old"))
-        .isEmpty
+      converged = next.where(col("label") < col("old")).isEmpty
       Checkpoints.release(labels)
-      labels = next
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
     require(converged,

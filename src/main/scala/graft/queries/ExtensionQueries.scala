@@ -250,7 +250,6 @@ object ExtensionQueries {
     // cost of the keep decision is visible. Same CC engine as d6 —
     // one definition, two keep policies.
     "d12_quality_canonical" -> { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documentsParallel(spark, dir)
       val edges = Dedup.consecutiveBigramEdges(docs, minJaccard = 0.05)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
@@ -259,17 +258,25 @@ object ExtensionQueries {
       val nw = docs.select(col("doc_id"),
         size(expr("filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"))
           .cast(LongType).as("n_words"))
-      val w = Window.partitionBy("cluster_id")
-        .orderBy(col("n_words").desc, col("doc_id"))
+      // Keep decision as ONE hash aggregate (optimization r15, guide
+      // §2.3): the r14 shape ranked members with a per-cluster
+      // row_number window and then re-grouped — a full partition sort
+      // plus a second pass, with no map-side partial aggregation. The
+      // winner under (n_words DESC, doc_id ASC) is exactly the
+      // lexicographic MAX of struct(n_words, -doc_id) — doc_id is unique
+      // per member, so the argmax is total and deterministic — which
+      // folds into the same partial+final aggregate as the counts.
+      // Oracle re-MATCHes byte-identically.
       clusters.join(nw, Seq("doc_id"))
-        .withColumn("rk", row_number().over(w))
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("n_members"),
-          max(when(col("rk") === 1, col("doc_id"))).as("kept_doc"),
-          max(when(col("rk") === 1, col("n_words"))).as("kept_n_words"),
+          max(struct(col("n_words"), (-col("doc_id")).as("neg_doc"))).as("b"),
           sum(col("n_words")).as("cluster_words"))
-        .withColumn("words_dropped",
-          col("cluster_words") - col("kept_n_words"))
+        .select(col("cluster_id"), col("n_members"),
+          (-col("b.neg_doc")).as("kept_doc"),
+          col("b.n_words").as("kept_n_words"),
+          col("cluster_words"),
+          (col("cluster_words") - col("b.n_words")).as("words_dropped"))
         .orderBy("cluster_id")
     },
 

@@ -664,31 +664,62 @@ object TrainingDataQueries {
     // can never drift from the audited parts. Output is stage-level:
     // 5 rows of exact BIGINTs.
     "tm1_training_funnel" -> { (spark, dir) =>
-      import spark.implicits._
+      // ONE-PASS funnel (optimization r15, guide §2.3/§2.4): the r14
+      // shape materialized every stage (4 eager localCheckpoints of the
+      // full text column) and ran 5 separate count/sum aggregations +
+      // a 5-way union. Both gates are PER-DOCUMENT-pure (gopherMetrics
+      // is map-only over one tokenization; linearQualityScores depends
+      // only on the doc's own bigrams + the fixed broadcast weight
+      // table), so gate verdicts computed on the FULL corpus equal the
+      // verdicts on each stage's survivors — stage membership is a
+      // conjunction of per-doc flags, and the whole funnel is one
+      // conditional aggregation over one pass. Gates remain THE same
+      // registered definitions (dq.gopherMetrics / linearQualityScores);
+      // the oracle re-MATCHes byte-identically (rows+schema+hash).
       val dq = graft.operators.DataQuality
       val docs = Tables.documentsParallel(spark, dir)
         .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
-        .localCheckpoint(eager = true)
       val keepExact = docs
         .groupBy(sha2(col("text"), 256).as("h"))
         .agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
-      val s1 = docs.join(keepExact, Seq("doc_id")).localCheckpoint(eager = true)
-      val s2 = s1.join(
-        dq.gopherMetrics(s1).where(col("gopher_pass")).select("doc_id"),
-        Seq("doc_id")).localCheckpoint(eager = true)
-      val s3 = s2.join(
-        dq.linearQualityScores(s2).where(col("quality_pass")).select("doc_id"),
-        Seq("doc_id")).localCheckpoint(eager = true)
-      val s4 = s3.where(col("lang").isin("en", "de", "fr", "es"))
-      val stages = Seq(
-        (1L, "input", docs), (2L, "exact_dedup", s1), (3L, "gopher_gate", s2),
-        (4L, "quality_gate", s3), (5L, "lang_allowlist", s4))
-      stages.map { case (ord, name, df) =>
-        df.agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
-          .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
-            col("n_docs"), coalesce(col("n_chars"), lit(0L)).as("n_chars"))
-      }.reduce(_ unionByName _).orderBy("stage_ord")
+        .select(col("doc_id"), lit(true).as("__keep"))
+      val flags = docs
+        .join(keepExact, Seq("doc_id"), "left")
+        .join(dq.gopherMetrics(docs).select("doc_id", "gopher_pass"),
+          Seq("doc_id"))
+        .join(dq.linearQualityScores(docs).select("doc_id", "quality_pass"),
+          Seq("doc_id"))
+        .select(col("n_chars"),
+          coalesce(col("__keep"), lit(false)).as("s1"),
+          (coalesce(col("__keep"), lit(false)) && col("gopher_pass")).as("s2"),
+          (coalesce(col("__keep"), lit(false)) && col("gopher_pass") &&
+            col("quality_pass")).as("s3"),
+          (coalesce(col("__keep"), lit(false)) && col("gopher_pass") &&
+            col("quality_pass") &&
+            col("lang").isin("en", "de", "fr", "es")).as("s4"))
+      def stageStruct(ord: Long, name: String,
+          n: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+        struct(lit(ord).as("stage_ord"), lit(name).as("stage"),
+          n.as("n_docs"), coalesce(c, lit(0L)).as("n_chars"))
+      flags.agg(
+          count(lit(1)).as("n0"), sum(col("n_chars")).as("c0"),
+          count(when(col("s1"), 1)).as("n1"),
+          sum(when(col("s1"), col("n_chars"))).as("c1"),
+          count(when(col("s2"), 1)).as("n2"),
+          sum(when(col("s2"), col("n_chars"))).as("c2"),
+          count(when(col("s3"), 1)).as("n3"),
+          sum(when(col("s3"), col("n_chars"))).as("c3"),
+          count(when(col("s4"), 1)).as("n4"),
+          sum(when(col("s4"), col("n_chars"))).as("c4"))
+        .select(explode(array(
+          stageStruct(1L, "input", col("n0"), col("c0")),
+          stageStruct(2L, "exact_dedup", col("n1"), col("c1")),
+          stageStruct(3L, "gopher_gate", col("n2"), col("c2")),
+          stageStruct(4L, "quality_gate", col("n3"), col("c3")),
+          stageStruct(5L, "lang_allowlist", col("n4"), col("c4")))).as("s"))
+        .select(col("s.stage_ord").as("stage_ord"), col("s.stage").as("stage"),
+          col("s.n_docs").as("n_docs"), col("s.n_chars").as("n_chars"))
+        .orderBy("stage_ord")
     },
 
     // The CLEANED-corpus pipeline end to end — the round-5 funnel (tm1)
@@ -702,37 +733,42 @@ object TrainingDataQueries {
     // Every stage is the same definition as its standalone oracle query
     // (sdr1 / gq1), so the chain can never drift from its parts.
     "tm2_clean_corpus" -> { (spark, dir) =>
+      // ONE-PASS census (optimization r15, guide §2.3/§2.4): the r14
+      // shape materialized `cleaned` AND the 32-char survivors (`ne`),
+      // aggregated each branch separately, and joined the two censuses
+      // back on `source`. The Gopher gate is PER-DOCUMENT-pure, so its
+      // verdict on a cleaned doc is the same whether computed over the
+      // 32-char survivors or over all cleaned docs — final-corpus
+      // membership is a per-doc conjunction (len>=32 AND gopher_pass),
+      // and the whole census is one conditional groupBy(source). One
+      // materialization (the span-removal output), one aggregation, no
+      // census join. Gate stays THE registered definition; oracle
+      // re-MATCHes byte-identically.
       val dq = graft.operators.DataQuality
       val docsRaw = Tables.documentsParallel(spark, dir)
       val cleaned = Contamination.removeDuplicateSpans(docsRaw)
         .select(col("doc_id"), col("clean_text").as("text"))
         .join(docsRaw.select(col("doc_id"), col("source"),
           col("n_chars").as("n_chars_input")), Seq("doc_id"))
-        .localCheckpoint(eager = true) // feeds census + gate chain
-      val ne = cleaned.where(length(col("text")) >= 32)
-        .localCheckpoint(eager = true)
-      val fin = ne.join(
-        dq.gopherMetrics(ne.select(col("doc_id"), col("text")))
-          .where(col("gopher_pass")).select("doc_id"),
+        .localCheckpoint(eager = true) // feeds census + gate join
+      val flagged = cleaned.join(
+        dq.gopherMetrics(cleaned.select(col("doc_id"), col("text")))
+          .select("doc_id", "gopher_pass"),
         Seq("doc_id"))
-      val a = cleaned.groupBy("source").agg(
-        count(lit(1)).as("n_input"),
-        sum(col("n_chars_input")).as("chars_input"),
-        sum(when(length(col("text")) >= 32, 1L).otherwise(0L))
-          .as("n_after_clean"),
-        sum(when(length(col("text")) >= 32, length(col("text")).cast(LongType))
-          .otherwise(0L)).as("chars_clean"))
-      val f = fin.groupBy("source").agg(
-        count(lit(1)).as("n_final"),
-        sum(length(col("text")).cast(LongType)).as("chars_final"),
-        sum(graft.operators.Dedup.portableHash60(col("text")) % lit(1000003L))
-          .as("clean_digest"))
-      a.join(f, Seq("source"), "left")
-        .select(col("source"), col("n_input"), col("chars_input"),
-          col("n_after_clean"), col("chars_clean"),
-          coalesce(col("n_final"), lit(0L)).as("n_final"),
-          coalesce(col("chars_final"), lit(0L)).as("chars_final"),
-          coalesce(col("clean_digest"), lit(0L)).as("clean_digest"))
+        .select(col("source"), col("n_chars_input"),
+          length(col("text")).cast(LongType).as("len"),
+          (length(col("text")) >= 32).as("ok32"),
+          ((length(col("text")) >= 32) && col("gopher_pass")).as("fin"),
+          (graft.operators.Dedup.portableHash60(col("text")) % lit(1000003L))
+            .as("h"))
+      flagged.groupBy("source").agg(
+          count(lit(1)).as("n_input"),
+          sum(col("n_chars_input")).as("chars_input"),
+          sum(when(col("ok32"), 1L).otherwise(0L)).as("n_after_clean"),
+          sum(when(col("ok32"), col("len")).otherwise(0L)).as("chars_clean"),
+          count(when(col("fin"), 1)).as("n_final"),
+          coalesce(sum(when(col("fin"), col("len"))), lit(0L)).as("chars_final"),
+          coalesce(sum(when(col("fin"), col("h"))), lit(0L)).as("clean_digest"))
         .orderBy("source")
     },
 
@@ -751,15 +787,19 @@ object TrainingDataQueries {
     // distributed two-pass form — no global window anywhere.
     "tm3_training_manifest" -> { (spark, dir) =>
       val dq = graft.operators.DataQuality
+      // Gate flags fold into ONE pass (optimization r15, same per-doc-
+      // purity argument as tm1): the r14 shape joined survivors stage by
+      // stage, re-deriving the s1 join inside gopherMetrics(s1). The
+      // Gopher verdict is per-doc-pure, so it joins ONCE against the
+      // full corpus and survivorship is a conjunction. Oracle re-MATCHes.
       val docs = Tables.documentsParallel(spark, dir)
         .select(col("doc_id"), col("text"))
       val keep = docs
         .groupBy(sha2(col("text"), 256).as("h"))
         .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-      val s1 = docs.join(keep, Seq("doc_id"))
-      val s2 = s1.join(
-        dq.gopherMetrics(s1).where(col("gopher_pass")).select("doc_id"),
-        Seq("doc_id"))
+      val s2 = docs.join(keep, Seq("doc_id"))
+        .join(dq.gopherMetrics(docs).where(col("gopher_pass")).select("doc_id"),
+          Seq("doc_id"))
       val toks = s2.select(col("doc_id"),
         size(TextAnalysis.words(col("text"))).cast(LongType).as("n_tok"),
         graft.operators.Dedup.portableHash60(
