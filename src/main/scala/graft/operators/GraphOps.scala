@@ -269,14 +269,19 @@ object GraphOps {
   val SsspInf = 1000000000L
   def boundedSssp(nodes: DataFrame, edges: DataFrame, k: Int,
       isSource: Column): DataFrame = {
+    // Symmetrize once outside the loop — same halving of per-round
+    // exchanges as minLabelRounds (optimization r15, guide §2.4).
+    val sym = edges
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"), col("w"))
+      .unionAll(
+        edges.select(col("doc_b").as("src"), col("doc_a").as("dst"), col("w")))
+      .localCheckpoint(eager = true)
     var dist = nodes.select(col("v"),
       when(isSource, 0L).otherwise(SsspInf).as("d"))
     for (_ <- 1 to k) {
-      val viaA = edges.join(dist, col("v") === col("doc_a"))
-        .select(col("doc_b").as("v"), (col("d") + col("w")).as("d"))
-      val viaB = edges.join(dist, col("v") === col("doc_b"))
-        .select(col("doc_a").as("v"), (col("d") + col("w")).as("d"))
-      dist = dist.unionByName(viaA).unionByName(viaB)
+      val via = sym.join(dist, col("v") === col("src"))
+        .select(col("dst").as("v"), (col("d") + col("w")).as("d"))
+      dist = dist.unionByName(via)
         .groupBy("v").agg(min(col("d")).as("d"))
         // loop-carried (lineage flattening): each round's relation is
         // consumed once, by the next round — lazy materializes it inside
@@ -419,13 +424,20 @@ object GraphOps {
     * (doc_a, doc_b); returns (v, lab).
     */
   def minLabelRounds(nodes: DataFrame, edges: DataFrame, k: Int): DataFrame = {
+    // Symmetrize ONCE outside the loop (optimization r15, guide §2.4):
+    // the per-round "labels of both endpoints" used to be two joins of
+    // the directed edge list (4 Exchanges per round); one join against
+    // the pinned symmetric list computes the identical neighbor-label
+    // multiset with half the exchanges. Eager pin: k consumers, and the
+    // loop's lazy label checkpoints must never need to re-derive it.
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(eager = true)
     var labels = nodes.select(col("v"), col("v").as("lab"))
     for (_ <- 1 to k) {
-      val viaA = edges.join(labels, col("v") === col("doc_b"))
-        .select(col("doc_a").as("v"), col("lab"))
-      val viaB = edges.join(labels, col("v") === col("doc_a"))
-        .select(col("doc_b").as("v"), col("lab"))
-      labels = labels.unionByName(viaA).unionByName(viaB)
+      val via = sym.join(labels, col("v") === col("src"))
+        .select(col("dst").as("v"), col("lab"))
+      labels = labels.unionByName(via)
         .groupBy("v").agg(min(col("lab")).as("lab"))
         .localCheckpoint(eager = false)
     }
