@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
@@ -63,9 +63,20 @@ object Tables {
     * comes from the planned partitioning, not the data, so this adds no
     * job. Guarded by `PlanSpec` ("multi-split input plans no Exchange").
     */
-  private[graft] def withScanParallelism(spark: SparkSession, df: DataFrame): DataFrame = {
+  /** `keys`: hash-partition by these columns instead of round-robin
+    * (optimization r15, guide §2.4): a keyed repartition both skips the
+    * local sort every round-robin repartition pays
+    * (spark.sql.execution.sortBeforeRepartition) and is REUSED by any
+    * downstream join/groupBy on the same key — round-robin stacked a
+    * second full Exchange of the text column under every doc_id-keyed
+    * join (tm1 plan: Exchange(24)+Exchange(25) back to back).
+    */
+  private[graft] def withScanParallelism(
+      spark: SparkSession, df: DataFrame, keys: Column*): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target / 2) df.repartition(target) else df
+    if (df.rdd.getNumPartitions >= target / 2) df
+    else if (keys.isEmpty) df.repartition(target)
+    else df.repartition(target, keys: _*)
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "lineitem")
@@ -85,6 +96,6 @@ object Tables {
     * bytes here are trivially small relative to the CPU they unlock).
     */
   def documentsParallel(spark: SparkSession, dir: String): DataFrame =
-    withScanParallelism(spark, documents(spark, dir))
+    withScanParallelism(spark, documents(spark, dir), col("doc_id"))
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
 }
