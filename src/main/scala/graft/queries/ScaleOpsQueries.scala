@@ -225,9 +225,15 @@ object ScaleOpsQueries {
     "bkt1_bucketed_join" -> { (spark, dir) =>
       val base = new java.io.File(
         sys.props("java.io.tmpdir"), "graft_bucketed").getAbsolutePath
+      // repartition(8, key) before the bucketed write (optimization r15,
+      // guide §6): bucket placement is pmod(murmur3(key), 8) — exactly
+      // HashPartitioning — so pre-partitioning by the bucket key makes
+      // each write task own ONE bucket and emit ONE file (8 files total)
+      // instead of every scan task writing up to 8 (8×tasks tiny files),
+      // which also halves the read-side open cost of the join below.
       def layOut(df: DataFrame, table: String, key: String): Unit = {
         spark.sql(s"DROP TABLE IF EXISTS $table")
-        df.write.mode("overwrite").format("parquet")
+        df.repartition(8, col(key)).write.mode("overwrite").format("parquet")
           .bucketBy(8, key).sortBy(key)
           .option("path", s"$base/$table")
           .saveAsTable(table)
@@ -286,10 +292,14 @@ object ScaleOpsQueries {
     "bkt2_partitioned_bucketed" -> { (spark, dir) =>
       val base = new java.io.File(
         sys.props("java.io.tmpdir"), "graft_bucketed").getAbsolutePath
+      // same one-file-per-bucket pre-partitioning as bkt1 (a partitioned
+      // table writes one file per (partition dir, bucket) — still
+      // task-count-independent)
       def layOut(df: DataFrame, table: String, key: String,
           parts: Seq[String]): Unit = {
         spark.sql(s"DROP TABLE IF EXISTS $table")
-        val w = df.write.mode("overwrite").format("parquet")
+        val w = df.repartition(8, col(key))
+          .write.mode("overwrite").format("parquet")
           .bucketBy(8, key).sortBy(key)
           .option("path", s"$base/$table")
         (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).saveAsTable(table)
