@@ -66,7 +66,16 @@ object ExtensionQueries {
     // xxhash64 family stays the in-Spark fast path (simHashSignatures).
     "d3_dedup_simhash" -> { (spark, dir) =>
       val docs = Tables.documentsParallel(spark, dir)
+      // PIN the signatures (optimization r15): sigs feed the band
+      // self-join (both sides) AND the final per-doc join. The r14 plan
+      // deduplicated those subtrees via ReuseExchange at the groupBy's
+      // shuffle; with documentsParallel now hash-partitioned by doc_id
+      // that exchange no longer exists, so without this pin every
+      // consumer re-runs the per-word md5 pass (measured d3 1.8→2.9 s).
+      // The pinned relation is (doc_id, simhash) — 16 bytes/doc at any
+      // corpus size, the standard materialize-signatures posture.
       val sigs = Dedup.simHashPortableSignatures(docs)
+        .localCheckpoint(eager = true)
       val cands = Dedup.simHashCandidates(docs, maxHamming = 10,
         precomputedSigs = Some(sigs))
       val perDoc = cands
