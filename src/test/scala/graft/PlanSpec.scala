@@ -390,4 +390,24 @@ class PlanSpec extends SparkSpec {
     assert(one.rdd.getNumPartitions == spark.sparkContext.defaultParallelism,
       "single-split fixture should be repartitioned to full parallelism")
   }
+
+  test("withScanParallelism keyed: repartition is hash-by-key and is reused by a keyed groupBy") {
+    // Optimization r15: the single-split rescue repartition, when given a
+    // key, must (a) hash-partition (no sortBeforeRepartition local sort,
+    // reusable partitioning) and (b) satisfy a downstream groupBy on the
+    // same key with NO second Exchange. Round-robin stacked two full
+    // exchanges of the text column under every doc_id-keyed join.
+    val dir = graft.tools.Scratch.dir("scanparkey").toString
+    spark.range(1000).coalesce(1).write.mode("overwrite").parquet(s"$dir/one")
+    val keyed = Tables.withScanParallelism(
+      spark, spark.read.parquet(s"$dir/one"),
+      org.apache.spark.sql.functions.col("id"))
+    val plan = keyed.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(id"),
+      s"expected a hash-by-key repartition, got: $plan")
+    val grouped = keyed.groupBy("id").count()
+    val gplan = grouped.queryExecution.executedPlan.toString
+    assert(gplan.split("Exchange").length - 1 == 1,
+      s"keyed groupBy over the keyed repartition must reuse its exchange, got: $gplan")
+  }
 }
