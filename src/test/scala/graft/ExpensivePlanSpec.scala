@@ -80,13 +80,30 @@ class ExpensivePlanSpec extends SparkSpec {
     }
   }
 
-  test("tm1: gates are inline expressions — zero joins, one corpus pass per stage") {
-    // The funnel's strongest shape: every gate is an expression over the
-    // scan, so the plan has NO join at all; the only exchanges are the
-    // 1-row SinglePartition aggregate partials per stage.
-    val plan = executedString(q("tm1_training_funnel"))
-    assert(!plan.contains("Join"),
-      s"tm1 grew a join — gates should stay inline expressions:\n${plan.take(600)}")
+  test("tm1: one conditional aggregation pass; gate joins key on doc_id, never text") {
+    // Optimization r15 shape: stage membership is a conjunction of
+    // per-doc flags, so the WHOLE funnel is one global conditional
+    // aggregate (exactly one partial+final pair, stages exploded from
+    // its single row) — the r14 shape ran five per-stage aggregations
+    // over four eagerly-materialized stage snapshots. (The old pin here
+    // asserted "no Join" on a plan those checkpoints had truncated to
+    // the final fragment — it was vacuous.) The gate-verdict joins are
+    // corpus-sized and doc_id-keyed — cal1's documented correct shape —
+    // and no exchange may ever key on raw text.
+    val plan = executed(q("tm1_training_funnel"))
+    val globalAggs = plan.collect {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if h.groupingExpressions.isEmpty => h
+    }
+    assert(globalAggs.size == 2,
+      s"tm1 must compute all five stages in ONE partial+final global " +
+        s"aggregate pair, found ${globalAggs.size}")
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    for (e <- exchanges)
+      assert(!e.outputPartitioning.toString.toLowerCase.contains("text"),
+        s"tm1 shuffles on a raw text column: ${e.outputPartitioning}")
   }
 
   test("cal1: weight table broadcasts; doc-keyed joins shuffle on doc_id, never text") {
