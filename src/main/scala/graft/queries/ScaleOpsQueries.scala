@@ -225,15 +225,22 @@ object ScaleOpsQueries {
     "bkt1_bucketed_join" -> { (spark, dir) =>
       val base = new java.io.File(
         sys.props("java.io.tmpdir"), "graft_bucketed").getAbsolutePath
-      // repartition(8, key) before the bucketed write (optimization r15,
-      // guide §6): bucket placement is pmod(murmur3(key), 8) — exactly
-      // HashPartitioning — so pre-partitioning by the bucket key makes
-      // each write task own ONE bucket and emit ONE file (8 files total)
-      // instead of every scan task writing up to 8 (8×tasks tiny files),
-      // which also halves the read-side open cost of the join below.
+      // Keyed repartition before the bucketed write (optimization r15,
+      // guide §6): bucket placement is pmod(murmur3(key), 8) — the same
+      // function as HashPartitioning — and hash partitions NEST into
+      // buckets when the partition count is a multiple of 8
+      // (h mod 8N ≡ p  ⇒  h mod 8 = p mod 8), so every write task owns
+      // exactly ONE bucket and emits ONE file (N files total, N/8 per
+      // bucket) instead of every scan task writing up to 8 (8×tasks tiny
+      // files). N scales with the cluster (multiple-of-8 core count,
+      // floor 8) — an sf1.0 A/B showed a fixed N=8 under-parallelizes
+      // the sort+write once rows dominate task overhead (3.6→5.2 s).
+      val writeParts = math.max(8,
+        spark.sparkContext.defaultParallelism / 8 * 8)
       def layOut(df: DataFrame, table: String, key: String): Unit = {
         spark.sql(s"DROP TABLE IF EXISTS $table")
-        df.repartition(8, col(key)).write.mode("overwrite").format("parquet")
+        df.repartition(writeParts, col(key))
+          .write.mode("overwrite").format("parquet")
           .bucketBy(8, key).sortBy(key)
           .option("path", s"$base/$table")
           .saveAsTable(table)
@@ -292,13 +299,15 @@ object ScaleOpsQueries {
     "bkt2_partitioned_bucketed" -> { (spark, dir) =>
       val base = new java.io.File(
         sys.props("java.io.tmpdir"), "graft_bucketed").getAbsolutePath
-      // same one-file-per-bucket pre-partitioning as bkt1 (a partitioned
-      // table writes one file per (partition dir, bucket) — still
-      // task-count-independent)
+      // same one-bucket-per-task pre-partitioning as bkt1 (nested hash:
+      // partition count a multiple of the bucket count; a partitioned
+      // table writes one file per (partition dir, task))
+      val writeParts = math.max(8,
+        spark.sparkContext.defaultParallelism / 8 * 8)
       def layOut(df: DataFrame, table: String, key: String,
           parts: Seq[String]): Unit = {
         spark.sql(s"DROP TABLE IF EXISTS $table")
-        val w = df.repartition(8, col(key))
+        val w = df.repartition(writeParts, col(key))
           .write.mode("overwrite").format("parquet")
           .bucketBy(8, key).sortBy(key)
           .option("path", s"$base/$table")
