@@ -164,6 +164,18 @@ object Bench {
     if (bestS <= 0 || nearestS <= 0) 1.0
     else math.min(CanaryDegradedRatio, math.max(1.0, nearestS / bestS))
 
+  /** Amnesty is CAPPED (VERDICT r15 #5): canary normalization may absorb
+    * a 2-3x reading (the usual box-window drift), but a reading at or
+    * beyond 3x the committed baseline is too large to publish on the
+    * canary's word alone — the r15 driver sweep published bm1 at 9.8 s
+    * (14.7x its baseline) and wcont1 at 19.5 s (12x) as amnestied
+    * first-pass values, and those two alone inflated the PERF total by
+    * ~25 s. At or past this ratio the reading goes through the normal
+    * suspect retry + adjudication instead (one extra measurement; a
+    * clean retry then publishes).
+    */
+  val AmnestyCapRatio = 3.0
+
   /** Did canary normalization ABSORB a would-be suspect? True when the
     * raw reading clears the >=2x suspect bar but the canary-normalized
     * reading does not — the exact class the r14 `d2_dedup_minhash`
@@ -172,11 +184,14 @@ object Bench {
     * legitimate (the box was provably slow around that sweep slot) but
     * must be AUDITABLE: every absorbed reading publishes under
     * `amnestied` in bench_detail.json so it costs one quiet-box A/B,
-    * not a judge archaeology session (VERDICT r14 #2, ADVICE r14).
+    * not a judge archaeology session (VERDICT r14 #2, ADVICE r14) —
+    * and BOUNDED: readings >= [[AmnestyCapRatio]]x the baseline are
+    * never absorbed, they retry like any other suspect (VERDICT r15 #5).
     */
   private[graft] def isAmnestied(
       median: Double, factor: Double, baseline: Option[Double]): Boolean =
-    isSuspect(median, baseline) && !isSuspect(median / factor, baseline)
+    isSuspect(median, baseline) && !isSuspect(median / factor, baseline) &&
+      baseline.exists(b => median < b * AmnestyCapRatio)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -326,9 +341,14 @@ object Bench {
         Some(name -> (sec, f, baselines.getOrElse(name, -1.0)))
       else None
     }
+    // Suspect = raw >=2x drift that amnesty did not absorb. Amnesty is
+    // both canary-justified AND capped at AmnestyCapRatio x the baseline
+    // (VERDICT r15 #5), so an extreme reading retries even inside a
+    // provably degraded window.
     val suspects = firstPass.filter { case (name, sec, idx) =>
-      isSuspect(sec / canaryFactor(nearestCanary(idx), canaryRef),
-        baselines.get(name))
+      isSuspect(sec, baselines.get(name)) &&
+        !isAmnestied(sec, canaryFactor(nearestCanary(idx), canaryRef),
+          baselines.get(name))
     }.map { case (name, firstS, _) =>
       val retryS = measure(name, SparkEntry.queries(name), warm = false)
       val degraded = !retryConfirms(retryS, baselines.get(name)) &&

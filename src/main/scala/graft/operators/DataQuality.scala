@@ -28,6 +28,16 @@ object DataQuality {
     * 100000, mean word length in [2, 10]). See gq1 for the full scale
     * notes.
     *
+    * CONTRACT (load-bearing for the tm1/tm2/tm3 one-pass funnels,
+    * ADVICE r15): this gate is PER-DOC-PURE — each verdict is a function
+    * of that document's own text alone, never of any corpus statistic —
+    * and emits EXACTLY ONE output row per input row. The funnel rewrites
+    * conjoin stage flags computed over the full corpus; a corpus-level
+    * statistic added here (e.g. a global frequency threshold) would make
+    * full-corpus flags differ from per-stage survivor flags and silently
+    * skew stage counts. `DataQualitySpec` property-pins both halves
+    * (subset-invariance + row-count preservation).
+    *
     * `barrier` (default true) pins the six metric longs with a lazy
     * localCheckpoint so a batch consumer's `.where(gopher_pass)` cannot
     * push the gate — with every interpreted fold inlined — below this
@@ -124,6 +134,12 @@ object DataQuality {
     * funnel. Word bigrams hash to B=4096 portable-md5 buckets; the
     * deterministic 4096-row integer weight table broadcasts; the score
     * is the exact-integer dot product Σ count(b)·w(b), gate = score > 0.
+    *
+    * CONTRACT (ADVICE r15, same as [[gopherMetrics]]): PER-DOC-PURE —
+    * the score sees only the doc's own bigrams plus the FIXED broadcast
+    * weight table — and exactly one output row per input row. The
+    * tm1/tm2/tm3 one-pass funnels depend on both halves; property-pinned
+    * in `DataQualitySpec`.
     */
   def linearQualityScores(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StringType}

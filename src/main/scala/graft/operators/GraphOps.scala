@@ -278,17 +278,43 @@ object GraphOps {
       .localCheckpoint(eager = true)
     var dist = nodes.select(col("v"),
       when(isSource, 0L).otherwise(SsspInf).as("d"))
+    // FRONTIER reduction (optimization r16, VERDICT r15 #2, guide §2.4):
+    // classic frontier Bellman-Ford. Only a node whose distance IMPROVED
+    // last round can improve a neighbor this round — a node u unchanged
+    // since round r-1 already contributed d(u)+w to every neighbor at
+    // round r-1, and distances only decrease, so re-offering it is a
+    // no-op. Each round therefore joins the edge list against the
+    // (shrinking) delta set instead of the full dist relation, and dist
+    // updates by a keyed left join instead of re-aggregating every node:
+    // the full-width union+groupBy per round is gone. Round 0's frontier
+    // is the source set (every non-source sits at the INF sentinel and,
+    // with strictly positive weights, can never improve anyone).
+    var frontier = dist.where(col("d") < SsspInf)
+    val roundPins = scala.collection.mutable.ListBuffer[DataFrame]()
     for (_ <- 1 to k) {
-      val via = sym.join(dist, col("v") === col("src"))
-        .select(col("dst").as("v"), (col("d") + col("w")).as("d"))
-      dist = dist.unionByName(via)
-        .groupBy("v").agg(min(col("d")).as("d"))
-        // loop-carried (lineage flattening): each round's relation is
-        // consumed once, by the next round — lazy materializes it inside
-        // the one action; eager would add a blocking job per round
+      val via = sym.join(frontier, col("v") === col("src"))
+        .groupBy(col("dst"))
+        .agg(min(col("d") + col("w")).as("nd"))
+      // loop-carried (lineage flattening): consumed by the next round —
+      // lazy materializes inside the one action; eager would add a
+      // blocking job per round. least() ignores the null nd of rows the
+      // frontier did not reach; a null improvement flag filters out.
+      val upd = dist.join(via, col("v") === col("dst"), "left")
+        .select(col("v"), least(col("d"), col("nd")).as("d"),
+          (col("nd") < col("d")).as("__imp"))
         .localCheckpoint(eager = false)
+      roundPins += upd
+      dist = upd.select(col("v"), col("d"))
+      frontier = upd.where(col("__imp")).select(col("v"), col("d"))
     }
-    dist
+    // Pin the result eagerly, then free the loop-invariant edge list and
+    // the per-round intermediates (ADVICE r15): the returned relation no
+    // longer needs either, and a long-lived session must not accumulate
+    // edge-width blocks per invocation. One blocking job, dist-width.
+    val out = dist.localCheckpoint(eager = true)
+    Checkpoints.release(sym)
+    roundPins.foreach(Checkpoints.release)
+    out
   }
 
   /** Bounded-round k-core PEELING: `rounds` synchronous rounds of
@@ -434,13 +460,35 @@ object GraphOps {
       .unionAll(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(eager = true)
     var labels = nodes.select(col("v"), col("v").as("lab"))
+    // FRONTIER reduction (optimization r16, VERDICT r15 #2 applied to
+    // LPA, guide §2.4): only nodes whose label DROPPED last round can
+    // lower a neighbor this round — an unchanged node's label already
+    // reached every neighbor the round it last changed, and labels only
+    // decrease, so re-offering it cannot alter any min. Round 1 treats
+    // every node as changed (nothing has propagated yet). Each round is
+    // then one edge join against the shrinking delta set plus one keyed
+    // left join to fold improvements into the pinned labels — the
+    // full-node union+min-groupBy per round is gone. On near-dup graphs
+    // (lp1/mod1: most nodes isolated or in tiny components) the frontier
+    // collapses after round 1 and later rounds are near-free.
+    var changed = labels
+    val roundPins = scala.collection.mutable.ListBuffer[DataFrame]()
     for (_ <- 1 to k) {
-      val via = sym.join(labels, col("v") === col("src"))
-        .select(col("dst").as("v"), col("lab"))
-      labels = labels.unionByName(via)
-        .groupBy("v").agg(min(col("lab")).as("lab"))
+      val via = sym.join(changed, col("v") === col("src"))
+        .groupBy(col("dst")).agg(min(col("lab")).as("nl"))
+      val upd = labels.join(via, col("v") === col("dst"), "left")
+        .select(col("v"), least(col("lab"), col("nl")).as("lab"),
+          (col("nl") < col("lab")).as("__imp"))
         .localCheckpoint(eager = false)
+      roundPins += upd
+      labels = upd.select(col("v"), col("lab"))
+      changed = upd.where(col("__imp")).select(col("v"), col("lab"))
     }
-    labels
+    // Eager-pin the result, release the edge list + round intermediates
+    // (ADVICE r15 — the long-lived-session leak class).
+    val out = labels.localCheckpoint(eager = true)
+    Checkpoints.release(sym)
+    roundPins.foreach(Checkpoints.release)
+    out
   }
 }

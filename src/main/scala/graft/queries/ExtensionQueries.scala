@@ -271,21 +271,30 @@ object ExtensionQueries {
       // §2.3): the r14 shape ranked members with a per-cluster
       // row_number window and then re-grouped — a full partition sort
       // plus a second pass, with no map-side partial aggregation. The
-      // winner under (n_words DESC, doc_id ASC) is exactly the
-      // lexicographic MAX of struct(n_words, -doc_id) — doc_id is unique
-      // per member, so the argmax is total and deterministic — which
-      // folds into the same partial+final aggregate as the counts.
-      // Oracle re-MATCHes byte-identically.
+      // winner under (n_words DESC, doc_id ASC) is the MAX of the pair
+      // packed into ONE BIGINT (optimization r16, VERDICT r15 #7):
+      // packed = n_words·2^32 + (2^32−1−doc_id), so larger word counts
+      // dominate and, within a count, the LOWEST doc_id packs highest.
+      // max(struct(...)) expressed the same argmax but a struct-typed
+      // buffer falls out of HashAggregateExec's mutable-buffer row
+      // (the r15 plan ran 4 SortAggregates); max(BIGINT) keeps the whole
+      // keep decision hash-aggregated with map-side partials. Domain:
+      // exact while doc_id < 2^32 and n_words < 2^31 — the same
+      // documented-integer-headroom posture as mod1's 4m·e_c bound
+      // (past 4.3e9 docs, widen to the struct form or DECIMAL).
+      val packed = shiftleft(col("n_words"), 32) +
+        (lit(4294967295L) - col("doc_id"))
       clusters.join(nw, Seq("doc_id"))
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("n_members"),
-          max(struct(col("n_words"), (-col("doc_id")).as("neg_doc"))).as("b"),
+          max(packed).as("b"),
           sum(col("n_words")).as("cluster_words"))
         .select(col("cluster_id"), col("n_members"),
-          (-col("b.neg_doc")).as("kept_doc"),
-          col("b.n_words").as("kept_n_words"),
+          (lit(4294967295L) - col("b").bitwiseAND(lit(4294967295L)))
+            .as("kept_doc"),
+          shiftright(col("b"), 32).as("kept_n_words"),
           col("cluster_words"),
-          (col("cluster_words") - col("b.n_words")).as("words_dropped"))
+          (col("cluster_words") - shiftright(col("b"), 32)).as("words_dropped"))
         .orderBy("cluster_id")
     },
 

@@ -131,6 +131,21 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!Bench.isAmnestied(median = 3.43, factor = 1.0, baseline = Some(1.48)))
   }
 
+  test("amnesty is capped: the r15 bm1/wcont1 extremes retry instead of publishing") {
+    // VERDICT r15 #5: the r15 driver sweep published bm1 = 9.84 s
+    // (baseline 0.67, 14.7x) and wcont1 = 19.49 s (12x) as amnestied
+    // first-pass readings — together ~25 s of phantom total. At or past
+    // AmnestyCapRatio x the baseline the canary may not absorb the
+    // reading; it goes through the normal retry + adjudication.
+    assert(!Bench.isAmnestied(median = 9.836, factor = 3.0, baseline = Some(0.669)))
+    assert(!Bench.isAmnestied(median = 19.491, factor = 3.0, baseline = Some(1.599)))
+    // moderate canary-justified drift is still absorbed (and logged)
+    assert(Bench.isAmnestied(median = 1.6, factor = 2.4, baseline = Some(0.669)))
+    // the cap is >=: exactly 3x is retried, just under is absorbable
+    assert(!Bench.isAmnestied(median = 3.0, factor = 2.4, baseline = Some(1.0)))
+    assert(Bench.isAmnestied(median = 2.99, factor = 2.4, baseline = Some(1.0)))
+  }
+
   test("baseline is SF-gated: a detail artifact from another scale never becomes the reference") {
     val detail =
       """{"metric":"detail","value":1.0,"unit":"sec","queries":{"q1":0.5},"sf":"/root/testdata/sf0.01"}"""

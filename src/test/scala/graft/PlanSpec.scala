@@ -406,8 +406,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(id"),
       s"expected a hash-by-key repartition, got: $plan")
     val grouped = keyed.groupBy("id").count()
-    val gplan = grouped.queryExecution.executedPlan.toString
-    assert(gplan.split("Exchange").length - 1 == 1,
-      s"keyed groupBy over the keyed repartition must reuse its exchange, got: $gplan")
+    // Count actual ShuffleExchangeExec nodes (ADVICE r15): the old
+    // substring count also matched ReusedExchange/BroadcastExchange
+    // node names, making the pin brittle to unrelated plan changes.
+    grouped.write.format("noop").mode("overwrite").save()
+    val gexec = grouped.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val shuffles = gexec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.length == 1,
+      s"keyed groupBy over the keyed repartition must reuse its exchange, got: $gexec")
   }
 }

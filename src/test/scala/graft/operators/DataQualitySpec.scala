@@ -49,6 +49,44 @@ class DataQualitySpec extends SparkSpec {
       .foreach(m => assert(got(m) === 0L, m))
   }
 
+  test("gate purity contract: per-doc-pure verdicts, one output row per input row") {
+    // ADVICE r15: the tm1/tm2/tm3 one-pass funnels are correct ONLY
+    // because both gates are per-document-pure (a doc's verdict never
+    // depends on which other docs are in the corpus) and row-preserving
+    // (the census inner-joins their output). Property: verdicts computed
+    // on a SUBSET equal the same docs' verdicts computed on the FULL
+    // corpus, and output count == input count. A corpus-level statistic
+    // added to either gate breaks this test before it skews tm* counts.
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa",
+      "one two three four five six seven eight nine ten eleven twelve",
+      "x", "", "repeat me repeat me repeat me repeat me repeat me",
+      "lorem ipsum dolor sit amet consectetur adipiscing elit sed do",
+    )
+    val full = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val subset = full.where(col("doc_id") % 2 === 0)
+    def canon(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) = df
+      .select(cols.map(col): _*).collect()
+      .map(_.toSeq.mkString("|")).sorted.toSeq
+
+    val gCols = Seq("doc_id", "n_words", "word_chars", "top_word_n",
+      "top_bigram_n", "n_trigrams", "dup_trigram_n", "gopher_pass")
+    val gFull = DataQuality.gopherMetrics(full)
+    assert(gFull.count() === full.count(), "gopherMetrics must be row-preserving")
+    assert(canon(gFull.where(col("doc_id") % 2 === 0), gCols)
+      === canon(DataQuality.gopherMetrics(subset), gCols),
+      "gopherMetrics verdicts must not depend on the rest of the corpus")
+
+    val qCols = Seq("doc_id", "n_feats", "score", "quality_pass")
+    val qFull = DataQuality.linearQualityScores(full)
+    assert(qFull.count() === full.count(), "linearQualityScores must be row-preserving")
+    assert(canon(qFull.where(col("doc_id") % 2 === 0), qCols)
+      === canon(DataQuality.linearQualityScores(subset), qCols),
+      "linearQualityScores verdicts must not depend on the rest of the corpus")
+  }
+
   test("kAnonymity flags equivalence classes below k") {
     val people = Seq(
       ("us", "a"), ("us", "a"), ("us", "a"),

@@ -70,6 +70,52 @@ class TopKPerKeySpec extends SparkSpec {
       s"key-hash shuffle carried $shuffled rows; partial phase did not bound it")
   }
 
+  test("dedup: duplicated rows neither shift ranks nor displace distinct survivors") {
+    // The NN-descent fold contract (optimization r16): rows sharing the
+    // dedup key are full-row-identical; top-k over the DISTINCT rows
+    // must equal distinct().window() — duplicates never occupy two heap
+    // slots (the rank-shift hazard that forced the settled-edge
+    // anti-join), wherever in the stream they arrive and however the
+    // input is partitioned.
+    val rnd = new scala.util.Random(7)
+    // v is a FUNCTION of (key, id) — the contract: rows sharing the
+    // dedup key within a group are identical
+    val base = (1 to 600).map { i =>
+      val id = i.toLong % 50
+      val key = s"k${rnd.nextInt(17)}"
+      (id, key, (id.toInt * (key.length + key.last.toInt)) % 97)
+    }
+    // duplicate a random subset of the rows 1-3 extra times
+    val dups = base.flatMap(r => Seq.fill(rnd.nextInt(4))(r))
+    val df = rnd.shuffle(base ++ dups)
+      .toDF("id", "key", "v")
+      .select(col("key"), col("id"), col("v"))
+      .repartition(7)
+    val got = TopKPerKey.topKPerKey(df, Seq("key"),
+        Seq("v" -> false, "id" -> true), k = 3,
+        dedupCols = Seq("id"), rankCol = Some("rn"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val want = df.distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("key").orderBy(col("v").desc, col("id"))))
+      .where(col("rn") <= 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(got === want)
+  }
+
+  test("dedup: a duplicate of an EVICTED row re-competes instead of being dropped") {
+    // one partition, adversarial order: (id=1) enters the k=1 heap, is
+    // evicted by the better (id=2), then (id=1) re-arrives — the heap
+    // must treat it as live again (held-set entries are released on
+    // eviction), so the final heap is exactly the distinct-rows top-1.
+    val df = Seq((1L, "a", 10), (2L, "a", 20), (1L, "a", 10))
+      .toDF("id", "key", "v").coalesce(1)
+    val got = TopKPerKey.topKPerKey(df, Seq("key"),
+        Seq("v" -> false, "id" -> true), k = 2, dedupCols = Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(got === Set((1L, 10), (2L, 20)))
+  }
+
   test("deterministic under input partitioning changes (total sort order)") {
     val df = (1 to 500).map(i => (i.toLong, s"k${i % 7}", i * 13 % 100))
       .toDF("id", "key", "v")
