@@ -35,6 +35,27 @@ object ScaleOpsQueries {
       s"((dx & ${1L << i}) << $i) | ((dy & ${1L << i}) << ${i + 1})"
     }.mkString(" | ")
 
+  /** Pre-partition count for a bucketed layout write (bkt1/bkt2),
+    * DATA-DRIVEN (VERDICT r15 #1): one write task per ~32 MB of planned
+    * input, rounded UP to a multiple of the bucket count (8) so hash
+    * partitions nest into buckets (one file per task), floor 8, capped
+    * at the core count rounded down to a multiple of 8. The size comes
+    * from the optimized plan's statistics (file bytes × column pruning)
+    * — no job runs. Local fixtures (MBs) land at 8; a warehouse-scale
+    * relation saturates the cluster with ~input/cores per task.
+    */
+  private[graft] def bucketedWriteParts(
+      spark: SparkSession, df: DataFrame): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val coreCap = math.max(8, spark.sparkContext.defaultParallelism / 8 * 8)
+    // all arithmetic in BigInt, clamped before narrowing (an absent
+    // statistic defaults to a huge sizeInBytes — that must cap at the
+    // core count, never overflow into a tiny partition count)
+    val byData = (bytes + (32L << 20) - 1) / (32L << 20)
+    val up8 = ((byData + 7) / 8 * 8).min(BigInt(coreCap)).toInt
+    math.max(8, up8)
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Z-order layout audit — the clustering key behind multi-dimensional
@@ -225,21 +246,26 @@ object ScaleOpsQueries {
     "bkt1_bucketed_join" -> { (spark, dir) =>
       val base = new java.io.File(
         sys.props("java.io.tmpdir"), "graft_bucketed").getAbsolutePath
-      // Keyed repartition before the bucketed write (optimization r15,
-      // guide §6): bucket placement is pmod(murmur3(key), 8) — the same
-      // function as HashPartitioning — and hash partitions NEST into
-      // buckets when the partition count is a multiple of 8
-      // (h mod 8N ≡ p  ⇒  h mod 8 = p mod 8), so every write task owns
-      // exactly ONE bucket and emits ONE file (N files total, N/8 per
-      // bucket) instead of every scan task writing up to 8 (8×tasks tiny
-      // files). N scales with the cluster (multiple-of-8 core count,
-      // floor 8) — an sf1.0 A/B showed a fixed N=8 under-parallelizes
-      // the sort+write once rows dominate task overhead (3.6→5.2 s).
-      val writeParts = math.max(8,
-        spark.sparkContext.defaultParallelism / 8 * 8)
+      // Keyed repartition before the bucketed write (optimization r15 +
+      // r16, guide §6): bucket placement is pmod(murmur3(key), 8) — the
+      // same function as HashPartitioning — and hash partitions NEST
+      // into buckets when the partition count is a multiple of 8
+      // (h mod N = p and 8 | N  ⇒  h mod 8 = p mod 8), so every write
+      // task owns exactly ONE bucket and emits ONE file (N files total,
+      // N/8 per bucket) instead of every scan task writing up to 8
+      // (8×tasks tiny files). N is DATA-DRIVEN (VERDICT r15 #1: the r15
+      // core-count N keyed a 32-way exchange to the wrong axis and
+      // regressed bkt1 0.65x at sf0.1): planned input bytes at ~32 MB
+      // per write task, rounded to a multiple of 8, floor 8, capped at
+      // the core count — so the local fixture pays an 8-way exchange
+      // that parallelizes the sort+write of its single-split scan
+      // (A/B: bkt1 2.38→1.65 s, bkt2 2.70→1.40 s at sf0.1; flat within
+      // noise at sf1.0), while a warehouse-scale relation still fans to
+      // full cluster parallelism with O(cluster) files.
       def layOut(df: DataFrame, table: String, key: String): Unit = {
         spark.sql(s"DROP TABLE IF EXISTS $table")
-        df.repartition(writeParts, col(key))
+        val pre = df.repartition(ScaleOpsQueries.bucketedWriteParts(spark, df), col(key))
+        pre
           .write.mode("overwrite").format("parquet")
           .bucketBy(8, key).sortBy(key)
           .option("path", s"$base/$table")
@@ -299,15 +325,14 @@ object ScaleOpsQueries {
     "bkt2_partitioned_bucketed" -> { (spark, dir) =>
       val base = new java.io.File(
         sys.props("java.io.tmpdir"), "graft_bucketed").getAbsolutePath
-      // same one-bucket-per-task pre-partitioning as bkt1 (nested hash:
-      // partition count a multiple of the bucket count; a partitioned
-      // table writes one file per (partition dir, task))
-      val writeParts = math.max(8,
-        spark.sparkContext.defaultParallelism / 8 * 8)
+      // same one-bucket-per-task, data-driven pre-partitioning as bkt1
+      // (nested hash: h mod N = p and 8 | N ⇒ h mod 8 = p mod 8; a
+      // partitioned table writes one file per (partition dir, task))
       def layOut(df: DataFrame, table: String, key: String,
           parts: Seq[String]): Unit = {
         spark.sql(s"DROP TABLE IF EXISTS $table")
-        val w = df.repartition(writeParts, col(key))
+        val pre = df.repartition(ScaleOpsQueries.bucketedWriteParts(spark, df), col(key))
+        val w = pre
           .write.mode("overwrite").format("parquet")
           .bucketBy(8, key).sortBy(key)
           .option("path", s"$base/$table")
