@@ -25,6 +25,30 @@ object Contamination {
   val WindowChars = 32
   val Stride = 8
 
+  /** ASCII byte-slice fast path for rolling/strided window extraction
+    * (optimization r16, guide §1.2 "per-task work"): `substring` on a
+    * STRING column re-scans from the string head to find the UTF-8 char
+    * offset — O(p) per window, O(len²/stride) bytes per document across
+    * a document's windows. On a BINARY column the same SQL `substring`
+    * is an O(1) byte slice. For a row whose byte length equals its char
+    * length (pure ASCII — the overwhelming share of any text corpus)
+    * char index == byte index and the UTF-8 bytes of the char substring
+    * ARE the byte slice, so hashing the slice is bit-identical; other
+    * rows fall back to the char path, so semantics are unchanged for
+    * EVERY input. [[asciiBin]] is computed once per document (before the
+    * position explode); [[sliceBytes]] evaluates per window.
+    */
+  def asciiBin(text: Column): Column =
+    when(length(text) === octet_length(text), text.cast("binary"))
+
+  /** The per-window slice: byte slice when the doc proved ASCII, char
+    * substring (then UTF-8 bytes) otherwise. `pos` is 1-based chars.
+    */
+  def sliceBytes(bin: Column, text: Column, pos: Column, len: Int): Column =
+    coalesce(
+      bin.substr(pos.cast("int"), lit(len)),
+      text.substr(pos.cast("int"), lit(len)).cast("binary"))
+
   /** (doc_id, h) — one md5 per strided window of each document with at
     * least [[WindowChars]] chars. Positions explode from a cheap integer
     * `sequence`; substring+md5 evaluate per exploded row.
@@ -39,11 +63,12 @@ object Contamination {
     docs
       .where(col("n_chars") >= WindowChars)
       .select(col("doc_id") +: carried :+
+        asciiBin(col("text")).as("__bin") :+
         explode(sequence(lit(1L), col("n_chars") - (WindowChars - 1), lit(Stride.toLong)))
           .as("p") :+
         col("text"): _*)
       .select(col("doc_id") +: carried ++: pos :+
-        md5(expr(s"substring(text, CAST(p AS INT), $WindowChars)")).as("h"): _*)
+        md5(sliceBytes(col("__bin"), col("text"), col("p"), WindowChars)).as("h"): _*)
   }
 
   /** WINNOWED fingerprints (Schleimer et al. 2003): per document, the
@@ -60,20 +85,22 @@ object Contamination {
     * (hash << 20 | pos) packing silently corrupted minima past 2^20
     * chars — the SQL oracles replay that packing, which is equivalent
     * below the bound; `ContaminationSpec` pins the >2^20 selection).
-    * COST note: `substring(text, p, k)` re-scans from the string head
-    * per gram (UTF-8 char offsets), so per-doc extraction is O(len²)
-    * bytes — shard multi-megabyte docs before fingerprinting for cost,
-    * not correctness.
+    * COST note: extraction uses the [[asciiBin]]/[[sliceBytes]] byte
+    * fast path — O(len) per ASCII document; a NON-ascii document's char
+    * substrings re-scan from the string head (O(len²) bytes), so shard
+    * multi-megabyte non-ASCII docs before fingerprinting for cost, not
+    * correctness.
     */
   def winnowedFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
     val grams = docs
       .where(col("n_chars") >= k)
       .select(col("doc_id"),
+        asciiBin(col("text")).as("__bin"),
         explode(sequence(lit(1L), col("n_chars") - (k - 1))).as("p"),
         col("text"))
       .select(col("doc_id"), col("p"),
         (Dedup.portableHash60(
-          expr(s"substring(text, CAST(p AS INT), $k)")) % 1099511627776L)
+          sliceBytes(col("__bin"), col("text"), col("p"), k)) % 1099511627776L)
           .as("h"))
     winnowSelect(grams, w)
   }

@@ -654,9 +654,11 @@ object AnalyticsQueries {
       val wins = Tables.documentsParallel(spark, dir)
         .where(col("n_chars") >= 32)
         .select(col("doc_id"), col("text"),
+          graft.operators.Contamination.asciiBin(col("text")).as("__bin"),
           explode(sequence(lit(1L), col("n_chars") - 31, lit(8L))).as("p"))
         .select(col("doc_id"),
-          md5(expr("substring(text, CAST(p AS INT), 32)")).as("h"))
+          md5(graft.operators.Contamination.sliceBytes(
+            col("__bin"), col("text"), col("p"), 32)).as("h"))
         .localCheckpoint(eager = true)
       val byHash = wins.groupBy("h")
         .agg(countDistinct(col("doc_id")).as("nd"))

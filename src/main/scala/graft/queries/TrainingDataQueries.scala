@@ -383,11 +383,13 @@ object TrainingDataQueries {
       Tables.documentsParallel(spark, dir)
         .where(col("n_chars") >= W)
         .select(col("doc_id"),
+          graft.operators.Contamination.asciiBin(col("text")).as("__bin"),
           explode(sequence(lit(1L), col("n_chars") - (W - 1))).as("p"),
           col("text"))
         .select(col("doc_id"), col("p"),
           (graft.operators.Dedup.portableHash60(
-            expr(s"substring(text, CAST(p AS INT), $W)")) % 64 === 0).as("is_b"))
+            graft.operators.Contamination.sliceBytes(
+              col("__bin"), col("text"), col("p"), W)) % 64 === 0).as("is_b"))
         .groupBy("doc_id")
         .agg(
           sum(when(col("is_b"), 1L).otherwise(0L)).as("n_boundaries"),
@@ -500,11 +502,13 @@ object TrainingDataQueries {
       Tables.documentsParallel(spark, dir)
         .where(col("n_chars") >= W)
         .select(col("doc_id"),
+          graft.operators.Contamination.asciiBin(col("text")).as("__bin"),
           explode(sequence(lit(1L), col("n_chars") - (W - 1), lit(48L))).as("p"),
           col("text"))
         .select(col("doc_id"), col("p"),
           graft.operators.Dedup.portableHash60(
-            expr(s"substring(text, CAST(p AS INT), $W)")).as("h"))
+            graft.operators.Contamination.sliceBytes(
+              col("__bin"), col("text"), col("p"), W)).as("h"))
         .groupBy("doc_id")
         .agg(
           count(lit(1)).as("n_chunks"),

@@ -57,6 +57,50 @@ class ContaminationSpec extends SparkSpec {
     assert(counts === expect)
   }
 
+  test("byte-slice fast path: span/gram hashes identical on ASCII AND non-ASCII text") {
+    // The r16 extraction fast path slices UTF-8 BYTES when a doc proves
+    // ASCII and falls back to char substrings otherwise — hashes must be
+    // bit-identical to the plain char formulation on every input,
+    // including multibyte text where char index != byte index.
+    import org.apache.spark.sql.functions.{expr, md5}
+    import spark.implicits._
+    val mixed = Seq(
+      (1L, "plain ascii text long enough to carry several strided windows here"),
+      (2L, "café naïve résumé über straße touché " +
+        "déjà vu søster œuvre garçon façade jalapeño"),
+      (3L, "日本語のテキストです multibyte " +
+        "中文文本 mixed with ascii to cross byte boundaries often"),
+    ).toDF("doc_id", "text")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")).cast("long"))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val charSpans = mixed.where(col("n_chars") >= 32)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.sequence(
+            org.apache.spark.sql.functions.lit(1L), col("n_chars") - 31,
+            org.apache.spark.sql.functions.lit(8L))).as("p"),
+        col("text"))
+      .select(col("doc_id"), col("p"),
+        md5(expr("substring(text, CAST(p AS INT), 32)")).as("h"))
+    assert(canon(Contamination.spanHashes(mixed, keepPos = true)) === canon(charSpans))
+    // grams: winnowedFingerprints over the same corpus, both paths agree
+    val viaOp = Contamination.winnowedFingerprints(mixed)
+    val charGrams = {
+      val g = mixed.where(col("n_chars") >= 8)
+        .select(col("doc_id"),
+          org.apache.spark.sql.functions.explode(
+            org.apache.spark.sql.functions.sequence(
+              org.apache.spark.sql.functions.lit(1L), col("n_chars") - 7)).as("p"),
+          col("text"))
+        .select(col("doc_id"), col("p"),
+          (Dedup.portableHash60(expr("substring(text, CAST(p AS INT), 8)"))
+            % 1099511627776L).as("h"))
+      Contamination.winnowSelect(g, 4)
+    }
+    assert(canon(viaOp) === canon(charGrams))
+  }
+
   test("winnowing guarantee: any shared substring of length >= k + w - 1 shares a fingerprint") {
     // the strided detector can alias past a short, unaligned leak; the
     // winnowed one cannot — verify the guarantee on deliberately
