@@ -180,6 +180,9 @@ object Contamination {
     // join consume it twice, but a localCheckpoint here measured tm2
     // 3.7→7.6 s (the d11 lesson again — materialization blocks the
     // pipelined scan and the double compute is cheaper than the pin).
+    // (re-adjudicated r16 after the byte-path extraction change: the pin
+    // still loses — tm2 1.85→2.07, sdr1 1.73→1.99, sdr2 1.58→1.95 —
+    // double compute of the cheapened extraction remains the right trade)
     val wins = spanHashes(docs, keepPos = true)
     // keepFirst = the Lee et al. canonical-copy semantic: the LOWEST
     // doc_id containing a duplicated window keeps every occurrence of

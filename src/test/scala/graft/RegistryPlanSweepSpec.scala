@@ -23,46 +23,55 @@ package graft
   */
 class RegistryPlanSweepSpec extends SparkSpec {
 
-  /** query -> boundedness proof for its global (partition-less) window.
-    * Every window below runs AFTER an aggregation that collapses the
-    * fact table to a small keyed relation, so the single task touches
-    * O(bounded) rows at any corpus size — the window never sees facts.
+  /** query -> (row bound, boundedness proof) for its global
+    * (partition-less) window. Every window below runs AFTER an
+    * aggregation/limit that collapses the fact table to a small keyed
+    * relation, so the single task touches O(bounded) rows at any corpus
+    * size — the window never sees facts. The bound is ENFORCED
+    * (VERDICT r15 #8): each allowlisted query executes at sf0.001 and
+    * the rows actually entering the window (first row-metric node below
+    * it, or the limit literal of a TakeOrderedAndProject feeding it)
+    * must stay under the documented bound — a corpus-sized
+    * Window.orderBy can no longer hide behind a prose allowlist.
+    * Bounds are the documented grain with headroom (calendar-day grains
+    * get 4000 — a decade of days — which any corpus-sized relation at
+    * even sf0.001 (6000 lineitem rows, 150k at sf0.1) blows through).
     */
-  private val globalWindowAllowlist: Map[String, String] = Map(
-    "a18_trimmed_mean" ->
-      "window over groupBy(l_returnflag) offsets: |distinct returnflag| = 3 rows",
-    "a12_percentile_disc" ->
-      "window over groupBy(l_returnflag) offsets: |distinct returnflag| = 3 rows (a18's shape)",
-    "cd1_cum_users" ->
-      "running sum over per-day new-user counts: bounded by calendar days",
-    "dm1_mixture_weights" ->
-      "totals over groupBy(lang): bounded by |languages| (tens)",
-    "dm2_temperature_mix" ->
-      "totals over groupBy(lang): bounded by |languages| (tens)",
-    "dm3_budget_apportion" ->
-      "largest-remainder rank over groupBy(source): bounded by |sources|",
-    "hr1_hierarchical_share" ->
-      "share-of-total over groupBy(region, nation): 25 nations max",
-    "iv1_open_orders_census" ->
-      "sweep-line running sum over distinct boundary DAYS, never orders",
-    "km1_life_table" ->
-      "reverse-cumulative risk set over distinct day-offsets: bounded by observation-span days",
-    "sky1_skyline" ->
-      "global pass over per-bucket Pareto fronts only (skyline is mergeable; local pass keeps O(log n)/bucket)",
-    "tok2_vocab_coverage" ->
-      "rank over TakeOrderedAndProject limit-1000 relation: bound is the literal 1000",
-    "ams1_f2_sketch" ->
-      "median rank over the 5 estimator-group sums: bound is the literal 5",
-    "rrf1_rank_fusion" ->
-      "rank over the BM25 leg's TakeOrderedAndProject limit-50 relation: bound is the literal 50",
-    "qsk1_sample_quantiles" ->
-      "order statistics over the bottom-k hash samples: bound is the literal k=256 (both paths limit first)",
-    "st28_stream_quantile_sketch" ->
-      "order statistics over the persisted min-k sketch state: bound is the literal k=256",
-    "zipf1_rank_frequency" ->
-      "rank over the TakeOrderedAndProject limit-40 relation: bound is the literal 40",
-    "usp1_unigram_lm" ->
-      "total over the trained piece table: bound is the vocab cap (100 + alphabet rows)",
+  private val globalWindowAllowlist: Map[String, (Long, String)] = Map(
+    "a18_trimmed_mean" -> (8L,
+      "window over groupBy(l_returnflag) offsets: |distinct returnflag| = 3 rows"),
+    "a12_percentile_disc" -> (8L,
+      "window over groupBy(l_returnflag) offsets: |distinct returnflag| = 3 rows (a18's shape)"),
+    "cd1_cum_users" -> (4000L,
+      "running sum over per-day new-user counts: bounded by calendar days"),
+    "dm1_mixture_weights" -> (64L,
+      "totals over groupBy(lang): bounded by |languages| (tens)"),
+    "dm2_temperature_mix" -> (64L,
+      "totals over groupBy(lang): bounded by |languages| (tens)"),
+    "dm3_budget_apportion" -> (64L,
+      "largest-remainder rank over groupBy(source): bounded by |sources| (20)"),
+    "hr1_hierarchical_share" -> (32L,
+      "share-of-total over groupBy(region, nation): 25 nations max"),
+    "iv1_open_orders_census" -> (4000L,
+      "sweep-line running sum over distinct boundary DAYS, never orders"),
+    "km1_life_table" -> (4000L,
+      "reverse-cumulative risk set over distinct day-offsets: bounded by observation-span days"),
+    "sky1_skyline" -> (4096L,
+      "global pass over per-bucket Pareto fronts only (skyline is mergeable; local pass keeps O(log n)/bucket)"),
+    "tok2_vocab_coverage" -> (1000L,
+      "rank over TakeOrderedAndProject limit-1000 relation: bound is the literal 1000"),
+    "ams1_f2_sketch" -> (8L,
+      "median rank over the 5 estimator-group sums: bound is the literal 5"),
+    "rrf1_rank_fusion" -> (50L,
+      "rank over the BM25 leg's TakeOrderedAndProject limit-50 relation: bound is the literal 50"),
+    "qsk1_sample_quantiles" -> (256L,
+      "order statistics over the bottom-k hash samples: bound is the literal k=256 (both paths limit first)"),
+    "st28_stream_quantile_sketch" -> (256L,
+      "order statistics over the persisted min-k sketch state: bound is the literal k=256"),
+    "zipf1_rank_frequency" -> (40L,
+      "rank over the TakeOrderedAndProject limit-40 relation: bound is the literal 40"),
+    "usp1_unigram_lm" -> (300L,
+      "total over the trained piece table: bound is the vocab cap (100 + alphabet rows)"),
   )
 
   test("every registry query: no CartesianProduct; global windows bounded + allowlisted") {
@@ -96,5 +105,54 @@ class RegistryPlanSweepSpec extends SparkSpec {
   test("allowlist carries no dead entries") {
     val stale = globalWindowAllowlist.keySet.diff(SparkEntry.queries.keySet)
     assert(stale.isEmpty, s"allowlisted names not in the registry: $stale")
+  }
+
+  test("allowlisted global windows are fed BOUNDED inputs (enforced at sf0.001)") {
+    // VERDICT r15 #8: each entry's documented cardinality bound is
+    // checked against the EXECUTED plan — the rows that actually entered
+    // the window (nearest row-metric node below it; AQE query stages are
+    // traversed), or structurally via the limit literal when the feeding
+    // node is a TakeOrderedAndProject (whose row metric is not populated
+    // under this execution path, but whose limit is the bound at ANY
+    // scale). A window that plans but never feeds from a bounded
+    // relation fails here before it can serialize a corpus at 100 TB.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+      case q: QueryStageExec => p +: allNodes(q.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    val violations = globalWindowAllowlist.toSeq.sortBy(_._1).flatMap {
+      case (name, (bound, proof)) =>
+        val df = SparkEntry.queries(name)(spark, sf0001)
+        df.queryExecution.toRdd.foreach(_ => ())
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        val wins = allNodes(df.queryExecution.executedPlan).collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+        }
+        if (wins.isEmpty)
+          Seq(s"$name: allowlisted but plans no global window — stale entry")
+        else wins.flatMap { w =>
+          val measured = allNodes(w.child).collectFirst {
+            case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec =>
+              (s"TakeOrderedAndProject limit=${t.limit}", t.limit.toLong)
+            case n if n.metrics.contains("numOutputRows") =>
+              (n.nodeName, n.metrics("numOutputRows").value)
+            case n if n.metrics.contains("shuffleRecordsWritten") =>
+              (n.nodeName, n.metrics("shuffleRecordsWritten").value)
+          }
+          measured match {
+            case None => Seq(s"$name: no row-metric node under its global window")
+            case Some((node, rows)) if rows > bound =>
+              Seq(s"$name: $rows rows ($node) entered the global window — " +
+                s"documented bound $bound ($proof)")
+            case _ => Nil
+          }
+        }
+    }
+    assert(violations.isEmpty,
+      s"\n${violations.mkString("\n")}\n(${violations.size} window-bound violations)")
   }
 }
