@@ -74,6 +74,10 @@ object ExtensionQueries {
       // consumer re-runs the per-word md5 pass (measured d3 1.8→2.9 s).
       // The pinned relation is (doc_id, simhash) — 16 bytes/doc at any
       // corpus size, the standard materialize-signatures posture.
+      // ACCEPTED LEAK (ADVICE r15): queries return lazily, so the pin
+      // cannot be released in-query; the blocks (16 B/doc) linger until
+      // the harness's per-execution dropPinned() or ContextCleaner GC —
+      // same accepted class as tm2's gate-barrier checkpoint.
       val sigs = Dedup.simHashPortableSignatures(docs)
         .localCheckpoint(eager = true)
       val cands = Dedup.simHashCandidates(docs, maxHamming = 10,
